@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over :mod:`events_to_db_spark`: importing the operators
+package registers every implemented SURVEY.md §2 query into the
+registry; this module re-exports the three driver hooks.
+
+* ``entry(spark)`` — flagship query (TPC-H-Q1-style aggregation) on
+  sf0.001; driver checks rows > 0.
+* ``queries()`` — name → fn(spark, sf_dir) -> DataFrame.
+* ``oracle_sql()`` — name → equivalent DuckDB ANSI SQL over the
+  pre-registered views (region nation customer supplier part orders
+  lineitem events documents embeddings).  Names absent here get the
+  driver's weaker rows-only check (approx sketches, non-SQL ops).
 """
 
 from __future__ import annotations
@@ -13,26 +19,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import events_to_db_spark.operators  # noqa: F401  (registers queries)
+from events_to_db_spark.registry import ORACLES, QUERIES
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QUERIES["q_agg_q1"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every hash-checkable query."""
+    return dict(ORACLES)

@@ -1,0 +1,8 @@
+"""Operator modules — importing this package registers every contract
+query from SURVEY.md §2 into :mod:`events_to_db_spark.registry`."""
+
+from events_to_db_spark.operators import (  # noqa: F401
+    aggregates,
+)
+
+__all__ = ["aggregates"]
