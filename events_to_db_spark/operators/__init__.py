@@ -3,6 +3,9 @@ query from SURVEY.md §2 into :mod:`events_to_db_spark.registry`."""
 
 from events_to_db_spark.operators import (  # noqa: F401
     aggregates,
+    filters,
+    joins,
+    scans,
 )
 
-__all__ = ["aggregates"]
+__all__ = ["aggregates", "filters", "joins", "scans"]

@@ -1,0 +1,357 @@
+"""Join operators — SURVEY.md §2.3.
+
+The relational surface a consumer of an events-to-db copy runs on the
+target database, pulled into the engine: inner/outer/semi/anti/cross,
+multiway, theta (non-equi residual), range (interval self-join), and
+backward as-of.
+
+Scale notes (SURVEY.md §7.4):
+
+* Dimension joins (``nation``/``region``/literal lists) carry an
+  explicit ``broadcast()`` hint → BroadcastHashJoin, no shuffle of the
+  fact side.  At 100 TB the fact table streams through map tasks while
+  the dim sits in every executor.
+* Large equi-joins (orders⋈customer, lineitem⋈part) are left to
+  Catalyst: shuffle hash / sort-merge on the key, AQE handles skew by
+  splitting oversized partitions.
+* The range self-join is an equi-join on ``user_id`` first (bounded
+  groups), with the time predicate as a residual — never a cross
+  product.  The as-of join is the union+window formulation: one shuffle
+  on ``user_id``, no join at all — the classic scale-safe as-of plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                 AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join + aggregate (BASELINE.md B3)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension join with an explicit broadcast hint →
+    BroadcastHashJoin (plan asserted in tests/test_plans.py)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name"
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table join: revenue per ASIA nation from
+    local suppliers (BASELINE.md B4).  Dims broadcast; fact joins
+    shuffle on their keys and Catalyst/AQE reorders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                                        AS n_rows,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END)  AS n_custs_no_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (each appears
+    exactly once with NULL order columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_custs_no_orders"),
+        )
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(e.event_type, t.et) AS etype,
+           e.n                          AS n_events,
+           (t.et IS NOT NULL)           AS in_list
+    FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) e
+    FULL OUTER JOIN (VALUES ('purchase'), ('refund'), ('signup')) t(et)
+      ON e.event_type = t.et
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of observed event types vs a literal watch-list —
+    exercises null-extension on both sides ('refund' never occurs;
+    'click'/'error'/'view' are off-list)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    watch = spark.createDataFrame(
+        [("purchase",), ("refund",), ("signup",)], ["et"]
+    )
+    return (
+        counts.join(F.broadcast(watch), counts.event_type == watch.et, "full")
+        .select(
+            F.coalesce("event_type", "et").alias("etype"),
+            F.col("n").alias("n_events"),
+            F.col("et").isNotNull().alias("in_list"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 urgent order.
+    Semi-join never duplicates the left side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, count(*) AS n_pairs
+    FROM region CROSS JOIN nation
+    GROUP BY r_name
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (both sides tiny → BroadcastNestedLoopJoin)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).groupBy("r_name").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT p_brand,
+           count(*)                    AS n,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_extendedprice > 20 * p_retailprice
+    GROUP BY p_brand
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi residual.  The equi component
+    keeps it a hash join (the residual is evaluated post-probe) — never
+    a nested-loop over the full cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            p,
+            (li.l_partkey == p.p_partkey)
+            & (li.l_extendedprice > 20 * p.p_retailprice),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT a.user_id AS user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+    GROUP BY a.user_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (band) self-join: pairs of events by the same user
+    within 60 s.  Equi-join on ``user_id`` bounds each group; the time
+    band is a residual predicate.  At scale: user_id hash-partitions the
+    shuffle and AQE splits skewed users."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS kind FROM events
+        WHERE event_type IN ('signup', 'click')
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS kind FROM events
+        WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT user_id, ts, event_id, kind,
+               last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_id,
+               last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_ts
+        FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, prior_id, prior_ts
+    FROM w WHERE kind = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for each purchase, the user's most recent
+    signup/click at-or-before the purchase timestamp (ties: the
+    reference row with the largest event_id).
+
+    Implemented as the scale-safe union+window formulation (one shuffle
+    on user_id, no join): interleave both sides ordered by
+    ``(ts, kind, event_id)`` — kind=0 (reference events) sorts before
+    kind=1 (purchases) at equal ts, giving at-or-before semantics — and
+    carry the last non-null reference id/ts forward.  The oracle uses
+    the identical formulation for hash parity (SURVEY.md §2.3 row
+    q_join_asof)."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = ref.unionByName(pur)
+    marked = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("prior_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("prior_ts"),
+    )
+    return marked.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "prior_id",
+        "prior_ts",
+    )

@@ -19,6 +19,7 @@ import datetime as dt
 import math
 import sys
 import time
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -45,6 +46,11 @@ def norm_cell(v, strict: bool):
         return repr(f) if strict else f"{f:.8g}"
     if isinstance(v, (np.integer, int, np.bool_, bool)):
         return repr(int(v))
+    if isinstance(v, Decimal):
+        # DuckDB sums of integers come back DECIMAL/HUGEINT; the driver
+        # may not normalize these — prefer casting to BIGINT in oracle
+        # SQL.  Normalized here anyway so the diff shows values, not types.
+        return repr(int(v)) if v == v.to_integral_value() else repr(float(v))
     if isinstance(v, (pd.Timestamp, dt.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, dt.date):
