@@ -6,6 +6,8 @@ from events_to_db_spark.operators import (  # noqa: F401
     filters,
     joins,
     scans,
+    setops,
+    windows,
 )
 
-__all__ = ["aggregates", "filters", "joins", "scans"]
+__all__ = ["aggregates", "filters", "joins", "scans", "setops", "windows"]

@@ -30,6 +30,237 @@ def _r(col, alias):
 
 
 @query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Catalyst's two-phase expand plan
+    (BASELINE.md B6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@query(
+    "q_agg_multidistinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)          AS n_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_multidistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates over different columns in one pass
+    (Expand multiplies input once per distinct group)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(min(value), 4)                 AS min_v,
+           round(max(value), 4)                 AS max_v,
+           round(avg(value), 4)                 AS avg_v,
+           round(stddev_samp(value), 4)         AS std_v,
+           round(var_samp(value), 4)            AS var_v,
+           round(quantile_cont(value, 0.5), 4)  AS median_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moment family + interpolated median (Spark
+    ``percentile`` ↔ DuckDB ``quantile_cont`` — both interpolate,
+    validated in SURVEY.md §7.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r(F.min("value"), "min_v"),
+        _r(F.max("value"), "max_v"),
+        _r(F.avg("value"), "avg_v"),
+        _r(F.stddev_samp("value"), "std_v"),
+        _r(F.var_samp("value"), "var_v"),
+        _r(F.percentile("value", F.lit(0.5)), "median_v"),
+    )
+
+
+@query("q_agg_approx")  # rows-only: HLL estimates differ across engines by design
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global approximate distinct count (HyperLogLog++).  The sketch
+    merges associatively across partitions — the 100 TB path for
+    cardinality estimation.  No value oracle (estimate is
+    engine-specific); driver records the rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING) — a filter above the final
+    HashAggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT c_nationkey,
+           count(CASE WHEN c_acctbal < 0 THEN 1 END)                     AS n_neg,
+           CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                         AS n_rich,
+           round(sum(CASE WHEN c_acctbal > 5000 THEN c_acctbal ELSE 0 END), 4)
+                                                                         AS sum_rich
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / sum(CASE WHEN …) per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(F.col("c_acctbal") < 0).alias("n_neg"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rich"),
+        _r(
+            F.sum(F.when(F.col("c_acctbal") > 5000, F.col("c_acctbal")).otherwise(0.0)),
+            "sum_rich",
+        ),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag,status) → (flag) → grand total
+    (BASELINE.md B12; 10 rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _r(F.sum("l_quantity"), "sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d, count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type × day): all four grouping-set combinations.
+    Day emitted as ISO string (date-output parity rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("d", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .cube("event_type", "d")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_agg_groupingsets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER)  AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER)  AS g_status,
+           round(sum(l_quantity), 4)                AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() null-vs-group markers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status,
+               round(sum(l_quantity), 4)            AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT event_type,
+           (list(value ORDER BY value DESC))[1:5] AS top5
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array collection: top-5 values per type as an array
+    column, deterministically ordered (§7.5.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5).alias("top5")
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id % 10 AS decile,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into five count columns per user decile.  The
+    pivot value list is pinned (no discovery pass); empty cells are
+    coalesced to 0 to match the conditional-aggregation oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.withColumn("decile", F.col("user_id") % 10)
+        .groupBy("decile")
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "decile",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@query(
     "q_agg_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,

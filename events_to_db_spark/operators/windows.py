@@ -1,0 +1,263 @@
+"""Window-function operators — SURVEY.md §2.5 + §2.6 (sorts/limits/top-k).
+
+Ranking, lead/lag, ROWS and RANGE frames, running totals, distribution
+functions, multi-key sorts, and top-k per group.
+
+Determinism (SURVEY.md §7.5.2): every window order includes a unique
+tie-break key (`o_orderkey`, `event_id`) so rank/frame contents are a
+pure function of the data in both engines.
+
+Scale notes: all windows partition by a high-cardinality key (customer,
+user) — one hash shuffle, per-partition sort, no global sort.  The two
+deliberately-global windows (`q_win_distribution` over 1.5 M customers
+at sf1, `q_sort_multi`'s total order) are flagged in docstrings: the
+ranked-limit variants compile to TakeOrderedAndProject (per-partition
+top-k + driver merge of k·partitions rows — safe at any scale); the
+ntile/percent_rank query is the one truly single-partition plan, kept
+because its semantics require a total frame (DuckDB does the same).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY row_number() OVER w <= 3
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer by price desc,
+    keep top 3 (BASELINE.md B5)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_leadlag",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_v,
+           lead(value) OVER w AS next_v,
+           round(value - lag(value) OVER w, 4) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user in event-time order + delta vs previous
+    (NULL at partition edges)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1
+    )
+    SELECT d,
+           round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4)
+             AS ma7
+    FROM daily
+    """,
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row centered moving average of daily revenue
+    (ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING; partial frames at the
+    edges use available rows in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM-dd").alias("d")
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    return daily.select("d", F.round(F.avg("rev").over(w), 4).alias("ma7"))
+
+
+@query(
+    "q_win_frame_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_nr,
+           round(sum(o_totalprice) OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS rev30
+    FROM orders
+    """,
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running 30-day revenue per customer — a true RANGE frame over an
+    epoch-day key (portable formulation of
+    ``RANGE BETWEEN INTERVAL 30 DAYS PRECEDING``); same-day orders are
+    peers and always share a frame."""
+    o = load_table(spark, sf_dir, "orders")
+    day_nr = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day_nr"))
+        .rangeBetween(-30, 0)
+    )
+    return o.withColumn("day_nr", day_nr).select(
+        "o_orderkey",
+        "o_custkey",
+        "day_nr",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("rev30"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_v
+    FROM events
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user in event-time order (the event-log
+    running-state materialization)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("cum_v"),
+    )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT)      AS quartile,
+           round(percent_rank() OVER w, 4)      AS pr,
+           round(cume_dist() OVER w, 4)         AS cd
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over the full customer order.
+    Deliberately single-partition (total-frame semantics); the unique
+    ``c_custkey`` tie-break removes peer groups so both engines agree
+    bit-for-bit."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------- §2.6
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + limit: the fully tie-broken first 100.
+    Compiles to TakeOrderedAndProject — per-partition top-k then a
+    k-way driver merge; no global sort materialization at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 by price (AQL LIMIT over a total order)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+@query(
+    "q_topk_group",
+    oracle="""
+    SELECT event_type, event_id, value,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    QUALIFY row_number() OVER w <= 5
+    """,
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events by value per type (BASELINE.md B9) — the windowed
+    top-k pattern: shuffle on the group key, per-partition sort, filter."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
