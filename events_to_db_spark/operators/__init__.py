@@ -3,11 +3,22 @@ query from SURVEY.md §2 into :mod:`events_to_db_spark.registry`."""
 
 from events_to_db_spark.operators import (  # noqa: F401
     aggregates,
+    events_ops,
     filters,
     joins,
+    scalar_fns,
     scans,
     setops,
     windows,
 )
 
-__all__ = ["aggregates", "filters", "joins", "scans", "setops", "windows"]
+__all__ = [
+    "aggregates",
+    "events_ops",
+    "filters",
+    "joins",
+    "scalar_fns",
+    "scans",
+    "setops",
+    "windows",
+]

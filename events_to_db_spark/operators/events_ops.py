@@ -1,0 +1,291 @@
+"""Event-log operators, batch-checkable — SURVEY.md §2.9.
+
+The heart of the events-to-db capability surface: time-window
+aggregation, sessionization, idempotent dedup, funnel, cohort
+retention, and latest-state materialization.  Each query is expressed
+once over the batch ``events`` table; the streaming module
+(:mod:`events_to_db_spark.streaming`) runs the same logical plans on an
+unbounded source with watermarks (Spark's unified batch/stream
+semantics) — the batch answer is the oracle for the stream
+(tests/test_streaming.py).
+
+Boundary semantics pinned empirically (SURVEY.md §7.3.6): Spark
+``session_window(ts, '30 minutes')`` merges a gap of exactly 30:00 —
+a new session starts iff gap > 30 min strictly — and the lag/cumsum
+oracle uses the same strict comparison.
+
+Scale notes: every operator shuffles once on ``user_id`` (or the window
+key) and aggregates; no self-joins except the funnel's bounded
+first-signup⋈first-purchase (both sides pre-aggregated to one row per
+user before the join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "q_ev_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+           event_type,
+           count(*)            AS n,
+           round(sum(value), 4) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window × event type (BASELINE.md B7).  Uses the
+    streaming-capable ``F.window`` so the identical expression runs
+    under a watermark on the live path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("d"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+@query(
+    "q_ev_sliding",
+    oracle="""
+    WITH b AS (
+        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS bucket, value
+        FROM events
+    ), w AS (
+        SELECT bucket AS w_start, value FROM b
+        UNION ALL
+        SELECT bucket - INTERVAL 30 MINUTE AS w_start, value FROM b
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS ws, count(*) AS n
+    FROM w GROUP BY 1
+    """,
+)
+def q_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — each event lands in exactly
+    two windows.  The oracle reproduces the epoch-aligned grid by
+    exploding each event into its two containing windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("ws"), "n"
+        )
+    )
+
+
+@query(
+    "q_ev_session",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS s_ts,
+           strftime(max(ts), '{TS_FMT_DUCK}') AS e_ts,
+           count(*) AS n_events,
+           CAST(date_diff('microseconds', min(ts), max(ts)) AS BIGINT) AS span_us
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_ev_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization per user (BASELINE.md B8) via native
+    ``session_window`` — one row per session with span and size.  The
+    oracle is the classic lag→gap-flag→cumsum formulation with the same
+    strict-> boundary (gap of exactly 30:00 merges, pinned by unit
+    fixture)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("min_ts", TS_FMT).alias("s_ts"),
+            F.date_format("max_ts", TS_FMT).alias("e_ts"),
+            "n_events",
+            # Exact integer µs — float seconds round differently at the
+            # .00005 boundary between engines.
+            (F.unix_micros("max_ts") - F.unix_micros("min_ts")).alias("span_us"),
+        )
+    )
+
+
+@query(
+    "q_ev_dedup",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_survivors
+    FROM r WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def q_ev_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-redelivery dedup: one event per
+    ``(user, type, minute)``, keeping the earliest (tie-break
+    event_id) — the batch twin of ``dropDuplicatesWithinWatermark``."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_survivors"))
+    )
+
+
+@query(
+    "q_ev_funnel",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT s.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+        FROM s JOIN events e ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= s.signup_ts
+         AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+        GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT user_id,
+           strftime(signup_ts, '{TS_FMT_DUCK}')   AS signup_ts,
+           strftime(purchase_ts, '{TS_FMT_DUCK}') AS purchase_ts
+    FROM p
+    """,
+)
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: first signup → first purchase within 7 days.
+    Both stages reduce to one row per user *before* joining, so the
+    join input is bounded by |users| regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        signups.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+        .select(
+            "user_id",
+            F.date_format("signup_ts", TS_FMT).alias("signup_ts"),
+            F.date_format("purchase_ts", TS_FMT).alias("purchase_ts"),
+        )
+    )
+
+
+@query(
+    "q_ev_cohort",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS w0 FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(f.w0, '%Y-%m-%d') AS cohort_week,
+           count(*)                    AS n_users,
+           count(a.user_id)            AS n_retained
+    FROM f LEFT JOIN act a
+      ON a.user_id = f.user_id AND a.w = f.w0 + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def q_ev_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-event ISO week ×
+    still-active in the following week (two aggregations + one
+    per-user-bounded join)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.date_trunc("week", F.min("ts")).alias("w0")
+    )
+    active = ev.select(
+        F.col("user_id").alias("a_user"), F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    joined = first.join(
+        active,
+        (F.col("a_user") == F.col("f_user"))
+        & (F.col("w") == F.col("w0") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return joined.groupBy(
+        F.date_format("w0", "yyyy-MM-dd").alias("cohort_week")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.count("a_user").alias("n_retained"),
+    )
+
+
+@query(
+    "q_ev_latest",
+    oracle=f"""
+    WITH r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, value,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_s
+    FROM r WHERE rn = 1
+    """,
+)
+def q_ev_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest event — the "current state" materialization an
+    event→DB copier exists to serve (streaming twin: ``foreachBatch``
+    MERGE in the sink module)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", TS_FMT).alias("ts_s"),
+        )
+    )

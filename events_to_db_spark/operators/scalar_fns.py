@@ -1,0 +1,227 @@
+"""Scalar function surface — SURVEY.md §2.8.
+
+The AQL expression vocabulary (string ops, timestamp ops, arithmetic)
+plus the vector/array and JSON/map function families the dynamic-payload
+data model needs.  Everything is a built-in Catalyst expression —
+whole-stage codegen'd, no Python.
+
+Cross-dialect parity notes are inline per query (SURVEY.md §7.3.4):
+DuckDB ``length()`` returns BIGINT (Spark INT → cast), DuckDB
+``dayofweek`` is 0-based Sunday (use Spark ``weekday()+1`` ↔ DuckDB
+``isodow``), list indexing is 1-based in DuckDB, float32 array elements
+are compared after cast-to-double + round4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                  AS up_name,
+           lower(p_type)                                  AS lo_type,
+           CAST(length(p_name) AS BIGINT)                 AS name_len,
+           substr(p_name, 1, 5)                           AS name_head,
+           trim(p_name)                                   AS name_trim,
+           replace(p_name, ' ', '_')                      AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 3, '0')          AS size_pad,
+           concat(p_brand, ':', p_type)                   AS brand_type,
+           (string_split(p_name, ' '))[1]                 AS first_tok,
+           regexp_extract(p_brand, '([0-9]+)', 1)         AS brand_nr,
+           (p_name LIKE '%a%')                            AS has_a
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function sweep over ``part`` (AQL string ops)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_type").alias("lo_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim("p_name").alias("name_trim"),
+        F.expr("replace(p_name, ' ', '_')").alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        F.split("p_name", " ").getItem(0).alias("first_tok"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_nr"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)   AS y,
+           CAST(month(o_orderdate) AS INTEGER)  AS m,
+           count(*)                             AS n,
+           CAST(max(day(o_orderdate)) AS INTEGER)      AS max_dom,
+           CAST(max(isodow(o_orderdate)) AS INTEGER)   AS max_dow,
+           strftime(min(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS month_start,
+           strftime(min(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY), '%Y-%m-%d')
+                                                AS min_plus30,
+           CAST(max(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))
+                AS BIGINT)                      AS max_days_since
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-function sweep with month-bucket aggregation.
+    Dialect parity: Spark ``weekday()+1`` == DuckDB ``isodow`` (ISO
+    Monday=1); day arithmetic through DATE casts on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_dom"),
+            F.max(F.weekday("o_orderdate") + 1).alias("max_dow"),
+            F.date_format(
+                F.min(F.date_trunc("month", "o_orderdate")), "yyyy-MM-dd"
+            ).alias("month_start"),
+            F.date_format(
+                F.min(F.date_add(F.to_date("o_orderdate"), 30)), "yyyy-MM-dd"
+            ).alias("min_plus30"),
+            F.max(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            )
+            .cast("long")
+            .alias("max_days_since"),
+        )
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(value) AS BIGINT)            AS v_floor,
+           CAST(ceil(value) AS BIGINT)             AS v_ceil,
+           round(abs(value - 100), 4)              AS v_absdiff,
+           CAST(mod(event_id, 7) AS BIGINT)        AS v_mod,
+           round(pow(value, 0.5), 4)               AS v_pow,
+           round(sqrt(value), 4)                   AS v_sqrt,
+           round(ln(value + 1), 4)                 AS v_ln,
+           round(exp(value / 500), 4)              AS v_exp,
+           CAST(sign(value - 100) AS INTEGER)      AS v_sign,
+           round(greatest(value, 100.0), 4)        AS v_max100,
+           round(least(value, 100.0), 4)           AS v_min100
+    FROM events
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function sweep over ``events.value`` (AQL arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.floor(v).cast("long").alias("v_floor"),
+        F.ceil(v).cast("long").alias("v_ceil"),
+        F.round(F.abs(v - 100), 4).alias("v_absdiff"),
+        (F.col("event_id") % 7).cast("long").alias("v_mod"),
+        F.round(F.pow(v, 0.5), 4).alias("v_pow"),
+        F.round(F.sqrt(v), 4).alias("v_sqrt"),
+        F.round(F.log(v + 1), 4).alias("v_ln"),
+        F.round(F.exp(v / 500), 4).alias("v_exp"),
+        F.signum(v - 100).cast("int").alias("v_sign"),
+        F.round(F.greatest(v, F.lit(100.0)), 4).alias("v_max100"),
+        F.round(F.least(v, F.lit(100.0)), 4).alias("v_min100"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           round(CAST(embedding[1] AS DOUBLE), 4)      AS e1,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS e_max,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS e_min,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sumsq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order functions over the 64-dim embedding column
+    (the vector-column surface, north-star N): size, slice, indexing,
+    min/max, lambda transform/filter/aggregate.  Float32 elements are
+    cast to double + round4 for cross-engine parity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.transform(
+            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 4)
+        ).alias("head3"),
+        F.round(F.element_at(emb, 1).cast("double"), 4).alias("e1"),
+        F.round(F.array_max(emb).cast("double"), 4).alias("e_max"),
+        F.round(F.array_min(emb).cast("double"), 4).alias("e_min"),
+        F.round(
+            F.aggregate(
+                emb,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sumsq"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_keys(props) AS VARCHAR[])                    AS ks,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)     AS k_val
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic payload as a typed MAP: parse the JSON ``props`` into
+    ``map<string,int>``, list its keys (sorted — §7.5.5), and look one
+    up.  This is AQL's free-form-object access compiled to MapType."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("ks"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')      AS k_str,
+           json_extract_string(props, '$.a.b')    AS missing
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path access: present path as string, nested missing path →
+    NULL (AQL missing-field semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.a.b").alias("missing"),
+    )
