@@ -1,0 +1,128 @@
+"""Arrow-vectorized numeric kernels — SURVEY.md §2.10 / §7.3.3.
+
+Dense vector math (cosine similarity against a reference matrix) is the
+one place where built-in higher-order functions lose badly: evaluating
+``aggregate(zip_with(...))`` per pair is a per-element Catalyst
+expression walk, measured at 27 s for 2 k×2 k pairs (BASELINE.md B10).
+The kernels here move the same math into NumPy matmuls over Arrow
+batches (``mapInPandas``), which is the idiomatic Spark shape for this:
+
+* the small side (reference matrix / centroids) is a **broadcast**
+  variable — each executor gets one copy, no shuffle;
+* the big side streams through in Arrow record batches, each batch
+  processed as one BLAS call;
+* everything stays partition-parallel — no driver-side loops, no
+  ``collect`` of the big side — so the same code runs on a
+  1000-executor cluster against a billion vectors.
+
+100 TB posture: brute-force NN against a *broadcastable* reference set
+scales linearly in the big side (this file).  When the reference set
+itself is huge, the scale path is candidate pruning via LSH bucketing
+(see ``operators/pipeline_ops.py``) so the matmul only sees per-bucket
+blocks.
+
+All kernels compute in float64: float32 accumulation drifts ~1e-7,
+which flips round-4 hash digits; float64 disagreement with DuckDB's
+sequential summation is ~1e-15 and cannot move a rounded digit except
+on exact real-arithmetic ties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+
+def stack_embeddings(series: pd.Series) -> np.ndarray:
+    """Arrow ``list<float>`` pandas column -> (n, dim) float64 matrix."""
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+def l2_normalize(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize; zero rows stay zero (cosine vs zero vector = 0)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def make_nn_map_fn(ref_bc):
+    """Build a ``mapInPandas`` fn: for each input vector, its nearest
+    neighbour in the broadcast reference set by cosine (self excluded,
+    ties broken by lowest candidate id).
+
+    ``ref_bc`` is a Spark broadcast of ``(ids: int64[n], unit: float64
+    [n, dim])`` with ``ids`` sorted ascending — ``argmax`` returns the
+    first (= lowest-id) winner on exact ties, matching the oracle's
+    ``ORDER BY cos DESC, vec_id`` tie-break.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, unit = ref_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = l2_normalize(stack_embeddings(pdf["embedding"]))
+            sims = q @ unit.T  # (batch, n_ref) — one BLAS call
+            # exclude self-matches by id (not by position: the batch is
+            # an arbitrary slice of the same table)
+            self_mask = pdf["vec_id"].to_numpy()[:, None] == ids[None, :]
+            sims[self_mask] = -np.inf
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "nn_id": ids[best],
+                    "cos": np.round(sims[np.arange(len(best)), best], 4),
+                }
+            )
+
+    return fn
+
+
+def make_threshold_map_fn(ref_bc, threshold: float):
+    """Build a ``mapInPandas`` fn emitting per-batch pair counts at
+    ``cos >= threshold`` split by same-vs-cross label, counting each
+    unordered pair once (target id < candidate id)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, unit, labels = ref_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = l2_normalize(stack_embeddings(pdf["embedding"]))
+            sims = q @ unit.T
+            qid = pdf["vec_id"].to_numpy()[:, None]
+            hit = (sims >= threshold) & (qid < ids[None, :])
+            same = pdf["label"].to_numpy()[:, None] == labels[None, :]
+            n_same = int(np.count_nonzero(hit & same))
+            n_cross = int(np.count_nonzero(hit & ~same))
+            yield pd.DataFrame(
+                {"same_label": [True, False], "n_pairs_part": [n_same, n_cross]}
+            )
+
+    return fn
+
+
+def make_classify_map_fn(cent_bc):
+    """Build a ``mapInPandas`` fn assigning each vector its nearest
+    centroid label by cosine (ties -> lowest label; centroid rows are
+    sorted by label so ``argmax`` picks it)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cl_labels, cl_unit = cent_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = l2_normalize(stack_embeddings(pdf["embedding"]))
+            best = np.argmax(q @ cl_unit.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "clabel": cl_labels[best],
+                }
+            )
+
+    return fn

@@ -6,9 +6,11 @@ from events_to_db_spark.operators import (  # noqa: F401
     events_ops,
     filters,
     joins,
+    llm_ops,
     scalar_fns,
     scans,
     setops,
+    udfs,
     windows,
 )
 
@@ -17,8 +19,10 @@ __all__ = [
     "events_ops",
     "filters",
     "joins",
+    "llm_ops",
     "scalar_fns",
     "scans",
     "setops",
+    "udfs",
     "windows",
 ]

@@ -1,0 +1,444 @@
+"""LLM-data-pipeline operators — SURVEY.md §2.10 (north-star N).
+
+Text analysis (word/bigram counts, tf-idf, language stats), exact and
+near deduplication, embedding similarity (kNN / threshold pairs /
+nearest-centroid), and a multimodal text⋈vector join — the operator
+families a large-scale training-data pipeline needs, expressed over the
+driver's ``documents`` and ``embeddings`` tables.
+
+Scale design (100 TB posture, SURVEY.md §7.4):
+
+* All text ops are explode→groupBy pipelines — one shuffle on the term
+  key, map-side partial aggregation, no driver materialization.
+* Near-dup runs inside ``(lang, source)`` blocks so the self-join is
+  per-block quadratic, never global; the global-scale path (MinHash
+  LSH banding, SimHash) lives in ``pipeline_ops.py``.
+* Similarity kernels broadcast the small reference matrix and stream
+  the big side through NumPy matmuls (``functions/kernels.py``) —
+  27 s → sub-second vs higher-order functions at 2 k vectors
+  (BASELINE.md B10), and linear in the big side on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.functions import kernels
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "q_text_wordcount",
+    oracle="""
+    SELECT t.term AS term, count(*) AS n
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    GROUP BY 1
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by count (tie-break term asc) — the canonical
+    explode→groupBy shape (BASELINE.md B11)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_langstats",
+    oracle="""
+    SELECT lang,
+           count(*)                   AS n_docs,
+           round(avg(n_chars), 4)     AS avg_chars,
+           count(DISTINCT source)     AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_langstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, mean length, source spread."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+    toks AS (
+        SELECT doc_id, t.term AS term
+        FROM en, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM en),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df) DESC,
+                            tf.term
+               ) AS rn
+        FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(tfidf, 4) AS tfidf
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-1 term by tf-idf over the English subset
+    (tf = in-doc count, idf = ln(N/df), tie-break term asc).
+
+    Plan shape: explode once, two hash aggregations (tf, df), broadcast
+    the tiny df/N sides back onto tf, one window for the per-doc argmax
+    — no cross join of the corpus with itself."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+@query(
+    "q_text_ngram",
+    oracle="""
+    WITH en AS (
+        SELECT string_split(text, ' ') AS toks
+        FROM documents WHERE lang = 'en'
+    ),
+    b AS (
+        SELECT concat(toks[i], ' ', toks[i + 1]) AS bigram
+        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM en)
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 10
+    """,
+)
+def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 space-token bigrams in English docs.  Bigrams are built
+    array-side (indexed ``transform`` — 0-based subscripts) so each doc
+    is one row until the single explode."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        d.select(F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> concat(x, ' ', toks[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT count(*)                                        AS n_docs,
+           count(DISTINCT md5(text))                       AS n_hashes,
+           count(*) - count(DISTINCT md5(text))            AS n_dup_docs
+    FROM documents
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection by content hash: total docs, distinct
+    hashes, and docs that would be dropped.  One hash-aggregate pass —
+    the shape that holds at any scale (hash first, never compare raw
+    text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_hashes"),
+        (
+            F.count("*") - F.countDistinct(F.md5(F.col("text").cast("binary")))
+        ).alias("n_dup_docs"),
+    )
+
+
+@query(
+    "q_dedup_near",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard ≥ 0.8 inside
+    ``(lang, source)`` blocks.
+
+    The block keys turn the self-join into an equi-join (shuffle on the
+    block key, quadratic only within a block).  The unblocked 100 TB
+    path is MinHash-LSH banding — ``pipeline_ops.q_dedup_minhash`` —
+    where candidate pairs come from band-hash buckets instead of
+    metadata blocks."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_b"),
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity
+# --------------------------------------------------------------------------
+
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _ref_broadcast(spark: SparkSession, df: DataFrame, with_labels: bool):
+    """Collect the reference side (ids asc) and broadcast it to the
+    executors.  The reference set must fit in executor memory — the
+    same constraint as any broadcast join; beyond that, block via LSH
+    (pipeline_ops)."""
+    import numpy as np
+
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    rows = df.select(*cols).orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    unit = kernels.l2_normalize(
+        np.array([r["embedding"] for r in rows], dtype=np.float64)
+    )
+    if with_labels:
+        labels = np.array([r["label"] for r in rows], dtype=np.int64)
+        return spark.sparkContext.broadcast((ids, unit, labels))
+    return spark.sparkContext.broadcast((ids, unit))
+
+
+@query(
+    "q_sim_cosine_knn",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+               list_cosine_similarity(a.v, b.v) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id
+               ) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nn_id, round(cos, 4) AS cos
+    FROM p WHERE rn = 1
+    ORDER BY vec_id
+    LIMIT 100
+    """,
+)
+def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbour by cosine for each vector (ties: lowest
+    nn_id), first 100 vectors by vec_id (BASELINE.md B10).
+
+    Kernel path: broadcast the L2-normalized reference matrix, stream
+    the query side through one NumPy matmul per Arrow batch — replaces
+    the 27 s higher-order-function formulation with a sub-second BLAS
+    call, and on a cluster scales linearly in the query side."""
+    e = _load_embeddings(spark, sf_dir)
+    bc = _ref_broadcast(spark, e, with_labels=False)
+    out = e.select("vec_id", "embedding").mapInPandas(
+        kernels.make_nn_map_fn(bc), "vec_id long, nn_id long, cos double"
+    )
+    return out.orderBy("vec_id").limit(100)
+
+
+@query(
+    "q_sim_threshold",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT (a.label = b.label) AS same_label, count(*) AS n_pairs
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    GROUP BY 1
+    """,
+)
+def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered pairs with cosine ≥ 0.3, split same-label vs
+    cross-label.  Same broadcast-matmul kernel; each batch emits its
+    partial counts and one tiny final aggregation sums them.
+
+    Threshold is data-driven: the synthetic embeddings' max pairwise
+    cosine is 0.513, so SURVEY's nominal 0.95 would make this a
+    trivially-empty check; 0.3 keeps ~1 % of pairs (measured)."""
+    e = _load_embeddings(spark, sf_dir)
+    bc = _ref_broadcast(spark, e, with_labels=True)
+    parts = e.select("vec_id", "embedding", "label").mapInPandas(
+        kernels.make_threshold_map_fn(bc, 0.3),
+        "same_label boolean, n_pairs_part long",
+    )
+    return (
+        parts.groupBy("same_label")
+        .agg(F.sum("n_pairs_part").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+@query(
+    "q_sim_centroid",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    u AS (
+        SELECT label, t.i AS i, avg(v[t.i]) AS c
+        FROM e, generate_series(1, 64) AS t(i)
+        GROUP BY label, t.i
+    ),
+    cents AS (SELECT label, list(c ORDER BY i) AS cv FROM u GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label, c.label AS clabel,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.label
+               ) AS rn
+        FROM e CROSS JOIN cents c
+    )
+    SELECT round(avg(CASE WHEN label = clabel THEN 1.0 ELSE 0.0 END), 4) AS acc
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid accuracy: per-label mean vector, then the share
+    of vectors whose cosine-nearest centroid is their own label.
+
+    Centroids come from a distributed posexplode→avg aggregation (the
+    collect is of 10×64 aggregated values — bounded by |labels|·dim,
+    not data size), then ride the classify kernel as a broadcast.
+    Oracle note: dim is hard-coded 64 in the SQL (fixed by FIXTURES.md);
+    the Spark side uses the actual array length."""
+    import numpy as np
+
+    e = _load_embeddings(spark, sf_dir)
+    cent_rows = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("label", F.col("pairs.c").alias("cv"))
+        .orderBy("label")
+        .collect()
+    )
+    labels = np.array([r["label"] for r in cent_rows], dtype=np.int64)
+    unit = kernels.l2_normalize(
+        np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    )
+    bc = spark.sparkContext.broadcast((labels, unit))
+    classified = e.select("vec_id", "embedding", "label").mapInPandas(
+        kernels.make_classify_map_fn(bc), "vec_id long, label long, clabel long"
+    )
+    return classified.agg(
+        F.round(
+            F.avg(F.when(F.col("label") == F.col("clabel"), 1.0).otherwise(0.0)),
+            4,
+        ).alias("acc")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal join
+# --------------------------------------------------------------------------
+
+@query(
+    "q_multimodal",
+    oracle="""
+    SELECT d.lang,
+           round(avg(d.n_chars), 4)                         AS avg_chars,
+           round(avg(CAST(e.embedding[1] AS DOUBLE)), 4)    AS avg_e0
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector ⋈ metadata in one query: per language, mean doc
+    length and mean first embedding dimension (1-based element_at ↔
+    DuckDB 1-based list index)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = _load_embeddings(spark, sf_dir)
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(
+                F.avg(F.element_at("embedding", 1).cast("double")), 4
+            ).alias("avg_e0"),
+        )
+    )

@@ -1,0 +1,151 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.11.
+
+The extensibility story: a scalar Python UDF (Arrow-optimized), a
+vectorized pandas UDF, a grouped-aggregate pandas UDF, and a Spark 4
+Python UDTF.  These exist to prove the escape hatches work; the rest of
+the engine deliberately avoids them (built-in Catalyst expressions are
+10–100× faster — every UDF here is also oracle-expressible so the
+harness can hash-check the Python path against pure SQL).
+
+Scale notes: all four run Arrow-batched (``useArrow=True`` /
+``pandas_udf``), so the JVM↔Python boundary transfers columnar batches,
+not pickled rows; the grouped-agg UDAF gets Spark's normal two-phase
+treatment only for the grouping shuffle (the agg itself is per-group
+in Python — keep groups numerous and small, as here: 5 event types).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType, StringType
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+@udf(returnType=StringType(), useArrow=True)
+def _norm_type(s: str) -> str | None:
+    """lower + collapse internal whitespace + trim."""
+    if s is None:
+        return None
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+    SELECT lower(regexp_replace(trim(p_type), '\\s+', ' ', 'g')) AS norm_type,
+           count(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (Arrow-optimized): normalize ``p_type`` and
+    count per normalized value.  Oracle is the equivalent pure-SQL
+    normalization, proving the Python path computes the same function."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(_norm_type("p_type").alias("norm_type"))
+        .groupBy("norm_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@pandas_udf(DoubleType())
+def _zscore(v: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+    return (v - mean) / std
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF: z-score of ``value`` within its event
+    type.  Group stats come from a broadcast-joined aggregate (the
+    Spark-idiomatic way to give a scalar kernel group context); the
+    kernel itself is one Arrow-batched vector expression."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        F.round(_zscore("value", "mu", "sigma"), 4).alias("z"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _geomean_plus1(v: pd.Series) -> float:
+    """Geometric mean of (v+1): exp(mean(ln(v+1))) in float64."""
+    import numpy as np
+
+    return float(np.exp(np.log(v.to_numpy(dtype=np.float64) + 1.0).mean()))
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT event_type, round(exp(avg(ln(value + 1))), 4) AS geomean
+    FROM events GROUP BY event_type
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDF: geometric mean of
+    ``value+1`` per event type, hash-checked against the
+    ``exp(avg(ln))`` identity in SQL (parity validated in SURVEY §7.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(_geomean_plus1("value"), 4).alias("geomean")
+    )
+
+
+@udtf(returnType="k string, v string")
+class _JsonKV:
+    """Explode a JSON object string into (key, value-as-string) rows —
+    AQL's free-form payload flattened relationally."""
+
+    def eval(self, props: str):
+        if props is None:
+            return
+        try:
+            obj = json.loads(props)
+        except ValueError:
+            return
+        if isinstance(obj, dict):
+            for k in sorted(obj):
+                yield k, None if obj[k] is None else str(obj[k])
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT t.k AS k, count(*) AS n
+    FROM events, unnest(json_keys(props)) AS t(k)
+    GROUP BY 1
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) exploding the ``props`` JSON payload into
+    key/value rows via LATERAL, counting occurrences per key."""
+    ev = load_table(spark, sf_dir, "events")
+    spark.udtf.register("json_kv", _JsonKV)
+    ev.createOrReplaceTempView("_udtf_events")
+    return spark.sql(
+        """
+        SELECT t.k AS k, count(*) AS n
+        FROM _udtf_events, LATERAL json_kv(props) AS t
+        GROUP BY t.k
+        """
+    )
