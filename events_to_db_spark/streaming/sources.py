@@ -1,0 +1,71 @@
+"""Streaming sources over the events schema.
+
+The reference subscribes to a live event feed with a replay-then-follow
+contract ("query then subscribe").  Spark's file source gives the same
+semantics: every Parquet file that lands in the directory is one source
+increment, the checkpoint's offset log records which files are consumed,
+and a restart replays from the last committed offset — the offset-map
+pattern, natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: The event envelope (§1.2): fixed metadata columns + JSON payload.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Unbounded DataFrame over Parquet files landing in ``src_dir``.
+
+    ``maxFilesPerTrigger=1`` drip-feeds one file per micro-batch — the
+    test harness uses this to replay the batch table as a stream and
+    compare end states (SURVEY.md §5.3).
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def rate_events_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Map Spark's ``rate`` source onto the events schema — synthetic
+    live feed for soak/latency tests without any files."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 150).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "error", "purchase", "signup", "view")]),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("value") * F.lit(37.77), F.lit(490.0))).alias("value"),
+        F.to_json(F.struct((F.col("value") % 100).cast("int").alias("k"))).alias("props"),
+    )

@@ -1,0 +1,168 @@
+"""Streaming equivalence tests — SURVEY.md §5.3.
+
+Replay the batch ``events`` table through the Structured-Streaming path
+in k Parquet chunks and assert the final sink/result state equals the
+batch answer; then inject redelivered duplicates and assert the
+idempotent upsert absorbs them, and kill/restart against the same
+checkpoint to prove offset-map resume.  This is the reference's core
+guarantee (at-least-once + idempotent keyed insert + offset map ⇒
+effectively-once), checked end to end.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from events_to_db_spark.session import load_table
+from events_to_db_spark.streaming import (
+    copy_to_db,
+    latest_state_to_db,
+    tumbling_counts_stream,
+)
+from events_to_db_spark.streaming.sources import events_file_stream
+from events_to_db_spark.streaming.sink import read_sink_table
+from tests.conftest import SF_SMOKE
+
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, tmp_path_factory):
+    """The sf0.001 events table split into N_CHUNKS Parquet files, in
+    event_id order (a replayable feed), plus the batch DataFrame."""
+    src = tmp_path_factory.mktemp("events_chunks")
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    per = (n + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        chunk = ev.orderBy("event_id").offset(i * per).limit(per)
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk_{i}"))
+    # flatten: move part files into one dir so the file source sees them
+    flat = tmp_path_factory.mktemp("events_feed")
+    import shutil
+
+    k = 0
+    for i in range(N_CHUNKS):
+        for p in sorted((src / f"chunk_{i}").glob("part-*.parquet")):
+            shutil.copy(p, flat / f"{i:02d}_{k}.parquet")
+            k += 1
+    return str(flat), ev, n
+
+
+def test_copy_pipeline_matches_batch(spark, chunked_events, tmp_path):
+    feed, ev, n = chunked_events
+    db = str(tmp_path / "sink.db")
+    q = copy_to_db(
+        events_file_stream(spark, feed),
+        db,
+        "events_copy",
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    state = read_sink_table(db, "events_copy")
+    assert len(state) == n
+    assert sorted(state["event_id"]) == sorted(
+        r["event_id"] for r in ev.select("event_id").collect()
+    )
+
+
+def test_copy_pipeline_idempotent_on_redelivery(spark, chunked_events, tmp_path):
+    """Re-delivering every chunk (fresh checkpoint = full replay — the
+    worst-case redelivery) must not change the sink state."""
+    feed, ev, n = chunked_events
+    db = str(tmp_path / "sink.db")
+    for attempt in range(2):
+        q = copy_to_db(
+            events_file_stream(spark, feed),
+            db,
+            "events_copy",
+            str(tmp_path / f"ckpt_{attempt}"),  # new checkpoint → redelivery
+        )
+        q.awaitTermination(120)
+    state = read_sink_table(db, "events_copy")
+    assert len(state) == n
+
+
+def test_copy_pipeline_checkpoint_resume(spark, chunked_events, tmp_path):
+    """Stop after draining, add late-arriving files, restart on the SAME
+    checkpoint: only the new files are processed (offset-map resume) and
+    the final state is complete with no duplicates."""
+    import shutil
+    from pathlib import Path
+
+    feed, ev, n = chunked_events
+    staged = tmp_path / "staged_feed"
+    staged.mkdir()
+    files = sorted(Path(feed).glob("*.parquet"))
+    for p in files[: len(files) // 2]:
+        shutil.copy(p, staged / p.name)
+
+    db = str(tmp_path / "sink.db")
+    ckpt = str(tmp_path / "ckpt")
+    q = copy_to_db(events_file_stream(spark, str(staged)), db, "events_copy", ckpt)
+    q.awaitTermination(120)
+    partial = len(read_sink_table(db, "events_copy"))
+    assert 0 < partial < n
+
+    for p in files[len(files) // 2 :]:
+        shutil.copy(p, staged / p.name)
+    q = copy_to_db(events_file_stream(spark, str(staged)), db, "events_copy", ckpt)
+    q.awaitTermination(120)
+    state = read_sink_table(db, "events_copy")
+    assert len(state) == n
+
+
+def test_tumbling_stream_matches_batch(spark, chunked_events, tmp_path):
+    """Windowed agg through the stream (availableNow, complete output via
+    memory sink in update mode is awkward for append windows — drain with
+    a large watermark and foreachBatch accumulation) equals batch."""
+    feed, ev, n = chunked_events
+    acc: dict[tuple, tuple] = {}
+
+    def collect_batch(batch_df, _bid):
+        for r in batch_df.collect():
+            acc[(r["d"], r["event_type"])] = (r["n"], r["sum_v"])
+
+    # complete mode re-emits full state per batch; final batch wins.
+    q = (
+        tumbling_counts_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(collect_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("d"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+        .collect()
+    )
+    expected = {(r["d"], r["event_type"]): (r["n"], r["sum_v"]) for r in batch}
+    assert acc == expected
+
+
+def test_latest_state_stream_matches_batch(spark, chunked_events, tmp_path):
+    feed, ev, n = chunked_events
+    db = str(tmp_path / "sink.db")
+    q = latest_state_to_db(
+        events_file_stream(spark, feed), db, "user_state", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    state = read_sink_table(db, "user_state").set_index("user_id")
+
+    import __spark_entry__ as e
+
+    batch = e.queries()["q_ev_latest"](spark, SF_SMOKE).toPandas().set_index("user_id")
+    assert len(state) == len(batch)
+    for uid, row in batch.iterrows():
+        assert state.loc[uid, "event_id"] == row["event_id"], uid
+        assert state.loc[uid, "ts"] == row["ts_s"], uid
