@@ -7,6 +7,7 @@ from events_to_db_spark.operators import (  # noqa: F401
     filters,
     joins,
     llm_ops,
+    pipeline_ops,
     scalar_fns,
     scans,
     setops,
@@ -20,6 +21,7 @@ __all__ = [
     "filters",
     "joins",
     "llm_ops",
+    "pipeline_ops",
     "scalar_fns",
     "scans",
     "setops",

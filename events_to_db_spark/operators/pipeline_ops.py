@@ -1,0 +1,601 @@
+"""Extended training-data-pipeline operators — SURVEY.md §2.10 scale
+paths + the driver's north-star additions beyond the 71-query core.
+
+Families:
+
+* **Text analysis**: language-ID (unigram frequency model), quality
+  scoring (length/punct/stopword ratios), token counting (whitespace +
+  regex), document fingerprinting (shingle min-hash).
+* **Scalable dedup**: MinHash-LSH banding (the 100 TB path whose
+  candidates are verified exactly and hash-checked against a
+  brute-force oracle) and 60-bit SimHash with banded Hamming search.
+* **Similarity scale path**: random-hyperplane LSH bucketed ANN
+  (approximate by design → rows-only check; recall asserted in tests).
+* **Multimodal plumbing**: opaque binary columns with typed metadata
+  and a partition-parallel decode stub (real decoder gated behind an
+  optional import, deterministic fake otherwise).
+
+Cross-engine determinism strategy: every hash is md5-derived
+(identical in Spark, DuckDB, and Python's hashlib); every score that
+feeds an argmax is exact integer or single-division rational (IEEE
+division of identical ints is bit-identical across engines), never a
+float sum whose accumulation order could differ.
+
+Scale notes per operator inline.  None of these collect unbounded data
+to the driver; all shuffles are on bounded keys (band hash, bucket id,
+lang).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+#: Frequent function words in the synthetic corpus (measured top terms)
+#: standing in for a stopword list.
+STOPWORDS = ("the", "a", "key", "value", "row")
+
+#: md5-hex-prefix → BIGINT, identical in Spark and DuckDB.
+#: 15 hex digits = 60 bits, safely inside a signed 64-bit range.
+_SPARK_H15 = "cast(conv(substr(md5(cast({x} as binary)), 1, 15), 16, 10) as bigint)"
+_DUCK_H15 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, t.term AS term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    freq AS (SELECT lang AS l, term, count(*) AS n FROM toks GROUP BY 1, 2),
+    tot AS (SELECT l, sum(n) AS total FROM freq GROUP BY 1),
+    scored AS (
+        SELECT toks.doc_id, toks.lang, freq.l AS cand,
+               CAST(sum(freq.n) AS DOUBLE) / any_value(tot.total) AS score
+        FROM toks
+        JOIN freq ON freq.term = toks.term
+        JOIN tot ON tot.l = freq.l
+        GROUP BY toks.doc_id, toks.lang, freq.l
+    ),
+    pred AS (
+        SELECT doc_id, lang, cand AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scored
+    )
+    SELECT lang, pred_lang, count(*) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by unigram frequency model: score each
+    doc against every language's corpus-derived token distribution,
+    predict the argmax, report the confusion matrix.
+
+    Determinism: the score is ``(Σ integer counts) / total_l`` — one
+    IEEE division of exact ints, bit-identical across engines, so the
+    argmax (tie-break lang asc) cannot flip.  A log-likelihood variant
+    would hit libm ulp differences; deliberately avoided (§7.5).
+
+    Scale: token→freq join is a broadcast (|vocab|×|langs| rows);
+    one shuffle on doc_id for the per-doc score aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    freq = toks.groupBy(F.col("lang").alias("l"), "term").agg(
+        F.count("*").alias("n")
+    )
+    tot = freq.groupBy("l").agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .join(F.broadcast(tot), "l")
+        .groupBy("doc_id", "lang", F.col("l").alias("cand"))
+        .agg(
+            (F.sum("n").cast("double") / F.first("total")).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               string_split(text, ' ') AS toks,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks)                                            AS n_toks,
+           round(CAST(n_chars - len(toks) + 1 AS DOUBLE)
+                 / len(toks), 4)                                AS avg_tok_len,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 4)          AS punct_ratio,
+           round(CAST(len(list_filter(toks,
+                 x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+                 / len(toks), 4)                                AS stop_ratio,
+           CAST(len(toks) BETWEEN 30 AND 90
+                AND CAST(len(list_filter(toks,
+                    x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+                    / len(toks) < 0.5 AS BOOLEAN)               AS keep
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token count, mean token length,
+    punctuation ratio, stopword ratio, and a keep/drop gate — the
+    filter stage of a pretraining data pipeline.  Pure columnar
+    expressions; one scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = n_stop.cast("double") / n_toks
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.round(
+            (F.col("n_chars") - n_toks + 1).cast("double") / n_toks, 4
+        ).alias("avg_tok_len"),
+        F.round(
+            F.size(F.expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast(
+                "double"
+            )
+            / F.col("n_chars"),
+            4,
+        ).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        (n_toks.between(30, 90) & (stop_ratio < 0.5)).alias("keep"),
+    )
+
+
+@query(
+    "q_text_tokencount",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS n_ws,
+           len(regexp_extract_all(text, '[a-z0-9]+'))      AS n_word,
+           len(regexp_extract_all(text,
+               '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]'))        AS n_bpeish
+    FROM documents
+    """,
+)
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word regex, and a
+    BPE-ish bounded-piece regex (caps sub-token length like a BPE vocab
+    does) — the unit-economics column every corpus report needs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "n_word"
+        ),
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]', 0)"
+            )
+        ).alias("n_bpeish"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]) AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM t)
+    )
+    SELECT doc_id, min(md5(shingle)) AS fp
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over 3-token shingles (the
+    1-hash core of MinHash; doubles as a content-defined id robust to
+    small edits).  Shingles are built array-side, hashed and min-folded
+    per row — no explode, no shuffle beyond the final projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform("
+            " slice(split(text, ' '), 1, size(split(text, ' ')) - 2),"
+            " (x, i) -> md5(cast(concat(x, ' ', split(text, ' ')[i + 1],"
+            "                          ' ', split(text, ' ')[i + 2]) as binary))))"
+        ).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Scalable deduplication
+# --------------------------------------------------------------------------
+
+#: MinHash parameters: 64 hashes, 32 bands × 2 rows.  P(miss) for a
+#: true-Jaccard-0.8 pair = (1 − 0.8²)³² ≈ 6e-15 — the banding is
+#: effectively lossless at the 0.8 threshold, so the exact-verified
+#: output hash-matches a brute-force oracle.
+MINHASH_K = 64
+MINHASH_BANDS = 32
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+
+
+@query(
+    "q_dedup_minhash",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection — the 100 TB dedup path.
+
+    Pipeline: token sets → 64 md5-derived min-hashes → 32 LSH bands →
+    shuffle on (band, band-hash) → candidate pairs from shared buckets
+    → exact Jaccard verification ≥ 0.8.  Cost is linear in corpus size
+    + quadratic only within buckets; contrast with the brute-force
+    oracle, which is the all-pairs O(n²) this query exists to avoid.
+    The oracle comparison also proves the banding missed nothing
+    (P(miss) ≈ 6e-15 at the threshold — see module constants)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    # (doc, hash_index) -> min hash over tokens; built without explode:
+    # per row, transform the 64 seeds over the token array and min-fold.
+    seeded_hash = _SPARK_H15.format(x="concat(cast(i as string), ':', t)")
+    sig = d.select(
+        "doc_id",
+        "toks",
+        F.expr(
+            f"transform(sequence(1, {MINHASH_K}), i ->"
+            f" array_min(transform(toks, t -> {seeded_hash})))"
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_BANDS - 1}), b ->"
+                f" md5(cast(concat_ws(',', slice(sig, b * {MINHASH_ROWS} + 1,"
+                f" {MINHASH_ROWS})) as binary)))"
+            )
+        ).alias("band", "bh"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "band", "bh"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cand.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
+    )
+
+
+#: SimHash: 60 bits (15 md5 hex digits), banded 4×15 for Hamming ≤ 3
+#: search — pigeonhole guarantees any pair within distance 3 shares at
+#: least one intact band, so banded recall is exactly 100 %.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 60-bit md5-based SimHash (distinct-token weighting)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    tok_bits = d.select(
+        "doc_id",
+        F.explode("toks").alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(_SPARK_H15.format(x="t")).alias("v"),
+    )
+    contrib = tok_bits.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}), j ->"
+                " case when (v >> j) % 2 != 0 then 1 else -1 end)"
+            )
+        ).alias("j", "s"),
+    )
+    return (
+        contrib.groupBy("doc_id", "j")
+        .agg(F.sum("s").alias("bal"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bal") > 0, F.expr("shiftleft(1L, j)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sh")
+        )
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t.term AS term
+        FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS lt
+              FROM documents), unnest(lt) AS t(term)
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               CASE WHEN ({_DUCK_H15.format(x='term')} >> j) % 2 != 0
+                    THEN 1 ELSE -1 END AS s
+        FROM toks, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS u(j)
+    ),
+    sh AS (
+        SELECT doc_id,
+               sum(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sh
+        FROM (SELECT doc_id, j, sum(s) AS bal FROM bits GROUP BY 1, 2)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection: 60-bit signature per doc,
+    banded candidate generation (4 × 15-bit bands — lossless for
+    Hamming ≤ 3 by pigeonhole), exact Hamming verification.
+
+    The oracle recomputes the identical md5-based signature in SQL and
+    brute-forces all pairs, so the check covers the signature math AND
+    the banding's completeness."""
+    sh = _simhash_df(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), b ->"
+                f" (sh >> (b * {SIMHASH_BAND_BITS}))"
+                f" % {1 << SIMHASH_BAND_BITS})"
+            )
+        ).alias("band", "bv"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN scale path (approximate by design — rows-only check)
+# --------------------------------------------------------------------------
+
+@query("q_sim_ann_lsh")  # no oracle: approximate by design (driver rows-only)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbour via random-hyperplane LSH: 12 sign
+    bits bucket each vector; exact cosine search runs only within a
+    bucket (``applyInPandas`` per bucket — the IVF shape: shuffle on
+    bucket id, per-bucket brute force).
+
+    Hyperplanes come from a fixed-seed RNG, so results are
+    deterministic run-to-run; no SQL oracle exists by construction
+    (tests assert recall@1 ≥ 0.4 vs the exact kernel — random data has
+    near-uniform cosines, the worst case for LSH).  Singleton buckets
+    emit nn_id = -1 (a miss the caller can retry with multi-probe)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from events_to_db_spark.functions import kernels
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # IVF-style sizing: target ~32 vectors per bucket so buckets stay
+    # dense enough to contain true neighbours (2^bits ≈ n/32).
+    n = e.count()
+    n_bits = max(2, min(16, int(math.log2(max(n, 64) / 32))))
+    dim = len(e.select("embedding").first()["embedding"])
+    planes = np.random.default_rng(42).standard_normal((n_bits, dim))
+    planes_bc = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        pl = planes_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = kernels.stack_embeddings(pdf["embedding"])
+            bits = (mat @ pl.T) > 0
+            bucket = bits @ (1 << np.arange(n_bits))
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["bucket"] = bucket.astype(np.int64)
+            yield out
+
+    bucketed = e.mapInPandas(
+        bucketize, "vec_id long, embedding array<float>, bucket long"
+    )
+
+    def per_bucket_nn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "nn_id": -1, "cos": 0.0}
+            )
+        unit = kernels.l2_normalize(
+            kernels.stack_embeddings(pdf["embedding"].iloc[order])
+        )
+        sims = unit @ unit.T
+        np.fill_diagonal(sims, -np.inf)
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "nn_id": ids[best],
+                "cos": np.round(sims[np.arange(len(ids)), best], 4),
+            }
+        )
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(per_bucket_nn, "vec_id long, nn_id long, cos double")
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# --------------------------------------------------------------------------
+
+@query(
+    "q_mm_binary",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text)                        AS content_md5,
+           ord(substr(text, 1, 1))          AS first_byte
+    FROM documents
+    """,
+)
+def q_mm_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column with typed metadata: payload size, content
+    hash, leading byte — the schema shape multimodal blobs (image /
+    audio / video bytes) ride through the engine.  All metadata derives
+    from the binary column itself, JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
+    )
+
+
+def decode_image_stub(data: bytes) -> dict:
+    """Decode an image payload to (format, width, height, n_frames).
+
+    STUB: real decoding needs an image library that is not installed in
+    this environment.  If PIL ever becomes available the real path
+    engages; otherwise a deterministic fake parses our synthetic
+    8-byte header (magic 'MM01' + uint16 width + uint16 height).  The
+    Spark-side plumbing (binary column in, typed struct out, Arrow
+    batching, partition parallelism) is real and tested either way.
+    """
+    try:  # pragma: no cover - library absent in this environment
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(data))
+        return {
+            "fmt": img.format or "UNKNOWN",
+            "width": img.width,
+            "height": img.height,
+            "n_frames": getattr(img, "n_frames", 1),
+        }
+    except ImportError:
+        if len(data) >= 8 and data[:4] == b"MM01":
+            return {
+                "fmt": "FAKE",
+                "width": int.from_bytes(data[4:6], "big"),
+                "height": int.from_bytes(data[6:8], "big"),
+                "n_frames": 1 + data[-1] % 4,
+            }
+        raise NotImplementedError(
+            "no image library available and payload has no MM01 header"
+        )
+
+
+@query("q_mm_decode")  # no oracle: decode stub is engine-external (rows-only)
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode / feature-extract over binary payloads via
+    ``mapInPandas``: synthesize an image-like payload per document
+    (deterministic MM01 header derived from doc_id), then run the
+    decode stub partition-parallel over Arrow batches.
+
+    The shape is the production one — binary in, typed metadata struct
+    out, no driver involvement; swap the stub for PIL/ffmpeg on a real
+    cluster and nothing else changes."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"MM01"),
+        # uint16 width/height derived from doc_id — deterministic fake pixels
+        F.expr("unhex(lpad(hex(16 + doc_id % 97), 4, '0'))"),
+        F.expr("unhex(lpad(hex(16 + doc_id % 53), 4, '0'))"),
+        F.col("text").cast("binary"),
+    ).alias("payload")
+    src = d.select("doc_id", payload)
+
+    def decode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            meta = [decode_image_stub(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [m["fmt"] for m in meta],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "n_frames": [m["n_frames"] for m in meta],
+                }
+            )
+
+    return src.mapInPandas(
+        decode, "doc_id long, fmt string, width int, height int, n_frames int"
+    )

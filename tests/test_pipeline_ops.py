@@ -1,0 +1,74 @@
+"""Targeted tests for the extended pipeline operators (rows-only
+surface + kernel behaviors the differential oracle can't see)."""
+
+from __future__ import annotations
+
+import pytest
+
+from events_to_db_spark.operators.pipeline_ops import decode_image_stub
+from tests.conftest import SF_SMOKE
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """Bucketed ANN must agree with the exact kernel for a reasonable
+    share of vectors.  Random uniform embeddings are LSH's worst case
+    (cosines concentrate near 0), so the bound is deliberately loose —
+    the point is the plumbing: all vectors present, buckets partition,
+    misses explicitly marked."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    exact = {
+        r["vec_id"]: r["nn_id"]
+        for r in qs["q_sim_cosine_knn"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["vec_id"]: r["nn_id"]
+        for r in qs["q_sim_ann_lsh"](spark, SF_SMOKE).collect()
+    }
+    n_vecs = len(approx)
+    assert n_vecs > 0
+    # every vector appears exactly once
+    assert len(set(approx)) == n_vecs
+    common = [v for v in exact if v in approx and approx[v] != -1]
+    assert common, "ANN produced no in-bucket matches at all"
+    hits = sum(1 for v in common if approx[v] == exact[v])
+    assert hits / len(exact) >= 0.2
+
+
+def test_decode_stub_fake_header():
+    data = b"MM01" + (300).to_bytes(2, "big") + (200).to_bytes(2, "big") + b"xyz"
+    meta = decode_image_stub(data)
+    assert meta == {
+        "fmt": "FAKE",
+        "width": 300,
+        "height": 200,
+        "n_frames": 1 + data[-1] % 4,
+    }
+
+
+def test_decode_stub_rejects_unknown_payload():
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_image_stub(b"not an image")
+
+
+def test_mm_decode_dimensions_derived_from_doc_id(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["q_mm_decode"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["width"] == 16 + r["doc_id"] % 97
+        assert r["height"] == 16 + r["doc_id"] % 53
+        assert r["fmt"] == "FAKE"
+
+
+def test_minhash_signature_stability(spark):
+    """Same input twice -> identical pair set (no nondeterminism in the
+    banding/hashing path)."""
+    import __spark_entry__ as e
+
+    fn = e.queries()["q_dedup_minhash"]
+    a = {(r["doc_a"], r["doc_b"]) for r in fn(spark, SF_SMOKE).collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in fn(spark, SF_SMOKE).collect()}
+    assert a == b
