@@ -279,9 +279,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" array_min(transform(toks, t -> {seeded_hash})))"
         ).alias("sig"),
     )
+    # Candidate generation shuffles ONLY (doc_id, band, band-hash) —
+    # token arrays would multiply the band-join shuffle by the doc
+    # length; they rejoin after the pair set is deduplicated.
     bands = sig.select(
         "doc_id",
-        "toks",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {MINHASH_BANDS - 1}), b ->"
@@ -290,23 +292,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bh"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "band", "bh"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "band", "bh"
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    toks_a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    toks_b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")
     )
     return (
-        cand.withColumn("jac", jac)
+        cand.join(toks_a, "doc_a")
+        .join(toks_b, "doc_b")
+        .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.8)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
     )

@@ -37,7 +37,10 @@ def copy_to_db(
     ``dropDuplicatesWithinWatermark`` absorbs redelivered events whose
     event-time lies within the watermark horizon; the keyed upsert
     absorbs *any* redelivery (even past the horizon) — two independent
-    layers, matching at-least-once + idempotent-insert."""
+    layers, matching at-least-once + idempotent-insert.  Late rows are
+    NOT dropped: a copier must never lose data, and (verified in
+    tests) ``dropDuplicatesWithinWatermark`` only expires state — late
+    arrivals pass through and the sink keeps them idempotent."""
     deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

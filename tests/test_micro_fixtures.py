@@ -1,0 +1,181 @@
+"""Unit tests over hand-built micro-fixtures (FIXTURES.md): boundary
+timestamps, nulls, ties, empty groups — the cases sf-scale data may
+never hit but production data will."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- sessions
+
+@pytest.fixture(scope="module")
+def boundary_events(spark):
+    """Gaps of exactly 30:00.000000, 29:59.999999, 30:00.000001."""
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 7),
+        (2, _ts("2024-01-01 00:30:00"), 7),          # gap exactly 30:00 -> merges
+        (3, _ts("2024-01-01 00:59:59.999999"), 7),   # 29:59.999999 -> merges
+        (4, _ts("2024-01-01 01:30:00.000001"), 7),   # 30:00.000001 -> NEW session
+        (5, _ts("2024-01-01 02:00:00"), 8),          # other user
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+
+def test_session_window_boundary_semantics(spark, boundary_events):
+    """Spark session_window: gap of exactly 30:00 MERGES (a new session
+    needs gap > 30 min strictly) — pinned here because the SQL oracle
+    must use the same strict comparison (SURVEY §7.3.6)."""
+    out = (
+        boundary_events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id", "w.start")
+        .collect()
+    )
+    assert [(r["user_id"], r["n"]) for r in out] == [(7, 3), (7, 1), (8, 1)]
+
+
+def test_session_lag_oracle_formulation_matches(spark, boundary_events):
+    """The lag/gap-flag/cumsum formulation (the DuckDB oracle's shape)
+    must produce identical sessions to session_window on the boundary
+    fixture."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = boundary_events.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id", "sid")
+        .collect()
+    )
+    assert [(r["user_id"], r["n"]) for r in sessions] == [(7, 3), (7, 1), (8, 1)]
+
+
+# ---------------------------------------------------------------- null joins
+
+@pytest.fixture(scope="module")
+def null_key_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (4, "z")], "k int, rv string"
+    )
+    return left, right
+
+
+def test_null_keys_never_equi_match(spark, null_key_frames):
+    left, right = null_key_frames
+    assert left.join(right, "k").count() == 1  # only k=1; NULL != NULL
+
+
+def test_full_outer_preserves_null_key_rows(spark, null_key_frames):
+    left, right = null_key_frames
+    rows = left.join(right, ["k"], "full").collect()
+    # 1 match + unmatched: left NULL, left 3, right NULL, right 4
+    assert len(rows) == 5
+
+
+def test_except_and_intersect_null_semantics(spark):
+    a = spark.createDataFrame([(1,), (None,), (2,)], "v int")
+    b = spark.createDataFrame([(None,), (2,)], "v int")
+    # set ops use null-safe grouping: NULL does intersect with NULL
+    assert {r["v"] for r in a.intersect(b).collect()} == {None, 2}
+    assert {r["v"] for r in a.exceptAll(b).collect()} == {1}
+
+
+# ---------------------------------------------------------------- rank ties
+
+def test_rank_family_tie_discipline(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 5.0)], "id long, v double"
+    )
+    w = Window.orderBy(F.col("v").desc(), "id")
+    out = {
+        r["id"]: (r["rk"], r["dr"], r["rn"])
+        for r in df.select(
+            "id",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("dr"),
+            F.row_number().over(w).alias("rn"),
+        ).collect()
+    }
+    # unique tie-break key in the ordering => the three functions agree
+    assert out == {1: (1, 1, 1), 2: (2, 2, 2), 3: (3, 3, 3)}
+    # without the tie-break, rank/dense_rank expose the tie
+    w2 = Window.orderBy(F.col("v").desc())
+    out2 = {
+        r["id"]: (r["rk"], r["dr"])
+        for r in df.select(
+            "id",
+            F.rank().over(w2).alias("rk"),
+            F.dense_rank().over(w2).alias("dr"),
+        ).collect()
+    }
+    assert out2[1] == (1, 1) and out2[2] == (1, 1) and out2[3] == (3, 2)
+
+
+# ---------------------------------------------------------------- empty input
+
+def test_aggregates_on_empty_input(spark):
+    df = spark.createDataFrame([], "k string, v double").filter(F.lit(False))
+    # global agg on empty input: one row, null/zero semantics
+    row = df.agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"), F.avg("v").alias("a")
+    ).collect()[0]
+    assert (row["n"], row["s"], row["a"]) == (0, None, None)
+    # grouped agg on empty input: zero rows
+    assert df.groupBy("k").agg(F.sum("v")).count() == 0
+    # window/session on empty input: zero rows, no error
+    assert (
+        df.withColumn("ts", F.current_timestamp())
+        .groupBy(F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------- float edge
+
+def test_round4_collapses_cross_engine_noise(spark, duck):
+    """A 1e-10-relative disagreement (the accumulation-order scale)
+    must vanish under round-4; a 1e-4 disagreement must not."""
+    base = 12345.678949
+    noisy = base + 1e-9
+    r = spark.createDataFrame([(base,), (noisy,)], "v double").select(
+        F.round("v", 4).alias("r")
+    ).collect()
+    assert r[0]["r"] == r[1]["r"] == 12345.6789
+    assert (
+        duck.sql(f"SELECT round(CAST({base!r} AS DOUBLE), 4)").fetchone()[0]
+        == 12345.6789
+    )
+    assert (
+        spark.createDataFrame([(base + 2e-4,)], "v double")
+        .select(F.round("v", 4).alias("r"))
+        .collect()[0]["r"]
+        != 12345.6789
+    )

@@ -1,0 +1,80 @@
+"""Source/sink round-trip tests — SURVEY.md §2.1 sink surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from events_to_db_spark.session import load_table
+from events_to_db_spark.sources.readers import read_csv, read_json, read_parquet
+from events_to_db_spark.sources.writers import (
+    upsert_table,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from events_to_db_spark.streaming.sink import read_sink_table
+from tests.conftest import SF_SMOKE
+
+
+def _nation(spark):
+    return load_table(spark, SF_SMOKE, "nation")
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    src = _nation(spark)
+    write_parquet(src, str(tmp_path / "p"), partition_by=["n_regionkey"])
+    back = read_parquet(spark, str(tmp_path / "p"))
+    assert back.count() == src.count()
+    # partition pruning: filtering on the partition column reads 1 dir
+    plan = (
+        back.filter(F.col("n_regionkey") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmp_path):
+    src = _nation(spark)
+    write_csv(src, str(tmp_path / "c"))
+    back = read_csv(
+        spark,
+        str(tmp_path / "c"),
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+
+
+def test_json_roundtrip_explicit_schema(spark, tmp_path):
+    src = _nation(spark)
+    write_json(src, str(tmp_path / "j"))
+    back = read_json(
+        spark,
+        str(tmp_path / "j"),
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    assert back.count() == src.count()
+
+
+def test_batch_upsert_idempotent(spark, tmp_path):
+    src = _nation(spark)
+    db = str(tmp_path / "t.db")
+    upsert_table(src, db, "nation", ["n_nationkey"])
+    upsert_table(src, db, "nation", ["n_nationkey"])  # replay
+    assert len(read_sink_table(db, "nation")) == src.count()
+
+
+def test_batch_upsert_updates_changed_rows(spark, tmp_path):
+    src = _nation(spark)
+    db = str(tmp_path / "t.db")
+    upsert_table(src, db, "nation", ["n_nationkey"])
+    changed = src.withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 0, "RENAMED").otherwise(F.col("n_name"))
+    )
+    upsert_table(changed, db, "nation", ["n_nationkey"])
+    state = read_sink_table(db, "nation")
+    assert len(state) == src.count()
+    assert state.set_index("n_nationkey").loc[0, "n_name"] == "RENAMED"

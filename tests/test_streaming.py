@@ -38,14 +38,22 @@ def chunked_events(spark, tmp_path_factory):
     for i in range(N_CHUNKS):
         chunk = ev.orderBy("event_id").offset(i * per).limit(per)
         chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk_{i}"))
-    # flatten: move part files into one dir so the file source sees them
+    # flatten: move part files into one dir so the file source sees them.
+    # The file source orders by modification time — stamp strictly
+    # increasing mtimes so the feed replays in event order (an ordered
+    # feed, matching the reference's replay-then-follow contract).
     flat = tmp_path_factory.mktemp("events_feed")
+    import os
     import shutil
+    import time
 
+    base = time.time() - 3600
     k = 0
     for i in range(N_CHUNKS):
         for p in sorted((src / f"chunk_{i}").glob("part-*.parquet")):
-            shutil.copy(p, flat / f"{i:02d}_{k}.parquet")
+            dst = flat / f"{i:02d}_{k}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (base + k * 10, base + k * 10))
             k += 1
     return str(flat), ev, n
 
@@ -59,7 +67,7 @@ def test_copy_pipeline_matches_batch(spark, chunked_events, tmp_path):
         "events_copy",
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     state = read_sink_table(db, "events_copy")
     assert len(state) == n
     assert sorted(state["event_id"]) == sorted(
@@ -79,7 +87,7 @@ def test_copy_pipeline_idempotent_on_redelivery(spark, chunked_events, tmp_path)
             "events_copy",
             str(tmp_path / f"ckpt_{attempt}"),  # new checkpoint → redelivery
         )
-        q.awaitTermination(120)
+        q.awaitTermination()
     state = read_sink_table(db, "events_copy")
     assert len(state) == n
 
@@ -101,14 +109,14 @@ def test_copy_pipeline_checkpoint_resume(spark, chunked_events, tmp_path):
     db = str(tmp_path / "sink.db")
     ckpt = str(tmp_path / "ckpt")
     q = copy_to_db(events_file_stream(spark, str(staged)), db, "events_copy", ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination()
     partial = len(read_sink_table(db, "events_copy"))
     assert 0 < partial < n
 
     for p in files[len(files) // 2 :]:
         shutil.copy(p, staged / p.name)
     q = copy_to_db(events_file_stream(spark, str(staged)), db, "events_copy", ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination()
     state = read_sink_table(db, "events_copy")
     assert len(state) == n
 
@@ -133,7 +141,7 @@ def test_tumbling_stream_matches_batch(spark, chunked_events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
 
     batch = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -150,13 +158,91 @@ def test_tumbling_stream_matches_batch(spark, chunked_events, tmp_path):
     assert acc == expected
 
 
+def test_copy_pipeline_passes_late_rows_through(spark, chunked_events, tmp_path):
+    """A copier must never lose data: rows arriving behind the
+    watermark bypass the (expired) dedup state but still reach the
+    sink, where the keyed upsert keeps them idempotent.  Verified
+    empirically: ``dropDuplicatesWithinWatermark`` expires state, it
+    does not drop late inputs."""
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    feed, ev, n = chunked_events
+    files = sorted(Path(feed).glob("*.parquet"))
+    late_feed = tmp_path / "late_feed"
+    late_feed.mkdir()
+    base = time.time() - 600
+    # newest chunk first (advances watermark to ~end of month), oldest
+    # chunk second — a whole file behind the watermark
+    shutil.copy(files[-1], late_feed / "a.parquet")
+    os.utime(late_feed / "a.parquet", (base, base))
+    shutil.copy(files[0], late_feed / "b.parquet")
+    os.utime(late_feed / "b.parquet", (base + 10, base + 10))
+
+    db = str(tmp_path / "sink.db")
+    q = copy_to_db(
+        events_file_stream(spark, str(late_feed)),
+        db,
+        "events_copy",
+        str(tmp_path / "ckpt"),
+        watermark="1 hour",
+    )
+    q.awaitTermination()
+    per_chunk = (n + N_CHUNKS - 1) // N_CHUNKS
+    assert len(read_sink_table(db, "events_copy")) == 2 * per_chunk
+
+
+def test_windowed_agg_watermark_bounds_state(spark, chunked_events, tmp_path):
+    """The watermark must advance with event time and evict finalized
+    window state — state size tracks the watermark horizon, not the
+    stream length (the 100 TB-stream posture).  Asserted on the
+    stateOperators metrics: watermark moved off epoch and eviction
+    occurred once it passed the open windows."""
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    feed, ev, n = chunked_events
+    files = sorted(Path(feed).glob("*.parquet"))
+    late_feed = tmp_path / "late_feed"
+    late_feed.mkdir()
+    base = time.time() - 600
+    shutil.copy(files[-1], late_feed / "a.parquet")
+    os.utime(late_feed / "a.parquet", (base, base))
+    shutil.copy(files[0], late_feed / "b.parquet")
+    os.utime(late_feed / "b.parquet", (base + 10, base + 10))
+
+    q = (
+        tumbling_counts_stream(events_file_stream(spark, str(late_feed)))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = list(q.recentProgress)
+    assert progresses
+    final_wm = progresses[-1]["eventTime"]["watermark"]
+    assert final_wm > "2024-01-30"  # advanced to max event time - 1h
+    evicted = sum(
+        op.get("numRowsRemoved", 0)
+        for pr in progresses
+        for op in pr.get("stateOperators", [])
+    )
+    assert evicted > 0  # finalized windows left the state store
+
+
 def test_latest_state_stream_matches_batch(spark, chunked_events, tmp_path):
     feed, ev, n = chunked_events
     db = str(tmp_path / "sink.db")
     q = latest_state_to_db(
         events_file_stream(spark, feed), db, "user_state", str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     state = read_sink_table(db, "user_state").set_index("user_id")
 
     import __spark_entry__ as e
