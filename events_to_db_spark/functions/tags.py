@@ -1,0 +1,196 @@
+"""Tag-expression algebra — the AQL ``FROM`` clause's query dimension.
+
+The reference's events carry a *set of string tags* and queries select
+streams with boolean tag expressions: ``'machine:17' & 'order' |
+'test'``.  Here tags are an ``ArrayType(StringType)`` column and a tag
+expression compiles to boolean combinations of ``array_contains`` —
+pure Catalyst expressions, so tag predicates push into scans and prune
+Parquet row groups like any other filter.
+
+Two surfaces:
+
+* a combinator API (:class:`Tag`, ``&``, ``|``, ``~``) mirroring how
+  the Actyx SDKs build tag queries programmatically;
+* :func:`parse_tag_expr` for the string form (``'a' & ('b' | 'c')``,
+  ``allEvents``), since configs store tag queries as text.
+
+The driver's testdata encodes the discriminator as a single
+``event_type`` string rather than a tag array; :func:`with_tags`
+derives a tags column from it so the algebra is exercised end-to-end
+on real data (tests/test_tags.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class TagExpr:
+    """Base: a boolean expression over an event's tag set."""
+
+    def to_column(self, tags_col: Column | str = "tags") -> Column:
+        raise NotImplementedError
+
+    def __and__(self, other: "TagExpr") -> "TagExpr":
+        return And(self, _coerce(other))
+
+    def __or__(self, other: "TagExpr") -> "TagExpr":
+        return Or(self, _coerce(other))
+
+    def __invert__(self) -> "TagExpr":
+        return Not(self)
+
+
+def _coerce(x: "TagExpr | str") -> "TagExpr":
+    return Tag(x) if isinstance(x, str) else x
+
+
+@dataclass(frozen=True)
+class Tag(TagExpr):
+    """Atom: the event is tagged ``name``."""
+
+    name: str
+
+    def to_column(self, tags_col: Column | str = "tags") -> Column:
+        return F.array_contains(tags_col, self.name)
+
+
+@dataclass(frozen=True)
+class AllEvents(TagExpr):
+    """AQL ``allEvents`` — matches everything."""
+
+    def to_column(self, tags_col: Column | str = "tags") -> Column:
+        return F.lit(True)
+
+
+@dataclass(frozen=True)
+class And(TagExpr):
+    left: TagExpr
+    right: TagExpr
+
+    def to_column(self, tags_col: Column | str = "tags") -> Column:
+        return self.left.to_column(tags_col) & self.right.to_column(tags_col)
+
+
+@dataclass(frozen=True)
+class Or(TagExpr):
+    left: TagExpr
+    right: TagExpr
+
+    def to_column(self, tags_col: Column | str = "tags") -> Column:
+        return self.left.to_column(tags_col) | self.right.to_column(tags_col)
+
+
+@dataclass(frozen=True)
+class Not(TagExpr):
+    inner: TagExpr
+
+    def to_column(self, tags_col: Column | str = "tags") -> Column:
+        return ~self.inner.to_column(tags_col)
+
+
+_TOKEN = re.compile(r"\s*(?:(allEvents)|'((?:[^'\\]|\\.)*)'|([&|!()]))")
+
+
+def parse_tag_expr(text: str) -> TagExpr:
+    """Parse the textual tag-expression form.
+
+    Grammar (standard precedence: ``!`` > ``&`` > ``|``)::
+
+        expr   := term ('|' term)*
+        term   := factor ('&' factor)*
+        factor := '!' factor | '(' expr ')' | 'tag' | allEvents
+    """
+    tokens: list[str] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            if text[pos:].strip():
+                raise ValueError(f"bad tag expression at: {text[pos:]!r}")
+            break
+        if m.group(1):
+            tokens.append("allEvents")
+        elif m.group(2) is not None:
+            tokens.append("'" + m.group(2).replace("\\'", "'"))
+        else:
+            tokens.append(m.group(3))
+        pos = m.end()
+
+    def peek() -> str | None:
+        return tokens[0] if tokens else None
+
+    def take() -> str:
+        return tokens.pop(0)
+
+    def factor() -> TagExpr:
+        t = peek()
+        if t is None:
+            raise ValueError("unexpected end of tag expression")
+        if t == "!":
+            take()
+            return Not(factor())
+        if t == "(":
+            take()
+            e = expr()
+            if peek() != ")":
+                raise ValueError("missing ')' in tag expression")
+            take()
+            return e
+        if t == "allEvents":
+            take()
+            return AllEvents()
+        if t.startswith("'"):
+            take()
+            return Tag(t[1:])
+        raise ValueError(f"unexpected token {t!r}")
+
+    def term() -> TagExpr:
+        e = factor()
+        while peek() == "&":
+            take()
+            e = And(e, factor())
+        return e
+
+    def expr() -> TagExpr:
+        e = term()
+        while peek() == "|":
+            take()
+            e = Or(e, term())
+        return e
+
+    out = expr()
+    if tokens:
+        raise ValueError(f"trailing tokens in tag expression: {tokens}")
+    return out
+
+
+def with_tags(events: DataFrame) -> DataFrame:
+    """Derive a ``tags`` array column from the testdata's ``event_type``
+    discriminator: every event gets its type tag plus a coarse category
+    tag — enough structure for conjunction/disjunction to be
+    non-trivial."""
+    category = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "problem")
+        .otherwise("engagement")
+    )
+    return events.withColumn(
+        "tags",
+        F.array(
+            F.concat(F.lit("type:"), "event_type"),
+            F.concat(F.lit("cat:"), category),
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")),
+        ),
+    )
+
+
+def filter_by_tags(events_with_tags: DataFrame, expr: "TagExpr | str") -> DataFrame:
+    """Apply a tag expression (object or text form) as a filter."""
+    if isinstance(expr, str):
+        expr = parse_tag_expr(expr)
+    return events_with_tags.filter(expr.to_column("tags"))
