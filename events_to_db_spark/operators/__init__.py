@@ -8,9 +8,11 @@ from events_to_db_spark.operators import (  # noqa: F401
     joins,
     llm_ops,
     pipeline_ops,
+    sampling,
     scalar_fns,
     scans,
     setops,
+    subqueries,
     udfs,
     windows,
 )
@@ -22,9 +24,11 @@ __all__ = [
     "joins",
     "llm_ops",
     "pipeline_ops",
+    "sampling",
     "scalar_fns",
     "scans",
     "setops",
+    "subqueries",
     "udfs",
     "windows",
 ]

@@ -1,0 +1,99 @@
+"""Subquery surface — scalar and correlated subqueries (SURVEY.md §4:
+Catalyst decorrelates; our DataFrame formulations are the decorrelated
+shapes, the oracles keep the subquery syntax so DuckDB exercises its
+own decorrelation and the results must still agree).
+
+Complements §2.3's EXISTS/NOT EXISTS (semi/anti joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global average
+    price.  DataFrame shape: the scalar aggregate broadcast-crossed
+    onto the scan — one extra tiny stage, no per-row re-evaluation."""
+    o = load_table(spark, sf_dir, "orders")
+    global_avg = o.agg(F.avg("o_totalprice").alias("g_avg"))
+    return (
+        o.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("o_totalprice") > F.col("g_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_above
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_mktsegment = c.c_mktsegment
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their own segment's
+    average balance.  The decorrelated plan — aggregate once per
+    segment, broadcast back — is what Catalyst produces for the
+    subquery form; written directly here so the join is explicit and
+    auditable."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_avg = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.avg("c_acctbal").alias("seg_avg")
+    )
+    return (
+        c.join(F.broadcast(seg_avg), c.c_mktsegment == seg_avg.seg)
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@query(
+    "q_subquery_in",
+    oracle="""
+    SELECT p_type, count(*) AS n
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+    )
+    GROUP BY p_type
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery: parts that ever shipped in near-max quantity.
+    Compiles to a left-semi join on the deduplicated subquery side."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.filter(F.col("l_quantity") >= 49).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return (
+        p.join(keys, "p_partkey", "left_semi")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,105 @@
+"""Arbitrary stateful streaming — the funnel/alerting surface
+(SURVEY.md §2.9).
+
+The batch funnel (``q_ev_funnel``) asks: which users purchased within
+7 days of their first signup?  On a live feed the same question needs
+per-user state that outlives a micro-batch: the first signup timestamp
+and whether the conversion already fired.  Implemented with
+``applyInPandasWithState`` (the GroupState API): the engine shuffles
+rows by key, hands each key's batch rows to the update function with a
+keyed state store, and checkpoints state with the offsets —
+restart-safe like everything else in the pipeline.
+
+API note: Spark 4's successor API ``transformWithStateInPandas``
+(StatefulProcessor + RocksDB provider) is the forward path, but its
+Python driver worker requires ``google.protobuf``, which is not
+functional in this environment — verified failing with
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE: ImportError:
+cannot import name 'descriptor' from 'google.protobuf'``.  The
+GroupState formulation below is semantically equivalent for this
+operator and runs on the default state store.
+
+Ordering contract: conversions are emitted as soon as the qualifying
+purchase is *seen*, assuming the feed is per-user time-ordered across
+batches (the replay contract).  An out-of-order-robust variant would
+buffer purchases with event-time timeouts until the watermark seals
+the signup; the batch twin is the oracle for fully unordered data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("signup_ts", TimestampType()),
+        StructField("purchase_ts", TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("signup_ts", TimestampType()),
+        StructField("converted", BooleanType()),
+    ]
+)
+
+WINDOW_DAYS = 7
+
+
+def _funnel_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user conversion detector: remembers the first signup, emits
+    once when a purchase lands within the window."""
+    signup_ts, converted = state.get if state.exists else (None, False)
+    out = []
+    for pdf in pdfs:
+        if converted:
+            break
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            if row["event_type"] == "signup" and signup_ts is None:
+                signup_ts = row["ts"]
+            elif (
+                row["event_type"] == "purchase"
+                and not converted
+                and signup_ts is not None
+                and signup_ts <= row["ts"] <= signup_ts + pd.Timedelta(days=WINDOW_DAYS)
+            ):
+                converted = True
+                out.append((key[0], signup_ts, row["ts"]))
+                break
+    state.update((signup_ts, converted))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "signup_ts", "purchase_ts"])
+
+
+def funnel_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Conversions as an append stream: at most one row per user,
+    emitted in the micro-batch where the qualifying purchase arrives."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="Append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -28,6 +28,42 @@ def spark():
     yield s
 
 
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="session")
+def chunked_events(spark, tmp_path_factory):
+    """The sf0.001 events table split into N_CHUNKS Parquet files, in
+    event_id order (a replayable feed), plus the batch DataFrame.
+
+    The file source orders by modification time — mtimes are stamped
+    strictly increasing so the feed replays in event order (an ordered
+    feed, matching the reference's replay-then-follow contract)."""
+    import os
+    import shutil
+    import time
+
+    from events_to_db_spark.session import load_table
+
+    src = tmp_path_factory.mktemp("events_chunks")
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    per = (n + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        chunk = ev.orderBy("event_id").offset(i * per).limit(per)
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk_{i}"))
+    flat = tmp_path_factory.mktemp("events_feed")
+    base = time.time() - 3600
+    k = 0
+    for i in range(N_CHUNKS):
+        for p in sorted((src / f"chunk_{i}").glob("part-*.parquet")):
+            dst = flat / f"{i:02d}_{k}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (base + k * 10, base + k * 10))
+            k += 1
+    return str(flat), ev, n
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

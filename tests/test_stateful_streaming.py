@@ -1,0 +1,44 @@
+"""Arbitrary-stateful streaming funnel vs the batch oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from events_to_db_spark.streaming.sources import events_file_stream
+from events_to_db_spark.streaming.stateful import funnel_stream
+from tests.conftest import SF_SMOKE
+
+
+def test_funnel_stream_matches_batch(spark, chunked_events, tmp_path):
+    feed, ev, n = chunked_events
+    acc = []
+
+    def collect(batch_df, _bid):
+        acc.extend(batch_df.collect())
+
+    q = (
+        funnel_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import __spark_entry__ as e
+
+    batch = e.queries()["q_ev_funnel"](spark, SF_SMOKE).collect()
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    got = {
+        (
+            r["user_id"],
+            pd.Timestamp(r["signup_ts"]).strftime(fmt),
+            pd.Timestamp(r["purchase_ts"]).strftime(fmt),
+        )
+        for r in acc
+    }
+    want = {(r["user_id"], r["signup_ts"], r["purchase_ts"]) for r in batch}
+    assert got == want
+    # at most one conversion per user
+    assert len({u for u, *_ in got}) == len(got)

@@ -22,40 +22,8 @@ from events_to_db_spark.streaming import (
 )
 from events_to_db_spark.streaming.sources import events_file_stream
 from events_to_db_spark.streaming.sink import read_sink_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import N_CHUNKS, SF_SMOKE
 
-N_CHUNKS = 4
-
-
-@pytest.fixture(scope="module")
-def chunked_events(spark, tmp_path_factory):
-    """The sf0.001 events table split into N_CHUNKS Parquet files, in
-    event_id order (a replayable feed), plus the batch DataFrame."""
-    src = tmp_path_factory.mktemp("events_chunks")
-    ev = load_table(spark, SF_SMOKE, "events")
-    n = ev.count()
-    per = (n + N_CHUNKS - 1) // N_CHUNKS
-    for i in range(N_CHUNKS):
-        chunk = ev.orderBy("event_id").offset(i * per).limit(per)
-        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk_{i}"))
-    # flatten: move part files into one dir so the file source sees them.
-    # The file source orders by modification time — stamp strictly
-    # increasing mtimes so the feed replays in event order (an ordered
-    # feed, matching the reference's replay-then-follow contract).
-    flat = tmp_path_factory.mktemp("events_feed")
-    import os
-    import shutil
-    import time
-
-    base = time.time() - 3600
-    k = 0
-    for i in range(N_CHUNKS):
-        for p in sorted((src / f"chunk_{i}").glob("part-*.parquet")):
-            dst = flat / f"{i:02d}_{k}.parquet"
-            shutil.copy(p, dst)
-            os.utime(dst, (base + k * 10, base + k * 10))
-            k += 1
-    return str(flat), ev, n
 
 
 def test_copy_pipeline_matches_batch(spark, chunked_events, tmp_path):
