@@ -88,28 +88,39 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 6-table join: revenue per ASIA nation from
-    local suppliers (BASELINE.md B4).  Dims broadcast; fact joins
-    shuffle on their keys and Catalyst/AQE reorders."""
+    local suppliers (BASELINE.md B4).
+
+    Plan shape: the fact (lineitem) is never shuffled — the selective
+    side (date-filtered orders ⋈ customer, a bounded fraction of the
+    order book) builds once and broadcasts onto the fact scan, then
+    the true dims (supplier/nation/region) broadcast in turn; one
+    pipeline, zero exchanges before the 5-row aggregate.  Measured
+    0.93 s vs 1.4 s for the shuffle formulation at sf0.1.  AQE reaches
+    the same all-broadcast plan from the unhinted chain but only after
+    paying the shuffle *write* (1.67 s) — the hint skips that.  At a
+    scale where the filtered orders side outgrows executor memory,
+    drop the outer hint and the same code degrades gracefully to the
+    shuffled plan AQE picks from runtime stats."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    co = F.broadcast(o.join(F.broadcast(c), c.c_custkey == o.o_custkey))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(co, li.l_orderkey == co.o_orderkey)
         .join(
             F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .filter(
-            (F.col("r_name") == "ASIA")
-            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
+        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(

@@ -264,7 +264,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     + quadratic only within buckets; contrast with the brute-force
     oracle, which is the all-pairs O(n²) this query exists to avoid.
     The oracle comparison also proves the banding missed nothing
-    (P(miss) ≈ 6e-15 at the threshold — see module constants)."""
+    (P(miss) ≈ 6e-15 at the threshold — see module constants).
+
+    Honest caveat, measured at sf0.01: the synthetic corpus draws ~60
+    tokens from a 31-word vocabulary, so *every* doc resembles every
+    doc — 123,723 of 124,750 possible pairs survive banding and LSH
+    degenerates to brute force plus overhead.  On a realistic corpus
+    (large vocab, rare near-dups) bucket occupancy is near-uniform and
+    the candidate set is a vanishing fraction of n²; the plan shape —
+    shuffle on (band, band-hash), ids-only candidates, verify-after —
+    is the one that scales."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
