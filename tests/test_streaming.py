@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from events_to_db_spark.session import load_table
 from events_to_db_spark.streaming import (
     copy_to_db,
+    dedup_stream,
     latest_state_to_db,
+    session_counts_stream,
     tumbling_counts_stream,
 )
 from events_to_db_spark.streaming.sources import events_file_stream
@@ -124,6 +126,80 @@ def test_tumbling_stream_matches_batch(spark, chunked_events, tmp_path):
     )
     expected = {(r["d"], r["event_type"]): (r["n"], r["sum_v"]) for r in batch}
     assert acc == expected
+
+
+def test_dedup_stream_matches_batch(spark, chunked_events, tmp_path):
+    """Streaming minute-dedup over the ordered feed keeps exactly the
+    batch survivors (watermark large enough that no state expires
+    mid-replay)."""
+    feed, ev, n = chunked_events
+    seen = []
+
+    def collect(batch_df, _bid):
+        seen.extend(batch_df.select("event_id").collect())
+
+    q = (
+        dedup_stream(events_file_stream(spark, feed), watermark="40 days")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("ts", "event_id")
+    batch_ids = {
+        r["event_id"]
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id")
+        .collect()
+    }
+    got_ids = {r["event_id"] for r in seen}
+    # stream processes per-batch: it keeps the first row per key per
+    # batch; across ordered batches the earliest occurrence wins, so
+    # the survivor SET must equal the batch answer
+    assert got_ids == batch_ids
+
+
+def test_session_stream_matches_batch(spark, chunked_events, tmp_path):
+    """Streaming session windows, once the watermark closes them, carry
+    the same (user, start, size) as the batch sessionization."""
+    feed, ev, n = chunked_events
+    acc = []
+
+    def collect(batch_df, _bid):
+        acc.extend(batch_df.collect())
+
+    # complete mode: final emission covers all sessions incl. open ones
+    q = (
+        session_counts_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, i: (acc.clear(), acc.extend(b.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s_ts"),
+            "n_events",
+        )
+        .collect()
+    )
+    got = {(r["user_id"], r["s_ts"], r["n_events"]) for r in acc}
+    want = {(r["user_id"], r["s_ts"], r["n_events"]) for r in batch}
+    assert got == want
 
 
 def test_copy_pipeline_passes_late_rows_through(spark, chunked_events, tmp_path):
