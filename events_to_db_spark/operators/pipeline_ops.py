@@ -429,6 +429,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> concat(string_split(text, ' ')[i], ' ',
+                               string_split(text, ' ')[i + 1], ' ',
+                               string_split(text, ' ')[i + 2]))) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jac
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-token shingle) Jaccard near-dup — order-sensitive
+    where token-set Jaccard (``q_dedup_near``) is order-blind: two
+    docs that permute the same words share tokens but few shingles.
+    Blocked by ``lang``; threshold 0.2 because shingle-level overlap
+    is intrinsically sparser than token overlap (measured: the 0.8
+    token-Jaccard pairs land around 0.15–0.35 shingle-Jaccard on this
+    corpus)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 2),"
+                " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1],"
+                "                  ' ', split(text, ' ')[i + 2]))"
+            )
+        ).alias("grams"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("grams").alias("grams_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("grams").alias("grams_b")
+    )
+    jac = F.size(F.array_intersect("grams_a", "grams_b")).cast("double") / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.2)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
+    )
+
+
 # --------------------------------------------------------------------------
 # ANN scale path (approximate by design — rows-only check)
 # --------------------------------------------------------------------------

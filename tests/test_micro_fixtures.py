@@ -158,6 +158,36 @@ def test_aggregates_on_empty_input(spark):
     )
 
 
+# ---------------------------------------------------------------- bad payloads
+
+def test_malformed_json_payloads_become_null(spark):
+    """Schema-on-read must absorb garbage payloads as NULLs, never
+    errors — the dynamic-payload contract (§1.1)."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7}'),
+            (2, "not json"),
+            (3, '{"k": "str-not-int"}'),
+            (4, None),
+            (5, '{"other": 1}'),
+        ],
+        "event_id long, props string",
+    )
+    out = {
+        r["event_id"]: (r["k1"], r["k2"])
+        for r in df.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k1"),
+            F.from_json("props", "k int").getField("k").alias("k2"),
+        ).collect()
+    }
+    assert out[1] == ("7", 7)
+    assert out[2] == (None, None)
+    assert out[3][0] == "str-not-int" and out[3][1] is None  # try-cast to int
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
+
+
 # ---------------------------------------------------------------- float edge
 
 def test_round4_collapses_cross_engine_noise(spark, duck):

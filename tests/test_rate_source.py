@@ -1,0 +1,38 @@
+"""Rate-source mapping smoke test: the synthetic live feed conforms to
+the event envelope schema and flows through the engine's pipelines."""
+
+from __future__ import annotations
+
+import time
+
+from events_to_db_spark.streaming.sources import EVENTS_SCHEMA, rate_events_stream
+
+
+def test_rate_source_conforms_to_events_schema(spark, tmp_path):
+    stream = rate_events_stream(spark, rows_per_second=500)
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in EVENTS_SCHEMA.fields
+    ]
+
+    rows = []
+
+    def collect(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(collect)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 30
+    while not rows and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    assert rows, "rate source produced no rows within 30s"
+    r = rows[0]
+    assert r["event_type"] in ("click", "error", "purchase", "signup", "view")
+    assert 0.0 <= r["value"] < 490.0
+    assert r["props"].startswith('{"k":')
