@@ -492,16 +492,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_sim_ann_lsh")  # no oracle: approximate by design (driver rows-only)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbour via random-hyperplane LSH: 12 sign
-    bits bucket each vector; exact cosine search runs only within a
-    bucket (``applyInPandas`` per bucket — the IVF shape: shuffle on
-    bucket id, per-bucket brute force).
+    """Approximate nearest neighbour via multi-probe random-hyperplane
+    LSH — the IVF shape that scales when the reference set itself is
+    too big to broadcast.
 
-    Hyperplanes come from a fixed-seed RNG, so results are
-    deterministic run-to-run; no SQL oracle exists by construction
-    (tests assert recall@1 ≥ 0.4 vs the exact kernel — random data has
-    near-uniform cosines, the worst case for LSH).  Singleton buckets
-    emit nn_id = -1 (a miss the caller can retry with multi-probe)."""
+    Plan: sign bits of fixed-seed hyperplane projections bucket every
+    vector (residents); each query vector probes its own bucket plus
+    every 1-bit-flip neighbour (the standard multi-probe recall fix —
+    a true neighbour near a hyperplane lands one bit away).  Probes
+    shuffle on bucket id, ``applyInPandas`` brute-forces each bucket's
+    residents against the probes that landed there, and a final
+    max-struct aggregation picks the global best per query (tie-break
+    lowest nn_id via negated id in the struct).  Cost: |probes|/bucket
+    ≈ (bits+1)·n/2^bits residents scanned per query vs n for exact.
+
+    Deterministic (fixed-seed planes, no rand at query time); no SQL
+    oracle by construction — tests assert recall@1 vs the exact
+    kernel (uniform random embeddings are LSH's worst case)."""
     import math
 
     import numpy as np
@@ -519,6 +526,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes_bc = spark.sparkContext.broadcast(planes)
 
     def bucketize(batches):
+        """residents: one row per vector, its home bucket."""
         pl = planes_bc.value
         for pdf in batches:
             if pdf.empty:
@@ -530,35 +538,82 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["bucket"] = bucket.astype(np.int64)
             yield out
 
-    bucketed = e.mapInPandas(
+    def probeize(batches):
+        """probes: one row per (vector, home ∪ 1-bit-flip buckets)."""
+        pl = planes_bc.value
+        flips = np.concatenate([[0], 1 << np.arange(n_bits)])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = kernels.stack_embeddings(pdf["embedding"])
+            bits = (mat @ pl.T) > 0
+            home = (bits @ (1 << np.arange(n_bits))).astype(np.int64)
+            k = len(flips)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "q_emb": np.repeat(pdf["embedding"].to_numpy(), k),
+                    "bucket": (home[:, None] ^ flips[None, :]).ravel(),
+                }
+            )
+
+    residents = e.mapInPandas(
         bucketize, "vec_id long, embedding array<float>, bucket long"
     )
+    probes = e.mapInPandas(
+        probeize, "q_id long, q_emb array<float>, bucket long"
+    )
 
-    def per_bucket_nn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "nn_id": -1, "cos": 0.0}
-            )
-        unit = kernels.l2_normalize(
-            kernels.stack_embeddings(pdf["embedding"].iloc[order])
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = pdf[pdf["vec_id"].notna()]
+        qs = pdf[pdf["q_id"].notna()]
+        if res.empty or qs.empty:
+            return pd.DataFrame(columns=["q_id", "nn_id", "cos"])
+        rid = res["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(rid)
+        rid = rid[order]
+        r_unit = kernels.l2_normalize(
+            kernels.stack_embeddings(res["embedding"].iloc[order])
         )
-        sims = unit @ unit.T
-        np.fill_diagonal(sims, -np.inf)
+        q_unit = kernels.l2_normalize(kernels.stack_embeddings(qs["q_emb"]))
+        qid = qs["q_id"].to_numpy(dtype=np.int64)
+        sims = q_unit @ r_unit.T
+        sims[qid[:, None] == rid[None, :]] = -np.inf  # exclude self
         best = np.argmax(sims, axis=1)
+        best_cos = sims[np.arange(len(best)), best]
+        keep = np.isfinite(best_cos)
         return pd.DataFrame(
             {
-                "vec_id": ids,
-                "nn_id": ids[best],
-                "cos": np.round(sims[np.arange(len(ids)), best], 4),
+                "q_id": qid[keep],
+                "nn_id": rid[best][keep],
+                "cos": np.round(best_cos[keep], 4),
             }
         )
 
+    # outer-union residents and probes so one grouped pass sees both
+    both = residents.unionByName(
+        probes.select(
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            "bucket",
+            "q_id",
+            "q_emb",
+        ),
+        allowMissingColumns=True,
+    )
+    local_best = both.groupBy("bucket").applyInPandas(
+        per_bucket, "q_id long, nn_id long, cos double"
+    )
+    # global best per query: max on (cos, -nn_id) = highest cosine,
+    # ties to the lowest candidate id
     return (
-        bucketed.groupBy("bucket")
-        .applyInPandas(per_bucket_nn, "vec_id long, nn_id long, cos double")
+        local_best.groupBy("q_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_id"))).alias("b"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            (-F.col("b.neg_id")).alias("nn_id"),
+            F.col("b.cos").alias("cos"),
+        )
         .orderBy("vec_id")
     )
 

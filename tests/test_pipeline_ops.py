@@ -10,12 +10,14 @@ from tests.conftest import SF_SMOKE
 
 
 def test_ann_lsh_recall_vs_exact(spark):
-    """Bucketed ANN must agree with the exact kernel for a reasonable
-    share of vectors.  Random uniform embeddings are LSH's worst case
-    (cosines concentrate near 0), so the bound is deliberately loose —
-    the point is the plumbing: all vectors present, buckets partition,
-    misses explicitly marked."""
+    """Multi-probe bucketed ANN must cover every vector and agree with
+    the exact kernel for a substantial share.  Random uniform
+    embeddings are LSH's worst case (cosines concentrate near 0);
+    measured recall@1 with 1-bit-flip probing is 0.67 — the bound
+    leaves headroom for plane-seed sensitivity, not for regressions to
+    single-probe (~0.2)."""
     import __spark_entry__ as e
+    from events_to_db_spark.session import load_table
 
     qs = e.queries()
     exact = {
@@ -26,14 +28,10 @@ def test_ann_lsh_recall_vs_exact(spark):
         r["vec_id"]: r["nn_id"]
         for r in qs["q_sim_ann_lsh"](spark, SF_SMOKE).collect()
     }
-    n_vecs = len(approx)
-    assert n_vecs > 0
-    # every vector appears exactly once
-    assert len(set(approx)) == n_vecs
-    common = [v for v in exact if v in approx and approx[v] != -1]
-    assert common, "ANN produced no in-bucket matches at all"
-    hits = sum(1 for v in common if approx[v] == exact[v])
-    assert hits / len(exact) >= 0.2
+    n_total = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(approx) == n_total  # multi-probe: every vector answered
+    hits = sum(1 for v in exact if approx.get(v) == exact[v])
+    assert hits / len(exact) >= 0.5
 
 
 def test_decode_stub_fake_header():
