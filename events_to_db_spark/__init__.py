@@ -13,5 +13,29 @@ blueprint; §2 is the executable operator contract.
 
 from events_to_db_spark.session import configure, get_spark, load_sf, load_table
 
-__all__ = ["configure", "get_spark", "load_sf", "load_table"]
+
+def __getattr__(name):
+    # Lazy exports: EventQuery and the tag algebra pull in operator
+    # modules; keep base import light for the driver contract path.
+    if name == "EventQuery":
+        from events_to_db_spark.api import EventQuery
+
+        return EventQuery
+    if name in ("Tag", "parse_tag_expr", "with_tags"):
+        from events_to_db_spark.functions import tags
+
+        return getattr(tags, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "configure",
+    "get_spark",
+    "load_sf",
+    "load_table",
+    "EventQuery",
+    "Tag",
+    "parse_tag_expr",
+    "with_tags",
+]
 __version__ = "0.1.0"

@@ -28,6 +28,8 @@ lang).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -332,38 +334,37 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 60-bit md5-based SimHash (distinct-token weighting)."""
+    """doc_id → 60-bit md5-based SimHash (distinct-token weighting).
+
+    Token hashes are md5-derived JVM-side (cross-engine identical);
+    the bit-balance fold runs as one vectorized pandas UDF over the
+    per-doc hash array — integer-exact, so it matches the oracle's
+    per-bit SQL formulation while avoiding the 60×-row bit explode
+    (measured 5.6 s → sub-second at sf0.1)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def simhash_of(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            v = np.asarray(hs, dtype=np.int64)
+            bits = (v[:, None] >> shifts[None, :]) & 1  # (n_toks, 60)
+            bal = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((bal > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    tok_bits = d.select(
-        "doc_id",
-        F.explode("toks").alias("t"),
-    ).select(
-        "doc_id",
-        F.expr(_SPARK_H15.format(x="t")).alias("v"),
-    )
-    contrib = tok_bits.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BITS - 1}), j ->"
-                " case when (v >> j) % 2 != 0 then 1 else -1 end)"
-            )
-        ).alias("j", "s"),
-    )
-    return (
-        contrib.groupBy("doc_id", "j")
-        .agg(F.sum("s").alias("bal"))
+    hashes = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .select("doc_id", F.expr(_SPARK_H15.format(x="t")).alias("v"))
         .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("bal") > 0, F.expr("shiftleft(1L, j)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("sh")
-        )
+        .agg(F.collect_list("v").alias("vs"))
     )
+    return hashes.select("doc_id", simhash_of("vs").alias("sh"))
 
 
 @query(

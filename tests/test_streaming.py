@@ -128,6 +128,49 @@ def test_tumbling_stream_matches_batch(spark, chunked_events, tmp_path):
     assert acc == expected
 
 
+def test_update_mode_emits_only_changed_windows(spark, chunked_events, tmp_path):
+    """Output-mode matrix (§2.9): update mode re-emits a window only
+    when a batch changes it, and the last emission per window equals
+    the batch answer — completing append (late-drop), complete
+    (full-state) coverage elsewhere in this file."""
+    feed, ev, n = chunked_events
+    emitted: list[tuple] = []
+    last: dict[tuple, tuple] = {}
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            emitted.append((r["d"], r["event_type"]))
+            last[(r["d"], r["event_type"])] = (r["n"], r["sum_v"])
+
+    q = (
+        tumbling_counts_stream(events_file_stream(spark, feed), watermark="40 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = {
+        (r["d"], r["event_type"]): (r["n"], r["sum_v"])
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("d"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+        .collect()
+    }
+    assert last == batch
+    # update mode emitted far fewer rows than |batches| × |windows|
+    # (a window untouched by a batch is not re-emitted); with an
+    # ordered feed most windows are touched by exactly one chunk
+    assert len(emitted) < N_CHUNKS * len(batch)
+
+
 def test_dedup_stream_matches_batch(spark, chunked_events, tmp_path):
     """Streaming minute-dedup over the ordered feed keeps exactly the
     batch survivors (watermark large enough that no state expires
