@@ -95,6 +95,54 @@ def session_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def signup_purchase_join_stream(
+    events: DataFrame,
+    events_again: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the signups
+    they follow within 7 days — the live twin of the funnel's join
+    stage and of ``q_join_range``'s band-join shape.
+
+    Both inputs are watermarked and the join condition bounds
+    purchase-time relative to signup-time, so Spark can size the join
+    state: a buffered signup is droppable once the watermark passes
+    ``signup_ts + 7 days``.  Pass the same source twice (two separate
+    ``readStream`` handles — self-joins of one streaming DataFrame
+    are not supported)."""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_event_id"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        events_again.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_ts",
+        "purchase_ts",
+        "signup_event_id",
+        "purchase_event_id",
+    )
+
+
 def latest_state_to_db(
     events: DataFrame,
     db_path: str,

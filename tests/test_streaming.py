@@ -323,6 +323,52 @@ def test_windowed_agg_watermark_bounds_state(spark, chunked_events, tmp_path):
     assert evicted > 0  # finalized windows left the state store
 
 
+def test_stream_stream_interval_join_matches_batch(spark, chunked_events, tmp_path):
+    """Watermarked stream-stream interval join equals the equivalent
+    batch join: every (signup, purchase-within-7d) pair, exactly once."""
+    from events_to_db_spark.streaming import signup_purchase_join_stream
+
+    feed, ev, n = chunked_events
+    acc = []
+
+    q = (
+        signup_purchase_join_stream(
+            events_file_stream(spark, feed),
+            events_file_stream(spark, feed),
+            watermark="40 days",  # replay spans a month: keep all state
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, i: acc.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    batch = (
+        s.join(p, "u")
+        .filter(
+            (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .collect()
+    )
+    got = {(r["signup_event_id"], r["purchase_event_id"]) for r in acc}
+    want = {(r["s_id"], r["p_id"]) for r in batch}
+    assert len(got) == len(acc)  # exactly-once: no duplicate pairs
+    assert got == want
+
+
 def test_latest_state_stream_matches_batch(spark, chunked_events, tmp_path):
     feed, ev, n = chunked_events
     db = str(tmp_path / "sink.db")
