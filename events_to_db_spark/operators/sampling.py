@@ -71,3 +71,85 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).groupBy("lang", "split").agg(F.count("*").alias("n"))
+
+
+_SHINGLES = (
+    "array_distinct(transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 4),"
+    " (x, i) -> concat_ws(' ', x, split(text, ' ')[i + 1], split(text, ' ')[i + 2],"
+    " split(text, ' ')[i + 3], split(text, ' ')[i + 4])))"
+)
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 4),"
+    " i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],"
+    " string_split(text,' ')[i+2], string_split(text,' ')[i+3],"
+    " string_split(text,' ')[i+4])))"
+)
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT doc_id, lang, {_DUCK_SHINGLES} AS sh,
+               CASE WHEN {_DUCK_BUCKET} < 8 THEN 'train'
+                    WHEN {_DUCK_BUCKET} = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    train_sh AS (
+        SELECT DISTINCT t.s AS s FROM labeled, unnest(sh) AS t(s)
+        WHERE split = 'train'
+    ),
+    test_docs AS (SELECT doc_id, lang, sh FROM labeled WHERE split = 'test'),
+    hits AS (
+        SELECT DISTINCT d.doc_id
+        FROM test_docs d, unnest(d.sh) AS t(s)
+        JOIN train_sh ON train_sh.s = t.s
+    )
+    SELECT lang,
+           count(*) AS n_test,
+           count(h.doc_id) AS n_contaminated
+    FROM test_docs LEFT JOIN hits h USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination check: test-split docs sharing any
+    5-token shingle with the train split — the eval-integrity gate
+    every pretraining pipeline runs after splitting.
+
+    Plan: shingle arrays built row-side, train shingles deduplicated
+    once, test shingles explode → semi-join on the shingle key →
+    distinct contaminated doc set → per-lang counts.  One shuffle on
+    the shingle hash; the train side is the dedup'd shingle vocabulary,
+    not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET)
+    labeled = d.select(
+        "doc_id",
+        "lang",
+        F.expr(_SHINGLES).alias("sh"),
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    train_sh = (
+        labeled.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    test_docs = labeled.filter(F.col("split") == "test")
+    hits = (
+        test_docs.select("doc_id", F.explode("sh").alias("s"))
+        .join(train_sh, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test_docs.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
