@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Scale stress harness — evidence for the 100 TB posture.
+
+Generates a deterministic synthetic event stream with ``spark.range``
+(never touching /root/testdata — this is a throughput probe, not a
+correctness input) and drives the engine's core operator shapes at
+10–100× the bench scale, printing rows/sec so PERF.md can cite how
+the plans behave as data grows.
+
+Usage: python tools/stress.py [n_events] [n_vectors]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def synth_events(spark, n: int):
+    """Deterministic events: ~30 days of microsecond-unique activity
+    over n//200 users, 5 types, skewed value distribution."""
+    types = F.array(*[F.lit(t) for t in ("click", "error", "purchase", "signup", "view")])
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000)  # 2024-01-01 UTC
+                + (F.col("id") * 259) % (30 * 86400 * 1_000_000)
+            ).alias("ts"),
+            (F.col("id") % (n // 200 or 1)).alias("user_id"),
+            F.element_at(types, (F.col("id") % 5 + 1).cast("int")).alias("event_type"),
+            F.pmod(F.col("id") * 37.77, F.lit(490.0)).alias("value"),
+        )
+    )
+
+
+def synth_vectors(spark, n: int, dim: int = 64):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), j ->"
+            " cast(pmod(hash(id, j), 1000) / 500.0 - 1.0 as float))"
+        ).alias("embedding"),
+    )
+
+
+def timed(label: str, n_rows: int, fn):
+    """Cold then warm run; warm is the steady-state number (the cold
+    run pays Python-worker spawn + broadcast ship for pandas ops)."""
+    fn()
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"{label:28s} {dt:8.2f}s  {n_rows/dt/1e6:8.2f}M rows/s  (result rows: {out})")
+    return dt
+
+
+def main() -> None:
+    from events_to_db_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    nv = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+
+    spark = get_spark("stress")
+    ev = synth_events(spark, n).cache()
+    ev.count()  # materialize once so ops measure compute, not codegen of range
+
+    timed(
+        "tumbling day x type",
+        n,
+        lambda: ev.groupBy(F.window("ts", "1 day"), "event_type").count().count(),
+    )
+    timed(
+        "sessionize 30min",
+        n,
+        lambda: ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count(),
+    )
+    w = Window.partitionBy("user_id", "event_type", F.date_trunc("minute", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    timed(
+        "dedup minute keys",
+        n,
+        lambda: ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .count(),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    timed(
+        "latest per user",
+        n,
+        lambda: ev.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .count(),
+    )
+    timed(
+        "count distinct users/type",
+        n,
+        lambda: ev.groupBy("event_type").agg(F.countDistinct("user_id")).count(),
+    )
+
+    # cosine kernel: big query side vs broadcast reference
+    import numpy as np
+
+    from events_to_db_spark.functions import kernels
+
+    vec = synth_vectors(spark, nv).cache()
+    vec.count()
+    ref_rows = vec.limit(2000).collect()
+    ids = np.array([r["vec_id"] for r in ref_rows], dtype=np.int64)
+    unit = kernels.l2_normalize(
+        np.array([r["embedding"] for r in ref_rows], dtype=np.float64)
+    )
+    bc = spark.sparkContext.broadcast((ids, unit))
+    timed(
+        f"cosine NN {nv}x2000",
+        nv,
+        lambda: vec.mapInPandas(
+            kernels.make_nn_map_fn(bc), "vec_id long, nn_id long, cos double"
+        ).count(),
+    )
+
+    ev.unpersist()
+    vec.unpersist()
+
+
+if __name__ == "__main__":
+    main()
