@@ -80,6 +80,38 @@ def test_salt_actually_splits_hot_keys(spark):
     assert all(r["n_salts"] == 8 for r in dist)
 
 
+def test_aqe_splits_skewed_sort_merge_join(spark, no_broadcast):
+    """AQE's runtime skew-join split — the other half of the skew
+    story (salting is the hash-join fallback; AQE handles sort-merge
+    automatically).  Thresholds lowered so a 400 k-row hot key
+    triggers the split locally; asserts the executed final plan
+    carries SortMergeJoin(skew=true)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()  # execute THIS plan object so AQE finalizes it
+        plan = executed_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_left_join_preserves_unmatched(spark):
     left = spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "z")], "k int, lv string"
