@@ -102,6 +102,20 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
 
 
+@query("q_agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per event type (Greenwald–Khanna sketch,
+    relative error 1e-4): p50/p95/p99 of ``value``.  Like HLL, the
+    sketch merges associatively across partitions — the scale path for
+    percentile dashboards where exact ``percentile()`` would shuffle
+    every value.  Rows-only check (estimates are engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000))
+        .alias("pcts")
+    )
+
+
 @query(
     "q_agg_having",
     oracle="""

@@ -35,6 +35,22 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(n_regionkey" in plan
 
 
+def test_events_daily_partition_layout_prunes(spark, tmp_path):
+    """The tag-index analogue at rest: events written partitioned by
+    day; a day filter prunes to one directory at planning time (the
+    scan's PartitionFilters, not a post-read filter)."""
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    write_parquet(ev, str(tmp_path / "ev_daily"), partition_by=["d"])
+    back = read_parquet(spark, str(tmp_path / "ev_daily"))
+    one_day = back.filter(F.col("d") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d#" in plan
+    want = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == want > 0
+
+
 def test_csv_roundtrip_explicit_schema(spark, tmp_path):
     src = _nation(spark)
     write_csv(src, str(tmp_path / "c"))
