@@ -186,6 +186,38 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_construct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(k := o_orderkey, p := o_totalprice).p        AS s_price,
+           (CAST(o_totalprice AS DOUBLE) * 2)                       AS arr_1,
+           round(list_sum([CAST(o_totalprice AS DOUBLE),
+                           CAST(o_totalprice AS DOUBLE) * 2]), 4)   AS arr_sum,
+           (map(['status'], [o_orderstatus])['status'])[1]          AS m_status
+    FROM orders
+    """,
+)
+def q_fn_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL SELECT object/array construction: build a STRUCT, an ARRAY,
+    and a MAP in the projection, then read components back out (the
+    output is flattened because struct/map *rendering* differs across
+    engines; the construction machinery is what's exercised)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    arr = F.array(F.col("o_totalprice"), F.col("o_totalprice") * 2)
+    m = F.create_map(F.lit("status"), F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        s.getField("p").alias("s_price"),
+        F.element_at(arr, 2).alias("arr_1"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("arr_sum"),
+        F.element_at(m, F.lit("status")).alias("m_status"),
+    )
+
+
+@query(
     "q_fn_map",
     oracle="""
     SELECT event_id,
