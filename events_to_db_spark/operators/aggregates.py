@@ -315,3 +315,29 @@ def q_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_name, ',' ORDER BY c_name) AS top_names
+    FROM customer
+    WHERE c_acctbal > 9900
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/GROUP_CONCAT class): names
+    of very-high-balance customers per segment, sorted and joined —
+    deterministic because the element order is explicit (§7.5.5)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_name")), ","
+            ).alias("top_names")
+        )
+    )

@@ -261,3 +261,63 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "q_win_firstlast",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(value) OVER w  AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_v,
+           nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per user timeline.  The
+    frame discipline is load-bearing: last/nth need an UNBOUNDED
+    FOLLOWING frame (the default frame stops at CURRENT ROW, silently
+    turning last_value into "value so far" — in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+        F.nth_value("value", 2).over(w_full).alias("second_v"),
+    )
+
+
+@query(
+    "q_win_ratio",
+    oracle="""
+    SELECT event_type,
+           CAST(d AS VARCHAR) AS d,
+           round(sum_v / sum(sum_v) OVER (PARTITION BY event_type), 6) AS share
+    FROM (
+        SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS sum_v
+        FROM events GROUP BY 1, 2
+    )
+    """,
+)
+def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each day's share of its event type's total —
+    aggregate once, then a window over the (small) aggregate, not over
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum("value").alias("sum_v"))
+    w = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        F.col("d").cast("string").alias("d"),
+        F.round(F.col("sum_v") / F.sum("sum_v").over(w), 6).alias("share"),
+    )
