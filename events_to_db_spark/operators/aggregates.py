@@ -341,3 +341,117 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_names")
         )
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covp_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample and
+    population covariance, and OLS slope/intercept of price on
+    quantity.  All are single-pass co-moment aggregates — Catalyst
+    plans the usual partial/final HashAggregate pair, so the shuffle
+    carries six co-moment states per group, not rows (cluster-safe at
+    any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        _r(F.corr(q, p), "corr_qp"),
+        _r(F.covar_samp(q, p), "covs_qp"),
+        _r(F.covar_pop(q, p), "covp_qp"),
+        _r(F.regr_slope(p, q), "slope_pq"),
+        _r(F.regr_intercept(p, q), "icept_pq"),
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9990)   AS any_near_cap,
+           bool_and(c_nationkey < 25)  AS all_valid_nation
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (EVERY / ANY class): per market segment,
+    whether every balance clears the floor and whether any sits near
+    the cap.  AND/OR fold associatively, so partial aggregation ships
+    one boolean per partition per group."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9990).alias("any_near_cap"),
+        F.bool_and(F.col("c_nationkey") < 25).alias("all_valid_nation"),
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE(): most frequent order priority per status.
+    Built-in ``mode()`` is tie-arbitrary in both engines (§7.5.6), so
+    the engine uses the portable argmax formulation — grouped count,
+    then a window over the (tiny) per-group count table with an
+    explicit tie-break on the value itself."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band_uid,
+           bit_or(user_id)  AS bor_uid,
+           bit_xor(user_id) AS bxor_uid
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND / OR / XOR aggregates over user ids per event type
+    — commutative-associative folds (XOR doubles as a cheap set
+    checksum for reconciliation between an event log and its DB copy,
+    the events-to-db integrity use-case)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band_uid"),
+        F.bit_or("user_id").alias("bor_uid"),
+        F.bit_xor("user_id").alias("bxor_uid"),
+    )

@@ -289,3 +289,173 @@ def q_ev_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", TS_FMT).alias("ts_s"),
         )
     )
+
+
+@query(
+    "q_ev_gap",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(avg(gap_us) / 1000000.0, 4) AS avg_gap_s,
+           round(max(gap_us) / 1000000.0, 4) AS max_gap_s
+    FROM (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) >= 5
+    """,
+)
+def q_ev_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user (inter-arrival analysis —
+    the latency/heartbeat view a DB copy of an event log gets queried
+    for).  Gaps are computed as exact integer microsecond differences
+    via ``lag`` over the per-user timeline, then averaged; only the
+    final average is floating-point (§7.5.1).  One shuffle on user_id
+    shared by the window and the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_s"),
+            F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+
+
+@query(
+    "q_ev_newusers",
+    oracle="""
+    SELECT CAST(first_d AS VARCHAR) AS d,
+           count(*) AS new_users,
+           CAST(sum(count(*)) OVER (ORDER BY first_d) AS BIGINT)
+               AS cum_users
+    FROM (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+        FROM events GROUP BY user_id
+    )
+    GROUP BY first_d
+    """,
+)
+def q_ev_newusers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts plus the cumulative user curve: first
+    event day per user, grouped, then a running sum over the (tiny)
+    per-day aggregate — the growth dashboard an event-log copy serves.
+    The unbounded-ordered window runs over days, not events, so the
+    single-partition window stage is bounded by the calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    daily = first.groupBy("first_d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("first_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("first_d").cast("string").alias("d"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
+    "q_ev_ohlc",
+    oracle="""
+    SELECT event_type, CAST(d AS VARCHAR) AS d,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open_v,
+           round(max(value), 4) AS high_v,
+           round(min(value), 4) AS low_v,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close_v,
+           count(*) AS n_events
+    FROM (
+        SELECT event_type, CAST(ts AS DATE) AS d, value,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    GROUP BY event_type, d
+    """,
+)
+def q_ev_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: per (event_type, day) the opening, highest, lowest
+    and closing ``value`` — the time-series downsampling a DB copy of
+    a metrics stream exists to serve.  First/last rows are selected by
+    row_number with the (ts, event_id) total order (§7.5.2) — robust
+    to timestamp ties, unlike arg_min on ts alone.  Both window passes
+    share one shuffle on the bar key."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    wa = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tagged = ev.select(
+        "event_type", d.alias("d"), "value", "ts", "event_id"
+    ).select(
+        "event_type",
+        "d",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return tagged.groupBy("event_type", "d").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open_v"),
+        F.round(F.max("value"), 4).alias("high_v"),
+        F.round(F.min("value"), 4).alias("low_v"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close_v"),
+        F.count("*").alias("n_events"),
+    ).withColumn("d", F.col("d").cast("string"))
+
+
+@query(
+    "q_ev_rfm",
+    oracle="""
+    SELECT recency_d, f_quartile, count(*) AS n_users,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM (
+        SELECT user_id,
+               datediff('day', max(CAST(ts AS DATE)),
+                        (SELECT max(CAST(ts AS DATE)) FROM events))
+                   AS recency_d,
+               ntile(4) OVER (ORDER BY count(*) DESC, user_id) AS f_quartile,
+               sum(value) AS monetary
+        FROM events GROUP BY user_id
+    )
+    GROUP BY recency_d, f_quartile
+    """,
+)
+def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event,
+    relative to the corpus max day), frequency quartile (ntile with
+    the §7.5.2 unique tie-break) and monetary sum, rolled up to the
+    (recency, frequency-quartile) grid.  The global max-day scalar is
+    a one-row broadcast; ntile runs over the per-user aggregate (one
+    row per user), not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.count("*").alias("freq"),
+        F.sum("value").alias("monetary"),
+    )
+    max_d = ev.agg(F.max(F.col("ts").cast("date")).alias("gmax_d"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("user_id"))
+    scored = per_user.crossJoin(F.broadcast(max_d)).select(
+        F.datediff(F.col("gmax_d"), F.col("last_d")).alias("recency_d"),
+        F.ntile(4).over(w).alias("f_quartile"),
+        "monetary",
+    )
+    return scored.groupBy("recency_d", "f_quartile").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+    )

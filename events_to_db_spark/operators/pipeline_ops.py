@@ -723,3 +723,141 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         decode, "doc_id long, fmt string, width int, height int, n_frames int"
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    SELECT doc_id,
+           n_toks,
+           round(ln(n_toks) - sum_nlogn / n_toks, 4) AS entropy_nats
+    FROM (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_toks,
+               sum(cnt * ln(cnt)) AS sum_nlogn
+        FROM (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS cnt
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+            GROUP BY doc_id, tok
+        )
+        GROUP BY doc_id
+    )
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Shannon entropy per document (nats) — the lexical-
+    diversity signal a curation pipeline thresholds on (repetitive /
+    boilerplate docs score low).  Uses the algebraic form
+    ``H = ln(N) - Σ c·ln(c) / N`` so both engines sum the same exact
+    per-term values; only the final expression is rounded (§7.5.1).
+    Plan: one explode, two hash-aggregates keyed by doc_id — explode
+    and both aggs share the doc_id shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_toks"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("sum_nlogn"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        F.round(
+            F.log(F.col("n_toks")) - F.col("sum_nlogn") / F.col("n_toks"), 4
+        ).alias("entropy_nats"),
+    )
+
+
+@query(
+    "q_text_redact",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           count(DISTINCT masked) AS n_shapes,
+           min(masked) AS sample_masked,
+           CAST(sum(CASE WHEN CAST(extracted AS BIGINT) = c_custkey
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_id_roundtrip
+    FROM (
+        SELECT c_mktsegment, c_custkey,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+               regexp_extract(c_name, '([0-9]+)$', 1) AS extracted
+        FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask every digit of the customer
+    identifier, keeping only the structural shape, and verify the
+    numeric id extracted *before* masking round-trips to the primary
+    key — the scrub-then-audit step of a training-data pipeline.
+    Dialect parity: DuckDB ``regexp_replace`` is first-match unless
+    the ``'g'`` flag is passed; Spark's is always global.  Pure
+    columnar regex → one small aggregate; the regex runs inside
+    codegen, no Python."""
+    c = load_table(spark, sf_dir, "customer")
+    masked = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
+        F.regexp_extract(F.col("c_name"), r"([0-9]+)$", 1).alias("extracted"),
+    )
+    return masked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("masked").alias("n_shapes"),
+        F.min("masked").alias("sample_masked"),
+        F.sum(
+            F.when(
+                F.col("extracted").cast("long") == F.col("c_custkey"), 1
+            ).otherwise(0)
+        ).alias("n_id_roundtrip"),
+    )
+
+
+@query(
+    "q_embed_norm",
+    oracle="""
+    SELECT vec_id,
+           round(l2, 4) AS l2_norm,
+           round(embedding[1] / l2, 4) AS e0_unit,
+           CAST(round(embedding[1] / l2 * 127) AS INT) AS e0_q7
+    FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings
+    )
+    """,
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization + int8-style quantization plumbing:
+    per vector its L2 norm, the unit-normalized first component, and
+    that component quantized to a 7-bit signed scale — the
+    preprocessing step before ANN indexing / storage compression.
+    Float32 elements are widened to float64 *before* squaring in both
+    engines so the sums agree bit-for-bit under round-4.  Pure
+    higher-order array exprs — no shuffle at all, embarrassingly
+    parallel at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    e0 = F.element_at(F.col("embedding"), 1).cast("double")
+    return emb.select(
+        "vec_id",
+        F.round(l2, 4).alias("l2_norm"),
+        F.round(e0 / l2, 4).alias("e0_unit"),
+        F.round(e0 / l2 * 127, 0).cast("int").alias("e0_q7"),
+    )

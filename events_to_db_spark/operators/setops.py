@@ -93,3 +93,44 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _typed(spark, sf_dir, "view").select("user_id", d)
     p = _typed(spark, sf_dir, "purchase").select("user_id", d)
     return v.subtract(p)
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT measure, count(*) AS n,
+           round(sum(v), 4) AS total,
+           round(avg(v), 4) AS mean
+    FROM (
+        SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: the four lineitem measures reshaped wide→long,
+    then profiled per measure — the inverse of ``q_pivot`` and the
+    standard first step of a column-profiling pass.  Uses the native
+    ``DataFrame.unpivot`` (Spark 3.4+ ``Unpivot`` logical node —
+    expand, not a 4-way self-union: one scan of the table).  The
+    oracle states the same relation as a portable UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    ).select(
+        F.regexp_replace(F.col("measure"), "^l_", "").alias("measure"), "v"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 4).alias("total"),
+        F.round(F.avg("v"), 4).alias("mean"),
+    )
