@@ -455,3 +455,57 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("user_id").alias("bor_uid"),
         F.bit_xor("user_id").alias("bxor_uid"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 10) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 4) AS bin_min,
+           round(max(value), 4) AS bin_max
+    FROM events
+    GROUP BY event_type, bin
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type (bin width
+    10) with per-bin extrema — the distribution profile a monitoring
+    consumer of an event-log copy renders.  Binning by ``floor`` is a
+    pure projection, so the whole query is one hash-aggregate on
+    (type, bin); bins are bounded by the value domain, not row count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("bin"),
+    ).agg(
+        F.count("*").alias("n"),
+        _r(F.min("value"), "bin_min"),
+        _r(F.max("value"), "bin_max"),
+    )
+
+
+@query(
+    "q_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+               AS wavg_disc,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS wavg_price_per_unit
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages: price-weighted discount and quantity-
+    weighted unit price per return flag — the ratio-of-sums shape
+    (never avg-of-ratios) that stays exact under partial aggregation:
+    both numerator and denominator are plain SUMs, so map-side combine
+    applies and the division happens once, at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p, d, q = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(p * d) / F.sum(p), 6).alias("wavg_disc"),
+        F.round(F.sum(p * q) / F.sum(q), 4).alias("wavg_price_per_unit"),
+    )

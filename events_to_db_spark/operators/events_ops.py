@@ -459,3 +459,49 @@ def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.round(F.avg("monetary"), 4).alias("avg_monetary"),
     )
+
+
+@query(
+    "q_ev_anomaly",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_outliers,
+           round(min(value), 4) AS min_out,
+           round(max(value), 4) AS max_out
+    FROM (
+        SELECT event_type, value,
+               avg(value) OVER (PARTITION BY event_type) AS mu,
+               stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+        FROM events
+    )
+    WHERE abs(value - mu) > 2.5 * sigma
+    GROUP BY event_type
+    """,
+)
+def q_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose ``value`` sits more
+    than 2.5 sample standard deviations from its type's mean — the
+    outlier sweep run over a metrics copy before training or
+    alerting.  Both engines compute μ/σ from the same exact sums, and
+    2.5σ boundaries fall in continuous data, so no rounding is needed
+    before the comparison.  The unpartitioned-looking window is keyed
+    by event_type (bounded cardinality), one shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    return (
+        scored.filter(
+            F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.min("value"), 4).alias("min_out"),
+            F.round(F.max("value"), 4).alias("max_out"),
+        )
+    )

@@ -153,3 +153,40 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_contaminated"),
         )
     )
+
+
+_SPARK_PCT = (
+    "pmod(cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15),"
+    " 16, 10) as bigint), 100)"
+)
+_DUCK_PCT = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN {_DUCK_PCT} <
+                    CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling: rebalance a corpus by keeping 10 % of
+    the dominant language and 50 % of everything else — the
+    class-rebalancing step of a training-data pipeline, but
+    reproducible (content-hash membership, not ``rand()``), so the
+    oracle checks the exact kept set per stratum.  The per-stratum
+    rate is a CASE over the same hash bucket, so the whole query stays
+    one scan + one aggregate with the filter evaluable at the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.expr(_SPARK_PCT) < rate, 1).otherwise(0)
+        ).alias("n_kept"),
+    )

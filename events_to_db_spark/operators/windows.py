@@ -321,3 +321,35 @@ def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("string").alias("d"),
         F.round(F.col("sum_v") / F.sum("sum_v").over(w), 6).alias("share"),
     )
+
+
+@query(
+    "q_win_movmedian",
+    oracle="""
+    SELECT CAST(d AS VARCHAR) AS d,
+           round(rev, 4) AS rev,
+           round(median(rev) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med7
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    """,
+)
+def q_win_movmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row centered moving *median* of daily revenue — the robust
+    counterpart of ``q_win_frame_rows``'s moving average (medians
+    shrug off the spike days that drag a mean).  Both engines
+    interpolate the even-count median, so the frames agree exactly
+    under round-4.  The window runs over the per-day aggregate, not
+    raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    return daily.select(
+        F.col("d").cast("string").alias("d"),
+        F.round(F.col("rev"), 4).alias("rev"),
+        F.round(F.percentile("rev", F.lit(0.5)).over(w), 4).alias("med7"),
+    )
