@@ -8,6 +8,7 @@ from events_to_db_spark.operators import (  # noqa: F401
     joins,
     llm_ops,
     pipeline_ops,
+    quality,
     sampling,
     scalar_fns,
     scans,
@@ -24,6 +25,7 @@ __all__ = [
     "joins",
     "llm_ops",
     "pipeline_ops",
+    "quality",
     "sampling",
     "scalar_fns",
     "scans",

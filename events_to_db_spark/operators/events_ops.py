@@ -505,3 +505,172 @@ def q_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("max_out"),
         )
     )
+
+
+@query(
+    "q_ev_scd2",
+    oracle="""
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS valid_to_us,
+           CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+                ORDER BY valid_from_us) IS NULL AS BOOLEAN) AS is_current
+    FROM (
+        SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us
+        FROM (
+            SELECT user_id, event_type, ts,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    """,
+)
+def q_ev_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event log → SCD-type-2 dimension: collapse each user's event
+    stream into state intervals (``valid_from``/``valid_to``/
+    ``is_current``) — the materialization an event→DB copier produces
+    when the target wants history, not just latest state
+    (``q_ev_latest``'s richer sibling).  Run boundaries come from
+    ``lag`` over the (ts, event_id) total order; interval ends from
+    ``lead`` over the collapsed rows.  Timestamps are exported as
+    exact integer epoch-microseconds (§7.5.3 — no sub-second string
+    formatting).  Both window passes share the user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros(F.col("ts")).alias("valid_from_us"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("state"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_ev_gapfill",
+    oracle="""
+    WITH span AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS d
+        FROM span
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, CAST(s.d AS VARCHAR) AS d,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
+           CAST(daily.n IS NULL AS BOOLEAN) AS is_gap
+    FROM spine s
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d
+    """,
+)
+def q_ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap-fill): a complete (event_type ×
+    day) grid over the log's span with zero-filled missing days — the
+    step every downsampled time series needs before charting or
+    model-ready export, and a classic hole in plain SQL group-bys.
+    The date spine is generated from the global min/max (one-row
+    aggregate → ``sequence`` → explode), cross-joined with the
+    (bounded) type dimension, then left-joined to the daily counts;
+    spine and dimension are broadcast, so the only shuffle is the
+    daily aggregate's."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    grid = F.broadcast(spine).crossJoin(F.broadcast(types))
+    return (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("d"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
+    "q_ev_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, n, rnk
+    FROM (
+        SELECT prev_type, event_type, n,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM (
+            SELECT prev_type, event_type, count(*) AS n
+            FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+    ) WHERE rnk <= 3
+    """,
+)
+def q_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov view): for
+    each predecessor type, the top-3 successor types by frequency —
+    the behavioral-flow question ("what do users do after an error?")
+    an event-log copy gets asked.  One user_id-shuffled lag, one
+    hash-aggregate on the (bounded) type×type grid, one tiny window
+    with the §7.5.2 tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w2 = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            "n",
+            "rnk",
+        )
+    )

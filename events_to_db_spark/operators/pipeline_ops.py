@@ -861,3 +861,49 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e0 / l2, 4).alias("e0_unit"),
         F.round(e0 / l2 * 127, 0).cast("int").alias("e0_q7"),
     )
+
+
+@query(
+    "q_dedup_editdist",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_pairs,
+           min(name_a || '|' || name_b) AS sample_pair
+    FROM (
+        SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE a.p_name <> b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 3
+    )
+    GROUP BY p_brand
+    """,
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate detection by edit distance: near-identical part
+    names within a brand block (Levenshtein ≤ 3, distinct strings) —
+    the typo-level record-linkage pass that complements token-set
+    Jaccard (``q_dedup_near``: reorderings) and MinHash (scale).
+    Blocked self-join on the brand key keeps the pair space
+    O(Σ block²), the same blocking discipline as every near-dup
+    operator here; Levenshtein runs JVM-side in codegen."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, "p_brand").filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.col("name_a") != F.col("name_b"))
+        & (F.levenshtein("name_a", "name_b") <= 3)
+    )
+    return pairs.groupBy("p_brand").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(F.concat_ws("|", "name_a", "name_b")).alias("sample_pair"),
+    )

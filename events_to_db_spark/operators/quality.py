@@ -1,0 +1,115 @@
+"""Data-quality / copy-integrity operators.
+
+An events-to-db copy is only trustworthy if the copied tables can be
+audited: column profiles (the "what landed here" summary), referential
+integrity between the copied tables, and uniqueness of the idempotency
+key are the standard post-load checks a streaming-ETL pipeline runs
+after every batch (the reference's effectively-once guarantee is
+exactly "the event_id key stays unique in the target" — SURVEY §1.1).
+
+Scale notes: every audit below is a single-pass aggregate or a
+broadcast/shuffle anti-join on the key — no row-by-row validation, no
+driver-side loops; the same plans run unchanged as a `foreachBatch`
+post-commit hook on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_custkey,
+           count(DISTINCT o_orderstatus) AS card_status,
+           count(DISTINCT o_orderpriority) AS card_priority,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS min_date,
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of ``orders``: row/key counts, null
+    tally, categorical cardinalities, numeric range/mean, date span —
+    the landing-audit summary a copy pipeline logs per batch.  All
+    metrics fold in a single HashAggregate (distincts expand to the
+    usual two-phase plan); nothing touches the driver."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("null_custkey"),
+        F.countDistinct("o_orderstatus").alias("card_status"),
+        F.countDistinct("o_orderpriority").alias("card_priority"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_date"),
+    )
+
+
+@query(
+    "q_quality_constraints",
+    oracle="""
+    SELECT
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+            AS orphan_orders,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS orphan_lineitems,
+        (SELECT count(*) FROM
+            (SELECT o_orderkey FROM orders
+             GROUP BY o_orderkey HAVING count(*) > 1))
+            AS dup_orderkeys,
+        (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+            AS nonpositive_prices
+    """,
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the copied schema: FK orphans
+    (orders→customer, lineitem→orders via left-anti joins), duplicate
+    primary keys (the idempotent-upsert invariant), and a domain check
+    on prices.  Anti-joins broadcast the key side when small and
+    degrade to shuffled joins at scale; each audit is independent so
+    Spark runs the four sub-plans in parallel stages."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    orphan_orders = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("orphan_orders"))
+    orphan_lineitems = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).agg(F.count("*").alias("orphan_lineitems"))
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("dup_orderkeys"))
+    )
+    bad_price = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count("*").alias("nonpositive_prices")
+    )
+    return (
+        orphan_orders.crossJoin(orphan_lineitems)
+        .crossJoin(dup_keys)
+        .crossJoin(bad_price)
+    )
