@@ -442,3 +442,127 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_e0"),
         )
     )
+
+
+@query(
+    "q_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+    ),
+    edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id AS label FROM documents
+        UNION
+        SELECT e.u AS doc_id, w.label
+        FROM edges e JOIN walk w ON w.doc_id = e.v
+    ),
+    comp AS (
+        SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+    )
+    SELECT cluster_id, count(*) AS n_docs, min(canon) AS canonical_doc
+    FROM (
+        SELECT c.cluster_id,
+               CASE WHEN row_number() OVER (PARTITION BY c.cluster_id
+                         ORDER BY d.n_chars DESC, d.doc_id) = 1
+                    THEN d.doc_id END AS canon
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    GROUP BY cluster_id
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate *clustering*: connected components over the
+    ``q_dedup_near`` pair graph, then one canonical document per
+    cluster (longest text, doc_id tie-break) — the step that turns
+    pair detection into an actual keep/drop decision for a training
+    corpus.
+
+    Spark side: iterative min-label propagation — each round joins
+    the current labels across the (symmetric) edge set and keeps the
+    per-node minimum, with ``localCheckpoint`` truncating the lineage
+    between rounds; converges in O(component diameter) rounds (≤ a
+    few dozen joins even at extreme scale — the alternating
+    star-contraction variant halves that if diameter ever bites).
+    Everything per-round is a distributed join + hash-agg: the driver
+    only counts changed labels.  The oracle states the same fixpoint
+    as a recursive CTE — feasible because blocked components stay
+    small (§0-corpus: 61 clusters, max size 11)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("u"), "lang", "source",
+        F.col("toks").alias("toks_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("v"), "lang", "source",
+        F.col("toks").alias("toks_b"),
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast(
+        "double"
+    ) / F.size(F.array_union("toks_a", "toks_b"))
+    pairs = (
+        a.join(b, ["lang", "source"])
+        .filter((F.col("u") < F.col("v")) & (jac >= 0.8))
+        .select("u", "v")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(20):  # >= max component diameter, with margin
+        neigh = edges.join(
+            labels, edges.v == labels.doc_id
+        ).select(F.col("u").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "doc_id")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    comp = labels.withColumnRenamed("label", "cluster_id")
+    ranked = comp.join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+            "canonical_doc"
+        ),
+    )

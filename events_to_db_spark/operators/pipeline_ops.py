@@ -874,6 +874,7 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         WHERE a.p_name <> b.p_name
+          AND abs(length(a.p_name) - length(b.p_name)) <= 3
           AND levenshtein(a.p_name, b.p_name) <= 3
     )
     GROUP BY p_brand
@@ -886,7 +887,8 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard (``q_dedup_near``: reorderings) and MinHash (scale).
     Blocked self-join on the brand key keeps the pair space
     O(Σ block²), the same blocking discipline as every near-dup
-    operator here; Levenshtein runs JVM-side in codegen."""
+    operator here; the length-difference pre-filter drops most pairs
+    before the (threshold-banded, JVM-codegen) Levenshtein runs."""
     p = load_table(spark, sf_dir, "part")
     a = p.select(
         F.col("p_brand"),
@@ -901,7 +903,10 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "p_brand").filter(
         (F.col("key_a") < F.col("key_b"))
         & (F.col("name_a") != F.col("name_b"))
-        & (F.levenshtein("name_a", "name_b") <= 3)
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 3
+        )  # lossless: |len diff| > k implies lev > k
+        & (F.levenshtein("name_a", "name_b", 3) >= 0)  # banded DP, -1 = over threshold
     )
     return pairs.groupBy("p_brand").agg(
         F.count("*").alias("n_pairs"),
