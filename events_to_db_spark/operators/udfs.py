@@ -149,3 +149,65 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.k
         """
     )
+
+
+@query(
+    "q_udf_ewma",
+    oracle="""
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           round(list_reduce(vs,
+                 (acc, x) -> acc * CAST(0.9 AS DOUBLE)
+                           + x * CAST(0.1 AS DOUBLE)), 4) AS ewma
+    FROM (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def q_udf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user via
+    ``applyInPandas`` — the order-dependent recurrence
+    (``e ← 0.9·e + 0.1·x`` seeded with the first value) that no
+    built-in aggregate expresses, showcasing the custom-stateful-
+    kernel escape hatch with a *hash-exact* oracle: both engines fold
+    the same float64 sequence left-to-right over the (ts, event_id)
+    total order, so every IEEE operation matches bit-for-bit
+    (verified: DuckDB ``list_reduce`` ≡ the Python loop).
+
+    Scale: groups are single users (bounded state), Arrow ships
+    columnar batches, and the sequential loop is per-group only — the
+    exact fold cannot be tree-vectorized without changing float
+    summation order and breaking cross-engine parity (§7.5.1)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype="float64")
+        acc = float(v[0])
+        for x in v[1:]:
+            acc = acc * 0.9 + float(x) * 0.1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(v)],
+                "ewma": [acc],
+            }
+        )
+
+    folded = ev.groupBy("user_id").applyInPandas(fold, schema=out_schema)
+    return folded.select(
+        "user_id", "n_events", F.round(F.col("ewma"), 4).alias("ewma")
+    )

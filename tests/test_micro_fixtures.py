@@ -209,3 +209,103 @@ def test_round4_collapses_cross_engine_noise(spark, duck):
         .collect()[0]["r"]
         != 12345.6789
     )
+
+
+# ------------------------------------------------- round-1 late operators
+
+@pytest.fixture(scope="module")
+def micro_sf(spark, tmp_path_factory):
+    """A tiny sf-dir with hand-built events + documents tables, so the
+    actual contract query functions run against boundary fixtures."""
+    root = tmp_path_factory.mktemp("micro_sf")
+    ev_rows = [
+        # user 1: state runs A A B A  (collapse to A,B,A), 1-day gap on Jan 3
+        (1, _ts("2024-01-01 00:00:00"), 1, "click", 10.0, "{}"),
+        (2, _ts("2024-01-01 01:00:00"), 1, "click", 20.0, "{}"),
+        (3, _ts("2024-01-02 00:00:00"), 1, "view", 30.0, "{}"),
+        (4, _ts("2024-01-04 00:00:00"), 1, "click", 40.0, "{}"),
+        # user 2: single event
+        (5, _ts("2024-01-01 12:00:00"), 2, "view", 50.0, "{}"),
+    ]
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "events.parquet"))
+    doc_rows = [
+        # token-set chain by subset growth: 1-2 Jaccard 4/5=0.8, 2-3
+        # Jaccard 5/6=0.833, but 1-3 only 4/6=0.667 — clustering must
+        # still unite all three (transitivity), canonical = longest.
+        (1, "a b c d", "en", "src0", 7),
+        (2, "a b c d e", "en", "src0", 9),
+        (3, "a b c d e f", "en", "src0", 11),
+        (4, "x y z", "en", "src0", 5),  # isolated singleton
+    ]
+    spark.createDataFrame(
+        doc_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_scd2_collapses_runs_and_chains_intervals(spark, micro_sf):
+    from events_to_db_spark.operators.events_ops import q_ev_scd2
+
+    rows = sorted(
+        q_ev_scd2(spark, micro_sf).collect(),
+        key=lambda r: (r["user_id"], r["valid_from_us"]),
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [r["state"] for r in u1] == ["click", "view", "click"]
+    # intervals chain exactly: each valid_to equals the next valid_from
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert u1[2]["valid_to_us"] is None and u1[2]["is_current"]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_gapfill_emits_zero_rows_for_missing_days(spark, micro_sf):
+    from events_to_db_spark.operators.events_ops import q_ev_gapfill
+
+    rows = q_ev_gapfill(spark, micro_sf).collect()
+    # span 2024-01-01..04, types {click, view}: full 4x2 grid
+    assert len(rows) == 8
+    by = {(r["event_type"], r["d"]): r for r in rows}
+    assert by[("click", "2024-01-03")]["n"] == 0
+    assert by[("click", "2024-01-03")]["is_gap"]
+    assert by[("click", "2024-01-01")]["n"] == 2
+    assert not by[("click", "2024-01-01")]["is_gap"]
+    # a day inside the span with no events at all for a type still appears
+    assert by[("view", "2024-01-04")]["n"] == 0
+
+
+def test_cluster_transitive_closure_and_canonical(spark, micro_sf):
+    from events_to_db_spark.operators.llm_ops import q_dedup_cluster
+
+    rows = {r["cluster_id"]: r for r in q_dedup_cluster(spark, micro_sf).collect()}
+    # docs 1-2 pair, 2-3 pair, 1-3 below threshold -> one cluster of 3 via
+    # transitivity, labeled by min doc_id; canonical = longest text (doc 3)
+    assert rows[1]["n_docs"] == 3 and rows[1]["canonical_doc"] == 3
+    assert rows[4]["n_docs"] == 1 and rows[4]["canonical_doc"] == 4
+
+
+def test_ewma_recurrence_exact(spark, micro_sf):
+    from events_to_db_spark.operators.udfs import q_udf_ewma
+
+    rows = {r["user_id"]: r for r in q_udf_ewma(spark, micro_sf).collect()}
+    acc = 10.0
+    for x in (20.0, 30.0, 40.0):
+        acc = acc * 0.9 + x * 0.1
+    assert rows[1]["n_events"] == 4 and rows[1]["ewma"] == round(acc, 4)
+    assert rows[2]["n_events"] == 1 and rows[2]["ewma"] == 50.0
+
+
+def test_transitions_order_and_tiebreak(spark, micro_sf):
+    from events_to_db_spark.operators.events_ops import q_ev_transitions
+
+    rows = q_ev_transitions(spark, micro_sf).collect()
+    got = {(r["prev_type"], r["next_type"]): (r["n"], r["rnk"]) for r in rows}
+    # user1 path: click->click->view->click
+    assert got[("click", "click")] == (1, 1)  # n ties broken by type asc
+    assert got[("click", "view")] == (1, 2)
+    assert got[("view", "click")] == (1, 1)
