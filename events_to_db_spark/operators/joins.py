@@ -366,3 +366,44 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prior_id",
         "prior_ts",
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH lo AS (
+        SELECT nullif(event_type, 'error') AS k, count(*) AS n_lo
+        FROM events WHERE user_id < 75 GROUP BY 1
+    ),
+    hi AS (
+        SELECT nullif(event_type, 'error') AS k, count(*) AS n_hi
+        FROM events WHERE user_id >= 75 GROUP BY 1
+    )
+    SELECT lo.k, n_lo, n_hi
+    FROM lo JOIN hi ON lo.k IS NOT DISTINCT FROM hi.k
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the two
+    user-population halves joined on a *nullable* key (``error``
+    mapped to NULL) — under plain ``=`` the NULL bucket silently drops
+    (q_join_inner semantics, pinned in test_micro_fixtures); null-safe
+    equality pairs it.  Spark plans ``<=>`` as a hash join (the
+    operator is still an equi-key), not a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+    lo = (
+        ev.filter(F.col("user_id") < 75)
+        .select(k)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_lo"))
+    )
+    hi = (
+        ev.filter(F.col("user_id") >= 75)
+        .select(k)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_hi"))
+    )
+    return lo.join(hi, lo["k"].eqNullSafe(hi["k"])).select(
+        lo["k"].alias("k"), "n_lo", "n_hi"
+    )

@@ -257,3 +257,32 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.a.b").alias("missing"),
     )
+
+
+@query(
+    "q_fn_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_exact,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(28,6)))
+               AS sum_disc_exact,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL (money-grade) aggregation: prices fixed to
+    DECIMAL(18,2), the price×discount product widened to
+    DECIMAL(28,6), summed with *no rounding at all* — unlike every
+    float aggregate here, the answers are exact integers in scaled
+    space, so the engines must agree digit-for-digit (§7.5.1 does not
+    apply to decimals).  Decimal sums partial-aggregate exactly, so
+    the plan is the usual two-phase HashAggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(9,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(p).alias("sum_price_exact"),
+        F.sum((p * d).cast("decimal(28,6)")).alias("sum_disc_exact"),
+        F.count("*").alias("n"),
+    )

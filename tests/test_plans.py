@@ -59,3 +59,47 @@ def test_agg_uses_partial_aggregation(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _q(spark, "q_limit")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT
+
+
+def test_scd2_single_user_shuffle(spark):
+    """Both SCD2 window passes and the run-collapse must share one
+    user_id exchange — a second shuffle would double the largest cost
+    at scale."""
+    counts = plan_counts(_q(spark, "q_ev_scd2"))
+    assert counts.get("Exchange", 0) <= 1
+
+
+def test_ohlc_windows_share_one_shuffle(spark):
+    """The asc and desc row_number passes run over the same (type, day)
+    partitioning; Catalyst must not re-exchange between them."""
+    counts = plan_counts(_q(spark, "q_ev_ohlc"))
+    assert counts.get("Exchange", 0) <= 2  # partition-key exchange + final agg
+
+def test_gapfill_broadcasts_spine_and_dims(spark):
+    """The generated date spine × type grid must build via broadcast
+    (a BroadcastNestedLoopJoin cross of two tiny inputs — NOT a
+    CartesianProduct shuffle), and the grid→daily left join must be a
+    BroadcastHashJoin, keeping the event-side shuffle the only big
+    exchange at scale."""
+    df = _q(spark, "q_ev_gapfill")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_nullsafe_join_is_hash_not_loop(spark):
+    """<=> keeps equi-join planning: no BroadcastNestedLoopJoin /
+    CartesianProduct may appear."""
+    assert_no_cartesian(_q(spark, "q_join_nullsafe"))
+
+
+def test_editdist_blocked_join_no_cartesian(spark):
+    """The brand-blocked fuzzy join must plan as an equi-join on the
+    block key with the levenshtein predicate residual."""
+    assert_no_cartesian(_q(spark, "q_dedup_editdist"))
+
+
+def test_decimal_agg_two_phase(spark):
+    """Exact decimal sums still partial-aggregate (map-side combine)."""
+    plan = _q(spark, "q_fn_decimal")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
