@@ -674,3 +674,78 @@ def q_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "q_ev_hysteresis",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN sig = 'ON' AND (prev IS NULL OR prev = 'OFF')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+           max(CASE WHEN rn_d = 1 THEN sig END) = 'ON' AS alert_open
+    FROM (
+        SELECT user_id, sig,
+               lag(sig) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value > 300 THEN 'ON' ELSE 'OFF' END AS sig
+            FROM events
+            WHERE value > 300 OR value < 150
+        )
+    )
+    GROUP BY user_id
+    HAVING sum(CASE WHEN sig = 'ON' AND (prev IS NULL OR prev = 'OFF')
+               THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_ev_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting with hysteresis: an alert opens when a
+    user's ``value`` exceeds 300 and closes only below 150 — the
+    two-threshold state machine (no flapping) every monitoring
+    pipeline runs over an event feed.
+
+    The automaton looks order-recursive, but state only changes at
+    *crossing* events (>300 or <150), so filtering to those and
+    taking ``lag`` over the (ts, event_id) total order is exact:
+    an alert fires at each ON-event whose previous crossing was OFF
+    (or none).  That compression is also the scale story — the
+    windowed pass runs over the crossing events only, and the filter
+    is evaluable at the scan.  The streaming twin
+    (:mod:`events_to_db_spark.streaming.stateful`) keeps one boolean
+    per user in ``applyInPandasWithState``; batch answer = stream
+    answer (tests/test_stateful_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    sig = ev.filter((F.col("value") > 300) | (F.col("value") < 150)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") > 300, "ON").otherwise("OFF").alias("sig"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = sig.select(
+        "user_id",
+        "sig",
+        F.lag("sig").over(w).alias("prev"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    fired = F.when(
+        (F.col("sig") == "ON")
+        & (F.col("prev").isNull() | (F.col("prev") == "OFF")),
+        1,
+    ).otherwise(0)
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum(fired).alias("n_alerts"),
+            (F.max(F.when(F.col("rn_d") == 1, F.col("sig"))) == "ON").alias(
+                "alert_open"
+            ),
+        )
+        .filter(F.col("n_alerts") > 0)
+    )

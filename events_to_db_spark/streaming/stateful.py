@@ -103,3 +103,62 @@ def funnel_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+ALERT_HI = 300.0
+ALERT_LO = 150.0
+
+ALERT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("transition", BooleanType()),  # True = opened
+    ]
+)
+
+ALERT_STATE_SCHEMA = StructType([StructField("alert_on", BooleanType())])
+
+
+def _alert_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Hysteresis automaton (same thresholds as the batch
+    ``q_ev_hysteresis``): open above ALERT_HI, close below ALERT_LO,
+    emit one row per transition.  State is a single boolean per user —
+    bounded regardless of stream length."""
+    (on,) = state.get if state.exists else (False,)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            if not on and row["value"] > ALERT_HI:
+                on = True
+                out.append((key[0], row["ts"], row["event_id"], True))
+            elif on and row["value"] < ALERT_LO:
+                on = False
+                out.append((key[0], row["ts"], row["event_id"], False))
+    state.update((on,))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "ts", "event_id", "transition"]
+        )
+
+
+def alert_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Alert transitions as an append stream — the live counterpart of
+    the batch crossing-event formulation (the batch answer is the
+    oracle: tests/test_stateful_streaming.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _alert_update,
+            outputStructType=ALERT_OUTPUT_SCHEMA,
+            stateStructType=ALERT_STATE_SCHEMA,
+            outputMode="Append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -42,3 +42,41 @@ def test_funnel_stream_matches_batch(spark, chunked_events, tmp_path):
     assert got == want
     # at most one conversion per user
     assert len({u for u, *_ in got}) == len(got)
+
+
+def test_alert_stream_matches_batch_hysteresis(spark, chunked_events, tmp_path):
+    """The applyInPandasWithState hysteresis automaton must reproduce
+    the batch crossing-event formulation exactly: same per-user alert
+    (ON-transition) counts, same final open/closed state."""
+    from events_to_db_spark.streaming.stateful import alert_stream
+
+    feed, ev, n = chunked_events
+    acc = []
+
+    def collect(batch_df, _bid):
+        acc.extend(batch_df.collect())
+
+    q = (
+        alert_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_alert"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import __spark_entry__ as e
+
+    batch = {
+        r["user_id"]: (r["n_alerts"], r["alert_open"])
+        for r in e.queries()["q_ev_hysteresis"](spark, SF_SMOKE).collect()
+    }
+    opens: dict[int, int] = {}
+    last: dict[int, bool] = {}
+    for r in sorted(acc, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        if r["transition"]:
+            opens[r["user_id"]] = opens.get(r["user_id"], 0) + 1
+        last[r["user_id"]] = r["transition"]
+    got = {u: (opens[u], last[u]) for u in opens}
+    assert got == batch
