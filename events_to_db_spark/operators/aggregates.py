@@ -509,3 +509,34 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(p * d) / F.sum(p), 6).alias("wavg_disc"),
         F.round(F.sum(p * q) / F.sum(q), 4).alias("wavg_price_per_unit"),
     )
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           list_sort(list(value))[CAST(ceil(0.5 * count(*)) AS BIGINT)] AS p50_disc,
+           list_sort(list(value))[CAST(ceil(0.9 * count(*)) AS BIGINT)] AS p90_disc
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (PERCENTILE_DISC class): the smallest
+    actual data value at cumulative rank ≥ p — unlike the
+    interpolating `percentile` of ``q_agg_stats``, the answer is an
+    existing row value, so the cross-engine match is exact with no
+    rounding.  Both engines use the identical explicit order-statistic
+    (sorted array, index ⌈p·n⌉) rather than their built-in
+    ``*_disc`` variants, whose index conventions differ.  Scale note:
+    per-group sorted collection is the exact path; beyond memory
+    bounds the engine's `percentile_approx` sketch
+    (``q_agg_approx_quantile``) is the documented fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list("value"))
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.element_at(arr, F.ceil(0.5 * n).cast("int")).alias("p50_disc"),
+        F.element_at(arr, F.ceil(0.9 * n).cast("int")).alias("p90_disc"),
+    )

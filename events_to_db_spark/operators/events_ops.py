@@ -749,3 +749,46 @@ def q_ev_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_alerts") > 0)
     )
+
+
+@query(
+    "q_ev_burst",
+    oracle="""
+    SELECT user_id,
+           CAST(max(n_1h) AS BIGINT) AS peak_1h
+    FROM (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY es
+                              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+                   AS n_1h
+        FROM (
+            SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events
+        )
+    )
+    GROUP BY user_id
+    HAVING max(n_1h) >= 3
+    """,
+)
+def q_ev_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak burst rate: the most events any user produced inside a
+    1-hour sliding window (exact, event-anchored — not the bucketed
+    approximation a tumbling window gives), keeping users peaking ≥3.
+    A RANGE frame over integer epoch-seconds counts each event's
+    trailing window; RANGE (not ROWS) so same-second peers count in
+    both engines.  One user_id shuffle shared by window and
+    aggregate; state is the frame, bounded by the 3600-second span."""
+    ev = load_table(spark, sf_dir, "events")
+    es = (F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    per_event = ev.select("user_id", es.alias("es")).select(
+        "user_id", F.count("*").over(w).alias("n_1h")
+    )
+    return (
+        per_event.groupBy("user_id")
+        .agg(F.max("n_1h").alias("peak_1h"))
+        .filter(F.col("peak_1h") >= 3)
+    )

@@ -912,3 +912,57 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.min(F.concat_ws("|", "name_a", "name_b")).alias("sample_pair"),
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH freqs AS (
+        SELECT tok, count(*) AS freq
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, freq,
+               row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+        FROM freqs
+    )
+    SELECT tok, freq, rnk,
+           round((SELECT regr_slope(ln(freq), ln(rnk)) FROM ranked), 4)
+               AS zipf_slope
+    FROM ranked
+    WHERE rnk <= 20
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency profile of the corpus vocabulary: the top
+    20 terms with their ranks plus the global log–log OLS slope (a
+    natural-language corpus sits near −1; this synthetic 31-token
+    vocabulary measurably doesn't — the kind of distribution-shift
+    check a curation pipeline alarms on).  One explode + hash-agg
+    builds the frequency table; rank and the slope both run over the
+    (vocabulary-sized) aggregate, so the expensive side is a single
+    shuffle of (token, partial-count) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = freqs.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")),
+    )
+    slope = ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 4).alias(
+            "zipf_slope"
+        )
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(slope))
+        .select("tok", "freq", "rnk", "zipf_slope")
+    )
