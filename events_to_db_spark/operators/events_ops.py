@@ -792,3 +792,56 @@ def q_ev_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_1h").alias("peak_1h"))
         .filter(F.col("peak_1h") >= 3)
     )
+
+
+@query(
+    "q_ev_wau",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    span AS (
+        SELECT min(d) AS lo, max(d) AS hi FROM user_days
+    ),
+    contrib AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS w_end
+        FROM user_days
+    )
+    SELECT CAST(w_end AS VARCHAR) AS d,
+           count(DISTINCT user_id) AS wau
+    FROM contrib, span
+    WHERE w_end BETWEEN lo AND hi
+    GROUP BY w_end
+    """,
+)
+def q_ev_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the rolling
+    *cardinality* no plain window frame can express (COUNT(DISTINCT)
+    over a moving range).  Formulated scalably: dedup to user-days,
+    then each user-day *contributes* to the 7 window-end days it is
+    visible from (a 7× explode — pure projection, no self-join), then
+    one distinct-count per day.  Shuffle volume is 7·|user-days|,
+    independent of raw event count; the alternative day-spine band
+    join is quadratic in the calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    span = user_days.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("w_end"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(span))
+        .filter(F.col("w_end").between(F.col("lo"), F.col("hi")))
+        .groupBy("w_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("w_end").cast("string").alias("d"), "wau")
+    )

@@ -966,3 +966,89 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(slope))
         .select("tok", "freq", "rnk", "zipf_slope")
     )
+
+
+@query(
+    "q_text_pmi",
+    oracle="""
+    WITH doc_toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS n FROM doc_toks),
+    tok_df AS (
+        SELECT tok, count(*) AS n_t
+        FROM (SELECT doc_id, unnest(ts) AS tok FROM doc_toks)
+        GROUP BY tok
+    ),
+    pair_df AS (
+        SELECT a_tok, b_tok, count(*) AS n_ab
+        FROM (
+            SELECT x.doc_id, x.tok AS a_tok, y.tok AS b_tok
+            FROM (SELECT doc_id, unnest(ts) AS tok FROM doc_toks) x
+            JOIN (SELECT doc_id, unnest(ts) AS tok FROM doc_toks) y
+              ON x.doc_id = y.doc_id AND x.tok < y.tok
+        )
+        GROUP BY a_tok, b_tok
+    )
+    SELECT a_tok, b_tok, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * n / (ta.n_t * tb.n_t)), 4) AS pmi
+    FROM pair_df
+    JOIN tok_df ta ON ta.tok = a_tok
+    JOIN tok_df tb ON tb.tok = b_tok
+    CROSS JOIN n_docs
+    WHERE n_ab >= 20
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence at the
+    document level (collocation mining): PMI = ln(N·n_ab /(n_a·n_b))
+    over distinct-token document sets, for pairs seen in ≥20 docs.
+    The ratio inside ``ln`` is a ratio of exact integers, so both
+    engines evaluate ``ln`` of identical doubles (§7.5.1 round-4 on
+    top).  Plan: distinct-token explode → within-doc pair join (the
+    quadratic side is bounded by per-doc vocabulary, not corpus
+    size) → two broadcast joins against the (vocabulary-sized)
+    document-frequency table."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    exploded = doc_toks.select(
+        "doc_id", F.explode("ts").alias("tok")
+    )
+    n_docs = doc_toks.agg(F.count("*").alias("n"))
+    tok_df = exploded.groupBy("tok").agg(F.count("*").alias("n_t"))
+    x = exploded.select("doc_id", F.col("tok").alias("a_tok"))
+    y = exploded.select("doc_id", F.col("tok").alias("b_tok"))
+    pair_df = (
+        x.join(y, "doc_id")
+        .filter(F.col("a_tok") < F.col("b_tok"))
+        .groupBy("a_tok", "b_tok")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    ta = tok_df.select(
+        F.col("tok").alias("a_tok"), F.col("n_t").alias("na")
+    )
+    tb = tok_df.select(
+        F.col("tok").alias("b_tok"), F.col("n_t").alias("nb")
+    )
+    return (
+        pair_df.join(F.broadcast(ta), "a_tok")
+        .join(F.broadcast(tb), "b_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a_tok",
+            "b_tok",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("na") * F.col("nb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
