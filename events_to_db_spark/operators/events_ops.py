@@ -845,3 +845,103 @@ def q_ev_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.col("w_end").cast("string").alias("d"), "wau")
     )
+
+
+@query(
+    "q_ev_attribution",
+    oracle="""
+    SELECT attributed, count(*) AS n_purchases
+    FROM (
+        SELECT event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS attributed
+        FROM events
+    )
+    WHERE event_type = 'purchase' AND attributed IS NOT NULL
+    GROUP BY attributed
+    """,
+)
+def q_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent *preceding* non-purchase event (strictly before, via a
+    1-PRECEDING frame; first-ever purchases stay unattributed) —
+    the marketing-analytics question an event→DB copy answers daily.
+    ``last_value IGNORE NULLS`` over the (ts, event_id) total order is
+    the single-pass formulation; no self-join, one user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.select(
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("attributed"),
+    )
+    return (
+        attributed.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("attributed").isNotNull()
+        )
+        .groupBy("attributed")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+@query(
+    "q_ev_streak",
+    oracle="""
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS best_streak,
+           count(*) AS n_streaks
+    FROM (
+        SELECT user_id, island, count(*) AS streak_len
+        FROM (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY d) AS INT) AS island
+            FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        )
+        GROUP BY user_id, island
+    )
+    GROUP BY user_id
+    HAVING max(streak_len) >= 5
+    """,
+)
+def q_ev_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern: over distinct user-days, ``day −
+    row_number`` is constant exactly within a consecutive run, so one
+    window plus two aggregates finds every streak with no self-join.
+    Keeps users with a ≥5-day best streak.  DuckDB's DATE − INT is
+    Spark's ``date_sub``; both yield a DATE island key."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = user_days.select(
+        "user_id",
+        F.date_sub(
+            F.col("d"), F.row_number().over(w).cast("int")
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("best_streak"),
+            F.count("*").alias("n_streaks"),
+        )
+        .filter(F.col("best_streak") >= 5)
+    )

@@ -177,3 +177,60 @@ def test_tag_expr_compilation_matches_reference_semantics(spark, expr, tag_sets)
     got = {r["id"] for r in df.filter(expr.to_column("tags")).collect()}
     want = {i for i, s in enumerate(tag_sets) if _eval_py(expr, set(s))}
     assert got == want
+
+
+# ----------------------------------------------- cross-operator invariants
+
+def test_cross_operator_invariants_smoke(spark):
+    """Operators that summarize the same log must agree with each
+    other — cheap global invariants over the smoke data."""
+    import __spark_entry__ as e
+    from tests.conftest import SF_SMOKE
+    from events_to_db_spark.session import load_table
+
+    Q = e.queries()
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+
+    # new-user curve: final cumulative == total distinct users,
+    # daily new-user sum == total distinct users
+    nu = Q["q_ev_newusers"](spark, SF_SMOKE).collect()
+    assert max(r["cum_users"] for r in nu) == n_users
+    assert sum(r["new_users"] for r in nu) == n_users
+
+    # gap-fill: zero-filled grid conserves the event total and covers
+    # the full span × type grid
+    gf = Q["q_ev_gapfill"](spark, SF_SMOKE).collect()
+    assert sum(r["n"] for r in gf) == n_events
+    n_days = len({r["d"] for r in gf})
+    n_types = len({r["event_type"] for r in gf})
+    assert len(gf) == n_days * n_types
+
+    # WAU dominates DAU everywhere, never exceeds the user universe
+    dau = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.col("ts").cast("date").cast("string").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in Q["q_ev_wau"](spark, SF_SMOKE).collect():
+        assert dau.get(r["d"], 0) <= r["wau"] <= n_users
+
+    # streaks never exceed the user's distinct active days
+    days_per_user = {
+        r["user_id"]: r["nd"]
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct(F.col("ts").cast("date")).alias("nd"))
+        .collect()
+    }
+    for r in Q["q_ev_streak"](spark, SF_SMOKE).collect():
+        assert r["best_streak"] <= days_per_user[r["user_id"]]
+
+    # attribution: attributed purchases cannot exceed total purchases
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    attributed = sum(
+        r["n_purchases"]
+        for r in Q["q_ev_attribution"](spark, SF_SMOKE).collect()
+    )
+    assert attributed <= n_purch
