@@ -1052,3 +1052,86 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "q_mm_framesample",
+    oracle="""
+    SELECT doc_id,
+           n_frames,
+           CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
+           CAST(((n_frames + 1) // 2) * frame_len AS BIGINT) AS sampled_bytes,
+           CAST((SELECT sum((doc_id * 31 + i * 7) % 251)
+                 FROM unnest(generate_series(0, n_frames - 1, 2)) t(i))
+                AS BIGINT) AS checksum
+    FROM (
+        SELECT doc_id,
+               CAST(2 + doc_id % 7 AS INT) AS n_frames,
+               CAST(64 + doc_id % 5 AS INT) AS frame_len
+        FROM documents
+    )
+    """,
+)
+def q_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads: a synthetic
+    MM02 container (header + frame count + fixed-size frames, all
+    bytes a deterministic function of doc_id) is *parsed from the
+    actual binary* partition-parallel in ``mapInPandas``, keeping
+    every 2nd frame — the stride-sampling step of a video training
+    pipeline.  The oracle predicts the sampled byte count and a
+    first-byte checksum arithmetically, so the differential check
+    proves the binary round-trip (build → parse → sample) is exact,
+    not just that the plumbing runs.  Swap the synthesizer for real
+    mp4 bytes and the parse stub for ffmpeg and nothing else changes
+    (same discipline as ``q_mm_decode``)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_sample(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_frames = 2 + doc_id % 7
+                frame_len = 64 + doc_id % 5
+                payload = b"MM02" + bytes([n_frames])
+                for i in range(n_frames):
+                    first = (doc_id * 31 + i * 7) % 251
+                    payload += bytes([first]) + b"\x00" * (frame_len - 1)
+                # ---- parse back from the bytes (the real plumbing) ----
+                assert payload[:4] == b"MM02"
+                got_frames = payload[4]
+                body = payload[5:]
+                flen = len(body) // got_frames
+                sampled = [
+                    body[i * flen : (i + 1) * flen]
+                    for i in range(0, got_frames, 2)
+                ]
+                out.append(
+                    (
+                        doc_id,
+                        got_frames,
+                        len(sampled),
+                        sum(len(s) for s in sampled),
+                        sum(s[0] for s in sampled),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_sampled",
+                    "sampled_bytes",
+                    "checksum",
+                ],
+            )
+
+    return d.mapInPandas(
+        synth_and_sample,
+        "doc_id long, n_frames int, n_sampled int,"
+        " sampled_bytes long, checksum long",
+    )
