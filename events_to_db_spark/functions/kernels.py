@@ -126,3 +126,31 @@ def make_classify_map_fn(cent_bc):
             )
 
     return fn
+
+
+def make_dup_flag_map_fn(ref_bc, threshold: float):
+    """Build a ``mapInPandas`` fn implementing the keep-lowest-id
+    dedup rule: a vector is a duplicate iff some reference vector with
+    a *smaller* id has cosine ≥ threshold with it.  One matmul per
+    Arrow batch; the smaller-id mask is a broadcast comparison against
+    the (sorted) reference id vector."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, unit = ref_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = l2_normalize(stack_embeddings(pdf["embedding"]))
+            sims = q @ unit.T  # (batch, n_ref)
+            qid = pdf["vec_id"].to_numpy()
+            smaller = ids[None, :] < qid[:, None]
+            is_dup = ((sims >= threshold) & smaller).any(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": qid,
+                    "label": pdf["label"],
+                    "is_dup": is_dup,
+                }
+            )
+
+    return fn

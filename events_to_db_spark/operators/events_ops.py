@@ -945,3 +945,41 @@ def q_ev_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("best_streak") >= 5)
     )
+
+
+@query(
+    "q_api_pipeline",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_v
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      AND value > 50
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+)
+def q_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQL-shaped fluent builder as a first-class contract query:
+    FROM (time-bounded) → FILTER → AGGREGATE (grouped) → LIMIT
+    (total-ordered) through :class:`events_to_db_spark.api.EventQuery`
+    — proving the API layer composes to exactly the plan the raw
+    DataFrame chain builds (same pushdown, same
+    TakeOrderedAndProject), not a parallel dialect."""
+    from events_to_db_spark.api import EventQuery
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        EventQuery.from_events(ev)
+        .between("2024-01-08", "2024-01-15")
+        .filter(F.col("value") > 50)
+        .aggregate(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            by=["event_type"],
+        )
+        .limit(3, order_by=[F.col("n").desc(), F.col("event_type")])
+        .df()
+    )

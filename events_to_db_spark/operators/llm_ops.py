@@ -566,3 +566,42 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_doc"
         ),
     )
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM e b
+                    WHERE b.vec_id < a.vec_id
+                      AND list_cosine_similarity(a.v, b.v) >= 0.4)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+    FROM e a
+    GROUP BY a.label
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal with the keep-lowest-id
+    rule: a vector is a duplicate iff an earlier (smaller vec_id)
+    vector sits within cosine ≥ 0.4 — the semantic-dedup pass that
+    catches paraphrases exact/MinHash text dedup cannot.  Threshold is
+    corpus-calibrated like ``q_sim_threshold`` (max pairwise cosine
+    here is 0.513; 0.4 keeps 59 genuine pairs).  Same broadcast-matmul
+    kernel family: one BLAS call per Arrow batch plus a broadcast
+    smaller-id mask; linear in the big side, LSH-bucketed beyond a
+    broadcastable reference (``q_sim_ann_lsh``)."""
+    e = _load_embeddings(spark, sf_dir)
+    bc = _ref_broadcast(spark, e, with_labels=False)
+    flags = e.select("vec_id", "embedding", "label").mapInPandas(
+        kernels.make_dup_flag_map_fn(bc, 0.4),
+        "vec_id long, label int, is_dup boolean",
+    )
+    return flags.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+    )
