@@ -983,3 +983,59 @@ def q_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3, order_by=[F.col("n").desc(), F.col("event_type")])
         .df()
     )
+
+
+@query(
+    "q_ev_replay",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq,
+           event_id, user_id, event_type
+    FROM (
+        SELECT * FROM events ORDER BY ts, event_id LIMIT 100
+    )
+    """,
+)
+def q_ev_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order replay: the first 100 events of the log in the
+    global (ts, event_id) order with their replay sequence numbers —
+    the deterministic-replay semantics of a totally-ordered event log
+    (the reference's (lamport, stream) order, §1.1) made queryable.
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject (per-
+    partition top-k + driver merge — no global sort), and the
+    sequence-number window runs over the 100 surviving rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    head = ev.orderBy("ts", "event_id").limit(100)
+    w = Window.orderBy("ts", "event_id")
+    return head.select(
+        F.row_number().over(w).cast("long").alias("seq"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+
+
+@query(
+    "q_ev_offsetmap",
+    oracle="""
+    SELECT user_id,
+           max(event_id) AS high_offset,
+           count(*) AS n_events,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS high_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_ev_offsetmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offset map as a query: per stream key (user_id here — the
+    testdata's stream analog) the highest offset (event_id), the event
+    count, and the high-water timestamp in exact epoch-µs — precisely
+    the resume-token table an events→DB copier persists alongside the
+    data so redelivery restarts exactly where it left off (§1.1; the
+    streaming twin is the checkpoint introspected by
+    streaming/offsets.py).  One hash-aggregate, three max/count
+    folds."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("high_offset"),
+        F.count("*").alias("n_events"),
+        F.max(F.unix_micros(F.col("ts"))).alias("high_ts_us"),
+    )
