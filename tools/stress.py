@@ -108,6 +108,44 @@ def main() -> None:
         lambda: ev.groupBy("event_type").agg(F.countDistinct("user_id")).count(),
     )
 
+    # round-1 late operator families at scale
+    w3 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    timed(
+        "scd2 run-collapse",
+        n,
+        lambda: ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w3).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .count(),
+    )
+    timed(
+        "hysteresis crossings",
+        n,
+        lambda: ev.filter((F.col("value") > 300) | (F.col("value") < 150))
+        .select(
+            "user_id",
+            F.when(F.col("value") > 300, "ON").otherwise("OFF").alias("sig"),
+            F.lag(F.when(F.col("value") > 300, "ON").otherwise("OFF"))
+            .over(w3)
+            .alias("prev"),
+        )
+        .filter((F.col("sig") == "ON") & (F.col("prev").isNull() | (F.col("prev") == "OFF")))
+        .count(),
+    )
+    timed(
+        "wau contribute-explode",
+        n,
+        lambda: ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .select("user_id", F.explode(F.sequence("d", F.date_add("d", 6))).alias("w_end"))
+        .groupBy("w_end")
+        .agg(F.countDistinct("user_id"))
+        .count(),
+    )
+
     # cosine kernel: big query side vs broadcast reference
     import numpy as np
 
