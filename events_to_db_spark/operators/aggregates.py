@@ -540,3 +540,56 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, F.ceil(0.5 * n).cast("int")).alias("p50_disc"),
         F.element_at(arr, F.ceil(0.9 * n).cast("int")).alias("p90_disc"),
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(2.0 * sum(rnk * spend) / (count(*) * sum(spend))
+                 - (count(*) + 1.0) / count(*), 4) AS gini
+    FROM (
+        SELECT c_mktsegment, spend,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY spend, c_custkey) AS rnk
+        FROM (
+            SELECT c.c_mktsegment, c.c_custkey,
+                   coalesce(sum(o.o_totalprice), 0.0) AS spend
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, c.c_custkey
+        )
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration per segment —
+    the inequality metric (0 = uniform, →1 = winner-takes-all) a
+    marketplace watches; computed with the rank formulation
+    ``G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`` over per-customer spend
+    (zero-order customers included via left join).  Equal spends give
+    the same Σ i·xᵢ under any tie order, so the custkey tie-break
+    makes ranks — and the result — fully deterministic.  Plan: one
+    join-aggregate, one window over per-customer rows, one final
+    aggregate; all keyed on the segment."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    ranked = spend.withColumn("rnk", F.row_number().over(w))
+    n = F.count("*")
+    return ranked.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("rnk") * F.col("spend")) / (n * F.sum("spend"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
+    )

@@ -1039,3 +1039,115 @@ def q_ev_offsetmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.max(F.unix_micros(F.col("ts"))).alias("high_ts_us"),
     )
+
+
+@query(
+    "q_win_slope",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+               AS slope_per_day,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 4) AS r2
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 50
+    """,
+)
+def q_win_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trend detection: OLS slope (value per day) and R²
+    of each sufficiently-active user's value series — the drift/decay
+    screen run over a metrics copy.  Time is exact epoch-µs scaled to
+    days, so both engines regress on identical doubles; slope and R²
+    are single-pass co-moment aggregates (one shuffle, map-side
+    partials)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(F.col("value"), x), 4).alias(
+                "slope_per_day"
+            ),
+            F.round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
+        )
+        .filter(F.col("n") >= 50)
+    )
+
+
+@query(
+    "q_ev_concurrency",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM g
+    ), sess AS (
+        SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS s_us,
+               CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS e_us
+        FROM s GROUP BY user_id, sid
+    ), bounds AS (
+        SELECT s_us AS t_us, 1 AS delta FROM sess
+        UNION ALL
+        SELECT e_us AS t_us, -1 AS delta FROM sess
+    ), swept AS (
+        SELECT t_us,
+               sum(delta) OVER (ORDER BY t_us, delta) AS conc
+        FROM bounds
+    )
+    SELECT CAST(CAST(make_timestamp(t_us) AS DATE) AS VARCHAR) AS d,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM swept
+    GROUP BY 1
+    """,
+)
+def q_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (sweep-line over session
+    intervals): sessions are the same 30-min-gap windows as
+    ``q_ev_session`` (active until last-event + gap, Spark's
+    ``session_window`` end), decomposed into ±1 boundary events and
+    swept with a running sum in (t, delta) order — delta −1 sorts
+    first, so back-to-back sessions touching at an instant never
+    double-count.  The default RANGE frame makes tie instants
+    deterministic (all peers fold before the value is read).  The
+    global sweep is one window over 2·|sessions| rows — tiny relative
+    to the event count; at extreme scale the sweep partitions by day
+    with per-day boundary carry-in."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n"))
+    bounds = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.unix_micros(F.col("w.start")).alias("t_us"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.unix_micros(F.col("w.end")).alias("t_us"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.t_us", "b.delta")
+    w = Window.orderBy("t_us", "delta")
+    swept = bounds.select(
+        "t_us", F.sum("delta").over(w).alias("conc")
+    )
+    return (
+        swept.groupBy(
+            F.timestamp_micros(F.col("t_us")).cast("date").cast("string").alias("d")
+        )
+        .agg(F.max("conc").alias("peak_concurrency"))
+    )
