@@ -407,3 +407,50 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lo.join(hi, lo["k"].eqNullSafe(hi["k"])).select(
         lo["k"].alias("k"), "n_lo", "n_hi"
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 4) AS sum_v,
+           count(DISTINCT u.user_id) AS n_users
+    FROM events e
+    JOIN (
+        SELECT user_id, count(*) AS user_events
+        FROM events GROUP BY user_id HAVING count(*) >= 50
+    ) u ON u.user_id = e.user_id
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join as a contract query: the event fact side
+    joins a per-user dimension through
+    :func:`events_to_db_spark.functions.skew.salted_join` (salt from
+    ``event_id``, k=8 — hot keys shuffle-split 8 ways, dimension
+    replicated per salt), and the oracle is the *plain* join — proving
+    salting is a pure physical rewrite with zero semantic footprint.
+    AQE's skew-split covers sort-merge joins automatically; this is
+    the deterministic fallback for hash joins (§7.5.6: hash salt,
+    never rand())."""
+    from events_to_db_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+        .filter(F.col("user_events") >= 50)
+    )
+    joined = salted_join(
+        ev.select("user_id", "event_type", "value", "event_id"),
+        dim,
+        on=["user_id"],
+        salt_from="event_id",
+        k=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

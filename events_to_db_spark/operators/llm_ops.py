@@ -605,3 +605,51 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
     )
+
+
+@query(
+    "q_sim_hist",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT CAST(floor(list_cosine_similarity(a.v, b.v) * 10) AS INT) AS bin,
+           count(*) AS n_pairs
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    GROUP BY bin
+    """,
+)
+def q_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of all pairwise cosines (bin width 0.1) — the
+    embedding-space health check (collapsed spaces pile mass near 1.0;
+    healthy ones center near 0) run before any similarity threshold is
+    trusted.  The kernel emits per-batch partial histograms — counts,
+    never pairs — so shuffle volume is O(batches × bins) while the
+    O(n²) similarity work stays inside BLAS.  Bin edges are exact
+    (floor of a shared float64 product), matching DuckDB's sequential
+    evaluation bit-for-bit everywhere except exact real-arithmetic
+    ties."""
+    import pandas as pd
+
+    e = _load_embeddings(spark, sf_dir)
+    bc = _ref_broadcast(spark, e, with_labels=False)
+
+    def hist_fn(batches):
+        import numpy as np
+
+        ids, unit = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = kernels.l2_normalize(kernels.stack_embeddings(pdf["embedding"]))
+            sims = q @ unit.T
+            qid = pdf["vec_id"].to_numpy()
+            mask = ids[None, :] < qid[:, None]  # each unordered pair once
+            binned = np.floor(sims[mask] * 10).astype(np.int64)
+            vals, counts = np.unique(binned, return_counts=True)
+            yield pd.DataFrame({"bin": vals, "n_part": counts})
+
+    parts = e.select("vec_id", "embedding").mapInPandas(
+        hist_fn, "bin int, n_part long"
+    )
+    return parts.groupBy("bin").agg(F.sum("n_part").alias("n_pairs"))
