@@ -1151,3 +1151,88 @@ def q_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("conc").alias("peak_concurrency"))
     )
+
+
+@query(
+    "q_ev_seasonality",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           count(*) AS n,
+           round(count(*) * 10000.0 / (SELECT count(*) FROM events), 4)
+               AS pct_bp
+    FROM events
+    GROUP BY dow, hr
+    """,
+)
+def q_ev_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity seasonality: the day-of-week × hour-of-day heat map
+    with each cell's share in basis points — the load-profile /
+    chronotype view an event copy serves to capacity planning.
+    Dialect parity: Spark ``dayofweek`` is 1-based (Sunday=1),
+    DuckDB's is 0-based (Sunday=0) — the oracle shifts by one.  The
+    global total is a broadcast scalar.
+    One hash-aggregate over a 168-cell grid."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hr",
+            "n",
+            F.round(F.col("n") * 10000.0 / F.col("total"), 4).alias(
+                "pct_bp"
+            ),
+        )
+    )
+
+
+@query(
+    "q_ev_pareto",
+    oracle="""
+    SELECT CAST(min(rnk) AS BIGINT) AS n_users_80pct,
+           (SELECT count(DISTINCT user_id) FROM events) AS total_users,
+           round(min(cum_share), 4) AS reached_share
+    FROM (
+        SELECT sum(n) OVER (ORDER BY n DESC, user_id)
+                   / CAST((SELECT count(*) FROM events) AS DOUBLE)
+                   AS cum_share,
+               row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+        FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    )
+    WHERE cum_share >= 0.8
+    """,
+)
+def q_ev_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many top users (by event count,
+    user_id tie-break) it takes to cover 80 % of all events, and the
+    exact share reached at that cut — the 80/20 question every usage
+    report answers.  The window runs over per-user aggregates (one
+    row per user); the final answer is the single frontier row where
+    the cumulative share first crosses 0.8."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    total = ev.count()  # scalar: one job, driver-held constant
+    w = Window.orderBy(F.col("n").desc(), "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_user.select(
+        (F.sum("n").over(w) / F.lit(float(total))).alias("cum_share"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "user_id"))
+        .alias("rnk"),
+    )
+    frontier = ranked.filter(F.col("cum_share") >= 0.8).agg(
+        F.min("rnk").cast("long").alias("n_users_80pct"),
+        F.round(F.min("cum_share"), 4).alias("reached_share"),
+    )
+    total_users = per_user.agg(F.count("*").alias("total_users"))
+    return frontier.crossJoin(F.broadcast(total_users)).select(
+        "n_users_80pct", "total_users", "reached_share"
+    )
