@@ -199,3 +199,24 @@ def latest_state_to_db(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sliding_counts_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of ``q_ev_sliding``: 1-hour windows sliding every
+    30 minutes (each event lands in two windows).  Same unified-
+    semantics contract as the tumbling twin — the batch plan is the
+    oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("ws"),
+            "event_type",
+            "n",
+        )
+    )

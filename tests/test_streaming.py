@@ -385,3 +385,43 @@ def test_latest_state_stream_matches_batch(spark, chunked_events, tmp_path):
     for uid, row in batch.iterrows():
         assert state.loc[uid, "event_id"] == row["event_id"], uid
         assert state.loc[uid, "ts"] == row["ts_s"], uid
+
+
+def test_sliding_stream_matches_batch(spark, chunked_events, tmp_path):
+    """Sliding (overlapping) windows through the stream equal the
+    batch plan — each event counted in exactly two 1-hour windows."""
+    from events_to_db_spark.streaming.pipelines import sliding_counts_stream
+
+    feed, ev, n = chunked_events
+    acc: dict[tuple, int] = {}
+
+    def collect_batch(batch_df, _bid):
+        for r in batch_df.collect():
+            acc[(r["ws"], r["event_type"])] = r["n"]
+
+    q = (
+        sliding_counts_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .foreachBatch(collect_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    )
+    expected = {(r["ws"], r["event_type"]): r["n"] for r in batch}
+    assert acc == expected
+    # every event lands in exactly two windows
+    assert sum(acc.values()) == 2 * n
