@@ -1135,3 +1135,77 @@ def q_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames int, n_sampled int,"
         " sampled_bytes long, checksum long",
     )
+
+
+@query(
+    "q_mm_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(w // 2 AS INT) AS out_w,
+           CAST(h // 2 AS INT) AS out_h,
+           CAST((w // 2) * (h // 2) AS BIGINT) AS out_bytes,
+           round((SELECT avg((doc_id * 131 + (2 * y * w + 2 * x) * 17) % 256)
+                  FROM unnest(generate_series(0, h // 2 - 1)) t1(y),
+                       unnest(generate_series(0, w // 2 - 1)) t2(x)), 4)
+               AS brightness
+    FROM (
+        SELECT doc_id,
+               CAST(8 + (doc_id % 5) * 2 AS INT) AS w,
+               CAST(6 + (doc_id % 3) * 2 AS INT) AS h
+        FROM documents
+    )
+    """,
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize + feature-extract plumbing: a synthetic grayscale
+    image (w×h bytes, pixel value a deterministic function of
+    (doc_id, offset)) is built, then **nearest-neighbor downscaled 2×
+    from the actual pixel buffer** (stride-2 row/col sampling in
+    NumPy) and reduced to a brightness feature (mean sampled pixel) —
+    decode → resize → feature-extract, the remaining verbs of the
+    multimodal contract (``q_mm_decode`` / ``q_mm_framesample`` cover
+    the others).  The oracle recomputes the sampled-pixel mean
+    arithmetically, so the buffer round-trip is value-checked, not
+    just schema-checked.  Arrow-batched `mapInPandas`; swap the
+    synthesizer for real decoders and the kernel for PIL on a real
+    cluster."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def resize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + (doc_id % 5) * 2
+                h = 6 + (doc_id % 3) * 2
+                offs = np.arange(w * h, dtype=np.int64)
+                img = ((doc_id * 131 + offs * 17) % 256).astype(
+                    np.uint8
+                ).reshape(h, w)
+                small = img[::2, ::2]  # nearest-neighbor 2x downscale
+                out.append(
+                    (
+                        doc_id,
+                        small.shape[1],
+                        small.shape[0],
+                        int(small.size),
+                        float(small.astype(np.float64).mean()),
+                    )
+                )
+            pdf_out = pd.DataFrame(
+                out,
+                columns=["doc_id", "out_w", "out_h", "out_bytes", "brightness"],
+            )
+            pdf_out["brightness"] = pdf_out["brightness"].round(4)
+            yield pdf_out
+
+    return d.mapInPandas(
+        resize,
+        "doc_id long, out_w int, out_h int, out_bytes long,"
+        " brightness double",
+    )

@@ -286,3 +286,31 @@ def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((p * d).cast("decimal(28,6)")).alias("sum_disc_exact"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_fn_bits",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(bit_count(CAST(user_id AS BIGINT))) AS BIGINT)
+               AS total_popcount,
+           CAST(max((user_id << 3) | 5) AS BIGINT) AS max_shifted,
+           CAST(min(xor(user_id, event_id) & 1023) AS BIGINT) AS min_xor_low
+    FROM events GROUP BY event_type
+    """,
+)
+def q_fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit manipulation (popcount, shifts, AND/OR/XOR masks) —
+    the id-packing / flag-field arithmetic layer (feature hashing,
+    bitmap membership) exercised end-to-end: popcount totals, a
+    shift-or pack, and a masked XOR mix per event type.  Pure codegen
+    expressions folded by one hash-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.bit_count(uid)).alias("total_popcount"),
+        F.max(F.shiftleft(uid, 3).bitwiseOR(F.lit(5))).alias("max_shifted"),
+        F.min(uid.bitwiseXOR(eid).bitwiseAND(F.lit(1023))).alias(
+            "min_xor_low"
+        ),
+    )
