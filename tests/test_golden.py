@@ -21,6 +21,10 @@ GOLDEN_QUERIES = [
     "q_text_wordcount",
     "q_sim_cosine_knn",
     "q_ev_latest",
+    "q_ev_scd2",
+    "q_ev_hysteresis",
+    "q_dedup_cluster",
+    "q_udf_ewma",
 ]
 
 
