@@ -41,9 +41,9 @@ def main() -> int:
     bad: list[str] = []
     rows = []
     for name in names:
-        df = qs[name](spark, sf_dir)
-        df.collect()  # warm + let AQE finalize
+        qs[name](spark, sf_dir).collect()  # cold run
         t0 = time.time()
+        df = qs[name](spark, sf_dir)  # fresh plan: no memoized-RDD stage skip
         n = len(df.collect())
         warm = time.time() - t0
         plan = df._jdf.queryExecution().executedPlan().toString()
