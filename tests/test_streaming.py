@@ -425,3 +425,39 @@ def test_sliding_stream_matches_batch(spark, chunked_events, tmp_path):
     assert acc == expected
     # every event lands in exactly two windows
     assert sum(acc.values()) == 2 * n
+
+
+def test_stream_static_enrichment_matches_batch(spark, chunked_events, tmp_path):
+    """Stream-to-static enrichment join (the dimension-lookup shape of
+    a live copy pipeline): streaming events joined to a static
+    per-user dimension must equal the batch join.  The static side is
+    planned as a broadcast per micro-batch — no stream-side state."""
+    feed, ev, n = chunked_events
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    acc = []
+
+    def collect(batch_df, _bid):
+        acc.extend(batch_df.collect())
+
+    stream = events_file_stream(spark, feed).join(F.broadcast(dim), "user_id")
+    q = (
+        stream.select("event_id", "user_id", "user_total")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = {
+        (r["event_id"], r["user_id"], r["user_total"])
+        for r in ev.join(dim, "user_id")
+        .select("event_id", "user_id", "user_total")
+        .collect()
+    }
+    assert {(r["event_id"], r["user_id"], r["user_total"]) for r in acc} == batch
+    assert len(acc) == n
