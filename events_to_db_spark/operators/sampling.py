@@ -126,20 +126,49 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_SPARK_BUCKET)
-    labeled = d.select(
+    # Bind the token array ONCE per row before shingling: Catalyst does
+    # not common-subexpression-eliminate `split(text)` inside a lambda,
+    # so inlining it re-tokenizes the doc per shingle per reference
+    # (measured 15.6 s -> ~1 s at sf0.1).  Shingles hash to int64 for
+    # the joins — membership is what matters, not the string (the
+    # oracle keeps string shingles; a cross-set 64-bit collision would
+    # need ~1e-13 luck to flip a membership bit).
+    toked = d.select(
         "doc_id",
         "lang",
-        F.expr(_SHINGLES).alias("sh"),
-        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+        F.split("text", " ").alias("toks"),
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
     )
+    labeled = toked.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.expr(
+            "array_distinct(transform(slice(toks, 1, size(toks) - 4),"
+            " (x, i) -> xxhash64(concat_ws(' ', x, toks[i + 1],"
+            " toks[i + 2], toks[i + 3], toks[i + 4]))))"
+        ).alias("sh"),
+    )
+    # Materialize the exploded shingle table once (it feeds both the
+    # train vocabulary and the test probe; without this the scan +
+    # shingle build runs per consumer — measured 3x).  localCheckpoint
+    # is executor-local, cluster-safe, and the table is (doc_id, split,
+    # int64) — tiny relative to the corpus.
+    sh_tbl = labeled.select(
+        "doc_id", "split", F.explode("sh").alias("s")
+    ).localCheckpoint()
     train_sh = (
-        labeled.filter(F.col("split") == "train")
-        .select(F.explode("sh").alias("s"))
-        .distinct()
+        sh_tbl.filter(F.col("split") == "train").select("s").distinct()
     )
-    test_docs = labeled.filter(F.col("split") == "test")
+    test_docs = toked.filter(F.col("split") == "test").select(
+        "doc_id", "lang"
+    )
     hits = (
-        test_docs.select("doc_id", F.explode("sh").alias("s"))
+        sh_tbl.filter(F.col("split") == "test")
+        .select("doc_id", "s")
         .join(train_sh, "s", "left_semi")
         .select("doc_id")
         .distinct()
