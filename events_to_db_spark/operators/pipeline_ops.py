@@ -218,15 +218,20 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     small edits).  Shingles are built array-side, hashed and min-folded
     per row — no explode, no shuffle beyond the final projection."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.expr(
-            "array_min(transform("
-            " slice(split(text, ' '), 1, size(split(text, ' ')) - 2),"
-            " (x, i) -> md5(cast(concat(x, ' ', split(text, ' ')[i + 1],"
-            "                          ' ', split(text, ' ')[i + 2]) as binary))))"
-        ).alias("fp"),
-    ).filter(F.col("fp").isNotNull())
+    # toks bound once per row: Catalyst does not CSE split() inside
+    # the lambda (PERF.md note 6) — inlining re-tokenizes per shingle.
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_min(transform(slice(toks, 1, size(toks) - 2),"
+                " (x, i) -> md5(cast(concat(x, ' ', toks[i + 1],"
+                "                           ' ', toks[i + 2]) as binary))))"
+            ).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 # --------------------------------------------------------------------------
@@ -477,16 +482,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles of one doc pair would need a 64-bit collision inside a
     ≤100-shingle set — probability ~1e-15, far below float round-4
     noise."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.expr(
-                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 2),"
-                " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1],"
-                "                  ' ', split(text, ' ')[i + 2]))"
-            )
-        ).alias("grams"),
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 2),"
+                    " (x, i) -> concat(x, ' ', toks[i + 1],"
+                    "                  ' ', toks[i + 2]))"
+                )
+            ).alias("grams"),
+        )
     )
     # Inverted-index formulation: |∩| arrives from a join on the
     # shingle hash (shuffle ∝ Σ shared shingles — pairs that share
