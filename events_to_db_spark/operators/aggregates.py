@@ -108,11 +108,17 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative error 1e-4): p50/p95/p99 of ``value``.  Like HLL, the
     sketch merges associatively across partitions — the scale path for
     percentile dashboards where exact ``percentile()`` would shuffle
-    every value.  Rows-only check (estimates are engine-specific)."""
+    every value.  Rows-only check (estimates are engine-specific).
+    Emitted as three scalar DOUBLE columns (not one ARRAY) so the
+    driver harness can canonicalize the output."""
     ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+    )
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000))
-        .alias("pcts")
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
     )
 
 
@@ -230,17 +236,31 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_collect",
     oracle="""
-    SELECT event_type,
-           (list(value ORDER BY value DESC))[1:5] AS top5
-    FROM events GROUP BY event_type
+    SELECT event_type, rk, round(v, 4) AS v
+    FROM (
+        SELECT event_type, value AS v,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk
+        FROM events
+    )
+    WHERE rk <= 5
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered array collection: top-5 values per type as an array
-    column, deterministically ordered (§7.5.5)."""
+    """Ordered array collection: top-5 values per type collected as a
+    sorted array, then exploded to (event_type, rk, v) scalar rows so
+    the driver harness can canonicalize the output (no ARRAY columns in
+    contract outputs).  Ties are value-equal, so row_number vs
+    sort_array positioning cannot diverge on emitted values (§7.5.5)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5).alias("top5")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5).alias("top5"))
+        .select("event_type", F.posexplode("top5").alias("pos", "val"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("rk"),
+            F.round("val", 4).alias("v"),
+        )
     )
 
 

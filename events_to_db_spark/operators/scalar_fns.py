@@ -147,7 +147,9 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS h1,
+           round(CAST(embedding[2] AS DOUBLE), 4) AS h2,
+           round(CAST(embedding[3] AS DOUBLE), 4) AS h3,
            round(CAST(embedding[1] AS DOUBLE), 4)      AS e1,
            round(CAST(list_max(embedding) AS DOUBLE), 4) AS e_max,
            round(CAST(list_min(embedding) AS DOUBLE), 4) AS e_min,
@@ -161,15 +163,17 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array / higher-order functions over the 64-dim embedding column
     (the vector-column surface, north-star N): size, slice, indexing,
     min/max, lambda transform/filter/aggregate.  Float32 elements are
-    cast to double + round4 for cross-engine parity."""
+    cast to double + round4 for cross-engine parity.  The head of the
+    vector is emitted as three scalar columns (h1/h2/h3), not an ARRAY
+    (driver-canonicalizer contract: scalar outputs only)."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.transform(
-            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 4)
-        ).alias("head3"),
+        F.round(F.element_at(emb, 1).cast("double"), 4).alias("h1"),
+        F.round(F.element_at(emb, 2).cast("double"), 4).alias("h2"),
+        F.round(F.element_at(emb, 3).cast("double"), 4).alias("h3"),
         F.round(F.element_at(emb, 1).cast("double"), 4).alias("e1"),
         F.round(F.array_max(emb).cast("double"), 4).alias("e_max"),
         F.round(F.array_min(emb).cast("double"), 4).alias("e_min"),
@@ -221,20 +225,21 @@ def q_fn_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
     SELECT event_id,
-           CAST(json_keys(props) AS VARCHAR[])                    AS ks,
+           array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',') AS ks,
            CAST(json_extract_string(props, '$.k') AS INTEGER)     AS k_val
     FROM events
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic payload as a typed MAP: parse the JSON ``props`` into
-    ``map<string,int>``, list its keys (sorted — §7.5.5), and look one
-    up.  This is AQL's free-form-object access compiled to MapType."""
+    ``map<string,int>``, list its keys (sorted — §7.5.5, joined to one
+    STRING so the contract output stays scalar), and look one up.
+    This is AQL's free-form-object access compiled to MapType."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("ks"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("ks"),
         F.element_at(m, F.lit("k")).alias("k_val"),
     )
 

@@ -27,6 +27,27 @@ def test_oracle_parity(spark, duck, name):
     assert_oracle_match(spark, duck, name, SF_SMOKE)
 
 
+def test_no_complex_types_in_contract_outputs(spark):
+    """Driver-canonicalizer hazard gate (VERDICT r01): the driver's
+    compare crashes on `numpy.ndarray` cells, so NO contract query may
+    emit ARRAY/MAP/STRUCT columns — flatten to scalar columns or
+    explode to rows.  DATE columns are likewise forbidden (DuckDB DATE
+    surfaces as midnight Timestamp in the pandas compare — CLAUDE.md);
+    cast to VARCHAR in both engines.  Schema-only: builds each plan at
+    sf0.001 without executing it."""
+    from pyspark.sql.types import ArrayType, DateType, MapType, StructType
+
+    bad: list[str] = []
+    for name, fn in sorted(e.queries().items()):
+        schema = fn(spark, SF_SMOKE).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+            if isinstance(field.dataType, DateType):
+                bad.append(f"{name}.{field.name}: date (cast to string)")
+    assert not bad, f"complex/date-typed contract outputs: {bad}"
+
+
 def test_survey_inventory_matches_registry():
     """Every `q_*` id named in SURVEY.md §2 exists in the registry and
     vice versa — the doc the judge audits line-by-line cannot drift
