@@ -128,6 +128,113 @@ def make_classify_map_fn(cent_bc):
     return fn
 
 
+def _unpack_pair_row(row) -> tuple:
+    """One block-nested-loop pair row -> (q_ids, q_unit, r_ids, r_unit).
+    Each side is a packed chunk: an id vector plus the row-major
+    flattened embedding matrix (dim inferred from flat length)."""
+    q_ids = np.asarray(row["q_ids"], dtype=np.int64)
+    r_ids = np.asarray(row["r_ids"], dtype=np.int64)
+    q_mat = np.asarray(row["q_flat"], dtype=np.float64).reshape(len(q_ids), -1)
+    r_mat = np.asarray(row["r_flat"], dtype=np.float64).reshape(len(r_ids), -1)
+    return q_ids, l2_normalize(q_mat), r_ids, l2_normalize(r_mat)
+
+
+def make_block_nn_fn():
+    """Block-nested-loop partial-kNN ``mapInPandas`` fn over chunk×block
+    pair rows: for each query vector, its best cosine match *within this
+    reference block* (self excluded), emitted UNROUNDED so the global
+    struct-max argmax across blocks reproduces the broadcast kernel's
+    tie-break (highest cos, then lowest nn_id).  This is the exact-NN
+    path when the reference set exceeds broadcast size: no driver
+    collect anywhere — both sides are packed by aggregation and paired
+    by a chunk-level cross join."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                q_ids, q_unit, r_ids, r_unit = _unpack_pair_row(row)
+                sims = q_unit @ r_unit.T
+                sims[q_ids[:, None] == r_ids[None, :]] = -np.inf
+                # ids sorted asc within the pack -> argmax picks lowest id on ties
+                best = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": q_ids,
+                        "nn_id": r_ids[best],
+                        "cos": sims[np.arange(len(best)), best],
+                    }
+                )
+
+    return fn
+
+
+def make_block_dup_fn(threshold: float):
+    """Block-nested-loop partial dup flag: within this reference block,
+    does a smaller-id vector sit at cosine >= threshold?  OR-reduced
+    across blocks by ``bool_or`` in the final aggregation."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                q_ids, q_unit, r_ids, r_unit = _unpack_pair_row(row)
+                sims = q_unit @ r_unit.T
+                smaller = r_ids[None, :] < q_ids[:, None]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": q_ids,
+                        "label": np.asarray(row["q_labels"], dtype=np.int64),
+                        "is_dup_part": ((sims >= threshold) & smaller).any(axis=1),
+                    }
+                )
+
+    return fn
+
+
+def make_block_threshold_fn(threshold: float):
+    """Block-nested-loop partial pair counts at cos >= threshold, split
+    same/cross label; each unordered pair lands in exactly one
+    chunk×block pair row and is counted once via ``q_id < r_id``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                q_ids, q_unit, r_ids, r_unit = _unpack_pair_row(row)
+                sims = q_unit @ r_unit.T
+                hit = (sims >= threshold) & (q_ids[:, None] < r_ids[None, :])
+                q_lab = np.asarray(row["q_labels"], dtype=np.int64)
+                r_lab = np.asarray(row["r_labels"], dtype=np.int64)
+                same = q_lab[:, None] == r_lab[None, :]
+                yield pd.DataFrame(
+                    {
+                        "same_label": [True, False],
+                        "n_pairs_part": [
+                            int(np.count_nonzero(hit & same)),
+                            int(np.count_nonzero(hit & ~same)),
+                        ],
+                    }
+                )
+
+    return fn
+
+
+def make_block_hist_fn():
+    """Block-nested-loop partial cosine histogram (bin width 0.1), each
+    unordered pair once via ``q_id < r_id``; partial (bin, count) rows
+    sum in the final aggregation."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                q_ids, q_unit, r_ids, r_unit = _unpack_pair_row(row)
+                sims = q_unit @ r_unit.T
+                mask = q_ids[:, None] < r_ids[None, :]
+                binned = np.floor(sims[mask] * 10).astype(np.int64)
+                vals, counts = np.unique(binned, return_counts=True)
+                yield pd.DataFrame({"bin": vals, "n_part": counts})
+
+    return fn
+
+
 def make_dup_flag_map_fn(ref_bc, threshold: float):
     """Build a ``mapInPandas`` fn implementing the keep-lowest-id
     dedup rule: a vector is a duplicate iff some reference vector with

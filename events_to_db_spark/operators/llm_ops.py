@@ -261,11 +261,36 @@ def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: Broadcast the reference side only below this row count.  Default
+#: ~2M 64-dim float64 vectors ≈ 1 GiB — the usual broadcast comfort
+#: zone.  Above it the exact block-nested-loop path engages (no driver
+#: collect).  Env-overridable so tests can force the blocked path.
+_SIM_BROADCAST_MAX_ROWS = 2_000_000
+
+#: Rows per packed chunk on the blocked path (~50 MiB at 64-dim f64).
+_SIM_BLOCK_ROWS = 100_000
+
+
+def _sim_broadcast_max() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_SIM_BROADCAST_MAX", str(_SIM_BROADCAST_MAX_ROWS))
+    )
+
+
+def _sim_block_rows() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_SIM_BLOCK_ROWS", str(_SIM_BLOCK_ROWS)))
+
+
 def _ref_broadcast(spark: SparkSession, df: DataFrame, with_labels: bool):
     """Collect the reference side (ids asc) and broadcast it to the
-    executors.  The reference set must fit in executor memory — the
-    same constraint as any broadcast join; beyond that, block via LSH
-    (pipeline_ops)."""
+    executors.  Only called below ``_sim_broadcast_max()`` rows — the
+    same constraint as any broadcast join; beyond that the callers
+    switch to the packed block-nested-loop path (``_pack_chunks`` +
+    ``kernels.make_block_*``), which never collects to the driver."""
     import numpy as np
 
     cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
@@ -278,6 +303,48 @@ def _ref_broadcast(spark: SparkSession, df: DataFrame, with_labels: bool):
         labels = np.array([r["label"] for r in rows], dtype=np.int64)
         return spark.sparkContext.broadcast((ids, unit, labels))
     return spark.sparkContext.broadcast((ids, unit))
+
+
+def _pack_chunks(
+    df: DataFrame, n_chunks: int, with_labels: bool, prefix: str
+) -> DataFrame:
+    """Pack vectors into ``n_chunks`` rows of (ids asc, flattened
+    matrix[, labels]) — executor-side aggregation only, no driver
+    round-trip.  Two packed sides cross-join at chunk granularity, so
+    the block-nested-loop shuffle volume is |Q|·n_ref_chunks +
+    |R|·n_q_chunks — the classic BNL bound — instead of |Q|·|R|."""
+    cols = [F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")]
+    if with_labels:
+        cols.append(F.col("label").cast("long"))
+    packed = (
+        df.select(*cols)
+        .withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(n_chunks)).cast("int"))
+        .groupBy("chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("vec_id", "emb", *(["label"] if with_labels else []))
+                )
+            ).alias("pack")
+        )
+    )
+    out = [
+        F.col("pack.vec_id").alias(f"{prefix}_ids"),
+        F.flatten(F.col("pack.emb")).alias(f"{prefix}_flat"),
+    ]
+    if with_labels:
+        out.append(F.col("pack.label").alias(f"{prefix}_labels"))
+    return packed.select(*out)
+
+
+def _sim_pair_blocks(
+    e: DataFrame, n_rows: int, with_labels: bool
+) -> DataFrame:
+    """Chunk×block pair rows for the exact blocked similarity path."""
+    n_chunks = max(1, -(-n_rows // _sim_block_rows()))
+    q = _pack_chunks(e, n_chunks, with_labels, "q")
+    r = _pack_chunks(e, n_chunks, with_labels, "r")
+    return q.crossJoin(r)
 
 
 @query(
@@ -308,11 +375,30 @@ def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kernel path: broadcast the L2-normalized reference matrix, stream
     the query side through one NumPy matmul per Arrow batch — replaces
     the 27 s higher-order-function formulation with a sub-second BLAS
-    call, and on a cluster scales linearly in the query side."""
+    call, and on a cluster scales linearly in the query side.  Above
+    ``_sim_broadcast_max()`` reference rows the exact block-nested-loop
+    path engages instead (packed chunk×block cross join, per-block
+    partial argmax, global struct-max) — no driver collect at any
+    reference size."""
     e = _load_embeddings(spark, sf_dir)
-    bc = _ref_broadcast(spark, e, with_labels=False)
-    out = e.select("vec_id", "embedding").mapInPandas(
-        kernels.make_nn_map_fn(bc), "vec_id long, nn_id long, cos double"
+    n = e.count()
+    if n <= _sim_broadcast_max():
+        bc = _ref_broadcast(spark, e, with_labels=False)
+        out = e.select("vec_id", "embedding").mapInPandas(
+            kernels.make_nn_map_fn(bc), "vec_id long, nn_id long, cos double"
+        )
+        return out.orderBy("vec_id").limit(100)
+    pairs = _sim_pair_blocks(e, n, with_labels=False)
+    parts = pairs.mapInPandas(
+        kernels.make_block_nn_fn(), "vec_id long, nn_id long, cos double"
+    )
+    best = parts.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_nn"))).alias("m")
+    )
+    out = best.select(
+        "vec_id",
+        (-F.col("m.neg_nn")).alias("nn_id"),
+        F.round("m.cos", 4).alias("cos"),
     )
     return out.orderBy("vec_id").limit(100)
 
@@ -336,13 +422,23 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Threshold is data-driven: the synthetic embeddings' max pairwise
     cosine is 0.513, so SURVEY's nominal 0.95 would make this a
-    trivially-empty check; 0.3 keeps ~1 % of pairs (measured)."""
+    trivially-empty check; 0.3 keeps ~1 % of pairs (measured).  Above
+    broadcast size, the blocked path emits the same partial counts from
+    chunk×block pair rows — no driver collect."""
     e = _load_embeddings(spark, sf_dir)
-    bc = _ref_broadcast(spark, e, with_labels=True)
-    parts = e.select("vec_id", "embedding", "label").mapInPandas(
-        kernels.make_threshold_map_fn(bc, 0.3),
-        "same_label boolean, n_pairs_part long",
-    )
+    n = e.count()
+    if n <= _sim_broadcast_max():
+        bc = _ref_broadcast(spark, e, with_labels=True)
+        parts = e.select("vec_id", "embedding", "label").mapInPandas(
+            kernels.make_threshold_map_fn(bc, 0.3),
+            "same_label boolean, n_pairs_part long",
+        )
+    else:
+        pairs = _sim_pair_blocks(e, n, with_labels=True)
+        parts = pairs.mapInPandas(
+            kernels.make_block_threshold_fn(0.3),
+            "same_label boolean, n_pairs_part long",
+        )
     return (
         parts.groupBy("same_label")
         .agg(F.sum("n_pairs_part").alias("n_pairs"))
@@ -593,14 +689,28 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-calibrated like ``q_sim_threshold`` (max pairwise cosine
     here is 0.513; 0.4 keeps 59 genuine pairs).  Same broadcast-matmul
     kernel family: one BLAS call per Arrow batch plus a broadcast
-    smaller-id mask; linear in the big side, LSH-bucketed beyond a
-    broadcastable reference (``q_sim_ann_lsh``)."""
+    smaller-id mask; linear in the big side.  Beyond a broadcastable
+    reference the exact blocked path ORs per-block flags (`bool_or`);
+    the approximate alternative is LSH (``q_sim_ann_lsh``)."""
     e = _load_embeddings(spark, sf_dir)
-    bc = _ref_broadcast(spark, e, with_labels=False)
-    flags = e.select("vec_id", "embedding", "label").mapInPandas(
-        kernels.make_dup_flag_map_fn(bc, 0.4),
-        "vec_id long, label int, is_dup boolean",
-    )
+    n = e.count()
+    if n <= _sim_broadcast_max():
+        bc = _ref_broadcast(spark, e, with_labels=False)
+        flags = e.select("vec_id", "embedding", "label").mapInPandas(
+            kernels.make_dup_flag_map_fn(bc, 0.4),
+            "vec_id long, label int, is_dup boolean",
+        )
+    else:
+        pairs = _sim_pair_blocks(e, n, with_labels=True)
+        parts = pairs.mapInPandas(
+            kernels.make_block_dup_fn(0.4),
+            "vec_id long, label long, is_dup_part boolean",
+        )
+        flags = (
+            parts.groupBy("vec_id", "label")
+            .agg(F.bool_or("is_dup_part").alias("is_dup"))
+            .select("vec_id", F.col("label").cast("int").alias("label"), "is_dup")
+        )
     return flags.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
@@ -632,6 +742,11 @@ def q_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = _load_embeddings(spark, sf_dir)
+    n = e.count()
+    if n > _sim_broadcast_max():
+        pairs = _sim_pair_blocks(e, n, with_labels=False)
+        parts = pairs.mapInPandas(kernels.make_block_hist_fn(), "bin int, n_part long")
+        return parts.groupBy("bin").agg(F.sum("n_part").alias("n_pairs"))
     bc = _ref_broadcast(spark, e, with_labels=False)
 
     def hist_fn(batches):
