@@ -17,7 +17,7 @@ outputs are rounded to 4 decimals for oracle hash-parity (SURVEY §7.5.1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from events_to_db_spark.registry import query
@@ -547,18 +547,31 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolating `percentile` of ``q_agg_stats``, the answer is an
     existing row value, so the cross-engine match is exact with no
     rounding.  Both engines use the identical explicit order-statistic
-    (sorted array, index ⌈p·n⌉) rather than their built-in
-    ``*_disc`` variants, whose index conventions differ.  Scale note:
-    per-group sorted collection is the exact path; beyond memory
-    bounds the engine's `percentile_approx` sketch
-    (``q_agg_approx_quantile``) is the documented fallback."""
+    (index ⌈p·n⌉ of the group's sort order) rather than their built-in
+    ``*_disc`` variants, whose index conventions differ.
+
+    Scale shape: rank-based — a partitioned row_number over the sorted
+    group plus a broadcast join of per-group counts, then filter on
+    the two target indexes.  Sort-based and spillable; no per-group
+    ``collect_list`` array ever materializes in executor memory (the
+    VERDICT r01 scale fix).  The value at a sorted index is unique
+    regardless of how row_number permutes tied values."""
     ev = load_table(spark, sf_dir, "events")
-    arr = F.array_sort(F.collect_list("value"))
-    n = F.count("*")
-    return ev.groupBy("event_type").agg(
-        n.alias("n"),
-        F.element_at(arr, F.ceil(0.5 * n).cast("int")).alias("p50_disc"),
-        F.element_at(arr, F.ceil(0.9 * n).cast("int")).alias("p90_disc"),
+    w = Window.partitionBy("event_type").orderBy("value")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    ).join(F.broadcast(counts), "event_type")
+    idx50 = F.ceil(0.5 * F.col("n"))
+    idx90 = F.ceil(0.9 * F.col("n"))
+    return (
+        ranked.filter((F.col("rn") == idx50) | (F.col("rn") == idx90))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("rn") == idx50, F.col("value"))).alias("p50_disc"),
+            F.max(F.when(F.col("rn") == idx90, F.col("value"))).alias("p90_disc"),
+        )
     )
 
 

@@ -437,11 +437,19 @@ def q_ev_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency (days since last event,
-    relative to the corpus max day), frequency quartile (ntile with
-    the §7.5.2 unique tie-break) and monetary sum, rolled up to the
-    (recency, frequency-quartile) grid.  The global max-day scalar is
-    a one-row broadcast; ntile runs over the per-user aggregate (one
-    row per user), not raw events."""
+    relative to the corpus max day), frequency quartile (exact ntile
+    semantics with the §7.5.2 unique tie-break) and monetary sum,
+    rolled up to the (recency, frequency-quartile) grid.
+
+    Scale shape: a global ``ntile(4) OVER (ORDER BY freq DESC,
+    user_id)`` would sort every user in ONE task.  Instead the global
+    rank comes from ``bucketed_running_sum`` (two-level parallel scan:
+    partitioned per-bucket windows + broadcast carry-join over bucket
+    totals) and the quartile from the exact ntile fill rule applied to
+    (rank, n_users) — same answer, no single-partition window.  The
+    global max-day and user-count scalars are one-row broadcasts."""
+    from events_to_db_spark.plans.prefix import bucketed_running_sum, ntile_from_rank
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.col("ts").cast("date")).alias("last_d"),
@@ -449,11 +457,24 @@ def q_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("monetary"),
     )
     max_d = ev.agg(F.max(F.col("ts").cast("date")).alias("gmax_d"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("user_id"))
-    scored = per_user.crossJoin(F.broadcast(max_d)).select(
-        F.datediff(F.col("gmax_d"), F.col("last_d")).alias("recency_d"),
-        F.ntile(4).over(w).alias("f_quartile"),
-        "monetary",
+    n_users = per_user.agg(F.count("*").alias("n_tot"))
+    # bucket ascends with (freq DESC, user_id): negate a coarse freq range
+    ranked = bucketed_running_sum(
+        per_user,
+        bucket=-F.floor(F.col("freq") / F.lit(16)),
+        order_cols=[F.col("freq").desc(), F.col("user_id")],
+        sums={"rank": F.lit(1)},
+    )
+    scored = (
+        ranked.crossJoin(F.broadcast(max_d))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.datediff(F.col("gmax_d"), F.col("last_d")).alias("recency_d"),
+            ntile_from_rank(F.col("rank"), F.col("n_tot"), 4)
+            .cast("int")
+            .alias("f_quartile"),
+            "monetary",
+        )
     )
     return scored.groupBy("recency_d", "f_quartile").agg(
         F.count("*").alias("n_users"),
@@ -1118,11 +1139,15 @@ def q_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` end), decomposed into ±1 boundary events and
     swept with a running sum in (t, delta) order — delta −1 sorts
     first, so back-to-back sessions touching at an instant never
-    double-count.  The default RANGE frame makes tie instants
-    deterministic (all peers fold before the value is read).  The
-    global sweep is one window over 2·|sessions| rows — tiny relative
-    to the event count; at extreme scale the sweep partitions by day
-    with per-day boundary carry-in."""
+    double-count.  Tie instants are deterministic because the running
+    sum is read only after grouping to per-day peaks and the (t_us,
+    delta) order folds −1s before +1s at the same instant.
+
+    Scale shape: the sweep partitions by DAY with per-day carry-in
+    (``bucketed_running_sum``): each day's boundary rows prefix-sum in
+    their own partition, and the number of sessions still open at
+    day-start arrives as a broadcast carry from the per-day delta
+    totals — no single-partition window over the 2·|sessions| rows."""
     ev = load_table(spark, sf_dir, "events")
     sessions = ev.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("w")
@@ -1141,9 +1166,13 @@ def q_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.t_us", "b.delta")
-    w = Window.orderBy("t_us", "delta")
-    swept = bounds.select(
-        "t_us", F.sum("delta").over(w).alias("conc")
+    from events_to_db_spark.plans.prefix import bucketed_running_sum
+
+    swept = bucketed_running_sum(
+        bounds,
+        bucket=F.floor(F.col("t_us") / F.lit(86_400_000_000)),  # UTC day
+        order_cols=[F.col("t_us"), F.col("delta")],
+        sums={"conc": F.col("delta")},
     )
     return (
         swept.groupBy(
@@ -1213,20 +1242,24 @@ def q_ev_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: how many top users (by event count,
     user_id tie-break) it takes to cover 80 % of all events, and the
     exact share reached at that cut — the 80/20 question every usage
-    report answers.  The window runs over per-user aggregates (one
-    row per user); the final answer is the single frontier row where
-    the cumulative share first crosses 0.8."""
+    report answers.  The cumulative sum and rank over per-user
+    aggregates come from ``bucketed_running_sum`` (per-bucket
+    partitioned windows + broadcast carry-join), so no task ever sorts
+    the full user list; the frontier is the single row where the
+    cumulative share first crosses 0.8."""
+    from events_to_db_spark.plans.prefix import bucketed_running_sum
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    total = ev.count()  # scalar: one job, driver-held constant
-    w = Window.orderBy(F.col("n").desc(), "user_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per_user.select(
-        (F.sum("n").over(w) / F.lit(float(total))).alias("cum_share"),
-        F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), "user_id"))
-        .alias("rnk"),
+    total = ev.agg(F.sum(F.lit(1)).alias("ev_total"))
+    ranked = bucketed_running_sum(
+        per_user,
+        bucket=-F.floor(F.col("n") / F.lit(16)),
+        order_cols=[F.col("n").desc(), F.col("user_id")],
+        sums={"cum_n": F.col("n"), "rnk": F.lit(1)},
+    ).crossJoin(F.broadcast(total)).select(
+        (F.col("cum_n") / F.col("ev_total").cast("double")).alias("cum_share"),
+        "rnk",
     )
     frontier = ranked.filter(F.col("cum_share") >= 0.8).agg(
         F.min("rnk").cast("long").alias("n_users_80pct"),

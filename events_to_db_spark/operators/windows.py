@@ -179,16 +179,31 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over the full customer order.
-    Deliberately single-partition (total-frame semantics); the unique
-    ``c_custkey`` tie-break removes peer groups so both engines agree
-    bit-for-bit."""
+    The unique ``c_custkey`` tie-break removes peer groups, so all
+    three reduce to closed forms of the unique global rank r and total
+    n: ntile = fill rule, percent_rank = (r−1)/(n−1), cume_dist = r/n.
+    The rank comes from ``bucketed_running_sum`` (per-bucket windows +
+    broadcast carry) instead of a single-partition total sort — exact
+    same values, scales with partitions."""
+    from events_to_db_spark.plans.prefix import bucketed_running_sum, ntile_from_rank
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    n_tot = c.agg(F.count("*").alias("n_tot"))
+    ranked = bucketed_running_sum(
+        c.select("c_custkey", "c_acctbal"),
+        bucket=F.floor(F.col("c_acctbal") / F.lit(500.0)),
+        order_cols=[F.col("c_acctbal"), F.col("c_custkey")],
+        sums={"rank": F.lit(1)},
+    )
+    return ranked.crossJoin(F.broadcast(n_tot)).select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pr"),
-        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        ntile_from_rank(F.col("rank"), F.col("n_tot"), 4).cast("long").alias("quartile"),
+        F.round(
+            F.when(F.col("n_tot") > 1, (F.col("rank") - 1) / (F.col("n_tot") - 1))
+            .otherwise(F.lit(0.0)),  # percent_rank of a single row is 0
+            4,
+        ).alias("pr"),
+        F.round(F.col("rank") / F.col("n_tot"), 4).alias("cd"),
     )
 
 
