@@ -43,7 +43,10 @@ BENCH_IDS = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    except ValueError:  # basename not of the form sf<number>
+        sf = None
 
     import __spark_entry__ as e
     from events_to_db_spark.session import get_spark

@@ -51,9 +51,22 @@ def salted_join(
 
     ``salt_from`` should be high-cardinality and uncorrelated with the
     join key (a row id, an event id) so each hot key spreads evenly
-    over its k sub-partitions.  Result equals ``big.join(small, on,
-    how)`` with the salt column dropped (tests assert the equivalence).
+    over its k sub-partitions.
+
+    Only ``how`` in {inner, left, left_outer, left_semi, left_anti} is
+    equivalence-preserving: each big-side row matches exactly one
+    replica, so the result equals ``big.join(small, on, how)`` with
+    the salt dropped (tests assert this).  Right/full-outer joins are
+    REJECTED — the small side is replicated k times, so every
+    unmatched small-side row would surface k times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not equivalence-preserving under "
+            f"small-side replication; use one of {sorted(allowed)}"
+        )
     left = salt_left(big, salt_from, k)
     right = replicate_right(small, k)
     return left.join(right, on + [SALT_COL], how).drop(SALT_COL)

@@ -157,7 +157,7 @@ def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "transform(slice(toks, 1, size(toks) - 1),"
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
                     " (x, i) -> concat(x, ' ', toks[i + 1]))"
                 )
             ).alias("bigram")
@@ -625,6 +625,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    changed = -1
     for _ in range(20):  # >= max component diameter, with margin
         neigh = edges.join(
             labels, edges.v == labels.doc_id
@@ -644,6 +645,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Non-convergence must fail loudly: a component with diameter
+        # beyond the round cap would otherwise silently yield split
+        # clusters (wrong cluster_id / n_docs).
+        raise RuntimeError(
+            "q_dedup_cluster: min-label propagation did not converge "
+            f"within 20 rounds ({changed} labels still changing); "
+            "raise the round cap or switch to star contraction"
+        )
 
     comp = labels.withColumnRenamed("label", "cluster_id")
     ranked = comp.join(

@@ -225,7 +225,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "array_min(transform(slice(toks, 1, size(toks) - 2),"
+                "array_min(transform(slice(toks, 1, greatest(size(toks) - 2, 0)),"
                 " (x, i) -> md5(cast(concat(x, ' ', toks[i + 1],"
                 "                           ' ', toks[i + 2]) as binary))))"
             ).alias("fp"),
@@ -490,7 +490,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.array_distinct(
                 F.expr(
-                    "transform(slice(toks, 1, size(toks) - 2),"
+                    "transform(slice(toks, 1, greatest(size(toks) - 2, 0)),"
                     " (x, i) -> concat(x, ' ', toks[i + 1],"
                     "                  ' ', toks[i + 2]))"
                 )

@@ -147,7 +147,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "split",
         F.expr(
-            "array_distinct(transform(slice(toks, 1, size(toks) - 4),"
+            "array_distinct(transform(slice(toks, 1, greatest(size(toks) - 4, 0)),"
             " (x, i) -> xxhash64(concat_ws(' ', x, toks[i + 1],"
             " toks[i + 2], toks[i + 3], toks[i + 4]))))"
         ).alias("sh"),
@@ -155,8 +155,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the exploded shingle table once (it feeds both the
     # train vocabulary and the test probe; without this the scan +
     # shingle build runs per consumer — measured 3x).  localCheckpoint
-    # is executor-local, cluster-safe, and the table is (doc_id, split,
-    # int64) — tiny relative to the corpus.
+    # stores blocks on executors WITHOUT lineage: losing an executor
+    # aborts the query (availability, not correctness).  For cluster
+    # deployments where that matters, swap for persist(MEMORY_AND_DISK_2)
+    # or a reliable checkpoint; the table is (doc_id, split, int64) —
+    # tiny relative to the corpus either way.
     sh_tbl = labeled.select(
         "doc_id", "split", F.explode("sh").alias("s")
     ).localCheckpoint()

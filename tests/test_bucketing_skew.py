@@ -120,3 +120,18 @@ def test_salted_left_join_preserves_unmatched(spark):
     out = salted_join(left, right, ["k"], salt_from="lv", k=4, how="left")
     rows = {r["k"]: r["rv"] for r in out.collect()}
     assert rows == {1: "a", 2: None, 3: None}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    """Right/full-outer salted joins would emit each unmatched
+    small-side row k times (the small side is replicated); the helper
+    must refuse rather than silently duplicate."""
+    import pytest
+
+    from events_to_db_spark.functions.skew import salted_join
+
+    big = spark.range(10).selectExpr("id AS k", "id AS payload")
+    small = spark.range(3).selectExpr("id AS k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="equivalence-preserving"):
+            salted_join(big, small, ["k"], "payload", k=4, how=how)
