@@ -91,6 +91,51 @@ def test_copy_pipeline_checkpoint_resume(spark, chunked_events, tmp_path):
     assert len(state) == n
 
 
+def test_copy_pipeline_crash_mid_stream_resumes_exactly(spark, chunked_events, tmp_path):
+    """Kill the query AFTER a batch's sink write but BEFORE Spark
+    commits the batch to the checkpoint — the exact crash window the
+    effectively-once design (at-least-once replay + keyed idempotent
+    upsert) must absorb.  On restart the crashed batch is redelivered,
+    the upsert re-applies the same keys, and the final sink state is
+    complete with no duplicates and no gaps."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from events_to_db_spark.streaming.sink import upsert_foreach_batch
+
+    feed, ev, n = chunked_events
+    db = str(tmp_path / "sink.db")
+    ckpt = str(tmp_path / "ckpt")
+    real_write = upsert_foreach_batch(db, "events_copy", ["event_id"])
+
+    def crash_after_write(batch_df, batch_id):
+        real_write(batch_df, batch_id)  # rows land in the sink...
+        raise RuntimeError("injected crash before checkpoint commit")
+
+    stream = events_file_stream(spark, feed)  # one file per micro-batch
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crash_after_write)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    partial = read_sink_table(db, "events_copy")
+    assert 0 < len(partial) < n  # first batch written, not committed
+
+    # restart on the SAME checkpoint with the healthy writer: the
+    # uncommitted batch replays (its keys re-upsert) and the rest drain
+    q = copy_to_db(events_file_stream(spark, feed), db, "events_copy", ckpt)
+    q.awaitTermination()
+    state = read_sink_table(db, "events_copy")
+    assert len(state) == n  # no gaps
+    assert len(set(state["event_id"])) == n  # no duplicates
+    assert sorted(state["event_id"]) == sorted(
+        r["event_id"] for r in ev.select("event_id").collect()
+    )
+
+
 def test_tumbling_stream_matches_batch(spark, chunked_events, tmp_path):
     """Windowed agg through the stream (availableNow, complete output via
     memory sink in update mode is awkward for append windows — drain with
