@@ -3,6 +3,7 @@ query from SURVEY.md §2 into :mod:`events_to_db_spark.registry`."""
 
 from events_to_db_spark.operators import (  # noqa: F401
     aggregates,
+    curation_ops,
     events_ops,
     filters,
     joins,
@@ -14,12 +15,14 @@ from events_to_db_spark.operators import (  # noqa: F401
     scans,
     setops,
     subqueries,
+    temporal_ops,
     udfs,
     windows,
 )
 
 __all__ = [
     "aggregates",
+    "curation_ops",
     "events_ops",
     "filters",
     "joins",
@@ -31,6 +34,7 @@ __all__ = [
     "scans",
     "setops",
     "subqueries",
+    "temporal_ops",
     "udfs",
     "windows",
 ]

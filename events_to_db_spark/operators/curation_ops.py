@@ -1,0 +1,481 @@
+"""Training-data curation operators, round 2 (SURVEY.md §2.12).
+
+Four additions to the LLM-pipeline surface, each picked to close a gap
+in the round-1 inventory:
+
+* ``q_text_perplexity`` — statistical quality scoring with a unigram
+  language model (the model-based sibling of ``q_text_quality``'s
+  heuristics; CCNet-style corpora gate on exactly this number);
+* ``q_dedup_snm`` — Sorted-Neighborhood dedup, the classic third
+  blocking strategy next to MinHash-LSH and SimHash banding: one global
+  sort, candidates limited to a fixed window of neighbors;
+* ``q_sim_ivf`` — IVF (inverted-file) approximate nearest neighbor:
+  coarse-quantize vectors into cells, probe the top-``nprobe`` cells,
+  exact search inside — the other canonical ANN layout next to
+  ``q_sim_ann_lsh``'s random hyperplanes, here built on *integer*
+  arithmetic so even the oracle can value-check it exactly;
+* ``q_mm_audio`` — audio-modality plumbing: PCM16 byte buffers built,
+  round-tripped, framed, and reduced to per-frame energies inside
+  ``mapInPandas``, with an arithmetic oracle proving the byte-exact
+  round trip (same discipline as ``q_mm_resize``).
+
+Scale posture: SNM's global rank uses the two-level bucketed prefix sum
+(plans/prefix.py) instead of an unpartitioned window; IVF shuffles only
+(cell, id, vector) tuples and searches per-cell; the audio kernel is
+embarrassingly partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.plans.prefix import bucketed_running_sum
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    g AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+    scored AS (
+        SELECT tok.doc_id, tok.lang,
+               ln((cnt.c + 1.0) / (g.n + g.v)) AS lp
+        FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN g
+    ),
+    doc AS (
+        SELECT doc_id, lang, -avg(lp) AS xent
+        FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(xent), 4) AS avg_xent,
+           round(min(xent), 4) AS min_xent,
+           round(max(xent), 4) AS max_xent
+    FROM doc GROUP BY lang
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train add-one-smoothed token
+    probabilities on the whole corpus (p = (c+1)/(N+V)), then score
+    each document by its cross-entropy -mean(ln p) — the ln of
+    perplexity.  Corpora like CCNet keep the low-perplexity tail and
+    drop gibberish on exactly this statistic; here it lands per-lang
+    so the answer is a 5-row profile.
+
+    Plan: one explode → token-count aggregate (the model, |V| rows,
+    broadcast), token stream re-joined to the model, per-doc then
+    per-lang aggregation.  The model is tiny relative to the corpus at
+    any scale; the only big shuffles are keyed by token and doc_id.
+    Determinism: probabilities are ratios of identical integers; only
+    final columns are rounded (§7.5.1)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
+    g = cnt.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    scored = (
+        tok.join(F.broadcast(cnt), "t")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "lang",
+            F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))).alias("lp"),
+        )
+    )
+    doc = scored.groupBy("doc_id", "lang").agg((-F.avg("lp")).alias("xent"))
+    return doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("xent"), 4).alias("avg_xent"),
+        F.round(F.min("xent"), 4).alias("min_xent"),
+        F.round(F.max("xent"), 4).alias("max_xent"),
+    )
+
+
+@query(
+    "q_dedup_snm",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS toks,
+               row_number() OVER (ORDER BY lang, text, doc_id) AS rk
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.lang,
+               len(list_intersect(a.toks, b.toks)) AS i,
+               len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks)) AS u
+        FROM ranked a
+        JOIN ranked b ON a.lang = b.lang AND (b.rk - a.rk) IN (1, 2)
+    ),
+    agg AS (
+        SELECT lang, count(*) AS n_cand,
+               sum(CASE WHEN 10 * i >= 7 * u THEN 1 ELSE 0 END) AS n_matches
+        FROM pairs GROUP BY lang
+    )
+    SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches
+    FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) d
+    LEFT JOIN agg a ON a.lang = d.lang
+    """,
+)
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood dedup: sort the corpus once by
+    (lang, text, doc_id), then compare each document only against its
+    next w=2 neighbors in that order — candidates are O(n·w) instead of
+    O(n²), the classic alternative blocking to MinHash banding for
+    corpora whose duplicates share prefixes.  A pair is a duplicate at
+    token-set Jaccard ≥ 0.7, tested with the exact integer
+    cross-multiplication ``10·|∩| ≥ 7·|∪|`` (no float compare —
+    §7.5).
+
+    Scale shape: the global rank comes from the two-level bucketed
+    prefix sum over order-aligned buckets (lang + 2-char text prefix),
+    not a single-partition window; neighbor pairing is an equi-join on
+    ``rank + offset``, a keyed shuffle.  At 100 TB the same plan holds:
+    ranks are computed per range-partition with carried offsets, and
+    the neighbor join stays local after a range partition on rank."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    ranked = bucketed_running_sum(
+        d,
+        bucket=F.concat_ws("|", "lang", F.substring("text", 1, 2)),
+        order_cols=[F.col("lang"), F.col("text"), F.col("doc_id")],
+        sums={"rk": F.lit(1)},
+    )
+    a = ranked.select(
+        F.col("lang").alias("a_lang"),
+        F.col("toks").alias("a_toks"),
+        F.col("rk").alias("a_rk"),
+    ).withColumn("off", F.explode(F.array(F.lit(1), F.lit(2))))
+    b = ranked.select(
+        F.col("lang").alias("b_lang"),
+        F.col("toks").alias("b_toks"),
+        F.col("rk").alias("b_rk"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_rk") + F.col("off") == F.col("b_rk"))
+        & (F.col("a_lang") == F.col("b_lang")),
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size("a_toks") + F.size("b_toks") - inter
+    agg = pairs.groupBy(F.col("a_lang").alias("lang")).agg(
+        F.count("*").alias("n_cand"),
+        F.sum(F.when(10 * inter >= 7 * uni, 1).otherwise(0)).alias(
+            "n_matches"
+        ),
+    )
+    n_docs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return n_docs.join(agg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+    )
+
+
+#: Integer quantization scale for the IVF kernel: float32 components ∈
+#: (-0.6, 0.6) (measured) map to exact integers round(x·1000) — both
+#: engines compute the identical value, so every downstream dot product
+#: is exact 64-bit arithmetic and the whole ANN result value-hashes.
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+@query(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    e0 AS (SELECT vec_id, vec_id % {_IVF_CELLS} AS cell, qv FROM q),
+    ex0 AS (
+        SELECT cell,
+               unnest(generate_series(1, len(qv))) AS pos,
+               unnest(qv) AS v
+        FROM e0
+    ),
+    cd0 AS (
+        SELECT cell, pos,
+               CAST(floor(sum(v) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                   AS cdim
+        FROM ex0 GROUP BY cell, pos
+    ),
+    cv0 AS (SELECT cell, list(cdim ORDER BY pos) AS cvec
+            FROM cd0 GROUP BY cell),
+    a1 AS (
+        SELECT vec_id, c AS cell FROM (
+            SELECT e0.vec_id, cv0.cell AS c, row_number() OVER
+                       (PARTITION BY e0.vec_id
+                        ORDER BY list_inner_product(e0.qv, cv0.cvec) DESC,
+                                 cv0.cell) AS rn
+            FROM e0 CROSS JOIN cv0
+        ) WHERE rn = 1
+    ),
+    e AS (SELECT q.vec_id, a1.cell, q.qv
+          FROM q JOIN a1 ON a1.vec_id = q.vec_id),
+    ex AS (
+        SELECT cell,
+               unnest(generate_series(1, len(qv))) AS pos,
+               unnest(qv) AS v
+        FROM e
+    ),
+    cd AS (
+        SELECT cell, pos,
+               CAST(floor(sum(v) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                   AS cdim
+        FROM ex GROUP BY cell, pos
+    ),
+    cv AS (SELECT cell, list(cdim ORDER BY pos) AS cvec FROM cd GROUP BY cell),
+    scores AS (
+        SELECT e.vec_id, cv.cell AS c,
+               CAST(list_inner_product(e.qv, cv.cvec) AS BIGINT) AS score
+        FROM e CROSS JOIN cv
+    ),
+    assign AS (
+        SELECT vec_id, c, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
+        FROM scores
+    ),
+    own AS (SELECT vec_id, c AS cell FROM assign WHERE rn = 1),
+    cand AS (
+        SELECT o.cell, q.vec_id AS cand_id, q.qv AS cqv
+        FROM q JOIN own o ON q.vec_id = o.vec_id
+    ),
+    probe AS (
+        SELECT a.vec_id, q.qv, a.c AS cell
+        FROM assign a JOIN q ON q.vec_id = a.vec_id
+        WHERE a.rn <= {_IVF_NPROBE}
+    ),
+    pair AS (
+        SELECT p.vec_id, c.cand_id,
+               CAST(list_inner_product(p.qv, c.cqv) AS BIGINT) AS score
+        FROM probe p
+        JOIN cand c ON p.cell = c.cell AND c.cand_id <> p.vec_id
+    ),
+    nn AS (
+        SELECT vec_id, cand_id, score, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY score DESC, cand_id) AS rn
+        FROM pair
+    )
+    SELECT vec_id, cand_id AS nn_id, score FROM nn WHERE rn = 1
+    ORDER BY vec_id LIMIT 100
+    """,
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate nearest neighbor, exactly value-checkable:
+    vectors are quantized to integers (round(x·1000) — identical in
+    both engines), coarse centroids are trained from a deterministic
+    seed partition (vec_id mod 8) plus one Lloyd reassignment —
+    floor-averaged integer centroids throughout — then each query
+    probes its top-2 cells by integer inner product and runs exact
+    search inside: the inverted-file layout every production vector
+    store uses, with `nlist`/`nprobe`/train iterations as the
+    recall/cost dials.
+
+    All scores are exact 64-bit integer dot products: assignment
+    argmax, probe choice, and final neighbor are all decided on
+    integers with id tie-breaks, so this ANN query hash-matches its
+    oracle — unlike float formulations where cross-engine ulps could
+    flip an argmax (§7.5: no float argmax).
+
+    Scale shape: centroids are |cells|×dim (broadcast); the only data
+    shuffles are keyed by cell; per-cell search is an equi-join.  At
+    100 TB: nlist grows to √n, centroids come from a real k-means fit
+    (q_dedup_cluster shows the iterative harness), and nothing else
+    changes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("qv"),
+    )
+
+    dot_qc = F.expr(
+        "aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("c")
+    )
+
+    def centroids(cells: DataFrame) -> DataFrame:
+        """Floor-averaged integer centroid per cell (|cells|×dim)."""
+        ex = cells.select("cell", F.posexplode("qv").alias("pos", "v"))
+        cd = ex.groupBy("cell", "pos").agg(
+            F.floor(F.sum("v") / F.count("*").cast("double"))
+            .cast("long")
+            .alias("cdim")
+        )
+        return cd.groupBy("cell").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cdim))),"
+                " s -> s.cdim)"
+            ).alias("cvec")
+        )
+
+    def cell_scores(vectors: DataFrame, cv: DataFrame) -> DataFrame:
+        """Ranked integer inner-product of every vector × centroid."""
+        return (
+            vectors.crossJoin(F.broadcast(cv.withColumnRenamed("cell", "c")))
+            .select("vec_id", "qv", "c", dot_qc.alias("score"))
+            .withColumn("rn", F.row_number().over(w_assign))
+        )
+
+    # Train: seed partition -> centroids -> one Lloyd reassignment ->
+    # refined centroids (recall 0.35 -> 0.51 on this structureless
+    # corpus; more iterations = q_dedup_cluster's loop harness).
+    e0 = q.withColumn("cell", F.col("vec_id") % _IVF_CELLS)
+    cv0 = centroids(e0)
+    a1 = (
+        cell_scores(q, cv0)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("cell"))
+    )
+    e = q.join(a1, "vec_id").select("vec_id", "cell", "qv")
+    cv = centroids(e)
+
+    assign = cell_scores(e.drop("cell"), cv)
+    own = assign.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c").alias("cell")
+    )
+    cand = q.join(own, "vec_id").select(
+        "cell", F.col("vec_id").alias("cand_id"), F.col("qv").alias("cqv")
+    )
+    probe = assign.filter(F.col("rn") <= _IVF_NPROBE).select(
+        "vec_id", "qv", F.col("c").alias("cell")
+    )
+    dot_pc = F.expr(
+        "aggregate(zip_with(qv, cqv, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    pair = (
+        probe.join(cand, "cell")
+        .filter(F.col("cand_id") != F.col("vec_id"))
+        .select("vec_id", "cand_id", dot_pc.alias("score"))
+    )
+    w_nn = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cand_id")
+    )
+    return (
+        pair.withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cand_id").alias("nn_id"), "score")
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q_mm_audio",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(200 + (doc_id % 4) * 40 AS INT) AS n
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id, unnest(generate_series(0, n - 1)) AS i
+        FROM base
+    ),
+    f AS (
+        SELECT doc_id, i // 40 AS frame,
+               sum(abs((doc_id * 31 + i * 7) % 2003 - 1001)) AS energy
+        FROM samp GROUP BY doc_id, i // 40
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_frames, max(energy) AS peak_energy,
+               sum(energy) AS total_energy
+        FROM f GROUP BY doc_id
+    ),
+    peak AS (
+        SELECT f.doc_id, min(f.frame) AS peak_frame
+        FROM f JOIN agg USING (doc_id)
+        WHERE f.energy = agg.peak_energy
+        GROUP BY f.doc_id
+    )
+    SELECT a.doc_id, CAST(a.n_frames AS INT) AS n_frames,
+           CAST(p.peak_frame AS INT) AS peak_frame,
+           CAST(a.peak_energy AS BIGINT) AS peak_energy,
+           CAST(a.total_energy AS BIGINT) AS total_energy
+    FROM agg a JOIN peak p ON p.doc_id = a.doc_id
+    """,
+)
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: a synthetic PCM16 waveform per doc
+    (sample values a deterministic function of (doc_id, i)) is packed
+    to little-endian int16 **bytes**, parsed back from the buffer,
+    split into 40-sample frames, and reduced to per-frame absolute
+    energies — the windowing + feature-extract step of an audio
+    training pipeline (VAD, loudness normalization, silence trimming
+    all start here).  The oracle recomputes the frame energies
+    arithmetically, so the differential check proves the byte-level
+    round trip (synth → pack → parse → frame) is exact.  Energies are
+    integer sums — no float anywhere.  Swap the synthesizer for real
+    WAV/FLAC bytes and the parser for soundfile/ffmpeg and nothing
+    else changes (same discipline as ``q_mm_framesample``)."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def frame_energy(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + (doc_id % 4) * 40
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((doc_id * 31 + i * 7) % 2003 - 1001).astype("<i2")
+                buf = pcm.tobytes()  # ---- the byte boundary ----
+                got = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                frames = got.reshape(-1, 40)
+                energy = np.abs(frames).sum(axis=1)
+                out.append(
+                    (
+                        doc_id,
+                        int(energy.size),
+                        int(energy.argmax()),  # first max = lowest frame
+                        int(energy.max()),
+                        int(energy.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "peak_frame",
+                    "peak_energy",
+                    "total_energy",
+                ],
+            )
+
+    return d.mapInPandas(
+        frame_energy,
+        "doc_id long, n_frames int, peak_frame int,"
+        " peak_energy long, total_energy long",
+    )

@@ -113,3 +113,98 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(dup_keys)
         .crossJoin(bad_price)
     )
+
+
+@query(
+    "q_quality_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               sum(in_a) AS ca, sum(1 - in_a) AS cb
+        FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+        FROM counts GROUP BY 1
+    ),
+    grid AS (
+        SELECT t.event_type, g.bin, t.na, t.nb
+        FROM tot t
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+    ),
+    dense AS (
+        SELECT g.event_type, g.na, g.nb,
+               coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM grid g
+        LEFT JOIN counts c
+            ON c.event_type = g.event_type AND c.bin = g.bin
+    )
+    SELECT event_type,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(sum(((ca + 1.0) / (na + 10) - (cb + 1.0) / (nb + 10))
+                     * ln(((ca + 1.0) / (na + 10))
+                          / ((cb + 1.0) / (nb + 10)))), 4) AS psi
+    FROM dense GROUP BY event_type
+    """,
+)
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (Population Stability Index): compare
+    the per-type histogram of ``value`` in the first half of the log
+    against the second half over a fixed 10-bin grid, with Laplace
+    smoothing so empty bins stay defined.  PSI > 0.2 is the classic
+    "retrain / investigate" alarm; an event→DB copier runs this
+    week-over-week to catch upstream schema or behavior changes that
+    no row-level constraint catches.
+
+    Determinism: all probabilities are ratios of integer counts
+    (identical in both engines), ``ln`` applied to identical doubles;
+    only the final PSI is rounded.  Plan: one scan → conditional
+    count aggregate → dense (type × 10-bin) grid via broadcast
+    cross join → one more aggregate.  Nothing grows with row count
+    except the first hash-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(1 - F.col("in_a")).alias("cb"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    grid = tot.crossJoin(
+        F.broadcast(
+            spark.range(10).select(F.col("id").alias("bin"))
+        )
+    )
+    dense = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "na",
+        "nb",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + 10)
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + 10)
+    return dense.groupBy("event_type").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
+    )

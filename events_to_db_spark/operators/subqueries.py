@@ -97,3 +97,54 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_cte_reuse",
+    oracle="""
+    WITH stats AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    thr AS (SELECT avg(spend) AS cut FROM stats)
+    SELECT c.c_mktsegment,
+           CASE WHEN s.spend > t.cut THEN 'high' ELSE 'low' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(s.n_orders), 4) AS avg_orders,
+           round(sum(s.spend), 4) AS total_spend
+    FROM stats s
+    CROSS JOIN thr t
+    JOIN customer c ON c.c_custkey = s.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-table-expression reuse: one per-customer aggregate feeds
+    both its own global mean (the high/low spend threshold) and the
+    per-segment rollup — the WITH-clause factoring every analyst
+    writes.  In the DataFrame API the shared subplan is a Python
+    variable used twice; Catalyst plans both consumers and AQE's
+    exchange reuse shares the aggregate's shuffle output, so the fact
+    table is scanned once per consumer but never re-shuffled.  The
+    threshold side is a 1-row aggregate crossed in broadcast-style
+    (same shape as q_subquery_scalar); the customer join broadcasts
+    the dimension."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("spend"),
+    )
+    thr = stats.agg(F.avg("spend").alias("cut"))
+    tier = F.when(F.col("spend") > F.col("cut"), "high").otherwise("low")
+    return (
+        stats.crossJoin(F.broadcast(thr))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", tier.alias("tier"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+            F.round(F.sum("spend"), 4).alias("total_spend"),
+        )
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_running_sum"]
+__all__ = ["bucketed_running_sum", "bucketed_running_max"]
 
 
 def bucketed_running_sum(
@@ -76,6 +76,42 @@ def bucketed_running_sum(
         d = d.withColumn(name, F.col(f"_in_{name}") + F.col(f"_carry_{name}"))
     drop = ["_pb"] + [f"_in_{n}" for n in names] + [f"_carry_{n}" for n in names]
     return d.drop(*drop)
+
+
+def bucketed_running_max(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column],
+    value: Column,
+    out: str,
+) -> DataFrame:
+    """Append the inclusive global running MAX of ``value`` over a total
+    order, without a global window — same two-level shape as
+    :func:`bucketed_running_sum` (max is associative, so the carry-in is
+    the max over strictly-smaller buckets)."""
+    d = df.withColumn("_pb", bucket)
+    w_in = (
+        Window.partitionBy("_pb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_in_max", F.max(value).over(w_in))
+
+    totals = d.groupBy("_pb").agg(F.max(value).alias("_tot_max"))
+    rhs = totals.select(
+        F.col("_pb").alias("_pb2"), F.col("_tot_max").alias("_tot2_max")
+    )
+    carry = (
+        totals.select("_pb")
+        .join(F.broadcast(rhs), F.col("_pb2") < F.col("_pb"), "left")
+        .groupBy("_pb")
+        .agg(F.max("_tot2_max").alias("_carry_max"))
+    )
+    d = d.join(F.broadcast(carry), "_pb")
+    d = d.withColumn(out, F.greatest(F.col("_in_max"), F.col("_carry_max")))
+    # greatest(x, NULL) = x in Spark (null-skipping), matching "no
+    # smaller bucket" for the first bucket.
+    return d.drop("_pb", "_in_max", "_carry_max")
 
 
 def ntile_from_rank(rank: Column, n_total: Column, k: int) -> Column:
