@@ -14,6 +14,7 @@ from events_to_db_spark.operators import (  # noqa: F401
     scalar_fns,
     scans,
     setops,
+    sketch_ops,
     subqueries,
     temporal_ops,
     udfs,
@@ -33,6 +34,7 @@ __all__ = [
     "scalar_fns",
     "scans",
     "setops",
+    "sketch_ops",
     "subqueries",
     "temporal_ops",
     "udfs",

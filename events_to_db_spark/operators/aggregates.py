@@ -626,3 +626,75 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(value) AS s1,
+               sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n,
+               s1 / n AS mean,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(mean, 4) AS mean,
+           round(m2, 4) AS m2,
+           round(m3 / pow(m2, 1.5), 4) AS skewness,
+           round(m4 / (m2 * m2) - 3, 4) AS excess_kurtosis
+    FROM m
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments per group — skewness and excess
+    kurtosis derived algebraically from raw power sums (Σv, Σv², Σv³,
+    Σv⁴).  Built-in ``skewness``/``kurtosis`` are NOT used on purpose:
+    Spark computes population moments while DuckDB applies sample
+    bias-correction, so the built-ins can never hash-match; the raw
+    power sums are engine-neutral, one-pass, partial-aggregate-safe,
+    and mergeable across shards (the same property q_ev_incremental
+    certifies for count/sum).  One scan, one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mean * (F.col("s2") / F.col("n"))
+        + 2 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * mean * mean * mean * mean
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(m2, 4).alias("m2"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis"),
+    )

@@ -454,3 +454,105 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_v"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_join_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id, label,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id, label, x, y,
+               CAST(floor(x / 0.05) AS BIGINT) AS cx,
+               CAST(floor(y / 0.05) AS BIGINT) AS cy
+        FROM pts
+    ),
+    pairs AS (
+        SELECT a.label AS la, b.label AS lb,
+               (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM (SELECT c.*, dx.dx, dy.dy
+              FROM cells c
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy) a
+        JOIN cells b
+            ON b.cx = a.cx + a.dx AND b.cy = a.cy + a.dy
+            AND a.vec_id < b.vec_id
+        WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05
+    )
+    SELECT CAST(la = lb AS BOOLEAN) AS same_label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(sqrt(d2)), 4) AS avg_dist,
+           round(min(sqrt(d2)), 4) AS min_dist
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked ε-neighborhood join (the 2-D spatial-join shape):
+    points (first two embedding components) are bucketed into ε-sized
+    grid cells; each point probes its 3×3 neighborhood, and the exact
+    distance predicate runs only inside those blocks — candidate pairs
+    are O(n·density), never the O(n²) cross product a naive distance
+    join plans.  Every pair is found exactly once (the probe offset to
+    the partner's home cell is unique), so no post-dedup is needed.
+    The same cell/probe pattern is how geospatial joins, collision
+    detection, and dense-region dedup scale on Spark: the shuffle is
+    keyed by cell id, and AQE splits any hot cell.  Distances stay
+    exact: both engines evaluate the identical double-precision
+    expression on identical float32 inputs (deterministic compare —
+    no rounding before the threshold test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eps = 0.05
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "label",
+        "x",
+        "y",
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    probe = (
+        cells.withColumn(
+            "dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("la"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            (F.col("cx") + F.col("dx")).alias("tcx"),
+            (F.col("cy") + F.col("dy")).alias("tcy"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    pairs = (
+        probe.join(
+            cells,
+            (F.col("tcx") == F.col("cx")) & (F.col("tcy") == F.col("cy")),
+        )
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(d2 <= eps * eps)
+        .select(
+            (F.col("la") == F.col("label")).alias("same_label"),
+            F.sqrt(d2).alias("dist"),
+        )
+    )
+    return pairs.groupBy("same_label").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+        F.round(F.min("dist"), 4).alias("min_dist"),
+    )

@@ -1,0 +1,236 @@
+"""Probabilistic-sketch operators with exact differential oracles
+(SURVEY.md §2.12, round 2).
+
+HyperLogLog (``q_agg_approx``) and the GK quantile sketch
+(``q_agg_approx_quantile``) are engine built-ins and rows-only checked;
+this module adds the two other workhorse sketches of a large-scale
+pipeline — Count-Min (frequency estimation) and Bloom (membership) —
+built from first principles on md5-derived hash functions that BOTH
+engines compute bit-identically.  That makes these the rare sketch
+queries whose outputs value-hash against the oracle: the sketch *is*
+deterministic; only its error is probabilistic, and the queries report
+that error against the exact answer, which is precisely what you want
+audited before trusting a sketch at 100 TB.
+
+Both sketches are pure aggregations (order- and partition-independent
+sums / distincts), so the same code gives the same answer on any
+cluster layout — the property that makes them mergeable across shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+def _spark_h(expr: str) -> str:
+    """60-bit md5-derived integer of a string expression (Spark SQL)."""
+    return (
+        f"cast(conv(substr(md5(cast({expr} as binary)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+
+
+def _duck_h(expr: str) -> str:
+    """The identical hash in DuckDB SQL."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+#: Count-Min geometry: d=4 hash rows × w=16 buckets — width chosen
+#: so the 31-token corpus vocabulary actually collides (measured: 10 of
+#: the top-20 terms overestimated), making the error column a real
+#: measurement rather than a column of zeros.
+_CM_D, _CM_W = 4, 16
+
+
+@query(
+    "q_sketch_countmin",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    exact AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    top20 AS (SELECT t, c FROM exact ORDER BY c DESC, t LIMIT 20),
+    counters AS (
+        SELECT j, {_duck_h("j || ':' || t")} % {_CM_W} AS bucket,
+               count(*) AS cnt
+        FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1}))
+                             AS j)
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT top20.t, top20.c, j,
+               {_duck_h("j || ':' || top20.t")} % {_CM_W} AS bucket
+        FROM top20 CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1}))
+                               AS j)
+    )
+    SELECT p.t AS term, CAST(max(p.c) AS BIGINT) AS true_c,
+           CAST(min(c2.cnt) AS BIGINT) AS est_c,
+           CAST(min(c2.cnt) - max(p.c) AS BIGINT) AS overestimate
+    FROM probe p
+    JOIN counters c2 ON c2.j = p.j AND c2.bucket = p.bucket
+    GROUP BY p.t
+    """,
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, exactly reproducible: a
+    4×16 counter matrix over md5-derived hash rows estimates every
+    term's frequency as the min of its 4 counters; the query reports
+    estimate vs exact count for the top-20 terms.  Count-Min never
+    underestimates (est ≥ true is a theorem — the oracle hash-check
+    would catch a violation), and the overestimate column *measures*
+    the collision error the 16-bucket width buys at this cardinality.
+
+    The counter matrix is a d×w=64-row aggregate regardless of corpus
+    size — the reason Count-Min works at 100 TB: counters sum, so
+    per-shard sketches merge by addition (same property the oracle
+    exploits: both engines build the matrix independently and agree
+    exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    exact = tok.groupBy("t").agg(F.count("*").alias("c"))
+    top20 = exact.orderBy(F.col("c").desc(), "t").limit(20)
+    js = F.explode(F.array(*[F.lit(j) for j in range(_CM_D)])).alias("j")
+    counters = (
+        tok.select("t", js)
+        .select("j", (F.expr(_spark_h("concat(j, ':', t)")) % _CM_W).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probe = top20.select("t", "c", js).select(
+        "t",
+        "c",
+        "j",
+        (F.expr(_spark_h("concat(j, ':', t)")) % _CM_W).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(F.col("t").alias("term"))
+        .agg(
+            F.max("c").alias("true_c"),
+            F.min("cnt").alias("est_c"),
+            (F.min("cnt") - F.max("c")).alias("overestimate"),
+        )
+    )
+
+
+#: Bloom geometry: k=3 hash functions into m=65536 bits; members are
+#: the 3-token shingles of the train split (~14k at sf0.01 -> load
+#: factor kn/m ≈ 0.64, predicted FP rate ≈ 10 %).
+_BL_K, _BL_M = 3, 65536
+
+_DUCK_BUCKET = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10)"
+_SPARK_BUCKET = (
+    "pmod(cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15),"
+    " 16, 10) as bigint), 10)"
+)
+
+
+@query(
+    "q_sketch_bloom",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_DUCK_BUCKET} AS bucket, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    tri AS (
+        SELECT bucket, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+        FROM (SELECT bucket, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM t)
+    ),
+    train AS (SELECT DISTINCT g FROM tri WHERE bucket < 8),
+    probe AS (SELECT DISTINCT g FROM tri WHERE bucket = 9),
+    ks AS (SELECT unnest(generate_series(0, {_BL_K - 1})) AS k),
+    bits AS (
+        SELECT DISTINCT {_duck_h("k || ':' || g")} % {_BL_M} AS bit
+        FROM train CROSS JOIN ks
+    ),
+    hits AS (
+        SELECT p.g,
+               count(b.bit) AS n_set,
+               max(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS member
+        FROM probe p
+        CROSS JOIN ks
+        LEFT JOIN bits b ON b.bit = {_duck_h("ks.k || ':' || p.g")} % {_BL_M}
+        LEFT JOIN train tr ON tr.g = p.g
+        GROUP BY p.g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(member) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN n_set = {_BL_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_positive,
+           CAST(sum(CASE WHEN n_set = {_BL_K} AND member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(sum(CASE WHEN n_set < {_BL_K} AND member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+    FROM hits
+    """,
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, exactly reproducible: the train split's
+    3-token shingles populate a 65536-bit filter via 3 md5-derived
+    hash functions; the test split's shingles probe it.  The query
+    reports the confusion counts — false positives are the filter's
+    designed error (predicted ≈10 % at this load factor, measured by
+    the n_false_positive column), false negatives must be ZERO (a
+    Bloom theorem the differential check enforces).
+
+    This is the contamination-check accelerator: at 100 TB the exact
+    shingle semi-join (q_contamination) shuffles the probe corpus
+    against the train vocabulary, while the Bloom filter is a
+    64 KiB bitmask broadcast to every executor — probes never
+    shuffle.  The filter build is a distinct-aggregate (idempotent
+    OR), so per-shard filters merge for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.expr(_SPARK_BUCKET).alias("bucket"), F.split("text", " ").alias("toks")
+    )
+    tri = t.select(
+        "bucket",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 2, 0)),"
+                " (x, i) -> concat_ws(' ', x, toks[i + 1], toks[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    train = tri.filter(F.col("bucket") < 8).select("g").distinct()
+    probe = tri.filter(F.col("bucket") == 9).select("g").distinct()
+    ks = F.explode(F.array(*[F.lit(k) for k in range(_BL_K)])).alias("k")
+    bits = (
+        train.select(ks, "g")
+        .select((F.expr(_spark_h("concat(k, ':', g)")) % _BL_M).alias("bit"))
+        .distinct()
+    )
+    probe_bits = probe.select(ks, "g").select(
+        "g", (F.expr(_spark_h("concat(k, ':', g)")) % _BL_M).alias("bit")
+    )
+    member = probe.join(train, "g", "left_semi").select(
+        "g", F.lit(1).alias("member")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("g")
+        .agg(F.count("*").alias("n_set"))
+    )
+    scored = (
+        probe.join(hits, "g", "left")
+        .join(member, "g", "left")
+        .select(
+            F.coalesce("n_set", F.lit(0)).alias("n_set"),
+            F.coalesce("member", F.lit(0)).alias("member"),
+        )
+    )
+    pos = F.col("n_set") == _BL_K
+    mem = F.col("member") == 1
+    return scored.agg(
+        F.count("*").alias("n_probes"),
+        F.sum("member").alias("n_members"),
+        F.sum(pos.cast("long")).alias("n_bloom_positive"),
+        F.sum((pos & ~mem).cast("long")).alias("n_false_positive"),
+        F.sum((~pos & mem).cast("long")).alias("n_false_negative"),
+    )

@@ -371,3 +371,397 @@ def q_ev_outoforder(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("backward_ratio"),
     )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    WITH incident AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               min(ts) AS s_ts, max(ts) AS e_ts
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2
+    ),
+    inside AS (
+        SELECT i.d, p.value
+        FROM events p
+        JOIN incident i
+            ON i.user_id = p.user_id
+            AND CAST(p.ts AS DATE) = i.d
+            AND p.ts BETWEEN i.s_ts AND i.e_ts
+        WHERE p.event_type = 'purchase'
+    ),
+    per_day AS (
+        SELECT d, count(*) AS n_purchases_inside,
+               round(sum(value), 4) AS value_inside
+        FROM inside GROUP BY d
+    )
+    SELECT CAST(i.d AS VARCHAR) AS d,
+           CAST(count(DISTINCT i.user_id) AS BIGINT) AS n_incident_users,
+           CAST(coalesce(max(p.n_purchases_inside), 0) AS BIGINT)
+               AS n_purchases_inside,
+           coalesce(max(p.value_inside), 0.0) AS value_inside
+    FROM incident i LEFT JOIN per_day p ON p.d = i.d
+    GROUP BY i.d
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with *derived* intervals: each user's
+    daily error window [first error, last error] becomes an interval,
+    and purchases falling inside it are attributed to the incident —
+    "what did users still buy while things were broken".  The join is
+    the scalable interval-join shape: equi keys (user, day) carry the
+    shuffle, the interval containment is a residual predicate — never
+    a cross product, unlike a naive ts-range join (q_join_range covers
+    the banded variant).  Interval build and probe share one scan
+    lineage; per-day rollup keeps the output calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    d_col = F.col("ts").cast("date")
+    incident = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", d_col.alias("d"))
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), d_col.alias("p_d"), "ts", "value"
+    )
+    inside = pur.join(
+        incident,
+        (F.col("p_uid") == F.col("user_id"))
+        & (F.col("p_d") == F.col("d"))
+        & F.col("ts").between(F.col("s_ts"), F.col("e_ts")),
+    )
+    per_day = inside.groupBy("d").agg(
+        F.count("*").alias("n_purchases_inside"),
+        F.round(F.sum("value"), 4).alias("value_inside"),
+    )
+    return (
+        incident.join(per_day, "d", "left")
+        .groupBy(F.col("d").cast("string").alias("d"))
+        .agg(
+            F.countDistinct("user_id").alias("n_incident_users"),
+            F.coalesce(F.max("n_purchases_inside"), F.lit(0)).alias(
+                "n_purchases_inside"
+            ),
+            F.coalesce(F.max("value_inside"), F.lit(0.0)).alias(
+                "value_inside"
+            ),
+        )
+    )
+
+
+@query(
+    "q_ev_sessionpath",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM g
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:5], '>')
+                   AS path
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q_ev_sessionpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: each 30-min-gap session reduced to the '>'
+    joined sequence of its first 5 event types, ranked by frequency —
+    the "how do journeys start" view funnel analysis begins with
+    (q_ev_funnel checks one hypothesis; this surfaces the hypotheses).
+    Sessionization is native ``session_window`` (same boundary
+    semantics as q_ev_session, which the oracle's lag/cumsum
+    formulation pins); the path string is built array-side from the
+    deterministically sorted (ts, event_id) struct list, so no ARRAY
+    reaches the output.  Top-10 is TakeOrderedAndProject over the
+    bounded path dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.expr(
+                "array_join(transform(slice(sort_array("
+                "collect_list(struct(ts, event_id, event_type))), 1, 5),"
+                " s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "q_ev_incremental",
+    oracle=f"""
+    WITH state0 AS (
+        SELECT event_type, count(*) AS n0, sum(value) AS s0
+        FROM events WHERE ts < TIMESTAMP '{_T0}' GROUP BY 1
+    ),
+    delta AS (
+        SELECT event_type, count(*) AS nd, sum(value) AS sd
+        FROM events WHERE ts >= TIMESTAMP '{_T0}' GROUP BY 1
+    ),
+    merged AS (
+        SELECT coalesce(a.event_type, d.event_type) AS event_type,
+               coalesce(a.n0, 0) + coalesce(d.nd, 0) AS n,
+               coalesce(a.s0, 0) + coalesce(d.sd, 0) AS s
+        FROM state0 a FULL OUTER JOIN delta d
+            ON a.event_type = d.event_type
+    ),
+    direct AS (
+        SELECT event_type, count(*) AS n, sum(value) AS s
+        FROM events GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS merged_n,
+           CAST(d.n AS BIGINT) AS direct_n,
+           round(m.s, 4) AS merged_sum,
+           round(d.s, 4) AS direct_sum,
+           CAST(m.n = d.n AS BOOLEAN) AS counts_consistent
+    FROM merged m JOIN direct d ON d.event_type = m.event_type
+    """,
+)
+def q_ev_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-type running state as
+    of T0 merged with the delta since T0 must equal the direct
+    recompute — the mergeability property that lets an event→DB copier
+    maintain aggregates by folding in each micro-batch instead of
+    rescanning history.  The query materializes both sides and the
+    consistency flag, so the differential check certifies the merge
+    algebra (counts exactly; float sums to round-4, the honest
+    equality for re-associated additions)."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = F.lit(_T0).cast("timestamp")
+
+    def agg(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias(n), F.sum("value").alias(s)
+        )
+
+    state0 = agg(ev.filter(F.col("ts") < t0), "n0", "s0").withColumnRenamed(
+        "event_type", "a_type"
+    )
+    delta = agg(ev.filter(F.col("ts") >= t0), "nd", "sd").withColumnRenamed(
+        "event_type", "d_type"
+    )
+    merged = state0.join(
+        delta, F.col("a_type") == F.col("d_type"), "full"
+    ).select(
+        F.coalesce("a_type", "d_type").alias("event_type"),
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("nd", F.lit(0))).alias("n"),
+        (F.coalesce("s0", F.lit(0.0)) + F.coalesce("sd", F.lit(0.0))).alias(
+            "s"
+        ),
+    )
+    direct = agg(ev, "dn", "ds")
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        F.col("n").alias("merged_n"),
+        F.col("dn").alias("direct_n"),
+        F.round("s", 4).alias("merged_sum"),
+        F.round("ds", 4).alias("direct_sum"),
+        (F.col("n") == F.col("dn")).alias("counts_consistent"),
+    )
+
+
+_SPARK_UBUCKET = (
+    "pmod(cast(conv(substr(md5(cast(cast(user_id as string) as binary)), 1, 15),"
+    " 16, 10) as bigint), 10)"
+)
+_DUCK_UBUCKET = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 10)"
+
+
+@query(
+    "q_gdpr_purge",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {_DUCK_UBUCKET} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purged,
+           CAST(sum(CASE WHEN {_DUCK_UBUCKET} = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_remaining,
+           CAST(count(DISTINCT CASE WHEN {_DUCK_UBUCKET} <> 0
+                                    THEN user_id END) AS BIGINT)
+               AS remaining_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure purge audit: a deterministic ~10 % forget-set
+    of users (hash bucket 0 — standing in for a deletion-request
+    table) swept across the event log, reporting per type how many
+    rows the purge removes and what remains — the accounting a
+    GDPR/CCPA deletion run must produce before rewriting 100 TB of
+    partitions.  One scan, one aggregate; with a real request table
+    the CASE becomes a broadcast left-semi mark, same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    forget = F.expr(_SPARK_UBUCKET) == 0
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(forget, 1).otherwise(0)).alias("n_purged"),
+        F.sum(F.when(forget, 0).otherwise(1)).alias("n_remaining"),
+        F.countDistinct(
+            F.when(~forget, F.col("user_id"))
+        ).alias("remaining_users"),
+    )
+
+
+@query(
+    "q_ev_funnel3",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    f AS (
+        SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+               CASE WHEN s3.t3 IS NOT NULL
+                    AND s3.t3 <= s1.t1 + INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS converted
+        FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+                LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_stage1,
+           CAST(count(t2) AS BIGINT) AS n_stage2,
+           CAST(count(t3) AS BIGINT) AS n_stage3,
+           CAST(sum(converted) AS BIGINT) AS n_converted_7d,
+           round(sum(converted) * 1.0 / count(*), 4) AS conversion
+    FROM f
+    """,
+)
+def q_ev_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel (signup → view → purchase): each
+    stage's timestamp must strictly follow the previous stage's first
+    qualifying timestamp, and full conversion must land within 7 days
+    of the signup — the N-step generalization of ``q_ev_funnel``'s
+    two-step pattern, built by chaining per-stage min-timestamp
+    reductions (each a keyed aggregate + join on user_id, so stage
+    count scales linearly in shuffles, not combinatorially in state).
+    The streaming twin is the applyInPandasWithState funnel
+    (streaming/stateful.py) fed stage by stage."""
+    ev = load_table(spark, sf_dir, "events")
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    f = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            F.when(
+                F.col("t3").isNotNull()
+                & (F.col("t3") <= F.col("t1") + F.expr("INTERVAL 7 DAYS")),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    return f.agg(
+        F.count("*").alias("n_stage1"),
+        F.count("t2").alias("n_stage2"),
+        F.count("t3").alias("n_stage3"),
+        F.sum("converted").alias("n_converted_7d"),
+        F.round(F.sum("converted") / F.count("*"), 4).alias("conversion"),
+    )
+
+
+@query(
+    "q_ev_retention_curve",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    tot AS (SELECT count(*) AS n_users FROM first_day),
+    active AS (
+        SELECT DISTINCT f.user_id,
+               date_diff('day', f.d0, CAST(e.ts AS DATE)) AS k
+        FROM events e JOIN first_day f ON f.user_id = e.user_id
+        WHERE date_diff('day', f.d0, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_active,
+           round(count(*) * 1.0 / max(t.n_users), 4) AS retention
+    FROM active CROSS JOIN tot t
+    GROUP BY k
+    """,
+)
+def q_ev_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-k retention curve (k = 0..7): the share of all users active
+    exactly k days after their own first-seen day — the fine-grained
+    sibling of ``q_ev_cohort``'s weekly matrix, and the curve growth
+    dashboards plot.  Per-user first day is one keyed aggregate; the
+    re-join to events stays on the user_id shuffle; distinct
+    (user, offset) bounds the second aggregate's input by 8·|users|.
+    The total-user count is a broadcast scalar (same shape as
+    q_subquery_scalar)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    first_day = ev.groupBy("user_id").agg(F.min(d).alias("d0"))
+    tot = first_day.agg(F.count("*").alias("n_users"))
+    active = (
+        ev.select("user_id", d.alias("d"))
+        .join(first_day, "user_id")
+        .select("user_id", F.datediff("d", "d0").alias("k"))
+        .filter(F.col("k").between(0, 7))
+        .distinct()
+    )
+    return (
+        active.crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.round(F.count("*") / F.max("n_users"), 4).alias("retention"),
+        )
+    )

@@ -220,3 +220,22 @@ def sliding_counts_stream(
             "n",
         )
     )
+
+
+def incremental_agg_to_db(
+    events: DataFrame, db_path: str, table: str = "agg_state"
+):
+    """Continuously maintain per-type (count, sum) totals in the target
+    DB — incremental aggregate maintenance (the q_ev_incremental merge
+    algebra as a live pipeline).  Non-idempotent additive merges are
+    made exactly-once by the sink's transactional batch log
+    (sink.additive_agg_foreach_batch); state equals the batch answer
+    after any crash/restart sequence."""
+    from events_to_db_spark.streaming.sink import additive_agg_foreach_batch
+
+    return (
+        events.writeStream.foreachBatch(
+            additive_agg_foreach_batch(db_path, table, "event_type", "value")
+        )
+        .outputMode("update")
+    )

@@ -108,3 +108,81 @@ def read_sink_table(db_path: str, table: str) -> pd.DataFrame:
     """Read the sink state back for assertions (tests only)."""
     with _connect(db_path) as con:
         return pd.read_sql_query(f'SELECT * FROM "{table}"', con)
+
+
+# ---------------------------------------------------------------------------
+# Additive aggregate sink — exactly-once for NON-idempotent merges.
+#
+# The keyed upsert above is naturally idempotent: replaying a micro-batch
+# rewrites the same rows.  Incremental aggregate maintenance (fold each
+# batch's partial counts/sums into a running total — the streaming twin
+# of q_ev_incremental) is NOT: applying a batch twice double-counts.
+# The standard fix is transactional batch tracking: the target records
+# the last applied batch id in the SAME transaction as the merge, and a
+# redelivered batch (crash between sink commit and checkpoint commit)
+# is detected and skipped.  This is the other half of the reference's
+# offset-map-in-DB pattern: the offset map IS a batch log.
+# ---------------------------------------------------------------------------
+
+
+def ensure_agg_table(db_path: str, table: str, group_col: str) -> None:
+    with _connect(db_path) as con:
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}" '
+            f'("{group_col}" TEXT PRIMARY KEY, n INTEGER, s REAL)'
+        )
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}__batches" '
+            "(batch_id INTEGER PRIMARY KEY)"
+        )
+
+
+def additive_agg_foreach_batch(
+    db_path: str, table: str, group_col: str, value_col: str
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` writer folding per-batch partial (count, sum)
+    aggregates into running per-group totals, exactly once.
+
+    The merge and the batch-id record commit in ONE SQLite transaction;
+    on redelivery the batch id is already present and the whole batch is
+    skipped.  Aggregation happens in Spark (a per-batch partial
+    aggregate — map-side combine keeps the shuffled volume at |groups|);
+    only |groups| rows per batch reach the database."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        ensure_agg_table(db_path, table, group_col)
+        part = (
+            batch_df.groupBy(group_col)
+            .agg(F.count("*").alias("n"), F.sum(value_col).alias("s"))
+            .collect()  # |groups| rows, not |events|
+        )
+        con = _connect(db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            already = con.execute(
+                f'SELECT 1 FROM "{table}__batches" WHERE batch_id = ?',
+                (batch_id,),
+            ).fetchone()
+            if already is None:
+                for row in part:
+                    con.execute(
+                        f'INSERT INTO "{table}" ("{group_col}", n, s) '
+                        "VALUES (?, ?, ?) "
+                        f'ON CONFLICT ("{group_col}") DO UPDATE SET '
+                        "n = n + excluded.n, s = s + excluded.s",
+                        (row[group_col], row["n"], row["s"]),
+                    )
+                con.execute(
+                    f'INSERT INTO "{table}__batches" (batch_id) VALUES (?)',
+                    (batch_id,),
+                )
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+
+    return write

@@ -101,3 +101,22 @@ def test_ivf_recall_vs_exact(spark):
     assert total > 0
     recall = hits / total
     assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+
+
+def test_compress_ratio_invariants(spark):
+    """q_text_compress has no SQL oracle; pin the kernel's invariants:
+    ratios are positive and near-or-below 1 (zlib's ~11-byte header can
+    push very short docs slightly over), and a highly repetitive text
+    compresses strictly better than the corpus average."""
+    import zlib
+
+    from events_to_db_spark.operators.curation_ops import q_text_compress
+
+    rows = {r.lang: r for r in q_text_compress(spark, SF_SMOKE).collect()}
+    assert rows, "no output"
+    for r in rows.values():
+        assert 0.0 < r.min_ratio <= r.avg_ratio <= r.max_ratio <= 1.2
+
+    rep = ("key agg " * 200).encode()
+    rep_ratio = len(zlib.compress(rep, 6)) / len(rep)
+    assert all(rep_ratio < r.avg_ratio for r in rows.values())

@@ -506,3 +506,67 @@ def test_stream_static_enrichment_matches_batch(spark, chunked_events, tmp_path)
     }
     assert {(r["event_id"], r["user_id"], r["user_total"]) for r in acc} == batch
     assert len(acc) == n
+
+
+def test_incremental_agg_exactly_once_across_crash(spark, chunked_events, tmp_path):
+    """Additive aggregate maintenance is NOT idempotent, so the sink's
+    transactional batch log must make redelivery a no-op.  Crash after
+    the sink transaction but before the checkpoint commit, restart, and
+    assert the running totals equal the batch answer exactly — a
+    double-applied batch would show up as inflated counts."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.streaming.pipelines import incremental_agg_to_db
+    from events_to_db_spark.streaming.sink import (
+        additive_agg_foreach_batch,
+        read_sink_table,
+    )
+    from events_to_db_spark.streaming.sources import events_file_stream
+
+    feed, ev, n = chunked_events
+    db = str(tmp_path / "agg.db")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_write = additive_agg_foreach_batch(db, "agg_state", "event_type", "value")
+    crashed = {"done": False}
+
+    def crash_once_after_write(batch_df, batch_id):
+        real_write(batch_df, batch_id)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        events_file_stream(spark, feed)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crash_once_after_write)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+
+    # Restart on the same checkpoint: batch 0 is redelivered (it was
+    # never committed), the sink's batch log skips it.
+    q = (
+        incremental_agg_to_db(events_file_stream(spark, feed), db)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["event_type"]: (r["n"], round(r["s"], 4))
+        for _, r in read_sink_table(db, "agg_state").iterrows()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
