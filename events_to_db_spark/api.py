@@ -93,6 +93,55 @@ class EventQuery:
             return EventQuery(self._df.groupBy(*by).agg(*aggs))
         return EventQuery(self._df.agg(*aggs))
 
+    # ------------------------------------------------- time grouping
+    def window(
+        self,
+        duration: str,
+        *aggs: Column,
+        slide: str | None = None,
+        by: Sequence[Column | str] = (),
+        ts_col: str = "ts",
+    ) -> "EventQuery":
+        """Tumbling (or, with ``slide``, sliding) event-time windows —
+        the time-bucketed AGGREGATE every event pipeline runs.  The
+        window struct is flattened to ``w_start``/``w_end`` so the
+        result stays scalar-typed (§7.5.5 discipline).  Identical call
+        works on a streaming source (plus a watermark)."""
+        win = (
+            F.window(ts_col, duration, slide)
+            if slide
+            else F.window(ts_col, duration)
+        )
+        out = (
+            self._df.groupBy(win.alias("_w"), *by)
+            .agg(*aggs)
+            .withColumn("w_start", F.col("_w.start"))
+            .withColumn("w_end", F.col("_w.end"))
+            .drop("_w")
+        )
+        return EventQuery(out)
+
+    def sessionize(
+        self,
+        gap: str,
+        *aggs: Column,
+        by: Sequence[Column | str] = ("user_id",),
+        ts_col: str = "ts",
+    ) -> "EventQuery":
+        """Gap-based sessions (native ``session_window``) with per-
+        session aggregates — the stateful twin lives in
+        streaming/pipelines.py with the same grouping."""
+        out = (
+            self._df.groupBy(
+                *by, F.session_window(ts_col, gap).alias("_w")
+            )
+            .agg(*aggs)
+            .withColumn("s_start", F.col("_w.start"))
+            .withColumn("s_end", F.col("_w.end"))
+            .drop("_w")
+        )
+        return EventQuery(out)
+
     # ----------------------------------------------------------- LIMIT
     def limit(
         self, n: int, order_by: Sequence[Column | str] = ()

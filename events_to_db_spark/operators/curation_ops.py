@@ -553,3 +553,113 @@ def q_text_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ratio"), 4).alias("min_ratio"),
         F.round(F.max("ratio"), 4).alias("max_ratio"),
     )
+
+
+#: Product-quantization geometry: 8 subspaces × 8 dims, 16-entry
+#: codebooks seeded by vec_id mod 16 (same integer-exact discipline as
+#: q_sim_ivf: quantized inputs, floor-averaged centroids, integer
+#: squared distances — the whole encoding value-hashes).
+_PQ_M, _PQ_D, _PQ_K = 8, 8, 16
+
+
+@query(
+    "q_embed_pq",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, vec_id % {_PQ_K} AS seed_cell,
+               (unnest(generate_series(1, len(qv))) - 1) // {_PQ_D} AS s,
+               (unnest(generate_series(1, len(qv))) - 1) % {_PQ_D} AS j,
+               unnest(qv) AS v
+        FROM q
+    ),
+    cd AS (
+        SELECT s, seed_cell AS cell, j,
+               CAST(floor(sum(v) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                   AS cdim
+        FROM ex GROUP BY s, seed_cell, j
+    ),
+    dist AS (
+        SELECT e.vec_id, e.s, c.cell, sum((e.v - c.cdim) * (e.v - c.cdim))
+                   AS d2
+        FROM ex e JOIN cd c ON c.s = e.s AND c.j = e.j
+        GROUP BY e.vec_id, e.s, c.cell
+    ),
+    best AS (
+        SELECT vec_id, s, cell, d2, row_number() OVER
+                   (PARTITION BY vec_id, s ORDER BY d2, cell) AS rn
+        FROM dist
+    )
+    SELECT s AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(d2), 4) AS avg_sqerr,
+           CAST(max(d2) AS BIGINT) AS max_sqerr,
+           CAST(count(DISTINCT cell) AS BIGINT) AS codes_used
+    FROM best WHERE rn = 1
+    GROUP BY s
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-d vector is split into 8
+    subvectors of 8 dims, and each subvector is encoded as its nearest
+    entry in a per-subspace 16-entry codebook — the compression layout
+    (8 bytes per vector instead of 256) behind every large-scale
+    vector index; the query reports per-subspace reconstruction error
+    and codebook utilization, the two numbers that size a PQ deploy.
+    Codebooks are floor-averaged integer centroids over a
+    deterministic seed partition; distances are exact integer squared
+    norms — the full encode path value-hashes against the oracle
+    (same no-float-argmax discipline as q_sim_ivf).
+
+    Scale shape: codebooks are m×k×d' = 1 024 tiny rows (broadcast);
+    the encode is a per-(vector, subspace) aggregate keyed by vec_id —
+    no shuffle grows faster than the input."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("qv"),
+    )
+    ex = q.select(
+        "vec_id",
+        (F.col("vec_id") % _PQ_K).alias("seed_cell"),
+        F.posexplode("qv").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "seed_cell",
+        (F.col("pos") / _PQ_D).cast("long").alias("s"),
+        (F.col("pos") % _PQ_D).alias("j"),
+        "v",
+    )
+    cd = ex.groupBy("s", F.col("seed_cell").alias("cell"), "j").agg(
+        F.floor(F.sum("v") / F.count("*").cast("double"))
+        .cast("long")
+        .alias("cdim")
+    )
+    dist = (
+        ex.join(F.broadcast(cd), ["s", "j"])
+        .groupBy("vec_id", "s", "cell")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("cdim")) * (F.col("v") - F.col("cdim"))
+            ).alias("d2")
+        )
+    )
+    w_best = Window.partitionBy("vec_id", "s").orderBy("d2", "cell")
+    best = dist.withColumn("rn", F.row_number().over(w_best)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy(F.col("s").alias("subspace")).agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("d2"), 4).alias("avg_sqerr"),
+        F.max("d2").alias("max_sqerr"),
+        F.countDistinct("cell").alias("codes_used"),
+    )

@@ -208,3 +208,70 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").alias("n_b"),
         F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
     )
+
+
+@query(
+    "q_quality_schema_drift",
+    oracle="""
+    WITH h AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'a' ELSE 'b' END AS half,
+               user_id, event_type, value, props
+        FROM events
+    ),
+    prof AS (
+        SELECT half,
+               count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_types,
+               round(avg(value), 4) AS avg_value,
+               round(avg(CAST(length(props) AS DOUBLE)), 4) AS avg_props_len
+        FROM h GROUP BY half
+    )
+    SELECT m.metric,
+           max(CASE WHEN half = 'a' THEN m.v END) AS first_half,
+           max(CASE WHEN half = 'b' THEN m.v END) AS second_half
+    FROM (
+        SELECT half, 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS v
+            FROM prof
+        UNION ALL
+        SELECT half, 'n_users', CAST(n_users AS DOUBLE) FROM prof
+        UNION ALL
+        SELECT half, 'n_types', CAST(n_types AS DOUBLE) FROM prof
+        UNION ALL
+        SELECT half, 'avg_value', avg_value FROM prof
+        UNION ALL
+        SELECT half, 'avg_props_len', avg_props_len FROM prof
+    ) m
+    GROUP BY m.metric
+    """,
+)
+def q_quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-diff audit: the one-pass column profile
+    (q_profile_table's statistics) computed per half of the log and
+    pivoted into metric rows — catches volume shifts, cardinality
+    collapse, and payload-shape changes that value-histogram drift
+    (q_quality_drift) does not see.  Two aggregate passes over one
+    scan, a 10-row pivot; the metric long-format keeps the output
+    schema stable as metrics are added."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "a"
+    ).otherwise("b")
+    prof = ev.groupBy(half.alias("half")).agg(
+        F.count("*").cast("double").alias("n_rows"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.avg(F.length("props").cast("double")), 4).alias(
+            "avg_props_len"
+        ),
+    )
+    metrics = ["n_rows", "n_users", "n_types", "avg_value", "avg_props_len"]
+    long = prof.unpivot(
+        ["half"], metrics, "metric", "v"
+    )
+    return long.groupBy("metric").agg(
+        F.max(F.when(F.col("half") == "a", F.col("v"))).alias("first_half"),
+        F.max(F.when(F.col("half") == "b", F.col("v"))).alias("second_half"),
+    )

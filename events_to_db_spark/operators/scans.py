@@ -68,3 +68,43 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "q_sql_text",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (SURVEY §3.2 lifecycle path 2): the same
+    ANSI text the oracle runs, executed through ``spark.sql`` over temp
+    views — proving a user can drive this engine with SQL strings, not
+    just the DataFrame API, and land in the identical Catalyst plan
+    space (the parser is the only difference; analyzer, optimizer, and
+    physical planning are shared).  Semantics: TPC-H Q4-flavored late-
+    shipment revenue by order priority over one order year."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue
+        FROM orders_v o JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate > o.o_orderdate
+        GROUP BY o.o_orderpriority
+        """
+    )

@@ -765,3 +765,304 @@ def q_ev_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("*") / F.max("n_users"), 4).alias("retention"),
         )
     )
+
+
+@query(
+    "q_ev_lifecycle",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, w,
+               lag(w)  OVER (PARTITION BY user_id ORDER BY w) AS pw,
+               lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+        FROM active
+    ),
+    maxw AS (SELECT max(w) AS mw FROM active),
+    cls AS (
+        SELECT w,
+               CASE WHEN pw IS NULL THEN 'new'
+                    WHEN date_diff('day', pw, w) = 7 THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM seq
+    ),
+    churn AS (
+        SELECT w + INTERVAL 7 DAY AS w, count(*) AS n_churned
+        FROM seq CROSS JOIN maxw
+        WHERE (nw IS NULL OR date_diff('day', w, nw) > 7)
+          AND w + INTERVAL 7 DAY <= mw
+        GROUP BY 1
+    )
+    SELECT CAST(c.w AS VARCHAR) AS week,
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(coalesce(max(ch.n_churned), 0) AS BIGINT) AS n_churned
+    FROM cls c LEFT JOIN churn ch ON CAST(ch.w AS DATE) = c.w
+    GROUP BY c.w
+    """,
+)
+def q_ev_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active (user, week) classified as new /
+    retained / resurrected, plus the churn ledger (active in week w,
+    silent in w+7, attributed to w+7) — the four numbers every growth
+    dashboard decomposes engagement into, and a direct consumer of the
+    copied event log.  One distinct-aggregate builds the (user, week)
+    activity set; a single user-partitioned window yields both
+    neighbors; churn needs no extra scan (it is the lead-gap read in
+    reverse).  The week-end boundary is closed against the global max
+    week (broadcast scalar) so the last observable week never reports
+    phantom churn."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    wdw = Window.partitionBy("user_id").orderBy("w")
+    seq = active.select(
+        "user_id",
+        "w",
+        F.lag("w").over(wdw).alias("pw"),
+        F.lead("w").over(wdw).alias("nw"),
+    )
+    maxw = active.agg(F.max("w").alias("mw"))
+    status = (
+        F.when(F.col("pw").isNull(), "new")
+        .when(F.datediff("w", "pw") == 7, "retained")
+        .otherwise("resurrected")
+    )
+    cls = seq.select("w", status.alias("status"))
+    churn = (
+        seq.crossJoin(F.broadcast(maxw))
+        .filter(
+            (F.col("nw").isNull() | (F.datediff("nw", "w") > 7))
+            & (F.date_add("w", 7) <= F.col("mw"))
+        )
+        .groupBy(F.date_add("w", 7).alias("w"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        cls.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(
+                F.when(F.col("status") == "retained", 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(F.col("status") == "resurrected", 1).otherwise(0)
+            ).alias("n_resurrected"),
+        )
+        .join(churn, "w", "left")
+        .select(
+            F.col("w").cast("string").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
+@query(
+    "q_ev_interpolate",
+    oracle="""
+    WITH span AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS d
+        FROM span
+    ),
+    dv AS (
+        SELECT user_id, d, value FROM (
+            SELECT user_id, CAST(ts AS DATE) AS d, value,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    grid AS (
+        SELECT u.user_id, s.d
+        FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s
+    ),
+    ctx AS (
+        SELECT g.user_id, g.d,
+               last_value(dv.value IGNORE NULLS) OVER wp AS vp,
+               last_value(dv.d IGNORE NULLS) OVER wp AS dp,
+               first_value(dv.value IGNORE NULLS) OVER wn AS vn,
+               first_value(dv.d IGNORE NULLS) OVER wn AS dn
+        FROM grid g
+        LEFT JOIN dv ON dv.user_id = g.user_id AND dv.d = g.d
+        WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY g.user_id ORDER BY g.d
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+        SELECT d,
+               CASE WHEN dp = dn THEN vp
+                    WHEN dp IS NOT NULL AND dn IS NOT NULL
+                    THEN vp + (vn - vp) * date_diff('day', dp, d)
+                             / date_diff('day', dp, dn)
+               END AS v
+        FROM ctx
+    )
+    SELECT CAST(d AS VARCHAR) AS d,
+           CAST(count(v) AS BIGINT) AS n_defined,
+           round(avg(v), 4) AS avg_interp
+    FROM interp GROUP BY d
+    """,
+)
+def q_ev_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: the daily grid again
+    (q_ev_resample's spine), but interior gaps are filled by the
+    straight line between the surrounding observations instead of
+    carrying the last one — the other standard resampling mode, needing
+    both window directions (last-non-null preceding AND first-non-null
+    following) plus the *days* those values came from.  Outside the
+    observed range the series stays NULL (no extrapolation), which the
+    defined-count column makes visible.  Same scale shape as LOCF: two
+    frames over one user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    d_col = F.col("ts").cast("date")
+    w_day = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    dv = (
+        ev.select("user_id", d_col.alias("d"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", F.col("value").alias("obs"))
+    )
+    span = ev.agg(F.min(d_col).alias("lo"), F.max(d_col).alias("hi"))
+    spine = span.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("obs").isNotNull(), F.col("d"))
+    ctx = grid.join(dv, ["user_id", "d"], "left").select(
+        "user_id",
+        "d",
+        F.last("obs", ignorenulls=True).over(wp).alias("vp"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("dp"),
+        F.first("obs", ignorenulls=True).over(wn).alias("vn"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("dn"),
+    )
+    v = F.when(F.col("dp") == F.col("dn"), F.col("vp")).when(
+        F.col("dp").isNotNull() & F.col("dn").isNotNull(),
+        F.col("vp")
+        + (F.col("vn") - F.col("vp"))
+        * F.datediff("d", "dp")
+        / F.datediff("dn", "dp"),
+    )
+    return (
+        ctx.select("d", v.alias("v"))
+        .groupBy(F.col("d").cast("string").alias("d"))
+        .agg(
+            F.count("v").alias("n_defined"),
+            F.round(F.avg("v"), 4).alias("avg_interp"),
+        )
+    )
+
+
+@query(
+    "q_ev_shipping_lag",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))), 4) AS avg_lag_d,
+           round(quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)), 0.5), 4)
+               AS median_lag_d,
+           CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS max_lag_d,
+           CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE)) > 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_60d
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_ev_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency profile per priority class: the fulfilment
+    SLA view of the star schema (avg / median / max lag in whole days
+    + the over-60-day violation count).  The day difference is an
+    exact integer in both engines; the median interpolates identically
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``).  One shuffled
+    fact⋈dim-key join, one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.avg(lag), 4).alias("avg_lag_d"),
+            F.round(F.percentile(lag, F.lit(0.5)), 4).alias("median_lag_d"),
+            F.max(lag).cast("long").alias("max_lag_d"),
+            F.sum(F.when(lag > 60, 1).otherwise(0)).alias("n_over_60d"),
+        )
+    )
+
+
+@query(
+    "q_win_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS w,
+               count(*) AS n,
+               sum(value) AS rev
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(w AS VARCHAR) AS week,
+           CAST(n AS BIGINT) AS n,
+           round(rev, 4) AS rev,
+           round((rev - lag(rev) OVER (PARTITION BY event_type ORDER BY w))
+                 / lag(rev) OVER (PARTITION BY event_type ORDER BY w), 4)
+               AS wow_growth
+    FROM weekly
+    """,
+)
+def q_win_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth rate per event type — the trend metric
+    layered on a pre-aggregate: events collapse to (type × week) rows
+    first, so the lag window runs over a calendar-bounded input
+    (weeks, not events) and the first week's growth is honestly NULL.
+    One shuffle for the aggregate; the window reuses the type
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("w"),
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("rev"))
+    wdw = Window.partitionBy("event_type").orderBy("w")
+    prev = F.lag("rev").over(wdw)
+    return weekly.select(
+        "event_type",
+        F.col("w").cast("string").alias("week"),
+        "n",
+        F.round("rev", 4).alias("rev"),
+        F.round((F.col("rev") - prev) / prev, 4).alias("wow_growth"),
+    )

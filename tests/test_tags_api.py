@@ -116,3 +116,42 @@ def test_event_query_global_aggregate(spark):
         .collect()[0]
     )
     assert row["n"] == ev.count()
+
+
+def test_event_query_window_matches_raw_plan(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = (
+        EventQuery.from_events(ev)
+        .window("1 day", F.count("*").alias("n"), by=["event_type"])
+        .df()
+    )
+    assert {"w_start", "w_end", "event_type", "n"} <= set(out.columns)
+    want = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    assert out.count() == want
+
+
+def test_event_query_sessionize_matches_contract_query(spark):
+    import __spark_entry__ as e
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    api_sessions = (
+        EventQuery.from_events(ev)
+        .sessionize("30 minutes", F.count("*").alias("n_events"))
+        .df()
+    )
+    contract = e.queries()["q_ev_session"](spark, SF_SMOKE)
+    assert api_sessions.count() == contract.count()
+    # per-user session counts agree
+    a = {
+        r["user_id"]: r["cnt"]
+        for r in api_sessions.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    b = {
+        r["user_id"]: r["cnt"]
+        for r in contract.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert a == b

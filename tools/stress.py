@@ -146,6 +146,71 @@ def main() -> None:
         .count(),
     )
 
+    # round-2 temporal shapes at scale
+    from events_to_db_spark.plans.prefix import bucketed_running_max
+
+    timed(
+        "twap lead+ratio agg",
+        n,
+        lambda: ev.select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("t"),
+            F.lead(F.unix_micros("ts")).over(w3).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value") * (F.col("nxt") - F.col("t")))
+                / F.sum(F.col("nxt") - F.col("t"))
+            ).alias("twap")
+        )
+        .count(),
+    )
+
+    ak = F.expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    timed(
+        "watermark lateness sweep (bucketed running max)",
+        n,
+        lambda: bucketed_running_max(
+            ev.select("event_type", F.unix_micros("ts").alias("us"), ak.alias("ak")),
+            bucket=F.shiftright(F.col("ak"), 55),
+            order_cols=[F.col("ak")],
+            value=F.col("us"),
+            out="wm",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("us") < F.col("wm") - 3600000000, 1).otherwise(0)
+            ).alias("n_late")
+        )
+        .count(),
+    )
+    timed(
+        "weekly lifecycle classify",
+        n,
+        lambda: ev.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+        )
+        .distinct()
+        .select(
+            "w",
+            F.lag("w")
+            .over(Window.partitionBy("user_id").orderBy("w"))
+            .alias("pw"),
+        )
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("pw").isNull(), 1).otherwise(0)).alias("n_new")
+        )
+        .count(),
+    )
+
     # cosine kernel: big query side vs broadcast reference
     import numpy as np
 
