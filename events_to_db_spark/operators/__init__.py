@@ -6,6 +6,7 @@ from events_to_db_spark.operators import (  # noqa: F401
     curation_ops,
     events_ops,
     filters,
+    graph_ops,
     joins,
     llm_ops,
     pipeline_ops,
@@ -26,6 +27,7 @@ __all__ = [
     "curation_ops",
     "events_ops",
     "filters",
+    "graph_ops",
     "joins",
     "llm_ops",
     "pipeline_ops",

@@ -1,0 +1,162 @@
+"""Graph operators over the event log (SURVEY.md §2.12, round 2).
+
+The event stream induces a directed graph: nodes are event types,
+edges are observed consecutive transitions per user (the same edge
+list q_ev_transitions reports).  PageRank over that graph answers
+"which state is the behavioral sink" — the classic iterative-algorithm
+shape (join → aggregate → loop) that a declarative engine must express
+without driver-side row loops.
+
+Determinism discipline (SURVEY §7.5): PageRank is usually float — and
+float summation order differs between engines — so this implementation
+carries ranks as *integers scaled by 1e12* and edge probabilities as
+integers scaled by 1e6.  Every per-iteration step is integer multiply /
+integer floor-divide / integer sum (order-independent, exact in both
+engines); the only float op is the final display division, performed
+identically on identical integers.  The deliberate floor-division mass
+leak (≤ |E| · 1e-12 per iteration) is part of the spec and identical
+in both engines.
+
+Scale shape: ranks and the node list live as DataFrames end-to-end;
+each iteration is one broadcast-join + one keyed aggregate over the
+edge list, so the same code runs with |V| in the billions — only the
+iteration *count* (a fixed constant 5) and one |V| scalar ``count()``
+touch the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+_PR_SCALE = 10**12  # rank fixed-point scale
+_PR_PSCALE = 10**6  # edge-probability fixed-point scale
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled DuckDB CTE chain — one (dangling, contrib, rank) CTE
+    triple per iteration, mirroring the Spark loop step for step."""
+    parts = [
+        f"""
+    WITH edges AS (
+        SELECT prev AS src, event_type AS dst, count(*) AS w
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY 1),
+    ep AS (
+        SELECT e.src, e.dst, (e.w * {_PR_PSCALE}) // o.tw AS p
+        FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""
+    d{i} AS (
+        SELECT coalesce(sum(r.r), 0) AS dm
+        FROM {prev} r LEFT JOIN outw o ON r.node = o.src
+        WHERE o.src IS NULL
+    ),
+    c{i} AS (
+        SELECT ep.dst AS node, sum((r.r * ep.p) // {_PR_PSCALE}) AS contrib
+        FROM ep JOIN {prev} r ON r.node = ep.src
+        GROUP BY 1
+    ),
+    r{i} AS (
+        SELECT n.node,
+               (15 * {_PR_SCALE}) // (100 * nn.n)
+               + (85 * (coalesce(c.contrib, 0) + d.dm // nn.n)) // 100 AS r
+        FROM nodes n CROSS JOIN nn CROSS JOIN d{i} d
+        LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+        )
+    body = ",".join(parts)
+    return f"""{body}
+    SELECT node AS event_type,
+           CAST(r AS BIGINT) AS rank_scaled,
+           round(r / 1000000000000e0, 6) AS pagerank
+    FROM r{iters}
+    """
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 iterations) over the event-type
+    transition graph, in exact fixed-point integer arithmetic.
+
+    Edges: per user, each consecutive (prev_type → type) pair in
+    (ts, event_id) order, weighted by occurrence count.  Each
+    iteration: dangling mass redistributed uniformly, per-edge
+    contribution r·p // 1e6, teleport 0.15 — all BIGINT ops (max
+    intermediate r·p ≤ 1e12·1e6 < 2^63), so the ranks value-hash
+    against the oracle's unrolled CTE chain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    ep = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.expr(f"(w * {_PR_PSCALE}) div tw").alias("p"))
+        .cache()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().cache()
+    # |V| is the one driver-side scalar (node-count aggregate, not a
+    # row collect) — needed to close the teleport/dangling constants.
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(_PR_SCALE // n).alias("r"))
+    for _ in range(_PR_ITERS):
+        dang = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dm"))
+        )
+        contrib = (
+            ep.join(ranks, ep.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"(r * p) div {_PR_PSCALE}")).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dang))
+            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * {_PR_SCALE}) div (100 * {n})"
+                    f" + (85 * (coalesce(contrib, 0) + dm div {n})) div 100"
+                ).alias("r"),
+            )
+            # Truncate lineage each round: ranks is referenced three
+            # times per iteration (dangling, contrib, rebuild), so the
+            # un-checkpointed plan grows ~3^i and Catalyst analysis
+            # dominates wall-clock by iteration 5.  Same pattern and
+            # same cluster-availability caveat as q_dedup_cluster's
+            # label propagation (see sampling.py localCheckpoint note).
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.col("r").cast("long").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(1000000000000.0), 6).alias("pagerank"),
+    )

@@ -234,3 +234,146 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((pos & ~mem).cast("long")).alias("n_false_positive"),
         F.sum((~pos & mem).cast("long")).alias("n_false_negative"),
     )
+
+
+#: HyperLogLog geometry: m=16 registers (p=4, ~26 % standard error) —
+#: small enough that the register table is human-checkable, large
+#: enough that the estimate is a real measurement against the exact
+#: distinct count the query reports alongside it.
+_HLL_M = 16
+
+
+@query(
+    "q_sketch_hll",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, {_duck_h("CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ),
+    parts AS (
+        SELECT DISTINCT event_type,
+               hv % {_HLL_M} AS bucket,
+               hv // {_HLL_M} AS w
+        FROM h
+    ),
+    rho AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 57
+                        ELSE 57 - length(bin(w)) END) AS reg
+        FROM parts GROUP BY 1, 2
+    ),
+    regs AS (
+        SELECT event_type,
+               sum((1::BIGINT) << (57 - reg)) AS s_present,
+               count(*) AS n_buckets
+        FROM rho GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type,
+               s_present
+               + ({_HLL_M} - n_buckets) * ((1::BIGINT) << 57) AS s_int,
+               {_HLL_M} - n_buckets AS v_zero
+        FROM regs
+    ),
+    raw AS (
+        SELECT event_type, v_zero,
+               (CAST(172.288 AS DOUBLE) * 144115188075855872) / s_int
+                   AS e_raw
+        FROM est
+    ),
+    fin AS (
+        SELECT event_type,
+               CASE WHEN e_raw <= 40 AND v_zero > 0
+                    THEN 16e0 * ln(16e0 / v_zero)
+                    ELSE e_raw END AS est
+        FROM raw
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT f.event_type,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           round(f.est, 4) AS hll_estimate,
+           round((f.est - x.n_exact) / x.n_exact * 100, 4) AS rel_err_pct
+    FROM fin f JOIN exact x ON f.event_type = x.event_type
+    """,
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from first principles, exactly reproducible: per
+    event type, hash every user_id to 60 md5-derived bits, split into
+    (4-bit bucket, 56-bit suffix), keep per bucket the max leading-zero
+    rank rho, and estimate the distinct count as alpha16·m²/Σ2^{-reg}.
+
+    Spark's built-in ``approx_count_distinct`` (q_agg_approx) is
+    rows-only checkable because its HLL++ internals are opaque; this
+    sketch value-hashes against the oracle because every step is
+    deterministic integer arithmetic: the register sum is carried as
+    Σ 2^(57−reg) — an exact BIGINT (≤ 16·2^57 < 2^63), so the one
+    float division at the end is bit-identical in both engines.
+    The small-range linear-counting correction (E ≤ 2.5 m with empty
+    registers) is implemented identically in both engines.
+
+    Everything before the 16-row register fold is a pure distributed
+    aggregation (DISTINCT + max + sum — order- and partition-
+    independent), which is exactly the mergeability property that lets
+    HLL registers combine across shards at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.expr(_spark_h("cast(user_id as string)"))
+    parts = (
+        ev.select(
+            "event_type",
+            (hv % _HLL_M).alias("bucket"),
+            F.expr(f"{_spark_h('cast(user_id as string)')} div {_HLL_M}").alias("w"),
+        )
+        .distinct()
+    )
+    rho = parts.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(57)).otherwise(
+                F.lit(57) - F.length(F.bin("w"))
+            )
+        ).alias("reg")
+    )
+    regs = rho.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 57 - reg)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_buckets"),
+    )
+    est = regs.select(
+        "event_type",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_buckets"))
+            * F.expr("shiftleft(cast(1 as bigint), 57)")
+        ).alias("s_int"),
+        (F.lit(_HLL_M) - F.col("n_buckets")).alias("v_zero"),
+    )
+    raw = est.select(
+        "event_type",
+        "v_zero",
+        F.expr(
+            "(cast(172.288 as double) * 144115188075855872) / s_int"
+        ).alias("e_raw"),
+    )
+    fin = raw.select(
+        "event_type",
+        F.when(
+            (F.col("e_raw") <= 40) & (F.col("v_zero") > 0),
+            F.expr("16e0 * ln(16e0 / v_zero)"),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return fin.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round("est", 4).alias("hll_estimate"),
+        F.round((F.col("est") - F.col("n_exact")) / F.col("n_exact") * 100, 4)
+            .alias("rel_err_pct"),
+    )

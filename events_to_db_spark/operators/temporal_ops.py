@@ -1066,3 +1066,248 @@ def q_win_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 4).alias("rev"),
         F.round((F.col("rev") - prev) / prev, 4).alias("wow_growth"),
     )
+
+
+@query(
+    "q_ev_autocorr",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    grid AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT t.event_type, g.day, coalesce(d.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN grid g
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+    ),
+    lagged AS (
+        SELECT event_type, c,
+               lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS c1,
+               lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS c7
+        FROM series
+    ),
+    sums AS (
+        SELECT event_type,
+               count(c1) AS n1,
+               sum(CASE WHEN c1 IS NOT NULL THEN c END) AS sx1,
+               sum(c1) AS sy1,
+               sum(CASE WHEN c1 IS NOT NULL THEN c * c1 END) AS sxy1,
+               sum(CASE WHEN c1 IS NOT NULL THEN c * c END) AS sxx1,
+               sum(c1 * c1) AS syy1,
+               count(c7) AS n7,
+               sum(CASE WHEN c7 IS NOT NULL THEN c END) AS sx7,
+               sum(c7) AS sy7,
+               sum(CASE WHEN c7 IS NOT NULL THEN c * c7 END) AS sxy7,
+               sum(CASE WHEN c7 IS NOT NULL THEN c * c END) AS sxx7,
+               sum(c7 * c7) AS syy7
+        FROM lagged GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_days,
+           round(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+                 / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                        * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)), 4)
+               AS r_lag1,
+           round(CAST(n7 * sxy7 - sx7 * sy7 AS DOUBLE)
+                 / sqrt(CAST(n7 * sxx7 - sx7 * sx7 AS DOUBLE)
+                        * CAST(n7 * syy7 - sy7 * sy7 AS DOUBLE)), 4)
+               AS r_lag7
+    FROM sums
+    """,
+)
+def q_ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series per type at
+    lags 1 and 7 — the seasonality screen (a high r_lag7 with a low
+    r_lag1 is a weekly cycle) run over a metrics copy before choosing
+    a forecasting model.
+
+    Determinism: the series is zero-filled onto the complete daily
+    grid so both engines correlate identical vectors, and Pearson r is
+    assembled from six BIGINT sums (counts are integers, so every
+    moment is exact — no engine-private incremental co-moment like
+    ``corr()`` is trusted across engines); the final expression is one
+    identical float formula per row.  Scale: the window runs over the
+    per-(type, day) aggregate — bounded by calendar days, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    span = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    grid = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    series = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = series.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 7).over(w).alias("c7"),
+    )
+    def _sums(k: str):
+        ck = F.col(f"c{k}")
+        return [
+            F.count(ck).alias(f"n{k}"),
+            F.sum(F.when(ck.isNotNull(), F.col("c"))).alias(f"sx{k}"),
+            F.sum(ck).alias(f"sy{k}"),
+            F.sum(F.when(ck.isNotNull(), F.col("c") * ck)).alias(f"sxy{k}"),
+            F.sum(F.when(ck.isNotNull(), F.col("c") * F.col("c"))).alias(
+                f"sxx{k}"
+            ),
+            F.sum(ck * ck).alias(f"syy{k}"),
+        ]
+    sums = lagged.groupBy("event_type").agg(*(_sums("1") + _sums("7")))
+    def _r(k: str):
+        return F.round(
+            F.expr(
+                f"cast(n{k} * sxy{k} - sx{k} * sy{k} as double)"
+                f" / sqrt(cast(n{k} * sxx{k} - sx{k} * sx{k} as double)"
+                f" * cast(n{k} * syy{k} - sy{k} * sy{k} as double))"
+            ),
+            4,
+        )
+    return sums.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_days"),
+        _r("1").alias("r_lag1"),
+        _r("7").alias("r_lag7"),
+    )
+
+
+@query(
+    "q_ev_cusum",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    grid AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT t.event_type, g.day, coalesce(d.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN grid g
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+    ),
+    pre AS (
+        SELECT event_type, day, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+               sum(c) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM series
+    ),
+    drift AS (
+        SELECT event_type, day, prefix, t, total, nd,
+               abs(nd * prefix - t * total) AS adrift,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(nd * prefix - t * total) DESC, day) AS rk
+        FROM pre
+    )
+    SELECT event_type,
+           CAST(day AS VARCHAR) AS changepoint_day,
+           round(adrift / CAST(nd AS DOUBLE), 4) AS cusum_stat,
+           round(CAST(prefix AS DOUBLE) / t, 4) AS mean_before,
+           round(CAST(total - prefix AS DOUBLE) / nullif(nd - t, 0), 4)
+               AS mean_after
+    FROM drift WHERE rk = 1
+    """,
+)
+def q_ev_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation of the daily count from its overall mean
+    peaks — the level-shift detector run over a copied metrics stream
+    (deploy regressions, traffic shifts) before alerting on it.
+
+    The drift statistic S_t = Σ_{i≤t}(c_i − mean) is carried as the
+    exact integer nd·prefix_t − t·total (multiplying through by nd
+    avoids the float mean), so the argmax is an exact-integer
+    comparison with a calendar tie-break — no float-argmax divergence
+    between engines (SURVEY §7.5).  Windows run over the per-(type,
+    day) aggregate: bounded by calendar days, partitioned by type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    span = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    grid = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    series = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    pre = series.select(
+        "event_type",
+        "day",
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.row_number().over(wo).alias("t"),
+        F.sum("c").over(wp).alias("total"),
+        F.count("*").over(wp).alias("nd"),
+    )
+    adrift = F.abs(
+        F.col("nd") * F.col("prefix") - F.col("t") * F.col("total")
+    )
+    drift = pre.select(
+        "event_type",
+        "day",
+        "prefix",
+        "t",
+        "total",
+        "nd",
+        adrift.alias("adrift"),
+        F.row_number()
+        .over(wo.orderBy(adrift.desc(), F.col("day")))
+        .alias("rk"),
+    )
+    return drift.where(F.col("rk") == 1).select(
+        "event_type",
+        F.col("day").cast("string").alias("changepoint_day"),
+        F.round(F.col("adrift") / F.col("nd").cast("double"), 4).alias(
+            "cusum_stat"
+        ),
+        F.round(F.col("prefix").cast("double") / F.col("t"), 4).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("total") - F.col("prefix")).cast("double")
+            / F.expr("nullif(nd - t, 0)"),
+            4,
+        ).alias("mean_after"),
+    )
