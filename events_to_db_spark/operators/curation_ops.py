@@ -663,3 +663,170 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d2").alias("max_sqerr"),
         F.countDistinct("cell").alias("codes_used"),
     )
+
+
+@query(
+    "q_text_logodds",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    lt AS (SELECT lang, t, count(*) AS a FROM tok GROUP BY 1, 2),
+    ltot AS (SELECT lang, count(*) AS at FROM tok GROUP BY 1),
+    gtot AS (SELECT t, count(*) AS g FROM tok GROUP BY 1),
+    alltot AS (SELECT count(*) AS tt FROM tok),
+    scored AS (
+        SELECT lt.lang, lt.t,
+               CAST(lt.a AS BIGINT) AS n_in_lang,
+               CAST(gtot.g - lt.a AS BIGINT) AS n_elsewhere,
+               -- exact rational odds ratio: every factor is an exact
+               -- integer (2x+1 clears the 0.5 smoothing), the single
+               -- division is the only float op
+               CAST((2 * lt.a + 1)
+                    * (2 * (alltot.tt - ltot.at) - 2 * (gtot.g - lt.a) + 1)
+                    AS DOUBLE)
+               / CAST((2 * ltot.at - 2 * lt.a + 1)
+                      * (2 * (gtot.g - lt.a) + 1) AS DOUBLE) AS odds
+        FROM lt
+        JOIN ltot ON ltot.lang = lt.lang
+        JOIN gtot ON gtot.t = lt.t
+        CROSS JOIN alltot
+    ),
+    ranked AS (
+        SELECT lang, t, n_in_lang, n_elsewhere, odds,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY odds DESC, t) AS rk
+        FROM scored
+    )
+    SELECT lang, t AS term, n_in_lang, n_elsewhere,
+           CAST(rk AS BIGINT) AS rk,
+           round(ln(odds), 4) AS log_odds
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_text_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per language by smoothed log-odds ratio
+    (Monroe et al.'s "Fightin' Words" with a flat +0.5 prior): for
+    each (lang, term), the odds of the term inside the language
+    against its odds in the rest of the corpus; top-3 per language.
+
+    This is the keyword-extraction / corpus-comparison primitive of a
+    curation pipeline (what makes this source different?).  Ranking
+    floats across engines is banned (SURVEY §7.5), so the sort key is
+    the odds ratio assembled from exact integers: 2x+1 clears the 0.5
+    smoothing, all four factors are BIGINT (≤ 2·|tokens| + 1, products
+    < 2^53 ⇒ the DOUBLE conversions and the one division are exact and
+    bit-identical), and ties break on the term.  ``ln`` is applied
+    only to the already-agreed value for display.
+
+    Plan: one explode, three hash aggregates (two of them over the
+    tiny (lang) / (term) key spaces → broadcast back), one window over
+    per-lang candidate terms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    lt = tok.groupBy("lang", "t").agg(F.count("*").alias("a"))
+    ltot = tok.groupBy("lang").agg(F.count("*").alias("at"))
+    gtot = tok.groupBy("t").agg(F.count("*").alias("g"))
+    alltot = tok.agg(F.count("*").alias("tt"))
+    scored = (
+        lt.join(F.broadcast(ltot), "lang")
+        .join(gtot, "t")
+        .crossJoin(F.broadcast(alltot))
+        .select(
+            "lang",
+            "t",
+            F.col("a").cast("long").alias("n_in_lang"),
+            (F.col("g") - F.col("a")).cast("long").alias("n_elsewhere"),
+            F.expr(
+                "cast((2 * a + 1)"
+                " * (2 * (tt - at) - 2 * (g - a) + 1) as double)"
+                " / cast((2 * at - 2 * a + 1)"
+                " * (2 * (g - a) + 1) as double)"
+            ).alias("odds"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("odds").desc(), F.col("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "lang",
+            F.col("t").alias("term"),
+            "n_in_lang",
+            "n_elsewhere",
+            F.col("rk").cast("long").alias("rk"),
+            F.round(F.log("odds"), 4).alias("log_odds"),
+        )
+    )
+
+
+@query(
+    "q_text_boilerplate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                      || tok[i+3] || ' ' || tok[i+4] AS gram
+        FROM toks
+        CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+        WHERE i + 4 <= len(tok)
+    ),
+    df AS (SELECT gram, count(*) AS n_docs_with FROM sh GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents)
+    SELECT gram, CAST(n_docs_with AS BIGINT) AS n_docs_with,
+           CAST((n_docs_with * 10000) // nd.n AS BIGINT) AS share_bp
+    FROM df CROSS JOIN nd
+    ORDER BY n_docs_with DESC, gram
+    LIMIT 10
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the 5-gram phrases shared by the most
+    documents (document frequency over distinct per-doc shingles) —
+    the template/navigation-chrome sweep (FineWeb-style) a curation
+    pipeline runs to strip repeated furniture before training.
+
+    All-integer output (doc counts + basis-point share via integer
+    floor division); ties on the phrase text.  Plan: explode to
+    per-doc distinct shingles (the DISTINCT bounds each doc's
+    contribution), one hash aggregate, top-10 — at 100 TB the gram
+    key space is trimmed by the same hash-partition aggregate; no
+    driver-side state.  The oracle's fixed 1..200 position series is
+    an upper bound on the corpus's ~60-token docs; the Spark side
+    derives positions from each doc's actual length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(tok) - 4, 0)),"
+                    " i -> concat_ws(' ', tok[i-1], tok[i], tok[i+1],"
+                    " tok[i+2], tok[i+3]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("gram").agg(F.count("*").alias("n_docs_with"))
+    nd = docs.agg(F.count("*").alias("n"))
+    return (
+        df.crossJoin(F.broadcast(nd))
+        .select(
+            "gram",
+            F.col("n_docs_with").cast("long").alias("n_docs_with"),
+            F.expr("(n_docs_with * 10000) div n").cast("long").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy(F.col("n_docs_with").desc(), "gram")
+        .limit(10)
+    )

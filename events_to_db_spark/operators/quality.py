@@ -275,3 +275,60 @@ def q_quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("half") == "a", F.col("v"))).alias("first_half"),
         F.max(F.when(F.col("half") == "b", F.col("v"))).alias("second_half"),
     )
+
+
+@query(
+    "q_anon_k",
+    oracle="""
+    WITH qi AS (
+        SELECT c_mktsegment,
+               c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+        FROM customer
+    ),
+    classes AS (
+        SELECT c_mktsegment, c_nationkey, bal_bucket, count(*) AS sz
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below_k,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_records_at_risk
+    FROM classes
+    GROUP BY c_mktsegment
+    """,
+)
+def q_anon_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the customer table: group records
+    into equivalence classes on the quasi-identifier triple (market
+    segment, nation, account-balance bucket) and report, per segment,
+    how many classes fall below k and how many records they expose —
+    the re-identification-risk check a privacy review runs before a
+    dataset release (complement of q_gdpr_purge's erasure path).
+
+    The balance bucket uses float ``floor(x/1000)`` identically in
+    both engines (integer ``div`` truncates toward zero and would
+    disagree on negative balances).  Pure two-level hash aggregation —
+    scales as a pair of keyed shuffles, no windows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    classes = qi.groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
+        F.count("*").alias("sz")
+    )
+    below = F.col("sz") < 5
+    return classes.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_classes"),
+        F.min("sz").cast("long").alias("min_class_size"),
+        F.sum(below.cast("long")).alias("n_classes_below_k"),
+        F.sum(F.when(below, F.col("sz")).otherwise(0)).alias(
+            "n_records_at_risk"
+        ),
+    )

@@ -1311,3 +1311,157 @@ def q_ev_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_after"),
     )
+
+
+@query(
+    "q_ev_bitemporal",
+    oracle=f"""
+    WITH bt AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               ts + to_seconds(({_DUCK_AK}) % 3600) AS recorded_at
+        FROM events
+    ),
+    known AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rk
+        FROM bt
+        WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+          AND recorded_at <= TIMESTAMP '2024-01-20 01:00:00'
+    )
+    SELECT user_id, event_id, event_type,
+           round(value, 4) AS value,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_us
+    FROM known WHERE rk = 1
+    """,
+)
+def q_ev_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query: each user's state at *valid time*
+    2024-01-20 00:00 **as it was known at** *transaction time* 01:00 —
+    the audit question ("what did the dashboard say then?") a plain
+    as-of join cannot answer, because an event that had happened but
+    had not yet been ingested must be excluded.
+
+    The ingestion delay is synthesized deterministically (md5 of
+    event_id, mod 1 h) so both engines see the identical bitemporal
+    log; events valid before the cutoff but recorded after the
+    transaction cutoff are the interesting exclusions.  Valid time is
+    reported in exact epoch-µs.  Plan: one filtered scan, one
+    per-user window with a unique (ts, event_id) tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bt = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.expr(f"timestampadd(SECOND, ({_SPARK_AK}) % 3600, ts)").alias(
+            "recorded_at"
+        ),
+    )
+    known = bt.where(
+        (F.expr("ts <= timestamp'2024-01-20 00:00:00'"))
+        & (F.expr("recorded_at <= timestamp'2024-01-20 01:00:00'"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        known.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.expr("unix_micros(ts)").alias("valid_us"),
+        )
+    )
+
+
+@query(
+    "q_alloc_budget",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT day, event_type, c,
+               sum(c) OVER (PARTITION BY day) AS total
+        FROM daily
+    ),
+    fl AS (
+        SELECT day, event_type, c, total,
+               (10000 * c) // total AS fl,
+               (10000 * c) % total AS rem
+        FROM tot
+    ),
+    lo AS (
+        SELECT day, event_type, c, fl, rem,
+               10000 - sum(fl) OVER (PARTITION BY day) AS leftover,
+               row_number() OVER (
+                   PARTITION BY day ORDER BY rem DESC, event_type) AS rk
+        FROM fl
+    )
+    SELECT CAST(day AS VARCHAR) AS day, event_type,
+           CAST(c AS BIGINT) AS n_events,
+           CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+    FROM lo
+    """,
+)
+def q_alloc_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional budget allocation with largest-remainder rounding:
+    a fixed 10 000-unit daily budget (sampling quota, rate limit,
+    labeling spend) split across event types proportional to their
+    counts, with Hamilton's method distributing the rounding leftover
+    to the largest fractional remainders.
+
+    The classic apportionment op a training-data pipeline uses to turn
+    fractional sampling rates into exact per-class quotas that sum to
+    the budget.  Every step is integer arithmetic (floor-div mod,
+    remainder rank with a type tie-break), so the allocation
+    value-hashes across engines and Σalloc = 10 000 per day by
+    construction.  Windows run over the per-(day, type) aggregate —
+    five rows per day — partitioned by day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    wd = Window.partitionBy("day")
+    tot = daily.select(
+        "day", "event_type", "c", F.sum("c").over(wd).alias("total")
+    )
+    fl = tot.select(
+        "day",
+        "event_type",
+        "c",
+        F.expr("(10000 * c) div total").alias("fl"),
+        F.expr("(10000 * c) % total").alias("rem"),
+    )
+    lo = fl.select(
+        "day",
+        "event_type",
+        "c",
+        "fl",
+        "rem",
+        (F.lit(10000) - F.sum("fl").over(wd)).alias("leftover"),
+        F.row_number()
+        .over(wd.orderBy(F.col("rem").desc(), F.col("event_type")))
+        .alias("rk"),
+    )
+    return lo.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.col("c").cast("long").alias("n_events"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
