@@ -332,3 +332,65 @@ def q_anon_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_records_at_risk"
         ),
     )
+
+
+@query(
+    "q_quality_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, count(*) AS n_obs FROM digits GROUP BY d),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT obs.d AS leading_digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           round(ln(1 + 1e0 / obs.d) / ln(10e0), 4) AS benford_share,
+           round(CAST(n_obs AS DOUBLE) / tot.n, 4) AS obs_share,
+           CAST((n_obs * 10000) // tot.n
+                - CAST(floor(10000 * ln(1 + 1e0 / obs.d) / ln(10e0))
+                       AS BIGINT)
+                AS BIGINT) AS excess_bp
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed leading-digit
+    distribution against the log₁₀(1+1/d) expectation — the classic
+    fabricated-data / unit-mixup screen a data-quality pass runs over
+    any monetary column after a copy.  (TPC-H prices are synthetic-
+    uniform, so they *fail* Benford — which is exactly what the excess
+    column shows; the point of the audit is the deviation profile,
+    not a pass flag.)
+
+    Determinism: the leading digit goes through an exact integer/
+    string path (floor → BIGINT → first character), shares are exact
+    integer basis points or single identical float ops; one hash
+    aggregate over 9 keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n_obs"))
+    tot = digits.agg(F.count("*").alias("n"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(F.expr("ln(1 + 1e0 / d) / ln(10e0)"), 4).alias(
+            "benford_share"
+        ),
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 4).alias(
+            "obs_share"
+        ),
+        F.expr(
+            "cast((n_obs * 10000) div n"
+            " - cast(floor(10000 * ln(1 + 1e0 / d) / ln(10e0)) as bigint)"
+            " as bigint)"
+        ).alias("excess_bp"),
+    )

@@ -1465,3 +1465,209 @@ def q_alloc_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+@query(
+    "q_ev_survival",
+    oracle="""
+    WITH lifespan AS (
+        SELECT user_id,
+               CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         IS NOT NULL
+                    THEN date_diff('day', CAST(min(ts) AS DATE),
+                         CAST(min(CASE WHEN event_type = 'purchase' THEN ts
+                                  END) AS DATE))
+                    ELSE date_diff('day', CAST(min(ts) AS DATE),
+                                   CAST(max(ts) AS DATE))
+               END AS t_last,
+               CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         IS NOT NULL THEN 1 ELSE 0 END AS churned
+        FROM events GROUP BY user_id
+    ),
+    n0 AS (SELECT count(*) AS n FROM lifespan),
+    ev AS (
+        SELECT t_last AS t,
+               sum(churned) AS d,
+               count(*) AS leaving
+        FROM lifespan GROUP BY t_last
+    ),
+    risk AS (
+        SELECT t, d,
+               n0.n - coalesce(sum(leaving) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_at_risk
+        FROM ev CROSS JOIN n0
+    ),
+    km AS (
+        SELECT t, d, n_at_risk,
+               sum(CASE WHEN d < n_at_risk
+                        THEN ln(1 - CAST(d AS DOUBLE) / n_at_risk)
+                        ELSE 0e0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnS,
+               max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN hit_zero = 1 THEN 0e0 ELSE round(exp(lnS), 4) END
+               AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def q_ev_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per
+    user, the days from first event to first ``purchase`` event;
+    users who never purchase are right-censored at their last observed
+    day instead of being dropped or counted as converted.  S(t) =
+    Π(1 − dᵢ/nᵢ) over conversion days — the correctly-censored
+    time-to-event estimate (median time-to-convert) a growth team
+    reads off an event-log copy, where naive "average days to
+    purchase" over converters only is biased low.
+
+    Float discipline: the KM product is computed as exp of the
+    *ordered* cumulative sum of ln(1 − d/n) — an ordered window prefix
+    is evaluated left-to-right over identically-sorted rows in both
+    engines, so every partial sum is bit-identical (unordered float
+    SUMs across engines are banned, ordered prefixes are not).  The
+    at-risk counts are exact integers via a 1-PRECEDING prefix; the
+    day the last at-risk users convert (d = n) takes S to exactly 0
+    through a guarded branch instead of ln(0).
+
+    Scale: per-user lifespans are one keyed aggregate; the curve
+    itself lives on the per-day event table (bounded by calendar span,
+    a single ordered window over ≤ a few thousand rows at any SF).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    lifespan = ev.groupBy("user_id").agg(
+        F.when(
+            first_purchase.isNotNull(),
+            F.datediff(F.to_date(first_purchase), F.min(F.to_date("ts"))),
+        )
+        .otherwise(F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))))
+        .alias("t_last"),
+        F.when(first_purchase.isNotNull(), 1).otherwise(0).alias("churned"),
+    ).select("t_last", "churned")
+    n0 = lifespan.agg(F.count("*").alias("n"))
+    evt = lifespan.groupBy(F.col("t_last").alias("t")).agg(
+        F.sum("churned").alias("d"), F.count("*").alias("leaving")
+    )
+    wo = Window.orderBy("t")
+    risk = evt.crossJoin(F.broadcast(n0)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum("leaving").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_at_risk"),
+    )
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_at_risk"),
+                F.log(
+                    F.lit(1) - F.col("d").cast("double") / F.col("n_at_risk")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wcum)
+        .alias("lnS"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+        )
+        .over(wcum)
+        .alias("hit_zero"),
+    )
+    return km.where(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnS"), 4))
+        .alias("survival"),
+    )
+
+
+@query(
+    "q_win_drawdown",
+    oracle="""
+    WITH signed AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN -value
+                    ELSE value END AS flow
+        FROM events
+    ),
+    eq AS (
+        SELECT user_id, ts, event_id,
+               sum(flow) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS equity
+        FROM signed
+    ),
+    cum AS (
+        SELECT user_id, equity,
+               max(equity) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS peak
+        FROM eq
+    )
+    SELECT user_id,
+           round(max(peak - equity), 4) AS max_drawdown,
+           round(max(peak), 4) AS peak_equity
+    FROM cum
+    GROUP BY user_id
+    HAVING max(peak - equity) > 0
+    """,
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the signed cumulative ledger
+    (purchases debit, everything else credits): the largest
+    peak-to-trough fall of the running balance in (ts, event_id)
+    order — the risk metric every trading/credit/usage ledger derives
+    from an event-log copy (and a double-stacked window: a running
+    max *of* a running sum).
+
+    Float discipline: both the prefix sum and its running max are
+    *ordered* windows — evaluated left-to-right over the identical
+    (ts, event_id) total order in both engines, so every intermediate
+    is bit-identical; the final per-user max compares identical values
+    (order-free).  One shuffle on user_id serves both windows and the
+    final aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flow = F.when(
+        F.col("event_type") == "purchase", -F.col("value")
+    ).otherwise(F.col("value"))
+    cum = ev.select(
+        "user_id", "ts", "event_id", flow.alias("flow")
+    ).withColumn("equity", F.sum("flow").over(w)).withColumn(
+        "peak", F.max("equity").over(w)
+    )
+    return (
+        cum.groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("equity")), 4).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak"), 4).alias("peak_equity"),
+        )
+        .where(F.col("max_drawdown") > 0)
+    )
