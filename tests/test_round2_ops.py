@@ -263,6 +263,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_agg_gini": "rank within segment after per-segment aggregate; segment dimension fixed",
         "q_ev_pareto": "cumulative share over bucketed per-user prefix aggregate",
         "q_ev_concurrency": "per-day sweep re-aggregate (calendar-bounded)",
+        "q_ev_survival": "KM curve over per-lifespan-day aggregate (calendar-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
