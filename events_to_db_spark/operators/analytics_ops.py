@@ -299,3 +299,379 @@ def q_ev_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("ape_bp").cast("long").alias("worst_ape_bp"),
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey,
+           round(p.p_retailprice, 4) AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (minimize retail price, maximize size) — the multi-criteria
+    shortlist operator (cheapest-per-capability sweeps, model-selection
+    frontiers) classic OLAP engines ship as SKYLINE OF.
+
+    The oracle is the O(n²) NOT EXISTS definition; the Spark plan is
+    the O(n log n) sort-based 2-D skyline, de-single-partitioned: a row
+    is dominated iff the max size among *strictly cheaper* rows reaches
+    it, or a same-price row is strictly larger.  The strict-prefix max
+    over price order runs on the per-price aggregate with the same
+    two-level shape as :mod:`events_to_db_spark.plans.prefix` — a
+    price-range bucket column, a partitioned window inside each bucket
+    (frame ending at −1 row ⇒ strictly-cheaper within the bucket), and
+    a broadcast θ-join carry-in of the max over strictly-smaller
+    buckets.  No global window, all shuffles keyed; equal (price, size)
+    twins stay on the frontier (strict dominance), matching the oracle.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("mp")
+    )
+    d = per_price.withColumn(
+        "_pb", F.floor(F.col("p_retailprice") / 500).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("_pb")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_in_max", F.max("mp").over(w_in))
+    totals = d.groupBy("_pb").agg(F.max("mp").alias("_tot"))
+    carry = (
+        totals.select("_pb")
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("_pb").alias("_pb2"), F.col("_tot").alias("_t2")
+                )
+            ),
+            F.col("_pb2") < F.col("_pb"),
+            "left",
+        )
+        .groupBy("_pb")
+        .agg(F.max("_t2").alias("_carry"))
+    )
+    d = (
+        d.join(F.broadcast(carry), "_pb")
+        .withColumn("m_strict", F.greatest("_in_max", "_carry"))
+        .select("p_retailprice", "mp", "m_strict")
+    )
+    sky = part.join(d, "p_retailprice").where(
+        (F.col("p_size") == F.col("mp"))
+        & (F.col("m_strict").isNull() | (F.col("p_size") > F.col("m_strict")))
+    )
+    return sky.select(
+        "p_partkey",
+        F.round("p_retailprice", 4).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+
+@query(
+    "q_ev_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           round(max(d.med), 4) AS med,
+           round(max(m.mad), 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_ev_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    event type, the median, the MAD, and how many events sit more than
+    3 scaled-MADs (×1.4826, the normal-consistency constant) from the
+    median — the robust twin of ``q_ev_anomaly``'s z-score sweep, which
+    a single fat-tailed burst can't poison.
+
+    Both engines interpolate the exact median identically
+    (Spark ``median`` ≡ DuckDB ``quantile_cont`` at 0.5 — parity
+    proven by ``q_win_movmedian``), so the outlier predicate compares
+    bitwise-identical doubles.  Plan: two keyed median aggregates over
+    the type key (a bounded dimension), each joined back broadcast;
+    no window, three shuffles on the same key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("median(value)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("median(adev)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "q_win_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(max(b.lo), 4) AS p05,
+           round(max(b.hi), 4) AS p95,
+           CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hi,
+           CAST(sum(CAST(floor(greatest(least(e.value, b.hi), b.lo)
+                                * 10000e0) AS BIGINT))
+                AS BIGINT) AS wsum_e4
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_win_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's exact
+    [p05, p95] band and report the clip counts plus the winsorized
+    total — the outlier-capping step a feature pipeline runs before
+    fitting anything scale-sensitive (and a quality gate before
+    training-data export).
+
+    The cutpoints are exact interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``); the winsorized total is
+    floored to integer 1e-4 units *per row* before summing, so the
+    aggregate is a BIGINT sum (order-independent) rather than a float
+    sum whose association order differs across engines.  Plan: one
+    percentile aggregate on the bounded type key, broadcast back, one
+    final keyed aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("lo"), 4).alias("p05"),
+            F.round(F.max("hi"), 4).alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hi"),
+            F.sum(
+                F.expr(
+                    "cast(floor(greatest(least(value, hi), lo) * 10000e0)"
+                    " as bigint)"
+                )
+            )
+            .cast("long")
+            .alias("wsum_e4"),
+        )
+    )
+
+
+@query(
+    "q_ev_decay",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+    wk AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', CAST(ts AS DATE), a.mx) / 7)
+                    AS BIGINT) AS w,
+               count(*) AS c
+        FROM events CROSS JOIN anchor a
+        GROUP BY 1, 2
+    ),
+    score AS (
+        SELECT user_id, sum(c * power(0.5e0, w)) AS s FROM wk GROUP BY 1
+    )
+    SELECT user_id, round(s, 4) AS decay_score
+    FROM score ORDER BY s DESC, user_id LIMIT 20
+    """,
+)
+def q_ev_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score: each event contributes
+    2^(−age-in-weeks) with a one-week half-life, summed per user; top
+    20 — the recency-weighted ranking behind "active user" scores and
+    freshness-weighted sampling of training data.
+
+    Exponential-decay sums are normally banned by the float-sum rule
+    (addition order differs across engines), but a power-of-two decay
+    on *integer* week ages makes every term a dyadic rational with at
+    most 2^-13 in the low bit — sums of those are exact in IEEE
+    doubles at any association order, so the cross-engine comparison
+    and the top-20 cut are on bitwise-equal scores.  Plan: per
+    (user, week) count aggregate, then a user-keyed sum; the anchor
+    date is one broadcast scalar; top-20 is TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    wk = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            F.floor(F.datediff(F.col("mx"), F.to_date("ts")) / 7)
+            .cast("long")
+            .alias("w"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    score = wk.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.pow(F.lit(0.5), F.col("w"))).alias("s")
+    )
+    return (
+        score.orderBy(F.col("s").desc(), "user_id")
+        .limit(20)
+        .select("user_id", F.round("s", 4).alias("decay_score"))
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wedge AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(t.t AS BIGINT) AS n_triangles,
+           round(3e0 * t.t / w.w, 4) AS clustering
+    FROM tri t CROSS JOIN wedge w
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph (parts are nodes, an edge joins parts bought in
+    the same order) — the graph-structure probe (community density,
+    spam-ring detection, dedup-cluster sanity) run on a fact-table
+    projection.
+
+    The oracle counts triangles by the naive a<b<c edge³ join; the
+    Spark plan uses *degree orientation*: each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, so every
+    wedge is enumerated exactly once at its lowest-order apex and the
+    per-node fan-out is bounded by O(√E) even on power-law graphs —
+    the standard distributed triangle sweep (MPS/Cohen), all keyed
+    equi-joins, no global structure.  Edge derivation is the same
+    orderkey-bounded basket self-join as ``q_basket_lift``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            )
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            )
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        )
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(F.col("o1.dst").alias("u"), F.col("o2.dst").alias("v"))
+    tri = wedges.join(edges, ["u", "v"], "left_semi").count()
+    # tri is a scalar aggregate job (bounded result), not a row collect;
+    # assembling the one-row summary from three scalar aggregates keeps
+    # every heavy stage distributed.
+    counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"),
+        )
+    )
+    return counts.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.lit(tri).cast("long").alias("n_triangles"),
+        F.round(F.lit(3.0) * F.lit(tri) / F.col("w"), 4).alias("clustering"),
+    )
