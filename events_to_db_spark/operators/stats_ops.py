@@ -1,0 +1,415 @@
+"""Statistical-test operators (SURVEY.md §2.12, round 2).
+
+The hypothesis-testing layer an analyst runs directly on the copied
+event log: distribution comparison (Kolmogorov–Smirnov), rank tests
+(Mann–Whitney U), rank correlation (Spearman), and the χ² independence
+table.  All follow SURVEY §7.5 determinism discipline:
+
+* every test statistic is assembled from exact BIGINT counts and rank
+  sums — tie-averaged ranks are carried as *2× integers* so no fraction
+  ever enters an aggregate;
+* global orderings (pooled ranks, empirical CDFs) never use an
+  unpartitioned window on the Spark side — they go through
+  ``plans.prefix.bucketed_running_sum`` (two-level parallel scan), so
+  the same code survives a 1000-executor corpus;
+* floats appear only in one final per-row expression evaluated on
+  identical integers in both engines, rounded to 4–6 places.
+
+Overflow posture: the KS/MWU cross products are ≤ n₁·n₂ ≈ 4e10 at
+sf0.1 — comfortably inside BIGINT; at 1e10-row samples switch the two
+product columns to DECIMAL(38,0) (noted inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.plans.prefix import bucketed_running_sum
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+
+def _two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled per-distinct-value counts for the purchase-vs-view
+    two-sample tests: one keyed aggregate, columns (value, ct, c1t)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+    )
+    return s.groupBy("value").agg(
+        F.count("*").alias("ct"), F.sum("g1").alias("c1t")
+    )
+
+
+@query(
+    "q_stat_ks",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT value, count(*) AS ct, CAST(sum(g1) AS BIGINT) AS c1t
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(ct) OVER (ORDER BY value) AS cum_t,
+               sum(c1t) OVER (ORDER BY value) AS cum_1
+        FROM pv
+    ),
+    tot AS (
+        SELECT CAST(sum(c1t) AS BIGINT) AS n1,
+               CAST(sum(ct) - sum(c1t) AS BIGINT) AS n2
+        FROM pv
+    )
+    SELECT n1, n2,
+           CAST(max(abs(cum_1 * n2 - (cum_t - cum_1) * n1)) AS BIGINT)
+               AS d_num,
+           round(CAST(max(abs(cum_1 * n2 - (cum_t - cum_1) * n1))
+                      AS DOUBLE) / (n1 * n2), 6) AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the ``value``
+    distributions of purchase vs view events.
+
+    D = max над pooled support of |F₁(x) − F₂(x)|, carried as the exact
+    integer numerator ``|c₁·n₂ − c₂·n₁|`` (ties handled by evaluating
+    at inclusive per-distinct-value counts); the single float division
+    happens once on the final max.  The empirical-CDF prefix sums run
+    through the bucketed two-level scan (value-range buckets), not a
+    global window — at 100 TB the d_num products move to DECIMAL(38,0).
+    Plan: one keyed agg → bucketed scan → one scalar aggregate.
+    """
+    pv = _two_sample(spark, sf_dir)
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+        order_cols=[F.col("value")],
+        sums={"cum_t": F.col("ct"), "cum_1": F.col("c1t")},
+    )
+    tot = pv.agg(
+        F.sum("c1t").alias("n1"),
+        (F.sum("ct") - F.sum("c1t")).alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum_1") * F.col("n2")
+            - (F.col("cum_t") - F.col("cum_1")) * F.col("n1")
+        ).alias("dn"),
+    )
+    return d.groupBy("n1", "n2").agg(
+        F.max("dn").cast("long").alias("d_num"),
+        F.round(
+            F.max("dn").cast("double") / (F.col("n1") * F.col("n2")), 6
+        ).alias("ks_d"),
+    )
+
+
+@query(
+    "q_stat_mannwhitney",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT value, count(*) AS ct, CAST(sum(g1) AS BIGINT) AS c1t
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT ct, c1t,
+               sum(ct) OVER (ORDER BY value) AS cum_t
+        FROM pv
+    ),
+    tot AS (
+        SELECT CAST(sum(c1t) AS BIGINT) AS n1,
+               CAST(sum(ct) - sum(c1t) AS BIGINT) AS n2
+        FROM pv
+    ),
+    ranks AS (
+        -- avg pooled rank of a tie block, times two (exact integer):
+        -- 2p + c - 1 with p = first position = cum_t - ct + 1
+        SELECT CAST(sum(c1t * (2 * (cum_t - ct + 1) + ct - 1)) AS BIGINT)
+            AS r1_2
+        FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_2,
+           round((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) - n1 * n2)
+                 / (2 * sqrt(CAST(n1 AS DOUBLE) * n2
+                             * (n1 + n2 + 1) / 12)), 4) AS z_score
+    FROM ranks CROSS JOIN tot
+    """,
+)
+def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank test (purchase vs view ``value``), with
+    tie-averaged pooled ranks carried as 2× integers.
+
+    The rank sum needs each distinct value's first pooled position —
+    the inclusive running count from the bucketed scan minus the tie
+    size — so ``U·2 = Σ c₁·(2p+c−1) − n₁(n₁+1)`` is exact; the normal
+    z-score (no tie correction, identical formula both engines) is the
+    single final float.  Plan mirrors q_stat_ks.
+    """
+    pv = _two_sample(spark, sf_dir)
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+        order_cols=[F.col("value")],
+        sums={"cum_t": F.col("ct")},
+    )
+    tot = pv.agg(
+        F.sum("c1t").alias("n1"),
+        (F.sum("ct") - F.sum("c1t")).alias("n2"),
+    )
+    ranks = cum.agg(
+        F.sum(
+            F.col("c1t")
+            * (2 * (F.col("cum_t") - F.col("ct") + 1) + F.col("ct") - 1)
+        ).alias("r1_2")
+    )
+    return ranks.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_2"),
+        F.round(
+            (
+                (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast(
+                    "double"
+                )
+                - F.col("n1") * F.col("n2")
+            )
+            / (
+                2
+                * F.sqrt(
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    * (F.col("n1") + F.col("n2") + 1)
+                    / 12
+                )
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "q_corr_spearman",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS cnt,
+               count(DISTINCT user_id) AS du
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT event_type,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY cnt)
+                 + count(*) OVER (PARTITION BY event_type, cnt) - 1 AS x2,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY du)
+                 + count(*) OVER (PARTITION BY event_type, du) - 1 AS y2
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(x2) AS BIGINT) AS sx,
+               CAST(sum(y2) AS BIGINT) AS sy,
+               CAST(sum(x2 * x2) AS BIGINT) AS sxx,
+               CAST(sum(y2 * y2) AS BIGINT) AS syy,
+               CAST(sum(x2 * y2) AS BIGINT) AS sxy
+        FROM rk GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS rho
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation, per event type, between daily event
+    volume and daily distinct users.
+
+    Pearson-on-ranks with tie-averaged ranks as 2× integers (2·rank +
+    tie−1); all five moment sums are exact BIGINT aggregates over the
+    bounded per-type day series, and ρ is one final float expression
+    (doubles entering the products BEFORE multiplication — n·Sxx·n·Syy
+    would overflow BIGINT).  The ranking windows partition by
+    event_type, whose row count is bounded by the calendar, not the
+    event volume — scale-safe by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("du"),
+    )
+    rk = daily.select(
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("event_type").orderBy("cnt"))
+            + F.count("*").over(Window.partitionBy("event_type", "cnt"))
+            - 1
+        ).alias("x2"),
+        (
+            2 * F.rank().over(Window.partitionBy("event_type").orderBy("du"))
+            + F.count("*").over(Window.partitionBy("event_type", "du"))
+            - 1
+        ).alias("y2"),
+    )
+    sums = rk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x2").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum(F.col("x2") * F.col("y2")).alias("sxy"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * (
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("rho"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_stat_chisq",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+          FROM cells GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells)
+    SELECT cells.event_type, CAST(cells.dow AS INT) AS dow,
+           CAST(o AS BIGINT) AS observed,
+           round(CAST(rt AS DOUBLE) * ct / nt, 4) AS expected,
+           round(
+               (o - CAST(rt AS DOUBLE) * ct / nt)
+               * (o - CAST(rt AS DOUBLE) * ct / nt)
+               / (CAST(rt AS DOUBLE) * ct / nt), 4) AS contrib
+    FROM cells
+    JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    ORDER BY event_type, dow
+    """,
+)
+def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence table for event_type × day-of-week: observed
+    count, expected count under independence, and the per-cell χ²
+    contribution.
+
+    The cell table (|types|·7 rows) is emitted instead of the summed
+    statistic — summing ~35 per-cell doubles is engine-order-dependent,
+    while each cell's E = R·C/N and (O−E)²/E are single float
+    expressions on exact integers (R, C, N via broadcast joins onto the
+    cell aggregate).  Spark ``dayofweek`` (Sunday=1) ≡ DuckDB
+    ``dayofweek + 1``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    c = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("nt"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("nt")
+    return (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 4).alias(
+                "contrib"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    WITH uc AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, user_id, cnt,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY cnt DESC, user_id ASC) AS rn
+        FROM uc
+    )
+    SELECT event_type,
+           CAST(user_id AS BIGINT) AS top_user,
+           CAST(cnt AS BIGINT) AS top_cnt
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG MAX as a pure aggregate: the most active user per event
+    type, ties broken to the smallest user_id.
+
+    Spark side uses ``max(struct(cnt, -user_id))`` — a single two-phase
+    hash aggregate (partial max per map task, no window, no sort),
+    which is the shape ``max_by`` cannot guarantee under ties.  The
+    oracle states the same contract as a row_number pick.  At any scale
+    this is two keyed aggregates with map-side combine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    return (
+        uc.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    (-F.col("user_id")).alias("nu"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            (-F.col("m.nu")).cast("long").alias("top_user"),
+            F.col("m.c").cast("long").alias("top_cnt"),
+        )
+        .orderBy("event_type")
+    )
