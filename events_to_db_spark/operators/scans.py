@@ -108,3 +108,90 @@ def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderpriority
         """
     )
+
+
+def _materialize(spark: SparkSession, sf_dir: str, tag: str, writer) -> str:
+    """Write-once materialization of a derived source layout under /tmp,
+    keyed by scale factor.  ``writer(df_dict, path)`` runs only when the
+    layout is absent (missing Spark ``_SUCCESS`` marker), so repeated
+    contract runs read, not rewrite.  On a cluster this corresponds to
+    the one-time ingest/ETL step that lays data out for later scans."""
+    import os
+
+    base = os.path.join(
+        "/tmp", "sparkgraft_layouts", os.path.basename(sf_dir.rstrip("/")), tag
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        writer(base)
+    return base
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip: customers written once as headered CSV,
+    read back through an explicit schema (no inference job), then
+    aggregated.  Spark's CSV writer emits Java ``Double.toString``
+    shortest-round-trip literals, so the DOUBLE column survives the
+    text hop bit-exactly and the aggregate hash-matches the Parquet
+    oracle.  At scale the explicit schema matters twice: it skips the
+    full-scan inference pass and keeps the reader vectorized."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _materialize(
+        spark,
+        sf_dir,
+        "customer_csv",
+        lambda p: cust.write.mode("overwrite").option("header", "true").csv(p),
+    )
+    schema = (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+    )
+
+
+@query(
+    "q_scan_partitioned",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_v
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: events written once partitioned by
+    ``event_type``, then scanned with a partition-key predicate.  The
+    physical plan carries the predicate as ``PartitionFilters`` — the
+    scan lists ONE directory and reads ~1/5 of the bytes, no row-level
+    filtering at all.  This is the 100 TB layout decision in miniature:
+    partition by the high-selectivity categorical, prune at planning
+    time, let min/max stats handle the rest."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _materialize(
+        spark,
+        sf_dir,
+        "events_by_type",
+        lambda p: ev.write.mode("overwrite").partitionBy("event_type").parquet(p),
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+    )

@@ -134,3 +134,49 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 4).alias("total"),
         F.round(F.avg("v"), 4).alias("mean"),
     )
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    WITH d AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, count(*) AS surplus FROM d GROUP BY user_id
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each user_id survives
+    max(clicks − views, 0) times — the multiset difference that
+    DISTINCT-based EXCEPT cannot express.  Spark ``exceptAll`` lowers
+    to a count-difference aggregate + generate (no join explosion);
+    the surviving bag is re-aggregated to (user, surplus)."""
+    c = _typed(spark, sf_dir, "click").select("user_id")
+    v = _typed(spark, sf_dir, "view").select("user_id")
+    return c.exceptAll(v).groupBy("user_id").agg(
+        F.count("*").alias("surplus")
+    )
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    WITH d AS (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT user_id, count(*) AS common FROM d GROUP BY user_id
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each user_id survives
+    min(purchases, errors) times.  Spark ``intersectAll`` is the
+    min-of-counts aggregate; re-aggregated to (user, common)."""
+    p = _typed(spark, sf_dir, "purchase").select("user_id")
+    e = _typed(spark, sf_dir, "error").select("user_id")
+    return p.intersectAll(e).groupBy("user_id").agg(
+        F.count("*").alias("common")
+    )

@@ -103,3 +103,39 @@ def test_decimal_agg_two_phase(spark):
     """Exact decimal sums still partial-aggregate (map-side combine)."""
     plan = _q(spark, "q_fn_decimal")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_partitioned_scan_prunes_at_planning_time(spark):
+    plan = (
+        _q(spark, "q_scan_partitioned")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_line = next(
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    )
+    # the partition-key predicate must be a PartitionFilter (directory
+    # pruning), leaving no row-level DataFilters at all
+    assert "PartitionFilters: [isnotnull(event_type" in scan_line
+    assert "DataFilters: []" in scan_line
+
+
+def test_exceptall_is_aggregate_not_join_explosion(spark):
+    # Spark lowers EXCEPT ALL to a union + count-diff aggregate +
+    # generate; a SortMergeJoin/CartesianProduct here would be the wrong
+    # (quadratic-ish) plan
+    assert_no_cartesian(_q(spark, "q_except_all"))
+    assert_no_cartesian(_q(spark, "q_intersect_all"))
+
+
+def test_stats_tests_avoid_global_windows(spark):
+    # KS / MWU rank scans must go through the bucketed two-level prefix
+    # scan: every WindowExec must carry a partition key
+    for name in ("q_stat_ks", "q_stat_mannwhitney"):
+        plan = (
+            _q(spark, name)._jdf.queryExecution().executedPlan().toString()
+        )
+        for ln in plan.splitlines():
+            if "Window " in ln or "RunningWindowFunction" in ln:
+                assert "partitionBy=[]" not in ln.replace(" ", "")
