@@ -160,3 +160,109 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("rank_scaled"),
         F.round(F.col("r") / F.lit(1000000000000.0), 6).alias("pagerank"),
     )
+
+
+_BFS_ITERS = 4
+_BFS_INF = 999
+
+
+def _bfs_oracle(iters: int = _BFS_ITERS) -> str:
+    """Unrolled min-plus relaxation — one CTE per BFS round."""
+    parts = [
+        f"""
+    WITH edges AS (
+        SELECT DISTINCT prev AS src, event_type AS dst
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NOT NULL
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    d0 AS (
+        SELECT node,
+               CASE WHEN node = 'signup' THEN 0 ELSE {_BFS_INF} END AS d
+        FROM nodes
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f"""
+    d{i} AS (
+        SELECT p.node, least(p.d, coalesce(min(q.d + 1), {_BFS_INF})) AS d
+        FROM {prev} p
+        LEFT JOIN edges e ON e.dst = p.node
+        LEFT JOIN {prev} q ON q.node = e.src
+        GROUP BY p.node, p.d
+    )"""
+        )
+    body = ",".join(parts)
+    return f"""{body}
+    SELECT node AS event_type,
+           CAST(CASE WHEN d >= {_BFS_INF} THEN NULL ELSE d END AS INT)
+               AS hops
+    FROM d{iters}
+    ORDER BY event_type
+    """
+
+
+@query("q_graph_bfs", oracle=_bfs_oracle())
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the 'signup' state over the event-type
+    transition graph — the min-plus fixed-iteration twin of
+    :func:`q_graph_pagerank` (integer distances, so no fixed-point
+    scaling is even needed).
+
+    Each round relaxes every node against its in-edges: one broadcast
+    join + one keyed min aggregate; {n} unrolled rounds bound the
+    frontier depth (graph diameter ≤ |event types|).  Unreached nodes
+    surface as NULL, not a sentinel.  The same loop shape runs with
+    |V| in the billions — per round only DataFrame ops, no driver
+    materialization.
+    """.format(n=_BFS_ITERS)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .distinct()
+        .cache()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == "signup", 0)
+        .otherwise(_BFS_INF)
+        .alias("d"),
+    )
+    for _ in range(_BFS_ITERS):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("d") + 1).alias("dr"))
+        )
+        dist = (
+            dist.join(
+                F.broadcast(relaxed), dist.node == relaxed.dst, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("d"), F.coalesce(F.col("dr"), F.lit(_BFS_INF))
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.col("node").alias("event_type"),
+        F.when(F.col("d") >= _BFS_INF, F.lit(None))
+        .otherwise(F.col("d"))
+        .cast("int")
+        .alias("hops"),
+    ).orderBy("event_type")

@@ -222,3 +222,41 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.expr(_SPARK_PCT) < rate, 1).otherwise(0)
         ).alias("n_kept"),
     )
+
+
+_SPARK_FOLD = (
+    "pmod(cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15),"
+    " 16, 10) as bigint), 5)"
+)
+_DUCK_FOLD = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5)"
+
+
+@query(
+    "q_split_kfold",
+    oracle=f"""
+    SELECT {_DUCK_FOLD} AS fold,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by key hash: every engine and
+    every rerun places each doc_id in the same fold, so fold-held-out
+    training jobs are reproducible and joinable.  The per-fold profile
+    (count, language coverage, char mass) is what a pipeline audits
+    before trusting the folds are balanced.  One hash aggregate; the
+    fold expression composes with any downstream filter pushdown."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.expr(_SPARK_FOLD).alias("fold"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("fold")
+    )
