@@ -675,3 +675,263 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(tri).cast("long").alias("n_triangles"),
         F.round(F.lit(3.0) * F.lit(tri) / F.col("w"), 4).alias("clustering"),
     )
+
+
+@query(
+    "q_win_volatility",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    frames AS (
+        SELECT event_type, day, cents,
+               count(*) OVER w AS n,
+               CAST(sum(cents) OVER w AS BIGINT) AS sx,
+               CAST(sum(cents * cents) OVER w AS BIGINT) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+           CAST(n AS BIGINT) AS n_days,
+           round(CASE WHEN n > 1 THEN
+               sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    / (CAST(n AS DOUBLE) * (n - 1))) / 100
+           END, 4) AS vol_7d
+    FROM frames
+    ORDER BY event_type, day
+    """,
+)
+def q_win_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day volatility (sample stddev) of daily revenue per
+    event type, computed on exact integer cents.
+
+    ``value`` is 2-decimal by construction, so ``round(value·100)`` is
+    an exact BIGINT and the frame's Σx/Σx² are exact — the only float
+    is the final √ on identical integers (doubles enter *before* the
+    n·Σxx product, which would pass 2⁶³ on a large corpus).  Contrast
+    with a naive ``stddev() OVER w``: engine-private accumulation order
+    makes that unhashable across engines.  Plan: one keyed daily agg,
+    one calendar-bounded frame window per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    frames = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("sxx"),
+    )
+    return frames.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                F.sqrt(
+                    (
+                        F.col("n").cast("double") * F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+                / 100,
+            ),
+            4,
+        ).alias("vol_7d"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "q_agg_covar",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM m GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / 100, 6) AS covar_samp
+    FROM s ORDER BY event_type
+    """,
+)
+def q_agg_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance between event value (exact cents) and
+    hour-of-day, per event type — assembled from exact BIGINT moment
+    sums instead of the engine-private ``covar_samp`` accumulator, so
+    the result value-hashes across engines.  Doubles enter only in the
+    single final expression (the n·Σxy product stays BIGINT-safe per
+    type up to ~10⁹ rows·type; beyond that promote to DECIMAL(38,0)).
+    One two-phase hash aggregate, map-side partials, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    s = m.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+            / 100,
+            6,
+        ).alias("covar_samp"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_ev_ratelimit",
+    oracle="""
+    WITH per_min AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    peak AS (
+        SELECT user_id,
+               max(n) AS peak_per_min,
+               count(*) AS active_minutes,
+               CAST(sum(n) AS BIGINT) AS total
+        FROM per_min GROUP BY 1
+    )
+    SELECT user_id, CAST(peak_per_min AS BIGINT) AS peak_per_min,
+           CAST(active_minutes AS BIGINT) AS active_minutes,
+           total
+    FROM peak
+    WHERE peak_per_min >= 2
+    ORDER BY peak_per_min DESC, user_id
+    """,
+)
+def q_ev_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / abuse sweep: users whose peak per-minute event rate
+    reaches the throttle threshold (≥2), with their activity profile —
+    the fraud-ops query every ingest pipeline runs on the copied log.
+
+    Two keyed aggregates (user×minute, then user) with map-side
+    combine; the minute bucket is ``date_trunc``, identical in both
+    engines under the UTC session timezone.  At 100 TB both shuffles
+    are keyed and combine-heavy — no windows, no skew (user×minute
+    keys are near-unique).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("n"))
+    peak = per_min.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_min"),
+        F.count("*").alias("active_minutes"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    return (
+        peak.where(F.col("peak_per_min") >= 2)
+        .select(
+            "user_id",
+            F.col("peak_per_min").cast("long").alias("peak_per_min"),
+            F.col("active_minutes").cast("long").alias("active_minutes"),
+            "total",
+        )
+        .orderBy(F.col("peak_per_min").desc(), "user_id")
+    )
+
+
+@query(
+    "q_ev_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+        FROM events GROUP BY 1
+    ),
+    gaps AS (
+        SELECT CAST((epoch_us(t_purch) - epoch_us(t_signup)) // 1000000
+                    AS BIGINT) AS gap_s
+        FROM firsts
+        WHERE t_signup IS NOT NULL AND t_purch IS NOT NULL
+          AND t_purch >= t_signup
+    )
+    SELECT count(*) AS n_converted,
+           CAST(min(gap_s) AS BIGINT) AS min_s,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM gaps
+    """,
+)
+def q_ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency distribution: per-user
+    first-event reduction (conditional min — one hash aggregate, the
+    scalable alternative to a sorted window), then exact-integer second
+    gaps summarized at min/p50/p90/max.
+
+    ``percentile(gap, p)`` and DuckDB ``quantile_cont`` share the same
+    linear-interpolation definition on exact BIGINT inputs, so the
+    quantiles hash-match (precedent: q_agg_q1).  Both aggregates are
+    two-phase; nothing is ordered globally.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purch"),
+    )
+    gaps = firsts.where(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purch").isNotNull()
+        & (F.col("t_purch") >= F.col("t_signup"))
+    ).select(
+        # integer div, not float: a double quotient of ~1e12 µs loses
+        # the seconds digit and truncates off-by-one vs the oracle
+        F.expr(
+            "(unix_micros(t_purch) - unix_micros(t_signup)) div 1000000"
+        ).alias("gap_s")
+    )
+    return gaps.agg(
+        F.count("*").alias("n_converted"),
+        F.min("gap_s").cast("long").alias("min_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )
