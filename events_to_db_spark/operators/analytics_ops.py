@@ -935,3 +935,189 @@ def q_ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_s"),
         F.max("gap_s").cast("long").alias("max_s"),
     )
+
+
+@query(
+    "q_ev_jaccard_types",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 4)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = inter.type_a
+    JOIN sizes sb ON sb.event_type = inter.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_ev_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user
+    sets of every event-type pair — the segment-overlap question
+    behind campaign planning and cohort design.
+
+    Intersections come from a self-equi-join on ``user_id`` whose
+    per-user fan-out is bounded by (types-per-user choose 2) ≤ 10 —
+    never an all-pairs cross of users; unions are derived as
+    |A|+|B|−|A∩B| from exact counts, so the only float is the final
+    per-pair division.  One user-keyed shuffle + two broadcast joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_ev_stickiness",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM user_days),
+    dau AS (SELECT d, count(*) AS dau FROM user_days GROUP BY 1),
+    wau AS (
+        SELECT w_end, count(DISTINCT user_id) AS wau
+        FROM (
+            SELECT user_id, d + CAST(g.x AS INTEGER) AS w_end
+            FROM user_days,
+                 (SELECT unnest(generate_series(0, 6)) AS x) g
+        ), span
+        WHERE w_end BETWEEN span.lo AND span.hi
+        GROUP BY 1
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS d,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON wau.w_end = dau.d
+    ORDER BY dau.d
+    """,
+)
+def q_ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — how much of the weekly audience
+    shows up daily.  Reuses the scalable WAU shape (user-day dedup →
+    7× explode contribution → per-day distinct count; shuffle volume
+    7·|user-days| regardless of event volume) joined back to the plain
+    DAU aggregate; the ratio is the single final float.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    span = user_days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dau = user_days.groupBy("d").agg(F.count("*").alias("dau"))
+    wau = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("w_end"),
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("w_end").between(F.col("lo"), F.col("hi")))
+        .groupBy("w_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.w_end)
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_ev_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 AS e1, p1 AS e2, event_type AS e3, count(*) AS n
+    FROM seq
+    WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 15
+    """,
+)
+def q_ev_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-event behavioral sequences (consecutive per user in
+    (ts, event_id) order) — the sequence-mining primitive one level up
+    from q_ev_transitions' bigrams; feeds funnel discovery and
+    next-action models.
+
+    One user-keyed window shuffle produces both lags; the trigram count
+    is a combine-heavy hash aggregate over a ≤|types|³ keyspace and the
+    top-k is TakeOrderedAndProject with a full lexicographic tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e3"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.lag("event_type", 2).over(w).alias("e1"),
+    )
+    return (
+        seq.where(F.col("e1").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(15)
+    )
