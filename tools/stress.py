@@ -211,6 +211,36 @@ def main() -> None:
         .count(),
     )
 
+    # two-sample CDF scan (KS/MWU shape): per-distinct-value agg +
+    # bucketed global prefix sums — the windowless global-order path
+    from events_to_db_spark.plans.prefix import bucketed_running_sum
+
+    def _ks_run():
+        pv = (
+            ev.where(F.col("event_type").isin("purchase", "view"))
+            .select(
+                "value",
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("g1"),
+            )
+            .groupBy("value")
+            .agg(F.count("*").alias("ct"), F.sum("g1").alias("c1t"))
+        )
+        cum = bucketed_running_sum(
+            pv,
+            bucket=F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+            order_cols=[F.col("value")],
+            sums={"cum_t": F.col("ct"), "cum_1": F.col("c1t")},
+        )
+        return cum.agg(
+            F.max(
+                F.abs(F.col("cum_1") * 2 - F.col("cum_t"))
+            )
+        ).collect()
+
+    timed("ks two-sample CDF scan", n, _ks_run)
+
     # cosine kernel: big query side vs broadcast reference
     import numpy as np
 
