@@ -1121,3 +1121,169 @@ def q_ev_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(15)
     )
+
+
+@query(
+    "q_ev_dwell",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) // 1000000 AS dwell_s
+        FROM events
+    )
+    SELECT event_type,
+           count(dwell_s) AS n_gaps,
+           CAST(sum(dwell_s) AS BIGINT) AS total_dwell_s,
+           round(quantile_cont(dwell_s, 0.5), 4) AS p50_s
+    FROM g
+    WHERE dwell_s IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time attribution: the time until each user's next event,
+    credited to the *current* event's type — the engagement metric
+    behind "where do users spend time".  Gaps are exact integer
+    seconds (µs integer division — float division truncates off-by-one
+    at ~1e12 µs); the per-type summary interpolates p50 on exact ints
+    (same definition both engines).  One user-keyed window shuffle,
+    then a 5-key hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(lead(ts) over (partition by user_id"
+            " order by ts, event_id)) - unix_micros(ts)) div 1000000"
+        ).alias("dwell_s"),
+    )
+    return (
+        g.where(F.col("dwell_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("dwell_s").alias("n_gaps"),
+            F.sum("dwell_s").cast("long").alias("total_dwell_s"),
+            F.round(F.expr("percentile(dwell_s, 0.5)"), 4).alias("p50_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_text_heaps",
+    oracle="""
+    WITH toks AS (
+        SELECT source, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           count(DISTINCT term) AS vocab,
+           round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6)
+               AS ttr
+    FROM toks GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth profile per source: token mass, distinct
+    vocabulary, and type-token ratio — the Heaps'-law health check a
+    curation pipeline runs to spot template-generated or truncated
+    sources (TTR collapses on boilerplate).  One explode feeding a
+    single aggregate with a distinct-count (two-phase, map-side
+    partials on (source, term)).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("term").alias("vocab"),
+            F.round(
+                F.countDistinct("term").cast("double") / F.count("*"), 6
+            ).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_ev_powerlaw",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT length(printf('%b', n)) - 1 AS log2_bucket,
+           count(*) AS n_users,
+           CAST(min(n) AS BIGINT) AS min_events,
+           CAST(max(n) AS BIGINT) AS max_events
+    FROM per_user
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity power-law histogram: users bucketed by
+    ⌊log₂(events)⌋ — the heavy-tail diagnostic behind skew planning
+    (which keys need salting).  The bucket is computed EXACTLY as
+    binary-representation length − 1 (Spark ``conv(n,10,2)``, DuckDB
+    ``printf('%%b')``) — ``floor(ln n / ln 2)`` is wrong at powers of
+    two, where the float ratio lands at 2.9999… and floors down.  Two
+    keyed aggregates, combine-heavy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return (
+        per_user.groupBy(
+            (F.length(F.conv(F.col("n"), 10, 2)) - 1)
+            .cast("long")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("n").cast("long").alias("min_events"),
+            F.max("n").cast("long").alias("max_events"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 4) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL surface: top-2
+    customers by balance per nation, expressed as the per-row
+    dependent subquery a migrating user would paste in, not a manual
+    window rewrite.  Catalyst decorrelates it into a
+    join + per-key limit (no per-row re-execution); the unique
+    (balance desc, name) tie-break keeps both engines' top-2 identical.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "lateral_nation_v"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lateral_customer_v"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, round(t.c_acctbal, 4) AS acctbal
+        FROM lateral_nation_v n,
+        LATERAL (SELECT c_name, c_acctbal FROM lateral_customer_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
