@@ -260,3 +260,35 @@ def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q_sample_topk_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample (k=100) by hash priority: order by
+    md5(key) and take k.  Unlike a fixed-RATE bucket filter
+    (q_sample_hash), this yields exactly k rows at any corpus size,
+    stays reproducible across engines/runs, and needs no count-first
+    pass.  Spark executes it as TakeOrderedAndProject — per-partition
+    k-heaps, no global sort — the only scalable exact-top-k shape.
+    md5 hex compares identically as text in both engines (lowercase
+    hex, fixed 32 chars)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("_pri"),
+        )
+        .orderBy("_pri", "doc_id")
+        .limit(100)
+        .drop("_pri")
+    )

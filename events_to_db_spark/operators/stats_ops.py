@@ -78,7 +78,7 @@ def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov distance between the ``value``
     distributions of purchase vs view events.
 
-    D = max над pooled support of |F₁(x) − F₂(x)|, carried as the exact
+    D = max over the pooled support of |F₁(x) − F₂(x)|, carried as the exact
     integer numerator ``|c₁·n₂ − c₂·n₁|`` (ties handled by evaluating
     at inclusive per-distinct-value counts); the single float division
     happens once on the final max.  The empirical-CDF prefix sums run
@@ -413,3 +413,91 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS nd,
+               CAST(sum(a.n) AS BIGINT) AS sx,
+               CAST(sum(b.n) AS BIGINT) AS sy,
+               CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+               CAST(sum(b.n * b.n) AS BIGINT) AS syy,
+               CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_days,
+           round((CAST(nd AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(nd AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(nd AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS pearson
+    FROM pairs
+    ORDER BY type_a, type_b
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) between
+    event types' daily volumes — "do errors move with clicks?".
+
+    The pair join is keyed on the calendar day (fan-out ≤ |types|² per
+    day, bounded), never on rows; the five moment sums are exact
+    BIGINTs and r is one final float per pair (doubles enter before
+    the n·Sxx products — BIGINT would overflow past ~10⁶ days·count²).
+    Same discipline as q_corr_spearman, which ranks first instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").alias("nd"),
+            F.sum("a.n").alias("sx"),
+            F.sum("b.n").alias("sy"),
+            F.sum(F.col("a.n") * F.col("a.n")).alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).alias("syy"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("nd").cast("long").alias("n_days"),
+        F.round(
+            (
+                F.col("nd").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / F.sqrt(
+                (
+                    F.col("nd").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * (
+                    F.col("nd").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("pearson"),
+    ).orderBy("type_a", "type_b")
