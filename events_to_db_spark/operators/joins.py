@@ -556,3 +556,63 @@ def q_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dist"), 4).alias("avg_dist"),
         F.round(F.min("dist"), 4).alias("min_dist"),
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join over *bucketed catalog tables* — the pre-shuffled
+    layout that makes a repeated 100 TB join shuffle-free: both sides
+    are written once with ``bucketBy(16, custkey)`` (hash-partitioned
+    at write time, bucket metadata in the catalog), so the join reads
+    bucket-aligned splits and Catalyst plans no Exchange under either
+    side (plan-asserted in tests/test_bucketing_skew.py and
+    test_plans.py; with default confs AQE may still prefer a broadcast
+    for a dim this small — equally shuffle-free).
+
+    The write-once step is the ingest-time layout decision; repeat
+    runs hit ``tableExists`` and pay zero write cost.
+    """
+    import os
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/sparkgraft_layouts/{sf_tag}/bucketed"
+    specs = {
+        f"bkt_orders_{sf_tag}": (
+            load_table(spark, sf_dir, "orders"),
+            "o_custkey",
+        ),
+        f"bkt_customer_{sf_tag}": (
+            load_table(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+    }
+    for tbl, (df, key) in specs.items():
+        if not spark.catalog.tableExists(tbl):
+            (
+                df.write.mode("overwrite")
+                .option("path", os.path.join(base, tbl))
+                .bucketBy(16, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(f"bkt_orders_{sf_tag}")
+    c = spark.table(f"bkt_customer_{sf_tag}")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -139,3 +139,20 @@ def test_stats_tests_avoid_global_windows(spark):
         for ln in plan.splitlines():
             if "Window " in ln or "RunningWindowFunction" in ln:
                 assert "partitionBy=[]" not in ln.replace(" ", "")
+
+
+def test_bucketed_contract_join_no_shuffle_exchange(spark):
+    # with broadcast disabled, the bucketed layout must carry the join
+    # with zero shuffle Exchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            _q(spark, "q_join_bucketed")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        join_section = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in join_section, join_section
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
