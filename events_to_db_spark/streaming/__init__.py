@@ -27,6 +27,7 @@ from events_to_db_spark.streaming.pipelines import (  # noqa: F401
     dedup_stream,
     latest_state_to_db,
     session_counts_stream,
+    scd2_to_db,
     signup_purchase_join_stream,
     tumbling_counts_stream,
 )

@@ -239,3 +239,31 @@ def incremental_agg_to_db(
         )
         .outputMode("update")
     )
+
+
+def scd2_to_db(
+    events: DataFrame,
+    db_path: str,
+    table: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Live SCD2 dimension maintenance: fold the event feed's
+    (user, event_type) observations into a type-2 history table — the
+    incremental twin of the batch q_ev_scd2 rebuild (equivalence- and
+    redelivery-tested in tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    obs = events.select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("seq"),
+    )
+    from events_to_db_spark.streaming.sink import scd2_foreach_batch
+
+    return (
+        obs.writeStream.foreachBatch(scd2_foreach_batch(db_path, table))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

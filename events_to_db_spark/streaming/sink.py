@@ -186,3 +186,94 @@ def additive_agg_foreach_batch(
             con.close()
 
     return write
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history sink — streaming type-2 dimension maintenance.
+#
+# The batch engine derives SCD2 history after the fact (q_ev_scd2:
+# run-collapse over the full log).  The live copy pipeline maintains the
+# same history INCREMENTALLY: each micro-batch's state observations
+# close the open interval and open a new one whenever a key's state
+# changes.  The transition rule is idempotent by construction, so
+# at-least-once micro-batch redelivery (crash between sink write and
+# checkpoint commit) converges to the same table:
+#
+#   * observation (key, state, t):
+#       - no history row yet            -> insert (state, t, NULL, current)
+#       - t <  current.valid_from       -> drop (late arrival behind the
+#         applied frontier — the watermark-late-drop semantics; the
+#         batch rebuild is the repair path, as in the reference)
+#       - state == current.state        -> no-op (run-collapse)
+#       - else                          -> close current at t, insert new
+#   * replaying a batch re-walks the same decisions against the already
+#     -advanced table: every transition lands in "no-op" or "late-drop".
+#
+# Within a batch, observations are applied per key in (ts, seq) order,
+# so intra-batch reordering by the shuffle cannot flip a transition.
+# ---------------------------------------------------------------------------
+
+
+def ensure_scd2_table(db_path: str, table: str) -> None:
+    with _connect(db_path) as con:
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}" ('
+            " key INTEGER NOT NULL,"
+            " state TEXT NOT NULL,"
+            " valid_from_us INTEGER NOT NULL,"
+            " valid_to_us INTEGER,"
+            " is_current INTEGER NOT NULL,"
+            " PRIMARY KEY (key, valid_from_us))"
+        )
+
+
+def scd2_foreach_batch(
+    db_path: str, table: str
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` writer maintaining SCD2 history.
+
+    Expects batches with columns ``(key, state, ts_us, seq)`` —
+    ``ts_us`` integer event-time micros, ``seq`` a unique tie-break
+    (event id).  Single-writer SQLite here; against a server DB the
+    same per-key transaction runs in ``foreachPartition`` after a
+    ``repartition(key)`` so each key is owned by one task.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        ensure_scd2_table(db_path, table)
+        rows = sorted(
+            (
+                (r["key"], r["state"], r["ts_us"], r["seq"])
+                for r in batch_df.toLocalIterator()
+            ),
+            key=lambda r: (r[0], r[2], r[3]),
+        )
+        with _connect(db_path) as con:
+            cur = con.cursor()
+            for key, state, ts_us, _seq in rows:
+                open_row = cur.execute(
+                    f'SELECT state, valid_from_us FROM "{table}"'
+                    " WHERE key = ? AND is_current = 1",
+                    (key,),
+                ).fetchone()
+                if open_row is None:
+                    cur.execute(
+                        f'INSERT OR IGNORE INTO "{table}" VALUES (?,?,?,NULL,1)',
+                        (key, state, ts_us),
+                    )
+                    continue
+                cur_state, cur_from = open_row
+                if ts_us < cur_from or state == cur_state:
+                    continue  # late-drop / run-collapse: idempotent no-ops
+                cur.execute(
+                    f'UPDATE "{table}" SET valid_to_us = ?, is_current = 0'
+                    " WHERE key = ? AND is_current = 1",
+                    (ts_us, key),
+                )
+                cur.execute(
+                    f'INSERT INTO "{table}" VALUES (?,?,?,NULL,1)',
+                    (key, state, ts_us),
+                )
+            con.commit()
+
+    return write
