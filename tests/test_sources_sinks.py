@@ -94,3 +94,45 @@ def test_batch_upsert_updates_changed_rows(spark, tmp_path):
     state = read_sink_table(db, "nation")
     assert len(state) == src.count()
     assert state.set_index("n_nationkey").loc[0, "n_name"] == "RENAMED"
+
+
+def test_compaction_preserves_rows_and_shrinks_file_count(spark, tmp_path):
+    """64 tiny files -> few target-sized files, byte-identical content
+    (count + per-row hash), source left untouched."""
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.session import load_table
+    from events_to_db_spark.sources.compaction import (
+        compact,
+        dir_bytes,
+        n_data_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(64).write.parquet(src)
+    assert n_data_files(src) == 64
+
+    n = compact(spark, src, dst, target_bytes=dir_bytes(src) // 2)
+    assert n == 2
+    assert n_data_files(dst) <= 4  # ~target-sized, far from 64
+
+    def sig(path):
+        df = spark.read.parquet(path)
+        return (
+            df.count(),
+            df.agg(
+                # xor-fold: order-independent and cannot overflow (a
+                # SUM of 64-bit hashes trips ANSI overflow)
+                F.expr(
+                    "bit_xor(xxhash64("
+                    + ", ".join(sorted(df.columns))
+                    + "))"
+                ).alias("h")
+            ).collect()[0]["h"],
+        )
+
+    assert sig(src) == sig(dst)
+    assert n_data_files(src) == 64  # source untouched
