@@ -1287,3 +1287,133 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
         """
     )
+
+
+@query(
+    "q_ev_bounce",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    ),
+    per_sess AS (
+        SELECT user_id, sid,
+               CAST(min(ts) AS DATE) AS day,
+               count(*) AS n_events
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS bounce_rate
+    FROM per_sess GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-min-gap sessions containing
+    exactly one event, keyed to the session's start day — the
+    engagement-quality metric next to q_ev_session's volume counts.
+
+    Spark side uses the native ``session_window`` (streaming-capable,
+    one user_id shuffle); the oracle expresses the identical gap>30min
+    session semantics via the lag+running-sum rewrite.  The tie at a
+    gap of exactly 30:00 follows session_window's merge (≤ boundary),
+    mirrored in the oracle with a strict ``>`` split.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"), F.min("ts").alias("s_start"))
+    return (
+        per_sess.groupBy(
+            F.date_format(F.col("s_start").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounce"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_events") == 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_ev_entry_exit",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    ),
+    ee AS (
+        SELECT user_id, sid,
+               first(event_type ORDER BY ts, event_id) AS entry,
+               last(event_type ORDER BY ts, event_id) AS exit
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT entry, exit, count(*) AS n_sessions
+    FROM ee GROUP BY 1, 2
+    ORDER BY n_sessions DESC, entry, exit
+    LIMIT 10
+    """,
+)
+def q_ev_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 (entry → exit) event-type pairs across 30-min sessions —
+    where journeys start and where they die, the landing/exit-page
+    analysis on the event copy.
+
+    First/last per session via ``min_by/max_by`` over the unique
+    (ts, event_id) order (deterministic under ties by construction);
+    one user_id shuffle for the session window, a session-keyed
+    aggregate, then a tiny pair count + TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ee = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("entry"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("exit"),
+    )
+    return (
+        ee.groupBy("entry", "exit")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "entry", "exit")
+        .limit(10)
+    )

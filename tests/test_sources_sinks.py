@@ -136,3 +136,36 @@ def test_compaction_preserves_rows_and_shrinks_file_count(spark, tmp_path):
 
     assert sig(src) == sig(dst)
     assert n_data_files(src) == 64  # source untouched
+
+
+def test_dynamic_partition_overwrite_rewrites_only_touched_day(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: re-running one day's job replaces
+    that partition only — the idempotent daily-batch contract (static
+    mode would truncate the whole table)."""
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    tgt = str(tmp_path / "by_day")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "d", F.col("ts").cast("date").cast("string")
+    )
+    ev.write.partitionBy("d").parquet(tgt)
+    days = [r["d"] for r in ev.select("d").distinct().collect()]
+    one_day = sorted(days)[0]
+    before_total = spark.read.parquet(tgt).count()
+    day_rows = ev.where(F.col("d") == one_day)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # re-run the day with one row dropped: only that partition changes
+        day_rows.orderBy("event_id").limit(day_rows.count() - 1).write.mode(
+            "overwrite"
+        ).partitionBy("d").parquet(tgt)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    after = spark.read.parquet(tgt)
+    assert after.count() == before_total - 1
+    assert after.select("d").distinct().count() == len(days)
