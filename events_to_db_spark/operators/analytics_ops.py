@@ -1417,3 +1417,76 @@ def q_ev_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "entry", "exit")
         .limit(10)
     )
+
+
+@query(
+    "q_ev_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    cohorts AS (
+        SELECT user_id, date_trunc('week', d0) AS cohort_week
+        FROM first_seen
+    ),
+    purch AS (
+        SELECT e.user_id,
+               CAST((epoch_us(CAST(date_trunc('week', CAST(e.ts AS DATE))
+                                   AS TIMESTAMP))
+                     - epoch_us(CAST(c.cohort_week AS TIMESTAMP)))
+                    // 604800000000 AS BIGINT) AS week_idx,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           p.week_idx,
+           count(DISTINCT p.user_id) AS n_buyers,
+           CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+    FROM purch p
+    JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue (exact integer cents) by
+    first-seen week cohort × weeks-since-cohort — the money companion
+    to q_ev_cohort's retention counts; the cumulative row over
+    ``week_idx`` is each cohort's LTV curve.
+
+    Week index is an exact integer division of µs deltas between
+    week-truncated dates (identical truncation rule both engines under
+    UTC); revenue never touches floats.  Plan: first-seen reduction,
+    one broadcast-joinable cohort map (|users| rows — at larger scale
+    the join is a plain keyed shuffle), one hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.col("ts").cast("date"))).alias(
+            "cohort_week"
+        )
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "(unix_micros(date_trunc('week', cast(ts as date)))"
+                " - unix_micros(cohort_week)) div 604800000000"
+            ).alias("week_idx"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        purch.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_idx",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("cohort_week", "week_idx")
+    )

@@ -830,3 +830,66 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs_with").desc(), "gram")
         .limit(10)
     )
+
+
+@query(
+    "q_dedup_cross_source",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                   AS h,
+               source, doc_id
+        FROM documents
+    ),
+    spread AS (
+        SELECT h,
+               count(DISTINCT source) AS n_sources,
+               count(*) AS n_copies,
+               min(doc_id) AS exemplar
+        FROM fp GROUP BY 1
+    )
+    SELECT h AS text_md5, n_sources, n_copies,
+           CAST(exemplar AS BIGINT) AS exemplar
+    FROM spread
+    WHERE n_sources > 1
+    ORDER BY n_copies DESC, text_md5
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-prefix sweep: documents whose first-8-token
+    fingerprint appears under more than one source — the syndicated
+    header / boilerplate-preamble leak a curation pipeline must catch
+    BEFORE per-source dedup (it inflates a source's apparent
+    originality and leaks eval data between splits drawn by source).
+    Full-text md5 is the strict variant; the 8-token prefix is the
+    boilerplate-sensitive one (this corpus has no byte-exact
+    cross-source copies but plenty of shared openings).
+
+    One hash aggregate over (md5, source) partials; fingerprints are
+    computed engine-side (identical lowercase hex), no text shuffled —
+    only 32-byte hashes move.  Exemplar = min doc_id for determinism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("h"),
+        "source",
+        "doc_id",
+    )
+    return (
+        fp.groupBy("h")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("exemplar"),
+        )
+        .where(F.col("n_sources") > 1)
+        .select(
+            F.col("h").alias("text_md5"),
+            "n_sources",
+            "n_copies",
+            "exemplar",
+        )
+        .orderBy(F.col("n_copies").desc(), "text_md5")
+    )
