@@ -195,3 +195,37 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_v"),
         )
     )
+
+
+@query(
+    "q_aql_pipeline",
+    oracle="""
+    SELECT round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+               AS total_k,
+           count(*) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 40
+    """,
+)
+def q_aql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's query-language surface end-to-end: an AQL
+    pipeline string (``FROM`` tag expression, ``FILTER`` on the
+    dynamic payload, ``AGGREGATE`` fold) compiled by
+    functions/aql.py into the same Catalyst plan the DataFrame API
+    would build — tag predicate as ``array_contains`` (pushdown-
+    eligible), payload paths as ``get_json_object`` + ``try_cast``.
+    The oracle states the identical semantics in SQL.  Lifecycle
+    path 3 next to the DataFrame (path 1) and SQL-text (path 2)
+    entries."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    total = run_aql(
+        ev, "FROM 'type:purchase' FILTER _.k > 40 AGGREGATE SUM(_.k)"
+    ).select(F.round(F.col("value"), 4).alias("total_k"))
+    n = run_aql(
+        ev, "FROM 'type:purchase' FILTER _.k > 40 AGGREGATE COUNT()"
+    ).select(F.col("value").alias("n"))
+    return total.crossJoin(n)

@@ -1,0 +1,126 @@
+"""AQL front-end tests (SURVEY.md §1.3): every pipeline string is
+checked for EQUIVALENCE against the hand-written DataFrame plan it
+must compile to — same discipline as the streaming twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from events_to_db_spark.functions.aql import parse_aql, run_aql
+from events_to_db_spark.functions.tags import with_tags
+from events_to_db_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    return with_tags(load_table(spark, SF_SMOKE, "events")).cache()
+
+
+def _k(col="props"):
+    return F.get_json_object(col, "$.k").try_cast("double")
+
+
+def test_from_filter_select(spark, tagged):
+    got = run_aql(
+        tagged, "FROM 'type:purchase' FILTER _.k > 50 SELECT _.k * 2"
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:purchase"))
+        .filter(_k() > 50)
+        .select("ts", "event_id", (_k() * 2).alias("value"))
+    )
+    assert sorted(r["value"] for r in got.collect()) == sorted(
+        r["value"] for r in want.collect()
+    )
+    assert got.count() > 0
+
+
+def test_tag_conjunction_and_negation(spark, tagged):
+    got = run_aql(tagged, "FROM 'cat:conversion' & !'type:signup' SELECT _.k")
+    want = tagged.filter(
+        F.array_contains("tags", "cat:conversion")
+        & ~F.array_contains("tags", "type:signup")
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_aggregate_sum_and_count(spark, tagged):
+    got = run_aql(
+        tagged, "FROM 'type:error' AGGREGATE SUM(_.k) / COUNT()"
+    ).collect()[0]["value"]
+    errs = tagged.filter(F.array_contains("tags", "type:error"))
+    want = errs.agg(
+        (F.sum(_k()) / F.count(F.lit(1))).alias("v")
+    ).collect()[0]["v"]
+    assert got == pytest.approx(want)
+
+
+def test_first_last_follow_event_order(spark, tagged):
+    got = run_aql(
+        tagged, "FROM 'type:click' AGGREGATE LAST(_.k) - FIRST(_.k)"
+    ).collect()[0]["value"]
+    clicks = tagged.filter(F.array_contains("tags", "type:click"))
+    o = F.struct("ts", "event_id")
+    want = clicks.agg(
+        (
+            F.max_by(_k(), o).try_cast("double")
+            - F.min_by(_k(), o).try_cast("double")
+        ).alias("v")
+    ).collect()[0]["v"]
+    assert got == pytest.approx(want)
+
+
+def test_case_endcase(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM allEvents SELECT CASE WHEN _.k >= 50 THEN 'hi'"
+        " ELSE 'lo' ENDCASE",
+    )
+    hi = sum(1 for r in got.collect() if r["value"] == "hi")
+    want = tagged.filter(_k() >= 50).count()
+    assert hi == want
+
+
+def test_limit_is_event_ordered_prefix(spark, tagged):
+    # a bare path in SELECT stays dynamically typed (raw JSON text)
+    got = run_aql(tagged, "FROM allEvents SELECT _.k LIMIT 5").collect()
+    want = (
+        tagged.orderBy("ts", "event_id")
+        .select(F.get_json_object("props", "$.k").alias("value"))
+        .limit(5)
+        .collect()
+    )
+    assert [r["value"] for r in got] == [r["value"] for r in want]
+
+
+def test_filter_boolean_algebra_and_string_compare(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM allEvents FILTER (_.k < 10 | _.k > 90) & _.k != 95 SELECT _.k",
+    )
+    k = _k()
+    want = tagged.filter(((k < 10) | (k > 90)) & (k != 95))
+    assert got.count() == want.count() > 0
+
+
+def test_tag_predicate_reaches_scan_as_filter(spark, tagged):
+    # the FROM tag expression must compile to a plain Catalyst
+    # predicate (array_contains), not a UDF — visible in the plan
+    df = run_aql(tagged, "FROM 'type:purchase' SELECT _.k")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_contains" in plan
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_parse_errors_are_loud(spark, tagged):
+    for bad in (
+        "FILTER _.k > 1",  # missing FROM
+        "FROM 'a' LIMIT x",  # bad limit
+        "FROM 'a' FILTER CASE WHEN _.k THEN 2",  # unclosed CASE
+        "FROM 'a' AGGREGATE _.k",  # AGGREGATE without aggregate fn
+        "FROM 'a' FILTER _.k > > 1",  # mangled expression
+    ):
+        with pytest.raises(ValueError):
+            run_aql(tagged, bad)
