@@ -1490,3 +1490,188 @@ def q_ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_idx")
     )
+
+
+@query(
+    "q_ev_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               event_id - row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS grp
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, grp,
+               count(*) AS len,
+               min(event_id) AS first_id
+        FROM seq GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest,
+           CAST(min(first_id) AS BIGINT) AS first_event
+    FROM islands
+    GROUP BY 1
+    HAVING max(len) >= 2
+    ORDER BY longest DESC, user_id
+    """,
+)
+def q_ev_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of *consecutive global event ids*
+    per user (bursts where the user owned the stream), via the classic
+    ``id − row_number()`` grouping key — constant within an island,
+    distinct across islands.
+
+    Users whose longest island ≥ 2 are reported.  One user-keyed
+    window shuffle + two hash aggregates; the island key is pure
+    integer arithmetic, so no sort beyond the windowed partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    islands = seq.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("event_id").alias("first_id")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("len").cast("long").alias("longest"),
+            F.min("first_id").cast("long").alias("first_event"),
+        )
+        .where(F.col("longest") >= 2)
+        .orderBy(F.col("longest").desc(), "user_id")
+    )
+
+
+@query(
+    "q_ev_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts AS t_ts, event_type AS touch
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT p.p_id, t.touch
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL 1 DAY
+    ),
+    sized AS (
+        SELECT p_id, touch, n_of_type,
+               sum(n_of_type) OVER (PARTITION BY p_id) AS n_touches
+        FROM (SELECT p_id, touch, count(*) AS n_of_type
+              FROM pairs GROUP BY p_id, touch)
+    )
+    SELECT touch,
+           CAST(sum((1000000 * n_of_type) // n_touches) AS BIGINT)
+               AS credit_millionths,
+           count(DISTINCT p_id) AS n_purchases_touched
+    FROM sized
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: every purchase
+    divides one unit of credit equally across its preceding 24 h of
+    non-purchase touches — the fractional-credit counterpart of
+    q_ev_attribution's last-touch rule.
+
+    Credits are exact integer *millionths* (1e6 ``div`` touches —
+    floor; the ≤1e-6 remainder per purchase is part of the spec and
+    identical in both engines), so per-channel sums are exact BIGINTs.
+    The touch join is a user-keyed band join (bounded 24 h window),
+    then per-purchase sizing via one purchase-keyed window over the
+    per-(purchase, type) aggregate — never over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("touch")
+    )
+    pairs = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (touches.t_ts < purchases.p_ts)
+        & (touches.t_ts >= purchases.p_ts - F.expr("INTERVAL 1 DAY")),
+    ).select("p_id", "touch")
+    per_type = pairs.groupBy("p_id", "touch").agg(
+        F.count("*").alias("n_of_type")
+    )
+    sized = per_type.withColumn(
+        "n_touches",
+        F.sum("n_of_type").over(Window.partitionBy("p_id")),
+    )
+    return (
+        sized.groupBy("touch")
+        .agg(
+            F.sum(
+                F.expr("(1000000 * n_of_type) div n_touches")
+            )
+            .cast("long")
+            .alias("credit_millionths"),
+            F.countDistinct("p_id").alias("n_purchases_touched"),
+        )
+        .orderBy("touch")
+    )
+
+
+@query(
+    "q_rollup_geo",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_bal,
+           CAST(grouping(r.r_name) AS INT) AS g_region,
+           CAST(grouping(n.n_name) AS INT) AS g_nation
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def q_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography-hierarchy ROLLUP over a joined dimension chain
+    (region → nation → customer): per-nation, per-region subtotals and
+    the grand total in one pass — the join+rollup combination the
+    plain single-table rollup query doesn't exercise.
+
+    Both dims broadcast onto the customer scan (two BroadcastHashJoins,
+    zero pre-agg exchanges); the rollup itself is Catalyst's Expand +
+    two-phase aggregate.  ``grouping()`` markers disambiguate real
+    NULLs from subtotal rows, same contract as q_agg_rollup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), n.n_nationkey == c.c_nationkey
+    ).join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .orderBy(
+            "g_region",
+            "g_nation",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
