@@ -64,7 +64,7 @@ _TOKEN_RE = re.compile(
       | '(?P<str>(?:[^'\\]|\\.)*)'
       | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
       | (?P<word>[A-Za-z][A-Za-z_0-9]*)
-      | (?P<op><=|>=|!=|[-+*/%=<>()!&|,])
+      | (?P<op><=|>=|!=|[-+*/%=<>()!&|,{}:])
     )""",
     re.VERBOSE,
 )
@@ -409,6 +409,33 @@ def run_aql(
         return out.limit(q.limit_n) if q.limit_n is not None else out
     if q.select_toks is not None:
         p = _ExprParser(list(q.select_toks), payload_col, order_cols)
+        # AQL object construction `{ name: expr, ... }` — flattened to
+        # one output column per field (objects don't nest here;
+        # documented subset)
+        if p.at_op("{"):
+            p.take()
+            cols: list[Column] = []
+            while True:
+                name_tok = p.take()
+                if name_tok.kind not in ("word", "str"):
+                    raise ValueError("AQL: object field name expected")
+                if not p.at_op(":"):
+                    raise ValueError("AQL: object field needs ':'")
+                p.take()
+                cols.append(p.expr().col.alias(name_tok.text))
+                if p.at_op(","):
+                    p.take()
+                    continue
+                if p.at_op("}"):
+                    p.take()
+                    break
+                raise ValueError("AQL: object needs ',' or '}'")
+            if p.toks:
+                raise ValueError("AQL: trailing tokens in SELECT")
+            df = df.select(ts_col, id_col, *cols)
+            if q.limit_n is not None:
+                df = df.orderBy(ts_col, id_col).limit(q.limit_n)
+            return df
         val = p.expr()
         if p.toks:
             raise ValueError("AQL: trailing tokens in SELECT")

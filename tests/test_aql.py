@@ -124,3 +124,26 @@ def test_parse_errors_are_loud(spark, tagged):
     ):
         with pytest.raises(ValueError):
             run_aql(tagged, bad)
+
+
+def test_select_object_construction_flattens_to_columns(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' SELECT { k: _.k, hi: _.k >= 50,"
+        " scaled: _.k * 10 } LIMIT 3",
+    )
+    assert got.columns == ["ts", "event_id", "k", "hi", "scaled"]
+    rows = got.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["hi"] == (float(r["k"]) >= 50)
+        assert r["scaled"] == float(r["k"]) * 10
+
+
+def test_object_parse_errors(spark, tagged):
+    for bad in (
+        "FROM 'a' SELECT { k _.k }",  # missing colon
+        "FROM 'a' SELECT { k: _.k",  # unclosed
+    ):
+        with pytest.raises(ValueError):
+            run_aql(tagged, bad)
