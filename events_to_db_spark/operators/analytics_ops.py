@@ -1675,3 +1675,151 @@ def q_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "q_ev_session_funnel",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    ),
+    stages AS (
+        SELECT user_id, sid,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS s1_view,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c > v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s2_click,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c > v AND p > c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s3_purchase
+    FROM stages
+    """,
+)
+def q_ev_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session funnel: sessions whose FIRST view precedes their
+    first click precedes their first purchase — conversion measured
+    inside one 30-min session, not across the whole timeline (the
+    session-scoped twin of q_ev_funnel; first-occurrence ordering is
+    the standard funnel simplification, stated in the spec).
+
+    Per-session stage minima come out of the session_window aggregate
+    (conditional min — no second pass over events); NULL-safe ``>``
+    comparisons encode stage order.  One user shuffle + one session
+    aggregate + a scalar row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("s1_view"),
+        F.sum(
+            F.when(F.col("v").isNotNull() & (F.col("c") > F.col("v")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s2_click"),
+        F.sum(
+            F.when(
+                F.col("v").isNotNull()
+                & (F.col("c") > F.col("v"))
+                & (F.col("p") > F.col("c")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s3_purchase"),
+    )
+
+
+@query(
+    "q_ev_invalid_transitions",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS c
+        FROM events GROUP BY 1
+    )
+    SELECT
+        CASE
+            WHEN p IS NOT NULL AND s IS NULL THEN 'purchase_no_signup'
+            WHEN p IS NOT NULL AND p < s THEN 'purchase_before_signup'
+            WHEN c IS NOT NULL AND s IS NULL THEN 'click_no_signup'
+            WHEN c IS NOT NULL AND c < s THEN 'click_before_signup'
+            ELSE 'ok'
+        END AS violation,
+        count(*) AS n_users
+    FROM firsts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_invalid_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle-order audit: users whose first purchase/click precedes
+    (or lacks) a signup — the referential-order integrity check an
+    event-copy consumer runs to catch dropped or mis-ordered ingest
+    (the behavioral analogue of q_quality_constraints' FK audit).
+
+    First-occurrence reduction per user (conditional min, one hash
+    aggregate), then a priority-ordered CASE classification — NULL
+    comparisons fall through exactly the same way in both engines
+    because every branch tests IS NULL explicitly first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+    )
+    v = (
+        F.when(
+            F.col("p").isNotNull() & F.col("s").isNull(),
+            "purchase_no_signup",
+        )
+        .when(
+            F.col("p").isNotNull() & (F.col("p") < F.col("s")),
+            "purchase_before_signup",
+        )
+        .when(F.col("c").isNotNull() & F.col("s").isNull(), "click_no_signup")
+        .when(
+            F.col("c").isNotNull() & (F.col("c") < F.col("s")),
+            "click_before_signup",
+        )
+        .otherwise("ok")
+    )
+    return (
+        firsts.groupBy(v.alias("violation"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("violation")
+    )
