@@ -229,3 +229,40 @@ def q_aql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "FROM 'type:purchase' FILTER _.k > 40 AGGREGATE COUNT()"
     ).select(F.col("value").alias("n"))
     return total.crossJoin(n)
+
+
+@query(
+    "q_aql_select",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
+               AS is_top
+    FROM events
+    WHERE event_type = 'view'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 90
+    ORDER BY ts, event_id
+    LIMIT 50
+    """,
+)
+def q_aql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQL SELECT path end-to-end: object construction projecting
+    typed payload fields, FILTER on the dynamic payload, event-ordered
+    LIMIT — the row-returning half of the front-end next to
+    q_aql_pipeline's AGGREGATE half."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM 'type:view' FILTER _.k >= 90"
+        " SELECT { k: _.k * 1, is_top: _.k >= 95 } LIMIT 50",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "k",
+        "is_top",
+    )
