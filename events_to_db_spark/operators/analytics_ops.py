@@ -1823,3 +1823,51 @@ def q_ev_invalid_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("violation")
     )
+
+
+@query(
+    "q_ord_monthly_mix",
+    oracle="""
+    WITH m AS (
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM m)
+    SELECT CAST(y AS INT) AS y, CAST(mo AS INT) AS mo, cents,
+           CAST((10000 * cents) // tot.total AS BIGINT) AS share_bp
+    FROM m CROSS JOIN tot
+    ORDER BY y, mo
+    """,
+)
+def q_ord_monthly_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue mix: each (year, month)'s share of lifetime
+    order value in exact basis points — seasonality on the money axis
+    (q_ev_seasonality covers the traffic axis).
+
+    Revenue is exact integer cents (2-decimal source data), the share
+    is a floor division against the broadcast grand total — no float
+    enters at all, so the output hash-matches structurally.  One keyed
+    aggregate + one scalar broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = m.agg(F.sum("cents").cast("long").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("y").cast("int").alias("y"),
+            F.col("mo").cast("int").alias("mo"),
+            "cents",
+            F.expr("(10000 * cents) div total").cast("long").alias("share_bp"),
+        )
+        .orderBy("y", "mo")
+    )
