@@ -1871,3 +1871,44 @@ def q_ord_monthly_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "mo")
     )
+
+
+@query(
+    "q_ev_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT length(printf('%b', gap_us)) - 1 AS log2_us,
+           count(*) AS n_gaps
+    FROM gaps
+    WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram on ⌊log₂(µs)⌋ buckets — the
+    arrival-process fingerprint (Poisson-like vs bursty) that picks
+    session thresholds and watermark horizons; exact binary-length
+    bucketing as in q_ev_powerlaw (float log misbuckets at powers of
+    two).  One user-keyed window shuffle + a ≤64-key hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us")
+    )
+    return (
+        gaps.where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .groupBy(
+            (F.length(F.conv(F.col("gap_us"), 10, 2)) - 1)
+            .cast("long")
+            .alias("log2_us")
+        )
+        .agg(F.count("*").alias("n_gaps"))
+        .orderBy("log2_us")
+    )
