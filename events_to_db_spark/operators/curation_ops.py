@@ -893,3 +893,71 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_copies").desc(), "text_md5")
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] AS tri
+        FROM toks,
+             (SELECT unnest(generate_series(1, 200)) AS i) g
+        WHERE g.i + 2 <= len(t)
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               count(*) AS n_grams,
+               count(DISTINCT tri) AS n_distinct
+        FROM grams GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST((10 * (n_grams - n_distinct)) // n_grams AS BIGINT)
+               AS rep_decile,
+           count(*) AS n_docs
+    FROM per_doc
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): the
+    fraction of a doc's 3-gram occurrences that are repeats of an
+    earlier 3-gram in the SAME doc, deciled — high deciles flag
+    template spam and stuck-generator text; the within-doc companion
+    to the cross-doc boilerplate sweep.
+
+    The decile is an exact integer floor (10·dups // total), never a
+    float ratio.  Spark builds trigrams with ``transform`` over the
+    token array (no explode of raw tokens — one array expression per
+    row, then one explode of the gram list); the oracle unnests an
+    index series capped at 200 (docs are ~60 tokens; the cap is
+    documented slack, not truncation).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_arr = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat_ws(' ', split(text, ' ')[i-1],"
+        " split(text, ' ')[i], split(text, ' ')[i+1]))"
+    )
+    grams = d.select(
+        "doc_id", "lang", F.explode(grams_arr).alias("tri")
+    )
+    per_doc = grams.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("tri").alias("n_distinct"),
+    )
+    return (
+        per_doc.groupBy(
+            "lang",
+            F.expr("(10 * (n_grams - n_distinct)) div n_grams")
+            .cast("long")
+            .alias("rep_decile"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "rep_decile")
+    )

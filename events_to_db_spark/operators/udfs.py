@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import re
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -210,4 +211,62 @@ def q_udf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = ev.groupBy("user_id").applyInPandas(fold, schema=out_schema)
     return folded.select(
         "user_id", "n_events", F.round(F.col("ewma"), 4).alias("ewma")
+    )
+
+
+def _iter_score_udf():
+    """Iterator-of-series pandas UDF: expensive per-executor init
+    (here: a compiled regex standing in for a model/tokenizer load)
+    happens ONCE per Python worker, then amortizes across every Arrow
+    batch — the API shape for UDFs with heavy setup.  Declared inside
+    a builder so module import stays Spark-free."""
+    @pandas_udf(DoubleType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        vowels = re.compile(r"[aeiou]+")  # the "expensive" init
+        for s in batches:
+            toks = s.str.split(" ").str.len().astype("float64")
+            vgroups = s.map(
+                lambda t: float(len(vowels.findall(t)))
+                if t is not None
+                else None
+            )
+            yield vgroups / toks
+
+    return score
+
+
+@query(
+    "q_udf_arrow_iter",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN
+                    CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                         AS DOUBLE)
+                    / len(string_split(text, ' ')) > 1.5
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_vowel_heavy
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_udf_arrow_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (``Iterator[pd.Series] →
+    Iterator[pd.Series]``): per-worker one-time init amortized over
+    Arrow batches — the fourth UDF evaluation mode next to scalar /
+    vectorized / grouped-agg (§2.11).  The score (vowel groups per
+    token) is per-row float from exact counts, thresholded before
+    aggregation, so the Python path hash-checks against the pure-SQL
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    score = _iter_score_udf()
+    return (
+        d.select("lang", score(F.col("text")).alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("s") > 1.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_vowel_heavy"),
+        )
+        .orderBy("lang")
     )
