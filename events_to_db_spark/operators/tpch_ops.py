@@ -4,8 +4,9 @@ The decision-support suite every warehouse engine is judged on,
 adapted to this corpus's column subset (no partsupp / commitdate /
 shipmode — adaptations are noted per query).  Q1 and Q5 shapes already
 exist as ``q_agg_q1`` / ``q_join_multiway``; this module adds the rest
-of the canonical join/agg/subquery shapes: Q3, Q7, Q8, Q9, Q10, Q13,
-Q14, Q17, Q18, Q22.
+of the canonical join/agg/subquery shapes: Q2, Q3, Q4, Q6, Q7, Q8, Q9,
+Q10, Q11, Q13, Q14, Q15, Q16, Q17, Q18, Q19, Q20, Q22 (Q12/Q21 need
+shipmode/commit-receipt dates, which this corpus does not carry).
 
 Determinism (SURVEY §7.5): every revenue figure is assembled on exact
 BIGINT "e4 dollars" — ``cents(l_extendedprice) × (100 − discount_pct)``
@@ -623,4 +624,419 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH shipped AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ranked AS (
+        SELECT p_partkey, p_name, s_name,
+               round(s_acctbal, 2) AS acctbal,
+               n_name AS nation,
+               row_number() OVER (
+                   PARTITION BY p_partkey
+                   ORDER BY CAST(round(s_acctbal*100) AS BIGINT), s_suppkey
+               ) AS rn
+        FROM part
+        JOIN shipped  ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 20 AND 30
+          AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, acctbal, nation
+    FROM ranked WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp, so
+    "supplies the part" = shipped it per lineitem, and cost =
+    s_acctbal as the ranking measure).
+
+    Per-part argmin over a join: distinct (part, supp) pairs from the
+    fact (one partkey-hashed aggregate), part/supplier/nation/region
+    dims broadcast, then a window ranked on exact balance cents with
+    suppkey tie-break (§7.5).  The window partitions by p_partkey —
+    bounded group size (suppliers per part), no global sort.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(20, 30)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(_cents("s_acctbal"), "s_suppkey")
+    return (
+        shipped.join(
+            F.broadcast(p.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "nation",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: no commitdate /
+    receiptdate, so "late" = some lineitem shipped more than 60 days
+    after the order date).
+
+    The EXISTS becomes a left-semi join with a mixed equi + non-equi
+    condition — the equi key (orderkey) still hashes, the date
+    comparison rides along as a join residual, so this stays a hash
+    semi join, not a theta join.  Quarter filter prunes the orders
+    scan first.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_li,
+           round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue_gain
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: what discounts in the
+    5–7% band cost over one year.
+
+    Pure scan-filter-aggregate — the whole predicate (dates, discount
+    band on exact percent ints, quantity) sits in one WholeStageCodegen
+    span over the parquet scan; the date range prunes row groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_li"),
+            F.round(
+                F.sum(_cents("l_extendedprice") * disc_pct).cast("double") / 10000.0,
+                4,
+            ).alias("revenue_gain"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM per_part)
+    SELECT l_partkey AS p_partkey,
+           round(CAST(value_c AS DOUBLE) / 100.0, 2) AS part_value
+    FROM per_part CROSS JOIN tot
+    WHERE value_c * 2000 > total_c
+    ORDER BY value_c DESC, l_partkey
+    LIMIT 50
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: no partsupp — "inventory
+    value" is shipped quantity × retail price from the fact).
+
+    Parts whose value exceeds 0.05 % of the grand total, carried as
+    the exact integer cross-product ``value·2000 > total``.  The
+    per-part aggregate is computed ONCE and reused for both the total
+    (a second tiny agg over it) and the filter — at scale this is one
+    fact shuffle, one 1-row broadcast, zero recomputation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    per_part = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_cents("p_retailprice") * F.col("l_quantity").cast("bigint")).alias(
+                "value_c"
+            )
+        )
+    )
+    tot = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("value_c") * 2000 > F.col("total_c"))
+        .orderBy(F.col("value_c").desc(), "l_partkey")
+        .limit(50)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_c").cast("double") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, CAST(sum({_REV_E4_SQL}) AS BIGINT) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    ),
+    mx AS (SELECT CAST(max(rev_e4) AS BIGINT) AS max_e4 FROM rev)
+    SELECT s_suppkey, s_name,
+           round(CAST(rev_e4 AS DOUBLE) / 10000.0, 4) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    CROSS JOIN mx
+    WHERE rev_e4 = max_e4
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: supplier(s) achieving the maximum
+    quarterly revenue.
+
+    The view becomes a per-supplier aggregate reused twice (revenue +
+    its max) — equality against the max is exact on the e4 integer, so
+    "ties both appear" deterministically, the float never decides.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_e4()).alias("rev_e4"))
+    mx = rev.agg(F.max("rev_e4").alias("max_e4"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_e4") == F.col("max_e4"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .orderBy("s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_e4").cast("double") / 10000.0, 4).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 15
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 200
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 part/supplier relationship count (adapted: supplier
+    set per part comes from lineitem, no partsupp or comment filter).
+
+    COUNT(DISTINCT) over a broadcast-dim join; Spark plans the
+    distinct as a two-phase partial/final expand — no row explosion
+    crosses the wire beyond (brand,type,size,suppkey) pairs.
+    """
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").between(1, 15)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(200)
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_li,
+           round(CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0, 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under a disjunction of brand ×
+    size × quantity bands (adapted: no container/shipmode legs).
+
+    The OR-of-ANDs is the classic disjunctive-pushdown test: the
+    part-side legs (brand, size) filter the broadcast build side down
+    to three slivers before the probe, and the quantity legs evaluate
+    as join residuals inside codegen — no double scan, no union.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 25))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 40))
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(1, 10))
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 40)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(cond)
+        .agg(
+            F.count("*").cast("bigint").alias("n_li"),
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH gear AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'
+    ),
+    per_supp AS (
+        SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM lineitem JOIN gear ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    avg_s AS (
+        SELECT CAST(sum(qty) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM per_supp
+    )
+    SELECT s_suppkey, s_name, qty AS gear_qty
+    FROM per_supp
+    JOIN supplier ON s_suppkey = l_suppkey
+    CROSS JOIN avg_s
+    WHERE qty * n > s
+    ORDER BY qty DESC, s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: no partsupp
+    availqty — "excess supplier" = shipped more gear-part quantity in
+    1997 than the average supplier of gear parts).
+
+    Nested-subquery chain flattened to: LIKE-pruned part broadcast →
+    per-supplier integer aggregate → 1-row scalar broadcast → exact
+    ``qty·n > Σ`` threshold — the same decorrelation Catalyst would
+    have to find, written directly.
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_supp = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    avg_s = per_supp.agg(
+        F.sum("qty").alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(avg_s))
+        .where(F.col("qty") * F.col("n") > F.col("s"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .orderBy(F.col("qty").desc(), "s_suppkey")
+        .select("s_suppkey", "s_name", F.col("qty").alias("gear_qty"))
     )
