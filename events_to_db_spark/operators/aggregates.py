@@ -698,3 +698,44 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "q_agg_percentile_cont",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value_c, 0.25), 4) AS p25,
+           round(quantile_cont(value_c, 0.50), 4) AS p50,
+           round(quantile_cont(value_c, 0.75), 4) AS p75,
+           round(quantile_cont(value_c, 0.99), 4) AS p99
+    FROM (
+        SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linearly-interpolated percentiles (PERCENTILE_CONT class)
+    per event type, computed on exact value cents.
+
+    Both engines interpolate at rank (n−1)·p over the sorted exact
+    integers, so the one float each produces comes from the identical
+    (lo, hi, frac) triple — deterministic across engines (§7.5).
+    Spark's `percentile` is the sort-based exact aggregate: per-group
+    state is a value→count map, not a row list, so executor memory is
+    bounded by distinct values (~40k cents here), not group size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    agg = [
+        F.round(F.percentile(F.col("value_c"), F.lit(p)), 4).alias(name)
+        for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+    ]
+    return (
+        ev.select("event_type", vc.alias("value_c"))
+        .groupBy("event_type")
+        .agg(*agg)
+        .orderBy("event_type")
+    )

@@ -1912,3 +1912,90 @@ def q_ev_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_gaps"))
         .orderBy("log2_us")
     )
+
+
+@query(
+    "q_ev_peaks",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    nbr AS (
+        SELECT event_type, d, cnt,
+               lag(cnt)  OVER (PARTITION BY event_type ORDER BY d) AS prv,
+               lead(cnt) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+        FROM daily
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, cnt
+    FROM nbr
+    WHERE prv IS NOT NULL AND nxt IS NOT NULL
+      AND cnt > prv AND cnt > nxt
+    ORDER BY event_type, day
+    """,
+)
+def q_ev_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily event-count series: days
+    strictly above both calendar neighbours, per type (change-point /
+    spike triage primitive).
+
+    One keyed aggregate collapses the log to |types|×|days| rows, so
+    the lag/lead window runs over a bounded per-type series — the
+    window partition count is fixed (5 types), safe at any fact size.
+    Strict > on exact BIGINT counts: no float, no tie ambiguity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    return (
+        daily.withColumn("prv", F.lag("cnt").over(w))
+        .withColumn("nxt", F.lead("cnt").over(w))
+        .where(
+            F.col("prv").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("cnt") > F.col("prv"))
+            & (F.col("cnt") > F.col("nxt"))
+        )
+        .select("event_type", F.date_format("d", "yyyy-MM-dd").alias("day"), "cnt")
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q_ev_calendar",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_ev_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity calendar (0 = Monday): event count and
+    distinct users per cell — the 168-cell heatmap behind every
+    "when are users active" dashboard.
+
+    Single hash aggregate to a fixed 7×24 keyspace; the distinct-user
+    count is Spark's two-phase partial-distinct expand, no row list.
+    Weekday parity: Spark ``weekday()`` is 0=Monday, DuckDB
+    ``isodow−1`` likewise — both timezone-stable under the UTC
+    session (load_table pins the LTZ reading).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.weekday("ts").cast("bigint").alias("wd"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("users"),
+        )
+        .orderBy("wd", "hr")
+    )

@@ -319,3 +319,55 @@ def q_fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_xor_low"
         ),
     )
+
+
+@query(
+    "q_fn_regex",
+    oracle="""
+    SELECT lang,
+           coalesce(nullif(regexp_extract(text, '(table|query|scan)', 1), ''),
+                    '<none>') AS first_kw,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(regexp_extract_all(text, '\\b[aeiou][a-z]*'))) AS BIGINT)
+               AS vowel_tokens,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '[aeiou]', '', 'g')))
+               AS BIGINT) AS vowel_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function surface: ``regexp_extract`` (first capture),
+    ``regexp_extract_all`` (match count), and a count-by-deletion
+    ``regexp_replace`` — all JVM-side codegen, no UDF.
+
+    Cross-engine notes: no-match extract is '' in Spark and NULL-ish
+    in DuckDB — both normalized via nullif/coalesce to '<none>'; the
+    global replace needs the 'g' flag in DuckDB but is Spark's
+    default.  Pure map-side expressions + one small hash aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vowel_toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[aeiou][a-z]*"), 0))
+    vowel_chars = F.length("text") - F.length(
+        F.regexp_replace("text", "[aeiou]", "")
+    )
+    return (
+        d.select(
+            "lang",
+            F.coalesce(
+                F.nullif(F.regexp_extract("text", "(table|query|scan)", 1), F.lit("")),
+                F.lit("<none>"),
+            ).alias("first_kw"),
+            vowel_toks.alias("vt"),
+            vowel_chars.alias("vc"),
+        )
+        .groupBy("lang", "first_kw")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("vt").cast("bigint").alias("vowel_tokens"),
+            F.sum("vc").cast("bigint").alias("vowel_chars"),
+        )
+        .orderBy("lang", "first_kw")
+    )
