@@ -800,11 +800,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem JOIN part ON p_partkey = l_partkey
         GROUP BY 1
     ),
-    tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM per_part)
+    tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM per_part)
     SELECT l_partkey AS p_partkey,
            round(CAST(value_c AS DOUBLE) / 100.0, 2) AS part_value
     FROM per_part CROSS JOIN tot
-    WHERE value_c * 2000 > total_c
+    WHERE value_c * n_parts * 4 > 5 * total_c
     ORDER BY value_c DESC, l_partkey
     LIMIT 50
     """,
@@ -813,8 +815,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 important stock (adapted: no partsupp — "inventory
     value" is shipped quantity × retail price from the fact).
 
-    Parts whose value exceeds 0.05 % of the grand total, carried as
-    the exact integer cross-product ``value·2000 > total``.  The
+    Parts whose value exceeds 1.25× the mean part value — a
+    scale-free threshold (the classic 0.0001/SF fraction empties as SF
+    grows; 1.25× keeps a non-trivial frontier at every tested SF),
+    carried as the exact integer cross-product
+    ``value·n·4 > 5·total``.  The
     per-part aggregate is computed ONCE and reused for both the total
     (a second tiny agg over it) and the filter — at scale this is one
     fact shuffle, one 1-row broadcast, zero recomputation.
@@ -830,10 +835,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    tot = per_part.agg(F.sum("value_c").alias("total_c"))
+    tot = per_part.agg(
+        F.sum("value_c").alias("total_c"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(tot))
-        .where(F.col("value_c") * 2000 > F.col("total_c"))
+        .where(F.col("value_c") * F.col("n_parts") * 4 > 5 * F.col("total_c"))
         .orderBy(F.col("value_c").desc(), "l_partkey")
         .limit(50)
         .select(
