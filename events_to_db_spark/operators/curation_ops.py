@@ -961,3 +961,76 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "rep_decile")
     )
+
+
+@query("q_ml_kmeans", oracle=None)
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding table (k = 8,
+    3 iterations, centroids seeded from the 8 lowest ``vec_id``
+    vectors) — the clustering primitive under corpus topic-balancing
+    and IVF coarse quantizers.
+
+    Scale shape: the per-iteration state that moves is only the k×dim
+    centroid matrix (bounded, driver-collected and rebroadcast — the
+    same contract as ``q_sim_centroid``); assignment is pure Catalyst:
+    per-centroid squared distance via ``aggregate(zip_with(...))``,
+    argmin via ``array_min`` over (dist, cid) structs so ties break to
+    the lowest cluster id deterministically (§7.5 — struct comparison
+    is field-order lexicographic).  New centroids come from one
+    posexplode + (cluster, dim) hash aggregate — one shuffle per
+    iteration, never a row collect.
+
+    Iterative float maths has no SQL-expressible oracle → rows-only
+    contract entry; the invariants (partition sizes sum to N, inertia
+    monotone non-increasing) are pinned in tests/test_round2_ops.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, iters = 8, 3
+
+    seeds = (
+        emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    )
+    centroids = [list(map(float, r.embedding)) for r in seeds]
+
+    def dist2(cid: int) -> F.Column:
+        c = F.array(*[F.lit(v) for v in centroids[cid]])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        pairs = F.array(
+            *[F.struct(dist2(i).alias("d"), F.lit(i).alias("cid")) for i in range(k)]
+        )
+        assigned = emb.withColumn("best", F.array_min(pairs)).select(
+            "vec_id",
+            "embedding",
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.d").alias("d2"),
+        )
+        new_c = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in new_c:
+            by_cid.setdefault(r.cluster_id, {})[r.pos] = r.m
+        centroids = [
+            [by_cid[c][p] for p in range(len(centroids[0]))] if c in by_cid
+            else centroids[c]
+            for c in range(k)
+        ]
+
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("d2"), 3).alias("avg_dist2"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -276,3 +276,18 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         if bad and name not in allowed:
             offenders[name] = bad
     assert not offenders, f"unpartitioned windows outside allowlist: {offenders}"
+
+
+def test_kmeans_partition_sizes_and_inertia(spark):
+    """k-means invariants: sizes sum to N, every cluster id in [0, 8),
+    avg_dist2 finite and non-negative, and the result is run-to-run
+    deterministic (same seeds → same partition)."""
+    from events_to_db_spark.registry import QUERIES
+
+    out = QUERIES["q_ml_kmeans"](spark, SF_SMOKE).collect()
+    n_total = sum(r.n_vecs for r in out)
+    assert n_total == load_table(spark, SF_SMOKE, "embeddings").count()
+    assert all(0 <= r.cluster_id < 8 for r in out)
+    assert all(r.avg_dist2 >= 0 for r in out)
+    again = QUERIES["q_ml_kmeans"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
