@@ -62,7 +62,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>\d+(?:\.\d+)?)
       | '(?P<str>(?:[^'\\]|\\.)*)'
-      | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
+      | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])*)
       | (?P<word>[A-Za-z][A-Za-z_0-9]*)
       | (?P<op><=|>=|!=|[-+*/%=<>()!&|,{}:])
     )""",
@@ -139,14 +139,48 @@ class _Val:
         return self.col if self.kind == _STR else self.col.cast("string")
 
 
+@dataclass
+class _Payload:
+    """What ``_`` currently denotes.  At pipeline start it is the raw
+    JSON payload string (paths compile to ``get_json_object``); after a
+    SELECT stage it is that stage's computed column (paths compile to
+    struct-field / array-index access) — AQL's "each stage feeds the
+    next" semantics."""
+
+    col: Column
+    kind: str  # _Val kind of the whole payload
+    is_json: bool
+
+    def resolve(self, parts: list[str | int]) -> _Val:
+        if not parts:
+            return _Val(self.col, self.kind)
+        if self.is_json:
+            path = "$" + "".join(
+                f"[{p}]" if isinstance(p, int) else f".{p}" for p in parts
+            )
+            return _Val(F.get_json_object(self.col, path), _ANY)
+        c = self.col
+        for p in parts:
+            c = c.getItem(p)
+        return _Val(c, _ANY)
+
+
+def _split_path(text: str) -> list[str | int]:
+    """``_.a[0].b`` → ['a', 0, 'b']."""
+    parts: list[str | int] = []
+    for m in re.finditer(r"\.([A-Za-z_][A-Za-z_0-9]*)|\[(\d+)\]", text):
+        parts.append(m.group(1) if m.group(1) is not None else int(m.group(2)))
+    return parts
+
+
 class _ExprParser:
     """Pratt-style recursive-descent over the token stream; produces
     :class:`_Val` (Column + coarse kind) so numeric contexts can insert
     ``try_cast`` exactly where AQL's dynamic typing needs it."""
 
-    def __init__(self, toks: list[_Tok], payload_col: str, order_cols: tuple[str, str]):
+    def __init__(self, toks: list[_Tok], payload: _Payload, order_cols: tuple[str, str]):
         self.toks = toks
-        self.payload_col = payload_col
+        self.payload = payload
         self.order_cols = order_cols
         self.uses_agg = False
 
@@ -242,12 +276,7 @@ class _ExprParser:
             return _Val(F.lit(t.text), _STR)
         if t.kind == "path":
             self.take()
-            if t.text == "_":
-                return _Val(F.col(self.payload_col), _ANY)
-            json_path = "$" + t.text[1:]
-            return _Val(
-                F.get_json_object(F.col(self.payload_col), json_path), _ANY
-            )
+            return self.payload.resolve(_split_path(t.text))
         if t.kind == "word" and t.text in ("TRUE", "FALSE"):
             self.take()
             return _Val(F.lit(t.text == "TRUE"), _BOOL)
@@ -327,53 +356,67 @@ class _ExprParser:
 
 @dataclass
 class AqlQuery:
-    """Parsed AQL pipeline (stage texts, not yet bound to a frame)."""
+    """Parsed AQL pipeline: the FROM tag text plus the ordered stage
+    list — AQL is a *pipeline*, so FILTER/SELECT/LIMIT may appear any
+    number of times in any order, each feeding the next (AGGREGATE
+    terminates the pipeline)."""
 
     from_text: str
-    filter_toks: list[_Tok] | None
-    select_toks: list[_Tok] | None
-    aggregate_toks: list[_Tok] | None
-    limit_n: int | None
+    stages: list[tuple[str, list[_Tok] | int]]
 
 
 def parse_aql(text: str) -> AqlQuery:
-    """Split the pipeline into stages; stage payloads stay as token
-    lists so :func:`run_aql` can bind them against the frame."""
+    """Split the pipeline into its ordered stages; stage payloads stay
+    as token lists so :func:`run_aql` can bind them against the frame."""
     toks = _tokenize(text)
     if not (toks and toks[0].kind == "word" and toks[0].text == "FROM"):
         raise ValueError("AQL: query must start with FROM")
     toks.pop(0)
-    stages = {"FILTER": None, "SELECT": None, "AGGREGATE": None}
-    order = ["FILTER", "SELECT", "AGGREGATE", "LIMIT"]
+    stage_kws = ("FILTER", "SELECT", "AGGREGATE", "LIMIT")
     # FROM clause: consume tokens until the next stage keyword
     from_parts: list[str] = []
-    while toks and not (toks[0].kind == "word" and toks[0].text in order):
+    while toks and not (toks[0].kind == "word" and toks[0].text in stage_kws):
         t = toks.pop(0)
         from_parts.append(f"'{t.text}'" if t.kind == "str" else t.text)
     from_text = " ".join(from_parts)
-    limit_n: int | None = None
+    stages: list[tuple[str, list[_Tok] | int]] = []
     while toks:
         kw = toks.pop(0)
-        if kw.kind != "word" or kw.text not in order:
+        if kw.kind != "word" or kw.text not in stage_kws:
             raise ValueError(f"AQL: expected stage keyword, got {kw.text!r}")
+        if stages and stages[-1][0] == "AGGREGATE":
+            raise ValueError("AQL: AGGREGATE must be the last stage")
         if kw.text == "LIMIT":
             if not toks or toks[0].kind != "num":
                 raise ValueError("AQL: LIMIT needs a number")
-            limit_n = int(toks.pop(0).text)
+            stages.append(("LIMIT", int(toks.pop(0).text)))
             continue
         body: list[_Tok] = []
-        while toks and not (toks[0].kind == "word" and toks[0].text in order):
+        while toks and not (toks[0].kind == "word" and toks[0].text in stage_kws):
             body.append(toks.pop(0))
-        if stages[kw.text] is not None:
-            raise ValueError(f"AQL: duplicate {kw.text}")
-        stages[kw.text] = body
-    return AqlQuery(
-        from_text=from_text,
-        filter_toks=stages["FILTER"],
-        select_toks=stages["SELECT"],
-        aggregate_toks=stages["AGGREGATE"],
-        limit_n=limit_n,
-    )
+        stages.append((kw.text, body))
+    return AqlQuery(from_text=from_text, stages=stages)
+
+
+def _parse_object(p: _ExprParser) -> list[tuple[str, _Val]]:
+    """``{ name: expr, ... }`` body (the ``{`` is already consumed)."""
+    fields: list[tuple[str, _Val]] = []
+    while True:
+        name_tok = p.take()
+        if name_tok.kind not in ("word", "str"):
+            raise ValueError("AQL: object field name expected")
+        if not p.at_op(":"):
+            raise ValueError("AQL: object field needs ':'")
+        p.take()
+        fields.append((name_tok.text, p.expr()))
+        if p.at_op(","):
+            p.take()
+            continue
+        if p.at_op("}"):
+            p.take()
+            break
+        raise ValueError("AQL: object needs ',' or '}'")
+    return fields
 
 
 def run_aql(
@@ -384,65 +427,74 @@ def run_aql(
     order_cols: tuple[str, str] = ("ts", "event_id"),
 ) -> DataFrame:
     """Compile and run an AQL pipeline string against the tagged event
-    frame.  Returns (event_id, ts, value) rows in event order for
-    SELECT pipelines, a single ``value`` row for AGGREGATE pipelines.
+    frame.
+
+    Stages apply strictly in order, each rebinding ``_`` for the next —
+    ``FROM … FILTER … SELECT … FILTER … SELECT … LIMIT n`` works, with
+    post-SELECT filters reading the selected value (struct fields for
+    object SELECTs).  Returns (event_id, ts, value) rows in event order
+    for SELECT pipelines — or one column per field when the FINAL stage
+    is an object SELECT — and a single ``value`` row for AGGREGATE
+    pipelines.  A mid-pipeline LIMIT takes the first n in event order
+    and keeps piping (the reference's stream-prefix semantics).
     """
     q = parse_aql(query)
-    df = events_with_tags.filter(
-        parse_tag_expr(q.from_text).to_column(tags_col)
-    )
-    if q.filter_toks is not None:
-        p = _ExprParser(list(q.filter_toks), payload_col, order_cols)
-        cond = p.expr()
-        if p.toks:
-            raise ValueError("AQL: trailing tokens in FILTER")
-        df = df.filter(cond.col)
     ts_col, id_col = order_cols
-    if q.aggregate_toks is not None:
-        p = _ExprParser(list(q.aggregate_toks), payload_col, order_cols)
-        val = p.expr()
-        if p.toks:
-            raise ValueError("AQL: trailing tokens in AGGREGATE")
-        if not p.uses_agg:
-            raise ValueError("AQL: AGGREGATE needs an aggregate call")
-        out = df.agg(val.col.alias("value"))
-        return out.limit(q.limit_n) if q.limit_n is not None else out
-    if q.select_toks is not None:
-        p = _ExprParser(list(q.select_toks), payload_col, order_cols)
-        # AQL object construction `{ name: expr, ... }` — flattened to
-        # one output column per field (objects don't nest here;
-        # documented subset)
+    df = events_with_tags.filter(parse_tag_expr(q.from_text).to_column(tags_col))
+    payload = _Payload(F.col(payload_col), _ANY, is_json=True)
+    obj_fields: list[str] | None = None  # set while payload is an object
+
+    def materialize(val: Column, kind: str) -> None:
+        """Bind a computed value as the new payload column ``__v``."""
+        nonlocal df, payload
+        df = df.select(ts_col, id_col, val.alias("__v"))
+        payload = _Payload(F.col("__v"), kind, is_json=False)
+
+    for idx, (kind, body) in enumerate(q.stages):
+        last = idx == len(q.stages) - 1
+        if kind == "LIMIT":
+            # AQL LIMIT = first n in the event order, not an arbitrary n
+            df = df.orderBy(ts_col, id_col).limit(body)
+            continue
+        p = _ExprParser(list(body), payload, order_cols)
+        if kind == "FILTER":
+            cond = p.expr()
+            if p.toks:
+                raise ValueError("AQL: trailing tokens in FILTER")
+            df = df.filter(cond.col)
+            continue
+        if kind == "AGGREGATE":
+            val = p.expr()
+            if p.toks:
+                raise ValueError("AQL: trailing tokens in AGGREGATE")
+            if not p.uses_agg:
+                raise ValueError("AQL: AGGREGATE needs an aggregate call")
+            return df.agg(val.col.alias("value"))
+        # SELECT — scalar or object construction
         if p.at_op("{"):
             p.take()
-            cols: list[Column] = []
-            while True:
-                name_tok = p.take()
-                if name_tok.kind not in ("word", "str"):
-                    raise ValueError("AQL: object field name expected")
-                if not p.at_op(":"):
-                    raise ValueError("AQL: object field needs ':'")
-                p.take()
-                cols.append(p.expr().col.alias(name_tok.text))
-                if p.at_op(","):
-                    p.take()
-                    continue
-                if p.at_op("}"):
-                    p.take()
-                    break
-                raise ValueError("AQL: object needs ',' or '}'")
+            fields = _parse_object(p)
             if p.toks:
                 raise ValueError("AQL: trailing tokens in SELECT")
-            df = df.select(ts_col, id_col, *cols)
-            if q.limit_n is not None:
-                df = df.orderBy(ts_col, id_col).limit(q.limit_n)
-            return df
-        val = p.expr()
-        if p.toks:
-            raise ValueError("AQL: trailing tokens in SELECT")
-        df = df.select(ts_col, id_col, val.col.alias("value"))
-    else:
+            materialize(
+                F.struct(*[v.col.alias(name) for name, v in fields]), _ANY
+            )
+            obj_fields = [name for name, _v in fields]
+        else:
+            val = p.expr()
+            if p.toks:
+                raise ValueError("AQL: trailing tokens in SELECT")
+            materialize(val.col, val.kind)
+            obj_fields = None
+        del last  # stage position no longer special-cased
+
+    if obj_fields is not None:
+        # final payload is an object — flatten to one column per field
+        return df.select(
+            ts_col, id_col, *[F.col(f"__v.{name}").alias(name) for name in obj_fields]
+        )
+    if payload.is_json:
         df = df.select(ts_col, id_col, F.col(payload_col).alias("value"))
-    if q.limit_n is not None:
-        # AQL LIMIT = first n in the event order, not an arbitrary n
-        df = df.orderBy(ts_col, id_col).limit(q.limit_n)
+    else:
+        df = df.select(ts_col, id_col, F.col("__v").alias("value"))
     return df

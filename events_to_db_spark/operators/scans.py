@@ -266,3 +266,48 @@ def q_aql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "is_top",
     )
+
+
+@query(
+    "q_aql_chained",
+    oracle="""
+    WITH s1 AS (
+        SELECT ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 60 AS big
+        FROM events
+        WHERE event_type = 'view'
+    ),
+    s2 AS (
+        SELECT ts, event_id, k * 2 + 1 AS v FROM s1 WHERE big
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(v), 4) AS total,
+           round(min(v), 4) AS lo
+    FROM (SELECT v FROM s2 ORDER BY ts, event_id LIMIT 500)
+    """,
+)
+def q_aql_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage AQL pipeline semantics: SELECT-object → FILTER on a
+    selected field → scalar SELECT over another field → event-order
+    LIMIT prefix — each stage rebinding ``_`` for the next, then three
+    aggregates over the piped result.
+
+    This is the reference's "every stage feeds the next" stream model
+    compiled to one Catalyst plan (struct projection, struct-field
+    filter, arithmetic, TakeOrdered prefix); the oracle restates the
+    stage chain as CTEs."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM 'type:view' SELECT { k: _.k * 1, big: _.k >= 60 }"
+        " FILTER _.big SELECT _.k * 2 + 1 LIMIT 500",
+    )
+    return out.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.min("value"), 4).alias("lo"),
+    )

@@ -147,3 +147,75 @@ def test_object_parse_errors(spark, tagged):
     ):
         with pytest.raises(ValueError):
             run_aql(tagged, bad)
+
+
+def test_chained_select_filter_select_rebinds_payload(spark, tagged):
+    """After a SELECT, `_` is the selected value — the post-SELECT
+    FILTER reads it, and the second SELECT transforms it again."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' SELECT _.k + 1 FILTER _ > 51 SELECT _ * 10",
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .select("ts", "event_id", (_k() + 1).alias("v"))
+        .filter(F.col("v") > 51)
+        .select("ts", "event_id", (F.col("v") * 10).alias("value"))
+    )
+    assert sorted(r["value"] for r in got.collect()) == sorted(
+        r["value"] for r in want.collect()
+    )
+    assert got.count() > 0
+
+
+def test_object_select_then_filter_on_field(spark, tagged):
+    """Object SELECT mid-pipeline: later stages address its fields."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' SELECT { k: _.k, big: _.k > 50 } "
+        "FILTER _.big SELECT _.k",
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(_k() > 50)
+        .select("ts", "event_id", _k().alias("value"))
+    )
+    got_vals = sorted(float(r["value"]) for r in got.collect())
+    want_vals = sorted(float(r["value"]) for r in want.collect())
+    assert got_vals == want_vals and got_vals
+
+
+def test_mid_pipeline_limit_is_event_order_prefix(spark, tagged):
+    """LIMIT mid-pipeline takes the first n in (ts, event_id) order and
+    keeps piping — the stream-prefix semantics, not an arbitrary n."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase' LIMIT 20 FILTER _.k > 50 SELECT _.k",
+    )
+    base = (
+        tagged.filter(F.array_contains("tags", "type:purchase"))
+        .orderBy("ts", "event_id")
+        .limit(20)
+        .filter(_k() > 50)
+        .select(_k().alias("value"))
+    )
+    assert sorted(float(r["value"]) for r in got.collect()) == sorted(
+        float(r["value"]) for r in base.collect()
+    )
+    # prefix-then-filter ≠ filter-then-prefix: prove the order matters
+    assert got.count() <= 20
+
+
+def test_aggregate_must_be_last(spark, tagged):
+    with pytest.raises(ValueError, match="AGGREGATE must be the last"):
+        run_aql(tagged, "FROM allEvents AGGREGATE SUM(_.k) FILTER _ > 1")
+
+
+def test_final_object_select_flattens(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k > 80 SELECT { twice: _.k * 2, neg: 0 - _.k }",
+    )
+    assert set(got.columns) == {"ts", "event_id", "twice", "neg"}
+    rows = got.collect()
+    assert rows and all(r.twice == -2 * r.neg for r in rows)
