@@ -1999,3 +1999,101 @@ def q_ev_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wd", "hr")
     )
+
+
+@query(
+    "q_ev_rolling_active",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    ORDER BY days.d
+    """,
+)
+def q_ev_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the sliding sibling of
+    the calendar-week WAU): for each active day, distinct users with
+    any event in [d−6, d].
+
+    Rolling distinct is not sum-decomposable, so the scalable shape is
+    contribute-forward: dedup to (user, day) pairs first (the big
+    shrink — one shuffle on the fact), then each pair explodes to the
+    ≤7 target days it contributes to and one hash aggregate counts
+    distinct users per target day.  Work is 7×|user-days|, never
+    7×|events|, and no self-join of the fact — the oracle's
+    BETWEEN-join restates it quadratically at oracle scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("td"),
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib.td == days.d)
+        .groupBy("td")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+        .select(F.date_format("td", "yyyy-MM-dd").alias("day"), "active_7d")
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_ord_reorder_gap",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER w,
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT CAST(gap_days // 7 AS BIGINT) AS gap_weeks,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_ord_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-latency histogram: days between a customer's
+    consecutive orders, bucketed by week.
+
+    One custkey-partitioned window (bounded per-customer sequences,
+    parallel across customers) with the §7.5 unique tie-break
+    (orderdate, orderkey) so same-day orders sequence identically in
+    both engines; exact integer day diffs on DATE values — DuckDB's
+    date_diff counts midnight crossings, which equals the floored
+    delta exactly because both sides are midnight-aligned dates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days"),
+    )
+    return (
+        seq.where(F.col("gap_days").isNotNull())
+        .groupBy(F.floor(F.col("gap_days") / 7).cast("bigint").alias("gap_weeks"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("gap_days").cast("bigint").alias("min_days"),
+            F.max("gap_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("gap_weeks")
+    )

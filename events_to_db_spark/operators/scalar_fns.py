@@ -371,3 +371,43 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "first_kw")
     )
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s-%04d', p_brand, p_partkey) AS sku,
+           lpad(p_type, 12, '.') AS padded,
+           reverse(p_name) AS flipped,
+           translate(p_name, 'aeiou', '#####') AS masked,
+           repeat('*', CAST(p_size % 5 AS INTEGER)) AS stars
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 50
+    """,
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting surface: printf-style interpolation, pad,
+    reverse, translate, repeat — the report-rendering scalar family,
+    all codegen'd JVM expressions.
+
+    Parity notes: Spark ``format_string`` and DuckDB ``printf`` share
+    the C format-spec dialect for %s/%0Nd; ``repeat`` needs an INT
+    count in both engines (the modulo result is cast explicitly).
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.format_string("%s-%04d", F.col("p_brand"), F.col("p_partkey")).alias(
+                "sku"
+            ),
+            F.lpad("p_type", 12, ".").alias("padded"),
+            F.reverse("p_name").alias("flipped"),
+            F.translate("p_name", "aeiou", "#####").alias("masked"),
+            F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
