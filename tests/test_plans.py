@@ -156,3 +156,53 @@ def test_bucketed_contract_join_no_shuffle_exchange(spark):
         assert "Exchange hashpartitioning" not in join_section, join_section
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_runtime_bloom_filter_engages_on_selective_dim_join(spark):
+    """Runtime-filter posture for the 100 TB shuffle join: when a
+    selective dim side can't broadcast, Spark injects a bloom filter
+    from the dim build into the fact scan (`might_contain`), pruning
+    probe rows before the exchange.  The trigger thresholds are sized
+    for real clusters (10 GB application-side scan), so this test
+    lowers them to prove the mechanism — and that results are
+    unchanged — at fixture scale."""
+    from events_to_db_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        filtered = j.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    baseline = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .join(
+            load_table(spark, SF_SMOKE, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, filtered)) == sorted(map(tuple, baseline))
