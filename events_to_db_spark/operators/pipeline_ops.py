@@ -1256,3 +1256,88 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, out_w int, out_h int, out_bytes long,"
         " brightness double",
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lang,
+               list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
+                              FOR s IN [[toks[i], toks[i+1], toks[i+2]]
+                              FOR i IN range(1, greatest(len(toks) - 1, 1))]])
+                   AS grams
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    x AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+               CAST(len(a.grams) AS BIGINT) AS na,
+               CAST(len(b.grams) AS BIGINT) AS nb
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, inter, na, nb
+    FROM x
+    WHERE inter * 10 >= 8 * least(na, nb) AND inter > 0
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 on
+    3-token shingles — the subset-duplicate detector.  Symmetric
+    Jaccard misses a short doc fully embedded in a long one (union is
+    dominated by the long side); containment is the curation measure
+    for exactly that case (quote extraction, header-wrapped reposts).
+
+    Same inverted-index shape as ``q_dedup_ngram`` — the intersection
+    count arrives from a join on xxhash64(shingle), shuffling only
+    (hash, doc_id) pairs, and docs sharing zero shingles never
+    materialize a pair.  The threshold is the exact rational
+    ``inter·10 ≥ 8·min(na, nb)`` — no float enters the keep/drop
+    decision (§7.5).
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 2, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i + 1],"
+                    "                  ' ', toks[i + 2]))"
+                )
+            ).alias("grams"),
+        )
+    )
+    sizes = d.select("doc_id", "lang", F.size("grams").cast("bigint").alias("n"))
+    inv = d.select(
+        "doc_id", "lang", F.explode("grams").alias("g")
+    ).select("doc_id", "lang", F.xxhash64("g").alias("h"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            (F.col("inter") * 10 >= 8 * F.least("na", "nb")) & (F.col("inter") > 0)
+        )
+        .select("id_a", "id_b", "inter", "na", "nb")
+        .orderBy("id_a", "id_b")
+    )

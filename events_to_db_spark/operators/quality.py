@@ -394,3 +394,53 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("excess_bp"),
     )
+
+
+@query(
+    "q_quality_freshness",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               max(epoch_us(ts)) AS mx_us,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    anchor AS (SELECT max(mx_us) AS global_us FROM per_type)
+    SELECT event_type,
+           strftime(make_timestamp(mx_us), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST((global_us - mx_us) // 60000000 AS BIGINT) AS stale_min,
+           n
+    FROM per_type CROSS JOIN anchor
+    ORDER BY event_type
+    """,
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: how stale is each event type's
+    newest event relative to the newest event anywhere (the pipeline
+    lag dashboard behind every "is the copy current" page).
+
+    Anchoring on the global max — not wall-clock now() — keeps the
+    query deterministic and engine-comparable; staleness is an exact
+    integer-µs difference floored to minutes (integer division, per
+    the µs-gap discipline).  One 5-row aggregate + 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = (F.unix_timestamp("ts") * 1_000_000 + F.date_format("ts", "SSSSSS").cast(
+        "bigint"
+    ))
+    per_type = ev.groupBy("event_type").agg(
+        F.max(us).alias("mx_us"), F.count("*").cast("bigint").alias("n")
+    )
+    anchor = per_type.agg(F.max("mx_us").alias("global_us"))
+    return (
+        per_type.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.date_format(
+                F.timestamp_micros(F.col("mx_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_seen"),
+            F.expr("(global_us - mx_us) div 60000000").alias("stale_min"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
