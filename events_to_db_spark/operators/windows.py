@@ -368,3 +368,62 @@ def q_win_movmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev"), 4).alias("rev"),
         F.round(F.percentile("rev", F.lit(0.5)).over(w), 4).alias("med7"),
     )
+
+
+@query(
+    "q_win_time_range",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CAST(count(*) OVER (
+               PARTITION BY event_type ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h,
+           CAST(sum(vc) OVER (
+               PARTITION BY event_type ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS sum_c_1h
+    FROM (
+        SELECT event_id, event_type,
+               epoch_us(ts) // 1000000 AS es,
+               CAST(round(value*100) AS BIGINT) AS vc
+        FROM events
+    )
+    ORDER BY event_id
+    """,
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per event, how many same-type events
+    (and how much exact cent volume) landed in the trailing hour —
+    the rolling-window-per-row shape (RANGE, not ROWS: peers at the
+    same timestamp all see the same frame, so ties can't desync the
+    engines).
+
+    The frame is anchored on exact epoch *seconds* (integer-div of
+    µs, per the µs-gap rule) rather than an interval literal, so both
+    engines bound the frame with identical integer arithmetic.  One
+    event_type-partitioned sort; frames evaluate incrementally with
+    two pointers, never materializing the window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    es = F.expr("(unix_micros(ts)) div 1000000")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        es.alias("es"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        base.select(
+            "event_id",
+            "event_type",
+            F.count("*").over(w).cast("bigint").alias("n_1h"),
+            F.sum("vc").over(w).cast("bigint").alias("sum_c_1h"),
+        )
+        .orderBy("event_id")
+    )
