@@ -1671,3 +1671,43 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("max_drawdown") > 0)
     )
+
+
+@query(
+    "q_ev_rollup_cascade",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_c,
+           CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_c
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup maintenance (hypertable continuous-
+    aggregate pattern): the day grain produced by cascading raw →
+    minute → hour → day, where each level reduces the next-finer
+    *aggregate* rather than rescanning the fact.
+
+    The oracle aggregates raw directly at day grain — hash-equality
+    proves the re-aggregation laws (counts/sums re-sum, min/max
+    re-min/max on exact cents) hold through two cascade hops.  Scan
+    economy and streaming maintenance are pinned in
+    tests/test_streaming.py::test_rollup_cascade_equals_direct_aggregation.
+    """
+    from events_to_db_spark.streaming.rollup import cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    day = cascade(ev)["day"]
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_c").cast("bigint").alias("sum_c"),
+        F.col("min_c").cast("bigint").alias("min_c"),
+        F.col("max_c").cast("bigint").alias("max_c"),
+    ).orderBy("day", "event_type")

@@ -659,3 +659,41 @@ def test_scd2_sink_idempotent_on_full_replay(spark, chunked_events, tmp_path):
             .reset_index(drop=True)
         )
     assert snapshots[0].equals(snapshots[1])
+
+
+def test_rollup_cascade_equals_direct_aggregation(spark):
+    """Every cascade level must equal aggregating raw events directly
+    at that grain — the re-aggregation laws, end to end.  Also pins
+    the scan economy: hour/day plans must NOT rescan the events
+    relation (they reduce the minute state)."""
+    from events_to_db_spark.session import load_table
+    from events_to_db_spark.streaming.rollup import base_rollup, cascade
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    levels = cascade(ev)
+    for grain in ("minute", "hour", "day"):
+        direct = base_rollup(ev, grain).collect()
+        got = levels[grain].collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, direct)), grain
+
+    # avg derivation from carried (sum, count) matches direct avg
+    from pyspark.sql import functions as F
+
+    day = levels["day"].select(
+        "bucket",
+        "event_type",
+        (F.col("sum_c").cast("double") / F.col("n") / 100.0).alias("avg_v"),
+    )
+    direct_avg = ev.groupBy(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type"
+    ).agg(F.avg("value").alias("avg_v"))
+    j = day.join(direct_avg, ["bucket", "event_type"]).select(
+        (F.abs(day.avg_v - direct_avg.avg_v) < 1e-9).alias("ok")
+    )
+    assert all(r.ok for r in j.collect())
+
+    # scan economy: day level reads the minute aggregate, not raw events
+    day_plan = (
+        levels["day"]._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert day_plan.lower().count("relation") <= 1
