@@ -616,3 +616,74 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id,
+           v.view_id,
+           v.gap_s
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT v.event_id AS view_id,
+               CASE WHEN (epoch_us(p.ts) - epoch_us(v.ts)) <= 7200000000
+                    THEN (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 END
+                   AS gap_s
+        FROM events v
+        WHERE v.user_id = p.user_id
+          AND v.event_type = 'view'
+          AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+        ORDER BY v.ts DESC, v.event_id DESC
+        LIMIT 1
+    ) v ON TRUE
+    WHERE p.event_type = 'purchase'
+      AND v.gap_s IS NOT NULL
+    ORDER BY p.event_id
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join with a match tolerance: each purchase matched to the
+    same user's latest strictly-prior view, kept only when the gap is
+    ≤ 2 hours — the "recent context" join (attribution windows, state
+    lookups with TTL) that plain ASOF (``q_join_asof``) lacks.
+
+    Scalable shape: NOT a per-row subquery — both streams interleave
+    in one user-partitioned sort and the prior view arrives via
+    last-ignorenulls over ROWS UNBOUNDED PRECEDING..-1 (strictly
+    earlier in the (ts, event_id) total order, so same-µs ties
+    resolve identically in both engines).  Tolerance compares exact
+    µs; the reported gap uses integer-div seconds.  One shuffle on
+    user_id; the oracle restates it as LATERAL top-1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(us.alias("v_us"), F.col("event_id").alias("view_id")),
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = tagged.withColumn("pv", F.last("v", ignorenulls=True).over(w))
+    return (
+        prior.where(
+            (F.col("event_type") == "purchase")
+            & F.col("pv").isNotNull()
+            & ((F.col("us") - F.col("pv.v_us")) <= 7_200_000_000)
+        )
+        .select(
+            "event_id",
+            F.col("pv.view_id").alias("view_id"),
+            F.expr("(us - pv.v_us) div 1000000").alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )

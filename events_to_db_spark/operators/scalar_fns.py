@@ -411,3 +411,54 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(50)
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT event_type,
+           CAST(count(CASE WHEN user_id % 3 = 0 THEN 1 END) AS BIGINT)
+               AS div_nulls,
+           round(sum(CASE WHEN user_id % 3 <> 0
+                          THEN 100.0 / (user_id % 3) END), 4) AS div_total,
+           CAST(count(TRY_CAST(event_type AS DOUBLE)) AS BIGINT)
+               AS numeric_types,
+           CAST(count(CASE WHEN length(props) > 12 THEN 1 END) AS BIGINT)
+               AS long_props
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: ``try_divide`` (NULL on /0
+    instead of an ANSI error) and ``try_cast`` (NULL on malformed
+    input) — the fault-tolerant scalar family an always-on copy
+    pipeline needs, since one poisoned row must not kill a batch.
+
+    Spark evaluates try_* natively under ANSI mode; the oracle
+    restates the NULL-on-error semantics with guards (DuckDB's ``/``
+    raises on zero).  Counting nulls per type proves the error paths
+    were actually exercised, not optimized away.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            (
+                F.count("*") - F.count(F.try_divide(F.lit(100), F.col("user_id") % 3))
+            )
+            .cast("bigint")
+            .alias("div_nulls"),
+            F.round(
+                F.sum(F.try_divide(F.lit(100), F.col("user_id") % 3)), 4
+            ).alias("div_total"),
+            F.count(F.col("event_type").try_cast("double"))
+            .cast("bigint")
+            .alias("numeric_types"),
+            F.count(F.when(F.length("props") > 12, 1))
+            .cast("bigint")
+            .alias("long_props"),
+        )
+        .orderBy("event_type")
+    )

@@ -311,3 +311,49 @@ def q_aql_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total"),
         F.round(F.min("value"), 4).alias("lo"),
     )
+
+
+@query(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN s_suppkey >= 50 THEN 1 END) AS BIGINT)
+               AS n_with_bal,
+           round(sum(CASE WHEN s_suppkey >= 50 THEN s_acctbal END), 4)
+               AS total_bal
+    FROM supplier
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: the supplier table written as two
+    generations — v1 files carry (suppkey, name), v2 files add
+    s_acctbal — read back in ONE scan with ``mergeSchema``, where v1
+    rows surface NULL for the late-added column.
+
+    This is the lake-evolution contract (add a column without
+    rewriting history).  mergeSchema unions footers at planning time;
+    row groups never rewrite.  The oracle states the same semantics
+    directly over the base table (acctbal visible only for v2-range
+    keys)."""
+    s = load_table(spark, sf_dir, "supplier")
+
+    def write(base: str) -> None:
+        import os
+
+        s.where(F.col("s_suppkey") < 50).select("s_suppkey", "s_name").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "v1"))
+        s.where(F.col("s_suppkey") >= 50).select(
+            "s_suppkey", "s_name", "s_acctbal"
+        ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+        open(os.path.join(base, "_SUCCESS"), "w").close()
+
+    path = _materialize(spark, sf_dir, "supplier_evolved", write)
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/v1", f"{path}/v2"
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count("s_acctbal").cast("bigint").alias("n_with_bal"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+    )
