@@ -357,3 +357,108 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s_acctbal").cast("bigint").alias("n_with_bal"),
         F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
     )
+
+
+@query(
+    "q_sql_recursive",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   event_type AS dst
+            FROM events
+        ) WHERE src IS NOT NULL AND src <> dst
+    ),
+    reach(node, hops) AS (
+        SELECT 'signup', 0
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): minimum-hop
+    reachability from 'signup' over the event-type transition graph —
+    the declarative sibling of `q_graph_bfs`'s iterative loop.
+
+    The recursion expands UNION ALL paths with a hop cap (the graph
+    has cycles; the cap bounds work at ≤ |edges|^3 over a 5-node
+    graph), then a final aggregate takes min hops per node — the
+    textbook bounded-recursion + post-aggregate shape, executed by
+    the engine's own fixpoint operator in BOTH engines (no Python
+    loop).  Edge derivation shares the q_ev_transitions lag window.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rv")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS src,
+                       event_type AS dst
+                FROM events_rv
+            ) WHERE src IS NOT NULL AND src <> dst
+        ),
+        reach(node, hops) AS (
+            SELECT 'signup', 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.hops < 3
+        )
+        SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+        FROM reach GROUP BY node ORDER BY node
+        """
+    )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS n_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+           CAST(count(json_extract_string(props, '$.missing')) AS BIGINT)
+               AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): payloads parsed once
+    into the binary VARIANT encoding, then typed extraction with
+    ``variant_get`` — the engine-native path for schema-on-read
+    payloads, replacing per-access JSON string re-parsing
+    (``q_fn_json``'s model) with a parse-once columnar encoding.
+
+    ``try_variant_get`` on an absent path yields NULL (counted to
+    prove the miss path runs); the oracle reads the same numbers via
+    DuckDB's JSON extraction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+            F.expr(
+                "try_variant_get(parse_json(props), '$.missing', 'string')"
+            ).alias("miss"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("miss").cast("bigint").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
