@@ -270,3 +270,152 @@ def q_udf_arrow_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+class _SessionSplit:
+    """UDTF with a TABLE argument (Spark 4 polymorphic input): receives
+    one user's events as ordered rows (PARTITION BY user_id ORDER BY
+    ts), splits on >30-minute gaps, emits one row per session."""
+
+    def __init__(self):
+        self._rows: list[tuple[int, int]] = []
+        self._uid: int | None = None
+
+    def eval(self, row):
+        self._uid = row.user_id
+        self._rows.append((row.us, row.vc))
+
+    def terminate(self):
+        if not self._rows:
+            return
+        gap_us = 30 * 60 * 1_000_000
+        start = self._rows[0][0]
+        n, total = 0, 0
+        prev = None
+        for us, vc in self._rows:
+            if prev is not None and us - prev > gap_us:
+                yield (self._uid, start, n, total)
+                start, n, total = us, 0, 0
+            n += 1
+            total += int(vc)
+            prev = us
+        yield (self._uid, start, n, total)
+
+
+@query(
+    "q_udtf_table",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id,
+               epoch_us(ts) AS us,
+               CAST(round(value*100) AS BIGINT) AS vc,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, us, vc,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS total_c
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument (Spark 4): the engine feeds
+    each user's ordered events into one UDTF instance (`PARTITION BY
+    user_id ORDER BY ts, event_id`), which splits on 30-minute gaps
+    and emits session summaries — the polymorphic-input surface that
+    turns a UDTF into a custom *grouped* operator, next to
+    ``q_udtf``'s scalar LATERAL form.
+
+    The per-user fold is exact integer arithmetic (µs timestamps,
+    value cents), so the gaps-and-islands oracle hash-matches.  Scale:
+    one shuffle on user_id; UDTF state is a single user's rows.
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.selectExpr(
+        "user_id",
+        "unix_micros(ts) AS us",
+        "event_id",
+        "CAST(round(value*100) AS BIGINT) AS vc",
+    ).createOrReplaceTempView("_udtf_sess_in")
+    wrapped = _udtf(
+        _SessionSplit,
+        returnType="user_id BIGINT, session_start_us BIGINT,"
+        " n_events BIGINT, total_c BIGINT",
+    )
+    spark.udtf.register("session_split", wrapped)
+    return spark.sql(
+        """
+        SELECT t.user_id, t.session_start_us, t.n_events, t.total_c
+        FROM session_split(
+            TABLE(SELECT * FROM _udtf_sess_in)
+            PARTITION BY user_id ORDER BY (us, event_id)
+        ) AS t
+        ORDER BY user_id, session_start_us
+        """
+    )
+
+
+@query(
+    "q_udf_arrow_batch",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)
+                    * (CASE WHEN user_id % 2 = 0 THEN 2 ELSE 1 END))
+               AS BIGINT) AS weighted_c
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the RecordBatch-level Python surface (5th UDF
+    mode beside row UDF / pandas UDF / iterator pandas UDF / UDTF):
+    the kernel receives raw ``pyarrow.RecordBatch``es and computes
+    with ``pyarrow.compute`` vector ops — no pandas materialization,
+    no per-row Python, zero-copy on the Arrow buffers.
+
+    The kernel derives exact value cents and a parity weight per row
+    (pure per-row integer math → deterministic under any batching);
+    Spark aggregates the result, and the oracle restates the whole
+    thing in SQL.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), "int64")
+            weight = pc.add(
+                pc.cast(pc.equal(pc.bit_wise_and(b.column("user_id"), 1), 0), "int64"),
+                1,
+            )
+            yield pa.record_batch(
+                [b.column("event_type"), pc.multiply(cents, weight)],
+                names=["event_type", "wc"],
+            )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    out = ev.mapInArrow(kernel, "event_type STRING, wc BIGINT")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("wc").cast("bigint").alias("weighted_c"),
+        )
+        .orderBy("event_type")
+    )
