@@ -462,3 +462,137 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_fn_collate",
+    oracle="""
+    SELECT lower(p_type) AS type_ci,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT p_brand) AS BIGINT) AS brands
+    FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN p_type
+                      ELSE lower(p_type) END AS p_type,
+                 p_brand
+          FROM part)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): mixed-case type
+    labels grouped under ``UTF8_LCASE`` — equality, grouping, and
+    DISTINCT all follow the collation, no manual lower() at use
+    sites.
+
+    The mixed-case input is synthesized deterministically (even keys
+    keep upper, odd lower), the group key is re-lowered for output
+    parity, and the oracle states the same semantics with explicit
+    lower().  At scale collation-aware grouping hashes the collation
+    key directly — same shuffle cost as a binary group.
+    """
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.col("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("p_type"),
+        "p_brand",
+    )
+    ci = F.collate(F.col("p_type"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("type_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("p_brand").cast("bigint").alias("brands"),
+        )
+        .select(
+            F.lower(F.col("type_key").cast("string")).alias("type_ci"),
+            "n",
+            "brands",
+        )
+        .orderBy("type_ci")
+    )
+
+
+@query(
+    "q_fn_interval",
+    oracle="""
+    SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN CAST(o_orderdate + INTERVAL 1 MONTH AS DATE)
+                                = CAST(last_day(CAST(o_orderdate AS DATE)
+                                       + INTERVAL 1 MONTH) AS DATE)
+                           THEN 1 END) AS BIGINT) AS month_end_next,
+           CAST(count(CASE WHEN CAST(o_orderdate AS DATE)
+                                = last_day(CAST(o_orderdate AS DATE))
+                           THEN 1 END) AS BIGINT) AS month_end_now
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic surface: quarter truncation,
+    month addition with end-of-month clamping (`add_months`), and
+    `last_day` — the clamp semantics both engines share (Jan 31 + 1
+    month = Feb 28/29), pinned by counting rows that land on a month
+    end before and after the shift.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+                "q"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(
+                F.when(
+                    F.add_months(d, 1) == F.last_day(F.add_months(d, 1)), 1
+                )
+            )
+            .cast("bigint")
+            .alias("month_end_next"),
+            F.count(F.when(d == F.last_day(d), 1)).cast("bigint").alias(
+                "month_end_now"
+            ),
+        )
+        .orderBy("q")
+    )
+
+
+@query(
+    "q_page_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+)
+def q_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination (LIMIT + OFFSET, Spark 4 `offset()`): page 3
+    of the order book by exact price cents with orderkey tie-break —
+    deterministic pagination needs a total order (§7.5), which the
+    tie-break supplies.
+
+    Scale note: OFFSET is inherently skip-scan (the engine still
+    orders the prefix); for deep pages use keyset pagination (WHERE
+    (price, key) < last-seen) — this query pins the shallow-page
+    surface.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").desc(), "o_orderkey"
+        )
+        .offset(50)
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
