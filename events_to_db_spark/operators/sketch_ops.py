@@ -377,3 +377,91 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("est") - F.col("n_exact")) / F.col("n_exact") * 100, 4)
             .alias("rel_err_pct"),
     )
+
+
+#: KMV geometry: k = 8 minimum hash values (tiny on purpose — the
+#: sf0.001 smoke corpus has only 15 distinct users per type, and the
+#: estimator needs k ≤ n).  2^60 is the hash range of `_spark_h`.
+_KMV_K = 8
+_KMV_RANGE = 1 << 60
+
+
+@query(
+    "q_sketch_kmv",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+          FROM u GROUP BY 1),
+    h AS (SELECT DISTINCT event_type,
+                 {_duck_h("CAST(user_id AS VARCHAR)")} AS h
+          FROM u),
+    surv AS (
+        SELECT h.event_type, h.h
+        FROM h JOIN n ON h.event_type = n.event_type
+        WHERE h.h <= ({_KMV_RANGE} // n.n_exact) * (4 * {_KMV_K})
+    ),
+    rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM surv
+    )
+    SELECT rk.event_type, n.n_exact,
+           round(({_KMV_K} - 1) * {float(_KMV_RANGE)} / CAST(rk.h AS DOUBLE), 2)
+               AS est_distinct,
+           round((({_KMV_K} - 1) * {float(_KMV_RANGE)} / CAST(rk.h AS DOUBLE)
+                  - n.n_exact) / n.n_exact * 100, 2) AS rel_err_pct
+    FROM rk JOIN n ON rk.event_type = n.event_type
+    WHERE rk.rn = {_KMV_K}
+    ORDER BY rk.event_type
+    """,
+)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type,
+    exactly reproducible: hash each distinct user to a 60-bit
+    md5-derived integer, keep the k = 8 smallest hash values, and
+    estimate |users| as ``(k−1)·2^60 / R_k`` where R_k is the k-th
+    smallest hash — the bottom-k sketch whose union-merge (take the k
+    smallest of the combined sets) gives distributed distinct counting
+    with one tiny state per shard.  The query reports the estimate
+    against the exact count, so the sketch's error is *measured*, not
+    assumed.
+
+    Scale shape: the naive formulation sorts every hash per type; here
+    the exact per-type count (needed for the error column anyway)
+    derives a threshold τ = 4k/n · 2^60 that pre-filters to an
+    expected ~4k = 32 surviving hashes per type *before* the order
+    statistic, so the window sort runs on a constant-size survivor
+    set — the same two-pass trick that makes exact bottom-k viable at
+    100 TB.  All arithmetic up to the final division is 64-bit
+    integer; the one double division is bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    n = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_exact"))
+    h = ev.select(
+        "event_type",
+        F.expr(_spark_h("cast(user_id as string)")).alias("h"),
+    ).distinct()
+    tau = F.expr(f"({_KMV_RANGE}L div n_exact) * {4 * _KMV_K}")
+    surv = h.join(F.broadcast(n), "event_type").where(F.col("h") <= tau)
+    from pyspark.sql import Window
+
+    rk = (
+        surv.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .where(F.col("rn") == _KMV_K)
+    )
+    est = F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_RANGE)) / F.col("h").cast(
+        "double"
+    )
+    return rk.select(
+        "event_type",
+        "n_exact",
+        F.round(est, 2).alias("est_distinct"),
+        F.round(
+            (est - F.col("n_exact")) / F.col("n_exact") * 100, 2
+        ).alias("rel_err_pct"),
+    ).orderBy("event_type")

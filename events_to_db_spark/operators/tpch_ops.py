@@ -5,8 +5,11 @@ adapted to this corpus's column subset (no partsupp / commitdate /
 shipmode — adaptations are noted per query).  Q1 and Q5 shapes already
 exist as ``q_agg_q1`` / ``q_join_multiway``; this module adds the rest
 of the canonical join/agg/subquery shapes: Q2, Q3, Q4, Q6, Q7, Q8, Q9,
-Q10, Q11, Q13, Q14, Q15, Q16, Q17, Q18, Q19, Q20, Q22 (Q12/Q21 need
-shipmode/commit-receipt dates, which this corpus does not carry).
+Q10, Q11, Q13, Q14, Q15, Q16, Q17, Q18, Q19, Q20, Q22, plus adapted
+Q12/Q21 (their shipmode/commit-receipt-date columns do not exist in
+this corpus, so Q12 dimensions on ``l_returnflag`` and Q21's
+"kept the order waiting" predicate is re-expressed on ``l_shipdate`` —
+the join/correlation shapes are preserved exactly).
 
 Determinism (SURVEY §7.5): every revenue figure is assembled on exact
 BIGINT "e4 dollars" — ``cents(l_extendedprice) × (100 − discount_pct)``
@@ -1047,4 +1050,133 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .orderBy(F.col("qty").desc(), "s_suppkey")
         .select("s_suppkey", "s_name", F.col("qty").alias("gear_qty"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_linestatus = 'F'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority audit (adapted: no l_shipmode
+    column — the reporting dimension is ``l_returnflag`` and the
+    receipt-date window becomes a ship-date window; the
+    orders⋈lineitem shape and the priority-bucket conditional counts
+    are the canonical Q12 ones).
+
+    Plan: the ship-date + flag predicates prune the fact scan
+    (PushedFilters), then one shuffle on l_orderkey joins the order
+    priorities in; at 100 TB both sides are fact-scale, so a shuffled
+    hash join on the natural key is the right physical choice (no
+    broadcast attempt) and the final 2-row aggregate is map-side
+    partial.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_linestatus") == "F")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: no
+    commit/receipt dates — "waiting on supplier s" becomes "s shipped
+    the latest line of a multi-supplier finalized order and nobody
+    else shipped later").  The oracle keeps the canonical
+    double-correlated EXISTS / NOT-EXISTS form; the Spark plan is its
+    decorrelation, and the differential hash-match proves the rewrite:
+
+        s qualifies on order o
+            ⟺ ∃ line l1 of (o,s):  no other-supplier line ships later
+            ⟺ max_ship(o,s) ≥ max over other suppliers
+            ⟺ max_ship(o,s) = max_ship(o)   and  n_suppliers(o) > 1
+
+    Plan: per-(order,supplier) max is one shuffle on l_orderkey; the
+    per-order roll-up reuses that partitioning (no second exchange —
+    groupBy on a prefix of the existing keys); qualifying pairs then
+    aggregate per supplier (second small shuffle) and TakeOrdered
+    yields the top-10.  Both correlated subqueries collapse into the
+    same single fact-key shuffle — the decorrelation a 100 TB run
+    needs, since the EXISTS form would otherwise rescan lineitem
+    twice.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_so = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    per_o = per_so.groupBy("l_orderkey").agg(
+        F.max("s_max").alias("o_max"),
+        F.count("*").alias("n_supp"),
+    )
+    qual = (
+        per_so.join(per_o, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("s_max") == F.col("o_max")))
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+        .select("s_suppkey", "s_name", "numwait")
     )
