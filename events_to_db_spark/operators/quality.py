@@ -444,3 +444,57 @@ def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_anon_ldiv",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               count(*) AS sz,
+               count(DISTINCT c_mktsegment) AS l
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below_l,
+           CAST(sum(CASE WHEN l < 2 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_records_at_risk
+    FROM classes
+    GROUP BY c_nationkey
+    """,
+)
+def q_anon_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=2) — the attribute-disclosure complement of
+    ``q_anon_k``: within each quasi-identifier equivalence class
+    (nation, account-balance bucket), count the distinct values of the
+    sensitive attribute (market segment).  A class with l = 1 leaks the
+    sensitive value of every member even when it is k-anonymous, which
+    is exactly the failure k-anonymity alone cannot see; the audit
+    reports, per nation, how many classes and records sit below l.
+
+    Same execution shape as q_anon_k — two keyed hash aggregations
+    (the distinct count expands once per class, bounded by |segments| =
+    5) — so it scales as a pair of shuffles with no windows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    below = F.col("l") < 2
+    return classes.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(below.cast("long")).alias("n_classes_below_l"),
+        F.sum(F.when(below, F.col("sz")).otherwise(0)).alias(
+            "n_records_at_risk"
+        ),
+    )

@@ -596,3 +596,71 @@ def q_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("price"),
         )
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT event_type,
+               'https://shop.example.com/' || event_type || '/item-'
+                   || CAST(user_id AS VARCHAR) || '?id='
+                   || CAST(event_id AS VARCHAR) || '&src=' || event_type
+                   AS url
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_type,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+               CAST(regexp_extract(url, '[?&]id=([^&]*)', 1) AS BIGINT)
+                   AS qid
+        FROM u
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           min(path) AS first_path,
+           CAST(min(qid) AS BIGINT) AS min_id,
+           CAST(max(qid) AS BIGINT) AS max_id
+    FROM parsed
+    GROUP BY event_type
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: synthesize a deterministic URL per event,
+    split it into host / path / query-parameter with Spark's native
+    ``parse_url`` (java.net.URI-backed, codegen'd), and aggregate the
+    components.  The oracle re-parses the identical URLs with plain
+    regular expressions, so the differential check proves parse_url's
+    component semantics (host excludes the scheme, path excludes the
+    query, parameter extraction decodes by key) rather than assuming
+    them.
+
+    Columnar expression work only — the parse never leaves the JVM and
+    the single aggregation is the only shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.col("event_type"),
+        F.lit("/item-"),
+        F.col("user_id").cast("string"),
+        F.lit("?id="),
+        F.col("event_id").cast("string"),
+        F.lit("&src="),
+        F.col("event_type"),
+    )
+    parsed = ev.withColumn("url", url).select(
+        "event_type",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'id')").cast("bigint").alias("qid"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.min("path").alias("first_path"),
+        F.min("qid").alias("min_id"),
+        F.max("qid").alias("max_id"),
+    )

@@ -462,3 +462,44 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip: orders written once as ORC (Spark's
+    second columnar format, zlib-compressed by default), read back and
+    aggregated on exact cents — proving the engine's format surface is
+    not parquet-only.  ORC carries the same typed columnar layout, so
+    DOUBLE and TIMESTAMP columns survive the hop bit-exactly and the
+    aggregate hash-matches the parquet oracle.
+
+    At scale the read path matters the same way parquet's does:
+    predicate pushdown and column pruning reach the ORC reader
+    (``spark.sql.orc.filterPushdown`` is on by default in Spark 4),
+    and the vectorized ORC reader keeps the scan inside
+    WholeStageCodegen.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = _materialize(
+        spark,
+        sf_dir,
+        "orders_orc",
+        lambda p: orders.write.mode("overwrite").orc(p),
+    )
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
