@@ -501,3 +501,189 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "q_stat_ttest",
+    oracle="""
+    WITH m AS (
+        SELECT
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                               * CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN event_type = 'view'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS s2,
+            CAST(sum(CASE WHEN event_type = 'view'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                               * CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS q2
+        FROM events WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT n1, n2,
+           round((CAST(s1 AS DOUBLE) / n1) / 100, 4) AS mean1,
+           round((CAST(s2 AS DOUBLE) / n2) / 100, 4) AS mean2,
+           round(((CAST(s1 AS DOUBLE) / n1) - (CAST(s2 AS DOUBLE) / n2))
+                 / sqrt(((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * s1)
+                         / (n1 - 1)) / n1
+                        + ((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * s2)
+                           / (n2 - 1)) / n2), 4) AS t_welch,
+           round(
+             (((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * s1)
+               / (n1 - 1)) / n1
+              + ((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * s2)
+                 / (n2 - 1)) / n2)
+             * (((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * s1)
+                 / (n1 - 1)) / n1
+                + ((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * s2)
+                   / (n2 - 1)) / n2)
+             / ((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * s1)
+                  / (n1 - 1)) / n1)
+                * (((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * s1)
+                    / (n1 - 1)) / n1) / (n1 - 1)
+                + (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * s2)
+                    / (n2 - 1)) / n2)
+                  * (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * s2)
+                      / (n2 - 1)) / n2) / (n2 - 1)), 2) AS df_welch
+    FROM m
+    """,
+)
+def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) on purchase vs
+    view values: t statistic and Welch–Satterthwaite degrees of
+    freedom, assembled entirely from six exact BIGINT moment sums
+    (n, Σc, Σc² per group on value cents) gathered in ONE conditional
+    aggregation pass.  Every double operation after the single
+    aggregate row is the same left-to-right expression in both
+    engines, so the statistic hash-matches to 4 places with no
+    float-sum ordering hazard — the §7.5 discipline applied to
+    inference.
+
+    Scale shape: one map-side-combinable aggregate over the filtered
+    scan; the test itself is O(1) arithmetic on one row.  Overflow:
+    Σc² ≤ ~3e14 at sf0.1 (cents² per row ≤ 2.5e9) — inside BIGINT
+    through ~1e8 rows, then move the two Q columns to DECIMAL(38,0).
+    """
+    c = F.round(F.col("value") * 100).cast("bigint")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "view"
+    m = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .agg(
+            F.sum(is1.cast("bigint")).alias("n1"),
+            F.sum(F.when(is1, c).otherwise(0)).alias("s1"),
+            F.sum(F.when(is1, c * c).otherwise(0)).alias("q1"),
+            F.sum(is2.cast("bigint")).alias("n2"),
+            F.sum(F.when(is2, c).otherwise(0)).alias("s2"),
+            F.sum(F.when(is2, c * c).otherwise(0)).alias("q2"),
+        )
+    )
+    # Per-group standard error components, written once and reused so
+    # the Spark expression tree mirrors the oracle's literal text.
+    se1 = "(((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * s1) / (n1 - 1)) / n1)"
+    se2 = "(((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * s2) / (n2 - 1)) / n2)"
+    return m.select(
+        "n1",
+        "n2",
+        F.expr("round((CAST(s1 AS DOUBLE) / n1) / 100, 4)").alias("mean1"),
+        F.expr("round((CAST(s2 AS DOUBLE) / n2) / 100, 4)").alias("mean2"),
+        F.expr(
+            "round(((CAST(s1 AS DOUBLE) / n1) - (CAST(s2 AS DOUBLE) / n2))"
+            f" / sqrt({se1} + {se2}), 4)"
+        ).alias("t_welch"),
+        F.expr(
+            f"round(({se1} + {se2}) * ({se1} + {se2})"
+            f" / ({se1} * {se1} / (n1 - 1) + {se2} * {se2} / (n2 - 1)), 2)"
+        ).alias("df_welch"),
+    )
+
+
+#: The five event types, pinned so the ANOVA between-group sum is a
+#: literal fixed-order expression (no float-sum-over-groups hazard).
+_EV_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_stat_anova",
+    oracle=f"""
+    WITH m AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q,
+            {", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}, "
+                f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_{t}"
+                for t in _EV_TYPES)}
+        FROM events
+    )
+    SELECT n,
+           round(({" + ".join(f"(CAST(s_{t} AS DOUBLE) / n_{t}) * s_{t}" for t in _EV_TYPES)}
+                  - (CAST(s AS DOUBLE) / n) * s) / 10000, 4) AS ssb,
+           round((CAST(q AS DOUBLE)
+                  - ({" + ".join(f"(CAST(s_{t} AS DOUBLE) / n_{t}) * s_{t}" for t in _EV_TYPES)})) / 10000, 4) AS ssw,
+           round((({" + ".join(f"(CAST(s_{t} AS DOUBLE) / n_{t}) * s_{t}" for t in _EV_TYPES)}
+                   - (CAST(s AS DOUBLE) / n) * s) / ({len(_EV_TYPES)} - 1))
+                 / ((CAST(q AS DOUBLE)
+                     - ({" + ".join(f"(CAST(s_{t} AS DOUBLE) / n_{t}) * s_{t}" for t in _EV_TYPES)}))
+                    / (n - {len(_EV_TYPES)})), 4) AS f_stat,
+           round(({" + ".join(f"(CAST(s_{t} AS DOUBLE) / n_{t}) * s_{t}" for t in _EV_TYPES)}
+                  - (CAST(s AS DOUBLE) / n) * s)
+                 / (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s), 6) AS eta_sq
+    FROM m
+    """,
+)
+def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five event types on value cents:
+    between/within sums of squares, the F statistic, and η² effect
+    size.  The decomposition needs Σᵢ Sᵢ²/nᵢ — a float sum over
+    groups, which would be summation-order-dependent if computed by an
+    aggregate; instead the five types are PIVOTED into one row by
+    conditional aggregation and the group sum is a literal
+    left-to-right five-term expression, identical text in both
+    engines.  Everything upstream of that expression is exact BIGINT.
+
+    One map-side-combinable pass over the scan; O(1) arithmetic after.
+    """
+    c = F.round(F.col("value") * 100).cast("bigint")
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    ]
+    for t in _EV_TYPES:
+        it = F.col("event_type") == t
+        aggs.append(F.sum(it.cast("bigint")).alias(f"n_{t}"))
+        aggs.append(F.sum(F.when(it, c).otherwise(0)).alias(f"s_{t}"))
+    m = load_table(spark, sf_dir, "events").agg(*aggs)
+    between = " + ".join(
+        f"(CAST(s_{t} AS DOUBLE) / n_{t}) * s_{t}" for t in _EV_TYPES
+    )
+    k = len(_EV_TYPES)
+    return m.select(
+        "n",
+        F.expr(
+            f"round(({between} - (CAST(s AS DOUBLE) / n) * s) / 10000, 4)"
+        ).alias("ssb"),
+        F.expr(f"round((CAST(q AS DOUBLE) - ({between})) / 10000, 4)").alias(
+            "ssw"
+        ),
+        F.expr(
+            f"round((({between} - (CAST(s AS DOUBLE) / n) * s) / ({k} - 1))"
+            f" / ((CAST(q AS DOUBLE) - ({between})) / (n - {k})), 4)"
+        ).alias("f_stat"),
+        F.expr(
+            f"round(({between} - (CAST(s AS DOUBLE) / n) * s)"
+            " / (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s), 6)"
+        ).alias("eta_sq"),
+    )
