@@ -148,3 +148,45 @@ def q_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("spend"), 4).alias("total_spend"),
         )
     )
+
+
+@query(
+    "q_subquery_notin",
+    oracle="""
+    WITH probe AS (
+        SELECT c_mktsegment, nullif(c_nationkey, 3) AS nk FROM customer
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM probe
+    WHERE nk NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_subquery_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with NULLs — the classic three-valued-logic trap a naive
+    anti-join gets wrong: a NULL probe value makes ``x NOT IN (…)``
+    UNKNOWN, so rows with nationkey 3 (nulled via ``nullif``) must be
+    EXCLUDED even though 3 is absent from the subquery list.  A plain
+    left-anti join would keep them; the differential hash-match proves
+    this engine implements the null-aware semantics.
+
+    Expressed through ``spark.sql`` so Catalyst plans its null-aware
+    anti join (single-key NOT IN compiles to NullAwareAntiJoin —
+    broadcast-based, no cartesian fallback for the one-column case);
+    the subquery side here is nation-sized, so the broadcast is free.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT c_mktsegment, nullif(c_nationkey, 3) AS nk
+            FROM customer_v
+        )
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        FROM probe
+        WHERE nk NOT IN (SELECT n_nationkey FROM nation_v
+                         WHERE n_regionkey = 0)
+        GROUP BY c_mktsegment
+        """
+    )
