@@ -22,7 +22,10 @@ enough that a reference user's everyday pipeline strings run unchanged:
   aggregates, ``FIRST/LAST`` to ``min_by/max_by`` over the total
   (ts, event_id) event order — NOT Spark's order-undefined
   ``first/last``;
-* ``LIMIT``     → first-n in event order (TakeOrderedAndProject).
+* ``LIMIT``     → first-n in event order (TakeOrderedAndProject);
+* ``LET x := e``→ named binding usable in every later stage (the
+  public AQL beta binding surface) — compiles to ``withColumn``, so
+  Catalyst inlines or CSE-shares it like any projection.
 
 Payload access ``_.a`` (and ``_.a.b``) compiles to
 ``get_json_object(props, '$.a.b')``; AQL is dynamically typed, so
@@ -64,7 +67,7 @@ _TOKEN_RE = re.compile(
       | '(?P<str>(?:[^'\\]|\\.)*)'
       | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])*)
       | (?P<word>[A-Za-z][A-Za-z_0-9]*)
-      | (?P<op><=|>=|!=|[-+*/%=<>()!&|,{}:])
+      | (?P<op>:=|<=|>=|!=|[-+*/%=<>()!&|,{}:])
     )""",
     re.VERBOSE,
 )
@@ -75,6 +78,7 @@ _KEYWORDS = {
     "SELECT",
     "AGGREGATE",
     "LIMIT",
+    "LET",
     "CASE",
     "WHEN",
     "THEN",
@@ -178,10 +182,17 @@ class _ExprParser:
     :class:`_Val` (Column + coarse kind) so numeric contexts can insert
     ``try_cast`` exactly where AQL's dynamic typing needs it."""
 
-    def __init__(self, toks: list[_Tok], payload: _Payload, order_cols: tuple[str, str]):
+    def __init__(
+        self,
+        toks: list[_Tok],
+        payload: _Payload,
+        order_cols: tuple[str, str],
+        bindings: dict[str, str] | None = None,
+    ):
         self.toks = toks
         self.payload = payload
         self.order_cols = order_cols
+        self.bindings = bindings or {}
         self.uses_agg = False
 
     def peek(self) -> _Tok | None:
@@ -283,6 +294,9 @@ class _ExprParser:
         if t.kind == "word" and t.text == "NULL":
             self.take()
             return _Val(F.lit(None), _ANY)
+        if t.kind == "word" and t.text in self.bindings:
+            self.take()
+            return _Val(F.col(f"__let_{t.text}"), self.bindings[t.text])
         if t.kind == "word" and t.text == "CASE":
             return self.case()
         if t.kind == "word" and t.text in _AGG_FUNCS:
@@ -372,7 +386,7 @@ def parse_aql(text: str) -> AqlQuery:
     if not (toks and toks[0].kind == "word" and toks[0].text == "FROM"):
         raise ValueError("AQL: query must start with FROM")
     toks.pop(0)
-    stage_kws = ("FILTER", "SELECT", "AGGREGATE", "LIMIT")
+    stage_kws = ("FILTER", "SELECT", "AGGREGATE", "LIMIT", "LET")
     # FROM clause: consume tokens until the next stage keyword
     from_parts: list[str] = []
     while toks and not (toks[0].kind == "word" and toks[0].text in stage_kws):
@@ -443,11 +457,18 @@ def run_aql(
     df = events_with_tags.filter(parse_tag_expr(q.from_text).to_column(tags_col))
     payload = _Payload(F.col(payload_col), _ANY, is_json=True)
     obj_fields: list[str] | None = None  # set while payload is an object
+    bindings: dict[str, str] = {}  # LET name -> value kind
 
     def materialize(val: Column, kind: str) -> None:
-        """Bind a computed value as the new payload column ``__v``."""
+        """Bind a computed value as the new payload column ``__v``,
+        carrying LET binding columns across the rebind."""
         nonlocal df, payload
-        df = df.select(ts_col, id_col, val.alias("__v"))
+        df = df.select(
+            ts_col,
+            id_col,
+            val.alias("__v"),
+            *[F.col(f"__let_{n}") for n in bindings],
+        )
         payload = _Payload(F.col("__v"), kind, is_json=False)
 
     for idx, (kind, body) in enumerate(q.stages):
@@ -456,7 +477,26 @@ def run_aql(
             # AQL LIMIT = first n in the event order, not an arbitrary n
             df = df.orderBy(ts_col, id_col).limit(body)
             continue
-        p = _ExprParser(list(body), payload, order_cols)
+        if kind == "LET":
+            # LET name := expr — bind a named value for later stages
+            # (public AQL beta binding surface; ``:=`` as documented).
+            toks = list(body)
+            if not toks or toks[0].kind != "word":
+                raise ValueError("AQL: LET needs a binding name")
+            name = toks.pop(0).text
+            if not (toks and toks[0].kind == "op" and toks[0].text == ":="):
+                raise ValueError("AQL: LET needs ':='")
+            toks.pop(0)
+            p = _ExprParser(toks, payload, order_cols, bindings)
+            val = p.expr()
+            if p.toks:
+                raise ValueError("AQL: trailing tokens in LET")
+            if p.uses_agg:
+                raise ValueError("AQL: LET cannot contain aggregates")
+            df = df.withColumn(f"__let_{name}", val.col)
+            bindings[name] = val.kind
+            continue
+        p = _ExprParser(list(body), payload, order_cols, bindings)
         if kind == "FILTER":
             cond = p.expr()
             if p.toks:

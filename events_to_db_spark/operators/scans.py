@@ -314,6 +314,42 @@ def q_aql_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_aql_let",
+    oracle="""
+    SELECT round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2),
+                 4) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type = 'click'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+    """,
+)
+def q_aql_let(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL LET bindings (the public beta binding surface): ``LET orig
+    := _.k`` captures the payload value, a SELECT then REBINDS ``_`` to
+    a computed scalar, and the following FILTER still reads ``orig`` —
+    proving bindings survive payload rebinding, which is the whole
+    point of LET in a pipeline language.  Compiles to ``withColumn`` +
+    projection; Catalyst common-subexpression-shares the binding, so
+    the front-end again adds zero execution machinery."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    pipe = (
+        "FROM 'type:click' LET orig := _.k"
+        " SELECT _.k * 2 FILTER orig >= 50"
+    )
+    total = run_aql(ev, pipe + " AGGREGATE SUM(_)").select(
+        F.round(F.col("value"), 4).alias("total")
+    )
+    n = run_aql(ev, pipe + " AGGREGATE COUNT()").select(
+        F.col("value").cast("bigint").alias("n")
+    )
+    return total.crossJoin(n)
+
+
+@query(
     "q_scan_merge_schema",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,

@@ -219,3 +219,48 @@ def test_final_object_select_flattens(spark, tagged):
     assert set(got.columns) == {"ts", "event_id", "twice", "neg"}
     rows = got.collect()
     assert rows and all(r.twice == -2 * r.neg for r in rows)
+
+
+def test_let_binding_survives_select_rebind(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' LET orig := _.k SELECT _.k * 2 FILTER orig >= 90",
+    )
+    base = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(_k() >= 90)
+        .select((_k() * 2).alias("value"))
+    )
+    assert sorted(float(r["value"]) for r in got.collect()) == sorted(
+        float(r["value"]) for r in base.collect()
+    )
+    # binding columns are internal — never leak into the output
+    assert set(got.columns) == {"ts", "event_id", "value"}
+
+
+def test_let_usable_in_aggregate_and_object(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' LET kk := _.k * 2 AGGREGATE SUM(kk)",
+    ).collect()
+    base = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .agg(F.sum(_k() * 2).alias("v"))
+        .collect()
+    )
+    assert abs(got[0]["value"] - base[0]["v"]) < 1e-9
+    obj = run_aql(
+        tagged,
+        "FROM 'type:view' LET kk := _.k * 2 SELECT { kk: kk, orig: _.k }",
+    )
+    rows = obj.collect()
+    assert rows and all(abs(r.kk - 2 * float(r.orig)) < 1e-9 for r in rows)
+
+
+def test_let_parse_errors(spark, tagged):
+    with pytest.raises(ValueError, match="LET needs ':='"):
+        run_aql(tagged, "FROM allEvents LET x = _.k SELECT x")
+    with pytest.raises(ValueError, match="LET needs a binding name"):
+        run_aql(tagged, "FROM allEvents LET := _.k SELECT _.k")
+    with pytest.raises(ValueError, match="LET cannot contain aggregates"):
+        run_aql(tagged, "FROM allEvents LET x := SUM(_.k) SELECT x")
