@@ -99,6 +99,7 @@ def signup_purchase_join_stream(
     events: DataFrame,
     events_again: DataFrame,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases joined to the signups
     they follow within 7 days — the live twin of the funnel's join
@@ -109,7 +110,12 @@ def signup_purchase_join_stream(
     state: a buffered signup is droppable once the watermark passes
     ``signup_ts + 7 days``.  Pass the same source twice (two separate
     ``readStream`` handles — self-joins of one streaming DataFrame
-    are not supported)."""
+    are not supported).
+
+    ``how='left_outer'`` additionally emits each signup with NULL
+    purchase columns once the watermark proves no purchase can still
+    arrive in its 7-day window (state-expiry-driven null extension —
+    outer results are necessarily late by the watermark delay)."""
     signups = (
         events.filter(F.col("event_type") == "signup")
         .select(
@@ -133,7 +139,7 @@ def signup_purchase_join_stream(
         (F.col("s_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("signup_ts"))
         & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
-        "inner",
+        how,
     ).select(
         F.col("s_user").alias("user_id"),
         "signup_ts",

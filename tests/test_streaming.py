@@ -697,3 +697,81 @@ def test_rollup_cascade_equals_direct_aggregation(spark):
         levels["day"]._jdf.queryExecution().optimizedPlan().toString()
     )
     assert day_plan.lower().count("relation") <= 1
+
+
+def test_stream_stream_left_outer_join_emits_null_extension(
+    spark, chunked_events, tmp_path
+):
+    """Left-outer stream-stream join: signups with no purchase in their
+    7-day window are null-extended once the watermark proves the window
+    closed — Spark's state-expiry-driven outer semantics.  Inner pairs
+    must still equal the batch join exactly; outer rows must be exactly
+    the batch-unmatched signups old enough for the watermark to have
+    passed (trailing signups legitimately stay buffered at stream end)."""
+    from events_to_db_spark.streaming import signup_purchase_join_stream
+
+    feed, ev, n = chunked_events
+    acc = []
+    wm = "2 days"
+
+    q = (
+        signup_purchase_join_stream(
+            events_file_stream(spark, feed),
+            events_file_stream(spark, feed),
+            watermark=wm,
+            how="left_outer",
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, i: acc.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    within = (F.col("p_ts") >= F.col("s_ts")) & (
+        F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    batch_inner = s.join(p, "u").filter(within).collect()
+    matched_ids = {r["s_id"] for r in batch_inner}
+    unmatched = {
+        r["s_id"]: r["s_ts"]
+        for r in s.collect()
+        if r["s_id"] not in matched_ids
+    }
+
+    got_inner = {
+        (r["signup_event_id"], r["purchase_event_id"])
+        for r in acc
+        if r["purchase_event_id"] is not None
+    }
+    want_inner = {(r["s_id"], r["p_id"]) for r in batch_inner}
+    assert got_inner == want_inner
+
+    got_outer = {
+        r["signup_event_id"] for r in acc if r["purchase_event_id"] is None
+    }
+    # no false null-extensions: every outer row is genuinely unmatched
+    assert got_outer <= set(unmatched)
+    # coverage: any unmatched signup whose window + watermark horizon
+    # closed well before the feed's end must have been emitted
+    import datetime as _dt
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - _dt.timedelta(days=12)  # 7d window + 2d wm + slack
+    must_emit = {i for i, ts in unmatched.items() if ts < horizon}
+    assert must_emit, "fixture should contain closable unmatched signups"
+    assert must_emit <= got_outer
+    # exactly-once on the outer path too
+    n_outer_rows = sum(1 for r in acc if r["purchase_event_id"] is None)
+    assert n_outer_rows == len(got_outer)
