@@ -1141,35 +1141,39 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ⟺ max_ship(o,s) ≥ max over other suppliers
             ⟺ max_ship(o,s) = max_ship(o)   and  n_suppliers(o) > 1
 
-    Plan: per-(order,supplier) max is one shuffle on l_orderkey; the
-    per-order roll-up reuses that partitioning (no second exchange —
-    groupBy on a prefix of the existing keys); qualifying pairs then
-    aggregate per supplier (second small shuffle) and TakeOrdered
-    yields the top-10.  Both correlated subqueries collapse into the
-    same single fact-key shuffle — the decorrelation a 100 TB run
-    needs, since the EXISTS form would otherwise rescan lineitem
-    twice.
+    Plan: ONE lineitem scan, one shuffle on l_orderkey shared by the
+    F-status orders semi-join, the per-(order,supplier) aggregate, and
+    the per-order roll-up — the roll-up runs as a WINDOW over the
+    l_orderkey partition rather than a groupBy + self-join, which
+    would rescan and re-shuffle the fact (the first draft did; the
+    plan test pins the single scan).  Qualifying pairs then aggregate
+    per supplier (one small shuffle) and TakeOrdered yields the
+    top-10.  Both correlated subqueries collapse into that single
+    fact-key partitioning — the decorrelation a 100 TB run needs,
+    since the EXISTS form would otherwise rescan lineitem twice.
     """
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_so = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("s_max")
-    )
-    per_o = per_so.groupBy("l_orderkey").agg(
-        F.max("s_max").alias("o_max"),
-        F.count("*").alias("n_supp"),
-    )
-    qual = (
-        per_so.join(per_o, "l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("s_max") == F.col("o_max")))
-        .join(
+    per_so = (
+        li.join(
             o.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        per_so.withColumn("o_max", F.max("s_max").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .where((F.col("n_supp") > 1) & (F.col("s_max") == F.col("o_max")))
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

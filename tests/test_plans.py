@@ -206,3 +206,36 @@ def test_runtime_bloom_filter_engages_on_selective_dim_join(spark):
         .collect()
     )
     assert sorted(map(tuple, filtered)) == sorted(map(tuple, baseline))
+
+
+def test_q21_decorrelation_reuses_orderkey_partitioning(spark):
+    """The per-order roll-up and the qualifying join must reuse the
+    per-(order,supplier) aggregate's l_orderkey exchange — re-shuffling
+    the fact between the two grouping levels would double the dominant
+    cost.  Expected exchanges: one fact shuffle on l_orderkey, one
+    small per-supplier shuffle (plus broadcast for supplier names)."""
+    plan = (
+        _q(spark, "q_tpch_q21")._jdf.queryExecution().executedPlan().toString()
+    )
+    counts = plan_counts(_q(spark, "q_tpch_q21"))
+    # lineitem scanned once (decorrelated; the EXISTS form would scan 3x)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scan_lines) == 1
+    assert counts.get("CartesianProduct", 0) == 0
+
+
+def test_notin_plans_null_aware_anti_join(spark):
+    """Single-column NOT IN must compile to Spark's null-aware anti
+    join (broadcast hash), not a nested-loop fallback or a plain anti
+    join that would get the NULL semantics wrong."""
+    plan = (
+        _q(spark, "q_subquery_notin")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Spark renders the single-key NOT IN rewrite as a broadcast hash
+    # LeftAnti with the isNullAwareAntiJoin flag (trailing "true")
+    assert "LeftAnti, BuildRight, true" in plan
