@@ -427,3 +427,75 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_win_ignore_nulls",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) END AS pv
+        FROM events
+    ),
+    l AS (
+        SELECT event_type,
+               last_value(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf,
+               first_value(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+               ) AS first_purchase
+        FROM t
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(locf) AS BIGINT) AS n_carrying,
+           CAST(sum(locf) AS BIGINT) AS sum_locf_cents,
+           CAST(sum(first_purchase) AS BIGINT) AS sum_first_cents
+    FROM l
+    GROUP BY event_type
+    """,
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window surface — the sparse-column carry rules SQL
+    analytics needs for last-known-value semantics: ``last_value
+    IGNORE NULLS`` over a running frame is exact LOCF (each event sees
+    the user's most recent purchase amount), and ``first_value IGNORE
+    NULLS`` over the full frame anchors every row to the user's first
+    purchase.  Rows before a user's first purchase stay NULL under
+    LOCF — that count (n − n_carrying) is part of the contract, which
+    is precisely what a naive COALESCE-join reformulation gets wrong.
+
+    All sums are exact cents BIGINTs; one user_id shuffle serves both
+    frames.  The aggregate then reduces per event type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pv = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    l = ev.select(
+        "event_type",
+        F.last(pv, ignorenulls=True).over(run).alias("locf"),
+        F.first(pv, ignorenulls=True).over(full).alias("first_purchase"),
+    )
+    return l.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("locf").alias("n_carrying"),
+        F.sum("locf").alias("sum_locf_cents"),
+        F.sum("first_purchase").alias("sum_first_cents"),
+    )
