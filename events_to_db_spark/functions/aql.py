@@ -21,7 +21,8 @@ enough that a reference user's everyday pipeline strings run unchanged:
 * ``AGGREGATE`` → ``df.agg``; ``SUM/MIN/MAX/AVG/COUNT`` map to native
   aggregates, ``FIRST/LAST`` to ``min_by/max_by`` over the total
   (ts, event_id) event order — NOT Spark's order-undefined
-  ``first/last``;
+  ``first/last``; ``AGGREGATE { a: SUM(_.x), b: COUNT() }`` computes
+  every field in ONE aggregation pass (one scan, one agg row);
 * ``LIMIT``     → first-n in event order (TakeOrderedAndProject);
 * ``LET x := e``→ named binding usable in every later stage (the
   public AQL beta binding surface) — compiles to ``withColumn``, so
@@ -504,6 +505,18 @@ def run_aql(
             df = df.filter(cond.col)
             continue
         if kind == "AGGREGATE":
+            if p.at_op("{"):
+                # AGGREGATE { a: SUM(_.x), b: COUNT() } — one agg row
+                # with a column per field (no N-fold scan / cross join)
+                p.take()
+                fields = _parse_object(p)
+                if p.toks:
+                    raise ValueError("AQL: trailing tokens in AGGREGATE")
+                if not p.uses_agg:
+                    raise ValueError("AQL: AGGREGATE needs an aggregate call")
+                return df.agg(
+                    *[v.col.alias(name) for name, v in fields]
+                )
             val = p.expr()
             if p.toks:
                 raise ValueError("AQL: trailing tokens in AGGREGATE")

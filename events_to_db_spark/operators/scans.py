@@ -222,13 +222,12 @@ def q_aql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from events_to_db_spark.functions.tags import with_tags
 
     ev = with_tags(load_table(spark, sf_dir, "events"))
-    total = run_aql(
-        ev, "FROM 'type:purchase' FILTER _.k > 40 AGGREGATE SUM(_.k)"
-    ).select(F.round(F.col("value"), 4).alias("total_k"))
-    n = run_aql(
-        ev, "FROM 'type:purchase' FILTER _.k > 40 AGGREGATE COUNT()"
-    ).select(F.col("value").alias("n"))
-    return total.crossJoin(n)
+    out = run_aql(
+        ev,
+        "FROM 'type:purchase' FILTER _.k > 40"
+        " AGGREGATE { total_k: SUM(_.k), n: COUNT() }",
+    )
+    return out.select(F.round(F.col("total_k"), 4).alias("total_k"), "n")
 
 
 @query(
@@ -336,17 +335,16 @@ def q_aql_let(spark: SparkSession, sf_dir: str) -> DataFrame:
     from events_to_db_spark.functions.tags import with_tags
 
     ev = with_tags(load_table(spark, sf_dir, "events"))
-    pipe = (
+    out = run_aql(
+        ev,
         "FROM 'type:click' LET orig := _.k"
         " SELECT _.k * 2 FILTER orig >= 50"
+        " AGGREGATE { total: SUM(_), n: COUNT() }",
     )
-    total = run_aql(ev, pipe + " AGGREGATE SUM(_)").select(
-        F.round(F.col("value"), 4).alias("total")
+    return out.select(
+        F.round(F.col("total"), 4).alias("total"),
+        F.col("n").cast("bigint").alias("n"),
     )
-    n = run_aql(ev, pipe + " AGGREGATE COUNT()").select(
-        F.col("value").cast("bigint").alias("n")
-    )
-    return total.crossJoin(n)
 
 
 @query(

@@ -264,3 +264,35 @@ def test_let_parse_errors(spark, tagged):
         run_aql(tagged, "FROM allEvents LET := _.k SELECT _.k")
     with pytest.raises(ValueError, match="LET cannot contain aggregates"):
         run_aql(tagged, "FROM allEvents LET x := SUM(_.k) SELECT x")
+
+
+def test_aggregate_object_single_pass(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase' AGGREGATE"
+        " { total: SUM(_.k), hi: MAX(_.k), n: COUNT() }",
+    )
+    assert got.columns == ["total", "hi", "n"]
+    row = got.collect()[0]
+    base = (
+        tagged.filter(F.array_contains("tags", "type:purchase"))
+        .agg(
+            F.sum(_k()).alias("total"),
+            F.max(_k()).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["total"] - base["total"]) < 1e-9
+    assert row["hi"] == base["hi"] and row["n"] == base["n"]
+    # one scan: the object form must not multiply the source
+    # (AQE's toString repeats the plan under "== Initial Plan ==" —
+    # count scans in the final section only)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") <= 1
+
+
+def test_aggregate_object_requires_an_aggregate(spark, tagged):
+    with pytest.raises(ValueError, match="AGGREGATE needs an aggregate"):
+        run_aql(tagged, "FROM allEvents AGGREGATE { a: _.k }")
