@@ -739,3 +739,41 @@ def q_agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*agg)
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_bitmap",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via Spark 4's bitmap aggregate family:
+    user ids are bucketed (32 768 bits per bucket), each
+    (type, bucket) group ORs its positions into one bitmap with
+    ``bitmap_construct_agg``, and ``bitmap_count`` + a sum rolls the
+    buckets up — the roaring-bitmap-style pattern warehouses use to
+    make COUNT(DISTINCT) mergeable and re-aggregatable (per-shard
+    bitmaps OR together losslessly, unlike raw distinct sets that must
+    reshuffle).  The oracle is plain COUNT(DISTINCT): the bitmap path
+    must agree exactly, which is the property that separates it from
+    the HLL/KMV sketches next door.
+
+    Two hash aggregations, both map-side combinable; state per group
+    is one 4 KB bitmap regardless of row count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_users")
+    )

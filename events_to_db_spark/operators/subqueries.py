@@ -190,3 +190,50 @@ def q_subquery_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a projected boolean (the optimizer's "mark join"):
+    each customer carries a did-they-ever-place-an-urgent-order flag
+    that feeds an aggregate, rather than filtering rows — the shape
+    reporting queries use constantly ("how many of each segment have
+    X").  The oracle keeps the correlated EXISTS-in-SELECT form; the
+    Spark plan is its decorrelation — distinct urgent custkeys, left
+    join, null-test — and the hash-match proves the rewrite.
+
+    Scale: the flag side is DISTINCT custkeys of urgent orders (bounded
+    by |customers|), joined on the natural key; no per-row subquery
+    execution anywhere.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_urgent", F.lit(1))
+    )
+    return (
+        c.join(urgent, "c_custkey", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.coalesce(F.col("has_urgent"), F.lit(0))).alias(
+                "n_with_urgent"
+            ),
+        )
+    )
