@@ -499,3 +499,52 @@ def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("locf").alias("sum_locf_cents"),
         F.sum("first_purchase").alias("sum_first_cents"),
     )
+
+
+@query(
+    "q_sort_nulls",
+    oracle="""
+    WITH t AS (
+        SELECT s_suppkey, s_name,
+               CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS bal
+        FROM supplier
+    )
+    SELECT s_suppkey, s_name,
+           round(bal, 2) AS bal,
+           CAST(row_number() OVER (
+               ORDER BY bal DESC NULLS LAST, s_suppkey) AS BIGINT) AS rk_last,
+           CAST(row_number() OVER (
+               ORDER BY bal ASC NULLS FIRST, s_suppkey) AS BIGINT) AS rk_first
+    FROM t
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering surface: the engines DISAGREE by default
+    (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST), so any
+    cross-engine ordered output over a nullable key silently diverges
+    unless the placement is spelled out — this query pins both
+    spellings (DESC NULLS LAST and ASC NULLS FIRST) by capturing each
+    as a row_number.  Negative balances are nulled to create a real
+    NULL population; suppkey breaks ties (§7.5).
+
+    Scale note: the supplier dimension is rank-small here; over a fact
+    table the same ranks go through plans/prefix.py's two-level scan —
+    this query pins the NULL-placement semantics, not a sort strategy.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    t = s.select(
+        "s_suppkey",
+        "s_name",
+        F.when(F.col("s_acctbal") < 0, None)
+        .otherwise(F.col("s_acctbal"))
+        .alias("bal"),
+    )
+    w_last = Window.orderBy(F.col("bal").desc_nulls_last(), "s_suppkey")
+    w_first = Window.orderBy(F.col("bal").asc_nulls_first(), "s_suppkey")
+    return t.select(
+        "s_suppkey",
+        "s_name",
+        F.round("bal", 2).alias("bal"),
+        F.row_number().over(w_last).cast("bigint").alias("rk_last"),
+        F.row_number().over(w_first).cast("bigint").alias("rk_first"),
+    )
