@@ -777,3 +777,76 @@ def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "q_agg_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name, l.l_suppkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+        JOIN nation  n  ON n.n_nationkey = s.s_nationkey
+        JOIN region  r  ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(cents * cents) AS DOUBLE)
+                 / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)),
+                 6) AS hhi,
+           round(CAST(max(cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6)
+               AS top_share
+    FROM rev
+    GROUP BY r_name
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    region — the market-concentration metric (1/n = perfectly even,
+    → 1 = monopoly) computed as ``Σ revᵢ² / (Σ revᵢ)²``, which is
+    algebraically Σ shareᵢ² but needs no per-row division: revenues are
+    exact cents (BIGINT), squares are summed as DECIMAL(38,0) (a
+    supplier's revenue crosses the int64-squared line around 3e9
+    cents), and the single float division happens once per region on
+    identical integers in both engines.  ``top_share`` (largest
+    supplier's share) rides along from the same aggregate.
+
+    Two hash aggregates: per-(region, supplier) revenue — map-side
+    combinable, keyed by the join-enriched region — then a 5-row
+    region rollup.  Dimension joins (supplier/nation/region) broadcast;
+    the lineitem scan reads two columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        )
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "l_suppkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    tot = F.sum(F.col("cents").cast("decimal(38,0)"))
+    return rev.groupBy("r_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(
+            F.sum(
+                (F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+            ).cast("double")
+            / (tot.cast("double") * tot.cast("double")),
+            6,
+        ).alias("hhi"),
+        F.round(
+            F.max("cents").cast("double") / tot.cast("double"), 6
+        ).alias("top_share"),
+    )

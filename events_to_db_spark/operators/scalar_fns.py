@@ -664,3 +664,75 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("qid").alias("min_id"),
         F.max("qid").alias("max_id"),
     )
+
+
+@query(
+    "q_fn_timezone",
+    oracle="""
+    WITH loc AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS utc_d,
+               extract(minute FROM ts) AS utc_min,
+               timezone('America/New_York', timezone('UTC', ts)) AS ny,
+               timezone('Asia/Kathmandu',  timezone('UTC', ts)) AS ktm
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN CAST(ny AS DATE) < utc_d THEN 1 ELSE 0 END)
+                AS BIGINT) AS ny_prev_day,
+           CAST(sum(CASE WHEN CAST(ktm AS DATE) > utc_d THEN 1 ELSE 0 END)
+                AS BIGINT) AS ktm_next_day,
+           CAST(count(DISTINCT extract(hour FROM ktm)) AS BIGINT)
+               AS ktm_hours,
+           CAST(sum(CASE WHEN extract(minute FROM ktm)
+                              = (utc_min + 45) % 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ktm_m45,
+           strftime(min(ny), '%Y-%m-%d %H:%M:%S') AS first_ny
+    FROM loc
+    GROUP BY event_type
+    """,
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface: every event's UTC instant rendered
+    as New York (UTC-5 in the data's January span) and Kathmandu
+    (UTC+5:45 — a half-hour-family zone, so minute arithmetic is
+    exercised, not just hour offsets) wall time via
+    ``from_utc_timestamp``; the oracle uses DuckDB's ICU
+    ``timezone(tz, TIMESTAMPTZ)`` on the same instants.  Checked
+    facts: how many events fall on the *previous* civil day in NY and
+    the *next* civil day in Kathmandu, that Kathmandu's +45-minute
+    component shifts every event's minute field by exactly 45 (mod
+    60), distinct local hours touched, and the earliest NY wall time
+    rendered as a string (strings, not TIMESTAMP, in the output — the
+    cross-engine compare is type-strict).  DST transitions are outside
+    the data's span; tests/test_round2_ops.py covers a March 2024
+    spring-forward instant against the IANA rule.
+
+    Pure per-row expression work (ICU lookup is a codegen'd intrinsic,
+    no shuffle) followed by one hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    loc = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("utc_d"),
+        F.minute("ts").alias("utc_min"),
+        F.from_utc_timestamp("ts", "America/New_York").alias("ny"),
+        F.from_utc_timestamp("ts", "Asia/Kathmandu").alias("ktm"),
+    )
+    return loc.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("ny").cast("date") < F.col("utc_d")).cast("bigint")
+        ).alias("ny_prev_day"),
+        F.sum(
+            (F.col("ktm").cast("date") > F.col("utc_d")).cast("bigint")
+        ).alias("ktm_next_day"),
+        F.countDistinct(F.hour("ktm")).alias("ktm_hours"),
+        F.sum(
+            (
+                F.minute("ktm") == (F.col("utc_min") + F.lit(45)) % 60
+            ).cast("bigint")
+        ).alias("ktm_m45"),
+        F.date_format(F.min("ny"), "yyyy-MM-dd HH:mm:ss").alias("first_ny"),
+    )

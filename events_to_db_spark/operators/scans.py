@@ -537,3 +537,61 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source: events materialized once as pipe-delimited
+    lines (the log-shipping wire format), read back through Spark's
+    ``text`` source as a single ``value`` column, and parsed with
+    codegen'd ``split_part`` — the pattern for ingesting logs that
+    never saw a schema.  The DOUBLE column survives the text hop
+    bit-exactly (shortest-round-trip literals, same as q_scan_csv) and
+    is immediately re-anchored to exact cents so the aggregate is
+    float-sum-order-free.  The oracle reads the Parquet view directly:
+    a hash match proves the write→parse round trip lost nothing.
+
+    At scale the text source splits by line ranges exactly like any
+    file scan (one task per ~128 MB split); parsing stays inside
+    whole-stage codegen — no Python, no regex engine, just indexed
+    ``split_part``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = _materialize(
+        spark,
+        sf_dir,
+        "events_text",
+        lambda p: ev.select(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                "event_type",
+                F.col("value").cast("string"),
+            ).alias("line")
+        ).write.mode("overwrite").text(p),
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split_part("value", F.lit("|"), F.lit(1)).cast("bigint")
+        .alias("event_id"),
+        F.split_part("value", F.lit("|"), F.lit(3)).alias("event_type"),
+        F.split_part("value", F.lit("|"), F.lit(4)).cast("double")
+        .alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("v") * 100).cast("bigint")).alias("sum_cents"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -687,3 +687,136 @@ def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s), 6)"
         ).alias("eta_sq"),
     )
+
+
+@query(
+    "q_ml_linreg",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT)                  AS x1,
+               CAST(round(l_discount * 100) AS BIGINT)     AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT flag, count(*) AS n,
+               sum(x1) AS s1,  sum(x2) AS s2,  sum(y) AS sy,
+               sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+               sum(x1*y) AS s1y,  sum(x2*y) AS s2y,  sum(y*y) AS syy
+        FROM b GROUP BY flag
+    ),
+    c AS (
+        SELECT flag, n,
+               CAST(n*s11 - s1*s1 AS DOUBLE) AS c11,
+               CAST(n*s22 - s2*s2 AS DOUBLE) AS c22,
+               CAST(n*s12 - s1*s2 AS DOUBLE) AS c12,
+               CAST(n*s1y - s1*sy AS DOUBLE) AS c1y,
+               CAST(n*s2y - s2*sy AS DOUBLE) AS c2y,
+               CAST(n*syy - sy*sy AS DOUBLE) AS cyy,
+               CAST(s1 AS DOUBLE) AS ds1, CAST(s2 AS DOUBLE) AS ds2,
+               CAST(sy AS DOUBLE) AS dsy
+        FROM m
+    ),
+    s AS (
+        SELECT flag, n, c1y, c2y, cyy, ds1, ds2, dsy,
+               (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1,
+               (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2
+        FROM c
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(b1, 6) AS b_qty,
+           round(b2, 6) AS b_disc,
+           round((dsy - b1*ds1 - b2*ds2) / CAST(n AS DOUBLE), 4)
+               AS intercept,
+           round((b1*c1y + b2*c2y) / cyy, 6) AS r2
+    FROM s
+    """,
+)
+def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (2 features + intercept) solved in
+    closed form from the normal equations — price-in-cents regressed on
+    quantity and discount-in-percent per return flag.  One aggregation
+    pass accumulates the nine raw moments as EXACT integers (cents ×
+    quantity products are BIGINT row-side, summed as DECIMAL(38,0) on
+    the Spark side / HUGEINT in DuckDB — ``sum(y*y)`` crosses int64
+    around 2e5 rows per group, so the widening is load-bearing, not
+    defensive), the centered co-moment matrix is assembled with exact
+    integer arithmetic, and floats appear only in the final Cramer's
+    rule division evaluated on identical integers in both engines
+    (SURVEY §7.5).  R² comes from the same moments.
+
+    Scale posture: a single map-side-combinable hash aggregate — the
+    only shuffle is 3 groups × 10 moment columns, then a constant-size
+    solve.  This is the pattern for distributed OLS at any width: k
+    features need k(k+3)/2 moment sums and a driver-side k×k solve
+    (here inlined because k=2 has a closed form).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = b.groupBy("flag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("s11"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("s22"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("s12"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("s2y"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    c = m.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1"))
+        .cast("double").alias("c11"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2"))
+        .cast("double").alias("c22"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2"))
+        .cast("double").alias("c12"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy"))
+        .cast("double").alias("c1y"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy"))
+        .cast("double").alias("c2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double").alias("cyy"),
+        F.col("s1").cast("double").alias("ds1"),
+        F.col("s2").cast("double").alias("ds2"),
+        F.col("sy").cast("double").alias("dsy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    s = c.select(
+        "flag", "n", "c1y", "c2y", "cyy", "ds1", "ds2", "dsy",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det)
+        .alias("b1"),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det)
+        .alias("b2"),
+    )
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        "n",
+        F.round("b1", 6).alias("b_qty"),
+        F.round("b2", 6).alias("b_disc"),
+        F.round(
+            (
+                F.col("dsy")
+                - F.col("b1") * F.col("ds1")
+                - F.col("b2") * F.col("ds2")
+            )
+            / F.col("n").cast("double"),
+            4,
+        ).alias("intercept"),
+        F.round(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+            / F.col("cyy"),
+            6,
+        ).alias("r2"),
+    )

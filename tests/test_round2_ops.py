@@ -292,3 +292,69 @@ def test_kmeans_partition_sizes_and_inertia(spark):
     assert all(r.avg_dist2 >= 0 for r in out)
     again = QUERIES["q_ml_kmeans"](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_timezone_dst_spring_forward(spark):
+    """q_fn_timezone's claim: from_utc_timestamp follows the IANA rule
+    across the US 2024 spring-forward (2024-03-10 07:00 UTC is 02:00
+    EST -> skips to 03:00 EDT), and Kathmandu is a constant +05:45."""
+    df = spark.createDataFrame(
+        [("2024-03-10 06:59:59",), ("2024-03-10 07:00:00",)], ["s"]
+    ).select(F.to_timestamp("s").alias("ts"))
+    got = df.select(
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ny"),
+        F.date_format(
+            F.from_utc_timestamp("ts", "Asia/Kathmandu"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ktm"),
+    ).collect()
+    assert got[0]["ny"] == "2024-03-10 01:59:59"  # EST, UTC-5
+    assert got[1]["ny"] == "2024-03-10 03:00:00"  # EDT, UTC-4: 02:xx never exists
+    assert got[0]["ktm"] == "2024-03-10 12:44:59"
+    assert got[1]["ktm"] == "2024-03-10 12:45:00"
+
+
+def test_linreg_matches_lstsq(spark):
+    """Closed-form OLS equals numpy's QR-based lstsq on the same rows
+    (sf0.001, ~6k rows/group): coefficients to 1e-3 relative-or-abs,
+    R^2 in [0,1].  The testdata's price~quantity correlation is ~0 by
+    construction, so slopes are small — the check is numerical
+    agreement, not sign."""
+    import numpy as np
+
+    from events_to_db_spark.operators.stats_ops import q_ml_linreg
+
+    rows = {r["l_returnflag"]: r for r in q_ml_linreg(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("x1"),
+            (F.round(F.col("l_discount") * 100)).alias("x2"),
+            (F.round(F.col("l_extendedprice") * 100)).alias("y"),
+        )
+        .toPandas()
+    )
+    for flag, r in rows.items():
+        g = li[li.l_returnflag == flag]
+        a = np.column_stack([np.ones(len(g)), g.x1, g.x2])
+        beta, *_ = np.linalg.lstsq(a, g.y.to_numpy(), rcond=None)
+        assert 0.0 <= r["r2"] <= 1.0
+        for got, want in ((r["intercept"], beta[0]), (r["b_qty"], beta[1]),
+                          (r["b_disc"], beta[2])):
+            assert abs(got - want) <= 1e-3 * max(1.0, abs(want))
+
+
+def test_hhi_bounds(spark):
+    """HHI lies in [1/n, 1] and top_share in [1/n, 1] per region."""
+    from events_to_db_spark.operators.aggregates import q_agg_hhi
+
+    for r in q_agg_hhi(spark, SF_SMOKE).collect():
+        n = r["n_suppliers"]
+        assert n >= 1
+        assert 1.0 / n - 1e-9 <= r["hhi"] <= 1.0
+        assert 1.0 / n - 1e-9 <= r["top_share"] <= 1.0
