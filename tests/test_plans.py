@@ -239,3 +239,32 @@ def test_notin_plans_null_aware_anti_join(spark):
     # Spark renders the single-key NOT IN rewrite as a broadcast hash
     # LeftAnti with the isNullAwareAntiJoin flag (trailing "true")
     assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_hhi_broadcasts_all_dims(spark):
+    """q_agg_hhi: the three dimension joins (supplier/nation/region)
+    must broadcast — no SortMergeJoin anywhere; the only Exchanges are
+    the two aggregation shuffles."""
+    counts = plan_counts(_q(spark, "q_agg_hhi"))
+    assert counts["BroadcastHashJoin"] >= 3
+    assert counts["SortMergeJoin"] == 0
+
+
+def test_linreg_is_single_moment_aggregate(spark):
+    """q_ml_linreg: one two-phase hash aggregate over lineitem — the
+    closed-form solve adds no extra shuffle (everything after the
+    3-row moment table is projection)."""
+    counts = plan_counts(_q(spark, "q_ml_linreg"))
+    assert counts["Exchange"] == 1, counts
+    assert counts["SortMergeJoin"] == 0
+    scan = next(
+        ln
+        for ln in _q(spark, "q_ml_linreg")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .splitlines()
+        if "FileScan parquet" in ln
+    )
+    # 4-column projection out of the 16-column table
+    assert "l_comment" not in scan and "l_shipdate" not in scan
