@@ -736,3 +736,56 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ktm_m45"),
         F.date_format(F.min("ny"), "yyyy-MM-dd HH:mm:ss").alias("first_ny"),
     )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               md5(props)                       AS m,
+               sha256(props)                    AS s,
+               ('0x' || substr(md5(props), 1, 15))::BIGINT AS mnum
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT m) AS BIGINT) AS n_md5,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_sha,
+           min(m) AS min_md5,
+           min(s) AS min_sha,
+           CAST(sum(mnum % 1000) AS BIGINT) AS mod_sum
+    FROM h
+    GROUP BY event_type
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash surface parity: md5 and sha256 digests of the
+    raw ``props`` payload must be byte-identical hex across engines —
+    the foundation every deterministic sampler, splitter, and
+    fingerprint in this repo stands on (q_sample_hash, q_split_kfold,
+    q_dedup_* all derive keys this way).  Checked as distinct-digest
+    counts (collision audit: both digests must agree on cardinality),
+    lexicographic minima of the hex strings, and an integer reduction
+    of the first 60 md5 bits (``conv(hex,16,10)`` ↔ DuckDB
+    ``('0x'||…)::BIGINT`` — the md5-to-integer bridge documented in
+    SURVEY §7.5).
+
+    Per-row digest work stays inside codegen (commons-codec intrinsics
+    on the JVM side); one hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.md5("props").alias("m"),
+        F.sha2("props", 256).alias("s"),
+        F.conv(F.substring(F.md5("props"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("mnum"),
+    )
+    return h.groupBy("event_type").agg(
+        F.countDistinct("m").alias("n_md5"),
+        F.countDistinct("s").alias("n_sha"),
+        F.min("m").alias("min_md5"),
+        F.min("s").alias("min_sha"),
+        F.sum(F.col("mnum") % 1000).alias("mod_sum"),
+    )

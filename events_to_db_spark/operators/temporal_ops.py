@@ -1711,3 +1711,82 @@ def q_ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_c").cast("bigint").alias("min_c"),
         F.col("max_c").cast("bigint").alias("max_c"),
     ).orderBy("day", "event_type")
+
+
+@query(
+    "q_ev_funnel_unordered",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type AS etype, min(epoch_us(ts)) AS fus
+        FROM events
+        WHERE event_type IN ('signup', 'view', 'purchase')
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT user_id,
+               count(*) AS n_types,
+               first(etype ORDER BY fus, etype) AS first_type,
+               max(fus) - min(fus) AS span_us
+        FROM firsts
+        GROUP BY user_id
+    )
+    SELECT first_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN span_us <= CAST(604800000000 AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within7,
+           CAST(sum(span_us // 1000000) AS BIGINT) AS sum_span_s,
+           round(CAST(sum(span_us // 1000000) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS avg_span_s
+    FROM j
+    WHERE n_types = 3
+    GROUP BY first_type
+    """,
+)
+def q_ev_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (any-sequence) funnel: a user completes when all
+    three stage types have occurred, in any order — completion span =
+    last FIRST-TOUCH minus first FIRST-TOUCH, the complement of
+    q_ev_funnel3's strict-order semantics.  Grouped by which stage the
+    user entered through (exact (µs, type) tie-break via ``min_by``
+    over a struct on the Spark side ↔ ``first(… ORDER BY)`` in
+    DuckDB — SURVEY §7.5 unique tie-breaks).  Spans are exact integer
+    µs, floored to seconds with integer division (never a double
+    quotient — the µs-gap discipline), and the 7-day completion gate
+    compares integers.
+
+    Two keyed hash aggregates on the user shuffle — no windows, no
+    self-joins: first-touch extraction is map-side combinable, so this
+    holds at any user cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.where(F.col("event_type").isin("signup", "view", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("etype"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id", "etype")
+        .agg(F.min("us").alias("fus"))
+    )
+    j = firsts.groupBy("user_id").agg(
+        F.count("*").alias("n_types"),
+        F.expr("min_by(etype, struct(fus, etype))").alias("first_type"),
+        (F.max("fus") - F.min("fus")).alias("span_us"),
+    )
+    # integer-div seconds: span_us is non-negative so floor == trunc
+    spans = j.where(F.col("n_types") == 3).select(
+        "first_type",
+        "span_us",
+        F.expr("span_us div 1000000").alias("span_s"),
+    )
+    return spans.groupBy("first_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            (F.col("span_us") <= F.lit(7 * 86400 * 1_000_000)).cast("bigint")
+        ).alias("n_within7"),
+        F.sum("span_s").alias("sum_span_s"),
+        F.round(
+            F.sum("span_s").cast("double") / F.count("*").cast("double"), 4
+        ).alias("avg_span_s"),
+    )
