@@ -807,8 +807,13 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             "doc_id",
             F.explode(
+                # size < 5 must yield array(), not sequence(1, 0):
+                # Spark's sequence DESCENDS when stop < start, so the
+                # greatest(...,0) guard alone still emits i=0,1 and the
+                # ANSI array index throws on 1-token docs.
                 F.expr(
-                    "transform(sequence(1, greatest(size(tok) - 4, 0)),"
+                    "transform(if(size(tok) >= 5,"
+                    " sequence(1, size(tok) - 4), array()),"
                     " i -> concat_ws(' ', tok[i-1], tok[i], tok[i+1],"
                     " tok[i+2], tok[i+3]))"
                 )
@@ -939,8 +944,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # if() guard, not greatest(...,0): sequence(1, 0) DESCENDS in Spark
+    # and the resulting i=0,1 indexes throw on sub-3-token docs.
     grams_arr = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "transform(if(size(split(text, ' ')) >= 3,"
+        " sequence(1, size(split(text, ' ')) - 2), array()),"
         " i -> concat_ws(' ', split(text, ' ')[i-1],"
         " split(text, ' ')[i], split(text, ' ')[i+1]))"
     )
