@@ -292,3 +292,72 @@ def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_pri")
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               -- deterministic uniform in (0, 1]: 60 md5 bits
+               (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    ::BIGINT + 1)
+                   / CAST(1152921504606846976 AS DOUBLE) AS u
+        FROM events
+    ),
+    k AS (
+        SELECT event_id, event_type, value,
+               ln(u) / (value + 1.0) AS score
+        FROM s
+    )
+    SELECT event_id, event_type,
+           round(value, 2) AS w,
+           round(score * 1000000, 6) AS score_ppm
+    FROM k
+    ORDER BY score DESC, event_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws a DETERMINISTIC uniform u from its own md5 (no RNG —
+    reproducible across engines, runs, and cluster sizes) and is ranked
+    by ``ln(u)/w``; the global top-k is a weighted sample without
+    replacement with inclusion probability proportional to w.  This is
+    the training-data-mixing primitive: up/down-weighting sources while
+    keeping the sample a pure function of the data.  Ties broken by
+    event_id; the score is emitted ×1e6 rounded (its raw magnitude is
+    ~1e-3 — scaling keeps 6-decimal rounding meaningful).
+
+    Plan: per-row expression work + ``TakeOrderedAndProject`` (per-
+    partition top-k, then a k-row merge on the driver) — no global
+    sort, no shuffle of the full table, the same plan at any scale.
+    The 1-ulp libm-vs-JVM ``ln`` difference is far below the ~1e-5
+    score gap at the k-th boundary, so the selected set is stable
+    cross-engine (and the rounded outputs collapse any residual ulp).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                   16, 10).cast("bigint")
+            + 1
+        )
+        / F.lit(float(1 << 60))
+    )
+    k = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.log(u) / (F.col("value") + 1.0)).alias("score"),
+    )
+    return (
+        k.orderBy(F.col("score").desc(), "event_id")
+        .limit(100)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("w"),
+            F.round(F.col("score") * 1_000_000, 6).alias("score_ppm"),
+        )
+    )

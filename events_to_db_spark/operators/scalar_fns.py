@@ -789,3 +789,78 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").alias("min_sha"),
         F.sum(F.col("mnum") % 1000).alias("mod_sum"),
     )
+
+
+@query(
+    "q_fn_null",
+    oracle="""
+    WITH x AS (
+        SELECT c_mktsegment,
+               -- manufacture NULLs deterministically: every 7th key
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_nationkey END AS nk
+        FROM customer
+    )
+    SELECT coalesce(CAST(nk % 5 AS VARCHAR), '<none>') AS nk_mod,
+           CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(count(bal) AS BIGINT)      AS n_bal,
+           CAST(count(*) - count(bal) AS BIGINT) AS n_null_bal,
+           CAST(sum(CAST(round(coalesce(bal, 0.0) * 100) AS BIGINT))
+                AS BIGINT)                 AS cents_coalesced,
+           CAST(sum(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+           CAST(sum(CASE WHEN ifnull(bal, -1.0) < 0 AND bal IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ifnull_hit
+    FROM x
+    GROUP BY 1
+    """,
+)
+def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: COALESCE / NULLIF / IFNULL, the
+    ``count(*) − count(col)`` null-count idiom, and — the part engines
+    actually disagree on in the wild — grouping BY a nullable key:
+    both Spark and DuckDB place all NULL keys in ONE group (SQL
+    standard "grouping treats NULLs as equal", unlike equi-join
+    equality), surfaced here as an explicit ``'<none>'`` bucket.
+    NULLs are manufactured deterministically (every 7th / 11th key)
+    so the check is reproducible; sums go through exact coalesced
+    cents.
+
+    Pure expression work + one hash aggregate; NULL branches are
+    codegen'd conditionals, no UDF.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    x = c.select(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    return x.groupBy(
+        F.coalesce((F.col("nk") % 5).cast("string"), F.lit("<none>")).alias(
+            "nk_mod"
+        )
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("bal").alias("n_bal"),
+        (F.count("*") - F.count("bal")).alias("n_null_bal"),
+        F.sum(
+            F.round(F.coalesce(F.col("bal"), F.lit(0.0)) * 100).cast("bigint")
+        ).alias("cents_coalesced"),
+        F.sum(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+            .isNull()
+            .cast("bigint")
+        ).alias("n_building"),
+        F.sum(
+            (
+                (F.ifnull(F.col("bal"), F.lit(-1.0)) < 0)
+                & F.col("bal").isNull()
+            ).cast("bigint")
+        ).alias("n_ifnull_hit"),
+    )
