@@ -68,6 +68,29 @@ class AllEvents(TagExpr):
 
 
 @dataclass(frozen=True)
+class TimeBound(TagExpr):
+    """Extension atom: a bound on the event timestamp inside the FROM
+    expression (``TIME >= 2024-01-05`` / ``TIME < 2024-01-20T12:00:00Z``).
+    Compiles to a plain ``ts`` comparison — NOT a tag containment — so
+    it reaches the scan as a pushable predicate (row-group min/max
+    pruning, partition pruning on date-partitioned layouts).  Accepted
+    ops: ``>=``, ``>``, ``<=``, ``<``."""
+
+    op: str
+    instant: str
+
+    def to_column(self, tags_col: Column | str = "tags") -> Column:
+        ts = F.col("ts")
+        bound = F.to_timestamp(F.lit(self.instant.replace("T", " ").rstrip("Z")))
+        return {
+            ">=": ts >= bound,
+            ">": ts > bound,
+            "<=": ts <= bound,
+            "<": ts < bound,
+        }[self.op]
+
+
+@dataclass(frozen=True)
 class And(TagExpr):
     left: TagExpr
     right: TagExpr
@@ -93,7 +116,13 @@ class Not(TagExpr):
         return ~self.inner.to_column(tags_col)
 
 
-_TOKEN = re.compile(r"\s*(?:(allEvents)|'((?:[^'\\]|\\.)*)'|([&|!()]))")
+_TOKEN = re.compile(
+    r"\s*(?:(allEvents)"
+    r"|'((?:[^'\\]|\\.)*)'"
+    r"|(TIME\s*(?:>=|<=|<|>)\s*[0-9][0-9T:.Z-]*)"
+    r"|([&|!()]))"
+)
+_TIME_ATOM = re.compile(r"TIME\s*(>=|<=|<|>)\s*([0-9][0-9T:.Z-]*)")
 
 
 def parse_tag_expr(text: str) -> TagExpr:
@@ -104,6 +133,11 @@ def parse_tag_expr(text: str) -> TagExpr:
         expr   := term ('|' term)*
         term   := factor ('&' factor)*
         factor := '!' factor | '(' expr ')' | 'tag' | allEvents
+                | TIME (>=|>|<=|<) iso-instant      -- extension
+
+    ``TIME`` bounds compile to ``ts`` comparisons (scan-prunable), the
+    FROM-clause time-window idiom: ``'type:purchase' & TIME >=
+    2024-01-05 & TIME < 2024-01-20``.
     """
     tokens: list[str] = []
     pos = 0
@@ -117,8 +151,10 @@ def parse_tag_expr(text: str) -> TagExpr:
             tokens.append("allEvents")
         elif m.group(2) is not None:
             tokens.append("'" + m.group(2).replace("\\'", "'"))
-        else:
+        elif m.group(3) is not None:
             tokens.append(m.group(3))
+        else:
+            tokens.append(m.group(4))
         pos = m.end()
 
     def peek() -> str | None:
@@ -144,6 +180,12 @@ def parse_tag_expr(text: str) -> TagExpr:
         if t == "allEvents":
             take()
             return AllEvents()
+        if t.startswith("TIME"):
+            take()
+            tm = _TIME_ATOM.fullmatch(t)
+            if not tm:
+                raise ValueError(f"bad TIME bound: {t!r}")
+            return TimeBound(tm.group(1), tm.group(2))
         if t.startswith("'"):
             take()
             return Tag(t[1:])

@@ -595,3 +595,50 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("v") * 100).cast("bigint")).alias("sum_cents"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "q_aql_timebound",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+               AS sum_k
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_aql_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded FROM clause: ``TIME >= / <`` atoms inside the tag
+    expression (the AQL time-window idiom) compile to plain ``ts``
+    comparisons — scan-prunable predicates, NOT post-filters — ANDed
+    with the tag containment.  The 15-day purchase window is then
+    rolled up per day through the same front-end (LET binding +
+    AGGREGATE is not needed; this exercises FROM alone so the bound
+    provably comes from the FROM clause).
+
+    tests/test_tags.py pins that the compiled filter equals the
+    hand-written ``ts`` range and that row-group pruning statistics
+    drop below the unbounded scan.
+    """
+    from events_to_db_spark.functions.tags import parse_tag_expr, with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    expr = parse_tag_expr(
+        "'type:purchase' & TIME >= 2024-01-05 & TIME < 2024-01-20"
+    )
+    bounded = ev.filter(expr.to_column("tags"))
+    return bounded.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(
+                F.get_json_object("props", "$.k").cast("double")
+            ),
+            4,
+        ).alias("sum_k"),
+    )

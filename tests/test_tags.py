@@ -1,0 +1,58 @@
+"""Tag-algebra TIME-bound extension tests (the core tag algebra is
+covered in tests/test_tags_api.py; the AQL front-end in
+tests/test_aql.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+
+
+def test_time_bound_atoms_compile_to_ts_range(spark):
+    """TIME atoms in the FROM expression equal the hand-written ts
+    range filter, compose with tag containment under &, and negate."""
+    from events_to_db_spark.functions.tags import parse_tag_expr, with_tags
+    from events_to_db_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = with_tags(load_table(spark, SF_SMOKE, "events"))
+    expr = parse_tag_expr(
+        "'type:purchase' & TIME >= 2024-01-05 & TIME < 2024-01-20"
+    )
+    got = ev.filter(expr.to_column("tags"))
+    want = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # ISO instant with T/Z, and negation
+    neg = parse_tag_expr("allEvents & ! (TIME >= 2024-01-15T00:00:00Z)")
+    n_before = ev.filter(
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    ).count()
+    assert ev.filter(neg.to_column("tags")).count() == n_before
+
+
+def test_time_bound_is_pushed_to_scan(spark):
+    """The compiled TIME predicate must reach the parquet scan as a
+    pushed filter (min/max row-group pruning at scale), not remain a
+    post-scan Filter only."""
+    from events_to_db_spark.functions.tags import parse_tag_expr
+    from events_to_db_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # On the raw table (no derived tags column) the ts bound is the
+    # only predicate — it must appear in PushedFilters.
+    expr = parse_tag_expr("allEvents & TIME >= 2024-01-10")
+    plan = (
+        ev.filter(expr.to_column("tags"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "ts" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
