@@ -1341,3 +1341,110 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "inter", "na", "nb")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_ml_eval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, t.term AS term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    freq AS (SELECT lang AS l, term, count(*) AS n FROM toks GROUP BY 1, 2),
+    tot AS (SELECT l, sum(n) AS total FROM freq GROUP BY 1),
+    scored AS (
+        SELECT toks.doc_id, toks.lang, freq.l AS cand,
+               CAST(sum(freq.n) AS DOUBLE) / any_value(tot.total) AS score
+        FROM toks
+        JOIN freq ON freq.term = toks.term
+        JOIN tot ON tot.l = freq.l
+        GROUP BY toks.doc_id, toks.lang, freq.l
+    ),
+    pred AS (
+        SELECT doc_id, lang, cand AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scored
+    ),
+    conf AS (
+        SELECT lang, pred_lang, count(*) AS n
+        FROM pred WHERE rn = 1 GROUP BY 1, 2
+    ),
+    tt AS (SELECT lang AS c, sum(n) AS true_tot FROM conf GROUP BY 1),
+    pt AS (SELECT pred_lang AS c, sum(n) AS pred_tot FROM conf GROUP BY 1),
+    tp AS (SELECT lang AS c, sum(n) AS tp FROM conf
+           WHERE lang = pred_lang GROUP BY 1)
+    SELECT tt.c AS lang,
+           CAST(coalesce(tp.tp, 0) AS BIGINT)                AS tp,
+           CAST(coalesce(pt.pred_tot, 0) - coalesce(tp.tp, 0)
+                AS BIGINT)                                   AS fp,
+           CAST(tt.true_tot - coalesce(tp.tp, 0) AS BIGINT)  AS fn,
+           round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+                 / CAST(coalesce(pt.pred_tot, 0) AS DOUBLE), 6)
+               AS precision,
+           round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+                 / CAST(tt.true_tot AS DOUBLE), 6)           AS recall,
+           round(CAST(2 * coalesce(tp.tp, 0) AS DOUBLE)
+                 / CAST(2 * coalesce(tp.tp, 0)
+                        + (coalesce(pt.pred_tot, 0) - coalesce(tp.tp, 0))
+                        + (tt.true_tot - coalesce(tp.tp, 0)) AS DOUBLE), 6)
+               AS f1
+    FROM tt
+    LEFT JOIN pt ON pt.c = tt.c
+    LEFT JOIN tp ON tp.c = tt.c
+    """,
+)
+def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation metrics: per-class precision / recall /
+    F1 of the q_text_langid predictor, derived from its confusion
+    matrix by COMPOSING the registered query (operators are reusable
+    pipeline stages, not one-off scripts).  All three ratios are one
+    IEEE division of exact integer counts (tp, pred-total, true-total
+    — §7.5: never a float-sum intermediate), so they hash-match the
+    oracle, which restates the same fixpoint in SQL.
+
+    The confusion matrix is |langs|² ≤ 25 rows — everything after the
+    langid aggregate is broadcast-sized bookkeeping.
+    """
+    from events_to_db_spark.registry import QUERIES
+
+    conf = QUERIES["q_text_langid"](spark, sf_dir)
+    tt = conf.groupBy(F.col("lang").alias("c")).agg(
+        F.sum("n").alias("true_tot")
+    )
+    pt = conf.groupBy(F.col("pred_lang").alias("c")).agg(
+        F.sum("n").alias("pred_tot")
+    )
+    tp = (
+        conf.where(F.col("lang") == F.col("pred_lang"))
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    j = (
+        tt.join(pt, "c", "left")
+        .join(tp, "c", "left")
+        .select(
+            F.col("c").alias("lang"),
+            F.coalesce("tp", F.lit(0)).alias("tp_"),
+            F.coalesce("pred_tot", F.lit(0)).alias("pred_tot"),
+            F.col("true_tot"),
+        )
+    )
+    tp_, pred_tot, true_tot = F.col("tp_"), F.col("pred_tot"), F.col("true_tot")
+    return j.select(
+        "lang",
+        tp_.cast("bigint").alias("tp"),
+        (pred_tot - tp_).cast("bigint").alias("fp"),
+        (true_tot - tp_).cast("bigint").alias("fn"),
+        F.round(tp_.cast("double") / pred_tot.cast("double"), 6).alias(
+            "precision"
+        ),
+        F.round(tp_.cast("double") / true_tot.cast("double"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            (2 * tp_).cast("double")
+            / (2 * tp_ + (pred_tot - tp_) + (true_tot - tp_)).cast("double"),
+            6,
+        ).alias("f1"),
+    )
