@@ -465,3 +465,132 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est - F.col("n_exact")) / F.col("n_exact") * 100, 2
         ).alias("rel_err_pct"),
     ).orderBy("event_type")
+
+
+_KMV_U_K = 32
+
+
+@query(
+    "q_sketch_kmv_union",
+    oracle=f"""
+    WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS in_a,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ),
+    n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_union,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_int
+        FROM flags
+    ),
+    h AS (
+        SELECT user_id, in_a, in_b,
+               {_duck_h("CAST(user_id AS VARCHAR)")} AS h
+        FROM flags
+    ),
+    surv AS (
+        SELECT h.*, n.n_union, n.n_int
+        FROM h CROSS JOIN n
+        WHERE h.h <= ({_KMV_RANGE} // greatest(n.n_union, {4 * _KMV_U_K}))
+                     * {4 * _KMV_U_K}
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY h) AS rn FROM surv
+    ),
+    bot AS (
+        SELECT max(h) FILTER (rn = {_KMV_U_K})          AS rk_h,
+               sum(CASE WHEN rn <= {_KMV_U_K} AND in_a = 1 AND in_b = 1
+                        THEN 1 ELSE 0 END)              AS k_both,
+               any_value(n_union)                       AS n_union,
+               any_value(n_int)                         AS n_int
+        FROM rk
+    )
+    SELECT n_union, n_int,
+           round(({_KMV_U_K} - 1) * {float(_KMV_RANGE)}
+                 / CAST(rk_h AS DOUBLE), 2)             AS est_union,
+           round(CAST(k_both AS DOUBLE) / {_KMV_U_K}, 4) AS jacc_est,
+           round(CAST(k_both AS DOUBLE) / {_KMV_U_K}
+                 * (({_KMV_U_K} - 1) * {float(_KMV_RANGE)}
+                    / CAST(rk_h AS DOUBLE)), 2)         AS est_int
+    FROM bot
+    """,
+)
+def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the property that makes bottom-k
+    sketches the distributed distinct-count workhorse: the union of
+    two sets' sketches is the bottom-k of their combined hash sets
+    (mergeable across shards with constant state), and the Jaccard
+    similarity is estimated by the fraction of the union's bottom-k
+    present in BOTH sets, giving |A∩B| ≈ J·|A∪B| by inclusion.
+    Estimated union/intersection of purchase-users vs view-users are
+    reported next to the exact counts, so the error is measured.
+    Hashes are md5-derived (deterministic, engine-identical); the
+    one float division happens on identical integers.
+
+    Scale shape: same two-pass trick as q_sketch_kmv — the exact
+    union count derives a threshold that pre-filters to an expected
+    ~4k survivors BEFORE the order statistic (capped at 4k·RANGE/n ≤
+    RANGE so tiny inputs can't overflow the int64 multiply), and the
+    global bottom-k window runs on that constant-size survivor set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    flags = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("event_type") == "view").cast("int")).alias("in_b"),
+        )
+    )
+    n = flags.agg(
+        F.count("*").cast("bigint").alias("n_union"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")
+        ).alias("n_int"),
+    )
+    h = flags.select(
+        "in_a",
+        "in_b",
+        F.expr(_spark_h("cast(user_id as string)")).alias("h"),
+    )
+    tau = F.expr(
+        f"({_KMV_RANGE}L div greatest(n_union, {4 * _KMV_U_K}L))"
+        f" * {4 * _KMV_U_K}L"
+    )
+    surv = h.crossJoin(F.broadcast(n)).where(F.col("h") <= tau)
+    from pyspark.sql import Window
+
+    rk = surv.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    bot = rk.agg(
+        F.max(F.when(F.col("rn") == _KMV_U_K, F.col("h"))).alias("rk_h"),
+        F.sum(
+            (
+                (F.col("rn") <= _KMV_U_K)
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1)
+            ).cast("bigint")
+        ).alias("k_both"),
+        F.any_value("n_union").alias("n_union"),
+        F.any_value("n_int").alias("n_int"),
+    )
+    est_union = (
+        F.lit(float(_KMV_U_K - 1))
+        * F.lit(float(_KMV_RANGE))
+        / F.col("rk_h").cast("double")
+    )
+    jacc = F.col("k_both").cast("double") / F.lit(_KMV_U_K)
+    return bot.select(
+        "n_union",
+        "n_int",
+        F.round(est_union, 2).alias("est_union"),
+        F.round(jacc, 4).alias("jacc_est"),
+        F.round(jacc * est_union, 2).alias("est_int"),
+    )

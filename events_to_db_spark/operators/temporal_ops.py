@@ -1790,3 +1790,67 @@ def q_ev_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_s").cast("double") / F.count("*").cast("double"), 4
         ).alias("avg_span_s"),
     )
+
+
+@query(
+    "q_ord_o2c",
+    oracle="""
+    WITH cyc AS (
+        SELECT o.o_orderpriority AS prio,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        max(CAST(l.l_shipdate AS DATE))) AS days
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           CAST(sum(days) AS BIGINT)         AS sum_days,
+           round(CAST(sum(days) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS avg_days,
+           CAST(max(days) AS BIGINT)         AS max_days,
+           round(quantile_cont(days, 0.9), 4) AS p90_days
+    FROM cyc
+    GROUP BY prio
+    """,
+)
+def q_ord_o2c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-cash cycle time: days from order placement to the
+    LAST line shipment of that order (the order completes when its
+    slowest line ships), rolled up per order priority — the
+    multi-table latency-chain metric an operations team tracks.
+    Day deltas are exact integer calendar-day differences (DATE-cast
+    on both sides; DuckDB ``datediff('day', …)`` on DATEs counts
+    whole days, matching Spark's ``datediff``), the mean is one
+    division of exact integers, and p90 interpolates identically
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` on integer
+    inputs — established by q_agg_percentile_cont).
+
+    Two shuffles: per-order max-shipdate (keyed by orderkey — at
+    100 TB this is the natural co-partitioning of orders×lineitem,
+    bucket-ready), then the 5-row priority rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cyc = (
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .join(li.select("l_orderkey", "l_shipdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff("last_ship", F.col("o_orderdate").cast("date")).alias(
+                "days"
+            ),
+        )
+    )
+    return cyc.groupBy("prio").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("days").cast("bigint").alias("sum_days"),
+        F.round(
+            F.sum("days").cast("double") / F.count("*").cast("double"), 4
+        ).alias("avg_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.round(F.percentile(F.col("days"), F.lit(0.9)), 4).alias("p90_days"),
+    )
