@@ -2097,3 +2097,91 @@ def q_ord_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_weeks")
     )
+
+
+@query(
+    "q_ev_attribution_decay",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts AS p_ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts AS t_ts, event_type AS touch
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT t.touch,
+               p.cents * (1::BIGINT <<
+                   (6 - CAST((epoch_us(p.p_ts) - epoch_us(t.t_ts))
+                             // 86400000000 AS INTEGER))) AS credit
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    per AS (
+        SELECT touch, sum(credit) AS credit_units, count(*) AS n_pairs
+        FROM pairs GROUP BY 1
+    ),
+    tot AS (SELECT sum(credit_units) AS total FROM per)
+    SELECT touch,
+           CAST(credit_units AS BIGINT)  AS credit_units,
+           CAST((10000 * credit_units) // tot.total AS BIGINT) AS share_bp,
+           CAST(n_pairs AS BIGINT)       AS n_pairs
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_ev_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay multi-touch attribution — credit halves
+    per day of distance from the conversion — computed with EXACT
+    integer arithmetic: a touch ``d`` whole days before the purchase
+    earns ``cents · 2^(6−d)`` credit units (d ∈ 0..6 inside the 7-day
+    window), so the dyadic decay weights are integer SHIFTS, not float
+    powers — per-channel sums are exact BIGINTs and the channel shares
+    are integer basis points (the same no-float-sum discipline as
+    q_ev_attribution_linear's millionths; day distance is the µs gap
+    integer-divided, never a double quotient).
+
+    The touch↔conversion pairing is the user-keyed 7-day band join
+    (bounded per-user fan-out); everything after is two tiny hash
+    aggregates and a broadcast scalar for the share denominator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "touch",
+        F.expr(
+            "cents * shiftleft(cast(1 as bigint),"
+            " 6 - cast((unix_micros(p_ts) - unix_micros(t_ts))"
+            " div 86400000000 as int))"
+        ).alias("credit"),
+    )
+    per = pairs.groupBy("touch").agg(
+        F.sum("credit").alias("credit_units"),
+        F.count("*").alias("n_pairs"),
+    )
+    tot = per.agg(F.sum("credit_units").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "touch",
+        F.col("credit_units").cast("bigint").alias("credit_units"),
+        F.expr("(10000 * credit_units) div total").cast("bigint").alias(
+            "share_bp"
+        ),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+    )
