@@ -864,3 +864,78 @@ def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("n_ifnull_hit"),
     )
+
+
+@query(
+    "q_fn_round",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag, cents,
+               cents // 10 AS q, cents % 10 AS r
+        FROM c
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(((cents + 5) // 10) * 10) AS BIGINT)
+               AS sum_half_up_cents,
+           CAST(sum((q + CASE WHEN r > 5 THEN 1
+                              WHEN r = 5 THEN q % 2
+                              ELSE 0 END) * 10) AS BIGINT)
+               AS sum_half_even_cents,
+           CAST(sum(((cents + 99) // 100) * 100) AS BIGINT)
+               AS sum_ceil_cents,
+           CAST(sum((cents // 100) * 100) AS BIGINT) AS sum_floor_cents,
+           CAST(sum(CASE WHEN r = 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_half_cases,
+           CAST(sum(CASE WHEN r = 5 AND q % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mode_diff
+    FROM m
+    GROUP BY l_returnflag
+    """,
+)
+def q_fn_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode surface: HALF_UP (`round`), HALF_EVEN (`bround`),
+    `ceil`, `floor` over exact DECIMAL prices, aggregated back to
+    integer cents per return flag — the parity trap every cross-engine
+    migration hits (engines disagree on what .x5 rounds to).
+
+    The Spark side exercises the real builtins on DECIMAL (where both
+    rounding modes are exact); the oracle re-derives each mode with
+    pure integer arithmetic on cents, so a builtin whose mode drifted
+    from its documentation would hash-mismatch.  ``n_mode_diff``
+    (= half-cases sitting on an even dime) counts exactly the rows
+    where HALF_UP and HALF_EVEN disagree.  Zero floats, zero shuffles
+    beyond the final 3-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    ).withColumn(
+        # exact dollars at scale 2: cents / 100 in DECIMAL space
+        "dec",
+        F.expr("CAST(cents AS DECIMAL(18,2)) / 100"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(CAST(round(dec, 1) * 100 AS BIGINT)) AS BIGINT)")
+        .alias("sum_half_up_cents"),
+        F.expr("CAST(sum(CAST(bround(dec, 1) * 100 AS BIGINT)) AS BIGINT)")
+        .alias("sum_half_even_cents"),
+        F.expr("CAST(sum(CAST(ceil(dec) AS BIGINT) * 100) AS BIGINT)")
+        .alias("sum_ceil_cents"),
+        F.expr("CAST(sum(CAST(floor(dec) AS BIGINT) * 100) AS BIGINT)")
+        .alias("sum_floor_cents"),
+        F.expr("CAST(sum(CASE WHEN cents % 10 = 5 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_half_cases"),
+        F.expr(
+            "CAST(sum(CASE WHEN round(dec, 1) != bround(dec, 1)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_mode_diff"),
+    )

@@ -642,3 +642,40 @@ def q_aql_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_k"),
     )
+
+
+@query(
+    "q_sql_groupall",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q_sql_groupall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` / `ORDER BY ALL` SQL-surface parity: the modern
+    analyst shorthand (every non-aggregate select item becomes a group
+    key; the whole select list becomes the sort key), executed through
+    ``spark.sql`` so the *parser feature itself* is what's under test —
+    both engines must infer the identical (year, priority) grouping from
+    the projection alone.  Exact-integer output (year, counts, cents)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_ga_v"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders_ga_v
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

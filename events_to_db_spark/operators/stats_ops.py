@@ -820,3 +820,307 @@ def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact pair series for the bivariate rank/time tests:
+    ``x`` = purchase revenue in integer cents, ``y`` = view count.
+    One keyed aggregate over the log; the day grain bounds the series
+    at calendar size regardless of corpus row count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.expr("CAST(round(value * 100) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+
+
+_DAILY_XY_SQL = """
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 END), 0) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+        GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query(
+    "q_stat_kendall",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    p AS (
+        SELECT sign(a.x - b.x) AS dx, sign(a.y - b.y) AS dy
+        FROM d a JOIN d b ON a.day < b.day
+    ),
+    c AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_concordant,
+            CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_discordant,
+            CAST(sum(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_tie_x,
+            CAST(sum(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_tie_y,
+            CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_tie_both
+        FROM p
+    )
+    SELECT (SELECT count(*) FROM d) AS n_days,
+           n_pairs, n_concordant, n_discordant, n_tie_x, n_tie_y,
+           n_tie_both,
+           round((CAST(n_concordant AS DOUBLE) - n_discordant)
+                 / sqrt((CAST(n_pairs AS DOUBLE) - n_tie_x - n_tie_both)
+                        * (CAST(n_pairs AS DOUBLE) - n_tie_y - n_tie_both)),
+                 4) AS tau_b
+    FROM c
+    """,
+)
+def q_stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-b) between daily purchase revenue
+    and daily view count — the non-parametric monotone-association test
+    an analyst runs when Spearman's rank averaging is too coarse for
+    heavy ties.
+
+    Determinism: concordant/discordant/tie counts are pure BIGINT pair
+    classifications over exact cents and counts; ``tau_b`` is the single
+    final float expression on those integers (SURVEY §7.5).  Plan: one
+    day-grain aggregate shrinks the log to calendar size, then the
+    O(days²) pair self-join runs on the broadcast aggregate — at 100 TB
+    the quadratic term is over days, not rows, so the shape survives
+    scale unchanged."""
+    d = _daily_xy(spark, sf_dir)
+    a = d.select(
+        F.col("day").alias("day_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("day_a") < F.col("day_b")).select(
+        F.signum(F.col("xa") - F.col("xb")).cast("int").alias("dx"),
+        F.signum(F.col("ya") - F.col("yb")).cast("int").alias("dy"),
+    )
+    c = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0)).alias(
+            "n_concordant"
+        ),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0)).alias(
+            "n_discordant"
+        ),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0)
+        ).alias("n_tie_x"),
+        F.sum(
+            F.when((F.col("dy") == 0) & (F.col("dx") != 0), 1).otherwise(0)
+        ).alias("n_tie_y"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") == 0), 1).otherwise(0)
+        ).alias("n_tie_both"),
+    )
+    n_days = d.agg(F.count("*").alias("n_days"))
+    return c.crossJoin(F.broadcast(n_days)).select(
+        "n_days", "n_pairs", "n_concordant", "n_discordant",
+        "n_tie_x", "n_tie_y", "n_tie_both",
+        F.round(
+            (
+                F.col("n_concordant").cast("double")
+                - F.col("n_discordant")
+            )
+            / F.sqrt(
+                (
+                    F.col("n_pairs").cast("double")
+                    - F.col("n_tie_x")
+                    - F.col("n_tie_both")
+                )
+                * (
+                    F.col("n_pairs").cast("double")
+                    - F.col("n_tie_y")
+                    - F.col("n_tie_both")
+                )
+            ),
+            4,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "q_stat_runs",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS total FROM d
+    ),
+    f AS (
+        SELECT d.day,
+               CASE WHEN d.x * t.n > t.total THEN 1 ELSE 0 END AS above
+        FROM d CROSS JOIN t
+    ),
+    r AS (
+        SELECT above,
+               CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                         OR lag(above) OVER (ORDER BY day) != above
+                    THEN 1 ELSE 0 END AS is_start
+        FROM f
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(above) AS BIGINT) AS n_above,
+               CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+               CAST(sum(is_start) AS BIGINT) AS n_runs
+        FROM r
+    )
+    SELECT n_days, n_above, n_below, n_runs,
+           round(1 + 2.0 * n_above * n_below / n_days, 4) AS expected_runs,
+           round((n_runs - (1 + 2.0 * n_above * n_below / n_days))
+                 / sqrt(2.0 * n_above * n_below
+                        * (2.0 * n_above * n_below - n_days)
+                        / (CAST(n_days AS DOUBLE) * n_days
+                           * (n_days - 1))), 4) AS z
+    FROM s
+    """,
+)
+def q_stat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily purchase-revenue series:
+    is the above/below-mean pattern random, or does it trend/cluster?
+
+    The above-mean flag is the exact integer comparison
+    ``x·n > Σx`` (cross-multiplied mean — no fractional mean ever
+    materializes), run boundaries come from a lag over the day order,
+    and only ``expected_runs``/``z`` are final float expressions on the
+    exact counts.  The global day-ordered window is calendar-bounded
+    (allowlisted); everything upstream is a keyed aggregate."""
+    d = _daily_xy(spark, sf_dir)
+    t = d.agg(
+        F.count("*").alias("n"), F.sum("x").alias("total")
+    )
+    f = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        F.when(F.col("x") * F.col("n") > F.col("total"), 1)
+        .otherwise(0)
+        .alias("above"),
+    )
+    w = Window.orderBy("day")
+    r = f.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    s = r.agg(
+        F.count("*").alias("n_days"),
+        F.sum("above").alias("n_above"),
+        (F.count("*") - F.sum("above")).alias("n_below"),
+        F.sum("is_start").alias("n_runs"),
+    )
+    exp = 1 + 2.0 * F.col("n_above") * F.col("n_below") / F.col("n_days")
+    var = (
+        2.0
+        * F.col("n_above")
+        * F.col("n_below")
+        * (2.0 * F.col("n_above") * F.col("n_below") - F.col("n_days"))
+        / (
+            F.col("n_days").cast("double")
+            * F.col("n_days")
+            * (F.col("n_days") - 1)
+        )
+    )
+    return s.select(
+        "n_days", "n_above", "n_below", "n_runs",
+        F.round(exp, 4).alias("expected_runs"),
+        F.round((F.col("n_runs") - exp) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@query(
+    "q_win_rolling_corr",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    w AS (
+        SELECT day,
+               CAST(count(*) OVER f AS BIGINT) AS n,
+               CAST(sum(x) OVER f AS BIGINT) AS sx,
+               CAST(sum(y) OVER f AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER f AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER f AS BIGINT) AS syy,
+               CAST(sum(x * y) OVER f AS BIGINT) AS sxy
+        FROM d
+        WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 4) AS r7
+    FROM w WHERE n = 7
+    """,
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily purchase revenue
+    and daily view count — the co-movement monitor behind "do views
+    still convert?" dashboards.
+
+    All six rolling moments (n, Σx, Σy, Σx², Σy², Σxy) are BIGINT sums
+    of exact cents/counts over a ROWS frame; ``r7`` is the one final
+    float per row, so frame evaluation order cannot perturb the hash.
+    Overflow headroom: Σx² over 7 days of cents stays < 2⁶² far beyond
+    sf100.  Day output is VARCHAR (DATE canonicalizer hazard).  The
+    day-ordered global window is calendar-bounded (allowlisted)."""
+    d = _daily_xy(spark, sf_dir)
+    f = (
+        Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    )
+    w = d.select(
+        "day",
+        F.count("*").over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+    )
+    return w.where(F.col("n") == 7).select(
+        F.col("day").cast("string").alias("day"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * (
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            4,
+        ).alias("r7"),
+    )

@@ -1854,3 +1854,101 @@ def q_ord_o2c(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("days").cast("bigint").alias("max_days"),
         F.round(F.percentile(F.col("days"), F.lit(0.9)), 4).alias("p90_days"),
     )
+
+
+@query(
+    "q_alloc_fifo",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_partkey,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               CAST(coalesce(sum(CAST(l.l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l.l_partkey
+                   ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM lineitem l
+    ),
+    a AS (
+        SELECT p.p_brand, li.qty,
+               greatest(CAST(0 AS BIGINT),
+                        least(li.qty,
+                              CAST(p.p_size AS BIGINT) * 10
+                              - li.cum_before)) AS alloc
+        FROM li JOIN part p ON p.p_partkey = li.l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(qty) AS BIGINT) AS demand_qty,
+           CAST(sum(alloc) AS BIGINT) AS alloc_qty,
+           CAST(sum(alloc) * 10000 // sum(qty) AS BIGINT) AS fill_bps,
+           CAST(sum(CASE WHEN alloc = qty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           CAST(sum(CASE WHEN alloc > 0 AND alloc < qty THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_partial,
+           CAST(sum(CASE WHEN alloc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starved
+    FROM a
+    GROUP BY p_brand
+    """,
+)
+def q_alloc_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO supply allocation: each part has a finite supply cap
+    (``p_size × 10`` units) consumed by its lineitems in ship-date
+    order; a line gets ``clamp(cap − already_consumed, 0, qty)`` units.
+    The classic warehouse fill/backorder computation — an inherently
+    order-dependent business rule expressed as one partitioned running
+    sum, no iteration.
+
+    Determinism: quantities are integral by construction, the running
+    consumption is a BIGINT prefix sum with the unique
+    (shipdate, orderkey, linenumber) tie-break, fill rate is integer
+    basis points (floor division) — no floats anywhere.  Plan: one
+    shuffle on partkey for the window, broadcast part dim, one hash
+    aggregate on brand; per-part sequential semantics parallelize
+    across parts, which is exactly how it scales to 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    consumed = li.select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.coalesce(
+            F.sum(F.col("l_quantity").cast("bigint")).over(w), F.lit(0)
+        ).alias("cum_before"),
+    )
+    a = consumed.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        "qty",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.col("qty"),
+                F.col("p_size").cast("bigint") * 10 - F.col("cum_before"),
+            ),
+        ).alias("alloc"),
+    )
+    return a.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("qty").alias("demand_qty"),
+        F.sum("alloc").alias("alloc_qty"),
+        F.expr("sum(alloc) * 10000 div sum(qty)").alias("fill_bps"),
+        F.sum(F.when(F.col("alloc") == F.col("qty"), 1).otherwise(0)).alias(
+            "n_full"
+        ),
+        F.sum(
+            F.when(
+                (F.col("alloc") > 0) & (F.col("alloc") < F.col("qty")), 1
+            ).otherwise(0)
+        ).alias("n_partial"),
+        F.sum(F.when(F.col("alloc") == 0, 1).otherwise(0)).alias(
+            "n_starved"
+        ),
+    )
