@@ -2185,3 +2185,166 @@ def q_ev_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
     )
+
+
+@query(
+    "q_ev_pattern_match",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value > lag(value) OVER w THEN 'u'
+                    WHEN value < lag(value) OVER w THEN 'd'
+                    WHEN lag(value) OVER w IS NULL THEN ''
+                    ELSE 'e' END AS sym
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seq AS (
+        SELECT user_id,
+               string_agg(sym, '' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id
+    ),
+    pat AS (
+        SELECT CAST(len(regexp_extract_all(path, 'd+u+')) AS BIGINT)
+                   AS n_valley,
+               CAST(len(regexp_extract_all(path, 'u+d+')) AS BIGINT)
+                   AS n_peak
+        FROM seq
+    )
+    SELECT n_valley, n_peak, CAST(count(*) AS BIGINT) AS n_users
+    FROM pat GROUP BY n_valley, n_peak
+    """,
+)
+def q_ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection — the SQL:2016
+    row-pattern feature Spark lacks, re-expressed Spark-first: compress
+    each user's value movements into a symbol string (u/d/e against the
+    previous event, (ts, event_id) total order) and count valley
+    (``d+u+``) and peak (``u+d+``) patterns with one regex per user.
+    Output: the (valleys, peaks) grid with user counts.
+
+    Exact comparisons produce the symbols, codegen ``regexp_extract_all``
+    counts the matches — no floats anywhere.  Per-user strings are
+    bounded by events-per-user (same per-entity compression contract as
+    q_ev_sessionpath); everything is user-partitioned, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") > F.lag("value").over(w), "u")
+        .when(F.col("value") < F.lag("value").over(w), "d")
+        .when(F.lag("value").over(w).isNull(), "")
+        .otherwise("e")
+        .alias("sym"),
+    )
+    seq = s.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list("
+            "struct(ts, event_id, sym))), x -> x.sym))"
+        ).alias("path")
+    )
+    pat = seq.select(
+        F.expr("CAST(size(regexp_extract_all(path, 'd+u+', 0)) AS BIGINT)")
+        .alias("n_valley"),
+        F.expr("CAST(size(regexp_extract_all(path, 'u+d+', 0)) AS BIGINT)")
+        .alias("n_peak"),
+    )
+    return pat.groupBy("n_valley", "n_peak").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "q_ev_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 604800000000 AS wk
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, wk,
+               lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM uw
+    ),
+    span AS (SELECT max(wk) AS max_wk FROM uw),
+    act AS (
+        SELECT wk,
+               CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN prev_wk < wk - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected
+        FROM c GROUP BY wk
+    ),
+    churn AS (
+        SELECT wk + 1 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+        FROM c CROSS JOIN span
+        WHERE (next_wk IS NULL OR next_wk > wk + 1) AND wk + 1 <= max_wk
+        GROUP BY wk + 1
+    )
+    SELECT CAST(act.wk AS BIGINT) AS wk,
+           n_new, n_retained, n_resurrected,
+           CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned
+    FROM act LEFT JOIN churn ON churn.wk = act.wk
+    """,
+)
+def q_ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: the weekly DAU decomposition every growth
+    team runs — actives split into new / retained / resurrected, plus
+    the churned count attributed to the week after last activity
+    (within the observed span), satisfying the identity
+    ``active_w = new + retained + resurrected`` and
+    ``churned_{w+1} = active_w − retained_{w+1}``.
+
+    Weeks are exact integer epoch-µs floor-divisions (no engine
+    week-truncation semantics in play); classification is lag/lead over
+    the per-user distinct week set — user-partitioned windows, two
+    shuffles total (distinct + window share the user key)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    c = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    act = c.groupBy("wk").agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(F.col("prev_wk") < F.col("wk") - 1, 1).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        c.crossJoin(F.broadcast(max_wk))
+        .where(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("max_wk"))
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        act.join(churn, "wk", "left")
+        .select(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )

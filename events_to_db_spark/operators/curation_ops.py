@@ -1042,3 +1042,93 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "q_text_winnowing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(tok[i] || ' ' || tok[i+1] || ' '
+                               || tok[i+2] || ' ' || tok[i+3]), 1, 15)
+               )::BIGINT AS h,
+               len(tok) - 3 AS n_grams
+        FROM toks,
+             (SELECT unnest(generate_series(1, 200)) AS i)
+        WHERE len(tok) >= 4 AND i <= len(tok) - 3
+    ),
+    wins AS (
+        SELECT doc_id, pos, n_grams,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                   AS fp
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp
+        FROM wins WHERE pos <= greatest(n_grams - 4, 1)
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM fps
+    GROUP BY fp
+    ORDER BY n_docs DESC, fp
+    LIMIT 10
+    """,
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 4-token shingle, then keep the minimum
+    hash of each sliding window of 5 consecutive shingles — a position-
+    robust fingerprint set that guarantees any shared run of ≥ 8 tokens
+    between two documents shares at least one fingerprint.  Output: the
+    10 most widely shared fingerprints (the corpus's boilerplate spine).
+
+    Determinism: md5-derived 60-bit integer hashes (same derivation in
+    both engines), windowed min per doc (partitioned by doc — scales),
+    DISTINCT bounds each doc's vote to 1, count ties broken by fp.
+    The oracle's fixed 1..200 position series upper-bounds this
+    corpus's ~60-token docs; the Spark side derives positions from each
+    document's actual length (sequence guarded for < 4-token docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("tok"))
+        .select(
+            "doc_id",
+            (F.size("tok") - 3).alias("n_grams"),
+            F.explode(
+                F.expr(
+                    "transform(if(size(tok) >= 4,"
+                    " sequence(1, size(tok) - 3), array()),"
+                    " i -> struct(i AS pos,"
+                    " CAST(conv(substr(md5(concat_ws(' ', tok[i-1], tok[i],"
+                    " tok[i+1], tok[i+2])), 1, 15), 16, 10) AS BIGINT)"
+                    " AS h))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "n_grams", F.col("g.pos").alias("pos"),
+                F.col("g.h").alias("h"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 4)
+    )
+    fps = (
+        grams.select(
+            "doc_id", "pos", "n_grams", F.min("h").over(w).alias("fp")
+        )
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "fp")
+        .limit(10)
+    )

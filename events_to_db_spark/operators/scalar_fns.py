@@ -939,3 +939,58 @@ def q_fn_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("n_mode_diff"),
     )
+
+
+@query(
+    "q_fn_encode",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN from_base64(to_base64(p_name::BLOB))::VARCHAR
+                              = p_name THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b64_roundtrip,
+           CAST(sum(len(to_base64(p_name::BLOB))) AS BIGINT) AS b64_len,
+           CAST(sum(CASE WHEN to_base64(p_name::BLOB) LIKE '%='
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_padded,
+           CAST(sum(len(hex(p_name::BLOB))) AS BIGINT) AS hex_len,
+           CAST(sum(CASE WHEN unhex(hex(p_name::BLOB))::VARCHAR = p_name
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hex_roundtrip,
+           CAST(sum(ascii(p_name)) AS BIGINT) AS ascii_sum
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding scalar surface: base64 / hex encode-decode
+    round-trips plus `ascii`, audited in aggregate per brand — the
+    codec layer every opaque-payload (multimodal bytes, checkpoint
+    blob) path relies on.  Both engines must produce the identical
+    RFC 4648 base64 (padding included) and upper/lower-consistent hex
+    for the hashes to match; the counts prove every row round-trips
+    losslessly.  All-integer output; single hash aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    b = part.select(
+        "p_brand",
+        F.col("p_name").alias("nm"),
+        F.expr("base64(CAST(p_name AS BINARY))").alias("b64"),
+        F.expr("hex(p_name)").alias("hx"),
+    )
+    return b.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.expr("CAST(unbase64(b64) AS STRING)") == F.col("nm"), 1
+            ).otherwise(0)
+        ).alias("n_b64_roundtrip"),
+        F.sum(F.length("b64")).alias("b64_len"),
+        F.sum(F.when(F.col("b64").like("%="), 1).otherwise(0)).alias(
+            "n_padded"
+        ),
+        F.sum(F.length("hx")).alias("hex_len"),
+        F.sum(
+            F.when(
+                F.expr("CAST(unhex(hx) AS STRING)") == F.col("nm"), 1
+            ).otherwise(0)
+        ).alias("n_hex_roundtrip"),
+        F.sum(F.ascii("nm")).alias("ascii_sum"),
+    )

@@ -679,3 +679,54 @@ def q_sql_groupall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "q_scan_snapshot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderkey % 3 <= 1
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse time travel: the orders table is committed to a
+    manifest-pinned `SnapshotTable` (sources/snapshots.py) in three
+    append commits (orderkey mod 3 = 0, then 1, then 2), and the query
+    reads **version 1** — after the second commit — though a third
+    commit has since landed.  The manifest pins the exact file set, so
+    the historical read is reproducible regardless of later writes; the
+    oracle recomputes the same version-1 membership predicate directly.
+
+    The scan itself is a plain multi-file parquet read (pushdown and
+    pruning intact — the manifest only chooses files).  Build is
+    write-once per scale factor (same `_SUCCESS`-style guard as the
+    other derived layouts)."""
+    from events_to_db_spark.sources.snapshots import SnapshotTable
+
+    import os
+
+    base = os.path.join(
+        "/tmp", "sparkgraft_layouts",
+        os.path.basename(sf_dir.rstrip("/")), "snapshot_orders",
+    )
+    t = SnapshotTable(base)
+    if t.current_version() is None or t.current_version() < 2:
+        orders = load_table(spark, sf_dir, "orders")
+        for m in range(t.current_version() + 1 if t.current_version() is not None else 0, 3):
+            t.commit(orders.where(F.col("o_orderkey") % 3 == m), "append")
+    return (
+        t.read(spark, version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("revenue_cents"),
+        )
+    )

@@ -1124,3 +1124,125 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r7"),
     )
+
+
+# Cumulative Poisson(1) thresholds scaled to 2^60 — fixed literals shared
+# verbatim by both engines (the derivation's float precision is
+# irrelevant; only cross-engine equality of the constants matters).
+_POIS = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776, 1152920207336574720,
+]
+_POIS_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    + " ELSE 9 END"
+)
+
+
+@query(
+    "q_stat_bootstrap",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT b, cents,
+               ('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT
+                   AS u
+        FROM x CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+    ),
+    m AS (
+        SELECT b,
+               CAST(sum({_POIS_CASE}) AS BIGINT) AS n_b,
+               CAST(sum(({_POIS_CASE}) * cents) AS BIGINT) AS s_b
+        FROM r GROUP BY b
+    ),
+    ranked AS (
+        SELECT s_b, n_b,
+               row_number() OVER (
+                   ORDER BY CAST(s_b AS DOUBLE) / n_b, b) AS rk
+        FROM m
+    ),
+    pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS total FROM x
+    )
+    SELECT n_events,
+           round(CAST(total AS DOUBLE) / n_events / 100, 4) AS point_mean,
+           round((SELECT CAST(s_b AS DOUBLE) / n_b / 100
+                  FROM ranked WHERE rk = 2), 4) AS ci_lo,
+           round((SELECT CAST(s_b AS DOUBLE) / n_b / 100
+                  FROM ranked WHERE rk = 63), 4) AS ci_hi
+    FROM pt
+    """,
+)
+def q_stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean purchase
+    value — the cluster-scale bootstrap (Chamandy et al.): instead of
+    resampling rows with replacement (which needs global coordination),
+    each (row, resample) pair draws an independent Poisson(1)
+    multiplicity, so the 64 resamples are computed in ONE scan with an
+    explode and a keyed aggregate — embarrassingly parallel at 100 TB.
+
+    Determinism: the multiplicity is a pure function of
+    ``md5(event_id, b)`` compared against fixed 2⁶⁰-scaled cumulative-
+    Poisson thresholds (integer compares, no RNG); each resample's
+    (Σc·x, Σc) are exact BIGINTs; resample means are ranked by the
+    IEEE-identical double of those exact ints with ``b`` as tie-break;
+    the 2.5 %/97.5 % bounds are discrete order statistics (ranks 2 and
+    63 of 64).  The rank window runs over exactly 64 rows (fixed B)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    r = x.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            "conv(substr(md5(concat(CAST(event_id AS STRING), '_',"
+            " CAST(b AS STRING))), 1, 15), 16, 10)"
+        ).cast("bigint").alias("u"),
+    )
+    m = r.select(
+        "b", "cents", F.expr(_POIS_CASE).alias("c")
+    ).groupBy("b").agg(
+        F.sum("c").alias("n_b"),
+        F.sum(F.col("c") * F.col("cents")).alias("s_b"),
+    )
+    w = Window.orderBy(
+        F.col("s_b").cast("double") / F.col("n_b"), F.col("b")
+    )
+    ranked = m.select(
+        "s_b", "n_b", F.row_number().over(w).alias("rk")
+    )
+    lo = ranked.where(F.col("rk") == 2).select(
+        F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 4).alias(
+            "ci_lo"
+        )
+    )
+    hi = ranked.where(F.col("rk") == 63).select(
+        F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 4).alias(
+            "ci_hi"
+        )
+    )
+    pt = x.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("cents").cast("double") / F.count("*") / 100, 4).alias(
+            "point_mean"
+        ),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi)).select(
+            "n_events", "point_mean", "ci_lo", "ci_hi"
+        )
+    )

@@ -1952,3 +1952,77 @@ def q_alloc_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_starved"
         ),
     )
+
+
+@query(
+    "q_ev_abandonment",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, epoch_us(ts) AS us,
+               CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.user_id = c.user_id
+                      AND epoch_us(p.ts) > c.us
+                      AND epoch_us(p.ts) <= c.us + 3600000000
+                ) THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.user_id = c.user_id
+                      AND epoch_us(p.ts) > c.us
+                      AND epoch_us(p.ts) <= c.us + 3600000000
+                ) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS abandon_bps
+    FROM c
+    GROUP BY day
+    """,
+)
+def q_ev_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-absence anti-join (cart abandonment): a click is
+    abandoned when the same user makes NO purchase in the following
+    hour.  The batch twin of the streaming left-outer stream-stream
+    join's null-extension — "A not followed by B within horizon" is the
+    negative-pattern primitive behind abandonment, SLA-breach, and
+    churn-trigger queries.
+
+    Plan: user-equi anti join with the (0, 1 h] band as the join-time
+    range predicate — co-partitioned on user_id, no quadratic blowup;
+    exact integer-µs window arithmetic (epoch-µs compares, never a
+    float gap); abandonment rate in integer basis points.  Day output
+    is VARCHAR (DATE canonicalizer hazard)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.expr("unix_micros(ts)").alias("c_us"),
+        F.to_date("ts").alias("day"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.expr("unix_micros(ts)").alias("p_us"),
+    )
+    abandoned = clicks.join(
+        purch,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_us") > F.col("c_us"))
+        & (F.col("p_us") <= F.col("c_us") + 3600000000),
+        "left_anti",
+    )
+    base = clicks.groupBy("day").agg(F.count("*").alias("n_clicks"))
+    ab = abandoned.groupBy("day").agg(F.count("*").alias("n_abandoned"))
+    return (
+        base.join(ab, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_clicks",
+            F.coalesce("n_abandoned", F.lit(0)).alias("n_abandoned"),
+            F.expr(
+                "coalesce(n_abandoned, 0) * 10000 div n_clicks"
+            ).alias("abandon_bps"),
+        )
+    )

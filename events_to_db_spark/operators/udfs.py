@@ -419,3 +419,97 @@ def q_udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _clamped_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user token-bucket fold: balance += delta, clamped to
+    [0, 100000] cents, counting both clamp events.  Non-associative
+    (clamping destroys partial-aggregate mergeability), so this is the
+    genuinely stateful scan that windows cannot express — exact int64
+    arithmetic, (ts, event_id) total order inside the Arrow batch."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    bal = 0
+    lo = hi = 0
+    for d in pdf["delta"].to_numpy():
+        b = bal + int(d)
+        if b < 0:
+            lo += 1
+            b = 0
+        elif b > 100000:
+            hi += 1
+            b = 100000
+        bal = b
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_ops": [len(pdf)],
+            "final_balance_cents": [bal],
+            "n_clamped_low": [lo],
+            "n_clamped_high": [hi],
+        }
+    )
+
+
+@query(
+    "q_ev_clamped_balance",
+    oracle="""
+    WITH RECURSIVE ops AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE CAST(-500 AS BIGINT) END AS delta,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    fold AS (
+        SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS bal,
+               CAST(0 AS BIGINT) AS n_lo, CAST(0 AS BIGINT) AS n_hi
+        FROM (SELECT DISTINCT user_id FROM ops)
+      UNION ALL
+        SELECT f.user_id, f.rn + 1,
+               greatest(CAST(0 AS BIGINT),
+                        least(CAST(100000 AS BIGINT), f.bal + o.delta)),
+               f.n_lo + CASE WHEN f.bal + o.delta < 0 THEN 1 ELSE 0 END,
+               f.n_hi + CASE WHEN f.bal + o.delta > 100000 THEN 1 ELSE 0 END
+        FROM fold f JOIN ops o
+          ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT f.user_id, f.rn AS n_ops, f.bal AS final_balance_cents,
+           f.n_lo AS n_clamped_low, f.n_hi AS n_clamped_high
+    FROM fold f
+    JOIN (SELECT user_id, max(rn) AS mrn FROM fold GROUP BY user_id) m
+      ON m.user_id = f.user_id AND f.rn = m.mrn
+    """,
+)
+def q_ev_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance (token bucket / inventory stock): per
+    user, purchases deposit their cents and clicks drain a flat 500,
+    with the balance clamped to [0, 100 000] after every op.  Clamping
+    makes the fold NON-associative — no window frame or two-level
+    prefix scan can express it — so this is the canonical custom
+    stateful operator: an Arrow-batched ``applyInPandas`` scan per
+    user, embarrassingly parallel across users (the 100 TB shape; the
+    same kernel drops into ``applyInPandasWithState`` for streaming).
+
+    Determinism: exact integer cents, (ts, event_id) total order, and
+    the DuckDB oracle replays the identical fold as a recursive-CTE
+    fixpoint — an engine-independent second opinion on every
+    intermediate clamp (not just the final state)."""
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(round(value * 100) AS BIGINT)"),
+        )
+        .otherwise(F.lit(-500).cast("bigint"))
+        .alias("delta"),
+    )
+    return ops.groupBy("user_id").applyInPandas(
+        _clamped_fold,
+        "user_id long, n_ops long, final_balance_cents long, "
+        "n_clamped_low long, n_clamped_high long",
+    )

@@ -265,6 +265,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ev_concurrency": "per-day sweep re-aggregate (calendar-bounded)",
         "q_ev_survival": "KM curve over per-lifespan-day aggregate (calendar-bounded)",
         "q_stat_runs": "lag over per-day aggregate (calendar-bounded)",
+        "q_stat_bootstrap": "row_number over the 64 bootstrap resample means (fixed B)",
         "q_win_rolling_corr": "rolling moments over per-day aggregate (calendar-bounded)",
         "q_sort_nulls": "NULL-placement ranks over the supplier dimension (bounded); fact-scale ranks go via plans/prefix.py",
         "q_sketch_kmv_union": "bottom-k over the threshold-filtered survivor set (expected ~4k = 128 rows by construction)",
