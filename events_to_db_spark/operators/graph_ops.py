@@ -266,3 +266,113 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("hops"),
     ).orderBy("event_type")
+
+
+def _kcore_oracle(rounds: int = 12, k: int = 2) -> str:
+    """Unrolled k-core peeling: each round keeps edges whose both
+    endpoints still have degree ≥ k.  ``rounds`` upper-bounds the
+    fixpoint depth (measured: 2/3/6 rounds at sf0.001/0.01/0.1; the
+    Spark side iterates to convergence and raises if it would exceed
+    this bound, so a too-shallow unroll fails loudly, never silently)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 50
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT t.c, t.s FROM e{p} t
+        JOIN (SELECT c FROM e{p} GROUP BY c HAVING count(*) >= {k}) dc
+          USING (c)
+        JOIN (SELECT s FROM e{p} GROUP BY s HAVING count(*) >= {k}) ds
+          USING (s)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_core_edges,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_core_customers,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_core_suppliers,
+           CAST(coalesce(max(dc), 0) AS BIGINT) AS max_cust_degree,
+           CAST(coalesce(max(ds), 0) AS BIGINT) AS max_supp_degree
+    FROM (
+        SELECT c, s,
+               count(*) OVER (PARTITION BY c) AS dc,
+               count(*) OVER (PARTITION BY s) AS ds
+        FROM e{rounds}
+    )
+    """
+    )
+
+
+_KCORE_ROUNDS = 12
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(_KCORE_ROUNDS))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(2,2)-core of the bipartite customer–supplier graph (edges =
+    max-quantity order lines): iteratively peel nodes with degree < 2
+    on either side until fixpoint — the classic graph-decomposition
+    primitive for finding the mutually-reinforcing trading core and
+    discarding one-off relationships.
+
+    Iterative shape: each round is two keyed degree aggregates + two
+    semi-joins over the edge list, ``localCheckpoint`` truncating the
+    growing lineage; only a per-round edge *count* (scalar) reaches the
+    driver, so the loop runs unchanged on a 1000-executor edge list.
+    The oracle replays the peeling as a 12-round unrolled CTE chain;
+    the Spark side raises past that bound rather than letting the two
+    sides diverge silently.  Output is the exact core summary (edge /
+    node counts, max degrees) — all BIGINTs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_quantity") >= 50)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = edges.count()
+    for _ in range(_KCORE_ROUNDS):
+        dc = edges.groupBy("c").agg(F.count("*").alias("dc")).where(
+            F.col("dc") >= 2
+        )
+        ds = edges.groupBy("s").agg(F.count("*").alias("ds")).where(
+            F.col("ds") >= 2
+        )
+        edges = (
+            edges.join(dc.select("c"), "c", "left_semi")
+            .join(ds.select("s"), "s", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = edges.count()
+        if n2 == n:
+            break
+        n = n2
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge within {_KCORE_ROUNDS} "
+            "rounds — raise _KCORE_ROUNDS (and the oracle unroll) together"
+        )
+    wc = Window.partitionBy("c")
+    ws = Window.partitionBy("s")
+    deg = edges.select(
+        "c", "s", F.count("*").over(wc).alias("dc"),
+        F.count("*").over(ws).alias("ds"),
+    )
+    return deg.agg(
+        F.count("*").alias("n_core_edges"),
+        F.countDistinct("c").alias("n_core_customers"),
+        F.countDistinct("s").alias("n_core_suppliers"),
+        F.coalesce(F.max("dc"), F.lit(0)).alias("max_cust_degree"),
+        F.coalesce(F.max("ds"), F.lit(0)).alias("max_supp_degree"),
+    )

@@ -162,3 +162,93 @@ def alert_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+BALANCE_CAP = 100000
+BALANCE_DRAIN = 500
+
+BALANCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_ops", LongType()),
+        StructField("final_balance_cents", LongType()),
+        StructField("n_clamped_low", LongType()),
+        StructField("n_clamped_high", LongType()),
+    ]
+)
+
+BALANCE_STATE_SCHEMA = StructType(
+    [
+        StructField("bal", LongType()),
+        StructField("n_ops", LongType()),
+        StructField("n_lo", LongType()),
+        StructField("n_hi", LongType()),
+    ]
+)
+
+
+def _balance_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of the batch clamped fold (operators/udfs.py
+    q_ev_clamped_balance): the per-user token bucket survives across
+    micro-batches as four bounded integers of GroupState.  Emits the
+    running snapshot after each batch touching the user; the final
+    emission per user equals the batch fold exactly (equivalence test
+    in tests/test_stateful_streaming.py)."""
+    bal, n_ops, lo, hi = state.get if state.exists else (0, 0, 0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for d in pdf["delta"]:
+            b = bal + int(d)
+            if b < 0:
+                lo += 1
+                b = 0
+            elif b > BALANCE_CAP:
+                hi += 1
+                b = BALANCE_CAP
+            bal = b
+            n_ops += 1
+    state.update((bal, n_ops, lo, hi))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_ops": [n_ops],
+            "final_balance_cents": [bal],
+            "n_clamped_low": [lo],
+            "n_clamped_high": [hi],
+        }
+    )
+
+
+def balance_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Clamped-balance snapshots as an update-ish append stream: one
+    snapshot row per (user, micro-batch that touched the user)."""
+    from pyspark.sql import functions as F
+
+    ops = events.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(round(value * 100) AS BIGINT)"),
+        )
+        .otherwise(F.lit(-BALANCE_DRAIN).cast("bigint"))
+        .alias("delta"),
+    )
+    return (
+        ops.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _balance_update,
+            outputStructType=BALANCE_OUTPUT_SCHEMA,
+            stateStructType=BALANCE_STATE_SCHEMA,
+            outputMode="Append",
+            timeoutConf="NoTimeout",
+        )
+    )

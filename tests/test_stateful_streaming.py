@@ -80,3 +80,49 @@ def test_alert_stream_matches_batch_hysteresis(spark, chunked_events, tmp_path):
         last[r["user_id"]] = r["transition"]
     got = {u: (opens[u], last[u]) for u in opens}
     assert got == batch
+
+
+def test_balance_stream_matches_batch_fold(spark, chunked_events, tmp_path):
+    """The streaming token bucket's LAST snapshot per user must equal
+    the batch applyInPandas fold — state carried across micro-batches
+    replays the identical clamp sequence."""
+    from events_to_db_spark.streaming.stateful import balance_stream
+
+    feed, ev, n = chunked_events
+    acc = []
+
+    def collect(batch_df, bid):
+        acc.extend((bid, r) for r in batch_df.collect())
+
+    q = (
+        balance_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bal"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    last = {}
+    for bid, r in sorted(acc, key=lambda t: t[0]):
+        last[r["user_id"]] = (
+            r["n_ops"],
+            r["final_balance_cents"],
+            r["n_clamped_low"],
+            r["n_clamped_high"],
+        )
+
+    import __spark_entry__ as e
+
+    batch = e.queries()["q_ev_clamped_balance"](spark, SF_SMOKE).collect()
+    want = {
+        r["user_id"]: (
+            r["n_ops"],
+            r["final_balance_cents"],
+            r["n_clamped_low"],
+            r["n_clamped_high"],
+        )
+        for r in batch
+    }
+    assert last == want
