@@ -2348,3 +2348,161 @@ def q_ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
     )
+
+
+@query(
+    "q_ev_did",
+    oracle="""
+    WITH span AS (
+        SELECT min(epoch_us(ts)) AS t0 FROM events
+    ),
+    treated AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    ),
+    cells AS (
+        SELECT
+            CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+            CASE WHEN epoch_us(e.ts) - s.t0 >= 1296000000000
+                 THEN 1 ELSE 0 END AS post,
+            CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e
+        CROSS JOIN span s
+        LEFT JOIN treated t ON t.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    m AS (
+        SELECT treated, post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM cells GROUP BY treated, post
+    )
+    SELECT
+        (SELECT n FROM m WHERE treated = 0 AND post = 0) AS n_c_pre,
+        (SELECT n FROM m WHERE treated = 0 AND post = 1) AS n_c_post,
+        (SELECT n FROM m WHERE treated = 1 AND post = 0) AS n_t_pre,
+        (SELECT n FROM m WHERE treated = 1 AND post = 1) AS n_t_post,
+        round((SELECT CAST(s AS DOUBLE) / n / 100
+               FROM m WHERE treated = 1 AND post = 1)
+            - (SELECT CAST(s AS DOUBLE) / n / 100
+               FROM m WHERE treated = 1 AND post = 0)
+            - ((SELECT CAST(s AS DOUBLE) / n / 100
+                FROM m WHERE treated = 0 AND post = 1)
+               - (SELECT CAST(s AS DOUBLE) / n / 100
+                  FROM m WHERE treated = 0 AND post = 0)), 4) AS did
+    """,
+)
+def q_ev_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-inference workhorse.
+    Treated = users who ever hit an 'error' event; the post period
+    starts 15 days (exact 1 296 000 000 000 µs) after the log's first
+    event.  DiD = (treated post − pre) − (control post − pre) on mean
+    purchase value.
+
+    The four cell means are exact (Σcents, n) pairs; DiD is ONE final
+    float expression over the eight integers — no float subtraction
+    chains whose order could differ.  Plan: broadcast the treated-user
+    id set (distinct over a selective filter) onto the purchase scan,
+    one 4-cell aggregate, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.expr("unix_micros(ts)")).alias("t0"))
+    treated = (
+        ev.where(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_treated", F.lit(1))
+    )
+    cells = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(t0))
+        .join(F.broadcast(treated), "user_id", "left")
+        .select(
+            F.coalesce("is_treated", F.lit(0)).alias("treated"),
+            F.when(
+                F.expr("unix_micros(ts)") - F.col("t0") >= 1296000000000,
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    # pivot the 2x2 grid into one row, then the single final float
+    g = m.agg(
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                     F.col("n"))).alias("n_c_pre"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                     F.col("n"))).alias("n_c_post"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                     F.col("n"))).alias("n_t_pre"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                     F.col("n"))).alias("n_t_post"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                     F.col("s"))).alias("s_c_pre"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                     F.col("s"))).alias("s_c_post"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                     F.col("s"))).alias("s_t_pre"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                     F.col("s"))).alias("s_t_post"),
+    )
+    dd = (
+        F.col("s_t_post").cast("double") / F.col("n_t_post") / 100
+        - F.col("s_t_pre").cast("double") / F.col("n_t_pre") / 100
+        - (
+            F.col("s_c_post").cast("double") / F.col("n_c_post") / 100
+            - F.col("s_c_pre").cast("double") / F.col("n_c_pre") / 100
+        )
+    )
+    return g.select(
+        "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        F.round(dd, 4).alias("did"),
+    )
+
+
+@query(
+    "q_ml_calibration",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(least(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END), 10) AS BIGINT)
+                   AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    )
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) * 10000 // count(*) AS BIGINT)
+               AS conv_bps
+    FROM f GROUP BY score
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / lift curve for a feature-based propensity score:
+    bucket users by click count (capped at 10), report the observed
+    purchase-conversion rate per bucket — the monotonicity check that
+    certifies "more clicks → more likely to buy" before the feature
+    enters a model.  All-integer (counts + floor-division basis
+    points); two keyed aggregates sharing the user shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(10),
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return f.groupBy("score").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.expr("sum(converted) * 10000 div count(*)").alias("conv_bps"),
+    )

@@ -994,3 +994,58 @@ def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_hex_roundtrip"),
         F.sum(F.ascii("nm")).alias("ascii_sum"),
     )
+
+
+@query(
+    "q_fn_generator",
+    oracle="""
+    WITH spine AS (
+        SELECT r.r_name,
+               unnest(generate_series(DATE '2024-01-01', DATE '2024-12-30',
+                                      INTERVAL 7 DAY)) AS wk_start
+        FROM region r
+    ),
+    g AS (
+        SELECT r_name, CAST(wk_start AS DATE) AS d,
+               row_number() OVER (PARTITION BY r_name
+                                  ORDER BY wk_start) - 1 AS pos
+        FROM spine
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           CAST(min(d) AS VARCHAR) AS first_wk,
+           CAST(max(d) AS VARCHAR) AS last_wk,
+           CAST(sum((date_diff('day', DATE '1970-01-01', d) + 4) % 7)
+                AS BIGINT) AS dow_checksum,
+           CAST(sum(pos * date_diff('day', DATE '1970-01-01', d))
+                AS BIGINT) AS pos_checksum
+    FROM g
+    GROUP BY r_name
+    """,
+)
+def q_fn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generator surface: per dimension row, generate a weekly date
+    spine for 2024 with ordinal positions (`sequence` + `posexplode` —
+    the lateral table-function pattern behind gap-filling and calendar
+    densification), then audit it with exact integer checksums.
+    Day-of-week comes from epoch-day arithmetic ((days+4) mod 7), NOT
+    the engines' dayofweek builtins, whose numbering conventions
+    disagree.  DATE outputs cast to VARCHAR (canonicalizer hazard)."""
+    region = load_table(spark, sf_dir, "region")
+    g = region.select(
+        "r_name",
+        F.posexplode(
+            F.expr(
+                "sequence(DATE'2024-01-01', DATE'2024-12-30',"
+                " interval 7 days)"
+            )
+        ).alias("pos", "d"),
+    )
+    ed = F.datediff("d", F.lit("1970-01-01").cast("date"))
+    return g.groupBy("r_name").agg(
+        F.count("*").alias("n_weeks"),
+        F.min("d").cast("string").alias("first_wk"),
+        F.max("d").cast("string").alias("last_wk"),
+        F.sum((ed + 4) % 7).alias("dow_checksum"),
+        F.sum(F.col("pos") * ed).alias("pos_checksum"),
+    )

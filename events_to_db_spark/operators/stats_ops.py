@@ -1225,15 +1225,18 @@ def q_stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = m.select(
         "s_b", "n_b", F.row_number().over(w).alias("rk")
     )
-    lo = ranked.where(F.col("rk") == 2).select(
-        F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 4).alias(
-            "ci_lo"
-        )
+    # min() aggregates (single-row groups) so an EMPTY purchase set
+    # still yields one NULL row — matching the oracle's scalar
+    # subqueries — instead of an empty cross join.
+    lo = ranked.where(F.col("rk") == 2).agg(
+        F.min(
+            F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 4)
+        ).alias("ci_lo")
     )
-    hi = ranked.where(F.col("rk") == 63).select(
-        F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 4).alias(
-            "ci_hi"
-        )
+    hi = ranked.where(F.col("rk") == 63).agg(
+        F.min(
+            F.round(F.col("s_b").cast("double") / F.col("n_b") / 100, 4)
+        ).alias("ci_hi")
     )
     pt = x.agg(
         F.count("*").alias("n_events"),
@@ -1244,5 +1247,113 @@ def q_stat_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi)).select(
             "n_events", "point_mean", "ci_lo", "ci_hi"
+        )
+    )
+
+
+@query(
+    "q_stat_theilsen",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    i AS (
+        SELECT date_diff('day', DATE '1970-01-01', day) AS di, x FROM d
+    ),
+    p AS (
+        SELECT b.x - a.x AS dy, b.di - a.di AS dx
+        FROM i a JOIN i b ON a.di < b.di
+    ),
+    rk AS (
+        SELECT p.dy, p.dx,
+               (SELECT count(*) FROM p q
+                WHERE q.dy * p.dx < p.dy * q.dx) AS n_less,
+               (SELECT count(*) FROM p q
+                WHERE q.dy * p.dx = p.dy * q.dx) AS n_eq
+        FROM p
+    ),
+    n AS (SELECT count(*) AS n_pairs FROM p)
+    SELECT (SELECT count(*) FROM d) AS n_days,
+           (SELECT CAST(n_pairs AS BIGINT) FROM n) AS n_pairs,
+           round(min(CAST(dy AS DOUBLE) / dx / 100), 4)
+               AS slope_per_day
+    FROM rk CROSS JOIN n
+    WHERE n_less < (n_pairs + 1) // 2
+      AND n_less + n_eq >= (n_pairs + 1) // 2
+    """,
+)
+def q_stat_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator: the median of all pairwise
+    slopes of the daily purchase-revenue series — the outlier-immune
+    answer to "is revenue trending?" (breakdown point 29%, vs 0% for
+    OLS).
+
+    Exact-median discipline: each pairwise slope is the rational
+    dy/dx (cents per day, dx > 0); the median is selected by exact
+    CROSS-MULTIPLIED rank comparison (dy_q·dx_p < dy_p·dx_q — no float
+    ever participates in the ordering), taking the lower-median order
+    statistic; every rank-tied winner carries the same rational value,
+    so the single final float division is well-defined.  Products stay
+    < 2⁴⁰ at any plausible scale.  Plan: day-grain aggregate, then the
+    O(days²) pair join and O(days⁴)-bounded rank join both run on
+    broadcast calendar-size inputs."""
+    d = _daily_xy(spark, sf_dir)
+    i = d.select(
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("di"),
+        "x",
+    )
+    a = i.select(F.col("di").alias("dia"), F.col("x").alias("xa"))
+    b = i.select(F.col("di").alias("dib"), F.col("x").alias("xb"))
+    p = a.join(F.broadcast(b), F.col("dia") < F.col("dib")).select(
+        (F.col("xb") - F.col("xa")).alias("dy"),
+        (F.col("dib") - F.col("dia")).cast("long").alias("dx"),
+    )
+    # Collapse duplicate (dy, dx) pairs first and carry multiplicities:
+    # ranking on raw pair rows would count each q-match once per
+    # duplicate p-row, inflating n_less/n_eq for repeated slopes.
+    pd_ = p.groupBy("dy", "dx").agg(F.count("*").alias("w"))
+    q = pd_.select(
+        F.col("dy").alias("qdy"), F.col("dx").alias("qdx"),
+        F.col("w").alias("qw"),
+    )
+    rk = (
+        pd_.join(
+            F.broadcast(q),
+            (F.col("qdy") * F.col("dx") <= F.col("dy") * F.col("qdx")),
+        )
+        .groupBy("dy", "dx")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("qdy") * F.col("dx") < F.col("dy") * F.col("qdx"),
+                    F.col("qw"),
+                ).otherwise(0)
+            ).alias("n_less"),
+            F.sum(
+                F.when(
+                    F.col("qdy") * F.col("dx") == F.col("dy") * F.col("qdx"),
+                    F.col("qw"),
+                ).otherwise(0)
+            ).alias("n_eq"),
+        )
+    )
+    n = p.agg(F.count("*").alias("n_pairs"))
+    nd = d.agg(F.count("*").alias("n_days"))
+    med = (
+        rk.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("n_less") < (F.col("n_pairs") + 1) / 2)
+            & (
+                F.col("n_less") + F.col("n_eq")
+                >= (F.col("n_pairs") + 1).cast("long") / 2
+            )
+        )
+        .agg(
+            F.round(
+                F.min(F.col("dy").cast("double") / F.col("dx") / 100), 4
+            ).alias("slope_per_day")
+        )
+    )
+    return (
+        nd.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(med)).select(
+            "n_days", "n_pairs", "slope_per_day"
         )
     )
