@@ -1132,3 +1132,167 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "fp")
         .limit(10)
     )
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+        FROM documents
+    ),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    st AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(
+                   0, CASE WHEN n > 32 THEN (n - 9) // 24 ELSE 0 END)) AS s
+        FROM nn
+    ),
+    ch AS (
+        SELECT doc_id, s, n,
+               array_to_string(
+                   list_slice(toks, s * 24 + 1, least(s * 24 + 32, n)),
+                   ' ') AS chunk
+        FROM st
+    )
+    SELECT doc_id,
+           CAST(s AS INT) AS chunk_idx,
+           CAST(s * 24 AS BIGINT) AS start_tok,
+           CAST(least(32, n - s * 24) AS BIGINT) AS n_tok,
+           CAST(('0x' || substr(md5(chunk), 1, 15)) AS BIGINT) AS chunk_hash,
+           CAST(count(*) OVER (
+               PARTITION BY ('0x' || substr(md5(chunk), 1, 15))::BIGINT
+           ) AS BIGINT) AS n_occurrences
+    FROM ch
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed 32-token windows with stride
+    24 (8-token overlap), one output row per chunk with its corpus-wide
+    occurrence count — the splitter stage every retrieval pipeline runs
+    before embedding.
+
+    Start offsets come from ``sequence`` guarded by an ``if`` (Spark's
+    ``sequence(1, 0)`` DESCENDS — the guard is load-bearing for short
+    docs, cf. the q_text_fingerprint edge-corpus lesson); the final
+    chunk is allowed to run short (min 9 tokens by construction of the
+    stride).  Chunk identity is the usual md5-prefix BIGINT.  Plan:
+    one explode (fan-out ≤ n/24 per doc) + one partitioned window over
+    the hash — fully keyed, no global order anywhere, so the same plan
+    chunks a 100 TB corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (
+        docs.select(
+            "doc_id",
+            F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
+        )
+        .withColumn("n", F.expr("size(toks)"))
+        .withColumn(
+            "s",
+            F.explode(
+                F.expr(
+                    "if(n > 32,"
+                    " sequence(0, (n - 9) div 24),"
+                    " array(0))"
+                )
+            ),
+        )
+        .withColumn(
+            "chunk",
+            F.expr(
+                "concat_ws(' ',"
+                " slice(toks, s * 24 + 1, least(32, n - s * 24)))"
+            ),
+        )
+        .withColumn(
+            "chunk_hash",
+            F.expr("conv(substr(md5(chunk), 1, 15), 16, 10)").cast("long"),
+        )
+    )
+    w = Window.partitionBy("chunk_hash")
+    return ch.select(
+        "doc_id",
+        F.col("s").cast("int").alias("chunk_idx"),
+        (F.col("s") * 24).cast("long").alias("start_tok"),
+        F.expr("least(32, n - s * 24)").cast("long").alias("n_tok"),
+        "chunk_hash",
+        F.count("*").over(w).cast("long").alias("n_occurrences"),
+    )
+
+
+@query(
+    "q_embed_int8",
+    oracle="""
+    WITH a AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, v -> abs(v::DOUBLE)))
+                   AS amax,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, amax,
+               CASE WHEN amax = 0
+                    THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+                    ELSE list_transform(
+                        embedding,
+                        v -> CAST(round((v::DOUBLE * 127.0) / amax)
+                                  AS BIGINT))
+               END AS qv
+        FROM a
+    )
+    SELECT vec_id,
+           round(amax, 6) AS amax_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+               AS q_l1,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero
+    FROM q
+    """,
+)
+def q_embed_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step vector stores apply before indexing (scale =
+    max|x|/127 per vector, q = round(x·127/max|x|)).
+
+    The quantized codes are exact integers, so the per-vector audit
+    columns (sum, L1 mass, min/max code, dead-zero count) value-hash
+    between engines with no float-summation hazard; the only floats
+    are the per-element divide — the identical ``(x·127)/amax``
+    expression tree in both engines — and the reported scale, rounded
+    to 6.  Zero-vector guard keeps the map total.  Embarrassingly
+    row-parallel: no shuffle at all after the scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "vec_id",
+        F.expr(
+            "array_max(transform(embedding, v -> abs(cast(v as double))))"
+        ).alias("amax"),
+        "embedding",
+    )
+    q = a.withColumn(
+        "qv",
+        F.expr(
+            "case when amax = 0"
+            " then transform(embedding, v -> cast(0 as bigint))"
+            " else transform(embedding,"
+            "   v -> cast(round((cast(v as double) * 127.0) / amax)"
+            "        as bigint)) end"
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.round("amax", 6).alias("amax_r"),
+        F.expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x)")
+        .alias("q_sum"),
+        F.expr(
+            "aggregate(qv, cast(0 as bigint), (acc, x) -> acc + abs(x))"
+        ).alias("q_l1"),
+        F.expr("array_min(qv)").alias("q_min"),
+        F.expr("array_max(qv)").alias("q_max"),
+        F.expr("size(filter(qv, x -> x = 0))").cast("long").alias("n_zero"),
+    )

@@ -1,0 +1,356 @@
+"""Model-fitting, higher-moment statistics, and graph-structure
+operators (SURVEY.md §2.12, round 2 continuation).
+
+Three families an analyst reaches for right after the basic tests in
+:mod:`stats_ops`:
+
+* a **decision stump** (`q_ml_stump`) — the 1-split classification tree
+  that is the building block of boosting, fit by exhaustive threshold
+  scan over the score column;
+* the **Jarque–Bera normality statistic** (`q_stat_jarque_bera`) from
+  exact integer power sums of cents;
+* **degree assortativity** (`q_graph_assortativity`) of the event-type
+  transition graph — "do high-fanout states feed high-fanin states?".
+
+Determinism discipline (SURVEY §7.5) as everywhere: every statistic is
+assembled from exact BIGINT/DECIMAL(38,0) integer sums; floats appear
+only in one final per-row expression evaluated on identical integers in
+both engines, rounded to 4–6 places; argmax ties are broken by a unique
+key (the threshold itself).
+
+Scale shape: the stump's cumulative class counts go through
+``plans.prefix.bucketed_running_sum`` (two-level scan, no global
+window); the moment sums are single keyed aggregates; the graph degrees
+are two small aggregates broadcast back onto the edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from events_to_db_spark.plans.prefix import bucketed_running_sum
+from events_to_db_spark.registry import query
+from events_to_db_spark.session import load_table
+
+# Fixed-point scale for the stump's split score.  Marked intermediate:
+# (posL² + negL²)·SCALE ≤ (6e5)²·1e6 ≈ 3.6e17 < 2^63 at sf0.1; at
+# 1e9-row samples switch the score columns to DECIMAL(38,0).
+_STUMP_SCALE = 10**6
+
+
+@query(
+    "q_ml_stump",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT vc, count(*) AS ct, CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT vc,
+               sum(ct) OVER (ORDER BY vc) AS nl,
+               sum(pos) OVER (ORDER BY vc) AS pl
+        FROM pv
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM pv
+    ),
+    cand AS (
+        SELECT vc, nl, pl, n, p,
+               (n - nl) AS nr, (p - pl) AS pr,
+               ((pl * pl + (nl - pl) * (nl - pl)) * {_STUMP_SCALE}) // nl
+               + (((p - pl) * (p - pl)
+                   + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)))
+                  * {_STUMP_SCALE}) // (n - nl) AS score_scaled
+        FROM cum CROSS JOIN tot
+        WHERE nl < n
+    )
+    SELECT CAST(vc AS BIGINT) AS split_cents,
+           round(vc / 100e0, 2) AS split_value,
+           CAST(score_scaled AS BIGINT) AS score_scaled,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           CAST(pl AS BIGINT) AS pos_left,
+           CAST(pr AS BIGINT) AS pos_right,
+           round((n - CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / nl
+                    - CAST(pr * pr + (nr - pr) * (nr - pr) AS DOUBLE) / nr)
+                 / n, 6) AS weighted_gini
+    FROM cand
+    ORDER BY score_scaled DESC, vc
+    LIMIT 1
+    """,
+)
+def q_ml_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump: the single threshold on ``value`` that best
+    separates purchase from view events by weighted Gini impurity.
+
+    Minimizing weighted Gini ``(n_L·g_L + n_R·g_R)/n`` is equivalent to
+    maximizing ``(pos_L²+neg_L²)/n_L + (pos_R²+neg_R²)/n_R``; both
+    engines compare that rational via the identical fixed-point floor
+    division (scale 1e6), so the argmax — tie-broken by the smallest
+    threshold — hash-matches exactly.  Cumulative class counts come
+    from the two-level bucketed scan ($20 cent-buckets ascend with the
+    value order), not a global window; the threshold scan is a
+    TakeOrdered top-1, so the whole fit is shuffle-bounded by the
+    distinct-value count regardless of row count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("vc").agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        pv,
+        F.expr("vc div 2000"),
+        [F.col("vc")],
+        {"nl": F.col("ct"), "pl": F.col("pos")},
+    )
+    tot = pv.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("n"))
+        .withColumn("nr", F.col("n") - F.col("nl"))
+        .withColumn("pr", F.col("p") - F.col("pl"))
+        .withColumn(
+            "score_scaled",
+            F.expr(
+                f"((pl * pl + (nl - pl) * (nl - pl)) * {_STUMP_SCALE}) div nl"
+                f" + ((pr * pr + (nr - pr) * (nr - pr)) * {_STUMP_SCALE})"
+                " div nr"
+            ),
+        )
+    )
+    return (
+        cand.select(
+            F.col("vc").alias("split_cents"),
+            F.round(F.col("vc") / 100.0, 2).alias("split_value"),
+            F.col("score_scaled"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("pr").cast("long").alias("pos_right"),
+            F.round(
+                (
+                    F.col("n")
+                    - (
+                        F.col("pl") * F.col("pl")
+                        + (F.col("nl") - F.col("pl"))
+                        * (F.col("nl") - F.col("pl"))
+                    ).cast("double")
+                    / F.col("nl")
+                    - (
+                        F.col("pr") * F.col("pr")
+                        + (F.col("nr") - F.col("pr"))
+                        * (F.col("nr") - F.col("pr"))
+                    ).cast("double")
+                    / F.col("nr")
+                )
+                / F.col("n"),
+                6,
+            ).alias("weighted_gini"),
+        )
+        .orderBy(F.desc("score_scaled"), "split_cents")
+        .limit(1)
+    )
+
+
+@query(
+    "q_stat_jarque_bera",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS s1, sum(v * v) AS s2,
+               sum(v * v * v) AS s3, sum(v * v * v * v) AS s4
+        FROM c GROUP BY 1
+    ),
+    ctr AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM m
+    ),
+    mom AS (
+        SELECT event_type, n,
+               r2 - m1 * m1 AS m2,
+               r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+               r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                  - 3 * m1 * m1 * m1 * m1 AS m4
+        FROM ctr
+    )
+    SELECT event_type, n,
+           round(m3 / (m2 * sqrt(m2)), 4) AS skewness,
+           round(m4 / (m2 * m2), 4) AS kurtosis,
+           round(n / 6e0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                 + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4e0),
+                 4) AS jb_stat
+    FROM mom
+    ORDER BY event_type
+    """,
+)
+def q_stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality statistic of ``value`` per event type:
+    ``JB = n/6·(S² + (K−3)²/4)`` from skewness S and kurtosis K.
+
+    The four raw power sums are exact integers (cents as
+    DECIMAL(38,0) / HUGEINT — cents⁴ ≈ 2e18 per row, ×1e5 rows ≈ 2e23,
+    comfortably inside 38 digits up to ~1e14 rows); the central moments
+    and the final statistic are one identical double expression over
+    those identical integers, rounded to 4 places.  One keyed aggregate
+    — no window, no shuffle beyond the groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 100) as decimal(38,0))").alias("v"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v * v")).alias("s2"),
+        F.sum(F.expr("v * v * v")).alias("s3"),
+        F.sum(F.expr("v * v * v * v")).alias("s4"),
+    )
+    ctr = m.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n")).alias("r2"),
+        (F.col("s3").cast("double") / F.col("n")).alias("r3"),
+        (F.col("s4").cast("double") / F.col("n")).alias("r4"),
+    )
+    mom = ctr.select(
+        "event_type",
+        "n",
+        (F.col("r2") - F.col("m1") * F.col("m1")).alias("m2"),
+        (
+            F.col("r3")
+            - 3 * F.col("m1") * F.col("r2")
+            + 2 * F.col("m1") * F.col("m1") * F.col("m1")
+        ).alias("m3"),
+        (
+            F.col("r4")
+            - 4 * F.col("m1") * F.col("r3")
+            + 6 * F.col("m1") * F.col("m1") * F.col("r2")
+            - 3 * F.col("m1") * F.col("m1") * F.col("m1") * F.col("m1")
+        ).alias("m4"),
+    )
+    skew = F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2"))
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(skew, 4).alias("skewness"),
+        F.round(kurt, 4).alias("kurtosis"),
+        F.round(
+            F.col("n") / F.lit(6.0)
+            * (skew * skew + (kurt - 3) * (kurt - 3) / F.lit(4.0)),
+            4,
+        ).alias("jb_stat"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_graph_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 40
+    ),
+    outd AS (SELECT c, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
+    ind AS (SELECT s, CAST(count(*) AS BIGINT) AS id_ FROM edges GROUP BY 1),
+    xy AS (
+        SELECT o.od AS x, i.id_ AS y
+        FROM edges e JOIN outd o ON e.c = o.c
+        JOIN ind i ON e.s = i.s
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT m, sx, sy, sxy, sxx, syy,
+           round((m * sxy - sx * sy)
+                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite customer–supplier graph
+    (edges = high-quantity order lines): the Pearson correlation, over
+    edges, between the customer's degree and the supplier's degree.
+
+    Positive r = broad buyers concentrate on broad suppliers.  (The
+    5-node event-type transition graph is complete on this corpus —
+    constant degrees, r undefined — so the statistic lives on the
+    purchase graph, where degrees genuinely vary.)  All six sufficient
+    statistics are exact BIGINT sums over the distinct edge list; the
+    correlation is one final double expression on those integers.
+    Plan: one join + distinct for the edge list, two keyed degree
+    aggregates broadcast back onto the edges, one global aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_quantity") >= 40)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    outd = edges.groupBy("c").agg(F.count("*").cast("long").alias("od"))
+    ind = edges.groupBy("s").agg(F.count("*").cast("long").alias("id_"))
+    xy = (
+        edges.join(F.broadcast(outd), "c")
+        .join(F.broadcast(ind), "s")
+        .select(F.col("od").alias("x"), F.col("id_").alias("y"))
+    )
+    s = xy.agg(
+        F.count("*").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "m",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias(
+            "assortativity"
+        ),
+    )
