@@ -687,3 +687,132 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS kind FROM events
+        WHERE event_type IN ('signup', 'click')
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS kind FROM events
+        WHERE event_type = 'purchase'
+    ), b AS (
+        SELECT user_id, ts, event_id, kind,
+               last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_id,
+               last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_ts
+        FROM u
+    ), f AS (
+        SELECT user_id, ts, event_id, kind, back_id, back_ts,
+               last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, kind, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fwd_id,
+               last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, kind, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fwd_ts
+        FROM b
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(CASE WHEN pick_back THEN back_id ELSE fwd_id END AS BIGINT)
+               AS nearest_id,
+           CAST(CASE WHEN pick_back
+                     THEN epoch_us(ts) - epoch_us(back_ts)
+                     ELSE epoch_us(fwd_ts) - epoch_us(ts) END AS BIGINT)
+               AS gap_us,
+           CASE WHEN pick_back THEN 'back' ELSE 'fwd' END AS direction
+    FROM (
+        SELECT *,
+               fwd_id IS NULL OR (back_id IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(back_ts)
+                       <= epoch_us(fwd_ts) - epoch_us(ts)) AS pick_back
+        FROM f
+    )
+    WHERE kind = 1 AND (back_id IS NOT NULL OR fwd_id IS NOT NULL)
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join: for each purchase, the user's
+    signup/click closest in time in *either* direction (ties prefer the
+    backward match, matching pandas ``merge_asof(direction='nearest')``).
+
+    Same scale-safe union+window shape as :func:`q_join_asof`, run
+    twice — a forward carry in ``(ts, kind, event_id)`` order and a
+    backward carry in descending order (at equal ts the reference
+    still sorts before the purchase, so at-or-before/at-or-after
+    semantics are symmetric) — then one comparison of the two µs gaps.
+    Both gaps are exact integer microseconds (never a double quotient);
+    one shuffle on user_id total, no join node at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    u = ref.unionByName(pur)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind"), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    ref_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    marked = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(ref_id, ignorenulls=True).over(wb).alias("back_id"),
+        F.last(ref_ts, ignorenulls=True).over(wb).alias("back_ts"),
+        F.last(ref_id, ignorenulls=True).over(wf).alias("fwd_id"),
+        F.last(ref_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
+    )
+    picked = marked.where(
+        (F.col("kind") == 1)
+        & (F.col("back_id").isNotNull() | F.col("fwd_id").isNotNull())
+    ).withColumn(
+        "pick_back",
+        F.col("fwd_id").isNull()
+        | (
+            F.col("back_id").isNotNull()
+            & (
+                F.expr("unix_micros(ts) - unix_micros(back_ts)")
+                <= F.expr("unix_micros(fwd_ts) - unix_micros(ts)")
+            )
+        ),
+    )
+    return picked.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(F.col("pick_back"), F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+        .cast("long")
+        .alias("nearest_id"),
+        F.when(
+            F.col("pick_back"),
+            F.expr("unix_micros(ts) - unix_micros(back_ts)"),
+        )
+        .otherwise(F.expr("unix_micros(fwd_ts) - unix_micros(ts)"))
+        .cast("long")
+        .alias("gap_us"),
+        F.when(F.col("pick_back"), F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )

@@ -354,3 +354,184 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+@query(
+    "q_stat_mannkendall",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM d a JOIN d b ON b.day > a.day
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+    t AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie18
+        FROM (SELECT count(*) AS t FROM d GROUP BY x HAVING count(*) > 1)
+    )
+    SELECT n_days, s_stat,
+           CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)
+               AS var18,
+           round(CASE WHEN s_stat = 0 THEN 0e0
+                      ELSE (s_stat - sign(s_stat))
+                           / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
+                                   - tie18) / 18e0) END, 4) AS z_stat
+    FROM s CROSS JOIN n CROSS JOIN t
+    """,
+)
+def q_stat_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on daily purchase revenue: S = Σ
+    sign(x_j − x_i) over day pairs i<j, tie-corrected variance, and the
+    continuity-corrected z statistic.
+
+    S, the tie term, and the 18×-scaled variance are all exact BIGINTs
+    (revenue is exact cents, so sign comparisons are exact); z is one
+    final double expression over those integers, rounded to 4.  The
+    pairwise join runs on the *daily aggregate* (|days| rows, broadcast
+    both sides), so the pair count is calendar-bounded no matter how
+    many raw events feed it — the same shape as q_stat_theilsen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+    ).cache()
+    a = d.alias("a")
+    b = d.alias("b")
+    s = (
+        a.join(F.broadcast(b), F.col("b.day") > F.col("a.day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = d.agg(F.count("*").cast("long").alias("n_days"))
+    t = (
+        d.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    var18 = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie18")
+    ).cast("long")
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_days",
+            "s_stat",
+            var18.alias("var18"),
+            F.round(
+                F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
+                    (
+                        F.col("s_stat")
+                        - F.signum(F.col("s_stat").cast("double"))
+                    )
+                    / F.sqrt(var18.cast("double") / F.lit(18.0))
+                ),
+                4,
+            ).alias("z_stat"),
+        )
+    )
+
+
+@query(
+    "q_ev_mttr",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type, ts,
+               last_value(CASE WHEN event_type <> 'error' THEN ts END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS next_ok_ts
+        FROM events
+    ),
+    r AS (
+        SELECT (epoch_us(next_ok_ts) - epoch_us(ts)) // 1000000 AS rec_s
+        FROM nxt WHERE event_type = 'error'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_errors,
+           CAST(count(rec_s) AS BIGINT) AS n_recovered,
+           CAST(coalesce(sum(rec_s), 0) AS BIGINT) AS total_recovery_s,
+           CAST(max(rec_s) AS BIGINT) AS max_recovery_s,
+           round(CAST(sum(rec_s) AS DOUBLE) / count(rec_s), 4)
+               AS avg_recovery_s
+    FROM r
+    """,
+)
+def q_ev_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-time-to-recovery: for every error event, the seconds until
+    that user's next non-error event — the ops-health twin of
+    q_ev_time_to_convert.
+
+    The "next healthy event" is a descending-order carry window
+    *excluding the current row* (UNBOUNDED PRECEDING .. 1 PRECEDING),
+    so consecutive errors chain to the same recovery point and a
+    trailing error recovers never (NULL, counted but excluded from the
+    mean).  Gap seconds are exact integer µs floor-division (§7.5 —
+    never a double quotient); one user_id shuffle, one global
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = ev.select(
+        "event_type",
+        "ts",
+        F.last(
+            F.when(F.col("event_type") != "error", F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("next_ok_ts"),
+    )
+    r = nxt.where(F.col("event_type") == "error").select(
+        F.expr(
+            "(unix_micros(next_ok_ts) - unix_micros(ts)) div 1000000"
+        ).alias("rec_s")
+    )
+    return r.agg(
+        F.count("*").alias("n_errors"),
+        F.count("rec_s").alias("n_recovered"),
+        F.coalesce(F.sum("rec_s"), F.lit(0)).cast("long").alias(
+            "total_recovery_s"
+        ),
+        F.max("rec_s").cast("long").alias("max_recovery_s"),
+        F.round(
+            F.sum("rec_s").cast("double") / F.count("rec_s"), 4
+        ).alias("avg_recovery_s"),
+    )

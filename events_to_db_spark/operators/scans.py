@@ -730,3 +730,55 @@ def q_scan_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip: orders written once as XML documents
+    (Spark 4's built-in ``xml`` format — the B2B/EDI interchange shape),
+    read back with an explicit schema (no inference job) and aggregated
+    on exact cents.  Spark's XML writer emits the same shortest
+    round-trip double literals as its CSV writer, so ``o_totalprice``
+    survives the text hop bit-exactly and the aggregate hash-matches
+    the Parquet oracle.
+
+    At scale XML is the worst-case ingest format (row-tag framing, no
+    column pruning) — which is exactly why the pattern here is
+    parse-once-then-re-anchor: one pass of the tag parser, immediately
+    reduced to a columnar aggregate; nothing downstream ever re-reads
+    the XML.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _materialize(
+        spark,
+        sf_dir,
+        "orders_xml",
+        lambda p: orders.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(p),
+    )
+    back = spark.read.format("xml").option("rowTag", "order").schema(
+        "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).load(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+            "total_cents"
+        ),
+        F.max("o_orderkey").alias("max_key"),
+    )
