@@ -535,3 +535,164 @@ def q_ev_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rec_s").cast("double") / F.count("rec_s"), 4
         ).alias("avg_recovery_s"),
     )
+
+
+@query(
+    "q_ml_pit_features",
+    oracle="""
+    WITH f AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               count(CASE WHEN event_type = 'click' THEN 1 END)
+                 OVER w AS n_prior_clicks,
+               count(CASE WHEN event_type = 'view' THEN 1 END)
+                 OVER w AS n_prior_views,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER w AS last_click_ts,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+                 OVER w AS prior_spend_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks,
+           CAST(n_prior_views AS BIGINT) AS n_prior_views,
+           CAST((epoch_us(ts) - epoch_us(last_click_ts)) // 1000000
+                AS BIGINT) AS last_click_gap_s,
+           CAST(coalesce(prior_spend_cents, 0) AS BIGINT)
+               AS prior_spend_cents,
+           CAST(round(value * 100) AS BIGINT) AS label_cents
+    FROM f WHERE event_type = 'purchase'
+    """,
+)
+def q_ml_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly (the feature-store join):
+    for every purchase, the user's behavioral features *as of strictly
+    before* that purchase — prior click/view counts, seconds since the
+    last click, cumulative prior spend — plus the label.
+
+    The whole feature block is ONE window pass per user (frame
+    UNBOUNDED PRECEDING .. 1 PRECEDING, so the label row never leaks
+    into its own features — the classic PIT-correctness requirement
+    that naive joins violate).  Gap seconds are exact integer µs
+    floor-division; spend is exact cents.  One user_id shuffle, no
+    join, regardless of how many features ride the same frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w)
+        .alias("n_prior_clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .over(w)
+        .alias("n_prior_views"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_click_ts"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("cast(round(value * 100) as bigint)"),
+            )
+        )
+        .over(w)
+        .alias("prior_spend_cents"),
+    )
+    return f.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("n_prior_clicks").cast("long").alias("n_prior_clicks"),
+        F.col("n_prior_views").cast("long").alias("n_prior_views"),
+        F.expr(
+            "cast((unix_micros(ts) - unix_micros(last_click_ts))"
+            " div 1000000 as bigint)"
+        ).alias("last_click_gap_s"),
+        F.coalesce(F.col("prior_spend_cents"), F.lit(0))
+        .cast("long")
+        .alias("prior_spend_cents"),
+        F.expr("cast(round(value * 100) as bigint)").alias("label_cents"),
+    )
+
+
+@query(
+    "q_stat_mutual_info",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x
+           FROM cells GROUP BY 1),
+    my AS (SELECT hr, CAST(sum(n_xy) AS BIGINT) AS n_y
+           FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+    SELECT c.event_type, c.hr, c.n_xy, mx.n_x, my.n_y, nn.n,
+           round(ln(CAST(c.n_xy AS DOUBLE) * nn.n / (mx.n_x * my.n_y)),
+                 6) AS pmi,
+           round(CAST(c.n_xy AS DOUBLE) / nn.n
+                 * ln(CAST(c.n_xy AS DOUBLE) * nn.n / (mx.n_x * my.n_y)),
+                 6) AS mi_contrib
+    FROM cells c
+    JOIN mx ON c.event_type = mx.event_type
+    JOIN my ON c.hr = my.hr
+    CROSS JOIN nn
+    """,
+)
+def q_stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event type and hour-of-day
+    — the dependence heat-map feature selection starts from, emitted
+    per cell so no cross-cell float summation ever happens.
+
+    All counts (cell, both margins, total) are exact BIGINTs; PMI and
+    the cell's MI contribution are single double expressions over an
+    exact rational argument, rounded to 6.  Plan: one keyed cell
+    aggregate, two tiny margin re-aggregates broadcast back, one
+    scalar total — the cell table is |types|×24 rows no matter the
+    input size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("n_xy"))
+    mx = cells.groupBy("event_type").agg(
+        F.sum("n_xy").cast("long").alias("n_x")
+    )
+    my = cells.groupBy("hr").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    nn = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    ratio = (
+        F.col("n_xy").cast("double") * F.col("n")
+        / (F.col("n_x") * F.col("n_y"))
+    )
+    return (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hr")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_type",
+            "hr",
+            "n_xy",
+            "n_x",
+            "n_y",
+            "n",
+            F.round(F.log(ratio), 6).alias("pmi"),
+            F.round(
+                F.col("n_xy").cast("double") / F.col("n") * F.log(ratio),
+                6,
+            ).alias("mi_contrib"),
+        )
+    )

@@ -498,3 +498,186 @@ def q_anon_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_records_at_risk"
         ),
     )
+
+
+@query(
+    "q_ord_reconcile",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS line_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+               l.line_cents, l.n_lines
+        FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN line_cents IS NULL THEN 'no_lines'
+                WHEN abs(header_cents - line_cents) <= 1 THEN 'reconciled'
+                ELSE 'mismatch' END AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(n_lines), 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(abs(header_cents - coalesce(line_cents, 0))), 0)
+                AS BIGINT) AS total_abs_diff_cents,
+           CAST(coalesce(max(abs(header_cents - line_cents)), 0) AS BIGINT)
+               AS max_abs_diff_cents
+    FROM j
+    GROUP BY 1
+    """,
+)
+def q_ord_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation audit: does each order's header
+    total equal the sum of its line extensions (price·(1−disc)·(1+tax))?
+    The double-entry control every finance pipeline runs after load.
+
+    Line extensions are rounded to cents *per line* with the identical
+    double expression in both engines, then summed as exact BIGINTs —
+    so the discrepancy buckets (reconciled within 1¢ / mismatch /
+    orders with no lines at all) and their exact aggregate drift
+    hash-match.  On this synthetic corpus the header is independent of
+    the lines, so everything lands in mismatch/no_lines — the audit
+    *finding* is the point.  Plan: one keyed line aggregate + one
+    orderkey join, both on the same key, AQE-coalesced.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "cast(round(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax) * 100) as bigint)"
+            )
+        ).alias("line_cents"),
+        F.count("*").alias("n_lines"),
+    )
+    j = orders.join(
+        l, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "header_cents"
+        ),
+        "line_cents",
+        "n_lines",
+    )
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    return (
+        j.withColumn(
+            "status",
+            F.when(F.col("line_cents").isNull(), "no_lines")
+            .when(diff <= 1, "reconciled")
+            .otherwise("mismatch"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.coalesce(F.sum("n_lines"), F.lit(0))
+            .cast("long")
+            .alias("n_lines"),
+            F.coalesce(
+                F.sum(
+                    F.abs(
+                        F.col("header_cents")
+                        - F.coalesce(F.col("line_cents"), F.lit(0))
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("total_abs_diff_cents"),
+            F.coalesce(F.max(diff), F.lit(0))
+            .cast("long")
+            .alias("max_abs_diff_cents"),
+        )
+    )
+
+
+@query(
+    "q_quality_fd",
+    oracle="""
+    WITH fd1 AS (
+        SELECT 'customer.c_nationkey->c_mktsegment' AS fd,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(max(k) AS BIGINT) AS max_rhs
+        FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS k
+              FROM customer GROUP BY 1)
+    ),
+    fd2 AS (
+        SELECT 'nation.n_nationkey->n_regionkey' AS fd,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(max(k) AS BIGINT) AS max_rhs
+        FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS k
+              FROM nation GROUP BY 1)
+    ),
+    fd3 AS (
+        SELECT 'orders.o_custkey->o_orderpriority' AS fd,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(max(k) AS BIGINT) AS max_rhs
+        FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+              FROM orders GROUP BY 1)
+    ),
+    fd4 AS (
+        SELECT 'events.user_id->event_type' AS fd,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(max(k) AS BIGINT) AS max_rhs
+        FROM (SELECT user_id, count(DISTINCT event_type) AS k
+              FROM events GROUP BY 1)
+    )
+    SELECT fd, n_lhs, n_violating, max_rhs,
+           round(CAST(n_violating AS DOUBLE) / n_lhs, 6) AS violation_rate
+    FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+    """,
+)
+def q_quality_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for four candidate FDs across
+    the schema, how many left-hand-side groups map to more than one
+    right-hand-side value — the discovery pass schema-inference and
+    data-contract tools run (n_nationkey→n_regionkey genuinely holds;
+    the rest are expected findings).
+
+    Each FD check is one keyed count-distinct aggregate followed by a
+    tiny summary aggregate; the four run as a union of independent
+    subplans (Spark schedules them concurrently), and nothing larger
+    than four summary rows ever leaves the executors.
+    """
+    checks = [
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("events", "user_id", "event_type"),
+    ]
+    out = None
+    for table, lhs, rhs in checks:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("k"))
+        s = g.agg(
+            F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+            F.count("*").alias("n_lhs"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("k").cast("long").alias("max_rhs"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        "max_rhs",
+        F.round(
+            F.col("n_violating").cast("double") / F.col("n_lhs"), 6
+        ).alias("violation_rate"),
+    )

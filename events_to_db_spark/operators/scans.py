@@ -782,3 +782,41 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q_sql_params",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE value >= 100.0 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL surface: the query text carries named ``:minv``
+    / ``:skip`` placeholders and the values arrive through
+    ``spark.sql(..., args=...)`` — bound server-side as literals by the
+    parser, the injection-safe templating surface (Spark 3.4+).
+
+    Semantically identical to inlining the literals (the oracle does
+    exactly that), so the hash match proves the binding path changes
+    nothing.  Parameterization is plan-cache-friendly at scale: the
+    parameter marker keeps the parsed plan reusable across values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_p")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               sum(cast(round(value * 100) as bigint)) AS sum_cents
+        FROM events_p
+        WHERE value >= :minv AND event_type <> :skip
+        GROUP BY event_type
+        """,
+        args={"minv": 100.0, "skip": "error"},
+    )
