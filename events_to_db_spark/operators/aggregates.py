@@ -850,3 +850,71 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("double") / tot.cast("double"), 6
         ).alias("top_share"),
     )
+
+
+@query(
+    "q_agg_trimmed",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY vc, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM s
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n) // 10 AS BIGINT) AS k_trimmed_each_side,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(vc) AS BIGINT) AS kept_cents,
+           round(CAST(sum(vc) AS DOUBLE) / count(*) / 100, 4)
+               AS trimmed_mean
+    FROM r
+    WHERE rk > n // 10 AND rk <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def q_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean of ``value`` per event type — the
+    outlier-robust location estimate, computed exactly: rank rows per
+    group (unique (vc, event_id) tie-break), drop the bottom and top
+    ⌊n/10⌋, sum the surviving exact cents.
+
+    The rank is a *partitioned* window (group key = event_type), the
+    kept-range predicate is pure integer arithmetic, and the mean is
+    the one final double over exact BIGINTs — so unlike a float
+    trimmed-mean UDF this hash-matches across engines and scales as an
+    ordinary sort-based window + hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rk") > F.expr("n div 10"))
+        & (F.col("rk") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr("max(n) div 10").cast("long").alias("k_trimmed_each_side"),
+        F.count("*").alias("n_kept"),
+        F.sum("vc").cast("long").alias("kept_cents"),
+        F.round(
+            F.sum("vc").cast("double") / F.count("*") / 100, 4
+        ).alias("trimmed_mean"),
+    )

@@ -1296,3 +1296,66 @@ def q_embed_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_max(qv)").alias("q_max"),
         F.expr("size(filter(qv, x -> x = 0))").cast("long").alias("n_zero"),
     )
+
+
+@query(
+    "q_text_simpson",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
+        FROM tf GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, simpson_num,
+           CASE WHEN n_tokens >= 2
+                THEN round(CAST(simpson_num AS DOUBLE)
+                           / (n_tokens * (n_tokens - 1)), 6)
+           END AS simpson_index
+    FROM d
+    """,
+)
+def q_text_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical-diversity index per document: the probability
+    two tokens drawn without replacement are the same word, Σn_i(n_i−1)
+    / (N(N−1)) — the repetition-sensitive cousin of q_text_heaps'
+    type-token curve (high Simpson = degenerate, low-diversity text, a
+    standard corpus-quality gate).
+
+    Numerator and denominator are exact BIGINTs from one explode + two
+    keyed aggregates; the index is the only float, rounded to 6; docs
+    under 2 tokens surface NULL rather than dividing by zero.  Fully
+    keyed by (doc, word) then doc — no window, no global order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    d = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias(
+            "simpson_num"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "simpson_num",
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.round(
+                F.col("simpson_num").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)),
+                6,
+            ),
+        ).alias("simpson_index"),
+    )

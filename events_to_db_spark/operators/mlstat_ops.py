@@ -696,3 +696,90 @@ def q_stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_contrib"),
         )
     )
+
+
+@query(
+    "q_ml_roc",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    b AS (
+        SELECT vc // 2000 AS bk,
+               CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT bk,
+               sum(ct) OVER (ORDER BY bk) AS cum_n,
+               sum(pos) OVER (ORDER BY bk) AS cum_p
+        FROM b
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM b
+    )
+    SELECT CAST((bk + 1) * 2000 AS BIGINT) AS thr_cents,
+           CAST(p - cum_p AS BIGINT) AS tp,
+           CAST((n - p) - (cum_n - cum_p) AS BIGINT) AS fp,
+           CAST(cum_p AS BIGINT) AS fn,
+           CAST(cum_n - cum_p AS BIGINT) AS tn,
+           round(CAST(p - cum_p AS DOUBLE) / p, 6) AS tpr,
+           round(CAST((n - p) - (cum_n - cum_p) AS DOUBLE) / (n - p), 6)
+               AS fpr,
+           round(CAST(p - cum_p AS DOUBLE)
+                 / nullif((p - cum_p) + ((n - p) - (cum_n - cum_p)), 0),
+                 6) AS precision_
+    FROM cum CROSS JOIN tot
+    """,
+)
+def q_ml_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC sweep: classify "purchase" by thresholding ``value`` at every
+    $20 boundary; one row per threshold with the exact confusion counts
+    and TPR/FPR/precision — the curve behind q_ml_eval's single point.
+
+    Threshold t = (bucket+1)·2000 classifies vc ≥ t as positive, so the
+    cumulative class counts *at or below* each bucket give the exact
+    TP/FP/FN/TN split.  The cumulative scan is the two-level bucketed
+    prefix sum over the per-bucket aggregate (|thresholds| rows — no
+    unpartitioned window, SURVEY §7.5); rates are final doubles over
+    exact integers.  Empty-prediction precision is NULL, not a crash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy(F.expr("vc div 2000").alias("bk")).agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        b,
+        F.col("bk"),
+        [F.col("bk")],
+        {"cum_n": F.col("ct"), "cum_p": F.col("pos")},
+    )
+    tot = b.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    tp = F.col("p") - F.col("cum_p")
+    fp = (F.col("n") - F.col("p")) - (F.col("cum_n") - F.col("cum_p"))
+    return j.select(
+        ((F.col("bk") + 1) * 2000).cast("long").alias("thr_cents"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        F.col("cum_p").cast("long").alias("fn"),
+        (F.col("cum_n") - F.col("cum_p")).cast("long").alias("tn"),
+        F.round(tp.cast("double") / F.col("p"), 6).alias("tpr"),
+        F.round(fp.cast("double") / (F.col("n") - F.col("p")), 6).alias(
+            "fpr"
+        ),
+        F.round(
+            tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6
+        ).alias("precision_"),
+    )
