@@ -783,3 +783,140 @@ def q_ml_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6
         ).alias("precision_"),
     )
+
+
+_PCA_ITERS = 4
+_PCA_SCALE = 10**6
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    """Unrolled power-iteration CTE chain: per iteration s = Av (per
+    vector), w = Aᵀs (per dim), then max-normalize — mirroring the
+    Spark loop step for step, in the same fixed-point arithmetic."""
+    sc = _PCA_SCALE
+    parts = [
+        f"""
+    WITH cells AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * {sc}) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    v0 AS (SELECT DISTINCT d, CAST({sc} AS BIGINT) AS v FROM cells)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    s{i} AS (
+        SELECT c.vec_id,
+               CAST(sum(c.q * v.v) AS BIGINT) AS s
+        FROM cells c JOIN v{p} v USING (d) GROUP BY 1
+    ),
+    sn{i} AS (
+        SELECT vec_id,
+               CASE WHEN s < 0 THEN -(abs(s) // {sc})
+                    ELSE abs(s) // {sc} END AS sp
+        FROM s{i}
+    ),
+    w{i} AS (
+        SELECT c.d, CAST(sum(c.q * t.sp) AS BIGINT) AS w
+        FROM cells c JOIN sn{i} t USING (vec_id) GROUP BY 1
+    ),
+    m{i} AS (SELECT max(abs(w)) AS m FROM w{i}),
+    v{i} AS (
+        SELECT d,
+               CASE WHEN w < 0
+                    THEN -(abs(w) // greatest(m // {sc}, 1))
+                    ELSE abs(w) // greatest(m // {sc}, 1) END AS v
+        FROM w{i} CROSS JOIN m{i}
+    )"""
+        )
+    body = ",".join(parts)
+    return f"""{body}
+    SELECT CAST(d AS INT) AS dim_idx,
+           CAST(v AS BIGINT) AS v_scaled,
+           CAST(m AS BIGINT) AS max_w
+    FROM v{iters} CROSS JOIN m{iters}
+    ORDER BY d
+    """
+
+
+@query("q_ml_pca_power", oracle=_pca_oracle())
+def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant singular direction of the embedding matrix by 4 power
+    iterations on the Gram matrix (v ← AᵀAv, max-normalized) — the
+    distributed linear-algebra primitive under PCA/spectral methods,
+    expressed as joins + keyed aggregates, never a matrix collect.
+
+    Determinism: embeddings are quantized once to 1e-6 fixed point, so
+    every mat-vec is exact BIGINT multiply-add (order-independent);
+    rescaling uses sign·(|x| // k) in BOTH engines because Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors — they
+    only agree on non-negative operands (the same trap as µs gaps,
+    one step nastier).  Overflow headroom: |w| ≤ n·64·(6e5)²·~60 ≈
+    4e16 at sf0.1; past ~1e9 vectors switch q·s products to
+    DECIMAL(38,0).  Each iteration is two shuffles (by dim, by
+    vec_id); v is 64 rows, broadcast into both joins; nothing touches
+    the driver.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = _PCA_SCALE
+    cells = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("p", "x"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("d"),
+        F.expr(f"cast(round(cast(x as double) * {sc}) as bigint)").alias(
+            "q"
+        ),
+    ).localCheckpoint(eager=False)
+    v = cells.select("d").distinct().select(
+        "d", F.lit(sc).cast("long").alias("v")
+    )
+    m = None
+    for _ in range(_PCA_ITERS):
+        s = (
+            cells.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).cast("long").alias("s"))
+        )
+        sn = s.select(
+            "vec_id",
+            F.when(
+                F.col("s") < 0, -F.expr(f"abs(s) div {sc}")
+            )
+            .otherwise(F.expr(f"abs(s) div {sc}"))
+            .alias("sp"),
+        )
+        w = (
+            cells.join(sn, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("q") * F.col("sp")).cast("long").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "d",
+                F.when(
+                    F.col("w") < 0,
+                    -F.expr(f"abs(w) div greatest(m div {sc}, 1)"),
+                )
+                .otherwise(
+                    F.expr(f"abs(w) div greatest(m div {sc}, 1)")
+                )
+                .alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        v.crossJoin(F.broadcast(m))
+        .select(
+            F.col("d").cast("int").alias("dim_idx"),
+            F.col("v").cast("long").alias("v_scaled"),
+            F.col("m").cast("long").alias("max_w"),
+        )
+        .orderBy("dim_idx")
+    )
