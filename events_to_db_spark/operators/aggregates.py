@@ -918,3 +918,74 @@ def q_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vc").cast("double") / F.count("*") / 100, 4
         ).alias("trimmed_mean"),
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+               CAST(round(l_quantity) AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag, vc, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY vc, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cumw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        FROM s
+    )
+    SELECT l_returnflag,
+           CAST(max(totw) AS BIGINT) AS total_weight,
+           CAST(min(vc) AS BIGINT) AS median_cents,
+           round(min(vc) / 100e0, 2) AS median_price
+    FROM r
+    WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    group total — the exact order statistic, not an interpolation.
+
+    Weights are exact integers (quantities are whole by construction),
+    the cumulative scan is a *partitioned* window with a unique
+    ``(price, orderkey, linenumber)`` tie-break, and the crossing row
+    is found by an integer predicate (2·cumw ≥ totw — no division), so
+    the result hash-matches.  One keyed sort-window + one hash agg;
+    the group count bounds every post-scan structure.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("vc"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("vc", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    r = s.select(
+        "l_returnflag",
+        "vc",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    return (
+        r.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("totw").cast("long").alias("total_weight"),
+            F.min("vc").cast("long").alias("median_cents"),
+            F.round(F.min("vc") / 100.0, 2).alias("median_price"),
+        )
+    )

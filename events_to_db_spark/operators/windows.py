@@ -548,3 +548,124 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_last).cast("bigint").alias("rk_last"),
         F.row_number().over(w_first).cast("bigint").alias("rk_first"),
     )
+
+
+@query(
+    "q_win_reset_sum",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               count(CASE WHEN event_type = 'signup' THEN 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS epoch
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(epoch AS BIGINT) AS epoch,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END)
+                OVER (PARTITION BY user_id, epoch ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_cents
+    FROM e
+    """,
+)
+def q_win_reset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionally-resetting running total: each user's cumulative
+    purchase spend since their most recent signup (a signup zeroes the
+    counter) — the "session-scoped accumulator" window pattern that
+    plain frames can't express directly.
+
+    Two chained partitioned windows: the signup count up to each row
+    numbers the reset epochs (the classic count-the-markers trick, the
+    same shape as gaps-and-islands), then the running sum re-partitions
+    by (user, epoch) so every reset starts a fresh frame.  Exact cents
+    throughout; both shuffles are keyed by user (the second adds the
+    derived epoch), so the plan scales as two ordinary sort-windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.count(F.when(F.col("event_type") == "signup", 1))
+        .over(w1)
+        .alias("epoch"),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("vc")).otherwise(
+                0
+            )
+        )
+        .over(w2)
+        .cast("long")
+        .alias("run_cents"),
+    )
+
+
+@query(
+    "q_page_keyset",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE (o_orderdate, o_orderkey)
+          > (TIMESTAMP '1997-03-01 00:00:00', 0)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: the page after cursor
+    ``(1997-03-01, 0)`` in ``(o_orderdate, o_orderkey)`` order — the
+    O(page) replacement for OFFSET pagination (q_page_offset), which
+    re-scans and discards every earlier row.
+
+    The row-value comparison compiles to a sargable range predicate,
+    so parquet min/max stats skip every file entirely before the
+    cursor date — the seek actually *prunes I/O*, not just rows — and
+    the LIMIT is a TakeOrderedAndProject, never a global sort.  The
+    cursor key includes the unique orderkey, so pages are
+    deterministic and gap-free under ties.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            F.struct("o_orderdate", "o_orderkey")
+            > F.struct(
+                F.lit("1997-03-01 00:00:00")
+                .cast("timestamp")
+                .alias("o_orderdate"),
+                F.lit(0).cast("long").alias("o_orderkey"),
+            )
+        )
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+                "price_cents"
+            ),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
