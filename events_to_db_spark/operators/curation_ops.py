@@ -1359,3 +1359,156 @@ def q_text_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("simpson_index"),
     )
+
+
+@query(
+    "q_curate_mix",
+    oracle="""
+    WITH per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1
+    ),
+    tgt AS (
+        SELECT lang, n_docs, chars,
+               CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000
+                         WHEN 'de' THEN 1500 WHEN 'es' THEN 1500
+                         ELSE 1000 END AS target_bps
+        FROM per
+    ),
+    tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total_chars FROM per)
+    SELECT lang, n_docs, chars, CAST(target_bps AS BIGINT) AS target_bps,
+           CAST((target_bps * total_chars * 1000000)
+                // (10000 * chars) AS BIGINT) AS rate_ppm,
+           CAST(CASE WHEN target_bps * total_chars > 10000 * chars
+                     THEN (target_bps * total_chars + 10000 * chars - 1)
+                          // (10000 * chars)
+                     ELSE 1 END AS BIGINT) AS epochs_needed
+    FROM tgt CROSS JOIN tot
+    """,
+)
+def q_curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture math: given target language weights (bps), the
+    per-language sampling rate (ppm of natural frequency) and the
+    number of epochs needed to hit the target without truncating other
+    languages — the static computation behind weighted data mixing
+    (DoReMi-style reweighting reduces to exactly this table).
+
+    rate_ppm = target_share / natural_share in parts-per-million, all
+    integer floor arithmetic (identical in both engines on these
+    positive operands); epochs = ceil of the same rational via the
+    (a+b−1)//b trick.  One keyed aggregate + one scalar total — the
+    mixture table is |langs| rows at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tgt = per.withColumn(
+        "target_bps",
+        F.when(F.col("lang") == "en", 4000)
+        .when(F.col("lang") == "zh", 2000)
+        .when(F.col("lang") == "de", 1500)
+        .when(F.col("lang") == "es", 1500)
+        .otherwise(1000)
+        .cast("long"),
+    )
+    tot = per.agg(F.sum("chars").cast("long").alias("total_chars"))
+    j = tgt.crossJoin(F.broadcast(tot))
+    want = F.col("target_bps") * F.col("total_chars")
+    have = 10000 * F.col("chars")
+    return j.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "target_bps",
+        F.expr(
+            "cast((target_bps * total_chars * 1000000)"
+            " div (10000 * chars) as bigint)"
+        ).alias("rate_ppm"),
+        F.when(want > have, F.expr(
+            "cast((target_bps * total_chars + 10000 * chars - 1)"
+            " div (10000 * chars) as bigint)"
+        ))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("epochs_needed"),
+    )
+
+
+_SHARD_CAP = 2000
+
+
+@query(
+    "q_mm_shard_pack",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    ),
+    rec AS (
+        SELECT source, doc_id, n_chars, rn,
+               CAST(1 AS BIGINT) AS shard_no, n_chars AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.n_chars, d.rn,
+               CASE WHEN r.fill + d.n_chars > {_SHARD_CAP}
+                    THEN r.shard_no + 1 ELSE r.shard_no END,
+               CASE WHEN r.fill + d.n_chars > {_SHARD_CAP}
+                    THEN d.n_chars ELSE r.fill + d.n_chars END
+        FROM rec r JOIN d ON d.source = r.source AND d.rn = r.rn + 1
+    )
+    SELECT source, doc_id, shard_no, CAST(fill AS BIGINT) AS fill_after
+    FROM rec
+    """,
+)
+def q_mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy training-shard packing: within each source, documents in
+    doc_id order fill {cap}-char shards first-fit (a doc that would
+    overflow starts the next shard; an oversized doc gets its own) —
+    the sequential fold every dataset writer runs before emitting
+    tfrecord/parquet shards.
+
+    The fold is genuinely order-dependent state, so the Spark side is
+    ``applyInPandas`` per source (deterministic doc_id sort inside the
+    group, exact integer fill counters) — the documented custom-
+    operator tier (b) — while the oracle replays the identical
+    recursion as a recursive CTE stepping one rank per round.  Scale:
+    groups shuffle by source; each group's fold is O(docs-per-source)
+    with integer state, and shard numbering is per-source so no global
+    coordination exists at all.
+    """.format(cap=_SHARD_CAP)
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard, fill = 1, 0
+        shards, fills = [], []
+        first = True
+        for nc in pdf["n_chars"]:
+            nc = int(nc)
+            if first:
+                shard, fill, first = 1, nc, False
+            elif fill + nc > _SHARD_CAP:
+                shard, fill = shard + 1, nc
+            else:
+                fill += nc
+            shards.append(shard)
+            fills.append(fill)
+        out = pdf[["source", "doc_id"]].copy()
+        out["shard_no"] = pd.Series(shards, dtype="int64")
+        out["fill_after"] = pd.Series(fills, dtype="int64")
+        return out
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        schema="source string, doc_id long, shard_no long, fill_after long",
+    )
