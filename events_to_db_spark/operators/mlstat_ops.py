@@ -920,3 +920,205 @@ def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_idx")
     )
+
+
+@query(
+    "q_graph_modularity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 40
+    ),
+    lab AS (
+        SELECT cu.c_nationkey AS cg, su.s_nationkey AS sg
+        FROM edges e
+        JOIN customer cu ON cu.c_custkey = e.c
+        JOIN supplier su ON su.s_suppkey = e.s
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+    per AS (
+        SELECT g,
+               CAST(sum(e_g) AS BIGINT) AS e_g,
+               CAST(sum(a_g) AS BIGINT) AS a_g,
+               CAST(sum(b_g) AS BIGINT) AS b_g
+        FROM (
+            SELECT cg AS g,
+                   CASE WHEN cg = sg THEN 1 ELSE 0 END AS e_g,
+                   1 AS a_g, 0 AS b_g
+            FROM lab
+            UNION ALL
+            SELECT sg AS g, 0, 0, 1 FROM lab
+        )
+        GROUP BY g
+    )
+    SELECT m,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(e_g) AS BIGINT) AS intra_edges,
+           CAST(sum(e_g * m - a_g * b_g) AS BIGINT) AS q_num,
+           round(CAST(sum(e_g * m - a_g * b_g) AS DOUBLE) / (m * m), 6)
+               AS modularity
+    FROM per CROSS JOIN m
+    GROUP BY m
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the nation partition on the customer–supplier
+    purchase graph: Q = Σ_g [e_g/m − a_g·b_g/m²] — do trading
+    relationships stay inside national communities more than a random
+    degree-preserving rewiring would predict?
+
+    Q is carried as the exact integer numerator Σ(e_g·m − a_g·b_g)
+    over denominator m² (BIGINT-safe: m ≤ 1e5 at sf0.1 → terms ≤
+    1e10·25), so the statistic hash-matches; the division happens once
+    at display.  Plan: the edge distinct, two broadcast dimension
+    joins for labels, one union-shaped per-community aggregate, one
+    scalar m — community count bounds every post-edge structure.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_quantity") >= 40)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    lab = (
+        edges.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("c") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("s") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("cg"), F.col("s_nationkey").alias("sg")
+        )
+    ).cache()
+    m = lab.agg(F.count("*").cast("long").alias("m"))
+    left = lab.select(
+        F.col("cg").alias("g"),
+        F.when(F.col("cg") == F.col("sg"), 1).otherwise(0).alias("e_g"),
+        F.lit(1).alias("a_g"),
+        F.lit(0).alias("b_g"),
+    )
+    right = lab.select(
+        F.col("sg").alias("g"),
+        F.lit(0).alias("e_g"),
+        F.lit(0).alias("a_g"),
+        F.lit(1).alias("b_g"),
+    )
+    per = (
+        left.unionByName(right)
+        .groupBy("g")
+        .agg(
+            F.sum("e_g").cast("long").alias("e_g"),
+            F.sum("a_g").cast("long").alias("a_g"),
+            F.sum("b_g").cast("long").alias("b_g"),
+        )
+    )
+    j = per.crossJoin(F.broadcast(m))
+    term = F.col("e_g") * F.col("m") - F.col("a_g") * F.col("b_g")
+    return j.groupBy("m").agg(
+        F.count("*").alias("n_communities"),
+        F.sum("e_g").cast("long").alias("intra_edges"),
+        F.sum(term).cast("long").alias("q_num"),
+        F.round(
+            F.sum(term).cast("double") / (F.col("m") * F.col("m")), 6
+        ).alias("modularity"),
+    )
+
+
+@query(
+    "q_ml_kmeans_assign",
+    oracle="""
+    WITH cells AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, d, q FROM cells
+        WHERE vec_id IN (SELECT vec_id FROM embeddings
+                         ORDER BY vec_id LIMIT 3)
+    ),
+    dist AS (
+        SELECT c.vec_id, ce.cid,
+               CAST(sum((c.q - ce.q) * (c.q - ce.q)) AS BIGINT) AS d2
+        FROM cells c JOIN cent ce ON c.d = ce.d
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rk
+        FROM dist
+    )
+    SELECT cid AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(d2) AS BIGINT) AS inertia_q,
+           CAST(min(d2) AS BIGINT) AS min_d2,
+           CAST(max(d2) AS BIGINT) AS max_d2
+    FROM best WHERE rk = 1
+    GROUP BY cid
+    """,
+)
+def q_ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means assignment step, made exactly checkable: every
+    embedding assigned to the nearest of three data-chosen centroids
+    (the three lowest vec_ids) under *quantized* squared-L2 distance —
+    the E-step q_ml_kmeans runs with float centroids, here on 1e-6
+    fixed-point integers so inertia and counts hash-match.
+
+    Distances are exact BIGINT sums ((q−c)² ≤ 1.4e12 per dim, ×64 dims
+    ×n rows ≈ 2e17 at sf0.1); argmin ties break on centroid id.  Plan:
+    the k·dim centroid cells (192 rows) broadcast onto the exploded
+    vector cells, one (vec_id,cid) aggregate, one partitioned top-1
+    window — the |V|·k·dim work every distributed k-means E-step pays,
+    with no driver matrix and no float divergence.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("d"),
+        F.expr("cast(round(cast(x as double) * 1000000) as bigint)").alias(
+            "q"
+        ),
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(3)
+    cent = (
+        cells.join(
+            F.broadcast(seeds.withColumnRenamed("vec_id", "cid")),
+            cells.vec_id == F.col("cid"),
+        )
+        .select("cid", "d", "q")
+        .withColumnRenamed("q", "cq")
+    )
+    dist = (
+        cells.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    wbest = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    best = dist.withColumn("rk", F.row_number().over(wbest)).where(
+        F.col("rk") == 1
+    )
+    return best.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count("*").alias("n_assigned"),
+        F.sum("d2").cast("long").alias("inertia_q"),
+        F.min("d2").cast("long").alias("min_d2"),
+        F.max("d2").cast("long").alias("max_d2"),
+    )

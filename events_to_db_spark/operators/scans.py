@@ -820,3 +820,54 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minv": 100.0, "skip": "error"},
     )
+
+
+@query(
+    "q_scan_filemeta",
+    oracle="""
+    SELECT event_type AS part_value,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scan_filemeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata column surface: events written once as a
+    hive-partitioned layout (``event_type=<v>/``), read back, and
+    audited by the partition value parsed out of ``_metadata.file_path``
+    — the lineage column every ingestion audit ("which file did this
+    row come from?") is built on.
+
+    The per-partition row counts and cent sums must equal the plain
+    table aggregate (the oracle): a hash match proves the layout hop
+    and the metadata column both lose nothing.  ``_metadata`` is
+    constant-folded per split at scan time — no row-level cost — and
+    the regexp runs on one short string per row inside codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = _materialize(
+        spark,
+        sf_dir,
+        "events_by_type",
+        lambda p: ev.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(p),
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+            ).alias("part_value"),
+            "value",
+        )
+        .groupBy("part_value")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "sum_cents"
+            ),
+        )
+    )
