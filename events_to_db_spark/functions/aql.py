@@ -309,6 +309,16 @@ class _ExprParser:
                 raise ValueError("AQL: missing ')'")
             self.take()
             return v
+        if self.at_op("{"):
+            # nested object construction anywhere an expression is
+            # valid: `{ a: 1, b: { c: _.x } }` compiles to a struct
+            # literal; later stages address leaves as `_.b.c` (the
+            # payload resolver already walks struct chains).
+            self.take()
+            fields = _parse_object(self)
+            return _Val(
+                F.struct(*[v.col.alias(name) for name, v in fields]), _ANY
+            )
         raise ValueError(f"AQL: unexpected token {t.text!r}")
 
     def case(self) -> _Val:

@@ -871,3 +871,41 @@ def q_scan_filemeta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_aql_nested",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 3),
+                 4) AS total
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+    """,
+)
+def q_aql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-object AQL SELECT (closing the documented round-2 gap):
+    the pipeline builds ``{ meta: { k2: …, flag: … }, raw: … }``, a
+    later FILTER addresses the nested leaf ``_.meta.flag``, and a final
+    scalar SELECT reads ``_.meta.k2 + _.raw`` — object construction
+    anywhere an expression is valid, compiled to Catalyst struct
+    literals with leaf access as ordinary struct-field chains (zero
+    execution machinery, same as every other AQL stage).
+    """
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM 'type:purchase'"
+        " SELECT { meta: { k2: _.k * 2, flag: _.k >= 50 }, raw: _.k * 1 }"
+        " FILTER _.meta.flag"
+        " SELECT _.meta.k2 + _.raw"
+        " AGGREGATE { n: COUNT(), total: SUM(_) }",
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("total"), 4).alias("total"),
+    )

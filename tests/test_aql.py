@@ -296,3 +296,26 @@ def test_aggregate_object_single_pass(spark, tagged):
 def test_aggregate_object_requires_an_aggregate(spark, tagged):
     with pytest.raises(ValueError, match="AGGREGATE needs an aggregate"):
         run_aql(tagged, "FROM allEvents AGGREGATE { a: _.k }")
+
+
+def test_nested_object_select_and_leaf_access(spark, tagged):
+    """Nested `{ a: { b: … } }` construction compiles to nested structs
+    and later stages address leaves through the struct chain."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:view'"
+        " SELECT { meta: { dbl: _.k * 2, big: _.k >= 60 }, raw: _.k * 1 }"
+        " FILTER _.meta.big"
+        " SELECT _.meta.dbl - _.raw",
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(_k() >= 60)
+        .select("ts", "event_id", (_k() * 2 - _k()).alias("value"))
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_nested_object_in_aggregate_errors_without_agg(spark, tagged):
+    with pytest.raises(ValueError, match="needs an aggregate"):
+        run_aql(tagged, "FROM allEvents AGGREGATE { a: { b: _.k } }")
