@@ -909,3 +909,57 @@ def q_aql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("total"), 4).alias("total"),
     )
+
+
+@query(
+    "q_sql_ddl",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DDL surface: ``CREATE TABLE … USING parquet LOCATION … AS
+    SELECT`` (CTAS) materializes a filtered customer extract into the
+    session catalog, and the read side queries the *catalog table* by
+    name — the warehouse workflow (DDL + catalog resolution), not a
+    path-based scan.
+
+    The CTAS runs once per layout (location keyed by scale factor,
+    guarded like every `_materialize` layout); re-runs hit ``IF NOT
+    EXISTS`` and go straight to the read.  A hash match against the
+    plain-view oracle proves the DDL hop is lossless.  At scale CTAS
+    is the same distributed write as ``df.write`` — the catalog entry
+    just adds schema-on-read governance on top.
+    """
+    import os
+
+    ev = load_table(spark, sf_dir, "customer")  # ensures conf normalized
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"pos_customer_{tag}"
+    base = os.path.join(
+        "/tmp", "sparkgraft_layouts", os.path.basename(sf_dir.rstrip("/")),
+        "ddl_customer",
+    )
+    ev.createOrReplaceTempView("customer_src")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {tbl}
+        USING parquet LOCATION '{base}'
+        AS SELECT * FROM customer_src WHERE c_acctbal > 0
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(cast(round(c_acctbal * 100) as bigint)) AS bal_cents
+        FROM {tbl}
+        GROUP BY c_mktsegment
+        """
+    )

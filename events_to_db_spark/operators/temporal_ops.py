@@ -2026,3 +2026,104 @@ def q_ev_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abandon_bps"),
         )
     )
+
+
+@query(
+    "q_ev_proration",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(min(ts) AS DATE) AS d0,
+               CAST(max(ts) AS DATE) AS d1
+        FROM events GROUP BY 1
+    ),
+    bounds AS (
+        SELECT date_trunc('month', min(d0)) AS m0,
+               date_trunc('month', max(d1)) AS m1
+        FROM u
+    ),
+    months AS (
+        SELECT unnest(generate_series(m0, m1, INTERVAL 1 MONTH))::DATE
+                   AS ms
+        FROM bounds
+    ),
+    mm AS (
+        SELECT ms,
+               (ms + INTERVAL 1 MONTH - INTERVAL 1 DAY)::DATE AS me,
+               date_part('day',
+                   (ms + INTERVAL 1 MONTH - INTERVAL 1 DAY)::DATE) AS dim
+        FROM months
+    ),
+    ol AS (
+        SELECT mm.ms, mm.dim, u.user_id,
+               date_diff('day',
+                         greatest(u.d0, mm.ms),
+                         least(u.d1, mm.me)) + 1 AS od
+        FROM u JOIN mm ON u.d0 <= mm.me AND u.d1 >= mm.ms
+    )
+    SELECT CAST(ms AS VARCHAR) AS month_start,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(od) AS BIGINT) AS active_days,
+           CAST(sum((3000 * od) // dim) AS BIGINT) AS billed_cents
+    FROM ol
+    GROUP BY ms
+    """,
+)
+def q_ev_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription proration: each user is "subscribed" from their
+    first to their last event day at a flat 3000¢/month; partial months
+    bill pro-rata by day — ``3000·overlap_days // days_in_month``, the
+    billing-engine kernel.
+
+    Overlap days are exact DATE arithmetic (both engines count whole-
+    day deltas on DATEs identically — the µs ambiguity never appears),
+    the proration is integer floor division on positive operands, and
+    the month spine comes from a generator over the global bounds (a
+    two-scalar aggregate), broadcast onto the per-user interval table
+    with a range predicate — |users|·|overlapped months| fan-out, the
+    same shape billing actually runs at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("d0"),
+        F.max("ts").cast("date").alias("d1"),
+    )
+    bounds = u.agg(
+        F.date_trunc("month", F.min("d0")).cast("date").alias("m0"),
+        F.date_trunc("month", F.max("d1")).cast("date").alias("m1"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.expr("sequence(m0, m1, interval 1 month)")
+        ).alias("ms")
+    ).select(
+        "ms",
+        F.expr("last_day(ms)").alias("me"),
+        F.expr("day(last_day(ms))").cast("long").alias("dim"),
+    )
+    ol = u.join(
+        F.broadcast(months),
+        (F.col("d0") <= F.col("me")) & (F.col("d1") >= F.col("ms")),
+    ).select(
+        "ms",
+        "dim",
+        (
+            F.datediff(
+                F.least(F.col("d1"), F.col("me")),
+                F.greatest(F.col("d0"), F.col("ms")),
+            )
+            + 1
+        ).cast("long").alias("od"),
+    )
+    return ol.groupBy("ms").agg(
+        F.count("*").alias("n_users"),
+        F.sum("od").cast("long").alias("active_days"),
+        F.sum(F.expr("(3000 * od) div dim")).cast("long").alias(
+            "billed_cents"
+        ),
+    ).select(
+        F.col("ms").cast("string").alias("month_start"),
+        "n_users",
+        "active_days",
+        "billed_cents",
+    )

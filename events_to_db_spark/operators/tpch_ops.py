@@ -1184,3 +1184,97 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+@query(
+    "q_ord_pvm",
+    oracle="""
+    WITH y AS (
+        SELECT o_orderpriority AS pri,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS r,
+               CAST(count(*) AS BIGINT) AS q
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT a.pri, a.r AS r0, a.q AS q0, b.r AS r1, b.q AS q1
+        FROM y a JOIN y b ON a.pri = b.pri
+        WHERE a.yr = 1996 AND b.yr = 1997
+    ),
+    eff AS (
+        SELECT pri, r0, q0, r1, q1,
+               r1 - r0 AS delta_r,
+               r1 - CASE WHEN q1 * r0 < 0
+                         THEN -(abs(q1 * r0) // q0)
+                         ELSE abs(q1 * r0) // q0 END AS price_eff,
+               CASE WHEN (q1 - q0) * r0 < 0
+                    THEN -(abs((q1 - q0) * r0) // q0)
+                    ELSE abs((q1 - q0) * r0) // q0 END AS vol_eff
+        FROM w
+    )
+    SELECT pri AS o_orderpriority, r0, q0, r1, q1,
+           CAST(delta_r AS BIGINT) AS delta_r,
+           CAST(price_eff AS BIGINT) AS price_eff_cents,
+           CAST(vol_eff AS BIGINT) AS vol_eff_cents,
+           CAST(delta_r - price_eff - vol_eff AS BIGINT)
+               AS residual_cents
+    FROM eff
+    """,
+)
+def q_ord_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge: decompose each priority class's
+    1996→1997 revenue change into a price effect (average order value
+    moved) and a volume effect (order count moved), with the floor-
+    truncation residual reported rather than hidden — the classic
+    finance variance-analysis walk.
+
+    price = r1 − q1·r0/q0 and volume = (q1−q0)·r0/q0, both taken with
+    the sign-safe floor division (sign·(|x|//q0)) so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree on negative
+    numerators; everything else is exact cents.  One year-filtered
+    keyed aggregate + a |priorities|-row self-join — scan-bound at any
+    scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y = (
+        orders.where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("r"),
+            F.count("*").alias("q"),
+        )
+    )
+    a = y.where(F.col("yr") == 1996).select(
+        "pri", F.col("r").alias("r0"), F.col("q").alias("q0")
+    )
+    b = y.where(F.col("yr") == 1997).select(
+        "pri", F.col("r").alias("r1"), F.col("q").alias("q1")
+    )
+    w = a.join(b, "pri")
+    pe_num = F.col("q1") * F.col("r0")
+    ve_num = (F.col("q1") - F.col("q0")) * F.col("r0")
+    price_eff = F.col("r1") - F.when(
+        pe_num < 0, -F.expr("abs(q1 * r0) div q0")
+    ).otherwise(F.expr("abs(q1 * r0) div q0"))
+    vol_eff = F.when(
+        ve_num < 0, -F.expr("abs((q1 - q0) * r0) div q0")
+    ).otherwise(F.expr("abs((q1 - q0) * r0) div q0"))
+    delta = F.col("r1") - F.col("r0")
+    return w.select(
+        F.col("pri").alias("o_orderpriority"),
+        "r0",
+        "q0",
+        "r1",
+        "q1",
+        delta.cast("long").alias("delta_r"),
+        price_eff.cast("long").alias("price_eff_cents"),
+        vol_eff.cast("long").alias("vol_eff_cents"),
+        (delta - price_eff - vol_eff).cast("long").alias("residual_cents"),
+    )
