@@ -1512,3 +1512,163 @@ def q_mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         schema="source string, doc_id long, shard_no long, fill_after long",
     )
+
+
+@query(
+    "q_embed_matryoshka",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    d64 AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        FROM c a JOIN c b ON a.d = b.d AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    d16 AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        FROM c a JOIN c b ON a.d = b.d AND a.vec_id <> b.vec_id
+        WHERE a.d <= 16
+        GROUP BY 1, 2
+    ),
+    t64 AS (
+        SELECT qa, qb FROM (
+            SELECT qa, qb, row_number() OVER (
+                PARTITION BY qa ORDER BY dot DESC, qb) AS rn
+            FROM d64) WHERE rn = 1
+    ),
+    t16 AS (
+        SELECT qa, qb FROM (
+            SELECT qa, qb, row_number() OVER (
+                PARTITION BY qa ORDER BY dot DESC, qb) AS rn
+            FROM d16) WHERE rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN t64.qb = t16.qb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(CAST(sum(CASE WHEN t64.qb = t16.qb THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS agree_rate
+    FROM t64 JOIN t16 USING (qa)
+    """,
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: does max-inner-product
+    retrieval with only the FIRST 16 dimensions return the same top-1
+    neighbour as the full 64 dimensions?  The measurement behind
+    shipping truncated (MRL-style) embeddings to cut index cost 4×.
+
+    Both retrievals run on 1e-6-quantized int64 vectors, so every dot
+    product is exact (int64 matmul; ≤ 64·(6e5)² ≈ 2.3e13 per pair) and
+    the top-1 argmax (ties → lower id) hash-matches the oracle's
+    join-aggregate replay.  Below the sim-family broadcast gate the
+    kernel is one NumPy int-matmul per Arrow batch; above it, the
+    exact exploded-cells join path engages — same shape as the oracle,
+    fully distributed, no driver collect.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from events_to_db_spark.operators.llm_ops import (
+        _load_embeddings,
+        _sim_broadcast_max,
+    )
+
+    e = _load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    n = e.count()
+    if n <= _sim_broadcast_max():
+        rows = e.orderBy("vec_id").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.rint(
+            np.array([r["embedding"] for r in rows], dtype=np.float64)
+            * 1_000_000
+        ).astype(np.int64)
+        bc = spark.sparkContext.broadcast((ids, mat))
+
+        def top1(batches):
+            ref_ids, ref = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q = np.rint(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    * 1_000_000
+                ).astype(np.int64)
+                d64 = q @ ref.T
+                d16 = q[:, :16] @ ref[:, :16].T
+                out16, out64 = [], []
+                for i, vid in enumerate(pdf["vec_id"].to_numpy()):
+                    # negate FIRST, then mask self to +inf-equivalent:
+                    # negating int64.min wraps back to int64.min and
+                    # would sort the self row to the front.
+                    mask = ref_ids == vid
+                    n64 = -d64[i]
+                    n16 = -d16[i]
+                    n64[mask] = np.iinfo(np.int64).max
+                    n16[mask] = np.iinfo(np.int64).max
+                    out64.append(ref_ids[np.lexsort((ref_ids, n64))[0]])
+                    out16.append(ref_ids[np.lexsort((ref_ids, n16))[0]])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "nn16": np.array(out16, dtype=np.int64),
+                        "nn64": np.array(out64, dtype=np.int64),
+                    }
+                )
+
+        pairs = e.mapInPandas(top1, "vec_id long, nn16 long, nn64 long")
+    else:
+        cells = e.select(
+            "vec_id", F.posexplode("embedding").alias("p", "x")
+        ).select(
+            "vec_id",
+            (F.col("p") + 1).alias("d"),
+            F.expr(
+                "cast(round(cast(x as double) * 1000000) as bigint)"
+            ).alias("q"),
+        )
+        a = cells.alias("a")
+        b = cells.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        d64 = joined.groupBy(
+            F.col("a.vec_id").alias("qa"), F.col("b.vec_id").alias("qb")
+        ).agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+        d16 = (
+            joined.where(F.col("a.d") <= 16)
+            .groupBy(
+                F.col("a.vec_id").alias("qa"), F.col("b.vec_id").alias("qb")
+            )
+            .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+        )
+
+        def best(df, out):
+            w = Window.partitionBy("qa").orderBy(F.desc("dot"), "qb")
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("qa").alias("vec_id"), F.col("qb").alias(out))
+            )
+
+        pairs = best(d64, "nn64").join(best(d16, "nn16"), "vec_id")
+    return pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("nn16") == F.col("nn64"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        F.round(
+            F.sum(
+                F.when(F.col("nn16") == F.col("nn64"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("agree_rate"),
+    )

@@ -1357,3 +1357,86 @@ def q_stat_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days", "n_pairs", "slope_per_day"
         )
     )
+
+
+@query(
+    "q_stat_qq",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS side,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT side, vc, CAST(count(*) AS BIGINT) AS ct
+        FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT side, vc,
+               sum(ct) OVER (PARTITION BY side ORDER BY vc) AS cum_n,
+               sum(ct) OVER (PARTITION BY side) AS n
+        FROM pv
+    ),
+    dec AS (SELECT unnest(generate_series(1, 9)) AS decile),
+    at_d AS (
+        SELECT d.decile, c.side, CAST(min(c.vc) AS BIGINT) AS vc
+        FROM cum c JOIN dec d ON 10 * c.cum_n >= d.decile * c.n
+        GROUP BY 1, 2
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(max(CASE WHEN side = 'purchase' THEN vc END) AS BIGINT)
+               AS purchase_cents,
+           CAST(max(CASE WHEN side = 'view' THEN vc END) AS BIGINT)
+               AS view_cents
+    FROM at_d
+    GROUP BY decile
+    """,
+)
+def q_stat_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile–quantile table: the nine exact deciles of the purchase
+    and view ``value`` distributions side by side — the distribution-
+    shift picture behind the KS statistic (q_stat_ks gives the max
+    gap; this gives the whole curve).
+
+    Each decile is the exact lower order statistic: the smallest value
+    whose cumulative count satisfies 10·cum ≥ d·n — pure integer
+    predicates, no interpolation, no floats anywhere.  The cumulative
+    scan runs per side over the *per-distinct-value* aggregate
+    (bounded by distinct cents, not rows); the decile spine joins as a
+    broadcast θ-join, and the final pivot is a 18-row conditional agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.col("event_type").alias("side"),
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    pv = s.groupBy("side", "vc").agg(F.count("*").alias("ct"))
+    wc = (
+        Window.partitionBy("side")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("side")
+    cum = pv.select(
+        "side",
+        "vc",
+        F.sum("ct").over(wc).alias("cum_n"),
+        F.sum("ct").over(wn).alias("n"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").alias("decile"))
+    at_d = (
+        cum.join(
+            F.broadcast(dec),
+            10 * F.col("cum_n") >= F.col("decile") * F.col("n"),
+        )
+        .groupBy("decile", "side")
+        .agg(F.min("vc").cast("long").alias("vc"))
+    )
+    return at_d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.max(F.when(F.col("side") == "purchase", F.col("vc")))
+        .cast("long")
+        .alias("purchase_cents"),
+        F.max(F.when(F.col("side") == "view", F.col("vc")))
+        .cast("long")
+        .alias("view_cents"),
+    )
