@@ -2506,3 +2506,146 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("n_converted"),
         F.expr("sum(converted) * 10000 div count(*)").alias("conv_bps"),
     )
+
+
+@query(
+    "q_ev_cuped",
+    oracle="""
+    WITH b AS (
+        SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                    AS BIGINT) AS mid
+        FROM events
+    ),
+    u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             AND epoch_us(ts) < mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND epoch_us(ts) >= mid
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN b
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM u
+    ),
+    th AS (
+        SELECT n, sx, sy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) AS theta,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   * (n * sxy - sx * sy)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * (n * syy - sy * sy)) AS rho2
+        FROM g
+    ),
+    arm AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y
+        FROM u GROUP BY 1
+    )
+    SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users, a.sum_x, a.sum_y,
+           round(CAST(a.sum_y AS DOUBLE) / a.n_users, 4) AS mean_y,
+           round((a.sum_y - t.theta * a.sum_x) / a.n_users
+                 + t.theta * CAST(t.sx AS DOUBLE) / t.n, 4)
+               AS mean_y_cuped,
+           round(t.theta, 6) AS theta,
+           round(t.rho2, 6) AS rho2
+    FROM arm a CROSS JOIN th t
+    """,
+)
+def q_ev_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: arms = user_id % 2,
+    pre-period covariate X = views before the time-range midpoint,
+    outcome Y = purchase cents after it; the adjusted arm mean is
+    mean(Y) − θ·(mean(X) − X̄) with θ = cov(X,Y)/var(X) — the standard
+    pre-experiment adjustment that tightens A/B confidence intervals.
+
+    The midpoint split is data-derived exact integer µs (no hard-coded
+    date to rot when the corpus regenerates); θ and ρ² come from the
+    six exact BIGINT sufficient sums; and the adjusted mean is
+    algebraically rearranged to (ΣY − θΣX)/n + θX̄ so NO per-user
+    float is ever summed — the float enters once per arm, over exact
+    integers.  Plan: one scalar bound agg, one per-user aggregate,
+    one 2-row arm aggregate + broadcast θ.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "cast((min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            " as bigint)"
+        ).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.expr("unix_micros(ts)") < F.col("mid")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.expr("unix_micros(ts)") >= F.col("mid")),
+                    F.expr("cast(round(value * 100) as bigint)"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    ).cache()
+    g = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    covn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varxn = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    varyn = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    th = g.select(
+        "n",
+        "sx",
+        (covn.cast("double") / varxn).alias("theta"),
+        (
+            covn.cast("double") * covn / (varxn.cast("double") * varyn)
+        ).alias("rho2"),
+    )
+    arm = u.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    return arm.crossJoin(F.broadcast(th)).select(
+        F.col("arm").cast("long").alias("arm"),
+        "n_users",
+        "sum_x",
+        "sum_y",
+        F.round(F.col("sum_y").cast("double") / F.col("n_users"), 4).alias(
+            "mean_y"
+        ),
+        F.round(
+            (F.col("sum_y") - F.col("theta") * F.col("sum_x"))
+            / F.col("n_users")
+            + F.col("theta") * F.col("sx").cast("double") / F.col("n"),
+            4,
+        ).alias("mean_y_cuped"),
+        F.round("theta", 6).alias("theta"),
+        F.round("rho2", 6).alias("rho2"),
+    )

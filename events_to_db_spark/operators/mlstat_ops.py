@@ -1122,3 +1122,53 @@ def q_ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d2").cast("long").alias("min_d2"),
         F.max("d2").cast("long").alias("max_d2"),
     )
+
+
+@query(
+    "q_ml_feature_hash",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (
+        SELECT w,
+               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS has_collision
+    FROM h
+    GROUP BY bucket
+    """,
+)
+def q_ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: every vocabulary word mapped into 64 feature
+    buckets by md5-prefix modulo — the fixed-width featurizer that
+    sidesteps vocabulary builds entirely — with per-bucket load and
+    collision audit (how much mass shares a slot with another word).
+
+    The hash is the cross-engine md5-prefix BIGINT (same parity trick
+    as every fingerprint in the repo); all outputs are exact counts.
+    With a 31-word vocabulary in 64 buckets, birthday collisions are
+    expected and the audit shows exactly which slots pay them.  One
+    explode + two keyed aggregates; the bucket table is 64 rows at any
+    corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.expr("split(text, ' ')")).alias("w"))
+    h = tok.groupBy(
+        "w",
+        (
+            F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)")
+            % 64
+        ).alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    return h.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct_words"),
+        F.when(F.count("*") > 1, 1).otherwise(0).alias("has_collision"),
+    )
