@@ -34,8 +34,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -248,6 +250,96 @@ def balance_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             _balance_update,
             outputStructType=BALANCE_OUTPUT_SCHEMA,
             stateStructType=BALANCE_STATE_SCHEMA,
+            outputMode="Append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+HH_COUNTERS = 8
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("est_count", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def misra_gries_fold(users, counters: dict, m: int = HH_COUNTERS) -> dict:
+    """The Misra–Gries update shared by the streaming operator and its
+    batch twin: +1 if tracked, insert if a slot is free, else decrement
+    every counter and drop zeros.  Deterministic given the input order;
+    estimates undercount by at most n/m (the classical guarantee)."""
+    for u in users:
+        u = int(u)
+        if u in counters:
+            counters[u] += 1
+        elif len(counters) < m:
+            counters[u] = 1
+        else:
+            for k in list(counters):
+                counters[k] -= 1
+                if counters[k] == 0:
+                    del counters[k]
+    return counters
+
+
+def _hh_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type Misra–Gries heavy hitters: at most HH_COUNTERS
+    (user, count) pairs of bounded GroupState per key, whatever the
+    user cardinality — the sketch that makes streaming top-k feasible
+    when an exact per-user count map would be unbounded state."""
+    if state.exists:
+        keys, counts, n_seen = state.get
+        counters = dict(zip(keys, counts))
+    else:
+        counters, n_seen = {}, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        misra_gries_fold(pdf["user_id"], counters)
+        n_seen += len(pdf)
+    items = sorted(counters.items())
+    state.update(([k for k, _c in items], [c for _k, c in items], n_seen))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(items),
+            "user_id": [k for k, _c in items],
+            "est_count": [c for _k, c in items],
+            "n_seen": [n_seen] * len(items),
+        }
+    )
+
+
+def heavy_hitter_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming per-type heavy hitters (Misra–Gries, 8 counters):
+    emits the surviving counter set after every micro-batch touching
+    the type; the final emission equals the batch replay of the same
+    fold exactly (tests/test_stateful_streaming.py)."""
+    ops = events.select("event_type", "ts", "event_id", "user_id")
+    return (
+        ops.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hh_update,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
             outputMode="Append",
             timeoutConf="NoTimeout",
         )

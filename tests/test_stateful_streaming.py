@@ -126,3 +126,55 @@ def test_balance_stream_matches_batch_fold(spark, chunked_events, tmp_path):
         for r in batch
     }
     assert last == want
+
+
+def test_heavy_hitter_stream_matches_batch_fold(spark, chunked_events, tmp_path):
+    """The streaming Misra–Gries counter set after the last micro-batch
+    must equal a driver-side replay of the identical fold over the
+    whole feed in (ts, event_id) order — state carried across batches
+    changes nothing."""
+    from events_to_db_spark.streaming.stateful import (
+        heavy_hitter_stream,
+        misra_gries_fold,
+    )
+
+    feed, ev, n = chunked_events
+    acc = []
+
+    def collect(batch_df, bid):
+        acc.extend((bid, r) for r in batch_df.collect())
+
+    q = (
+        heavy_hitter_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # each emission replaces the type's snapshot — keep the last batch's
+    by_batch: dict = {}
+    for bid, r in acc:
+        by_batch.setdefault((r["event_type"], bid), {})[r["user_id"]] = r[
+            "est_count"
+        ]
+    last_bid: dict = {}
+    for (et, bid), snap in by_batch.items():
+        if et not in last_bid or bid > last_bid[et][0]:
+            last_bid[et] = (bid, snap)
+    got = {et: snap for et, (bid, snap) in last_bid.items()}
+
+    rows = sorted(
+        ev.select("event_type", "ts", "event_id", "user_id").collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    want: dict = {}
+    for r in rows:
+        want.setdefault(r["event_type"], [])
+        want[r["event_type"]].append(r["user_id"])
+    want = {
+        et: misra_gries_fold(users, {}) for et, users in want.items()
+    }
+    assert got == want
