@@ -594,3 +594,77 @@ def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jacc, 4).alias("jacc_est"),
         F.round(jacc * est_union, 2).alias("est_int"),
     )
+
+
+@query(
+    "q_sketch_ams",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events GROUP BY 1
+    ),
+    est AS (
+        SELECT i,
+               CAST(sum((1 - 2 * ((h >> i) & 1)) * c) AS BIGINT) AS s
+        FROM f CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+        GROUP BY 1
+    ),
+    tru AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_true FROM f)
+    SELECT f2_true,
+           CAST(count(*) AS BIGINT) AS n_estimators,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(s * s) // count(*) AS BIGINT) AS f2_est,
+           round(CAST(sum(s * s) // count(*) AS DOUBLE) / f2_true, 4)
+               AS est_ratio
+    FROM est CROSS JOIN tru
+    GROUP BY f2_true
+    """,
+)
+def q_sketch_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ sketch: sixteen ±1-projection
+    estimators of the second frequency moment of the per-user event
+    counts, against the exact F₂ — the streaming join-size/self-join
+    estimator, made fully deterministic by deriving each estimator's
+    sign from bit i of the user's md5-prefix hash.
+
+    Every S_i = Σ ±c_u and the mean of S_i² are exact BIGINTs (|S_i| ≤
+    Σc = n, so S² ≤ n² — fine to ~3e9 rows), so the sketch itself
+    value-hashes; only the est/true ratio is a rounded display float.
+    Plan: one per-user count, a 16-row estimator spine broadcast onto
+    it, two tiny aggregates — the sketch state is 16 integers no
+    matter the key cardinality, which is the whole point.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.count("*").alias("c")).select(
+        "c",
+        F.expr(
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    )
+    spine = spark.range(0, 16).select(F.col("id").alias("i"))
+    est = (
+        f.crossJoin(F.broadcast(spine))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                (1 - 2 * F.expr("(h >> i) & 1")) * F.col("c")
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    tru = f.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_true"))
+    j = est.crossJoin(F.broadcast(tru))
+    return j.groupBy("f2_true").agg(
+        F.count("*").alias("n_estimators"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq"),
+        F.expr("cast(sum(s * s) div count(*) as bigint)").alias("f2_est"),
+        F.round(
+            F.expr("cast(sum(s * s) div count(*) as double)")
+            / F.col("f2_true"),
+            4,
+        ).alias("est_ratio"),
+    )

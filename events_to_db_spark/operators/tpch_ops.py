@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from events_to_db_spark.plans.prefix import bucketed_running_sum
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
 
@@ -1277,4 +1278,130 @@ def q_ord_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         price_eff.cast("long").alias("price_eff_cents"),
         vol_eff.cast("long").alias("vol_eff_cents"),
         (delta - price_eff - vol_eff).cast("long").alias("residual_cents"),
+    )
+
+
+@query(
+    "q_ord_abcxyz",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(DISTINCT date_trunc('month', l_shipdate))
+                    AS BIGINT) AS mm
+        FROM lineitem
+    ),
+    per AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    mon AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q * q) AS BIGINT) AS s2
+        FROM mon GROUP BY 1
+    ),
+    cum AS (
+        SELECT p.l_partkey, p.r,
+               sum(p.r) OVER (ORDER BY p.r DESC, p.l_partkey) AS cum_r,
+               sum(p.r) OVER () AS tot_r
+        FROM per p
+    ),
+    cls AS (
+        SELECT c.l_partkey, c.r,
+               CASE WHEN 5 * c.cum_r <= 4 * c.tot_r THEN 'A'
+                    WHEN 20 * c.cum_r <= 19 * c.tot_r THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN 4 * (m.mm * x.s2 - x.s * x.s) <= x.s * x.s
+                        THEN 'X'
+                    WHEN m.mm * x.s2 - x.s * x.s <= x.s * x.s THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM cum c
+        JOIN xyz x ON x.l_partkey = c.l_partkey
+        CROSS JOIN m
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS BIGINT) AS revenue_cents
+    FROM cls
+    GROUP BY 1, 2
+    """,
+)
+def q_ord_abcxyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC–XYZ inventory segmentation: parts classed A/B/C by revenue
+    Pareto position (cum share ≤80% / ≤95% / rest) and X/Y/Z by demand
+    variability (CV of monthly quantity ≤0.5 / ≤1 / rest) — the 9-cell
+    matrix purchasing teams plan stock policy from.
+
+    Both classifications are pure integer predicates: the Pareto cut
+    is 5·cum ≤ 4·tot (no percentage float), and CV thresholds
+    cross-multiply to 4·(M·Σq²−S²) ≤ S² — months with zero demand
+    included via the global month count M.  The revenue cumulative
+    runs through the two-level bucketed scan keyed by descending
+    revenue (negated-bucket trick keeps the bucket ascending with the
+    order; no unpartitioned window).  Everything after the two keyed
+    lineitem aggregates is |parts|-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.countDistinct(F.date_trunc("month", "l_shipdate"))
+        .cast("long")
+        .alias("mm")
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("cast(round(l_extendedprice * 100) as bigint)")).alias(
+            "r"
+        )
+    )
+    mon = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mo")
+    ).agg(F.sum(F.expr("cast(round(l_quantity) as bigint)")).alias("q"))
+    xyz = mon.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    cum = bucketed_running_sum(
+        per,
+        -F.expr("r div 10000000"),
+        [F.col("r").desc(), F.col("l_partkey")],
+        {"cum_r": F.col("r")},
+    )
+    tot = per.agg(F.sum("r").cast("long").alias("tot_r"))
+    cls = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "r",
+            F.when(
+                5 * F.col("cum_r") <= 4 * F.col("tot_r"), "A"
+            )
+            .when(20 * F.col("cum_r") <= 19 * F.col("tot_r"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(
+                4
+                * (
+                    F.col("mm") * F.col("s2") - F.col("s") * F.col("s")
+                )
+                <= F.col("s") * F.col("s"),
+                "X",
+            )
+            .when(
+                F.col("mm") * F.col("s2") - F.col("s") * F.col("s")
+                <= F.col("s") * F.col("s"),
+                "Y",
+            )
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return cls.groupBy("abc", "xyz").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("r").cast("long").alias("revenue_cents"),
     )
