@@ -2649,3 +2649,88 @@ def q_ev_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("theta", 6).alias("theta"),
         F.round("rho2", 6).alias("rho2"),
     )
+
+
+@query(
+    "q_ev_fatigue",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_type, event_id, us,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING)
+                   AS np_1h,
+               row_number() OVER (
+                   PARTITION BY user_id,
+                                CASE WHEN event_type = 'view' THEN 1
+                                     ELSE 0 END
+                   ORDER BY us, event_id) AS vrank
+        FROM e
+    ),
+    v AS (
+        SELECT least(vrank, 10) AS exposure_rank,
+               CASE WHEN np_1h > 0 THEN 1 ELSE 0 END AS converted
+        FROM w WHERE event_type = 'view'
+    )
+    SELECT CAST(exposure_rank AS BIGINT) AS exposure_rank,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+               AS conversion_rate
+    FROM v
+    GROUP BY 1
+    """,
+)
+def q_ev_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-fatigue curve: conversion rate (a purchase within one
+    hour at-or-after the view) by the view's per-user exposure rank,
+    capped at 10+ — does the nth impression still convert?
+
+    The one-hour lookahead is an integer-µs RANGE frame (CURRENT ROW ..
+    3.6e9 FOLLOWING) over each user's full event sequence, counting
+    purchases — both engines frame RANGE on the identical BIGINT sort
+    key, so no µs/float ambiguity exists; exposure rank is a
+    partitioned row_number over the user's views.  One user_id shuffle
+    carries both windows; the fatigue table is ≤10 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.currentRow, 3_600_000_000)
+    )
+    wrank = Window.partitionBy(
+        "user_id",
+        F.when(F.col("event_type") == "view", 1).otherwise(0),
+    ).orderBy("us", "event_id")
+    w = e.select(
+        "event_type",
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(wrange)
+        .alias("np_1h"),
+        F.row_number().over(wrank).alias("vrank"),
+    )
+    v = w.where(F.col("event_type") == "view").select(
+        F.least(F.col("vrank"), F.lit(10)).alias("exposure_rank"),
+        F.when(F.col("np_1h") > 0, 1).otherwise(0).alias("converted"),
+    )
+    return v.groupBy(
+        F.col("exposure_rank").cast("long").alias("exposure_rank")
+    ).agg(
+        F.count("*").alias("n_views"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )

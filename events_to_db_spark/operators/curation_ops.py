@@ -1672,3 +1672,71 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("agree_rate"),
     )
+
+
+@query(
+    "q_text_burstiness",
+    oracle="""
+    WITH dd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT w,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM tf GROUP BY 1
+    )
+    SELECT w AS word, df, s AS total_count,
+           CAST(n_docs * s2 - s * s AS BIGINT) AS var_num,
+           CASE WHEN n_docs * s2 - s * s > n_docs * s THEN 1 ELSE 0 END
+               AS overdispersed,
+           round(CAST(n_docs * s2 - s * s AS DOUBLE) / (n_docs * s), 6)
+               AS dispersion_index
+    FROM per CROSS JOIN dd
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness: the variance-to-mean (dispersion) index of each
+    word's per-document count over the WHOLE corpus (zero-count docs
+    included via the global doc count) — bursty words (index > 1)
+    cluster in few docs, the content/function-word split used for
+    stop-listing and keyword weighting.
+
+    Dispersion = var/mean = (D·Σc² − S²)/(D·S): the numerator and the
+    over-dispersion verdict are exact integer cross-products, the index
+    itself one rounded display division.  One explode + two keyed
+    aggregates + a scalar doc count — output is |vocabulary| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.expr("split(text, ' ')")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per = tf.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    j = per.crossJoin(F.broadcast(dd))
+    varnum = F.col("n_docs") * F.col("s2") - F.col("s") * F.col("s")
+    return j.select(
+        F.col("w").alias("word"),
+        "df",
+        F.col("s").alias("total_count"),
+        varnum.cast("long").alias("var_num"),
+        F.when(varnum > F.col("n_docs") * F.col("s"), 1)
+        .otherwise(0)
+        .alias("overdispersed"),
+        F.round(
+            varnum.cast("double") / (F.col("n_docs") * F.col("s")), 6
+        ).alias("dispersion_index"),
+    )
