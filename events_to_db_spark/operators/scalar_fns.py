@@ -1049,3 +1049,69 @@ def q_fn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((ed + 4) % 7).alias("dow_checksum"),
         F.sum(F.col("pos") * ed).alias("pos_checksum"),
     )
+
+
+@query(
+    "q_fn_zipwith",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              v -> CAST(round(v::DOUBLE * 1000000)
+                                        AS BIGINT)) AS a
+        FROM embeddings
+    ),
+    z AS (
+        SELECT vec_id, a, list_reverse(a) AS b FROM q
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(a)),
+                                        i -> a[i] + b[i])) AS BIGINT)
+               AS zip_sum,
+           CAST(list_max(list_transform(generate_series(1, len(a)),
+                                        i -> abs(a[i] - b[i])))
+                AS BIGINT) AS max_absdiff,
+           CASE WHEN len(list_filter(a, x -> x > 500000)) > 0
+                THEN 1 ELSE 0 END AS any_large,
+           CASE WHEN len(list_filter(a, x -> abs(x) <= 1000000))
+                     = len(a)
+                THEN 1 ELSE 0 END AS all_bounded
+    FROM z
+    """,
+)
+def q_fn_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary higher-order array surface: ``zip_with`` over a vector
+    and its reverse (element-wise sum checksum, max |difference|) plus
+    the ``exists`` / ``forall`` quantifiers — the lambda-algebra
+    complement to q_fn_array's unary transform/filter/aggregate.
+
+    Elements are 1e-6-quantized BIGINTs first, so every lambda output
+    is exact; DuckDB lacks zip_with, so the oracle re-expresses the
+    zip as an index-generator transform (`a[i] op b[i]`) — same
+    values, different surface, which is exactly what the parity check
+    is for.  Map-only, zero shuffle; all lambdas run inside codegen.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> cast(round(cast(v as double) * 1000000) as bigint))"
+        ).alias("a"),
+    ).withColumn("b", F.reverse(F.col("a")))
+    return q.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(a, b, (x, y) -> x + y),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("zip_sum"),
+        F.expr(
+            "array_max(zip_with(a, b, (x, y) -> abs(x - y)))"
+        ).alias("max_absdiff"),
+        F.when(F.expr("exists(a, x -> x > 500000)"), 1)
+        .otherwise(0)
+        .alias("any_large"),
+        F.when(F.expr("forall(a, x -> abs(x) <= 1000000)"), 1)
+        .otherwise(0)
+        .alias("all_bounded"),
+    )

@@ -1440,3 +1440,150 @@ def q_stat_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("view_cents"),
     )
+
+
+_BF_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _bf_oracle() -> str:
+    """Brown–Forsythe oracle: exact per-group (n, Σz, Σz²) pivoted to
+    one row, then ONE fixed-group-order float expression — the same
+    shape the Spark side uses, so no cross-group summation-order
+    hazard exists in either engine."""
+    piv = ",\n           ".join(
+        f"CAST(max(CASE WHEN g = '{t}' THEN {c} END) AS BIGINT) AS {c}_{i}"
+        for i, t in enumerate(_BF_TYPES)
+        for c in ("n", "s", "q")
+    )
+    bet = " + ".join(
+        f"CAST(s_{i} AS DOUBLE) * s_{i} / n_{i}" for i in range(5)
+    )
+    qq = " + ".join(f"CAST(q_{i} AS DOUBLE)" for i in range(5))
+    nn = " + ".join(f"n_{i}" for i in range(5))
+    ss = " + ".join(f"s_{i}" for i in range(5))
+    return f"""
+    WITH s AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    pv AS (
+        SELECT g, vc, CAST(count(*) AS BIGINT) AS ct
+        FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, vc,
+               sum(ct) OVER (PARTITION BY g ORDER BY vc) AS cum_n,
+               sum(ct) OVER (PARTITION BY g) AS n
+        FROM pv
+    ),
+    med AS (
+        SELECT g, CAST(min(vc) AS BIGINT) AS med
+        FROM cum WHERE 2 * cum_n >= n GROUP BY g
+    ),
+    z AS (
+        SELECT s.g, abs(s.vc - med.med) AS z
+        FROM s JOIN med ON s.g = med.g
+    ),
+    per AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS s,
+               CAST(sum(z * z) AS BIGINT) AS q
+        FROM z GROUP BY 1
+    ),
+    one AS (
+        SELECT {piv}
+        FROM per
+    ),
+    fin AS (
+        SELECT ({nn}) AS nt, ({ss}) AS st,
+               ({bet}) AS grp_sq, ({qq}) AS qt
+        FROM one
+    )
+    SELECT CAST(nt AS BIGINT) AS n_total,
+           CAST(st AS BIGINT) AS sum_z,
+           round((grp_sq - CAST(st AS DOUBLE) * st / nt)
+                 / ((qt - grp_sq) / (nt - 5)) / 4, 4) AS bf_stat
+    FROM fin
+    """
+
+
+@query("q_stat_levene", oracle=_bf_oracle())
+def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) test: are the ``value``
+    spreads equal across the five event types?  One-way ANOVA on
+    |x − group median| — the robust variance-homogeneity gate run
+    before trusting a pooled t-test.
+
+    Group medians are exact lower order statistics (2·cum ≥ n over the
+    per-distinct-value scan); |x−med| is exact integer; each group's
+    (n, Σz, Σz²) is an exact BIGINT triple pivoted into ONE row, and
+    the F statistic is a single fixed-group-order double expression —
+    the five-term sums are written out literally in both engines, so
+    no engine ever sums floats in a nondeterministic order.  Plan: two
+    keyed aggregates + a broadcast median join; the pivot row is 15
+    integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    pv = s.groupBy("g", "vc").agg(F.count("*").alias("ct"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("g")
+    cum = pv.select(
+        "g",
+        "vc",
+        F.sum("ct").over(wc).alias("cum_n"),
+        F.sum("ct").over(wn).alias("n"),
+    )
+    med = (
+        cum.where(2 * F.col("cum_n") >= F.col("n"))
+        .groupBy("g")
+        .agg(F.min("vc").cast("long").alias("med"))
+    )
+    z = s.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("vc") - F.col("med")).alias("z")
+    )
+    per = z.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q"),
+    )
+    one = per.agg(
+        *[
+            F.max(F.when(F.col("g") == t, F.col(c)))
+            .cast("long")
+            .alias(f"{c}_{i}")
+            for i, t in enumerate(_BF_TYPES)
+            for c in ("n", "s", "q")
+        ]
+    )
+    nt = sum((F.col(f"n_{i}") for i in range(1, 5)), F.col("n_0"))
+    st = sum((F.col(f"s_{i}") for i in range(1, 5)), F.col("s_0"))
+    grp_sq = sum(
+        (
+            F.col(f"s_{i}").cast("double") * F.col(f"s_{i}")
+            / F.col(f"n_{i}")
+            for i in range(1, 5)
+        ),
+        F.col("s_0").cast("double") * F.col("s_0") / F.col("n_0"),
+    )
+    qt = sum(
+        (F.col(f"q_{i}").cast("double") for i in range(1, 5)),
+        F.col("q_0").cast("double"),
+    )
+    return one.select(
+        nt.cast("long").alias("n_total"),
+        st.cast("long").alias("sum_z"),
+        F.round(
+            (grp_sq - st.cast("double") * st / nt)
+            / ((qt - grp_sq) / (nt - 5))
+            / 4,
+            4,
+        ).alias("bf_stat"),
+    )
