@@ -681,3 +681,168 @@ def q_quality_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violating").cast("double") / F.col("n_lhs"), 6
         ).alias("violation_rate"),
     )
+
+
+@query(
+    "q_ord_dupe_invoice",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    pairs AS (
+        SELECT a.o_custkey, a.cents,
+               date_diff('day', a.d, b.d) AS gap_days
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey
+         AND a.cents = b.cents
+         AND b.o_orderkey > a.o_orderkey
+         AND b.d >= a.d - INTERVAL 7 DAY
+         AND b.d <= a.d + INTERVAL 7 DAY
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS exposure_cents,
+           CAST(coalesce(min(abs(gap_days)), 0) AS BIGINT) AS min_gap_days,
+           CAST(coalesce(max(abs(gap_days)), 0) AS BIGINT) AS max_gap_days
+    FROM pairs
+    """,
+)
+def q_ord_dupe_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice audit: pairs of orders from the same customer
+    for the IDENTICAL cent amount within ±7 days — the classic
+    accounts-payable double-billing detector.
+
+    The self-join is equi-keyed on (customer, exact cents) — the date
+    band is a residual predicate — so the pair search shuffles once on
+    a compound key whose groups are tiny (duplicate exact amounts per
+    customer), never a quadratic blow-up; `b.key > a.key` counts each
+    pair once.  Day gaps are whole-day DATE arithmetic, identical in
+    both engines.  Output is the exposure summary an auditor pulls
+    first.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.cents") == F.col("b.cents"))
+        & (F.col("b.o_orderkey") > F.col("a.o_orderkey"))
+        & (F.col("b.d") >= F.date_sub(F.col("a.d"), 7))
+        & (F.col("b.d") <= F.date_add(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.col("a.cents").alias("cents"),
+        F.datediff(F.col("b.d"), F.col("a.d")).alias("gap_days"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_suspect_pairs"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias(
+            "exposure_cents"
+        ),
+        F.coalesce(F.min(F.abs(F.col("gap_days"))), F.lit(0))
+        .cast("long")
+        .alias("min_gap_days"),
+        F.coalesce(F.max(F.abs(F.col("gap_days"))), F.lit(0))
+        .cast("long")
+        .alias("max_gap_days"),
+    )
+
+
+@query(
+    "q_ev_doublefire",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.event_type, b.us - a.us AS gap_us
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_type = b.event_type
+         AND a.vc = b.vc
+         AND b.event_id > a.event_id
+         AND b.us >= a.us AND b.us - a.us <= 5000000
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM pairs GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(coalesce(a.n_suspect_pairs, 0) AS BIGINT)
+               AS n_suspect_pairs,
+           CAST(coalesce(a.min_gap_us, 0) AS BIGINT) AS min_gap_us,
+           CAST(coalesce(a.max_gap_us, 0) AS BIGINT) AS max_gap_us
+    FROM (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN agg a USING (event_type)
+    """,
+)
+def q_ev_doublefire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry double-fire audit: same user, same type, same exact
+    amount, within 5 seconds but with DIFFERENT event ids — the
+    client-retry duplicates that exact dedup (q_ev_dedup keys on
+    identical timestamps) deliberately does not catch.
+
+    Equi-join on (user, type, cents) with the 5 s µs band residual —
+    exact integer µs, asymmetric b>a pairing.  Same bounded-group
+    shuffle shape as q_ord_dupe_invoice; the findings left-join back
+    onto the type dimension so a clean corpus reports explicit zero
+    rows per type (an audit that can't be told from "didn't run" is
+    no audit).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.vc") == F.col("b.vc"))
+        & (F.col("b.event_id") > F.col("a.event_id"))
+        & (F.col("b.us") >= F.col("a.us"))
+        & (F.col("b.us") - F.col("a.us") <= 5_000_000),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.us") - F.col("a.us")).alias("gap_us"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_suspect_pairs"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+    types = ev.select("event_type").distinct()
+    return types.join(F.broadcast(agg), "event_type", "left").select(
+        "event_type",
+        F.coalesce(F.col("n_suspect_pairs"), F.lit(0))
+        .cast("long")
+        .alias("n_suspect_pairs"),
+        F.coalesce(F.col("min_gap_us"), F.lit(0))
+        .cast("long")
+        .alias("min_gap_us"),
+        F.coalesce(F.col("max_gap_us"), F.lit(0))
+        .cast("long")
+        .alias("max_gap_us"),
+    )
