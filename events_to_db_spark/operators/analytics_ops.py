@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from events_to_db_spark.plans.prefix import bucketed_running_sum
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
 
@@ -2733,4 +2734,108 @@ def q_ev_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("converted").cast("double") / F.count("*"), 6
         ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "q_ev_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, x,
+               sum(x) OVER (ORDER BY day) AS cs,
+               row_number() OVER (ORDER BY day) AS i
+        FROM d
+    ),
+    tot AS (
+        SELECT CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM d
+    ),
+    cand AS (
+        SELECT day, i, cs, s, n,
+               (cs * cs) // i + ((s - cs) * (s - cs)) // (n - i)
+                   AS score
+        FROM cum CROSS JOIN tot
+        WHERE i < n
+    )
+    SELECT CAST(day AS VARCHAR) AS split_day,
+           CAST(i AS BIGINT) AS n_left,
+           CAST(n - i AS BIGINT) AS n_right,
+           CAST(cs AS BIGINT) AS left_cents,
+           CAST(s - cs AS BIGINT) AS right_cents,
+           CAST(score AS BIGINT) AS score,
+           round(CAST(cs AS DOUBLE) / i / 100, 2) AS left_daily_mean,
+           round(CAST(s - cs AS DOUBLE) / (n - i) / 100, 2)
+               AS right_daily_mean
+    FROM cand
+    ORDER BY score DESC, day
+    LIMIT 1
+    """,
+)
+def q_ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint on daily purchase revenue: the
+    split day maximizing the between-segment SSE reduction — for a
+    single split, argmax of S_L²/n_L + S_R²/n_R, the first recursion
+    of the classic changepoint detector.
+
+    The score is the same fixed-point floor-division trick as
+    q_ml_stump (here the numerators are exact cent sums squared, ≤
+    (3e8)² ≈ 9e16 at sf0.1 — BIGINT-safe; DECIMAL switch noted past
+    ~1e10 daily cents), tie-broken by the earlier day, so the argmax
+    hash-matches.  The daily series is calendar-bounded; the candidate
+    scan is |days| rows and the pick is a TakeOrdered top-1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+    )
+    cum = bucketed_running_sum(
+        d,
+        F.expr("cast(unix_date(day) as long) div 7"),
+        [F.col("day")],
+        {"cs": F.col("x"), "i": F.lit(1)},
+    )
+    tot = d.agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("i") < F.col("n"))
+        .withColumn(
+            "score",
+            F.expr(
+                "(cs * cs) div i + ((s - cs) * (s - cs)) div (n - i)"
+            ),
+        )
+    )
+    return (
+        cand.select(
+            F.col("day").cast("string").alias("split_day"),
+            F.col("i").cast("long").alias("n_left"),
+            (F.col("n") - F.col("i")).cast("long").alias("n_right"),
+            F.col("cs").cast("long").alias("left_cents"),
+            (F.col("s") - F.col("cs")).cast("long").alias("right_cents"),
+            F.col("score").cast("long").alias("score"),
+            F.round(
+                F.col("cs").cast("double") / F.col("i") / 100, 2
+            ).alias("left_daily_mean"),
+            F.round(
+                (F.col("s") - F.col("cs")).cast("double")
+                / (F.col("n") - F.col("i"))
+                / 100,
+                2,
+            ).alias("right_daily_mean"),
+        )
+        .orderBy(F.desc("score"), "split_day")
+        .limit(1)
     )

@@ -816,3 +816,119 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     )
+
+
+@query(
+    "q_join_bloom_prune",
+    oracle="""
+    WITH buyers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                        || '#' || k), 1, 15)) AS BIGINT)
+                   % 65536 AS bit
+        FROM buyers CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    ),
+    clickers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    probe AS (
+        SELECT c.user_id,
+               CAST(('0x' || substr(md5(CAST(c.user_id AS VARCHAR)
+                                        || '#' || k), 1, 15)) AS BIGINT)
+                   % 65536 AS bit
+        FROM clickers c CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    ),
+    cand AS (
+        SELECT p.user_id
+        FROM probe p JOIN bits b ON p.bit = b.bit
+        GROUP BY p.user_id HAVING count(*) = 3
+    ),
+    tru AS (
+        SELECT c.user_id FROM clickers c
+        JOIN buyers b ON b.user_id = c.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM clickers) AS n_probe,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand)
+               - (SELECT CAST(count(*) AS BIGINT) FROM tru)
+               AS n_false_positive,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_set_bits
+    """,
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter join pruning: the purchase-side user set
+    is folded into a 65536-slot / 3-hash Bloom membership (the same
+    deterministic md5 family as q_sketch_bloom), clickers probe it,
+    and only the candidates that pass every hash reach the exact join
+    — the runtime-filter pattern that cuts shuffle volume when the
+    probe side is enormous and the build side selective.
+
+    The audit reports exactly what the optimizer would want to know:
+    probe size, candidates passed, true matches, and the false-
+    positive overhead the bitmap traded for its fixed size.  All
+    counts exact; membership is a (bit)-keyed join + HAVING count =
+    k, so even the filter itself is shuffle-bounded by set bits, not
+    rows.  (Spark injects this pattern implicitly as runtime row-group
+    pruning; making it explicit makes the cost model checkable.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ks = spark.range(0, 3).select(F.col("id").alias("k"))
+    buyers = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    bits = (
+        buyers.crossJoin(F.broadcast(ks))
+        .select(
+            (
+                F.expr(
+                    "cast(conv(substr(md5(cast(user_id as string)"
+                    " || '#' || k), 1, 15), 16, 10) as bigint)"
+                )
+                % 65536
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    clickers = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    probe = clickers.crossJoin(F.broadcast(ks)).select(
+        "user_id",
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id as string)"
+                " || '#' || k), 1, 15), 16, 10) as bigint)"
+            )
+            % 65536
+        ).alias("bit"),
+    )
+    cand = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("hits"))
+        .where(F.col("hits") == 3)
+    )
+    tru = clickers.join(buyers, "user_id", "left_semi")
+    return (
+        clickers.agg(F.count("*").alias("n_probe"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(tru.agg(F.count("*").alias("n_true")))
+        .crossJoin(bits.agg(F.count("*").alias("n_set_bits")))
+        .select(
+            "n_probe",
+            "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias(
+                "n_false_positive"
+            ),
+            "n_set_bits",
+        )
+    )
