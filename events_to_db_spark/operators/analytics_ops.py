@@ -2839,3 +2839,66 @@ def q_ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "split_day")
         .limit(1)
     )
+
+
+@query(
+    "q_ev_burnrate",
+    oracle="""
+    WITH w AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+               CAST(count(*) AS BIGINT) AS total,
+               CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS BIGINT) AS errors
+        FROM events
+        GROUP BY 1
+    )
+    SELECT CAST(win_us AS BIGINT) AS window_start_us,
+           total, errors,
+           round(CAST(errors AS DOUBLE) / total, 6) AS error_rate,
+           CAST(CASE WHEN 100 * errors > 2 * total THEN 1 ELSE 0 END
+                AS INT) AS burn_2x,
+           CAST(CASE WHEN 10 * errors > total THEN 1 ELSE 0 END
+                AS INT) AS burn_10x
+    FROM w
+    """,
+)
+def q_ev_burnrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate monitor: hourly error budget consumption against
+    a 1% error-budget SLO, with the standard two alert tiers —
+    burn ≥ 2× budget (slow burn, ticket) and ≥ 10× (fast burn, page).
+
+    Both alert predicates are integer cross-multiplications
+    (100·errors > 2·total ⟺ rate > 2%, 10·errors > total ⟺ rate >
+    10%), so the flags hash-match without any rate float; the window
+    key is exact integer µs flooring.  One keyed aggregate over the
+    hour bucket — the monitor table is |hours| rows however large the
+    event stream, which is why this exact query runs on the ops
+    dashboard's hot path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.expr(
+            "(unix_micros(ts) div 3600000000) * 3600000000"
+        ).alias("win_us")
+    ).agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("errors"),
+    )
+    return w.select(
+        F.col("win_us").cast("long").alias("window_start_us"),
+        "total",
+        "errors",
+        F.round(
+            F.col("errors").cast("double") / F.col("total"), 6
+        ).alias("error_rate"),
+        F.when(100 * F.col("errors") > 2 * F.col("total"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("burn_2x"),
+        F.when(10 * F.col("errors") > F.col("total"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("burn_10x"),
+    )

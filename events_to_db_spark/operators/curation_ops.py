@@ -1740,3 +1740,123 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             varnum.cast("double") / (F.col("n_docs") * F.col("s")), 6
         ).alias("dispersion_index"),
     )
+
+
+@query(
+    "q_mm_vad",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(200 + (doc_id % 4) * 40 AS INT) AS n
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id, unnest(generate_series(0, n - 1)) AS i
+        FROM base
+    ),
+    f AS (
+        SELECT doc_id, i // 40 AS frame,
+               sum(abs((doc_id * 31 + i * 7) % 2003 - 1001)) AS energy
+        FROM samp GROUP BY doc_id, i // 40
+    ),
+    act AS (
+        SELECT doc_id, frame,
+               frame - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame) AS grp
+        FROM f WHERE energy > 20000
+    ),
+    seg AS (
+        SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+        FROM act GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(max(seg_len) AS BIGINT) AS longest_run
+        FROM seg GROUP BY 1
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(count(CASE WHEN energy > 20000 THEN 1 END) AS BIGINT)
+                   AS n_active,
+               CAST(min(CASE WHEN energy > 20000 THEN frame END) AS BIGINT)
+                   AS first_active
+        FROM f GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_frames, t.n_active,
+           CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(p.longest_run, 0) AS BIGINT) AS longest_run,
+           t.first_active
+    FROM tot t LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_mm_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection on the q_mm_audio
+    byte pipeline: frames above the energy gate are "speech", and the
+    detector reports the segment structure (count, longest run, first
+    onset) per clip — the silence-trimming pass an audio curation
+    pipeline runs before transcription.
+
+    Same byte-boundary discipline as q_mm_audio: synth → pack to
+    little-endian int16 → parse → frame → integer energies, then the
+    VAD logic runs on exact integers in NumPy while the oracle replays
+    it as gaps-and-islands SQL over the arithmetic energies — a hash
+    match proves both the byte round trip AND the segmenter.  Swap in
+    real PCM and a real energy gate and nothing else changes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def vad(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + (doc_id % 4) * 40
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((doc_id * 31 + i * 7) % 2003 - 1001).astype("<i2")
+                buf = pcm.tobytes()
+                got = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                energy = np.abs(got.reshape(-1, 40)).sum(axis=1)
+                active = energy > 20000
+                idx = np.flatnonzero(active)
+                if idx.size:
+                    breaks = np.flatnonzero(np.diff(idx) > 1)
+                    seg_lens = np.diff(
+                        np.concatenate(([0], breaks + 1, [idx.size]))
+                    )
+                    n_seg = int(seg_lens.size)
+                    longest = int(seg_lens.max())
+                    first = int(idx[0])
+                else:
+                    n_seg, longest, first = 0, 0, None
+                out.append(
+                    (
+                        doc_id,
+                        int(energy.size),
+                        int(active.sum()),
+                        n_seg,
+                        longest,
+                        first,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_active",
+                    "n_segments",
+                    "longest_run",
+                    "first_active",
+                ],
+            )
+
+    return d.mapInPandas(
+        vad,
+        "doc_id long, n_frames long, n_active long,"
+        " n_segments long, longest_run long, first_active long",
+    )
