@@ -2127,3 +2127,86 @@ def q_ev_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_days",
         "billed_cents",
     )
+
+
+@query(
+    "q_ev_forecast_holt",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT x, row_number() OVER (ORDER BY day) AS rn FROM d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    rec AS (
+        SELECT rn, x, x AS l, CAST(0 AS BIGINT) AS b
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.x,
+               CAST(floor((s.x + r.l + r.b) / 2.0) AS BIGINT),
+               CAST(floor((r.b + CAST(floor((s.x + r.l + r.b) / 2.0)
+                                      AS BIGINT) - r.l) / 2.0) AS BIGINT)
+        FROM rec r JOIN s ON s.rn = r.rn + 1
+    )
+    SELECT nn.n AS n_days,
+           CAST(r.l AS BIGINT) AS level_cents,
+           CAST(r.b AS BIGINT) AS trend_cents,
+           CAST(r.l + 7 * r.b AS BIGINT) AS forecast_7d_cents,
+           round((r.l + 7 * r.b) / 100e0, 2) AS forecast_7d
+    FROM rec r CROSS JOIN nn WHERE r.rn = nn.n
+    """,
+)
+def q_ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) forecast of daily purchase
+    revenue, α = β = ½, as an exact integer fold: level and trend
+    update by halving with an explicit FLOOR — and halving is the one
+    float division that is always exact in binary, so
+    ``floor((a+b+c)/2.0)`` is bit-identical in both engines with no
+    truncate-vs-floor divergence even on negative trends.
+
+    Order-dependent recursion, so the Spark side is the documented
+    custom-operator tier (b): an ``applyInPandas`` fold over the
+    day-ordered series (bounded at |days| rows per series — partition
+    by series key when forecasting millions of series), while the
+    oracle replays the identical recurrence as a recursive CTE.
+    Output: final level/trend and the 7-day-ahead linear forecast.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+        .withColumn("series", F.lit(1))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            l2 = (x + l + b) // 2  # python // floors — matches FLOOR(…/2.0)
+            b = (b + l2 - l) // 2
+            l = l2
+        return pd.DataFrame(
+            {
+                "n_days": [len(xs)],
+                "level_cents": [l],
+                "trend_cents": [b],
+                "forecast_7d_cents": [l + 7 * b],
+                "forecast_7d": [round((l + 7 * b) / 100.0, 2)],
+            }
+        )
+
+    return d.groupBy("series").applyInPandas(
+        holt,
+        schema="n_days long, level_cents long, trend_cents long,"
+        " forecast_7d_cents long, forecast_7d double",
+    )
