@@ -1269,3 +1269,82 @@ def q_ev_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.crossJoin(F.broadcast(total_users)).select(
         "n_users_80pct", "total_users", "reached_share"
     )
+
+
+@query(
+    "q_ev_eventually_follows",
+    oracle="""
+    WITH pos AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS r
+        FROM events
+    ),
+    per AS (
+        SELECT user_id, event_type,
+               CAST(min(r) AS BIGINT) AS min_r,
+               CAST(max(r) AS BIGINT) AS max_r
+        FROM pos GROUP BY 1, 2
+    ),
+    ef AS (
+        SELECT a.event_type AS src, b.event_type AS dst,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM per a JOIN per b
+          ON a.user_id = b.user_id AND a.min_r < b.max_r
+         AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    ),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS total FROM events)
+    SELECT src, dst, n_users,
+           round(CAST(n_users AS DOUBLE) / total, 6) AS support
+    FROM ef CROSS JOIN nu
+    """,
+)
+def q_ev_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining eventually-follows relation: for every ordered
+    type pair (a, b), how many users ever do *a* strictly before some
+    later *b* — the EF-graph that process-discovery algorithms (alpha
+    miner, heuristics miner) start from, and the non-adjacent
+    complement of q_ev_transitions' directly-follows edges.
+
+    Event order is the unique (ts, event_id) sequence position, so
+    "eventually before" is an exact integer comparison of each type's
+    first position against the other's last — no timestamp-tie
+    ambiguity.  Plan: one position window per user, a per-(user,type)
+    min/max aggregate (≤ |types| rows per user), then a user-keyed
+    self-join of that tiny per-user table — the quadratic term is
+    |types|², never events².
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("r")
+    )
+    per = pos.groupBy("user_id", "event_type").agg(
+        F.min("r").cast("long").alias("min_r"),
+        F.max("r").cast("long").alias("max_r"),
+    )
+    a = per.alias("a")
+    b = per.alias("b")
+    ef = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.min_r") < F.col("b.max_r"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("src"),
+            F.col("b.event_type").alias("dst"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+    nu = ev.agg(F.countDistinct("user_id").cast("long").alias("total"))
+    return ef.crossJoin(F.broadcast(nu)).select(
+        "src",
+        "dst",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("total"), 6
+        ).alias("support"),
+    )

@@ -1587,3 +1587,170 @@ def q_stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bf_stat"),
     )
+
+
+@query(
+    "q_stat_permtest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS b,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM u
+    ),
+    perms AS (
+        SELECT k,
+               CAST(sum(CASE WHEN bit = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS ak,
+               CAST(sum(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1k,
+               CAST(sum(CASE WHEN bit = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS bk,
+               CAST(sum(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2k
+        FROM (
+            SELECT u.y, k.k,
+                   CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                                            || ':' || k.k), 1, 15))
+                        AS BIGINT) & 1 AS bit
+            FROM u CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) k
+        )
+        GROUP BY k
+    ),
+    cmp AS (
+        SELECT p.k,
+               CASE WHEN abs(p.ak * p.n2k - p.bk * p.n1k) * o.n1 * o.n2
+                         >= abs(o.a * o.n2 - o.b * o.n1) * p.n1k * p.n2k
+                    THEN 1 ELSE 0 END AS extreme
+        FROM perms p CROSS JOIN obs o
+    )
+    SELECT o.a, o.n1, o.b, o.n2,
+           round(CAST(o.a AS DOUBLE) / o.n1
+                 - CAST(o.b AS DOUBLE) / o.n2, 6) AS observed_diff,
+           CAST(sum(c.extreme) AS BIGINT) AS n_extreme,
+           CAST(count(*) AS BIGINT) AS n_perms,
+           round(CAST(sum(c.extreme) AS DOUBLE) / count(*), 6) AS p_value
+    FROM cmp c CROSS JOIN obs o
+    GROUP BY o.a, o.n1, o.b, o.n2
+    """,
+)
+def q_stat_permtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test on the purchase-conversion difference between
+    the two user-id-parity arms, with 32 DETERMINISTIC pseudo-
+    permutations: permutation k reassigns each user by bit 0 of
+    md5(user:k) — the Monte-Carlo method made exactly reproducible,
+    the same trick as the repo's hash samplers.
+
+    The "is this permutation at least as extreme" comparison never
+    forms a rate: |a_k·n2k − b_k·n1k|·n1·n2 ≥ |a·n2 − b·n1|·n1k·n2k
+    cross-multiplies both fractions into exact BIGINTs (≤ ~5e15 at
+    sf0.1), so the p-value is an exact rational count/32.  One
+    per-user aggregate, a 32-row spine fan-out, two tiny aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y")
+    ).cache()
+    obs = u.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    ks = spark.range(0, 32).select(F.col("id").alias("k"))
+    perms = (
+        u.crossJoin(F.broadcast(ks))
+        .select(
+            "y",
+            "k",
+            (
+                F.expr(
+                    "cast(conv(substr(md5(cast(user_id as string)"
+                    " || ':' || k), 1, 15), 16, 10) as bigint)"
+                )
+                % 2
+            ).alias("bit"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("bit") == 1, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("ak"),
+            F.sum(F.when(F.col("bit") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1k"),
+            F.sum(F.when(F.col("bit") == 0, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("bk"),
+            F.sum(F.when(F.col("bit") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n2k"),
+        )
+    )
+    cmp = perms.crossJoin(F.broadcast(obs)).select(
+        "a",
+        "n1",
+        "b",
+        "n2",
+        F.when(
+            F.abs(
+                F.col("ak") * F.col("n2k") - F.col("bk") * F.col("n1k")
+            )
+            * F.col("n1")
+            * F.col("n2")
+            >= F.abs(
+                F.col("a") * F.col("n2") - F.col("b") * F.col("n1")
+            )
+            * F.col("n1k")
+            * F.col("n2k"),
+            1,
+        )
+        .otherwise(0)
+        .alias("extreme"),
+    )
+    return cmp.groupBy("a", "n1", "b", "n2").agg(
+        F.round(
+            F.col("a").cast("double") / F.col("n1")
+            - F.col("b").cast("double") / F.col("n2"),
+            6,
+        ).alias("observed_diff"),
+        F.sum("extreme").cast("long").alias("n_extreme"),
+        F.count("*").alias("n_perms"),
+        F.round(
+            F.sum("extreme").cast("double") / F.count("*"), 6
+        ).alias("p_value"),
+    ).select(
+        "a",
+        "n1",
+        "b",
+        "n2",
+        "observed_diff",
+        "n_extreme",
+        "n_perms",
+        "p_value",
+    )
