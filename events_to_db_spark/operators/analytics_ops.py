@@ -2902,3 +2902,65 @@ def q_ev_burnrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("burn_10x"),
     )
+
+
+@query(
+    "q_ev_srm",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS arm FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0
+        FROM u
+    )
+    SELECT n1, n0,
+           CAST((n1 - n0) * (n1 - n0) AS BIGINT) AS chisq_num,
+           CAST(n1 + n0 AS BIGINT) AS chisq_den,
+           round(CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / (n1 + n0), 6)
+               AS chisq,
+           CAST(CASE WHEN CAST((n1 - n0) * (n1 - n0) AS DOUBLE)
+                          / (n1 + n0) > 3.841 THEN 1 ELSE 0 END AS INT)
+               AS srm_flag
+    FROM c
+    """,
+)
+def q_ev_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: the 1-df chi-square of the two
+    experiment arms against the designed 50/50 split — the first check
+    any experimentation platform runs before trusting a readout
+    (q_ev_abtest, q_ev_cuped), because a broken randomizer invalidates
+    everything downstream.
+
+    For equal expected counts the statistic collapses to (n1−n0)²/N —
+    carried as an exact integer numerator/denominator pair so the flag
+    (χ² > 3.841, the 5% critical value) hash-matches.  One per-user
+    distinct + one 2-cell aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    num = (F.col("n1") - F.col("n0")) * (F.col("n1") - F.col("n0"))
+    chisq = num.cast("double") / (F.col("n1") + F.col("n0"))
+    return c.select(
+        "n1",
+        "n0",
+        num.cast("long").alias("chisq_num"),
+        (F.col("n1") + F.col("n0")).cast("long").alias("chisq_den"),
+        F.round(chisq, 6).alias("chisq"),
+        F.when(chisq > 3.841, 1).otherwise(0).cast("int").alias(
+            "srm_flag"
+        ),
+    )

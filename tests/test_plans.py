@@ -268,3 +268,45 @@ def test_linreg_is_single_moment_aggregate(spark):
     )
     # 4-column projection out of the 16-column table
     assert "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_kmeans_assign_broadcasts_centroid_cells(spark):
+    """The E-step must broadcast the k·dim centroid cells onto the
+    exploded vectors — a shuffled join here would move every vector
+    cell twice."""
+    df = _q(spark, "q_ml_kmeans_assign")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_pca_power_iterations_broadcast_v(spark):
+    """Each mat-vec must broadcast the 64-row v, never shuffle the
+    cells against it; no iteration may degenerate to a cartesian."""
+    df = _q(spark, "q_ml_pca_power")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_stump_and_roc_use_two_level_scan(spark):
+    """The threshold scans must run on the bucketed two-level prefix
+    sum — an unpartitioned global window here is the scale bug the
+    allowlist test guards against repo-wide."""
+    for name in ("q_ml_stump", "q_ml_roc", "q_ev_changepoint"):
+        plan = (
+            _q(spark, name)._jdf.queryExecution().executedPlan().toString()
+        )
+        # the two-level scan's within-bucket window partitions by _pb
+        assert "_pb" in plan, name
+
+
+def test_bloom_prune_joins_on_bits_not_rows(spark):
+    df = _q(spark, "q_join_bloom_prune")
+    assert_no_cartesian(df)
+
+
+def test_matryoshka_blocked_path_no_cartesian(spark, monkeypatch):
+    """Above the broadcast gate the exploded-cells fallback engages;
+    its d-keyed self-join must stay an equi-join."""
+    monkeypatch.setenv("SPARK_GRAFT_SIM_BROADCAST_MAX", "1")
+    df = _q(spark, "q_embed_matryoshka")
+    assert_no_cartesian(df)
