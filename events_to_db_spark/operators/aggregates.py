@@ -989,3 +989,53 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("vc") / 100.0, 2).alias("median_price"),
         )
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(2 * grouping(l_returnflag) + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPING()/GROUPING_ID() disambiguation surface on a ROLLUP:
+    a NULL group key can mean "subtotal row" OR "the key really was
+    NULL" — the grouping flags are the only reliable way to tell, and
+    every BI tool consuming rollups depends on them.
+
+    Spark's grouping_id() numbers bits in the opposite column order
+    from the per-column composition, so both engines emit the
+    composed ``2·g(rf) + g(ls)`` form — a surface-semantics detail
+    worth pinning.  Exact counts/sums; one rollup aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(round(l_quantity) as bigint)")).alias(
+                "total_qty"
+            ),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            (2 * F.col("g_rf") + F.col("g_ls")).cast("long").alias("gid"),
+            "n",
+            "total_qty",
+        )
+    )

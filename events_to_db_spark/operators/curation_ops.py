@@ -1860,3 +1860,52 @@ def q_mm_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, n_active long,"
         " n_segments long, longest_run long, first_active long",
     )
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+    WITH tf AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_rate
+    FROM tf
+    GROUP BY source
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the fraction of vocabulary
+    types occurring exactly once — the lexical-richness signal that
+    complements Heaps (growth) and Zipf (shape); a near-zero hapax
+    rate on a large corpus is the signature of templated/spun text.
+
+    (On this 31-word synthetic vocabulary the rate is ~0 by
+    construction — the degenerate reading is itself the quality
+    finding.)  Exact counts; explode + two keyed aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.expr("split(text, ' ')")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
+        F.round(
+            F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_rate"),
+    )

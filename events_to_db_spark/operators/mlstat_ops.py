@@ -1172,3 +1172,101 @@ def q_ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_distinct_words"),
         F.when(F.count("*") > 1, 1).otherwise(0).alias("has_collision"),
     )
+
+
+@query(
+    "q_ml_best_f1",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    b AS (
+        SELECT vc // 2000 AS bk,
+               CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT bk,
+               sum(ct) OVER (ORDER BY bk) AS cum_n,
+               sum(pos) OVER (ORDER BY bk) AS cum_p
+        FROM b
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM b
+    ),
+    f AS (
+        SELECT (bk + 1) * 2000 AS thr,
+               p - cum_p AS tp,
+               (n - p) - (cum_n - cum_p) AS fp,
+               cum_p AS fn_,
+               (2 * (p - cum_p) * {10**6})
+                   // (2 * (p - cum_p)
+                       + ((n - p) - (cum_n - cum_p)) + cum_p)
+                   AS f1_scaled
+        FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(thr AS BIGINT) AS thr_cents,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn_ AS BIGINT) AS fn,
+           CAST(f1_scaled AS BIGINT) AS f1_scaled,
+           round(2e0 * tp / (2 * tp + fp + fn_), 6) AS f1
+    FROM f
+    ORDER BY f1_scaled DESC, thr
+    LIMIT 1
+    """,
+)
+def q_ml_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold tuning: the $20-grid threshold maximizing F1
+    for "classify purchase by value ≥ t" — the step after q_ml_roc
+    draws the curve.
+
+    F1 = 2TP/(2TP+FP+FN) is compared across thresholds via the 1e6
+    fixed-point floor score (denominator ≥ 2TP ≥ 0; the degenerate
+    all-negative threshold scores 0, never a division crash since
+    2TP+FP+FN ≥ P > 0), tie-broken by the smaller threshold.  Same
+    two-level scan machinery as the stump — shuffle-bounded by the
+    threshold grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy(F.expr("vc div 2000").alias("bk")).agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        b,
+        F.col("bk"),
+        [F.col("bk")],
+        {"cum_n": F.col("ct"), "cum_p": F.col("pos")},
+    )
+    tot = b.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    tp = F.col("p") - F.col("cum_p")
+    fp = (F.col("n") - F.col("p")) - (F.col("cum_n") - F.col("cum_p"))
+    fn = F.col("cum_p")
+    f = j.select(
+        ((F.col("bk") + 1) * 2000).cast("long").alias("thr_cents"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.expr(
+            f"(2 * (p - cum_p) * {10**6})"
+            " div (2 * (p - cum_p)"
+            " + ((n - p) - (cum_n - cum_p)) + cum_p)"
+        )
+        .cast("long")
+        .alias("f1_scaled"),
+        F.round(
+            2.0 * tp.cast("double") / (2 * tp + fp + fn), 6
+        ).alias("f1"),
+    )
+    return f.orderBy(F.desc("f1_scaled"), "thr_cents").limit(1)
