@@ -1270,3 +1270,160 @@ def q_ml_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f1"),
     )
     return f.orderBy(F.desc("f1_scaled"), "thr_cents").limit(1)
+
+
+_LC_FRACS = (25, 50, 75)
+
+
+def _lc_oracle() -> str:
+    """One stump-fit CTE block per training fraction, evaluated on the
+    common held-out hash slice [75, 100) — mechanical unroll, same
+    fixed-point score as q_ml_stump."""
+    blocks = []
+    for f in _LC_FRACS:
+        blocks.append(f"""
+    tr{f} AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s WHERE hb < {f} GROUP BY 1
+    ),
+    cum{f} AS (
+        SELECT vc, sum(ct) OVER (ORDER BY vc) AS nl,
+               sum(pos) OVER (ORDER BY vc) AS pl
+        FROM tr{f}
+    ),
+    tot{f} AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM tr{f}
+    ),
+    best{f} AS (
+        SELECT vc AS thr, n AS n_train
+        FROM cum{f} CROSS JOIN tot{f}
+        WHERE nl < n
+        ORDER BY ((pl * pl + (nl - pl) * (nl - pl)) * 1000000) // nl
+               + (((p - pl) * (p - pl)
+                   + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)))
+                  * 1000000) // (n - nl) DESC, vc
+        LIMIT 1
+    ),
+    ev{f} AS (
+        SELECT {f} AS frac, b.n_train, b.thr,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN (e.vc > b.thr) = (e.y = 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM s e CROSS JOIN best{f} b
+        WHERE e.hb >= 75
+        GROUP BY 1, 2, 3
+    )""")
+    body = ",".join(blocks)
+    union = "\n    UNION ALL ".join(f"SELECT * FROM ev{f}" for f in _LC_FRACS)
+    return f"""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS hb
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),{body}
+    SELECT CAST(frac AS BIGINT) AS train_pct,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(thr AS BIGINT) AS thr_cents,
+           n_eval, n_correct,
+           round(CAST(n_correct AS DOUBLE) / n_eval, 6) AS accuracy
+    FROM ({union})
+    """
+
+
+@query("q_ml_learning_curve", oracle=_lc_oracle())
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: the q_ml_stump fit repeated on deterministic
+    25% / 50% / 75% hash-sampled training sets, each evaluated on the
+    common held-out [75,100) hash slice — does more data move the
+    threshold and the held-out accuracy?  The sample-efficiency
+    readout every capacity-planning discussion wants.
+
+    Splits are md5-bucket (reproducible, the repo's standard sampling
+    discipline — train slices are nested by construction, as a real
+    learning curve requires); each fit is the same fixed-point Gini
+    argmax as the stump; accuracy is exact held-out counts.  The
+    three fits share one base scan; each is threshold-grid-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(event_id as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+            % 100
+        ).alias("hb"),
+    ).cache()
+    ev_hold = s.where(F.col("hb") >= 75)
+    out = None
+    for f in _LC_FRACS:
+        tr = (
+            s.where(F.col("hb") < f)
+            .groupBy("vc")
+            .agg(
+                F.count("*").alias("ct"),
+                F.sum("y").cast("long").alias("pos"),
+            )
+        )
+        cum = bucketed_running_sum(
+            tr,
+            F.expr("vc div 2000"),
+            [F.col("vc")],
+            {"nl": F.col("ct"), "pl": F.col("pos")},
+        )
+        tot = tr.agg(
+            F.sum("ct").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+        best = (
+            cum.crossJoin(F.broadcast(tot))
+            .where(F.col("nl") < F.col("n"))
+            .withColumn(
+                "score",
+                F.expr(
+                    "((pl * pl + (nl - pl) * (nl - pl)) * 1000000) div nl"
+                    " + (((p - pl) * (p - pl)"
+                    " + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)))"
+                    " * 1000000) div (n - nl)"
+                ),
+            )
+            .orderBy(F.desc("score"), "vc")
+            .limit(1)
+            .select(F.col("vc").alias("thr"), F.col("n").alias("n_train"))
+        )
+        evf = (
+            ev_hold.crossJoin(F.broadcast(best))
+            .agg(
+                F.lit(f).cast("long").alias("train_pct"),
+                F.max("n_train").cast("long").alias("n_train"),
+                F.max("thr").cast("long").alias("thr_cents"),
+                F.count("*").alias("n_eval"),
+                F.sum(
+                    F.when(
+                        (F.col("vc") > F.col("thr"))
+                        == (F.col("y") == 1),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_correct"),
+            )
+            .select(
+                "train_pct",
+                "n_train",
+                "thr_cents",
+                "n_eval",
+                "n_correct",
+                F.round(
+                    F.col("n_correct").cast("double") / F.col("n_eval"), 6
+                ).alias("accuracy"),
+            )
+        )
+        out = evf if out is None else out.unionByName(evf)
+    return out
