@@ -1405,3 +1405,64 @@ def q_ord_abcxyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("r").cast("long").alias("revenue_cents"),
     )
+
+
+@query(
+    "q_ord_vintage",
+    oracle="""
+    WITH l AS (
+        SELECT date_trunc('month', o.o_orderdate) AS vintage,
+               (year(l.l_shipdate) - year(o.o_orderdate)) * 12
+                   + (month(l.l_shipdate) - month(o.o_orderdate))
+                   AS age_months,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(vintage AS VARCHAR) AS vintage_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(ret) AS BIGINT) AS n_returned,
+           round(CAST(sum(ret) AS DOUBLE) / count(*), 6) AS return_rate
+    FROM l
+    WHERE age_months >= 0
+    GROUP BY vintage, age_months
+    """,
+)
+def q_ord_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage (development-triangle) analysis: for each order-month
+    cohort, the return rate of its lines by shipping-age month — the
+    loss-triangle shape credit, insurance, and returns forecasting all
+    read (a vintage whose curve runs above its elders is the early
+    warning).
+
+    Age is exact integer month arithmetic (year·12+month deltas — no
+    day-count ambiguity); rates are exact counts.  One fact join on
+    the order key + one (vintage, age) aggregate — triangle cells are
+    calendar-bounded regardless of fact size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.date_trunc("month", "o_orderdate").alias("vintage"),
+        (
+            (F.year("l_shipdate") - F.year("o_orderdate")) * 12
+            + (F.month("l_shipdate") - F.month("o_orderdate"))
+        ).alias("age_months"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    return (
+        l.where(F.col("age_months") >= 0)
+        .groupBy(
+            F.col("vintage").cast("date").cast("string").alias(
+                "vintage_month"
+            ),
+            F.col("age_months").cast("long").alias("age_months"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            F.round(
+                F.sum("ret").cast("double") / F.count("*"), 6
+            ).alias("return_rate"),
+        )
+    )
