@@ -2964,3 +2964,89 @@ def q_ev_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srm_flag"
         ),
     )
+
+
+@query(
+    "q_ev_layers",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               user_id % 2 AS arm1,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':L2'),
+                                    1, 15)) AS BIGINT) % 2 AS arm2
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cells AS (
+        SELECT arm1, arm2, CAST(count(*) AS BIGINT) AS o
+        FROM u GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT c.arm1, c.arm2, c.o,
+               CAST(sum(c.o) OVER (PARTITION BY c.arm1) AS BIGINT) AS r,
+               CAST(sum(c.o) OVER (PARTITION BY c.arm2) AS BIGINT) AS cc,
+               CAST(sum(c.o) OVER () AS BIGINT) AS n
+        FROM cells c
+    )
+    SELECT CAST(arm1 AS BIGINT) AS arm1, CAST(arm2 AS BIGINT) AS arm2,
+           o, r, cc, n,
+           CAST((o * n - r * cc) * (o * n - r * cc) AS BIGINT)
+               AS chisq_num,
+           round(CAST((o * n - r * cc) * (o * n - r * cc) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * r * cc), 6) AS chisq_contrib
+    FROM m
+    """,
+)
+def q_ev_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered-experimentation orthogonality audit: users sit in two
+    overlapping assignment layers (layer 1 = id parity, layer 2 = a
+    salted hash bit), and the 2×2 cell table's independence chi-square
+    contributions certify the layers don't contaminate each other —
+    the invariant an overlapping-experiments platform must hold for
+    every layer pair.
+
+    Each cell's (o·N − r·c)² numerator is an exact BIGINT (≤ (2e4·4e4)²
+    … well inside range at sf0.1); the contribution is one rounded
+    division.  The margin windows run over the 4-row cell table —
+    constant-size state no matter the user count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        (F.col("user_id") % 2).alias("arm1"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id as string) || ':L2'),"
+                " 1, 15), 16, 10) as bigint)"
+            )
+            % 2
+        ).alias("arm2"),
+    ).distinct()
+    cells = u.groupBy("arm1", "arm2").agg(F.count("*").alias("o"))
+    w1 = Window.partitionBy("arm1")
+    w2 = Window.partitionBy("arm2")
+    wn = Window.partitionBy()
+    m = cells.select(
+        "arm1",
+        "arm2",
+        "o",
+        F.sum("o").over(w1).cast("long").alias("r"),
+        F.sum("o").over(w2).cast("long").alias("cc"),
+        F.sum("o").over(wn).cast("long").alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("cc")) * (
+        F.col("o") * F.col("n") - F.col("r") * F.col("cc")
+    )
+    return m.select(
+        F.col("arm1").cast("long").alias("arm1"),
+        F.col("arm2").cast("long").alias("arm2"),
+        "o",
+        "r",
+        "cc",
+        "n",
+        num.cast("long").alias("chisq_num"),
+        F.round(
+            num.cast("double")
+            / (F.col("n").cast("double") * F.col("r") * F.col("cc")),
+            6,
+        ).alias("chisq_contrib"),
+    )
