@@ -1909,3 +1909,205 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_rate"),
     )
+
+
+@query(
+    "q_sim_cascade",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    d64 AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               CAST(sum(a.q * b.q) AS BIGINT) AS dot,
+               CAST(sum(CASE WHEN a.d <= 16 THEN a.q * b.q ELSE 0 END)
+                    AS BIGINT) AS dot16
+        FROM c a JOIN c b ON a.d = b.d AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    stage1 AS (
+        SELECT qa, qb, dot,
+               row_number() OVER (PARTITION BY qa
+                                  ORDER BY dot16 DESC, qb) AS r16
+        FROM d64
+    ),
+    cascade AS (
+        SELECT qa, qb FROM (
+            SELECT qa, qb, row_number() OVER (
+                PARTITION BY qa ORDER BY dot DESC, qb) AS rr
+            FROM stage1 WHERE r16 <= 20) WHERE rr = 1
+    ),
+    exact AS (
+        SELECT qa, qb FROM (
+            SELECT qa, qb, row_number() OVER (
+                PARTITION BY qa ORDER BY dot DESC, qb) AS rr
+            FROM d64) WHERE rr = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN cascade.qb = exact.qb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           round(CAST(sum(CASE WHEN cascade.qb = exact.qb THEN 1 ELSE 0
+                          END) AS DOUBLE) / count(*), 6) AS recall_at_1
+    FROM cascade JOIN exact USING (qa)
+    """,
+)
+def q_sim_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank cascade evaluation: stage 1 ranks by the
+    cheap 16-dim prefix dot product and keeps 20 candidates, stage 2
+    reranks those with the full 64-dim product — the production
+    two-stage retrieval shape — and the query reports recall@1
+    against single-stage exact search.
+
+    Everything is the exact int64 dot-product algebra of
+    q_embed_matryoshka (the 16-dim score is a conditional sum inside
+    the same pair aggregate, so one pass feeds both stages); both
+    stage cuts tie-break on candidate id.  The cascade's win is that
+    stage 2 touches 20 candidates instead of n — the measured recall
+    is the price, and on this uniform-random corpus it is the honest
+    (low) number LSH also shows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("d"),
+        F.expr(
+            "cast(round(cast(x as double) * 1000000) as bigint)"
+        ).alias("q"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    d64 = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("qa"), F.col("b.vec_id").alias("qb")
+        )
+        .agg(
+            F.sum(F.col("a.q") * F.col("b.q")).alias("dot"),
+            F.sum(
+                F.when(
+                    F.col("a.d") <= 16, F.col("a.q") * F.col("b.q")
+                ).otherwise(0)
+            ).alias("dot16"),
+        )
+    ).cache()
+    w16 = Window.partitionBy("qa").orderBy(F.desc("dot16"), "qb")
+    wdot = Window.partitionBy("qa").orderBy(F.desc("dot"), "qb")
+    cascade = (
+        d64.withColumn("r16", F.row_number().over(w16))
+        .where(F.col("r16") <= 20)
+        .withColumn("rr", F.row_number().over(wdot))
+        .where(F.col("rr") == 1)
+        .select("qa", F.col("qb").alias("nn_cascade"))
+    )
+    exact = (
+        d64.withColumn("rr", F.row_number().over(wdot))
+        .where(F.col("rr") == 1)
+        .select("qa", F.col("qb").alias("nn_exact"))
+    )
+    j = cascade.join(exact, "qa")
+    return j.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("nn_cascade") == F.col("nn_exact"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_match"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("nn_cascade") == F.col("nn_exact"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("recall_at_1"),
+    )
+
+
+@query(
+    "q_text_mattr",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, n,
+               unnest(generate_series(
+                   1, CASE WHEN n >= 20 THEN n - 19 ELSE 1 END)) AS s,
+               toks
+        FROM d
+    ),
+    per AS (
+        SELECT doc_id, n,
+               CAST(len(list_distinct(
+                   list_slice(toks, s, least(s + 19, n)))) AS BIGINT)
+                   AS dct
+        FROM wins
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(dct) AS BIGINT) AS sum_distinct,
+           round(CAST(sum(dct) AS DOUBLE)
+                 / (count(*) * least(max(n), 20)), 6) AS mattr
+    FROM per
+    GROUP BY doc_id
+    """,
+)
+def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio, window 20: the
+    length-independent lexical-diversity measure (plain TTR falls
+    with doc length, which is why Heaps' K and MATTR replaced it).
+
+    Every 20-token window's distinct-type count is an exact integer
+    (array_distinct size on the slice; shorter docs get one clipped
+    window and a matching clipped denominator), so only the final
+    ratio is a rounded float.  One generator explode (≤ n−19 windows
+    per doc) + one keyed aggregate — embarrassingly doc-parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("toks"),
+        F.expr("size(split(text, ' '))").alias("n"),
+    )
+    wins = d.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.expr(
+                "if(n >= 20, sequence(1, n - 19), array(1))"
+            )
+        ).alias("s"),
+    )
+    per = wins.select(
+        "doc_id",
+        "n",
+        F.expr(
+            "cast(size(array_distinct("
+            " slice(toks, s, least(20, n - s + 1)))) as bigint)"
+        ).alias("dct"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_windows"),
+        F.sum("dct").cast("long").alias("sum_distinct"),
+        F.round(
+            F.sum("dct").cast("double")
+            / (F.count("*") * F.least(F.max("n"), F.lit(20))),
+            6,
+        ).alias("mattr"),
+    )
