@@ -1969,8 +1969,73 @@ def q_sim_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage 2 touches 20 candidates instead of n — the measured recall
     is the price, and on this uniform-random corpus it is the honest
     (low) number LSH also shows.
+
+    Below the sim-family broadcast gate the whole cascade is one int64
+    NumPy matmul per Arrow batch (both stage scores from the same
+    quantized matrix — measured 117 s → ~4 s at sf0.1); above it, the
+    exact exploded-cells join path engages, same shape as the oracle.
     """
+    import numpy as np
+    import pandas as pd
+
+    from events_to_db_spark.operators.llm_ops import _sim_broadcast_max
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = emb.count()
+    if n_rows <= _sim_broadcast_max():
+        rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.rint(
+            np.array([r["embedding"] for r in rows], dtype=np.float64)
+            * 1_000_000
+        ).astype(np.int64)
+        bc = spark.sparkContext.broadcast((ids, mat))
+
+        def cascade_top1(batches):
+            ref_ids, ref = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q = np.rint(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    * 1_000_000
+                ).astype(np.int64)
+                d64m = q @ ref.T
+                d16m = q[:, :16] @ ref[:, :16].T
+                out_c, out_e = [], []
+                for i, vid in enumerate(pdf["vec_id"].to_numpy()):
+                    mask = ref_ids == vid
+                    n64 = -d64m[i]
+                    n16 = -d16m[i]
+                    n64[mask] = np.iinfo(np.int64).max
+                    n16[mask] = np.iinfo(np.int64).max
+                    top20 = np.lexsort((ref_ids, n16))[:20]
+                    best = top20[
+                        np.lexsort((ref_ids[top20], n64[top20]))[0]
+                    ]
+                    out_c.append(ref_ids[best])
+                    out_e.append(ref_ids[np.lexsort((ref_ids, n64))[0]])
+                yield pd.DataFrame(
+                    {
+                        "qa": pdf["vec_id"].to_numpy(),
+                        "nn_cascade": np.array(out_c, dtype=np.int64),
+                        "nn_exact": np.array(out_e, dtype=np.int64),
+                    }
+                )
+
+        j = emb.select("vec_id", "embedding").mapInPandas(
+            cascade_top1, "qa long, nn_cascade long, nn_exact long"
+        )
+        match = F.when(
+            F.col("nn_cascade") == F.col("nn_exact"), 1
+        ).otherwise(0)
+        return j.agg(
+            F.count("*").alias("n"),
+            F.sum(match).cast("long").alias("n_match"),
+            F.round(
+                F.sum(match).cast("double") / F.count("*"), 6
+            ).alias("recall_at_1"),
+        )
     cells = emb.select(
         "vec_id", F.posexplode("embedding").alias("p", "x")
     ).select(
