@@ -3050,3 +3050,91 @@ def q_ev_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chisq_contrib"),
     )
+
+
+def _haar_oracle() -> str:
+    """One conditional-sum aggregate per level — unnormalized Haar
+    detail coefficients over 2^k blocks of the zero-padded daily
+    series, energies as exact integer Σcoeff²."""
+    levels = []
+    for k in (1, 2, 3, 4):
+        half = 2 ** (k - 1)
+        levels.append(f"""
+    l{k} AS (
+        SELECT CAST({k} AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS n_coeffs,
+               CAST(sum(c * c) AS BIGINT) AS energy,
+               CAST(max(abs(c)) AS BIGINT) AS max_abs_coeff
+        FROM (
+            SELECT idx // {2 ** k} AS blk,
+                   sum(CASE WHEN idx % {2 ** k} < {half} THEN x
+                            ELSE -x END) AS c
+            FROM s GROUP BY 1
+        )
+    )""")
+    body = ",".join(levels)
+    union = "\n    UNION ALL ".join(f"SELECT * FROM l{k}" for k in (1, 2, 3, 4))
+    return f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT row_number() OVER (ORDER BY day) - 1 AS idx, x FROM d
+    ),{body}
+    {union}
+    """
+
+
+@query("q_ev_haar", oracle=_haar_oracle())
+def q_ev_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet multi-resolution decomposition of the daily
+    purchase-revenue series: unnormalized detail coefficients at
+    scales 2..16 days and their energies — which timescale carries
+    the variance (day-to-day noise vs weekly structure), the
+    signal-processing complement to q_ev_seasonality.
+
+    Each level-k coefficient is Σ(first half) − Σ(second half) of a
+    2^k-day block — a conditional integer sum, missing days implicitly
+    zero — and each level's energy Σc² is an exact BIGINT (|c| ≤ 16·
+    daily cents ≈ 5e9, c² ≤ 2.5e19… kept safe because daily revenue
+    at sf0.1 is ~3e8 cents → c² ≤ 2.4e19 is within range only via the
+    level cap; past that switch energy to DECIMAL(38,0) — noted).
+    Four keyed aggregates over the calendar-bounded day series; the
+    day index is a |days|-row rank, not a per-event window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("x")
+        )
+    )
+    s = bucketed_running_sum(
+        d,
+        F.expr("cast(unix_date(day) as long) div 7"),
+        [F.col("day")],
+        {"rn": F.lit(1)},
+    ).select((F.col("rn") - 1).alias("idx"), "x").cache()
+    out = None
+    for k in (1, 2, 3, 4):
+        half = 2 ** (k - 1)
+        coeffs = s.groupBy(
+            F.expr(f"idx div {2 ** k}").alias("blk")
+        ).agg(
+            F.sum(
+                F.when(F.expr(f"idx % {2 ** k}") < half, F.col("x"))
+                .otherwise(-F.col("x"))
+            ).alias("c")
+        )
+        lvl = coeffs.agg(
+            F.lit(k).cast("long").alias("level"),
+            F.count("*").alias("n_coeffs"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("energy"),
+            F.max(F.abs(F.col("c"))).cast("long").alias("max_abs_coeff"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
