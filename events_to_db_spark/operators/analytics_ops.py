@@ -3138,3 +3138,97 @@ def q_ev_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out
+
+
+@query(
+    "q_ev_ramp",
+    oracle="""
+    WITH d0 AS (
+        SELECT min(CAST(ts AS DATE)) AS day0 FROM events
+    ),
+    ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                        || ':ramp'), 1, 15)) AS BIGINT)
+                   % 100 AS hp
+        FROM events GROUP BY 1, 2, 3
+    ),
+    ex AS (
+        SELECT user_id,
+               min(CASE WHEN hp < least(
+                       10 + 10 * (date_diff('day', day0, day) // 7), 50)
+                        THEN day END) AS exposure_day
+        FROM ud CROSS JOIN d0
+        GROUP BY 1
+    ),
+    wk AS (
+        SELECT date_diff('day', d0.day0, e.exposure_day) // 7 AS week,
+               CAST(count(*) AS BIGINT) AS n_new
+        FROM ex e CROSS JOIN d0
+        WHERE e.exposure_day IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT CAST(a.week AS BIGINT) AS week,
+           a.n_new AS n_newly_exposed,
+           CAST(sum(b.n_new) AS BIGINT) AS n_cumulative
+    FROM wk a JOIN wk b ON b.week <= a.week
+    GROUP BY a.week, a.n_new
+    """,
+)
+def q_ev_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradual-rollout exposure accounting: the feature ramps from 10%
+    of users by +10 points per week (capped at 50%), gated on a salted
+    hash percentile; each user's exposure day is the first day they
+    appear while under the ramp — the enrollment curve a progressive-
+    delivery platform must report before any treatment readout.
+
+    Hash bucketing is the reproducible md5 percentile; week indexing
+    is exact whole-day DATE arithmetic; the cumulative enrollment is a
+    θ-join over the |weeks|-row aggregate (calendar-bounded, no global
+    window).  Per-user state is one min() — the scan never re-visits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
+    ud = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            (
+                F.expr(
+                    "cast(conv(substr(md5(cast(user_id as string)"
+                    " || ':ramp'), 1, 15), 16, 10) as bigint)"
+                )
+                % 100
+            ).alias("hp"),
+        )
+        .distinct()
+        .crossJoin(F.broadcast(d0))
+    )
+    ramp = F.least(
+        F.lit(10)
+        + 10 * F.expr("datediff(day, day0) div 7"),
+        F.lit(50),
+    )
+    ex = ud.groupBy("user_id").agg(
+        F.min(F.when(F.col("hp") < ramp, F.col("day"))).alias(
+            "exposure_day"
+        )
+    )
+    wk = (
+        ex.where(F.col("exposure_day").isNotNull())
+        .crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.expr("datediff(exposure_day, day0) div 7").alias("week")
+        )
+        .agg(F.count("*").alias("n_new"))
+    )
+    a = wk.alias("a")
+    b = wk.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.week") <= F.col("a.week"))
+        .groupBy(
+            F.col("a.week").cast("long").alias("week"),
+            F.col("a.n_new").alias("n_newly_exposed"),
+        )
+        .agg(F.sum(F.col("b.n_new")).cast("long").alias("n_cumulative"))
+    )

@@ -9,7 +9,7 @@ shrinks per-file bounding boxes (= file skipping on BOTH dimensions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from events_to_db_spark.plans.zorder import z_value, z_value_sql
@@ -76,4 +76,73 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bbox_area"),
         )
         .orderBy("tile")
+    )
+
+
+@query(
+    "q_layout_bitwidth",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id,
+               event_id - lag(event_id) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS delta
+        FROM events
+    ),
+    d AS (
+        SELECT user_id,
+               CASE WHEN delta = 0 THEN 1
+                    ELSE length(printf('%b', delta)) END AS bits
+        FROM s WHERE delta IS NOT NULL
+    ),
+    per AS (
+        SELECT user_id, CAST(max(bits) AS BIGINT) AS max_bits,
+               CAST(count(*) AS BIGINT) AS n_deltas
+        FROM d GROUP BY 1
+    )
+    SELECT max_bits AS block_bit_width,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n_deltas) AS BIGINT) AS n_values,
+           CAST(sum(max_bits * n_deltas) AS BIGINT) AS packed_bits,
+           CAST(sum(64 * n_deltas) AS BIGINT) AS raw_bits
+    FROM per
+    GROUP BY max_bits
+    """,
+)
+def q_layout_bitwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-bitpacking width audit: per user block, the bit width a
+    delta-encoded event_id column would need (max ⌊log₂Δ⌋+1), and per
+    width class the packed-vs-raw bit cost — the storage-planning
+    readout behind parquet's DELTA_BINARY_PACKED choice and the sort
+    order that makes it work.
+
+    Bit width uses the exact binary-length identity (`length(conv(…
+    ,2))` ≡ DuckDB `printf('%b')` — float log2 is wrong at powers of
+    two, the documented trap); deltas are per-user lag over the sorted
+    id, every aggregate exact.  One keyed window + two aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    d = s.select(
+        "user_id",
+        F.when(F.col("delta") == 0, 1)
+        .otherwise(F.expr("length(conv(delta, 10, 2))"))
+        .alias("bits"),
+    )
+    per = d.groupBy("user_id").agg(
+        F.max("bits").cast("long").alias("max_bits"),
+        F.count("*").alias("n_deltas"),
+    )
+    return per.groupBy(
+        F.col("max_bits").alias("block_bit_width")
+    ).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n_deltas").cast("long").alias("n_values"),
+        F.sum(F.col("max_bits") * F.col("n_deltas"))
+        .cast("long")
+        .alias("packed_bits"),
+        F.sum(64 * F.col("n_deltas")).cast("long").alias("raw_bits"),
     )
