@@ -3232,3 +3232,84 @@ def q_ev_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("b.n_new")).cast("long").alias("n_cumulative"))
     )
+
+
+@query(
+    "q_ev_power",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_control,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS conv_control
+        FROM u
+    )
+    SELECT n_control, n_treat, conv_control,
+           round(CAST(conv_control AS DOUBLE) / n_control, 6)
+               AS baseline_rate,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * (CAST(conv_control AS DOUBLE) / n_control)
+                        * (1 - CAST(conv_control AS DOUBLE) / n_control)
+                        / least(n_control, n_treat)), 6) AS mde_abs,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * (CAST(conv_control AS DOUBLE) / n_control)
+                        * (1 - CAST(conv_control AS DOUBLE) / n_control)
+                        / least(n_control, n_treat))
+                 / (CAST(conv_control AS DOUBLE) / n_control), 6)
+               AS mde_rel
+    FROM c
+    """,
+)
+def q_ev_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning: the minimum detectable effect of the
+    current A/B configuration — (z_{0.975}+z_{0.8})·√(2p(1−p)/n) at
+    80% power and 5% two-sided alpha, from the observed control
+    conversion rate and arm sizes.  The readout that tells you whether
+    q_ev_abtest's result CAN be significant before you wait a month.
+
+    The sufficient statistics (arm sizes, control conversions) are
+    exact integers; the z constants are the same literals in both
+    engines, and the MDE is one final double expression over those
+    identical inputs, rounded to 6.  One per-user aggregate + one
+    3-cell scalar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("conv_control"),
+    )
+    p = F.col("conv_control").cast("double") / F.col("n_control")
+    z = F.lit(1.959964) + F.lit(0.841621)
+    mde = z * F.sqrt(
+        2.0 * p * (1 - p) / F.least(F.col("n_control"), F.col("n_treat"))
+    )
+    return c.select(
+        "n_control",
+        "n_treat",
+        "conv_control",
+        F.round(p, 6).alias("baseline_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )

@@ -2176,3 +2176,70 @@ def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mattr"),
     )
+
+
+@query(
+    "q_dedup_blockaudit",
+    oracle="""
+    WITH b AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS total_pairs,
+               CAST(max(n * (n - 1) / 2) AS BIGINT) AS max_pairs,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(max(n) AS BIGINT) AS max_block
+        FROM b
+    )
+    SELECT n_blocks, n_docs, total_pairs, max_block, max_pairs,
+           round(CAST(max_pairs AS DOUBLE) / total_pairs, 6)
+               AS top_block_pair_share,
+           round(CAST(total_pairs AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2), 6)
+               AS pruning_ratio
+    FROM t
+    """,
+)
+def q_dedup_blockaudit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-skew audit for the (lang, source) dedup blocking that
+    q_dedup_near shuffles on: per-block candidate-pair costs n(n−1)/2,
+    the straggler block's share of total work, and the pruning ratio
+    against all-pairs — the cost model you check BEFORE launching a
+    quadratic-within-block job at 100 TB (a 0.9 top-block share means
+    one reducer does the corpus; re-block or salt first).
+
+    All pair counts are exact integers (n even ⟹ n(n−1)/2 exact in
+    both engines' integer division); the two ratios are display
+    floats.  One keyed count + one 5-column scalar aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    t = b.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(pairs).cast("long").alias("total_pairs"),
+        F.max("n").cast("long").alias("max_block"),
+        F.max(pairs).cast("long").alias("max_pairs"),
+    )
+    return t.select(
+        "n_blocks",
+        "n_docs",
+        "total_pairs",
+        "max_block",
+        "max_pairs",
+        F.round(
+            F.col("max_pairs").cast("double") / F.col("total_pairs"), 6
+        ).alias("top_block_pair_share"),
+        F.round(
+            F.col("total_pairs").cast("double")
+            / (
+                F.col("n_docs").cast("double")
+                * (F.col("n_docs") - 1)
+                / 2
+            ),
+            6,
+        ).alias("pruning_ratio"),
+    )
