@@ -668,3 +668,121 @@ def q_sketch_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_ratio"),
     )
+
+
+@query(
+    "q_sketch_bloom_algebra",
+    oracle="""
+    WITH pu AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cu AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    pb AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                        || '#' || k), 1, 15)) AS BIGINT)
+                   % 65536 AS bit
+        FROM pu CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    ),
+    cb AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                        || '#' || k), 1, 15)) AS BIGINT)
+                   % 65536 AS bit
+        FROM cu CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    ),
+    st AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pb) AS x1,
+               (SELECT CAST(count(*) AS BIGINT) FROM cb) AS x2,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT bit FROM pb INTERSECT SELECT bit FROM cb))
+                   AS xi,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT bit FROM pb UNION SELECT bit FROM cb)) AS xu
+    )
+    SELECT x1 AS bits_a, x2 AS bits_b, xi AS bits_and, xu AS bits_or,
+           round(-65536 / 3.0 * ln(1 - x1 / 65536.0), 2) AS est_a,
+           round(-65536 / 3.0 * ln(1 - x2 / 65536.0), 2) AS est_b,
+           round(-65536 / 3.0 * ln(1 - xu / 65536.0), 2) AS est_union,
+           round(-65536 / 3.0 * ln(1 - x1 / 65536.0)
+                 - 65536 / 3.0 * ln(1 - x2 / 65536.0)
+                 + 65536 / 3.0 * ln(1 - xu / 65536.0), 2)
+               AS est_intersection
+    FROM st
+    """,
+)
+def q_sketch_bloom_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter set algebra: the purchase-user and click-user
+    Bloom bitmaps (the q_join_bloom_prune 65536/3 family) OR/AND'd
+    together, with the swamidass–baldi cardinality estimates
+    n̂ = −(m/k)·ln(1 − X/m) for each side, the union, and — by
+    inclusion–exclusion on the estimates — the intersection.  The
+    mergeability that makes Bloom filters a *distributive* sketch:
+    bitmaps OR across partitions with no rescan.
+
+    Every bit count is an exact integer (the bitmap is a distinct-set
+    of positions, so OR = set union and AND = set intersect); the
+    estimator is one identical log expression over those integers,
+    rounded to 2.  Tiny keyed aggregates end-to-end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ks = spark.range(0, 3).select(F.col("id").alias("k"))
+
+    def bits(event_type: str) -> DataFrame:
+        users = (
+            ev.where(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+        )
+        return (
+            users.crossJoin(F.broadcast(ks))
+            .select(
+                (
+                    F.expr(
+                        "cast(conv(substr(md5(cast(user_id as string)"
+                        " || '#' || k), 1, 15), 16, 10) as bigint)"
+                    )
+                    % 65536
+                ).alias("bit")
+            )
+            .distinct()
+        )
+
+    pb = bits("purchase").cache()
+    cb = bits("click").cache()
+    x1 = pb.agg(F.count("*").cast("long").alias("bits_a"))
+    x2 = cb.agg(F.count("*").cast("long").alias("bits_b"))
+    xi = pb.join(cb, "bit", "left_semi").agg(
+        F.count("*").cast("long").alias("bits_and")
+    )
+    xu = (
+        pb.unionByName(cb)
+        .distinct()
+        .agg(F.count("*").cast("long").alias("bits_or"))
+    )
+
+    def est(col):
+        return -65536 / 3.0 * F.log(1 - col / 65536.0)
+
+    return (
+        x1.crossJoin(x2)
+        .crossJoin(xi)
+        .crossJoin(xu)
+        .select(
+            "bits_a",
+            "bits_b",
+            "bits_and",
+            "bits_or",
+            F.round(est(F.col("bits_a")), 2).alias("est_a"),
+            F.round(est(F.col("bits_b")), 2).alias("est_b"),
+            F.round(est(F.col("bits_or")), 2).alias("est_union"),
+            F.round(
+                est(F.col("bits_a"))
+                + est(F.col("bits_b"))
+                - est(F.col("bits_or")),
+                2,
+            ).alias("est_intersection"),
+        )
+    )
