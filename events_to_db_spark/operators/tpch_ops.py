@@ -32,7 +32,7 @@ shuffled join if the filtered side outgrows the broadcast threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from events_to_db_spark.plans.prefix import bucketed_running_sum
@@ -1466,3 +1466,91 @@ def q_ord_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("return_rate"),
         )
     )
+
+
+@query(
+    "q_ord_migration",
+    oracle="""
+    WITH y AS (
+        SELECT o_custkey, year(o_orderdate) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT o_custkey, yr, spend,
+               row_number() OVER (PARTITION BY yr
+                                  ORDER BY spend, o_custkey) AS rk,
+               count(*) OVER (PARTITION BY yr) AS n
+        FROM y
+    ),
+    seg AS (
+        SELECT o_custkey, yr,
+               CASE WHEN 3 * rk <= n THEN 'low'
+                    WHEN 3 * rk <= 2 * n THEN 'mid'
+                    ELSE 'high' END AS tier
+        FROM r
+    ),
+    m AS (
+        SELECT coalesce(a.tier, '<absent>') AS tier_1996,
+               coalesce(b.tier, '<absent>') AS tier_1997,
+               a.o_custkey AS ca, b.o_custkey AS cb
+        FROM (SELECT * FROM seg WHERE yr = 1996) a
+        FULL OUTER JOIN (SELECT * FROM seg WHERE yr = 1997) b
+          ON a.o_custkey = b.o_custkey
+    )
+    SELECT tier_1996, tier_1997, CAST(count(*) AS BIGINT) AS n_customers
+    FROM m
+    GROUP BY 1, 2
+    """,
+)
+def q_ord_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix: each customer's spend
+    tercile in 1996 vs 1997 (including entries and exits via the full
+    outer join) — the CRM up/down-migration table account teams plan
+    against.
+
+    Terciles are exact integer rank cutoffs (3·rk ≤ n / ≤ 2n) over the
+    unique (spend, custkey) order — no percentile float, no tie
+    ambiguity; the matrix is the full-outer join of the two year
+    segmentations with '<absent>' for churn/acquisition.  Both rank
+    windows partition by year; everything after the orders aggregate
+    is |customers|-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y = (
+        orders.where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("spend")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy("spend", "o_custkey")
+    wn = Window.partitionBy("yr")
+    seg = y.select(
+        "o_custkey",
+        "yr",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    ).select(
+        "o_custkey",
+        "yr",
+        F.when(3 * F.col("rk") <= F.col("n"), "low")
+        .when(3 * F.col("rk") <= 2 * F.col("n"), "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    a = seg.where(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("ca"), F.col("tier").alias("ta")
+    )
+    b = seg.where(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("cb"), F.col("tier").alias("tb")
+    )
+    m = a.join(b, F.col("ca") == F.col("cb"), "full_outer")
+    return m.groupBy(
+        F.coalesce(F.col("ta"), F.lit("<absent>")).alias("tier_1996"),
+        F.coalesce(F.col("tb"), F.lit("<absent>")).alias("tier_1997"),
+    ).agg(F.count("*").alias("n_customers"))
