@@ -2243,3 +2243,88 @@ def q_dedup_blockaudit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pruning_ratio"),
     )
+
+
+@query(
+    "q_mm_phash",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, r.r, c.c,
+               (d.doc_id * 7 + r.r * 13 + c.c * 17) % 251 AS p
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS r) r
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS c) c
+    ),
+    blk AS (
+        SELECT doc_id, r // 2 AS br, c // 2 AS bc,
+               CAST(sum(p) AS BIGINT) AS s
+        FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM blk GROUP BY 1
+    ),
+    bits AS (
+        SELECT b.doc_id, b.br * 8 + b.bc AS i,
+               CASE WHEN 64 * b.s > t.total THEN 1 ELSE 0 END AS bit
+        FROM blk b JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+                         ELSE 0 END) AS BIGINT) AS sig_lo,
+           CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS sig_hi,
+           CAST(sum(bit) AS BIGINT) AS popcount
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) on the image-modality byte
+    pipeline: a deterministic 16×16 grayscale per doc is packed to
+    bytes, parsed back, 2×2-mean downsampled to 8×8, and thresholded
+    against the image mean into a 64-bit signature — the near-dup
+    fingerprint image dedup pipelines bucket on before Hamming
+    verification.
+
+    The mean threshold is the exact cross-multiplication 64·block >
+    total (no division), and the signature is carried as two 32-bit
+    integer halves (bit 63 would overflow a signed BIGINT power sum).
+    Same byte-boundary discipline as q_mm_audio/q_mm_vad: swap the
+    synthesizer for a real decoder and ONLY the synth line changes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def phash(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                r = np.arange(16).reshape(-1, 1)
+                c = np.arange(16).reshape(1, -1)
+                img = ((doc_id * 7 + r * 13 + c * 17) % 251).astype(
+                    np.uint8
+                )
+                buf = img.tobytes()  # ---- the byte boundary ----
+                got = (
+                    np.frombuffer(buf, dtype=np.uint8)
+                    .reshape(16, 16)
+                    .astype(np.int64)
+                )
+                blocks = got.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                total = int(blocks.sum())
+                bits = (64 * blocks.reshape(-1) > total).astype(np.int64)
+                sig_lo = int((bits[:32] << np.arange(32)).sum())
+                sig_hi = int((bits[32:] << np.arange(32)).sum())
+                out.append((doc_id, sig_lo, sig_hi, int(bits.sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "sig_lo", "sig_hi", "popcount"]
+            )
+
+    return d.mapInPandas(
+        phash, "doc_id long, sig_lo long, sig_hi long, popcount long"
+    )
