@@ -2328,3 +2328,88 @@ def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         phash, "doc_id long, sig_lo long, sig_hi long, popcount long"
     )
+
+
+@query(
+    "q_text_quality_votes",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT t.doc_id,
+               CAST(max(d.n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(t.c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(max(t.c) AS BIGINT) AS top_count
+        FROM tf t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY 1
+    ),
+    votes AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS v_short,
+               CASE WHEN 3 * n_types < n_tokens THEN 1 ELSE 0 END
+                   AS v_lowdiv,
+               CASE WHEN 5 * top_count > n_tokens THEN 1 ELSE 0 END
+                   AS v_repeat
+        FROM sig
+    )
+    SELECT CAST(v_short + v_lowdiv + v_repeat AS BIGINT) AS n_votes,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(v_short) AS BIGINT) AS n_short,
+           CAST(sum(v_lowdiv) AS BIGINT) AS n_lowdiv,
+           CAST(sum(v_repeat) AS BIGINT) AS n_repeat
+    FROM votes
+    GROUP BY 1
+    """,
+)
+def q_text_quality_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality gating: three independent integer-exact
+    heuristics vote on every document — too short (< 100 chars), low
+    type diversity (types < tokens/3), dominant-token repetition (top
+    token > 20% of mass) — and the corpus is histogrammed by vote
+    count, the "how aggressive can the filter be" curve a curation
+    run consults before picking its cut (FineWeb-style multi-signal
+    gating, reduced to its exact-arithmetic core).
+
+    Every gate is an integer cross-multiplication, so the vote
+    histogram hash-matches; one explode + two keyed aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.expr("split(text, ' ')")).alias("w"),
+        )
+        .groupBy("doc_id", "n_chars", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    sig = tf.groupBy("doc_id").agg(
+        F.max("n_chars").cast("long").alias("n_chars"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    votes = sig.select(
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("v_short"),
+        F.when(3 * F.col("n_types") < F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("v_lowdiv"),
+        F.when(5 * F.col("top_count") > F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("v_repeat"),
+    )
+    return votes.groupBy(
+        (F.col("v_short") + F.col("v_lowdiv") + F.col("v_repeat"))
+        .cast("long")
+        .alias("n_votes")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("v_short").cast("long").alias("n_short"),
+        F.sum("v_lowdiv").cast("long").alias("n_lowdiv"),
+        F.sum("v_repeat").cast("long").alias("n_repeat"),
+    )
