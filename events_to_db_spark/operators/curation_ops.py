@@ -2413,3 +2413,115 @@ def q_text_quality_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_lowdiv").cast("long").alias("n_lowdiv"),
         F.sum("v_repeat").cast("long").alias("n_repeat"),
     )
+
+
+@query(
+    "q_text_source_overlap",
+    oracle="""
+    WITH tri AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(
+                   array_to_string(list_slice(toks, s, s + 2), ' ')),
+                   1, 15)) AS BIGINT) AS h
+        FROM (
+            SELECT source, string_split(text, ' ') AS toks,
+                   unnest(generate_series(
+                       1, greatest(len(string_split(text, ' ')) - 2, 1)))
+                       AS s
+            FROM documents
+        )
+        WHERE s + 2 <= len(toks)
+    ),
+    sz AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM tri a JOIN tri b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+           round(CAST(i.inter AS DOUBLE)
+                 / (sa.n + sb.n - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    """,
+)
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relatedness matrix: trigram-set Jaccard between every
+    source pair — the contamination/provenance map you build before
+    mixing corpora (two "independent" sources with Jaccard near 1 are
+    one crawl wearing two names; on this shared-vocabulary synthetic
+    corpus every pair is near 1, which is the finding).
+
+    Trigram identity is the md5-prefix BIGINT of the joined window
+    (short docs contribute what they have; the slice guard keeps
+    sub-3-token docs from crashing — the q_text_chunk lesson); the
+    pair counts come from a hash-keyed self-join of the DISTINCT
+    per-source trigram sets, so the work is set-sized, not corpus-
+    sized, and the output is |sources|²/2 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        docs.select(
+            "source",
+            F.expr("split(text, ' ')").alias("toks"),
+        )
+        .withColumn("n", F.expr("size(toks)"))
+        .withColumn(
+            "s",
+            F.explode(
+                F.expr(
+                    "if(n >= 3, sequence(1, n - 2), array())"
+                )
+            ),
+        )
+        .select(
+            "source",
+            F.expr(
+                "cast(conv(substr(md5("
+                "concat_ws(' ', slice(toks, s, 3))), 1, 15), 16, 10)"
+                " as bigint)"
+            ).alias("h"),
+        )
+        .distinct()
+    ).cache()
+    sz = tri.groupBy("source").agg(F.count("*").alias("n"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1427,3 +1427,145 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = evf if out is None else out.unionByName(evf)
     return out
+
+
+@query(
+    "q_ml_shapley",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2,
+               sum(y::HUGEINT) AS sy,
+               sum(x1::HUGEINT * x1) AS s11,
+               sum(x1::HUGEINT * x2) AS s12,
+               sum(x2::HUGEINT * x2) AS s22,
+               sum(x1::HUGEINT * y) AS s1y,
+               sum(x2::HUGEINT * y) AS s2y
+        FROM b
+    ),
+    beta AS (
+        SELECT CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+               (CAST(n * s12 - s1 * s2 AS DOUBLE)
+                * CAST(n * s2y - s2 * sy AS DOUBLE)
+                - CAST(n * s22 - s2 * s2 AS DOUBLE)
+                * CAST(n * s1y - s1 * sy AS DOUBLE))
+               / (CAST(n * s12 - s1 * s2 AS DOUBLE)
+                  * CAST(n * s12 - s1 * s2 AS DOUBLE)
+                  - CAST(n * s11 - s1 * s1 AS DOUBLE)
+                  * CAST(n * s22 - s2 * s2 AS DOUBLE)) AS b1,
+               (CAST(n * s12 - s1 * s2 AS DOUBLE)
+                * CAST(n * s1y - s1 * sy AS DOUBLE)
+                - CAST(n * s11 - s1 * s1 AS DOUBLE)
+                * CAST(n * s2y - s2 * sy AS DOUBLE))
+               / (CAST(n * s12 - s1 * s2 AS DOUBLE)
+                  * CAST(n * s12 - s1 * s2 AS DOUBLE)
+                  - CAST(n * s11 - s1 * s1 AS DOUBLE)
+                  * CAST(n * s22 - s2 * s2 AS DOUBLE)) AS b2
+        FROM m
+    ),
+    top AS (
+        SELECT l_orderkey, l_linenumber, x1, x2, y
+        FROM b ORDER BY y DESC, l_orderkey, l_linenumber LIMIT 10
+    )
+    SELECT t.l_orderkey, CAST(t.l_linenumber AS INT) AS l_linenumber,
+           t.y AS y_cents,
+           round(be.b1 * (t.x1 - be.m1), 4) AS phi_qty,
+           round(be.b2 * (t.x2 - be.m2), 4) AS phi_disc,
+           round(be.my, 4) AS base_value,
+           round(be.my + be.b1 * (t.x1 - be.m1)
+                 + be.b2 * (t.x2 - be.m2), 4) AS yhat,
+           round(t.y - (be.my + be.b1 * (t.x1 - be.m1)
+                        + be.b2 * (t.x2 - be.m2)), 4) AS residual
+    FROM top t CROSS JOIN beta be
+    """,
+)
+def q_ml_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attribution for the closed-form linear model: for
+    a linear f, feature i's Shapley value collapses to
+    φ_i = β_i·(x_i − x̄_i), so the additive explanation
+    y ≈ base + φ_qty + φ_disc is computable with no sampling — shown
+    for the ten highest-priced lines (unique tie-break).
+
+    The nine raw moments are the same exact HUGEINT/DECIMAL(38,0)
+    sums as q_ml_linreg (here pooled, not per flag); β and every φ
+    are single double expressions over those identical integers,
+    rounded to 4.  One moment aggregate + a TakeOrdered sample + a
+    broadcast of the 1-row β — explainability at fact-table scale
+    costs one extra scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = b.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("s11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("s12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("s22"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("s2y"),
+    )
+    c12 = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast(
+        "double"
+    )
+    c11 = (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    c22 = (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    )
+    c1y = (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).cast(
+        "double"
+    )
+    c2y = (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).cast(
+        "double"
+    )
+    den = c12 * c12 - c11 * c22
+    beta = m.select(
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias(
+            "m1"
+        ),
+        (F.col("s2").cast("double") / F.col("n").cast("double")).alias(
+            "m2"
+        ),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias(
+            "my"
+        ),
+        ((c12 * c2y - c22 * c1y) / den).alias("b1"),
+        ((c12 * c1y - c11 * c2y) / den).alias("b2"),
+    )
+    top = b.orderBy(
+        F.desc("y"), "l_orderkey", "l_linenumber"
+    ).limit(10)
+    j = top.crossJoin(F.broadcast(beta))
+    phi1 = F.col("b1") * (F.col("x1") - F.col("m1"))
+    phi2 = F.col("b2") * (F.col("x2") - F.col("m2"))
+    yhat = F.col("my") + phi1 + phi2
+    return j.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.col("y").alias("y_cents"),
+        F.round(phi1, 4).alias("phi_qty"),
+        F.round(phi2, 4).alias("phi_disc"),
+        F.round(F.col("my"), 4).alias("base_value"),
+        F.round(yhat, 4).alias("yhat"),
+        F.round(F.col("y") - yhat, 4).alias("residual"),
+    )
