@@ -3313,3 +3313,138 @@ def q_ev_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / p, 6).alias("mde_rel"),
     )
+
+
+@query(
+    "q_ev_driver_tree",
+    oracle="""
+    WITH b AS (
+        SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                    AS BIGINT) AS mid
+        FROM events
+    ),
+    p AS (
+        SELECT CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS period,
+               user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END
+                   AS cents
+        FROM events CROSS JOIN b
+    ),
+    agg AS (
+        SELECT period,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+               CAST(sum(is_p) AS BIGINT) AS purchases,
+               CAST(sum(cents) AS BIGINT) AS revenue
+        FROM p GROUP BY 1
+    ),
+    w AS (
+        SELECT a0.users AS u0, a0.purchases AS p0, a0.revenue AS r0,
+               a1.users AS u1, a1.purchases AS p1, a1.revenue AS r1,
+               (a1.revenue - a0.revenue)
+                   / ln(CAST(a1.revenue AS DOUBLE) / a0.revenue) AS lmean
+        FROM (SELECT * FROM agg WHERE period = 0) a0
+        CROSS JOIN (SELECT * FROM agg WHERE period = 1) a1
+    )
+    SELECT u0, p0, r0, u1, p1, r1,
+           CAST(r1 - r0 AS BIGINT) AS delta_revenue_cents,
+           round(lmean * ln(CAST(u1 AS DOUBLE) / u0), 2) AS contrib_users,
+           round(lmean * ln((CAST(p1 AS DOUBLE) / u1)
+                            / (CAST(p0 AS DOUBLE) / u0)), 2)
+               AS contrib_frequency,
+           round(lmean * ln((CAST(r1 AS DOUBLE) / p1)
+                            / (CAST(r0 AS DOUBLE) / p0)), 2)
+               AS contrib_aov
+    FROM w
+    """,
+)
+def q_ev_driver_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI driver-tree decomposition (LMDI / log-mean Divisia): the
+    revenue change between the two halves of the time range split
+    exactly into three multiplicative drivers — active users,
+    purchases per user, and average order value — the growth-
+    accounting bridge whose contributions sum to ΔR by construction
+    (log-mean weights make the decomposition residual-free).
+
+    The six sufficient statistics are exact integers from one pass
+    (the µs midpoint split is the same data-derived anchor as
+    q_ev_cuped); the log-mean and the three ln-ratio contributions
+    are single double expressions over those identical integers,
+    rounded to 2 cents.  Driver trees at 100 TB are exactly this:
+    one aggregate, constant-size algebra.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "cast((min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            " as bigint)"
+        ).alias("mid")
+    )
+    p = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.expr("unix_micros(ts)") < F.col("mid"), 0)
+        .otherwise(1)
+        .alias("period"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_p"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("cast(round(value * 100) as bigint)"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    agg = p.groupBy("period").agg(
+        F.countDistinct("user_id").cast("long").alias("users"),
+        F.sum("is_p").cast("long").alias("purchases"),
+        F.sum("cents").cast("long").alias("revenue"),
+    )
+    a0 = agg.where(F.col("period") == 0).select(
+        F.col("users").alias("u0"),
+        F.col("purchases").alias("p0"),
+        F.col("revenue").alias("r0"),
+    )
+    a1 = agg.where(F.col("period") == 1).select(
+        F.col("users").alias("u1"),
+        F.col("purchases").alias("p1"),
+        F.col("revenue").alias("r1"),
+    )
+    w = a0.crossJoin(a1).withColumn(
+        "lmean",
+        (F.col("r1") - F.col("r0"))
+        / F.log(F.col("r1").cast("double") / F.col("r0")),
+    )
+    return w.select(
+        "u0",
+        "p0",
+        "r0",
+        "u1",
+        "p1",
+        "r1",
+        (F.col("r1") - F.col("r0")).cast("long").alias(
+            "delta_revenue_cents"
+        ),
+        F.round(
+            F.col("lmean")
+            * F.log(F.col("u1").cast("double") / F.col("u0")),
+            2,
+        ).alias("contrib_users"),
+        F.round(
+            F.col("lmean")
+            * F.log(
+                (F.col("p1").cast("double") / F.col("u1"))
+                / (F.col("p0").cast("double") / F.col("u0"))
+            ),
+            2,
+        ).alias("contrib_frequency"),
+        F.round(
+            F.col("lmean")
+            * F.log(
+                (F.col("r1").cast("double") / F.col("p1"))
+                / (F.col("r0").cast("double") / F.col("p0"))
+            ),
+            2,
+        ).alias("contrib_aov"),
+    )

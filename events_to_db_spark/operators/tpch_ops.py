@@ -1554,3 +1554,80 @@ def q_ord_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ta"), F.lit("<absent>")).alias("tier_1996"),
         F.coalesce(F.col("tb"), F.lit("<absent>")).alias("tier_1997"),
     ).agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q_ord_eoq",
+    oracle="""
+    WITH d AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS annual_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem WHERE year(l_shipdate) = 1997
+        GROUP BY 1
+    )
+    SELECT l_partkey, annual_qty, rev_cents,
+           round(CAST(rev_cents AS DOUBLE) / annual_qty / 100, 4)
+               AS unit_price,
+           round(sqrt(2.0 * annual_qty * 5000
+                      / (0.2 * CAST(rev_cents AS DOUBLE) / annual_qty)),
+                 2) AS eoq_units,
+           CAST(CASE WHEN sqrt(2.0 * annual_qty * 5000
+                               / (0.2 * CAST(rev_cents AS DOUBLE)
+                                  / annual_qty)) > 0
+                     THEN ceil(annual_qty
+                               / sqrt(2.0 * annual_qty * 5000
+                                      / (0.2 * CAST(rev_cents AS DOUBLE)
+                                         / annual_qty)))
+                     ELSE 0 END AS BIGINT) AS orders_per_year
+    FROM d
+    ORDER BY annual_qty DESC, l_partkey
+    LIMIT 25
+    """,
+)
+def q_ord_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity: Wilson's √(2DS/H) for the 25 highest-
+    demand parts of 1997 (S = 5000¢ fixed order cost, H = 20% of the
+    observed unit price per year) — the replenishment-planning formula
+    purchasing runs off exactly this kind of demand aggregate.
+
+    Demand and revenue are exact integers; unit price, EOQ, and the
+    implied orders/year are single double expressions over those
+    integers (identical in both engines), rounded.  One keyed fact
+    aggregate + TakeOrdered 25 — planning output is top-k-bounded
+    however large the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        li.where(F.year("l_shipdate") == 1997)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr("cast(round(l_quantity) as bigint)")).alias(
+                "annual_qty"
+            ),
+            F.sum(
+                F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            ).alias("rev_cents"),
+        )
+    )
+    unit_price = F.col("rev_cents").cast("double") / F.col("annual_qty")
+    eoq = F.sqrt(
+        2.0 * F.col("annual_qty") * 5000 / (0.2 * unit_price)
+    )
+    return (
+        d.select(
+            "l_partkey",
+            "annual_qty",
+            "rev_cents",
+            F.round(unit_price / 100, 4).alias("unit_price"),
+            F.round(eoq, 2).alias("eoq_units"),
+            F.when(eoq > 0, F.ceil(F.col("annual_qty") / eoq))
+            .otherwise(0)
+            .cast("long")
+            .alias("orders_per_year"),
+        )
+        .orderBy(F.desc("annual_qty"), "l_partkey")
+        .limit(25)
+    )
