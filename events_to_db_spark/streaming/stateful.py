@@ -344,3 +344,94 @@ def heavy_hitter_stream(
             timeoutConf="NoTimeout",
         )
     )
+
+
+SESSION_GAP_MIN = 30
+
+SESS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """GroupState sessionizer with EVENT-TIME TIMEOUTS: a session
+    closes either because a later event arrives past the gap
+    ('gap'-closed, in-stream) or because the WATERMARK passes
+    last_ts + gap with no successor ('timeout'-closed — the state
+    store expiring idle keys, which is what bounds state on a feed
+    with churned users).  The other stateful ops here never time out;
+    this one exists to exercise that contract."""
+    import datetime as dt
+
+    gap = dt.timedelta(minutes=SESSION_GAP_MIN)
+    out = []
+    if state.hasTimedOut:
+        start_ts, last_ts, n = state.get
+        out.append((key[0], start_ts, last_ts, n, "timeout"))
+        state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "start_ts", "end_ts", "n_events", "closed_by"],
+        )
+        return
+    cur = state.get if state.exists else None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            ts = ts.to_pydatetime()
+            if cur is None:
+                cur = (ts, ts, 1)
+            elif ts - cur[1] > gap:
+                out.append((key[0], cur[0], cur[1], cur[2], "gap"))
+                cur = (ts, ts, 1)
+            else:
+                cur = (cur[0], ts, cur[2] + 1)
+    if cur is not None:
+        state.update(cur)
+        state.setTimeoutTimestamp(
+            int((cur[1] + gap).timestamp() * 1000)
+        )
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "start_ts", "end_ts", "n_events", "closed_by"],
+    )
+
+
+def session_timeout_stream(
+    events: DataFrame, watermark: str = "1 second"
+) -> DataFrame:
+    """Timeout-closing sessionizer: gap-closures emit as soon as the
+    successor event is seen; idle sessions emit when the watermark
+    expires them — so state size tracks ACTIVE users only.  The batch
+    twin is `session_window(ts, '30 minutes')`; equivalence asserted
+    in tests/test_stateful_streaming.py."""
+    ops = events.select("user_id", "ts", "event_id")
+    return (
+        ops.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESS_OUTPUT_SCHEMA,
+            stateStructType=SESS_STATE_SCHEMA,
+            outputMode="Append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -178,3 +178,69 @@ def test_heavy_hitter_stream_matches_batch_fold(spark, chunked_events, tmp_path)
         et: misra_gries_fold(users, {}) for et, users in want.items()
     }
     assert got == want
+
+
+def test_session_timeout_stream_matches_batch_sessions(
+    spark, chunked_events, tmp_path
+):
+    """Every emitted session must equal its `session_window` batch
+    twin; every NON-final session per user must be gap-closed
+    in-stream (deterministic regardless of watermark progress);
+    timeout-closures may additionally flush trailing sessions."""
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.streaming.stateful import (
+        session_timeout_stream,
+    )
+
+    feed, ev, n = chunked_events
+    acc = []
+
+    def collect(batch_df, bid):
+        acc.extend(batch_df.collect())
+
+    q = (
+        session_timeout_stream(events_file_stream(spark, feed))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_to"))
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["start_ts"]): (r["end_ts"], r["n_events"])
+        for r in batch
+    }
+    # final (latest-starting) session per user — the only ones allowed
+    # to be missing from the emitted set
+    finals = {}
+    for (uid, st), _v in want.items():
+        if uid not in finals or st > finals[uid]:
+            finals[uid] = st
+
+    got = {}
+    for r in acc:
+        k = (r["user_id"], r["start_ts"])
+        assert k in want, f"emitted session not in batch set: {k}"
+        assert want[k] == (r["end_ts"], r["n_events"]), k
+        got[k] = r["closed_by"]
+
+    for k in want:
+        uid, st = k
+        if finals[uid] != st:
+            assert k in got and got[k] == "gap", (
+                f"non-final session must be gap-closed in-stream: {k}"
+            )
