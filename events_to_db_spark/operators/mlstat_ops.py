@@ -1569,3 +1569,81 @@ def q_ml_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(yhat, 4).alias("yhat"),
         F.round(F.col("y") - yhat, 4).alias("residual"),
     )
+
+
+@query(
+    "q_ml_cost_threshold",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    b AS (
+        SELECT vc // 2000 AS bk,
+               CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT bk,
+               sum(ct) OVER (ORDER BY bk) AS cum_n,
+               sum(pos) OVER (ORDER BY bk) AS cum_p
+        FROM b
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM b
+    )
+    SELECT CAST((bk + 1) * 2000 AS BIGINT) AS thr_cents,
+           CAST((n - p) - (cum_n - cum_p) AS BIGINT) AS fp,
+           CAST(cum_p AS BIGINT) AS fn,
+           CAST(500 * ((n - p) - (cum_n - cum_p)) + 2000 * cum_p
+                AS BIGINT) AS total_cost_cents
+    FROM cum CROSS JOIN tot
+    ORDER BY total_cost_cents, thr_cents
+    LIMIT 1
+    """,
+)
+def q_ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive threshold selection: with a false positive
+    costing 500¢ (wasted outreach) and a false negative 2000¢ (missed
+    purchase), the $20-grid threshold minimizing total expected cost —
+    the business-aligned alternative to q_ml_best_f1, and unlike F1
+    the objective is ALREADY an exact integer: no fixed-point scaling
+    needed at all, the argmin compares cents directly.
+
+    Same two-level cumulative machinery as the ROC family; tie-break
+    smaller threshold; TakeOrdered top-1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy(F.expr("vc div 2000").alias("bk")).agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        b,
+        F.col("bk"),
+        [F.col("bk")],
+        {"cum_n": F.col("ct"), "cum_p": F.col("pos")},
+    )
+    tot = b.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    fp = (F.col("n") - F.col("p")) - (F.col("cum_n") - F.col("cum_p"))
+    fn = F.col("cum_p")
+    return (
+        j.select(
+            ((F.col("bk") + 1) * 2000).cast("long").alias("thr_cents"),
+            fp.cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+            (500 * fp + 2000 * fn).cast("long").alias("total_cost_cents"),
+        )
+        .orderBy("total_cost_cents", "thr_cents")
+        .limit(1)
+    )

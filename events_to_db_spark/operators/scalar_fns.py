@@ -1115,3 +1115,40 @@ def q_fn_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("all_bounded"),
     )
+
+
+@query(
+    "q_fn_mask",
+    oracle="""
+    WITH m AS (
+        SELECT regexp_replace(
+                   regexp_replace(
+                       regexp_replace(c_name, '[A-Z]', 'X', 'g'),
+                       '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked
+        FROM customer
+    )
+    SELECT masked AS mask_pattern,
+           CAST(count(*) AS BIGINT) AS n
+    FROM m
+    GROUP BY masked
+    """,
+)
+def q_fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking surface: Spark 4's built-in ``mask()`` redacts
+    upper/lower/digit classes to X/x/n; grouping customers by their
+    mask *pattern* is the governance profiling step — it reveals name
+    formats (and format outliers) while provably never materializing
+    a clear-text value in the output.
+
+    DuckDB has no mask(), so the oracle reconstructs the identical
+    class mapping with three anchored regexp_replace passes — a hash
+    match certifies Spark's builtin against the spec, which is the
+    point of the parity check.  Map-side expression + one hash agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(F.expr("mask(c_name)").alias("mask_pattern"))
+        .groupBy("mask_pattern")
+        .agg(F.count("*").alias("n"))
+    )
