@@ -3448,3 +3448,56 @@ def q_ev_driver_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("contrib_aov"),
     )
+
+
+@query(
+    "q_ev_mtbf",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id
+        FROM events WHERE event_type = 'error'
+    ),
+    g AS (
+        SELECT (us - lag(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id))
+                   // 1000000 AS gap_s
+        FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS total_between_s,
+           CAST(max(gap_s) AS BIGINT) AS max_between_s,
+           CAST(min(gap_s) AS BIGINT) AS min_between_s,
+           round(CAST(sum(gap_s) AS DOUBLE) / count(*), 4) AS mtbf_s
+    FROM g WHERE gap_s IS NOT NULL
+    """,
+)
+def q_ev_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time between failures: the per-user gaps between
+    consecutive error events, pooled — the reliability twin of
+    q_ev_mttr (together they give availability = MTBF/(MTBF+MTTR)).
+
+    Gaps are exact integer µs floor-division seconds (§7.5); one lag
+    window per user over the error slice, one global aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.expr("unix_micros(ts)").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        F.expr(
+            "(us - lag(us) over (partition by user_id"
+            " order by us, event_id)) div 1000000"
+        ).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    return g.agg(
+        F.count("*").alias("n_gaps"),
+        F.coalesce(F.sum("gap_s"), F.lit(0)).cast("long").alias(
+            "total_between_s"
+        ),
+        F.max("gap_s").cast("long").alias("max_between_s"),
+        F.min("gap_s").cast("long").alias("min_between_s"),
+        F.round(
+            F.sum("gap_s").cast("double") / F.count("*"), 4
+        ).alias("mtbf_s"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from events_to_db_spark.plans.prefix import bucketed_running_sum
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
 
@@ -360,4 +361,57 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("w"),
             F.round(F.col("score") * 1_000_000, 6).alias("score_ppm"),
         )
+    )
+
+
+@query(
+    "q_sample_systematic",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(vc) AS BIGINT) AS sum_cents,
+           CAST(min(rn) AS BIGINT) AS first_rank,
+           CAST(max(rn) AS BIGINT) AS last_rank,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM r WHERE rn % 97 = 3
+    """,
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling: rank the stream in event
+    order and keep rank ≡ 3 (mod 97) — the design-based sampling
+    scheme that guarantees even temporal coverage where Bernoulli/hash
+    sampling only achieves it in expectation (and the right choice
+    when the estimand is a time integral).
+
+    The global rank comes from the two-level bucketed prefix scan
+    (day buckets ascend with the (ts, event_id) order — no
+    single-partition window); the selection predicate and every audit
+    column are exact integers.  k = 97 (prime) avoids aliasing with
+    any daily/hourly periodicity in the stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        "ts",
+        "event_id",
+    )
+    ranked = bucketed_running_sum(
+        base,
+        F.expr("cast(unix_date(cast(ts as date)) as long)"),
+        [F.col("ts"), F.col("event_id")],
+        {"rn": F.lit(1)},
+    )
+    sampled = ranked.where(F.col("rn") % 97 == 3)
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("vc").cast("long").alias("sum_cents"),
+        F.min("rn").cast("long").alias("first_rank"),
+        F.max("rn").cast("long").alias("last_rank"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
     )

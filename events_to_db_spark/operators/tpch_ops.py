@@ -1631,3 +1631,67 @@ def q_ord_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("annual_qty"), "l_partkey")
         .limit(25)
     )
+
+
+@query(
+    "q_ord_cr4",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend
+        FROM orders GROUP BY 1
+    ),
+    top4 AS (
+        SELECT CAST(sum(spend) AS BIGINT) AS top4_cents
+        FROM (SELECT spend FROM s
+              ORDER BY spend DESC, o_custkey LIMIT 4)
+    ),
+    tot AS (
+        SELECT CAST(sum(spend) AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM s
+    )
+    SELECT n_customers, total_cents, top4_cents,
+           CAST(10000 * top4_cents // total_cents AS BIGINT) AS cr4_bps,
+           round(CAST(top4_cents AS DOUBLE) / total_cents, 6) AS cr4
+    FROM top4 CROSS JOIN tot
+    """,
+)
+def q_ord_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-firm concentration ratio: the revenue share of the top
+    four customers — the antitrust-style concentration sibling of
+    q_agg_hhi (CR4 reads the head, HHI the whole curve; regulators
+    quote both).
+
+    Top-4 is a TakeOrdered on exact cents with a unique tie-break;
+    the share is carried as exact integer basis points (floor) plus
+    the rounded display ratio.  One keyed aggregate + two scalars —
+    never a global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+            "spend"
+        )
+    ).cache()
+    top4 = (
+        s.orderBy(F.desc("spend"), "o_custkey")
+        .limit(4)
+        .agg(F.sum("spend").cast("long").alias("top4_cents"))
+    )
+    tot = s.agg(
+        F.sum("spend").cast("long").alias("total_cents"),
+        F.count("*").alias("n_customers"),
+    )
+    return top4.crossJoin(F.broadcast(tot)).select(
+        "n_customers",
+        "total_cents",
+        "top4_cents",
+        F.expr("cast(10000 * top4_cents div total_cents as bigint)").alias(
+            "cr4_bps"
+        ),
+        F.round(
+            F.col("top4_cents").cast("double") / F.col("total_cents"), 6
+        ).alias("cr4"),
+    )
