@@ -3501,3 +3501,60 @@ def q_ev_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_s").cast("double") / F.count("*"), 4
         ).alias("mtbf_s"),
     )
+
+
+@query(
+    "q_ev_blast_radius",
+    oracle="""
+    WITH m AS (
+        SELECT epoch_us(ts) // 60000000 AS minute,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS affected,
+               CAST(count(*) AS BIGINT) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_error_minutes,
+           CAST(sum(CASE WHEN affected >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_incident_minutes,
+           CAST(max(affected) AS BIGINT) AS max_blast_radius,
+           CAST(sum(n_errors) AS BIGINT) AS total_errors,
+           CAST(sum(CASE WHEN affected >= 3 THEN n_errors ELSE 0 END)
+                AS BIGINT) AS errors_in_incidents
+    FROM m
+    """,
+)
+def q_ev_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident blast radius: minutes where errors hit ≥ 3 distinct
+    users are "incidents" (correlated failure, not user-local noise),
+    and the report gives the incident-minute count, the worst blast
+    radius, and how much of the error volume is incident-correlated —
+    the triage split between systemic and idiosyncratic failure.
+
+    Minute keys are exact integer µs flooring; the distinct-user
+    count per minute is one keyed aggregate.  Constant-size output
+    from a single pass over the error slice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(
+            F.expr("unix_micros(ts) div 60000000").alias("minute")
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("affected"),
+            F.count("*").alias("n_errors"),
+        )
+    )
+    return m.agg(
+        F.count("*").alias("n_error_minutes"),
+        F.sum(F.when(F.col("affected") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_incident_minutes"),
+        F.max("affected").cast("long").alias("max_blast_radius"),
+        F.sum("n_errors").cast("long").alias("total_errors"),
+        F.sum(
+            F.when(F.col("affected") >= 3, F.col("n_errors")).otherwise(0)
+        )
+        .cast("long")
+        .alias("errors_in_incidents"),
+    )

@@ -1695,3 +1695,83 @@ def q_ord_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top4_cents").cast("double") / F.col("total_cents"), 6
         ).alias("cr4"),
     )
+
+
+@query(
+    "q_ord_movers",
+    oracle="""
+    WITH y AS (
+        SELECT year(l_shipdate) AS yr, l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem WHERE year(l_shipdate) IN (1999, 2000)
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT yr, l_partkey, rev,
+               row_number() OVER (PARTITION BY yr
+                                  ORDER BY rev DESC, l_partkey) AS rk
+        FROM y
+    ),
+    t0 AS (SELECT l_partkey, rk, rev FROM r WHERE yr = 1999 AND rk <= 20),
+    t1 AS (SELECT l_partkey, rk, rev FROM r WHERE yr = 2000 AND rk <= 20)
+    SELECT coalesce(t0.l_partkey, t1.l_partkey) AS l_partkey,
+           CAST(t0.rk AS BIGINT) AS rank_1999,
+           CAST(t1.rk AS BIGINT) AS rank_2000,
+           CAST(t0.rev AS BIGINT) AS rev_1999,
+           CAST(t1.rev AS BIGINT) AS rev_2000,
+           CASE WHEN t0.l_partkey IS NULL THEN 'entered'
+                WHEN t1.l_partkey IS NULL THEN 'dropped'
+                WHEN t1.rk < t0.rk THEN 'up'
+                WHEN t1.rk > t0.rk THEN 'down'
+                ELSE 'held' END AS movement
+    FROM t0 FULL OUTER JOIN t1 ON t0.l_partkey = t1.l_partkey
+    """,
+)
+def q_ord_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-movers report: the top-20 revenue parts of 1999 vs 2000 —
+    who entered, dropped, climbed, fell — the leaderboard-delta table
+    every weekly business review opens with.
+
+    Ranks are per-year partitioned row_numbers over exact cents with
+    the partkey tie-break; the movement classification is a full
+    outer join of the two top-20 slices, so entries and exits surface
+    explicitly rather than silently truncating.  Everything after the
+    year aggregate is |parts|-sized, and the join sides are 20 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    y = (
+        li.where(F.year("l_shipdate").isin(1999, 2000))
+        .groupBy(F.year("l_shipdate").alias("yr"), "l_partkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), "l_partkey")
+    r = y.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+    t0 = r.where(F.col("yr") == 1999).select(
+        F.col("l_partkey").alias("k0"),
+        F.col("rk").alias("rank_1999"),
+        F.col("rev").alias("rev_1999"),
+    )
+    t1 = r.where(F.col("yr") == 2000).select(
+        F.col("l_partkey").alias("k1"),
+        F.col("rk").alias("rank_2000"),
+        F.col("rev").alias("rev_2000"),
+    )
+    j = t0.join(t1, F.col("k0") == F.col("k1"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("k0"), F.col("k1")).alias("l_partkey"),
+        F.col("rank_1999").cast("long").alias("rank_1999"),
+        F.col("rank_2000").cast("long").alias("rank_2000"),
+        F.col("rev_1999").cast("long").alias("rev_1999"),
+        F.col("rev_2000").cast("long").alias("rev_2000"),
+        F.when(F.col("k0").isNull(), "entered")
+        .when(F.col("k1").isNull(), "dropped")
+        .when(F.col("rank_2000") < F.col("rank_1999"), "up")
+        .when(F.col("rank_2000") > F.col("rank_1999"), "down")
+        .otherwise("held")
+        .alias("movement"),
+    )
