@@ -3558,3 +3558,49 @@ def q_ev_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("errors_in_incidents"),
     )
+
+
+@query(
+    "q_ev_preferred_hour",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, CAST(hour(ts) AS INT) AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pref AS (
+        SELECT user_id, hr FROM (
+            SELECT user_id, hr,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, hr) AS rk
+            FROM h) WHERE rk = 1
+    )
+    SELECT hr AS preferred_hour,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM pref
+    GROUP BY hr
+    """,
+)
+def q_ev_preferred_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-profile feature: each user's modal activity hour
+    (ties → the earlier hour), histogrammed across the population —
+    the send-time-optimization input every lifecycle-marketing system
+    derives first.
+
+    The per-user argmax is a partitioned top-1 over the (user, hour)
+    aggregate (≤ 24 rows per user); counts exact throughout.  Two
+    keyed aggregates + one 24-row histogram.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), "hr")
+    pref = (
+        h.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "hr")
+    )
+    return pref.groupBy(F.col("hr").alias("preferred_hour")).agg(
+        F.count("*").alias("n_users")
+    )

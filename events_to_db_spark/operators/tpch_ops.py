@@ -1775,3 +1775,60 @@ def q_ord_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("held")
         .alias("movement"),
     )
+
+
+@query(
+    "q_ord_basket_curve",
+    oracle="""
+    WITH b AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_lines
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(least(n_lines, 7) AS BIGINT) AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 2)
+               AS avg_order_value
+    FROM b
+    GROUP BY 1
+    """,
+)
+def q_ord_basket_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size economics: average order value by line count
+    (0-line orders included explicitly — the audit finding from
+    q_ord_reconcile — and 7+ capped) — the cross-sell curve merchants
+    read before bundling.
+
+    Line counts come from a LEFT join so empty orders stay visible;
+    all sums exact cents; AOV is the one display float.  One keyed
+    count + one bucket aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        orders.join(
+            li, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+        )
+        .groupBy(
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+                "cents"
+            ),
+        )
+        .agg(F.count("l_orderkey").cast("long").alias("n_lines"))
+    )
+    return b.groupBy(
+        F.least(F.col("n_lines"), F.lit(7)).cast("long").alias(
+            "basket_size"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.round(
+            F.sum("cents").cast("double") / F.count("*") / 100, 2
+        ).alias("avg_order_value"),
+    )
