@@ -1647,3 +1647,94 @@ def q_ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("total_cost_cents", "thr_cents")
         .limit(1)
     )
+
+
+@query(
+    "q_ml_ks_stat",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    b AS (
+        SELECT vc // 2000 AS bk,
+               CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT bk,
+               sum(ct) OVER (ORDER BY bk) AS cum_n,
+               sum(pos) OVER (ORDER BY bk) AS cum_p
+        FROM b
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM b
+    )
+    SELECT CAST((bk + 1) * 2000 AS BIGINT) AS thr_cents,
+           CAST((p - cum_p) * (n - p)
+                - ((n - p) - (cum_n - cum_p)) * p AS BIGINT) AS j_num,
+           CAST(p * (n - p) AS BIGINT) AS j_den,
+           round(CAST(p - cum_p AS DOUBLE) / p
+                 - CAST((n - p) - (cum_n - cum_p) AS DOUBLE) / (n - p),
+                 6) AS ks_separation
+    FROM cum CROSS JOIN tot
+    ORDER BY (p - cum_p) * (n - p)
+             - ((n - p) - (cum_n - cum_p)) * p DESC,
+             bk
+    LIMIT 1
+    """,
+)
+def q_ml_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-scoring KS: the threshold maximizing TPR − FPR (Youden's
+    J) — the separation statistic risk models are graded on.  Because
+    both rates share constant denominators across thresholds, the
+    argmax is the EXACT integer tp·(n−p) − fp·p: no fixed-point
+    scaling, no float ordering, just a cross-multiplied BIGINT compare
+    (≤ ~4e9 at sf0.1).
+
+    Same two-level cumulative machinery as the ROC family; tie-break
+    lower threshold; the separation value is one display division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy(F.expr("vc div 2000").alias("bk")).agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        b,
+        F.col("bk"),
+        [F.col("bk")],
+        {"cum_n": F.col("ct"), "cum_p": F.col("pos")},
+    )
+    tot = b.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    tp = F.col("p") - F.col("cum_p")
+    fp = (F.col("n") - F.col("p")) - (F.col("cum_n") - F.col("cum_p"))
+    jnum = tp * (F.col("n") - F.col("p")) - fp * F.col("p")
+    return (
+        j.select(
+            ((F.col("bk") + 1) * 2000).cast("long").alias("thr_cents"),
+            jnum.cast("long").alias("j_num"),
+            (F.col("p") * (F.col("n") - F.col("p")))
+            .cast("long")
+            .alias("j_den"),
+            F.round(
+                tp.cast("double") / F.col("p")
+                - fp.cast("double") / (F.col("n") - F.col("p")),
+                6,
+            ).alias("ks_separation"),
+            F.col("bk").alias("_bk"),
+        )
+        .orderBy(F.desc("j_num"), "_bk")
+        .limit(1)
+        .drop("_bk")
+    )

@@ -1832,3 +1832,99 @@ def q_ord_basket_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("double") / F.count("*") / 100, 2
         ).alias("avg_order_value"),
     )
+
+
+@query(
+    "q_ord_seasonal_decomp",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT mo, rev,
+               row_number() OVER (ORDER BY mo) AS rn,
+               count(*) OVER () AS n
+        FROM m
+    ),
+    ma AS (
+        SELECT a.mo, a.rev,
+               CAST(sum(b.rev) AS BIGINT) AS win_rev,
+               CAST(count(*) AS BIGINT) AS win_n
+        FROM r a JOIN r b ON b.rn BETWEEN a.rn - 6 AND a.rn + 6
+        WHERE a.rn > 6 AND a.rn <= a.n - 6
+        GROUP BY a.mo, a.rev
+    )
+    SELECT CAST(month(mo) AS INT) AS month_of_year,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(rev) AS BIGINT) AS rev_cents,
+           CAST(sum(win_rev) AS BIGINT) AS ma_num_cents,
+           CAST(sum(win_n) AS BIGINT) AS ma_den,
+           round(CAST(sum(rev) AS DOUBLE)
+                 / (CAST(sum(win_rev) AS DOUBLE) / sum(win_n)), 6)
+               AS seasonal_index
+    FROM ma
+    GROUP BY 1
+    """,
+)
+def q_ord_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly order revenue: each
+    interior month's 13-month centered moving average is the trend,
+    and the month-of-year seasonal index is actual/trend pooled across
+    years — the ratio-to-moving-average method every X-11-style
+    adjuster starts from.
+
+    The MA window is a rank-band θ-join on the |months|-row aggregate
+    (calendar-bounded — no per-event window), its numerator and
+    denominator stay exact integers through the pooling, and the
+    index divides once at display.  Edge months without a full window
+    are excluded, as the method prescribes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+            "rev"
+        )
+    )
+    ranked = bucketed_running_sum(
+        m,
+        F.year("mo").cast("long"),
+        [F.col("mo")],
+        {"rn": F.lit(1)},
+    )
+    nn = m.agg(F.count("*").alias("n"))
+    r = ranked.crossJoin(F.broadcast(nn)).select("mo", "rev", "rn", "n")
+    a = r.alias("a")
+    b = r.alias("b")
+    ma = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.rn") >= F.col("a.rn") - 6)
+            & (F.col("b.rn") <= F.col("a.rn") + 6),
+        )
+        .where(
+            (F.col("a.rn") > 6) & (F.col("a.rn") <= F.col("a.n") - 6)
+        )
+        .groupBy(F.col("a.mo").alias("mo"), F.col("a.rev").alias("rev"))
+        .agg(
+            F.sum(F.col("b.rev")).cast("long").alias("win_rev"),
+            F.count("*").alias("win_n"),
+        )
+    )
+    return ma.groupBy(
+        F.month("mo").cast("int").alias("month_of_year")
+    ).agg(
+        F.count("*").alias("n_months"),
+        F.sum("rev").cast("long").alias("rev_cents"),
+        F.sum("win_rev").cast("long").alias("ma_num_cents"),
+        F.sum("win_n").cast("long").alias("ma_den"),
+        F.round(
+            F.sum("rev").cast("double")
+            / (F.sum("win_rev").cast("double") / F.sum("win_n")),
+            6,
+        ).alias("seasonal_index"),
+    )
