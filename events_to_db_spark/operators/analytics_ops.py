@@ -3604,3 +3604,102 @@ def q_ev_preferred_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pref.groupBy(F.col("hr").alias("preferred_hour")).agg(
         F.count("*").alias("n_users")
     )
+
+
+@query(
+    "q_ev_lorenz",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS spend
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT spend,
+               row_number() OVER (ORDER BY spend, user_id) AS rk,
+               count(*) OVER () AS n,
+               sum(spend) OVER () AS tot
+        FROM u
+    ),
+    d AS (
+        SELECT least(((rk - 1) * 10) // n + 1, 10) AS decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(spend) AS BIGINT) AS decile_cents,
+               CAST(max(tot) AS BIGINT) AS tot
+        FROM r GROUP BY 1
+    )
+    SELECT CAST(a.decile AS BIGINT) AS decile, a.n_users, a.decile_cents,
+           CAST(sum(b.decile_cents) AS BIGINT) AS cum_cents,
+           round(CAST(sum(b.decile_cents) AS DOUBLE) / a.tot, 6)
+               AS lorenz_share
+    FROM d a JOIN d b ON b.decile <= a.decile
+    GROUP BY a.decile, a.n_users, a.decile_cents, a.tot
+    """,
+)
+def q_ev_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind q_agg_gini: users ranked by total
+    spend, bucketed into population deciles, with each decile's
+    cumulative revenue share — the inequality curve itself ("the
+    bottom 50% hold x%"), not just its area summary.
+
+    Deciles come from exact integer rank arithmetic ((rk−1)·10//n+1 —
+    never a percentile float), the cumulative share is a θ-join over
+    the 10-row decile table, and the user ranking runs on the
+    per-user aggregate.  The rank window is user-cardinality-bounded;
+    at extreme scale swap it for the bucketed prefix scan exactly as
+    q_ev_pareto did (same shape, documented there).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("cast(round(value * 100) as bigint)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("spend")
+    )
+    ranked = bucketed_running_sum(
+        u,
+        F.expr("spend div 100000"),
+        [F.col("spend"), F.col("user_id")],
+        {"rk": F.lit(1)},
+    )
+    tots = u.agg(
+        F.count("*").alias("n"), F.sum("spend").cast("long").alias("tot")
+    )
+    r = ranked.crossJoin(F.broadcast(tots))
+    d = r.groupBy(
+        F.least(
+            ((F.col("rk") - 1) * 10 / F.col("n")).cast("long") + 1,
+            F.lit(10),
+        ).alias("decile")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("spend").cast("long").alias("decile_cents"),
+        F.max("tot").cast("long").alias("tot"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").cast("long").alias("decile"),
+            F.col("a.n_users").alias("n_users"),
+            F.col("a.decile_cents").alias("decile_cents"),
+            F.col("a.tot").alias("tot"),
+        )
+        .agg(F.sum(F.col("b.decile_cents")).cast("long").alias("cum_cents"))
+        .select(
+            "decile",
+            "n_users",
+            "decile_cents",
+            "cum_cents",
+            F.round(
+                F.col("cum_cents").cast("double") / F.col("tot"), 6
+            ).alias("lorenz_share"),
+        )
+    )

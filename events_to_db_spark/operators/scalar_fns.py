@@ -1152,3 +1152,67 @@ def q_fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mask_pattern")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _luhn_terms(expr: str, intdiv: str) -> str:
+    """Sum of Luhn digit terms for a 10-digit number: doubling every
+    second digit from the right, folding >9 via −9.  Generated
+    identically for Spark (`div`) and DuckDB (`//`)."""
+    terms = []
+    for k in range(10):
+        d = f"(({expr}) {intdiv} {10 ** k}) % 10"
+        if k % 2 == 1:
+            terms.append(
+                f"(CASE WHEN 2 * ({d}) > 9 THEN 2 * ({d}) - 9"
+                f" ELSE 2 * ({d}) END)"
+            )
+        else:
+            terms.append(f"({d})")
+    return " + ".join(terms)
+
+
+@query(
+    "q_fn_luhn",
+    oracle=f"""
+    WITH p AS (
+        SELECT 1000000000 + (user_id * 7919) % 8999999999 AS pan
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    l AS (
+        SELECT pan, ({_luhn_terms('pan', '//')}) % 10 AS luhn_mod
+        FROM p
+    )
+    SELECT CAST(luhn_mod AS BIGINT) AS luhn_mod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN luhn_mod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_valid
+    FROM l
+    GROUP BY 1
+    """,
+)
+def q_fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation — the digit-wise mod-10 algorithm
+    behind card/IMEI/member-number cleaning — run over synthetic
+    10-digit account numbers derived from user ids, histogrammed by
+    checksum residue (residue 0 = "valid").
+
+    The doubling-fold is unrolled into ten pure integer digit terms,
+    generated from ONE Python template for both engines (only the
+    integer-division token differs), so the validation is exact and
+    the oracle can't drift from the implementation.  Map-side
+    expression + one 10-row aggregate — validation at scan speed, the
+    way ingest-time data contracts actually run it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select("user_id").distinct().select(
+        F.expr("1000000000 + (user_id * 7919) % 8999999999").alias("pan")
+    )
+    l = p.select(
+        F.expr(f"({_luhn_terms('pan', 'div')}) % 10").alias("luhn_mod")
+    )
+    return l.groupBy(F.col("luhn_mod").cast("long").alias("luhn_mod")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("luhn_mod") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+    )
