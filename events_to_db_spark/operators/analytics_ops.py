@@ -3703,3 +3703,134 @@ def q_ev_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lorenz_share"),
         )
     )
+
+
+@query(
+    "q_ev_business_hours",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS sid
+        FROM m
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               CAST(min(us) AS BIGINT) AS s0,
+               CAST(max(us) AS BIGINT) AS s1
+        FROM sid GROUP BY 1, 2
+    ),
+    ol AS (
+        SELECT s0, s1,
+               unnest(generate_series(s0 // 86400000000,
+                                      s1 // 86400000000)) AS day
+        FROM sess
+    ),
+    o2 AS (
+        SELECT s1 - s0 AS dur_us,
+               greatest(0, least(s1, day * 86400000000 + 61200000000)
+                           - greatest(s0,
+                                      day * 86400000000 + 32400000000))
+                   AS biz_us,
+               day
+        FROM ol
+    )
+    SELECT CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST((SELECT sum(s1 - s0) FROM sess) AS BIGINT)
+               AS total_session_us,
+           CAST(sum(biz_us) AS BIGINT) AS business_us,
+           round(CAST(sum(biz_us) AS DOUBLE)
+                 / (SELECT sum(s1 - s0) FROM sess), 6) AS business_share
+    FROM o2
+    """,
+)
+def q_ev_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-hours utilization: what fraction of total session time
+    (30-minute-gap sessions) falls inside the 09:00-17:00 UTC window —
+    the workforce/support-staffing split between business-hours and
+    off-hours engagement.
+
+    Sessions are the classic boundary-marker islands (all windows
+    partitioned by user); each session explodes into the UTC days it
+    spans (bounded by session length) and intersects the day's
+    business window with exact integer µs clamps — no timezone float,
+    no rounding until the final share.  One user shuffle + a small
+    day fan-out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.when(
+            F.lag(F.expr("unix_micros(ts)")).over(w).isNull()
+            | (
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(w)
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = m.select(
+        "user_id", "us", F.sum("new_s").over(w2).alias("sid")
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.min("us").cast("long").alias("s0"),
+        F.max("us").cast("long").alias("s1"),
+    ).cache()
+    tot = sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("s1") - F.col("s0")).cast("long").alias(
+            "total_session_us"
+        ),
+    )
+    ol = sess.select(
+        "s0",
+        "s1",
+        F.explode(
+            F.expr(
+                "sequence(s0 div 86400000000, s1 div 86400000000)"
+            )
+        ).alias("day"),
+    )
+    biz = ol.select(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("s1"),
+                F.col("day") * 86_400_000_000 + 61_200_000_000,
+            )
+            - F.greatest(
+                F.col("s0"),
+                F.col("day") * 86_400_000_000 + 32_400_000_000,
+            ),
+        ).alias("biz_us")
+    ).agg(F.sum("biz_us").cast("long").alias("business_us"))
+    return tot.crossJoin(F.broadcast(biz)).select(
+        "n_sessions",
+        "total_session_us",
+        "business_us",
+        F.round(
+            F.col("business_us").cast("double")
+            / F.col("total_session_us"),
+            6,
+        ).alias("business_share"),
+    )
