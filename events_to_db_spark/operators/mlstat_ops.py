@@ -1738,3 +1738,143 @@ def q_ml_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_bk")
     )
+
+
+@query(
+    "q_ml_cluster_quality",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, d,
+               CASE WHEN sum(q) < 0
+                    THEN -(abs(sum(q)) // count(*))
+                    ELSE abs(sum(q)) // count(*) END AS cq
+        FROM c GROUP BY 1, 2
+    ),
+    intra AS (
+        SELECT c.label,
+               CAST(count(DISTINCT c.vec_id) AS BIGINT) AS n,
+               CAST(sum((c.q - ce.cq) * (c.q - ce.cq)) AS BIGINT)
+                   AS intra_sum
+        FROM c JOIN cent ce ON ce.label = c.label AND ce.d = c.d
+        GROUP BY 1
+    ),
+    cpair AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS d2
+        FROM cent a JOIN cent b ON a.d = b.d AND a.label <> b.label
+        GROUP BY 1, 2
+    ),
+    nearest AS (
+        SELECT la AS label, lb AS nearest_label, d2 AS inter_d2
+        FROM (
+            SELECT la, lb, d2,
+                   row_number() OVER (PARTITION BY la
+                                      ORDER BY d2, lb) AS rk
+            FROM cpair) WHERE rk = 1
+    )
+    SELECT i.label, i.n, i.intra_sum,
+           CAST(n2.nearest_label AS INT) AS nearest_label,
+           n2.inter_d2,
+           round(CAST(i.intra_sum AS DOUBLE) / i.n / n2.inter_d2, 6)
+               AS db_ratio
+    FROM intra i JOIN nearest n2 ON n2.label = i.label
+    """,
+)
+def q_ml_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit per label: mean intra-cluster squared
+    distance to the label centroid over the squared distance to the
+    NEAREST other centroid — the Davies–Bouldin-style separation
+    ratio (≥ ~1 means the "clusters" are not separated, which on
+    these uniform-random labels is the expected finding).
+
+    Centroids are toward-zero integer means (the sign-safe |s|//n
+    form both engines agree on), so every distance is an exact BIGINT
+    and the only float is the final ratio.  Plan: cells → per-(label,
+    dim) centroid agg (k·dim rows, broadcast back), one intra
+    aggregate, a k²·dim centroid-pair join — all keyed, nothing
+    driver-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("d"),
+        F.expr(
+            "cast(round(cast(x as double) * 1000000) as bigint)"
+        ).alias("q"),
+    ).cache()
+    cent = cells.groupBy("label", "d").agg(
+        F.when(
+            F.sum("q") < 0,
+            -F.expr("abs(sum(q)) div count(*)"),
+        )
+        .otherwise(F.expr("abs(sum(q)) div count(*)"))
+        .alias("cq")
+    ).cache()
+    intra = (
+        cells.join(
+            F.broadcast(cent.withColumnRenamed("label", "lbl")),
+            (F.col("lbl") == F.col("label")) & (cent.d == cells.d),
+        )
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n"),
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("intra_sum"),
+        )
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    cpair = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("la"), F.col("b.label").alias("lb")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.cq") - F.col("b.cq"))
+                * (F.col("a.cq") - F.col("b.cq"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    wn = Window.partitionBy("la").orderBy("d2", "lb")
+    nearest = (
+        cpair.withColumn("rk", F.row_number().over(wn))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").cast("int").alias("nearest_label"),
+            F.col("d2").alias("inter_d2"),
+        )
+    )
+    return intra.join(F.broadcast(nearest), "label").select(
+        "label",
+        "n",
+        "intra_sum",
+        "nearest_label",
+        "inter_d2",
+        F.round(
+            F.col("intra_sum").cast("double")
+            / F.col("n")
+            / F.col("inter_d2"),
+            6,
+        ).alias("db_ratio"),
+    )
