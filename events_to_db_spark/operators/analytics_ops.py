@@ -3834,3 +3834,85 @@ def q_ev_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("business_share"),
     )
+
+
+@query(
+    "q_ev_adstock",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT x, row_number() OVER (ORDER BY day) AS rn,
+               CAST(day AS VARCHAR) AS day
+        FROM d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    rec AS (
+        SELECT rn, day, x, x AS adstock
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.day, s.x,
+               s.x + CAST(floor(r.adstock / 2.0) AS BIGINT)
+        FROM rec r JOIN s ON s.rn = r.rn + 1
+    ),
+    pk AS (
+        SELECT day AS peak_day, adstock AS peak_adstock
+        FROM rec ORDER BY adstock DESC, rn LIMIT 1
+    )
+    SELECT nn.n AS n_days,
+           CAST(r.adstock AS BIGINT) AS final_adstock,
+           pk.peak_day, CAST(pk.peak_adstock AS BIGINT) AS peak_adstock
+    FROM rec r CROSS JOIN nn CROSS JOIN pk
+    WHERE r.rn = nn.n
+    """,
+)
+def q_ev_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advertising adstock: daily click impulse with geometric ½
+    carryover (a_t = x_t + ⌊a_{t−1}/2⌋) — the media-mix-model
+    transformation of raw exposure into lingering effect, plus where
+    the accumulated pressure peaked.
+
+    Same exact-halving discipline as q_ev_forecast_holt: halving is
+    the one float division that is exact in binary, so the integer
+    fold is bit-identical to the oracle's recursive-CTE replay; the
+    peak argmax tie-breaks on the earlier day.  Order-dependent ⇒
+    per-series applyInPandas fold (|days| rows per series).
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .withColumn("series", F.lit(1))
+    )
+
+    def adstock(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        a = 0
+        best = (None, -1, -1)  # (day, adstock, idx)
+        first = True
+        for i, row in pdf.iterrows():
+            x = int(row["x"])
+            a = x if first else x + a // 2
+            first = False
+            if a > best[1]:
+                best = (str(row["day"]), a, i)
+        return pd.DataFrame(
+            {
+                "n_days": [len(pdf)],
+                "final_adstock": [a],
+                "peak_day": [best[0]],
+                "peak_adstock": [best[1]],
+            }
+        )
+
+    return d.groupBy("series").applyInPandas(
+        adstock,
+        schema="n_days long, final_adstock long,"
+        " peak_day string, peak_adstock long",
+    )

@@ -1878,3 +1878,212 @@ def q_ml_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("db_ratio"),
     )
+
+
+@query(
+    "q_ml_auc",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT vc, ct, pos,
+               sum(ct) OVER (ORDER BY vc) AS cum_n
+        FROM pv
+    ),
+    r AS (
+        SELECT CAST(sum(pos * (2 * (cum_n - ct) + ct + 1)) AS BIGINT)
+                   AS r2,
+               CAST(sum(pos) AS BIGINT) AS n1,
+               CAST(sum(ct) - sum(pos) AS BIGINT) AS n2
+        FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n1 * n2 AS BIGINT) AS auc_den,
+           round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n2), 6)
+               AS auc,
+           round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (n1 * n2) - 1, 6)
+               AS gini_coef
+    FROM r
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of "value predicts purchase (vs view)" via the
+    rank statistic AUC = U/(n₁n₂): tie-averaged ranks carried as 2×
+    integers (the q_stat_mannwhitney discipline), so the numerator
+    R₂ − n₁(n₁+1) and denominator 2n₁n₂ are exact BIGINTs and the
+    metric hash-matches to the last tie — no trapezoid float
+    integration anywhere.  Gini coefficient (2·AUC − 1) rides along.
+
+    Cumulative counts run on the per-distinct-value aggregate through
+    the two-level scan; one final scalar row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("vc").agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        pv,
+        F.expr("vc div 2000"),
+        [F.col("vc")],
+        {"cum_n": F.col("ct")},
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_n") - F.col("ct")) + F.col("ct") + 1)
+        )
+        .cast("long")
+        .alias("r2"),
+        F.sum("pos").cast("long").alias("n1"),
+        (F.sum("ct") - F.sum("pos")).cast("long").alias("n2"),
+    )
+    num = F.col("r2") - F.col("n1") * (F.col("n1") + 1)
+    den = 2 * F.col("n1") * F.col("n2")
+    return r.select(
+        "n1",
+        "n2",
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        F.round(num.cast("double") / den, 6).alias("auc"),
+        F.round(
+            num.cast("double") / (F.col("n1") * F.col("n2")) - 1, 6
+        ).alias("gini_coef"),
+    )
+
+
+_ABS_ITERS = 12
+_ABS_SCALE = 10**6
+
+
+def _absorption_oracle(iters: int = _ABS_ITERS) -> str:
+    """Unrolled truncated-expectation iteration v ← 1 + P_transient·v
+    with fixed-point 1e6 probabilities — mirrors the Spark loop."""
+    sc = _ABS_SCALE
+    parts = [
+        f"""
+    WITH edges AS (
+        SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+    ep AS (
+        SELECT e.src, e.dst, (e.w * {sc}) // o.tw AS p
+        FROM edges e JOIN outw o ON e.src = o.src
+        WHERE e.src <> 'purchase' AND e.dst <> 'purchase'
+    ),
+    states AS (
+        SELECT DISTINCT event_type AS s FROM events
+        WHERE event_type <> 'purchase'
+    ),
+    v0 AS (SELECT s, CAST(0 AS BIGINT) AS v FROM states)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    v{i} AS (
+        SELECT st.s,
+               {sc} + CAST(coalesce(sum((ep.p * vv.v) // {sc}), 0)
+                           AS BIGINT) AS v
+        FROM states st
+        LEFT JOIN ep ON ep.src = st.s
+        LEFT JOIN v{p} vv ON vv.s = ep.dst
+        GROUP BY st.s
+    )"""
+        )
+    body = ",".join(parts)
+    return f"""{body}
+    SELECT s AS state,
+           CAST(v AS BIGINT) AS steps_scaled,
+           round(v / {sc}.0, 4) AS expected_steps_h{iters}
+    FROM v{iters}
+    ORDER BY s
+    """
+
+
+@query("q_graph_absorption", oracle=_absorption_oracle())
+def q_graph_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov-chain analysis: the expected number of steps
+    to reach the 'purchase' state from each other behavioral state,
+    truncated at a 12-step horizon (v ← 1 + P_transient·v iterated —
+    the fundamental-matrix quantity funnel optimization actually
+    wants, not just next-step probabilities).
+
+    Same fixed-point discipline as q_graph_pagerank: probabilities
+    floor to 1e-6, v is a scaled integer, every update an exact
+    multiply/floor-div/sum, so the truncated expectation hash-matches
+    the oracle's unrolled CTE chain.  Each iteration is one broadcast
+    join + one keyed aggregate over the transient edge list.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sc = _ABS_SCALE
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    ep = (
+        edges.join(outw, "src")
+        .where((F.col("src") != "purchase") & (F.col("dst") != "purchase"))
+        .select("src", "dst", F.expr(f"(w * {sc}) div tw").alias("p"))
+        .cache()
+    )
+    states = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("s"))
+        .distinct()
+        .cache()
+    )
+    v = states.select("s", F.lit(0).cast("long").alias("v"))
+    for _ in range(_ABS_ITERS):
+        contrib = (
+            ep.join(v, ep.dst == v.s)
+            .groupBy("src")
+            .agg(F.sum(F.expr(f"(p * v) div {sc}")).alias("c"))
+        )
+        v = (
+            states.join(
+                F.broadcast(contrib), states.s == contrib.src, "left"
+            )
+            .select(
+                "s",
+                (
+                    F.lit(sc)
+                    + F.coalesce(F.col("c"), F.lit(0))
+                ).cast("long").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.col("s").alias("state"),
+        F.col("v").alias("steps_scaled"),
+        F.round(F.col("v") / F.lit(float(sc)), 4).alias(
+            f"expected_steps_h{_ABS_ITERS}"
+        ),
+    ).orderBy("state")
