@@ -3916,3 +3916,71 @@ def q_ev_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_days long, final_adstock long,"
         " peak_day string, peak_adstock long",
     )
+
+
+@query(
+    "q_ev_hazard",
+    oracle="""
+    WITH g AS (
+        SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                   // 60000000 AS gap_min
+        FROM events
+    ),
+    b AS (
+        SELECT least(gap_min // 10, 12) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g WHERE gap_min IS NOT NULL
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket, n,
+               CAST(sum(n) OVER (ORDER BY bucket DESC) AS BIGINT)
+                   AS at_risk
+        FROM b
+    )
+    SELECT CAST(bucket * 10 AS BIGINT) AS gap_bucket_min,
+           n AS n_events, at_risk,
+           round(CAST(n AS DOUBLE) / at_risk, 6) AS hazard
+    FROM c
+    """,
+)
+def q_ev_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete hazard function of return time: for each 10-minute
+    inter-event gap bucket, the conditional probability the next
+    event arrives in that bucket GIVEN it hasn't yet — h(t) =
+    n(t)/at-risk(t), the re-engagement clock that tells you exactly
+    when a nudge stops being redundant (rising hazard = they come
+    back anyway; falling = intervene).
+
+    The at-risk denominator is a suffix sum over the ≤13-bucket
+    aggregate (descending window on a constant-size table); gaps are
+    exact integer µs→minute floors; the hazard is the one display
+    division.  One user-partitioned lag + one bucket aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over"
+            " (partition by user_id order by ts, event_id))"
+            " div 60000000"
+        ).alias("gap_min"),
+    ).where(F.col("gap_min").isNotNull())
+    b = g.groupBy(
+        F.least(F.expr("gap_min div 10"), F.lit(12)).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    wd = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select(
+        "bucket", "n", F.sum("n").over(wd).cast("long").alias("at_risk")
+    )
+    return c.select(
+        (F.col("bucket") * 10).cast("long").alias("gap_bucket_min"),
+        F.col("n").alias("n_events"),
+        "at_risk",
+        F.round(
+            F.col("n").cast("double") / F.col("at_risk"), 6
+        ).alias("hazard"),
+    )

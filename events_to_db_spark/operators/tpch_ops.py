@@ -1928,3 +1928,126 @@ def q_ord_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "q_ord_overdue",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS today FROM orders),
+    g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER w,
+                         CAST(o_orderdate AS DATE)) AS gap_d,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    med AS (
+        SELECT o_custkey,
+               CAST(min(gap_d) FILTER (WHERE 2 * cum >= n) AS BIGINT)
+                   AS med_gap
+        FROM (
+            SELECT o_custkey, gap_d,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY gap_d) AS cum,
+                   count(*) OVER (PARTITION BY o_custkey) AS n
+            FROM g WHERE gap_d IS NOT NULL
+        )
+        GROUP BY 1
+    ),
+    lastd AS (
+        SELECT o_custkey, max(d) AS last_d,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM g GROUP BY 1
+    ),
+    j AS (
+        SELECT l.o_custkey, l.n_orders, m.med_gap,
+               date_diff('day', l.last_d, mx.today) AS since_d
+        FROM lastd l JOIN med m ON m.o_custkey = l.o_custkey
+        CROSS JOIN mx
+        WHERE l.n_orders >= 5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN since_d > 2 * med_gap THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overdue,
+           round(CAST(sum(CASE WHEN since_d > 2 * med_gap
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS overdue_rate,
+           CAST(max(CASE WHEN since_d > 2 * med_gap THEN since_d END)
+                AS BIGINT) AS max_overdue_days
+    FROM j
+    """,
+)
+def q_ord_overdue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-overdue churn risk: customers (≥ 5 orders) whose days
+    since last order exceed TWICE their own median reorder gap — the
+    personalized-cadence alarm that beats any global inactivity
+    threshold because heavy and occasional buyers get different
+    clocks.
+
+    The per-customer median gap is the exact lower order statistic
+    (2·rank ≥ n over whole-day DATE gaps); "today" anchors to the
+    corpus's last order date so the query is regeneration-proof.  All
+    flags integer comparisons; windows partition by customer.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("today")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_d"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    gaps = g.where(F.col("gap_d").isNotNull())
+    wr = Window.partitionBy("o_custkey").orderBy("gap_d")
+    wn = Window.partitionBy("o_custkey")
+    med = (
+        gaps.select(
+            "o_custkey",
+            "gap_d",
+            F.row_number().over(wr).alias("cum"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .where(2 * F.col("cum") >= F.col("n"))
+        .groupBy("o_custkey")
+        .agg(F.min("gap_d").cast("long").alias("med_gap"))
+    )
+    lastd = g.groupBy("o_custkey").agg(
+        F.max("d").alias("last_d"), F.count("*").alias("n_orders")
+    )
+    j = (
+        lastd.join(med, "o_custkey")
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("n_orders") >= 5)
+        .select(
+            F.datediff(F.col("today"), F.col("last_d")).alias("since_d"),
+            "med_gap",
+        )
+    )
+    overdue = F.when(
+        F.col("since_d") > 2 * F.col("med_gap"), 1
+    ).otherwise(0)
+    return j.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(overdue).cast("long").alias("n_overdue"),
+        F.round(
+            F.sum(overdue).cast("double") / F.count("*"), 6
+        ).alias("overdue_rate"),
+        F.max(
+            F.when(
+                F.col("since_d") > 2 * F.col("med_gap"),
+                F.col("since_d"),
+            )
+        )
+        .cast("long")
+        .alias("max_overdue_days"),
+    )
