@@ -1216,3 +1216,81 @@ def q_fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_valid"),
     )
+
+
+@query(
+    "q_fn_snowflake",
+    oracle="""
+    WITH ids AS (
+        SELECT (epoch_us(ts) // 1000) * 4194304
+               + (user_id % 32) * 4096
+               + (event_id % 4096) AS sfid,
+               epoch_us(ts) // 1000 AS ms, user_id, event_id
+        FROM events
+    ),
+    d AS (
+        SELECT sfid,
+               sfid >> 22 AS ms_back,
+               (sfid >> 12) & 31 AS worker_back,
+               sfid & 4095 AS seq_back,
+               ms, user_id % 32 AS worker, event_id % 4096 AS seq
+        FROM ids
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ms_back = ms AND worker_back = worker
+                         AND seq_back = seq THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_roundtrip_ok,
+           CAST(count(DISTINCT sfid) AS BIGINT) AS n_distinct_ids,
+           CAST(min(sfid) AS BIGINT) AS min_id,
+           CAST(max(sfid) AS BIGINT) AS max_id,
+           CAST(max(sfid) >> 22 AS BIGINT) AS max_ms
+    FROM d
+    """,
+)
+def q_fn_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-style ID algebra: 64-bit ids composed as
+    (ms << 22) | (worker << 12) | seq from each event's millisecond,
+    user-derived worker, and sequence — then decomposed back with
+    shifts/masks and audited for lossless round trip, uniqueness, and
+    k-sortability (max id's embedded timestamp) — the bit surgery
+    every distributed-ID scheme (Snowflake, ULID, KSUID) depends on.
+
+    Pure integer bit arithmetic, identical in both engines (the
+    compose side uses ×4194304/×4096 so DuckDB needs no shift-left
+    operator precedence care).  Map-side expressions + one scalar
+    audit row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ids = ev.select(
+        (
+            F.expr("(unix_micros(ts) div 1000) * 4194304")
+            + (F.col("user_id") % 32) * 4096
+            + (F.col("event_id") % 4096)
+        ).alias("sfid"),
+        F.expr("unix_micros(ts) div 1000").alias("ms"),
+        (F.col("user_id") % 32).alias("worker"),
+        (F.col("event_id") % 4096).alias("seq"),
+    )
+    d = ids.select(
+        "sfid",
+        F.expr("sfid >> 22").alias("ms_back"),
+        F.expr("(sfid >> 12) & 31").alias("worker_back"),
+        F.expr("sfid & 4095").alias("seq_back"),
+        "ms",
+        "worker",
+        "seq",
+    )
+    ok = F.when(
+        (F.col("ms_back") == F.col("ms"))
+        & (F.col("worker_back") == F.col("worker"))
+        & (F.col("seq_back") == F.col("seq")),
+        1,
+    ).otherwise(0)
+    return d.agg(
+        F.count("*").alias("n"),
+        F.sum(ok).cast("long").alias("n_roundtrip_ok"),
+        F.countDistinct("sfid").cast("long").alias("n_distinct_ids"),
+        F.min("sfid").cast("long").alias("min_id"),
+        F.max("sfid").cast("long").alias("max_id"),
+        F.expr("max(sfid) >> 22").cast("long").alias("max_ms"),
+    )

@@ -2051,3 +2051,54 @@ def q_ord_overdue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_overdue_days"),
     )
+
+
+@query(
+    "q_ord_price_curve",
+    oracle="""
+    SELECT CAST(least(CAST(round(l_quantity) AS BIGINT) // 10, 4)
+                AS BIGINT) AS qty_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS disc_pct_sum,
+           round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                      AS DOUBLE) / count(*), 4) AS avg_disc_pct,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_ord_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-discount curve: average discount by quantity band
+    (10-unit bands, 40+ capped) — does bigger volume actually buy a
+    deeper discount, the first sanity check of any pricing-policy
+    audit.
+
+    Discounts are exact integer percent, bands exact integer floors;
+    only the per-band mean divides at display.  A single
+    map-side-combinable aggregate over the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.least(
+            F.expr("cast(round(l_quantity) as bigint) div 10"), F.lit(4)
+        )
+        .cast("long")
+        .alias("qty_band")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.expr("cast(round(l_discount * 100) as bigint)")).alias(
+            "disc_pct_sum"
+        ),
+        F.round(
+            F.sum(
+                F.expr("cast(round(l_discount * 100) as bigint)")
+            ).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_disc_pct"),
+        F.sum(
+            F.expr("cast(round(l_extendedprice * 100) as bigint)")
+        ).alias("rev_cents"),
+    )
