@@ -3984,3 +3984,70 @@ def q_ev_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("at_risk"), 6
         ).alias("hazard"),
     )
+
+
+@query(
+    "q_ev_cadence",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                   // 1000000 AS gap_s
+        FROM events
+    ),
+    b AS (
+        SELECT user_id,
+               CASE WHEN gap_s < 60 THEN 'burst'
+                    WHEN gap_s < 3600 THEN 'minutes'
+                    WHEN gap_s < 86400 THEN 'hours'
+                    ELSE 'days' END AS cadence,
+               CAST(count(*) AS BIGINT) AS c
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pref AS (
+        SELECT user_id, cadence FROM (
+            SELECT user_id, cadence,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, cadence) AS rk
+            FROM b) WHERE rk = 1
+    )
+    SELECT cadence, CAST(count(*) AS BIGINT) AS n_users
+    FROM pref GROUP BY cadence
+    """,
+)
+def q_ev_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence segmentation: each user's dominant inter-event rhythm
+    (burst < 1 min, minutes, hours, days — ties break alphabetically),
+    histogrammed — the engagement-style split that decides push
+    strategy (bursty users batch well; daily users want digests).
+
+    Gaps are exact integer µs→second floors; the modal bucket is a
+    partitioned top-1 over ≤ 4 rows per user.  One user shuffle +
+    two small aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over"
+            " (partition by user_id order by ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    b = g.groupBy(
+        "user_id",
+        F.when(F.col("gap_s") < 60, "burst")
+        .when(F.col("gap_s") < 3600, "minutes")
+        .when(F.col("gap_s") < 86400, "hours")
+        .otherwise("days")
+        .alias("cadence"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), "cadence")
+    pref = (
+        b.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "cadence")
+    )
+    return pref.groupBy("cadence").agg(F.count("*").alias("n_users"))

@@ -2102,3 +2102,64 @@ def q_ord_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(round(l_extendedprice * 100) as bigint)")
         ).alias("rev_cents"),
     )
+
+
+@query(
+    "q_ord_aging",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof FROM orders),
+    a AS (
+        SELECT date_diff('day', CAST(o_orderdate AS DATE), mx.asof)
+                   AS age_d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders CROSS JOIN mx
+        WHERE o_orderstatus <> 'F'
+    )
+    SELECT CASE WHEN age_d <= 30 THEN '0-30'
+                WHEN age_d <= 60 THEN '31-60'
+                WHEN age_d <= 90 THEN '61-90'
+                ELSE '90+' END AS aging_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS exposure_cents,
+           CAST(max(age_d) AS BIGINT) AS oldest_days
+    FROM a
+    GROUP BY 1
+    """,
+)
+def q_ord_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables aging: non-finalized orders bucketed by whole-day
+    age against the corpus's as-of date (0-30 / 31-60 / 61-90 / 90+),
+    with the exposure in exact cents — the collections report every
+    finance close produces, anchored data-derived so regeneration
+    can't rot it.
+
+    Whole-day DATE arithmetic, integer bucket predicates, exact sums;
+    one scalar anchor + one bucket aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("asof")
+    )
+    a = (
+        orders.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.col("asof"), F.col("o_orderdate").cast("date")
+            ).alias("age_d"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+                "cents"
+            ),
+        )
+    )
+    return a.groupBy(
+        F.when(F.col("age_d") <= 30, "0-30")
+        .when(F.col("age_d") <= 60, "31-60")
+        .when(F.col("age_d") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("aging_bucket")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("long").alias("exposure_cents"),
+        F.max("age_d").cast("long").alias("oldest_days"),
+    )
