@@ -2525,3 +2525,100 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_text_dup_mass",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+        FROM documents
+    ),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    st AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(
+                   0, CASE WHEN n > 32 THEN (n - 9) // 24 ELSE 0 END)) AS s
+        FROM nn
+    ),
+    ch AS (
+        SELECT least(32, n - s * 24) AS n_tok,
+               CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(toks, s * 24 + 1, least(s * 24 + 32, n)),
+                   ' ')), 1, 15)) AS BIGINT) AS h
+        FROM st
+    ),
+    per AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS occ,
+               CAST(sum(n_tok) AS BIGINT) AS mass
+        FROM ch GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(occ) AS BIGINT) AS n_chunks,
+           CAST(sum(mass) AS BIGINT) AS total_token_mass,
+           CAST(sum(CASE WHEN occ > 1 THEN mass ELSE 0 END) AS BIGINT)
+               AS duplicated_mass,
+           CAST(sum(CASE WHEN occ > 1 THEN mass - mass // occ
+                         ELSE 0 END) AS BIGINT) AS removable_mass,
+           round(CAST(sum(CASE WHEN occ > 1 THEN mass ELSE 0 END)
+                      AS DOUBLE) / sum(mass), 6) AS dup_mass_share
+    FROM per
+    """,
+)
+def q_text_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication mass accounting over the q_text_chunk windows: how
+    much of the corpus's token mass sits in chunks that occur more
+    than once, and how much a keep-one dedup would actually delete
+    (mass − mass/occ) — the number that decides whether chunk-level
+    dedup is worth a 100 TB pass (on this 31-word corpus the share is
+    near 1, which is the honest degenerate reading).
+
+    Same chunk identity as q_text_chunk (md5-prefix of the 32/24
+    window); all masses exact integers; the share divides once.
+    Explode + one hash-keyed aggregate + one scalar row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (
+        docs.select(
+            F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
+        )
+        .withColumn("n", F.expr("size(toks)"))
+        .withColumn(
+            "s",
+            F.explode(
+                F.expr(
+                    "if(n > 32, sequence(0, (n - 9) div 24), array(0))"
+                )
+            ),
+        )
+        .select(
+            F.expr("least(32, n - s * 24)").alias("n_tok"),
+            F.expr(
+                "cast(conv(substr(md5(concat_ws(' ',"
+                " slice(toks, s * 24 + 1, least(32, n - s * 24)))),"
+                " 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    per = ch.groupBy("h").agg(
+        F.count("*").alias("occ"),
+        F.sum("n_tok").cast("long").alias("mass"),
+    )
+    dup_mass = F.when(F.col("occ") > 1, F.col("mass")).otherwise(0)
+    return per.agg(
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum("occ").cast("long").alias("n_chunks"),
+        F.sum("mass").cast("long").alias("total_token_mass"),
+        F.sum(dup_mass).cast("long").alias("duplicated_mass"),
+        F.sum(
+            F.when(
+                F.col("occ") > 1,
+                F.col("mass") - F.expr("mass div occ"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("removable_mass"),
+        F.round(
+            F.sum(dup_mass).cast("double") / F.sum("mass"), 6
+        ).alias("dup_mass_share"),
+    )

@@ -2163,3 +2163,97 @@ def q_ord_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("exposure_cents"),
         F.max("age_d").cast("long").alias("oldest_days"),
     )
+
+
+@query(
+    "q_ord_trade_balance",
+    oracle="""
+    WITH rev AS (
+        SELECT cu.c_nationkey AS cust_nation,
+               su.s_nationkey AS supp_nation,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer cu ON cu.c_custkey = o.o_custkey
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    outb AS (
+        SELECT supp_nation AS nation, CAST(sum(cents) AS BIGINT) AS exports
+        FROM rev GROUP BY 1
+    ),
+    inb AS (
+        SELECT cust_nation AS nation, CAST(sum(cents) AS BIGINT) AS imports
+        FROM rev GROUP BY 1
+    )
+    SELECT coalesce(o.nation, i.nation) AS nationkey,
+           CAST(coalesce(o.exports, 0) AS BIGINT) AS exports_cents,
+           CAST(coalesce(i.imports, 0) AS BIGINT) AS imports_cents,
+           CAST(coalesce(o.exports, 0) - coalesce(i.imports, 0) AS BIGINT)
+               AS net_balance_cents
+    FROM outb o FULL OUTER JOIN inb i ON o.nation = i.nation
+    """,
+)
+def q_ord_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-nation trade balance: each nation's exports (revenue its
+    suppliers shipped) vs imports (revenue its customers bought), and
+    the net — the bilateral flow matrix of TPC-H Q7 rolled up into the
+    balance sheet every trade dashboard leads with.
+
+    One fact aggregate to the 25×25 nation-pair grid, then two tiny
+    re-aggregates full-outer-joined so a nation that only buys or only
+    sells still appears.  Exact cents end-to-end; dimension joins
+    broadcast onto the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    F.col("c_custkey") == F.col("o_custkey"),
+                ).select("o_orderkey", "c_nationkey")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("cust_nation"),
+            F.col("s_nationkey").alias("supp_nation"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    ).cache()
+    outb = rev.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("cents").cast("long").alias("exports")
+    )
+    inb = rev.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("cents").cast("long").alias("imports")
+    )
+    o = outb.withColumnRenamed("nation", "no")
+    i = inb.withColumnRenamed("nation", "ni")
+    return o.join(i, F.col("no") == F.col("ni"), "full_outer").select(
+        F.coalesce(F.col("no"), F.col("ni")).alias("nationkey"),
+        F.coalesce(F.col("exports"), F.lit(0))
+        .cast("long")
+        .alias("exports_cents"),
+        F.coalesce(F.col("imports"), F.lit(0))
+        .cast("long")
+        .alias("imports_cents"),
+        (
+            F.coalesce(F.col("exports"), F.lit(0))
+            - F.coalesce(F.col("imports"), F.lit(0))
+        )
+        .cast("long")
+        .alias("net_balance_cents"),
+    )
