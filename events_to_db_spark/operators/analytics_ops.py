@@ -4051,3 +4051,101 @@ def q_ev_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cadence")
     )
     return pref.groupBy("cadence").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q_ev_freq_cap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_type, us,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING)
+                   AS np_1h,
+               row_number() OVER (
+                   PARTITION BY user_id,
+                                CASE WHEN event_type = 'view' THEN 1
+                                     ELSE 0 END
+                   ORDER BY us, event_id) AS vrank
+        FROM e
+    ),
+    v AS (
+        SELECT CASE WHEN vrank > 3 THEN 1 ELSE 0 END AS suppressed,
+               CASE WHEN np_1h > 0 THEN 1 ELSE 0 END AS converted
+        FROM w WHERE event_type = 'view'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(suppressed) AS BIGINT) AS n_suppressed,
+           CAST(sum(CASE WHEN suppressed = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS conversions_at_risk,
+           CAST(sum(CASE WHEN suppressed = 0 THEN converted ELSE 0 END)
+                AS BIGINT) AS conversions_kept,
+           round(CAST(sum(CASE WHEN suppressed = 1 THEN converted
+                          ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN converted = 1 THEN 1 ELSE 0 END),
+                          0), 6) AS at_risk_share
+    FROM v
+    """,
+)
+def q_ev_freq_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cap counterfactual: if views were capped at 3 per
+    user, how many impressions disappear and what upper bound of
+    1-hour-attributed conversions rides on them — the reach-vs-
+    annoyance trade every ad/notification platform sizes before
+    flipping the cap.
+
+    Reuses q_ev_fatigue's exact machinery (integer-µs RANGE lookahead,
+    per-user view rank); the at-risk split is pure integer flags.  One
+    user shuffle carries both windows; output is one audit row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.currentRow, 3_600_000_000)
+    )
+    wrank = Window.partitionBy(
+        "user_id",
+        F.when(F.col("event_type") == "view", 1).otherwise(0),
+    ).orderBy("us", "event_id")
+    w = e.select(
+        "event_type",
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(wrange)
+        .alias("np_1h"),
+        F.row_number().over(wrank).alias("vrank"),
+    )
+    v = w.where(F.col("event_type") == "view").select(
+        F.when(F.col("vrank") > 3, 1).otherwise(0).alias("suppressed"),
+        F.when(F.col("np_1h") > 0, 1).otherwise(0).alias("converted"),
+    )
+    at_risk = F.when(
+        F.col("suppressed") == 1, F.col("converted")
+    ).otherwise(0)
+    return v.agg(
+        F.count("*").alias("n_views"),
+        F.sum("suppressed").cast("long").alias("n_suppressed"),
+        F.sum(at_risk).cast("long").alias("conversions_at_risk"),
+        F.sum(
+            F.when(F.col("suppressed") == 0, F.col("converted")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("conversions_kept"),
+        F.round(
+            F.sum(at_risk).cast("double")
+            / F.nullif(F.sum("converted"), F.lit(0)),
+            6,
+        ).alias("at_risk_share"),
+    )

@@ -2257,3 +2257,61 @@ def q_ord_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("net_balance_cents"),
     )
+
+
+@query(
+    "q_ord_single_source",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(least(n_suppliers, 4) AS BIGINT) AS supplier_count_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(rev_cents) AS DOUBLE)
+                 / (SELECT sum(rev_cents) FROM ps), 6) AS revenue_share
+    FROM ps
+    GROUP BY 1
+    """,
+)
+def q_ord_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk: parts banded by how many distinct
+    suppliers ever shipped them (4+ capped), with the revenue share
+    concentrated in each band — the procurement-resilience table
+    whose 1-supplier row is the firm's supply-chain exposure.
+
+    One count-distinct fact aggregate per part, one band rollup;
+    shares divide once against the scalar total.  Exact cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(
+            F.expr("cast(round(l_extendedprice * 100) as bigint)")
+        ).alias("rev_cents"),
+    ).cache()
+    tot = ps.agg(F.sum("rev_cents").cast("long").alias("tot"))
+    return (
+        ps.groupBy(
+            F.least(F.col("n_suppliers"), F.lit(4))
+            .cast("long")
+            .alias("supplier_count_band")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "supplier_count_band",
+            "n_parts",
+            "revenue_cents",
+            F.round(
+                F.col("revenue_cents").cast("double") / F.col("tot"), 6
+            ).alias("revenue_share"),
+        )
+    )
