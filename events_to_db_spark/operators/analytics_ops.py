@@ -4149,3 +4149,145 @@ def q_ev_freq_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("at_risk_share"),
     )
+
+
+@query(
+    "q_ev_adoption",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_type,
+               min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(first_day AS VARCHAR) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_first_time_users
+    FROM f
+    GROUP BY first_day, event_type
+    """,
+)
+def q_ev_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption curve: per day and event type, how many users
+    performed that action for the FIRST time — the breadth-expansion
+    view (are new behaviors still being discovered, or has adoption
+    saturated?) that complements q_ev_newusers' account-creation
+    curve.
+
+    First-touch day is one keyed min; the curve is one (day, type)
+    aggregate.  Exact whole-day DATEs cast to strings for the
+    canonicalizer (the q_profile_table lesson).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    return f.groupBy(
+        F.col("first_day").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_first_time_users"))
+
+
+@query(
+    "q_ev_attr_window",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS kind FROM events
+        WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS kind FROM events
+        WHERE event_type = 'purchase'
+    ),
+    w AS (
+        SELECT user_id, ts, kind,
+               last_value(CASE WHEN kind = 0 THEN epoch_us(ts) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prior_view_us
+        FROM u
+    ),
+    p AS (
+        SELECT epoch_us(ts) - prior_view_us AS gap_us
+        FROM w WHERE kind = 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases FROM p),
+    win AS (
+        SELECT unnest([3600000000, 21600000000, 86400000000]) AS w_us
+    )
+    SELECT CAST(w.w_us // 3600000000 AS BIGINT) AS window_hours,
+           t.n_purchases,
+           CAST(count(CASE WHEN p.gap_us IS NOT NULL
+                           AND p.gap_us <= w.w_us THEN 1 END) AS BIGINT)
+               AS n_attributed,
+           round(CAST(count(CASE WHEN p.gap_us IS NOT NULL
+                                 AND p.gap_us <= w.w_us THEN 1 END)
+                      AS DOUBLE) / t.n_purchases, 6) AS attributed_share
+    FROM p CROSS JOIN win w CROSS JOIN tot t
+    GROUP BY w.w_us, t.n_purchases
+    """,
+)
+def q_ev_attr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity: the share of purchases with a
+    prior view within 1, 6, and 24 hours — the measurement-design
+    sweep run BEFORE fixing the window, because the chosen cutoff
+    silently decides how much credit "views" get.
+
+    The last-view gap is computed ONCE with the union+carry as-of
+    shape (exact integer µs), then compared against the three window
+    literals via a 3-row spine — no re-scan per window.  One user
+    shuffle + a 3-row fan-out aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = ref.unionByName(pur)
+    p = (
+        u.select(
+            "kind",
+            "ts",
+            F.last(
+                F.when(F.col("kind") == 0, F.expr("unix_micros(ts)")),
+                ignorenulls=True,
+            )
+            .over(wb)
+            .alias("prior_view_us"),
+        )
+        .where(F.col("kind") == 1)
+        .select(
+            (
+                F.expr("unix_micros(ts)") - F.col("prior_view_us")
+            ).alias("gap_us")
+        )
+    ).cache()
+    tot = p.agg(F.count("*").alias("n_purchases"))
+    win = spark.createDataFrame(
+        [(3_600_000_000,), (21_600_000_000,), (86_400_000_000,)],
+        "w_us long",
+    )
+    hit = F.when(
+        F.col("gap_us").isNotNull() & (F.col("gap_us") <= F.col("w_us")),
+        1,
+    )
+    return (
+        p.crossJoin(F.broadcast(win))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("w_us div 3600000000").cast("long").alias(
+                "window_hours"
+            ),
+            "n_purchases",
+        )
+        .agg(
+            F.count(hit).cast("long").alias("n_attributed"),
+            F.round(
+                F.count(hit).cast("double") / F.max("n_purchases"), 6
+            ).alias("attributed_share"),
+        )
+    )
