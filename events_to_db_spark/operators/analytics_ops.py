@@ -4291,3 +4291,47 @@ def q_ev_attr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_share"),
         )
     )
+
+
+@query(
+    "q_ev_peak_load",
+    oracle="""
+    WITH m AS (
+        SELECT epoch_us(ts) // 60000000 AS minute,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(minute AS BIGINT) AS minute_epoch,
+           n AS n_events, n_users
+    FROM m
+    ORDER BY n DESC, minute
+    LIMIT 5
+    """,
+)
+def q_ev_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-load table: the five busiest minutes of the stream by
+    event count (ties → earlier minute), with the distinct users
+    behind each — the capacity-planning number ("size for the p100
+    minute, not the average") every ingestion SLO is written against.
+
+    Exact integer µs minute keys, one keyed aggregate, TakeOrdered
+    top-5 — the peak query stays O(|minutes|) however large the
+    stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.expr("unix_micros(ts) div 60000000").alias("minute")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        m.orderBy(F.desc("n"), "minute")
+        .limit(5)
+        .select(
+            F.col("minute").cast("long").alias("minute_epoch"),
+            F.col("n").alias("n_events"),
+            "n_users",
+        )
+    )

@@ -2087,3 +2087,107 @@ def q_graph_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected_steps_h{_ABS_ITERS}"
         ),
     ).orderBy("state")
+
+
+@query(
+    "q_ml_fairness",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS cohort,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS converted,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS views
+        FROM events GROUP BY 1, 2
+    ),
+    band AS (
+        SELECT least(views // 5, 3) AS view_band, cohort,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
+        FROM u GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT view_band,
+               CAST(max(CASE WHEN cohort = 0 THEN n END) AS BIGINT) AS n0,
+               CAST(max(CASE WHEN cohort = 0 THEN conv END) AS BIGINT)
+                   AS c0,
+               CAST(max(CASE WHEN cohort = 1 THEN n END) AS BIGINT) AS n1,
+               CAST(max(CASE WHEN cohort = 1 THEN conv END) AS BIGINT)
+                   AS c1
+        FROM band GROUP BY 1
+    )
+    SELECT CAST(view_band AS BIGINT) AS view_band, n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_0,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_1,
+           CAST(CASE WHEN 5 * c1 * n0 < 4 * c0 * n1
+                     OR 5 * c0 * n1 < 4 * c1 * n0
+                     THEN 1 ELSE 0 END AS INT) AS di_violation
+    FROM piv
+    """,
+)
+def q_ml_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit: conversion rates of the two user-id
+    cohorts compared within matched exposure bands (views//5, capped),
+    flagging bands where either cohort's rate falls below 4/5 of the
+    other — the 80% rule, evaluated as the exact cross-multiplication
+    5·c₁·n₀ < 4·c₀·n₁ so the flag never touches a float.
+
+    Banding controls for exposure (the classic confounder in raw-rate
+    comparisons); display rates round once.  Two keyed aggregates +
+    a |bands|-row pivot.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("cohort")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("converted"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("views"),
+    )
+    band = u.groupBy(
+        F.least(F.expr("views div 5"), F.lit(3)).alias("view_band"),
+        "cohort",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    piv = band.groupBy("view_band").agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n")))
+        .cast("long")
+        .alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("conv")))
+        .cast("long")
+        .alias("c0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n")))
+        .cast("long")
+        .alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("conv")))
+        .cast("long")
+        .alias("c1"),
+    )
+    viol = F.when(
+        (5 * F.col("c1") * F.col("n0") < 4 * F.col("c0") * F.col("n1"))
+        | (5 * F.col("c0") * F.col("n1") < 4 * F.col("c1") * F.col("n0")),
+        1,
+    ).otherwise(0)
+    return piv.select(
+        F.col("view_band").cast("long").alias("view_band"),
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias(
+            "rate_0"
+        ),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias(
+            "rate_1"
+        ),
+        viol.cast("int").alias("di_violation"),
+    )

@@ -2315,3 +2315,93 @@ def q_ord_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "q_ord_discount_leakage",
+    oracle="""
+    WITH s AS (
+        SELECT least(CAST(round(l_quantity) AS BIGINT) // 10, 4) AS band,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT band, disc, cents,
+               row_number() OVER (PARTITION BY band
+                                  ORDER BY disc, l_orderkey,
+                                           l_linenumber) AS rk,
+               count(*) OVER (PARTITION BY band) AS n
+        FROM s
+    ),
+    p90 AS (
+        SELECT band, CAST(min(disc) AS BIGINT) AS p90_disc
+        FROM r WHERE 10 * rk >= 9 * n GROUP BY band
+    )
+    SELECT CAST(s.band AS BIGINT) AS qty_band, p.p90_disc,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN s.disc > p.p90_disc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(sum(CASE WHEN s.disc > p.p90_disc
+                         THEN (s.cents * (s.disc - p.p90_disc)) // 100
+                         ELSE 0 END) AS BIGINT) AS leakage_cents
+    FROM s JOIN p90 p ON p.band = s.band
+    GROUP BY s.band, p.p90_disc
+    """,
+)
+def q_ord_discount_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-leakage audit: lines discounted beyond their quantity
+    band's exact 90th-percentile norm, and the cents leaked above that
+    norm (price × excess points // 100) — the pricing-governance
+    report that catches reps discounting outside policy.
+
+    The p90 norm is the exact order statistic (10·rk ≥ 9·n over the
+    unique per-band ordering), the excess valuation pure integer
+    arithmetic.  One partitioned rank + a broadcast norm join back
+    onto the lines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.least(
+            F.expr("cast(round(l_quantity) as bigint) div 10"), F.lit(4)
+        ).alias("band"),
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("disc"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+            "cents"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("band").orderBy(
+        "disc", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("band")
+    r = s.select(
+        "band",
+        "disc",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    p90 = (
+        r.where(10 * F.col("rk") >= 9 * F.col("n"))
+        .groupBy("band")
+        .agg(F.min("disc").cast("long").alias("p90_disc"))
+    )
+    j = s.join(F.broadcast(p90), "band")
+    excess = F.when(
+        F.col("disc") > F.col("p90_disc"),
+        F.expr("(cents * (disc - p90_disc)) div 100"),
+    ).otherwise(0)
+    return j.groupBy(
+        F.col("band").cast("long").alias("qty_band"),
+        "p90_disc",
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(F.col("disc") > F.col("p90_disc"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.sum(excess).cast("long").alias("leakage_cents"),
+    )
