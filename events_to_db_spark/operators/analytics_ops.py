@@ -4335,3 +4335,85 @@ def q_ev_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query(
+    "q_ev_milestones",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, min(epoch_us(ts)) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    fm AS (
+        SELECT e.user_id, e.event_type,
+               (min(epoch_us(e.ts)) - su.signup_us) // 1000000 AS lat_s
+        FROM events e JOIN su ON su.user_id = e.user_id
+        WHERE e.event_type <> 'signup'
+          AND epoch_us(e.ts) >= su.signup_us
+        GROUP BY e.user_id, e.event_type, su.signup_us
+    ),
+    r AS (
+        SELECT event_type, lat_s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY lat_s, user_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM fm
+    )
+    SELECT event_type AS milestone,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(min(CASE WHEN 2 * rk >= n THEN lat_s END) AS BIGINT)
+               AS median_latency_s,
+           CAST(min(CASE WHEN 10 * rk >= 9 * n THEN lat_s END) AS BIGINT)
+               AS p90_latency_s
+    FROM r
+    GROUP BY event_type
+    """,
+)
+def q_ev_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onboarding-velocity table: for each milestone action, the exact
+    median and p90 seconds from a user's first signup to their first
+    occurrence of that action — the activation clock growth teams
+    instrument first (q_ev_time_to_convert generalized to every
+    milestone at once).
+
+    Latencies are integer µs→second floors; both quantiles are exact
+    lower order statistics over per-milestone partitioned ranks with
+    unique (latency, user) tie-breaks.  One anchor aggregate + one
+    first-touch aggregate + one rank window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    su = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("signup_us")
+    )
+    fm = (
+        ev.where(F.col("event_type") != "signup")
+        .join(su, "user_id")
+        .where(F.expr("unix_micros(ts)") >= F.col("signup_us"))
+        .groupBy("user_id", "event_type", "signup_us")
+        .agg(
+            F.expr(
+                "(min(unix_micros(ts)) - signup_us) div 1000000"
+            ).alias("lat_s")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("lat_s", "user_id")
+    wn = Window.partitionBy("event_type")
+    r = fm.select(
+        "event_type",
+        "lat_s",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy(F.col("event_type").alias("milestone")).agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.min(
+            F.when(2 * F.col("rk") >= F.col("n"), F.col("lat_s"))
+        )
+        .cast("long")
+        .alias("median_latency_s"),
+        F.min(
+            F.when(10 * F.col("rk") >= 9 * F.col("n"), F.col("lat_s"))
+        )
+        .cast("long")
+        .alias("p90_latency_s"),
+    )
