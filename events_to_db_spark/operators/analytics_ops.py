@@ -4417,3 +4417,76 @@ def q_ev_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_latency_s"),
     )
+
+
+@query(
+    "q_ev_uptime_streak",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ok AS (
+        SELECT user_id, rn,
+               rn - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY rn) AS grp
+        FROM m WHERE is_err = 0
+    ),
+    runs AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+        FROM ok GROUP BY user_id, grp
+    ),
+    per AS (
+        SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest
+        FROM runs GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(longest) AS BIGINT) AS max_streak,
+           CAST(sum(longest) AS BIGINT) AS sum_longest,
+           round(CAST(sum(longest) AS DOUBLE) / count(*), 4)
+               AS avg_longest
+    FROM per
+    """,
+)
+def q_ev_uptime_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest error-free run per user (in consecutive events), with
+    the population summary — the "how long does a clean experience
+    last" reliability metric that complements MTBF's wall-clock view
+    with an interaction-count view.
+
+    Runs are the rank-difference islands trick on non-error rows; all
+    windows partition by user; every statistic exact except the
+    rounded mean.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    wok = Window.partitionBy("user_id").orderBy("rn")
+    ok = m.where(F.col("is_err") == 0).select(
+        "user_id",
+        "rn",
+        (F.col("rn") - F.row_number().over(wok)).alias("grp"),
+    )
+    runs = ok.groupBy("user_id", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    per = runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest")
+    )
+    return per.agg(
+        F.count("*").alias("n_users"),
+        F.max("longest").cast("long").alias("max_streak"),
+        F.sum("longest").cast("long").alias("sum_longest"),
+        F.round(
+            F.sum("longest").cast("double") / F.count("*"), 4
+        ).alias("avg_longest"),
+    )

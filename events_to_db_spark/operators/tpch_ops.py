@@ -2405,3 +2405,44 @@ def q_ord_discount_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_violations"),
         F.sum(excess).cast("long").alias("leakage_cents"),
     )
+
+
+@query(
+    "q_ord_order_count_dist",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(length(printf('%b', n_orders)) - 1 AS BIGINT)
+               AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS total_orders,
+           CAST(min(n_orders) AS BIGINT) AS min_in_bucket,
+           CAST(max(n_orders) AS BIGINT) AS max_in_bucket
+    FROM c
+    GROUP BY 1
+    """,
+)
+def q_ord_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-frequency distribution on a log₂ grid: customers bucketed
+    by ⌊log₂(order count)⌋ — the heavy-tail fingerprint (straight line
+    on this grid = power law) that q_ev_powerlaw reads for events,
+    here for the order book.
+
+    The bucket uses the exact binary-length identity (float log2 is
+    wrong at powers of two — the documented trap); all counts exact.
+    Two keyed aggregates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return c.groupBy(
+        F.expr("cast(length(conv(n_orders, 10, 2)) - 1 as bigint)").alias(
+            "log2_bucket"
+        )
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+        F.min("n_orders").cast("long").alias("min_in_bucket"),
+        F.max("n_orders").cast("long").alias("max_in_bucket"),
+    )
