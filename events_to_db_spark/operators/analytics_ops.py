@@ -4490,3 +4490,50 @@ def q_ev_uptime_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("longest").cast("double") / F.count("*"), 4
         ).alias("avg_longest"),
     )
+
+
+@query(
+    "q_ev_dau",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day, a.dau,
+           CAST(b.dau AS BIGINT) AS prev_dau,
+           CAST(a.dau - b.dau AS BIGINT) AS delta,
+           round(CAST(a.dau - b.dau AS DOUBLE) / b.dau, 6) AS pct_change
+    FROM d a JOIN d b ON b.day = a.day - INTERVAL 1 DAY
+    """,
+)
+def q_ev_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU trend: daily active users with day-over-day delta and
+    percent change — the first chart on every growth dashboard,
+    expressed as a self-JOIN on the calendar key (day = prev + 1) so
+    no global-order window exists at all; days without a predecessor
+    (the first day, gaps) drop out naturally.
+
+    Distinct-user counts exact; the percent change divides once.  One
+    distinct-count aggregate + an equi-join on the day key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    ).cache()
+    a = d.alias("a")
+    b = d.alias("b")
+    return a.join(
+        F.broadcast(b),
+        F.col("b.day") == F.date_sub(F.col("a.day"), 1),
+    ).select(
+        F.col("a.day").cast("string").alias("day"),
+        F.col("a.dau").alias("dau"),
+        F.col("b.dau").alias("prev_dau"),
+        (F.col("a.dau") - F.col("b.dau")).cast("long").alias("delta"),
+        F.round(
+            (F.col("a.dau") - F.col("b.dau")).cast("double")
+            / F.col("b.dau"),
+            6,
+        ).alias("pct_change"),
+    )

@@ -1754,3 +1754,44 @@ def q_stat_permtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_perms",
         "p_value",
     )
+
+
+@query(
+    "q_stat_cdf_point",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                           < 10000 THEN 1 END) AS BIGINT) AS n_below,
+           CAST(count(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                           = 10000 THEN 1 END) AS BIGINT) AS n_equal,
+           round(CAST(count(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                 < 10000 THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS cdf_at_100
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stat_cdf_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-quantile point query: where does the $100.00 mark sit
+    in each event type's value distribution — F(100) as exact
+    below/equal counts plus the rounded CDF value.  The dual of the
+    percentile family (they answer "what value at p"; this answers
+    "what p at value"), and the primitive behind threshold what-if
+    questions.
+
+    Pure conditional counts on exact cents; one aggregate, no window,
+    no sort — the cheapest query in the registry by design, because
+    the dashboard asks it on every slider move.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.expr("cast(round(value * 100) as bigint)")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(vc < 10000, 1)).cast("long").alias("n_below"),
+        F.count(F.when(vc == 10000, 1)).cast("long").alias("n_equal"),
+        F.round(
+            F.count(F.when(vc < 10000, 1)).cast("double") / F.count("*"),
+            6,
+        ).alias("cdf_at_100"),
+    )
