@@ -2446,3 +2446,87 @@ def q_ord_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_orders").cast("long").alias("min_in_bucket"),
         F.max("n_orders").cast("long").alias("max_in_bucket"),
     )
+
+
+@query(
+    "q_ord_waterfall",
+    oracle="""
+    WITH l AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_c,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        FROM lineitem
+    ),
+    w AS (
+        SELECT CAST(sum(gross_c) AS BIGINT) AS gross,
+               CAST(sum(gross_c * disc_pct) AS BIGINT) AS disc_e2,
+               CAST(sum((gross_c * (100 - disc_pct)) * tax_pct)
+                    AS BIGINT) AS tax_e4
+        FROM l
+    )
+    SELECT gross AS gross_cents,
+           CAST(disc_e2 // 100 AS BIGINT) AS discount_cents,
+           CAST(gross - disc_e2 // 100 AS BIGINT) AS net_cents,
+           CAST(tax_e4 // 10000 AS BIGINT) AS tax_cents,
+           CAST(gross - disc_e2 // 100 + tax_e4 // 10000 AS BIGINT)
+               AS invoiced_cents,
+           round(CAST(disc_e2 AS DOUBLE) / 100 / gross, 6)
+               AS discount_rate,
+           round(CAST(tax_e4 AS DOUBLE) / 10000
+                 / (gross - disc_e2 / 100.0), 6) AS effective_tax_rate
+    FROM w
+    """,
+)
+def q_ord_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross-to-net revenue waterfall: list price → discount give-up →
+    net → tax → invoiced, the finance bridge behind every earnings
+    slide — computed on integer fixed-point all the way (discount
+    mass in 1e-2-cent units, tax mass in 1e-4-cent units, floored to
+    cents ONCE at the end of each step, not per line, so the walk
+    reconciles exactly).
+
+    One map-side-combinable aggregate; the two display rates divide
+    identical integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.select(
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+            "gross_c"
+        ),
+        F.expr("cast(round(l_discount * 100) as bigint)").alias(
+            "disc_pct"
+        ),
+        F.expr("cast(round(l_tax * 100) as bigint)").alias("tax_pct"),
+    )
+    w = l.agg(
+        F.sum("gross_c").cast("long").alias("gross"),
+        F.sum(F.col("gross_c") * F.col("disc_pct"))
+        .cast("long")
+        .alias("disc_e2"),
+        F.sum(
+            (F.col("gross_c") * (100 - F.col("disc_pct")))
+            * F.col("tax_pct")
+        )
+        .cast("long")
+        .alias("tax_e4"),
+    )
+    return w.select(
+        F.col("gross").alias("gross_cents"),
+        F.expr("disc_e2 div 100").cast("long").alias("discount_cents"),
+        F.expr("gross - disc_e2 div 100")
+        .cast("long")
+        .alias("net_cents"),
+        F.expr("tax_e4 div 10000").cast("long").alias("tax_cents"),
+        F.expr("gross - disc_e2 div 100 + tax_e4 div 10000")
+        .cast("long")
+        .alias("invoiced_cents"),
+        F.round(
+            F.col("disc_e2").cast("double") / 100 / F.col("gross"), 6
+        ).alias("discount_rate"),
+        F.round(
+            F.col("tax_e4").cast("double")
+            / 10000
+            / (F.col("gross") - F.col("disc_e2") / 100.0),
+            6,
+        ).alias("effective_tax_rate"),
+    )
