@@ -4537,3 +4537,50 @@ def q_ev_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_change"),
     )
+
+
+@query(
+    "q_ev_traffic_mix",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                           THEN 1 END) AS BIGINT) AS new_user_events,
+           round(CAST(count(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                                 THEN 1 END) AS DOUBLE) / count(*), 6)
+               AS new_share
+    FROM events e JOIN fd f ON f.user_id = e.user_id
+    GROUP BY CAST(e.ts AS DATE)
+    """,
+)
+def q_ev_traffic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning traffic mix: per day, the share of event
+    volume produced by users on their FIRST-ever day — the
+    acquisition-vs-retention split of raw traffic that tells you
+    whether growth is new blood or deepening engagement.
+
+    First-day anchors are one keyed min joined back (broadcast-sized
+    per-user table); whole-day DATE equality, exact counts, one
+    display division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    j = ev.join(fd, "user_id")
+    is_new = F.when(
+        F.col("ts").cast("date") == F.col("first_day"), 1
+    )
+    return j.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count(is_new).cast("long").alias("new_user_events"),
+        F.round(
+            F.count(is_new).cast("double") / F.count("*"), 6
+        ).alias("new_share"),
+    )

@@ -1795,3 +1795,79 @@ def q_stat_cdf_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cdf_at_100"),
     )
+
+
+@query(
+    "q_stat_wilson",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS conv,
+               CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                        END) AS BIGINT) AS clicked
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT clicked AS segment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS k
+        FROM u GROUP BY 1
+    )
+    SELECT CAST(segment AS BIGINT) AS clicked_segment, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round((k + 1.9208) / (n + 3.8416)
+                 - 1.96 * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.9604)
+                   / (n + 3.8416), 6) AS wilson_low,
+           round((k + 1.9208) / (n + 3.8416)
+                 + 1.96 * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.9604)
+                   / (n + 3.8416), 6) AS wilson_high
+    FROM g
+    """,
+)
+def q_stat_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the conversion rate of clickers
+    vs non-clickers — the binomial CI that stays sane at small n and
+    extreme rates where the naive Wald interval breaks (the reason
+    every experimentation UI quotes Wilson bounds).
+
+    (n, k) are exact integers; the interval is the identical
+    closed-form double expression (z = 1.96, z² = 3.8416) over those
+    integers in both engines, rounded to 6.  One per-user aggregate +
+    a 2-row segment aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("clicked"),
+    )
+    g = u.groupBy(F.col("clicked").alias("segment")).agg(
+        F.count("*").alias("n"), F.sum("conv").cast("long").alias("k")
+    )
+    center = (F.col("k") + 1.9208) / (F.col("n") + 3.8416)
+    half = (
+        1.96
+        * F.sqrt(
+            F.col("k").cast("double")
+            * (F.col("n") - F.col("k"))
+            / F.col("n")
+            + 0.9604
+        )
+        / (F.col("n") + 3.8416)
+    )
+    return g.select(
+        F.col("segment").cast("long").alias("clicked_segment"),
+        "n",
+        "k",
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_low"),
+        F.round(center + half, 6).alias("wilson_high"),
+    )

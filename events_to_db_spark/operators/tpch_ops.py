@@ -2530,3 +2530,70 @@ def q_ord_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_tax_rate"),
     )
+
+
+@query(
+    "q_ord_hockey_stick",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    x AS (
+        SELECT mo, cents,
+               CASE WHEN date_diff('day', d,
+                        (mo + INTERVAL 1 MONTH - INTERVAL 1 DAY)::DATE)
+                        < 5 THEN 1 ELSE 0 END AS last5
+        FROM m
+    )
+    SELECT CAST(CAST(mo AS DATE) AS VARCHAR) AS month,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN last5 = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS last5_cents,
+           round(CAST(sum(CASE WHEN last5 = 1 THEN cents ELSE 0 END)
+                      AS DOUBLE) / sum(cents), 6) AS last5_share,
+           CAST(CASE WHEN 3 * sum(CASE WHEN last5 = 1 THEN cents
+                                  ELSE 0 END) > sum(cents)
+                     THEN 1 ELSE 0 END AS INT) AS hockey_stick_flag
+    FROM x
+    GROUP BY mo
+    """,
+)
+def q_ord_hockey_stick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end hockey stick audit: the share of each month's
+    revenue booked in its final five days, flagged when it exceeds a
+    third — the sales-linearity pathology (quota-driven pull-ins)
+    every rev-ops review hunts for.
+
+    "Last five days" is exact whole-day arithmetic against the
+    month's last day; the flag is the integer cross-multiplication
+    3·last5 > total.  One month aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "cents"
+        ),
+    )
+    last5 = F.when(
+        F.datediff(F.expr("last_day(mo)"), F.col("d")) < 5, 1
+    ).otherwise(0)
+    x = m.select("mo", "cents", last5.alias("last5"))
+    l5 = F.sum(F.when(F.col("last5") == 1, F.col("cents")).otherwise(0))
+    return x.groupBy(
+        F.col("mo").cast("date").cast("string").alias("month")
+    ).agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        l5.cast("long").alias("last5_cents"),
+        F.round(l5.cast("double") / F.sum("cents"), 6).alias(
+            "last5_share"
+        ),
+        F.when(3 * l5 > F.sum("cents"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hockey_stick_flag"),
+    )
