@@ -1871,3 +1871,140 @@ def q_stat_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_low"),
         F.round(center + half, 6).alias("wilson_high"),
     )
+
+
+@query(
+    "q_ml_stump_stability",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) // 2000 AS bk,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    r AS (
+        SELECT b, bk, y,
+               ('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT
+                   AS u
+        FROM x CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+    ),
+    g AS (
+        SELECT b, bk,
+               CAST(sum({_POIS_CASE}) AS BIGINT) AS ct,
+               CAST(sum(({_POIS_CASE}) * y) AS BIGINT) AS pos
+        FROM r GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT b, bk,
+               sum(ct) OVER (PARTITION BY b ORDER BY bk) AS nl,
+               sum(pos) OVER (PARTITION BY b ORDER BY bk) AS pl,
+               sum(ct) OVER (PARTITION BY b) AS n,
+               sum(pos) OVER (PARTITION BY b) AS p
+        FROM g
+    ),
+    best AS (
+        SELECT b, bk FROM (
+            SELECT b, bk,
+                   row_number() OVER (
+                       PARTITION BY b
+                       ORDER BY ((pl * pl + (nl - pl) * (nl - pl))
+                                 * 1000000) // nl
+                              + (((p - pl) * (p - pl)
+                                  + ((n - nl) - (p - pl))
+                                    * ((n - nl) - (p - pl)))
+                                 * 1000000) // (n - nl) DESC, bk) AS rk
+            FROM cum WHERE nl < n AND nl > 0
+        ) WHERE rk = 1
+    ),
+    modal AS (
+        SELECT bk, CAST(count(*) AS BIGINT) AS freq
+        FROM best GROUP BY bk ORDER BY freq DESC, bk LIMIT 1
+    )
+    SELECT CAST((SELECT count(*) FROM best) AS BIGINT) AS n_resamples,
+           CAST((SELECT count(DISTINCT bk) FROM best) AS BIGINT)
+               AS n_distinct_thresholds,
+           CAST((SELECT min(bk) * 2000 FROM best) AS BIGINT)
+               AS min_thr_cents,
+           CAST((SELECT max(bk) * 2000 FROM best) AS BIGINT)
+               AS max_thr_cents,
+           CAST(m.bk * 2000 AS BIGINT) AS modal_thr_cents,
+           m.freq AS modal_freq
+    FROM modal m
+    """,
+)
+def q_ml_stump_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-stability audit: the q_ml_stump split refit on 16
+    deterministic Poisson-bootstrap resamples (the q_stat_bootstrap
+    weights) on the $20 threshold grid — a split that jumps between
+    resamples is noise, not signal, and this is the check before
+    anyone ships the cutoff.
+
+    Every resample's weighted class counts are exact integers (hash-
+    derived Poisson multiplicities), the per-resample argmax is the
+    stump's fixed-point score partitioned by resample, and the
+    summary (distinct thresholds, range, mode with earliest-threshold
+    tie-break) is exact.  ONE scan fans out all 16 resamples.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint) div 2000").alias("bk"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    spine = spark.range(0, 16).select(F.col("id").alias("b"))
+    r = x.crossJoin(F.broadcast(spine)).select(
+        "b",
+        "bk",
+        "y",
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(event_id as string), '_',"
+            " cast(b as string))), 1, 15), 16, 10) as bigint)"
+        ).alias("u"),
+    )
+    g = r.groupBy("b", "bk").agg(
+        F.sum(F.expr(_POIS_CASE)).cast("long").alias("ct"),
+        F.sum(F.expr(f"({_POIS_CASE}) * y")).cast("long").alias("pos"),
+    )
+    wc = (
+        Window.partitionBy("b")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("b")
+    cum = g.select(
+        "b",
+        "bk",
+        F.sum("ct").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+        F.sum("ct").over(wt).alias("n"),
+        F.sum("pos").over(wt).alias("p"),
+    ).where((F.col("nl") < F.col("n")) & (F.col("nl") > 0))
+    score = F.expr(
+        "((pl * pl + (nl - pl) * (nl - pl)) * 1000000) div nl"
+        " + (((p - pl) * (p - pl)"
+        " + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)))"
+        " * 1000000) div (n - nl)"
+    )
+    wbest = Window.partitionBy("b").orderBy(score.desc(), "bk")
+    best = (
+        cum.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select("b", "bk")
+    ).cache()
+    summ = best.agg(
+        F.count("*").alias("n_resamples"),
+        F.countDistinct("bk").cast("long").alias("n_distinct_thresholds"),
+        (F.min("bk") * 2000).cast("long").alias("min_thr_cents"),
+        (F.max("bk") * 2000).cast("long").alias("max_thr_cents"),
+    )
+    modal = (
+        best.groupBy("bk")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "bk")
+        .limit(1)
+        .select(
+            (F.col("bk") * 2000).cast("long").alias("modal_thr_cents"),
+            F.col("freq").cast("long").alias("modal_freq"),
+        )
+    )
+    return summ.crossJoin(F.broadcast(modal))
