@@ -2597,3 +2597,72 @@ def q_ord_hockey_stick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("hockey_stick_flag"),
     )
+
+
+@query(
+    "q_ord_also_bought",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p, b.l_partkey AS q,
+               CAST(count(*) AS BIGINT) AS together
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT p, q, together FROM (
+            SELECT p, q, together,
+                   row_number() OVER (PARTITION BY p
+                                      ORDER BY together DESC, q) AS rk
+            FROM pairs) WHERE rk = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts_with_rec,
+           CAST(max(together) AS BIGINT) AS max_cooccurrence,
+           CAST(sum(together) AS BIGINT) AS sum_top1_cooccurrence,
+           CAST(count(DISTINCT q) AS BIGINT) AS n_distinct_recs
+    FROM best
+    """,
+)
+def q_ord_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers who bought X also bought…": the top co-purchased
+    part for every part (ties → lower partkey), summarized — the
+    item-item collaborative filter in its exact-count form, the
+    recommender every commerce site starts with.
+
+    Co-occurrence pairs come from a same-order self-join of the
+    DISTINCT (order, part) set — the quadratic term is lines-per-
+    order (≤ ~7), never catalog² — and the per-part argmax is a
+    partitioned top-1.  Summary output keeps the contract row small;
+    the `best` table itself is the servable artifact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p"),
+            F.col("b.l_partkey").alias("q"),
+        )
+        .agg(F.count("*").alias("together"))
+    )
+    w = Window.partitionBy("p").orderBy(F.desc("together"), "q")
+    best = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p", "q", "together")
+    )
+    return best.agg(
+        F.count("*").alias("n_parts_with_rec"),
+        F.max("together").cast("long").alias("max_cooccurrence"),
+        F.sum("together").cast("long").alias("sum_top1_cooccurrence"),
+        F.countDistinct("q").cast("long").alias("n_distinct_recs"),
+    )
