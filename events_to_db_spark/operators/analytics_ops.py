@@ -4584,3 +4584,73 @@ def q_ev_traffic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(is_new).cast("double") / F.count("*"), 6
         ).alias("new_share"),
     )
+
+
+@query(
+    "q_ev_rolling_spend",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+        SELECT user_id, event_id, cents,
+               CAST(coalesce(sum(cents) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 2592000000000 PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT)
+                   AS prior_30d_cents
+        FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN prior_30d_cents + cents > 100000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_limit,
+           CAST(max(prior_30d_cents + cents) AS BIGINT)
+               AS max_30d_exposure_cents,
+           round(CAST(sum(CASE WHEN prior_30d_cents + cents > 100000
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS over_limit_share
+    FROM w
+    """,
+)
+def q_ev_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity-limit check: at each purchase, the user's trailing
+    30-day spend including the purchase itself, flagged against a
+    $1000 rolling limit — the credit/fraud control evaluated inline
+    on the authorization path, here as the batch audit of how often
+    it would have fired.
+
+    The trailing window is an integer-µs RANGE frame ending at 1
+    PRECEDING (strictly-before, so the limit check adds the current
+    amount explicitly — no double count); both engines frame RANGE on
+    the identical BIGINT key.  One user shuffle, one audit row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-2_592_000_000_000, -1)
+    )
+    w = p.select(
+        "cents",
+        F.coalesce(F.sum("cents").over(wr), F.lit(0))
+        .cast("long")
+        .alias("prior_30d_cents"),
+    )
+    exposure = F.col("prior_30d_cents") + F.col("cents")
+    over = F.when(exposure > 100_000, 1).otherwise(0)
+    return w.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(over).cast("long").alias("n_over_limit"),
+        F.max(exposure).cast("long").alias("max_30d_exposure_cents"),
+        F.round(
+            F.sum(over).cast("double") / F.count("*"), 6
+        ).alias("over_limit_share"),
+    )
