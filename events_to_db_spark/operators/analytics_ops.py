@@ -4654,3 +4654,36 @@ def q_ev_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(over).cast("double") / F.count("*"), 6
         ).alias("over_limit_share"),
     )
+
+
+@query(
+    "q_ev_active_days",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days
+        FROM events GROUP BY 1
+    )
+    SELECT active_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM u
+    GROUP BY active_days
+    """,
+)
+def q_ev_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth histogram: users by their count of distinct
+    active days — the L28-style distribution whose left mass is
+    drive-by traffic and right mass is the habit core (the shape
+    behind every "power-user curve" slide).
+
+    One distinct-count per user + one histogram aggregate; exact
+    whole-day DATEs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("long")
+        .alias("active_days")
+    )
+    return u.groupBy("active_days").agg(F.count("*").alias("n_users"))
