@@ -2008,3 +2008,102 @@ def q_ml_stump_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summ.crossJoin(F.broadcast(modal))
+
+
+@query(
+    "q_stat_tukey",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    pv AS (
+        SELECT g, vc, CAST(count(*) AS BIGINT) AS ct FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, vc,
+               sum(ct) OVER (PARTITION BY g ORDER BY vc) AS cum_n,
+               sum(ct) OVER (PARTITION BY g) AS n
+        FROM pv
+    ),
+    q AS (
+        SELECT g,
+               CAST(min(CASE WHEN 4 * cum_n >= n THEN vc END) AS BIGINT)
+                   AS q1,
+               CAST(min(CASE WHEN 4 * cum_n >= 3 * n THEN vc END)
+                    AS BIGINT) AS q3
+        FROM cum GROUP BY g
+    )
+    SELECT s.g AS event_type, q.q1 AS q1_cents, q.q3 AS q3_cents,
+           CAST(q.q3 - q.q1 AS BIGINT) AS iqr_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN 2 * (s.vc - q.q1) < -3 * (q.q3 - q.q1)
+                         OR 2 * (s.vc - q.q3) > 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM s JOIN q ON q.g = s.g
+    GROUP BY s.g, q.q1, q.q3
+    """,
+)
+def q_stat_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type: exact lower-quartile
+    order statistics (4·cum ≥ n / ≥ 3n), and the 1.5·IQR fences
+    evaluated as the doubled integer comparison 2·(x−Q1) < −3·IQR —
+    so the half-step fence never becomes a float and the outlier
+    counts hash-match exactly.  The box-plot's outlier dots, counted.
+
+    Per-type distinct-value scan + a broadcast quartile join back
+    onto the rows; one aggregate out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    pv = s.groupBy("g", "vc").agg(F.count("*").alias("ct"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("g")
+    cum = pv.select(
+        "g",
+        "vc",
+        F.sum("ct").over(wc).alias("cum_n"),
+        F.sum("ct").over(wn).alias("n"),
+    )
+    q = cum.groupBy("g").agg(
+        F.min(
+            F.when(4 * F.col("cum_n") >= F.col("n"), F.col("vc"))
+        )
+        .cast("long")
+        .alias("q1"),
+        F.min(
+            F.when(4 * F.col("cum_n") >= 3 * F.col("n"), F.col("vc"))
+        )
+        .cast("long")
+        .alias("q3"),
+    )
+    j = s.join(F.broadcast(q), "g")
+    iqr = F.col("q3") - F.col("q1")
+    out = F.when(
+        (2 * (F.col("vc") - F.col("q1")) < -3 * iqr)
+        | (2 * (F.col("vc") - F.col("q3")) > 3 * iqr),
+        1,
+    ).otherwise(0)
+    return j.groupBy(
+        F.col("g").alias("event_type"),
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+    ).agg(
+        iqr.cast("long").alias("iqr_cents"),
+        F.count("*").alias("n"),
+        F.sum(out).cast("long").alias("n_outliers"),
+    ).select(
+        "event_type",
+        "q1_cents",
+        "q3_cents",
+        "iqr_cents",
+        "n",
+        "n_outliers",
+    )
