@@ -4687,3 +4687,124 @@ def q_ev_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("active_days")
     )
     return u.groupBy("active_days").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q_ev_mix_shift",
+    oracle="""
+    WITH b AS (
+        SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                    AS BIGINT) AS mid
+        FROM events
+    ),
+    s AS (
+        SELECT CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS period,
+               CASE WHEN event_type IN ('view', 'click') THEN event_type
+                    ELSE 'other' END AS seg,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events CROSS JOIN b
+    ),
+    g AS (
+        SELECT period, seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS k
+        FROM s GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT period, CAST(sum(n) AS BIGINT) AS nt FROM g GROUP BY 1
+    ),
+    j AS (
+        SELECT g0.seg,
+               g0.n AS n0, g0.k AS k0, t0.nt AS nt0,
+               g1.n AS n1, g1.k AS k1, t1.nt AS nt1
+        FROM (SELECT * FROM g WHERE period = 0) g0
+        JOIN (SELECT * FROM g WHERE period = 1) g1 ON g0.seg = g1.seg
+        CROSS JOIN (SELECT nt FROM t WHERE period = 0) t0
+        CROSS JOIN (SELECT nt FROM t WHERE period = 1) t1
+    )
+    SELECT seg, n0, k0, n1, k1,
+           round(CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0, 6)
+               AS rate_change,
+           round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                 * n0 / nt0, 6) AS within_contrib,
+           round((CAST(n1 AS DOUBLE) / nt1 - CAST(n0 AS DOUBLE) / nt0)
+                 * k1 / n1, 6) AS mix_contrib
+    FROM j
+    """,
+)
+def q_ev_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kitagawa rate decomposition: per segment, how much of the
+    overall purchase-rate change between the two time halves came
+    from the segment's own rate moving (within effect, old weights)
+    vs its share of traffic moving (mix effect, new rates) — the
+    "did we get better or did the mix change" split every metric
+    review needs before claiming improvement.
+
+    The six sufficient counts per segment are exact integers from
+    one pass (same µs-midpoint anchor as q_ev_cuped); the two
+    contributions are single double expressions over those integers.
+    One aggregate + a |segments|-row join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "cast((min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            " as bigint)"
+        ).alias("mid")
+    )
+    s = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.expr("unix_micros(ts)") < F.col("mid"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.when(
+            F.col("event_type").isin("view", "click"),
+            F.col("event_type"),
+        )
+        .otherwise("other")
+        .alias("seg"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = s.groupBy("period", "seg").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("k")
+    ).cache()
+    t = g.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
+    g0 = g.where(F.col("period") == 0).select(
+        "seg",
+        F.col("n").alias("n0"),
+        F.col("k").alias("k0"),
+    )
+    g1 = g.where(F.col("period") == 1).select(
+        "seg",
+        F.col("n").alias("n1"),
+        F.col("k").alias("k1"),
+    )
+    t0 = t.where(F.col("period") == 0).select(F.col("nt").alias("nt0"))
+    t1 = t.where(F.col("period") == 1).select(F.col("nt").alias("nt1"))
+    j = (
+        g0.join(g1, "seg")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    r0 = F.col("k0").cast("double") / F.col("n0")
+    r1 = F.col("k1").cast("double") / F.col("n1")
+    return j.select(
+        "seg",
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        F.round(r1 - r0, 6).alias("rate_change"),
+        F.round((r1 - r0) * F.col("n0") / F.col("nt0"), 6).alias(
+            "within_contrib"
+        ),
+        F.round(
+            (
+                F.col("n1").cast("double") / F.col("nt1")
+                - F.col("n0").cast("double") / F.col("nt0")
+            )
+            * r1,
+            6,
+        ).alias("mix_contrib"),
+    )

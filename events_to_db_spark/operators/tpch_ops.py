@@ -2666,3 +2666,77 @@ def q_ord_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("together").cast("long").alias("sum_top1_cooccurrence"),
         F.countDistinct("q").cast("long").alias("n_distinct_recs"),
     )
+
+
+@query(
+    "q_ord_kraljic",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_sup,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend
+        FROM lineitem GROUP BY 1
+    ),
+    med AS (
+        SELECT CAST(min(CASE WHEN 2 * rk >= n THEN spend END) AS BIGINT)
+                   AS med_spend
+        FROM (
+            SELECT spend,
+                   row_number() OVER (ORDER BY spend, l_partkey) AS rk,
+                   count(*) OVER () AS n
+            FROM ps
+        )
+    )
+    SELECT CASE WHEN p.spend > m.med_spend THEN 'high_spend'
+                ELSE 'low_spend' END AS spend_axis,
+           CASE WHEN p.n_sup <= 2 THEN 'high_risk'
+                ELSE 'low_risk' END AS risk_axis,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p.spend) AS BIGINT) AS spend_cents
+    FROM ps p CROSS JOIN med m
+    GROUP BY 1, 2
+    """,
+)
+def q_ord_kraljic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kraljic portfolio matrix: parts classed on the two procurement
+    axes — spend above/below the exact median, supply risk by
+    supplier redundancy (≤ 2 sources = high risk) — yielding the
+    strategic/leverage/bottleneck/routine quadrants purchasing
+    strategy is organized around.
+
+    The spend median is the exact lower order statistic (rank window
+    over the |parts| aggregate); both axis predicates are integers.
+    One fact aggregate + a broadcast scalar + a 4-row rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_sup"),
+        F.sum(
+            F.expr("cast(round(l_extendedprice * 100) as bigint)")
+        ).alias("spend"),
+    ).cache()
+    ranked = bucketed_running_sum(
+        ps,
+        F.expr("spend div 10000000"),
+        [F.col("spend"), F.col("l_partkey")],
+        {"rk": F.lit(1)},
+    )
+    nn = ps.agg(F.count("*").alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(nn))
+        .where(2 * F.col("rk") >= F.col("n"))
+        .agg(F.min("spend").cast("long").alias("med_spend"))
+    )
+    j = ps.crossJoin(F.broadcast(med))
+    return j.groupBy(
+        F.when(F.col("spend") > F.col("med_spend"), "high_spend")
+        .otherwise("low_spend")
+        .alias("spend_axis"),
+        F.when(F.col("n_sup") <= 2, "high_risk")
+        .otherwise("low_risk")
+        .alias("risk_axis"),
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.sum("spend").cast("long").alias("spend_cents"),
+    )
