@@ -4808,3 +4808,183 @@ def q_ev_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mix_contrib"),
     )
+
+
+@query(
+    "q_ev_shapley_touch",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, min(epoch_us(ts)) AS p_us
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touch AS (
+        SELECT f.user_id,
+               CAST(max(CASE WHEN e.event_type = 'view'
+                             AND epoch_us(e.ts) < f.p_us
+                        THEN 1 ELSE 0 END) AS BIGINT) AS saw_view,
+               CAST(max(CASE WHEN e.event_type = 'click'
+                             AND epoch_us(e.ts) < f.p_us
+                        THEN 1 ELSE 0 END) AS BIGINT) AS saw_click
+        FROM fp f JOIN events e ON e.user_id = f.user_id
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CASE WHEN saw_view = 1 AND saw_click = 1 THEN 1
+                         WHEN saw_view = 1 THEN 2 ELSE 0 END) AS BIGINT)
+               AS view_credit_halves,
+           CAST(sum(CASE WHEN saw_view = 1 AND saw_click = 1 THEN 1
+                         WHEN saw_click = 1 THEN 2 ELSE 0 END) AS BIGINT)
+               AS click_credit_halves,
+           CAST(sum(CASE WHEN saw_view = 0 AND saw_click = 0 THEN 1
+                         ELSE 0 END) AS BIGINT) AS organic_conversions
+    FROM touch
+    """,
+)
+def q_ev_shapley_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-channel Shapley attribution: each first purchase splits its
+    credit by the Shapley closed form over the {view, click} touch
+    coalition — ½ each when both preceded the purchase, full credit
+    to a lone channel, organic when neither — carried as exact
+    integer HALF-credits (the dyadic trick: ½ never becomes a float),
+    the game-theoretic answer to q_ev_attribution's heuristics.
+
+    One first-purchase anchor + one per-user coalition aggregate;
+    strictly-before comparisons in exact µs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fp = ev.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min(F.expr("unix_micros(ts)")).alias("p_us"))
+    touch = (
+        fp.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.expr("unix_micros(ts)") < F.col("p_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("saw_view"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.expr("unix_micros(ts)") < F.col("p_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("saw_click"),
+        )
+    )
+    both = (F.col("saw_view") == 1) & (F.col("saw_click") == 1)
+    return touch.agg(
+        F.count("*").alias("n_conversions"),
+        F.sum(
+            F.when(both, 1)
+            .when(F.col("saw_view") == 1, 2)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("view_credit_halves"),
+        F.sum(
+            F.when(both, 1)
+            .when(F.col("saw_click") == 1, 2)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("click_credit_halves"),
+        F.sum(
+            F.when(
+                (F.col("saw_view") == 0) & (F.col("saw_click") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("organic_conversions"),
+    )
+
+
+@query(
+    "q_ev_gap_memory",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT user_id,
+               (us - lag(us) OVER w) // 1000000 AS gap_s,
+               (lag(us) OVER w - lag(us, 2) OVER w) // 1000000
+                   AS prev_gap_s
+        FROM p
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    x AS (
+        SELECT gap_s AS y, prev_gap_s AS x
+        FROM g WHERE gap_s IS NOT NULL AND prev_gap_s IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM x
+    )
+    SELECT n, sx, sy,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS lag1_corr
+    FROM s
+    """,
+)
+def q_ev_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renewal-process memory test: the lag-1 Pearson correlation
+    between consecutive purchase gaps pooled across users — r ≈ 0
+    means purchase timing is memoryless (Poisson-like, so "time since
+    last purchase" is a useless feature); r > 0 means cadence is
+    personal and predictive.
+
+    Gaps are exact integer µs→second floors (a double lag window per
+    user), the five sufficient sums exact BIGINTs, the correlation
+    one final double.  One user shuffle + one scalar row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("unix_micros(ts)").alias("us"), "event_id"
+    )
+    g = p.select(
+        F.expr(
+            "(us - lag(us, 1) over (partition by user_id"
+            " order by us, event_id)) div 1000000"
+        ).alias("y"),
+        F.expr(
+            "(lag(us, 1) over (partition by user_id order by us, event_id)"
+            " - lag(us, 2) over (partition by user_id"
+            " order by us, event_id)) div 1000000"
+        ).alias("x"),
+    ).where(F.col("y").isNotNull() & F.col("x").isNotNull())
+    s = g.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("lag1_corr"),
+    )
