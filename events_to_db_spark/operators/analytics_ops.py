@@ -4926,15 +4926,17 @@ def q_ev_shapley_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g WHERE gap_s IS NOT NULL AND prev_gap_s IS NOT NULL
     ),
     s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * y) AS BIGINT) AS sxy,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(y * y) AS BIGINT) AS syy
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy
         FROM x
     )
-    SELECT n, sx, sy,
-           round((n * sxy - sx * sy)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                  / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
                AS lag1_corr
@@ -4967,15 +4969,21 @@ def q_ev_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
             " order by us, event_id)) div 1000000"
         ).alias("x"),
     ).where(F.col("y").isNotNull() & F.col("x").isNotNull())
+    dec = "decimal(38,0)"
     s = g.agg(
-        F.count("*").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # cross products of second-scale gap sums exceed int64 at sf0.1
+    # (n·Σxy ≈ 5e22) — the whole solve runs in DECIMAL(38,0)/HUGEINT,
+    # the q_ml_linreg widening discipline.
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
     dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
         "double"
     )
@@ -4983,8 +4991,8 @@ def q_ev_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     return s.select(
-        "n",
-        "sx",
-        "sy",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
         F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("lag1_corr"),
     )
