@@ -4996,3 +4996,49 @@ def q_ev_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").cast("long").alias("sy"),
         F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("lag1_corr"),
     )
+
+
+@query(
+    "q_ev_breadth_depth",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS breadth,
+               CAST(count(*) AS BIGINT) AS depth
+        FROM events GROUP BY 1
+    )
+    SELECT breadth,
+           CAST(least(length(printf('%b', depth)) - 1, 6) AS BIGINT)
+               AS depth_log2_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(depth) AS BIGINT) AS total_events
+    FROM u
+    GROUP BY 1, 2
+    """,
+)
+def q_ev_breadth_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement breadth × depth matrix: users cross-classified by
+    how many distinct action types they use (breadth, ≤ |types|) and
+    the log₂ band of their event volume (depth, 2⁶+ capped) — the 2-D
+    engagement segmentation behind "casual wide vs power narrow"
+    product narratives.
+
+    Depth bands use the exact binary-length identity; all counts
+    exact.  Two keyed aggregates; the matrix is |types|×7 cells at
+    any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("long").alias("breadth"),
+        F.count("*").alias("depth"),
+    )
+    return u.groupBy(
+        "breadth",
+        F.least(
+            F.expr("cast(length(conv(depth, 10, 2)) - 1 as bigint)"),
+            F.lit(6),
+        ).alias("depth_log2_band"),
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("depth").cast("long").alias("total_events"),
+    )

@@ -2740,3 +2740,63 @@ def q_ord_kraljic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("spend").cast("long").alias("spend_cents"),
     )
+
+
+@query(
+    "q_ord_otif",
+    oracle="""
+    WITH l AS (
+        SELECT o.o_orderpriority,
+               CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE)) <= 30
+                    THEN 1 ELSE 0 END AS on_time
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(on_time) AS BIGINT) AS n_on_time,
+           round(CAST(sum(on_time) AS DOUBLE) / count(*), 6)
+               AS otif_rate,
+           CAST(CASE WHEN 20 * sum(on_time) >= 19 * count(*)
+                     THEN 1 ELSE 0 END AS INT) AS meets_95_sla
+    FROM l
+    GROUP BY o_orderpriority
+    """,
+)
+def q_ord_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time service level: the share of lines shipped within 30
+    days of order, per priority class, with the 95%-SLA verdict as
+    the exact cross-multiplication 20·on_time ≥ 19·total — the OTIF
+    KPI every fulfillment contract is scored on.
+
+    Whole-day DATE arithmetic for the lateness test; one fact join +
+    one priority aggregate; the SLA flag never touches a float.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = orders.join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.when(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            <= 30,
+            1,
+        )
+        .otherwise(0)
+        .alias("on_time"),
+    )
+    return l.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("on_time").cast("long").alias("n_on_time"),
+        F.round(
+            F.sum("on_time").cast("double") / F.count("*"), 6
+        ).alias("otif_rate"),
+        F.when(20 * F.sum("on_time") >= 19 * F.count("*"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("meets_95_sla"),
+    )
