@@ -5042,3 +5042,75 @@ def q_ev_breadth_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("depth").cast("long").alias("total_events"),
     )
+
+
+@query(
+    "q_ev_half_life",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               date_diff('day', f.d0, CAST(e.ts AS DATE)) AS k
+        FROM events e JOIN fd f ON f.user_id = e.user_id
+    ),
+    coh AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM fd),
+    ret AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS retained
+        FROM act WHERE k > 0 GROUP BY 1
+    )
+    SELECT coh.n0 AS cohort_size,
+           CAST(min(CASE WHEN 2 * r.retained < coh.n0 THEN r.k END)
+                AS BIGINT) AS half_life_days,
+           CAST(max(r.k) AS BIGINT) AS max_day_observed,
+           CAST(max(CASE WHEN r.k = 1 THEN r.retained END) AS BIGINT)
+               AS day1_retained
+    FROM ret r CROSS JOIN coh
+    GROUP BY coh.n0
+    """,
+)
+def q_ev_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: the first day-offset where fewer than half
+    the cohort is still active — the single scalar product reviews
+    quote from q_ev_retention_curve's whole curve, extracted with the
+    exact integer predicate 2·retained < cohort (never a 0.5 float).
+
+    NULL half-life means retention never dipped below 50% in the
+    observed window — reported as such, not clamped.  One first-day
+    anchor + one distinct (user, day-offset) aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    act = (
+        ev.join(fd, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("k"),
+        )
+        .distinct()
+    )
+    coh = fd.agg(F.count("*").cast("long").alias("n0"))
+    ret = (
+        act.where(F.col("k") > 0)
+        .groupBy("k")
+        .agg(F.count("*").alias("retained"))
+    )
+    j = ret.crossJoin(F.broadcast(coh))
+    return j.groupBy(F.col("n0").alias("cohort_size")).agg(
+        F.min(
+            F.when(
+                2 * F.col("retained") < F.col("n0"), F.col("k")
+            )
+        )
+        .cast("long")
+        .alias("half_life_days"),
+        F.max("k").cast("long").alias("max_day_observed"),
+        F.max(
+            F.when(F.col("k") == 1, F.col("retained"))
+        )
+        .cast("long")
+        .alias("day1_retained"),
+    )
