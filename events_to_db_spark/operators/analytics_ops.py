@@ -5114,3 +5114,56 @@ def q_ev_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day1_retained"),
     )
+
+
+@query(
+    "q_ev_weekend_mix",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS is_we
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(is_we) AS BIGINT) AS n_weekend,
+           round(CAST(sum(is_we) AS DOUBLE) / count(*), 6)
+               AS weekend_share,
+           CAST(CASE WHEN 7 * sum(is_we) > 2 * count(*) THEN 1 ELSE 0
+                END AS INT) AS over_indexed
+    FROM e
+    GROUP BY event_type
+    """,
+)
+def q_ev_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend mix per event type: the share of each behavior landing
+    on Saturday/Sunday, with an over-index flag against the uniform
+    2/7 baseline as the exact cross-multiplication 7·weekend > 2·n —
+    the dayparting split campaign scheduling starts from.
+
+    DuckDB's dayofweek is 0-based Sunday and Spark's dayofweek is
+    1-based Sunday — the weekend predicate is written against each
+    engine's own convention ({0,6} vs {1,7}), one of the calendar
+    parity traps this repo pins per query.  One aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.when(
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("is_we"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("is_we").cast("long").alias("n_weekend"),
+        F.round(
+            F.sum("is_we").cast("double") / F.count("*"), 6
+        ).alias("weekend_share"),
+        F.when(7 * F.sum("is_we") > 2 * F.count("*"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("over_indexed"),
+    )
