@@ -247,6 +247,57 @@ MINHASH_BANDS = 32
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 
 
+def minhash_candidate_pairs(d: DataFrame, block_cols: list | None = None) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from 32-band MinHash LSH banding.
+
+    ``d`` must carry ``doc_id`` plus a distinct-token array ``toks`` (and
+    any ``block_cols``).  Returns doc-id pairs (doc_a < doc_b) that share
+    at least one (band, band-hash) bucket — and, when ``block_cols`` is
+    given, also agree on every block column (the band join key simply
+    includes them, so cross-block pairs never materialize and the
+    shuffle stays (doc_id, block, band, hash)-sized).
+
+    This is the shared 100 TB candidate engine: `q_dedup_minhash` calls
+    it unblocked; `q_dedup_near` auto-escalates onto it (with its
+    (lang, source) blocks) when a block is too large for the in-block
+    quadratic join.  P(missing a true Jaccard-0.8 pair) = (1-0.8^2)^32
+    ~= 6e-15 — effectively lossless at the 0.8 verify threshold, which
+    is why both callers can keep brute-force oracles.
+    """
+    block_cols = list(block_cols or [])
+    sig = d.select(
+        "doc_id",
+        *block_cols,
+        F.expr(
+            f"transform(sequence(1, {MINHASH_K}), i ->"
+            f" array_min(transform(toks, t ->"
+            f" xxhash64(concat(cast(i as string), ':', t)))))"
+        ).alias("sig"),
+    )
+    # Shuffle ONLY (doc_id, blocks, band, band-hash) — token arrays
+    # would multiply the band-join shuffle by the doc length; callers
+    # rejoin them after the pair set is deduplicated.
+    bands = sig.select(
+        "doc_id",
+        *block_cols,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_BANDS - 1}), b ->"
+                f" xxhash64(concat_ws(',', slice(sig, b * {MINHASH_ROWS} + 1,"
+                f" {MINHASH_ROWS}))))"
+            )
+        ).alias("band", "bh"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), *block_cols, "band", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), *block_cols, "band", "bh")
+    return (
+        a.join(b, block_cols + ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 @query(
     "q_dedup_minhash",
     oracle="""
@@ -284,42 +335,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    # (doc, hash_index) -> min hash over tokens; built without explode:
-    # per row, transform the 64 seeds over the token array and min-fold.
-    # xxhash64 (JVM-side, no string md5 round-trip) — the signature
-    # function needs determinism only, not cross-engine parity: the
-    # oracle is brute-force all-pairs, so banding quality is what is
-    # being proven, not the hash values (10x cheaper than md5-conv).
-    sig = d.select(
-        "doc_id",
-        "toks",
-        F.expr(
-            f"transform(sequence(1, {MINHASH_K}), i ->"
-            f" array_min(transform(toks, t ->"
-            f" xxhash64(concat(cast(i as string), ':', t)))))"
-        ).alias("sig"),
-    )
-    # Candidate generation shuffles ONLY (doc_id, band, band-hash) —
-    # token arrays would multiply the band-join shuffle by the doc
-    # length; they rejoin after the pair set is deduplicated.
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {MINHASH_BANDS - 1}), b ->"
-                f" xxhash64(concat_ws(',', slice(sig, b * {MINHASH_ROWS} + 1,"
-                f" {MINHASH_ROWS}))))"
-            )
-        ).alias("band", "bh"),
-    )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # Signatures are built without explode — per row, transform the 64
+    # seeds over the token array and min-fold with xxhash64 (JVM-side,
+    # no string md5 round-trip).  The signature function needs
+    # determinism only, not cross-engine parity: the oracle is
+    # brute-force all-pairs, so banding quality is what is being
+    # proven, not the hash values (10x cheaper than md5-conv).
+    cand = minhash_candidate_pairs(d)
     # Verify ships int64 token hashes, not string arrays: ~5x smaller
     # pair shuffle and integer set-intersections (collision inside one
     # pair's <=100-token sets needs a 64-bit collision: ~1e-15).

@@ -1,0 +1,95 @@
+"""Auto-escalating q_dedup_near (VERDICT r02 #1): when the largest
+(lang, source) block exceeds the quadratic-join threshold, candidate
+pairs must come from the shared MinHash-LSH band engine (blocked on
+the same keys) instead of the in-block self-join — and the verified
+result must be byte-identical, since banding is effectively lossless
+at the 0.8 Jaccard threshold."""
+
+from __future__ import annotations
+
+import pytest
+
+from events_to_db_spark.operators import llm_ops, pipeline_ops
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_escalated_path_matches_quadratic(spark, monkeypatch):
+    import __spark_entry__ as e
+
+    fn = e.queries()["q_dedup_near"]
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", raising=False)
+    expected = _rows(fn(spark, SF_SMOKE))
+    assert expected, "smoke corpus should contain near-dup pairs"
+
+    # Force escalation: every real block is bigger than 1 row.
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", "1")
+    called = {}
+    real = pipeline_ops.minhash_candidate_pairs
+
+    def spy(d, block_cols=None):
+        called["block_cols"] = list(block_cols or [])
+        return real(d, block_cols)
+
+    monkeypatch.setattr(pipeline_ops, "minhash_candidate_pairs", spy)
+    got = _rows(fn(spark, SF_SMOKE))
+    assert called.get("block_cols") == ["lang", "source"]
+    assert got == expected
+
+
+def test_quadratic_path_is_default(spark, monkeypatch):
+    """Below the threshold the band engine must NOT run (the probe adds
+    one cheap agg; candidates come from the block equi-join)."""
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", raising=False)
+    monkeypatch.setattr(
+        pipeline_ops,
+        "minhash_candidate_pairs",
+        lambda *a, **k: pytest.fail("band path engaged below threshold"),
+    )
+    import __spark_entry__ as e
+
+    e.queries()["q_dedup_near"](spark, SF_SMOKE).collect()
+
+
+def test_blocked_candidates_never_cross_blocks(spark):
+    """The band join key includes the block columns: any candidate pair
+    must agree on (lang, source)."""
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.session import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    cand = pipeline_ops.minhash_candidate_pairs(d, ["lang", "source"])
+    meta = d.select("doc_id", "lang", "source")
+    crossed = (
+        cand.join(
+            meta.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("lang").alias("lang_a"),
+                F.col("source").alias("source_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("source").alias("source_b"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            (F.col("lang_a") != F.col("lang_b"))
+            | (F.col("source_a") != F.col("source_b"))
+        )
+        .count()
+    )
+    assert crossed == 0
