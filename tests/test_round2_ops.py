@@ -259,7 +259,6 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_text_pmi": "argmax over vocabulary-pair aggregate (bounded)",
         "q_ev_replay": "row_number over TakeOrderedAndProject's 100 rows",
         "q_ev_rfm": "ntile over the 16-cell R×F grid (fixed)",
-        "q_win_distribution": "documented total-order semantics (ntile/percent_rank over all customers)",
         "q_agg_gini": "rank within segment after per-segment aggregate; segment dimension fixed",
         "q_ev_pareto": "cumulative share over bucketed per-user prefix aggregate",
         "q_ev_concurrency": "per-day sweep re-aggregate (calendar-bounded)",
