@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from events_to_db_spark.registry import query
+from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.session import load_table
 
 _PR_SCALE = 10**12  # rank fixed-point scale
@@ -153,7 +154,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # dominates wall-clock by iteration 5.  Same pattern and
             # same cluster-availability caveat as q_dedup_cluster's
             # label propagation (see sampling.py localCheckpoint note).
-            .localCheckpoint(eager=False)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
     return ranks.select(
         F.col("node").alias("event_type"),
@@ -257,7 +258,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d"), F.coalesce(F.col("dr"), F.lit(_BFS_INF))
                 ).alias("d"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
     return dist.select(
         F.col("node").alias("event_type"),
@@ -339,7 +340,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     n = edges.count()
     for _ in range(_KCORE_ROUNDS):
@@ -352,7 +353,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(dc.select("c"), "c", "left_semi")
             .join(ds.select("s"), "s", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n2 = edges.count()
         if n2 == n:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from events_to_db_spark.functions import kernels
+from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
 
@@ -660,9 +661,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("u") < F.col("v")) & (jac >= 0.8))
         .select("u", "v")
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    edges = truncate_lineage(
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
 
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
     changed = -1
@@ -670,11 +673,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         neigh = edges.join(
             labels, edges.v == labels.doc_id
         ).select(F.col("u").alias("doc_id"), "label")
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.unionByName(neigh)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             labels.withColumnRenamed("label", "old")

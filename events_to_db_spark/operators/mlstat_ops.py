@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from events_to_db_spark.plans.prefix import bucketed_running_sum
+from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
 
@@ -871,7 +872,7 @@ def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(round(cast(x as double) * {sc}) as bigint)").alias(
             "q"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(lambda d: truncate_lineage(d, eager=False))
     v = cells.select("d").distinct().select(
         "d", F.lit(sc).cast("long").alias("v")
     )
@@ -909,7 +910,7 @@ def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .alias("v"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
     return (
         v.crossJoin(F.broadcast(m))
@@ -2078,7 +2079,7 @@ def q_graph_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.coalesce(F.col("c"), F.lit(0))
                 ).cast("long").alias("v"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
     return v.select(
         F.col("s").alias("state"),

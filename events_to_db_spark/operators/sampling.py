@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from events_to_db_spark.plans.prefix import bucketed_running_sum
+from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
 
@@ -163,7 +164,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny relative to the corpus either way.
     sh_tbl = labeled.select(
         "doc_id", "split", F.explode("sh").alias("s")
-    ).localCheckpoint()
+    ).transform(truncate_lineage)
     train_sh = (
         sh_tbl.filter(F.col("split") == "train").select("s").distinct()
     )
