@@ -268,9 +268,10 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_decimal",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_exact,
-           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(28,6)))
-               AS sum_disc_exact,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS sum_price_cents,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+               AS sum_disc_micros,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -282,13 +283,20 @@ def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     float aggregate here, the answers are exact integers in scaled
     space, so the engines must agree digit-for-digit (§7.5.1 does not
     apply to decimals).  Decimal sums partial-aggregate exactly, so
-    the plan is the usual two-phase HashAggregate."""
+    the plan is the usual two-phase HashAggregate.  The *output*
+    surfaces the exact sums as scaled BIGINTs (cents / discount-micros)
+    rather than raw decimals: DECIMAL output columns are a
+    driver-canonicalizer divergence class (object-dtype Decimal vs
+    float renderings — tests/test_contract.py forbids them), and the
+    scaled-integer form is lossless for this corpus's magnitudes."""
     li = load_table(spark, sf_dir, "lineitem")
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     d = F.col("l_discount").cast("decimal(9,4)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(p).alias("sum_price_exact"),
-        F.sum((p * d).cast("decimal(28,6)")).alias("sum_disc_exact"),
+        (F.sum(p) * 100).cast("bigint").alias("sum_price_cents"),
+        (F.sum((p * d).cast("decimal(28,6)")) * 1000000)
+        .cast("bigint")
+        .alias("sum_disc_micros"),
         F.count("*").alias("n"),
     )
 

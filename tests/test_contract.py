@@ -33,9 +33,20 @@ def test_no_complex_types_in_contract_outputs(spark):
     emit ARRAY/MAP/STRUCT columns — flatten to scalar columns or
     explode to rows.  DATE columns are likewise forbidden (DuckDB DATE
     surfaces as midnight Timestamp in the pandas compare — CLAUDE.md);
-    cast to VARCHAR in both engines.  Schema-only: builds each plan at
-    sf0.001 without executing it."""
-    from pyspark.sql.types import ArrayType, DateType, MapType, StructType
+    cast to VARCHAR in both engines.  DECIMAL and TIMESTAMP_NTZ are
+    forbidden too (VERDICT r02 #7): both are driver-divergence-prone —
+    decimals compare as object-dtype Decimal vs DuckDB float/decimal
+    renderings, and NTZ vs LTZ is exactly the per-round parquet flip
+    class the ingest shim exists to normalize away.  Schema-only:
+    builds each plan at sf0.001 without executing it."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DateType,
+        DecimalType,
+        MapType,
+        StructType,
+        TimestampNTZType,
+    )
 
     bad: list[str] = []
     for name, fn in sorted(e.queries().items()):
@@ -45,7 +56,16 @@ def test_no_complex_types_in_contract_outputs(spark):
                 bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
             if isinstance(field.dataType, DateType):
                 bad.append(f"{name}.{field.name}: date (cast to string)")
-    assert not bad, f"complex/date-typed contract outputs: {bad}"
+            if isinstance(field.dataType, DecimalType):
+                bad.append(
+                    f"{name}.{field.name}: {field.dataType.simpleString()}"
+                    " (cast to double/bigint)"
+                )
+            if isinstance(field.dataType, TimestampNTZType):
+                bad.append(
+                    f"{name}.{field.name}: timestamp_ntz (cast to LTZ timestamp)"
+                )
+    assert not bad, f"divergence-prone contract output types: {bad}"
 
 
 def test_survey_inventory_matches_registry():
