@@ -241,6 +241,75 @@ def main() -> None:
 
     timed("ks two-sample CDF scan", n, _ks_run)
 
+    # Skewed fact⋈dim join (VERDICT r02 #5): ≥100x key skew — half the
+    # fact rows land on ONE key, the rest spread over 100k keys (~50
+    # rows each → ~100,000x hot/cold ratio).  The dim side (100k rows)
+    # is forced off the broadcast path so the join actually shuffles,
+    # which is the regime salting exists for.  Three strategies, same
+    # result (checksummed): plain sort-merge with AQE skew-split OFF,
+    # plain with AQE skew-split ON, and functions/skew.salted_join.
+    from events_to_db_spark.functions.skew import salted_join
+
+    n_dim = 100_000
+    fact = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % n_dim)
+            .alias("k"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+        .cache()
+    )
+    fact.count()
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 997).alias("w")
+    )
+
+    def _join_checksum(joined):
+        r = joined.agg(
+            F.count("*").alias("c"),
+            F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"),
+        ).collect()[0]
+        return (r["c"], round(float(r["sv"]), 2), int(r["sw"]))
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sums = {}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timed(
+            "skew join plain (no AQE split)",
+            n,
+            lambda: sums.setdefault("plain", _join_checksum(fact.join(dim, "k"))),
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        timed(
+            "skew join plain (AQE split)",
+            n,
+            lambda: sums.setdefault("aqe", _join_checksum(fact.join(dim, "k"))),
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timed(
+            "skew join salted k=16",
+            n,
+            lambda: sums.setdefault(
+                "salted",
+                _join_checksum(
+                    salted_join(fact, dim, ["k"], salt_from="row_id", k=16)
+                ),
+            ),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    assert sums["plain"] == sums["aqe"] == sums["salted"], sums
+    print(f"skew join checksums equal: {sums['plain']}")
+    fact.unpersist()
+
     # cosine kernel: big query side vs broadcast reference
     import numpy as np
 
