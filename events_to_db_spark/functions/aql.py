@@ -16,8 +16,11 @@ enough that a reference user's everyday pipeline strings run unchanged:
   (tag algebra compiles to ``array_contains`` conjunctions — pure
   Catalyst predicates, pushdown-eligible);
 * ``FILTER``    → ``df.filter`` over a payload-expression AST;
-* ``SELECT``    → ``df.select`` of one expression (object construction
-  is out of scope — documented, not silently wrong);
+* ``SELECT``    → ``df.select`` of one expression, or an object
+  construction ``SELECT { a: expr, b: { c: expr } }`` (nested objects
+  compile to struct literals; later stages address leaves as
+  ``_.b.c``, and a bare ``_`` spreads the whole current payload into
+  a field);
 * ``AGGREGATE`` → ``df.agg``; ``SUM/MIN/MAX/AVG/COUNT`` map to native
   aggregates, ``FIRST/LAST`` to ``min_by/max_by`` over the total
   (ts, event_id) event order — NOT Spark's order-undefined

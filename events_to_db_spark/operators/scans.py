@@ -268,6 +268,48 @@ def q_aql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_aql_spread",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           props AS r,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2 + 1 AS v
+    FROM events
+    WHERE event_type = 'click'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 90
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2 >= 190
+    ORDER BY ts, event_id
+    LIMIT 50
+    """,
+)
+def q_aql_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL multi-binding SELECT spread (VERDICT r02 #6): a bare ``_``
+    inside an object construction carries the WHOLE current payload
+    into a field — ``SELECT { raw: _, k2: _.k * 2 }`` — so later
+    stages can read both the untouched original (``_.raw``) and the
+    computed binding (``_.k2``) after the rebind.  Two object SELECTs
+    chained with a struct-field FILTER between them, all compiling to
+    struct literals + field accesses in one Catalyst plan; the oracle
+    restates the pipeline as flat SQL over the JSON payload."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM 'type:click' FILTER _.k > 90"
+        " SELECT { raw: _, k2: _.k * 2 } FILTER _.k2 >= 190"
+        " SELECT { r: _.raw, v: _.k2 + 1 } LIMIT 50",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "r",
+        "v",
+    )
+
+
+@query(
     "q_aql_chained",
     oracle="""
     WITH s1 AS (

@@ -179,6 +179,14 @@ def test_heavy_hitter_stream_matches_batch_fold(spark, chunked_events, tmp_path)
     }
     assert got == want
 
+    # State-store bound (VERDICT r02 #9): the Misra–Gries operator keeps
+    # exactly one state row per event type — the "state is O(|types|),
+    # not O(|events|)" claim as a pinned number.
+    ops = (q.lastProgress or {}).get("stateOperators") or []
+    assert ops, "no stateOperators in lastProgress"
+    n_types = ev.select("event_type").distinct().count()
+    assert 0 < ops[0]["numRowsTotal"] <= n_types, ops[0]
+
 
 def test_session_timeout_stream_matches_batch_sessions(
     spark, chunked_events, tmp_path
@@ -244,3 +252,12 @@ def test_session_timeout_stream_matches_batch_sessions(
             assert k in got and got[k] == "gap", (
                 f"non-final session must be gap-closed in-stream: {k}"
             )
+
+    # State-store bound (VERDICT r02 #9): after the final micro-batch
+    # the sessionizer holds at most one open-session row per user still
+    # inside the watermark — never O(|events|).  EventTimeTimeout has
+    # expired everything the final watermark passed.
+    ops = (q.lastProgress or {}).get("stateOperators") or []
+    assert ops, "no stateOperators in lastProgress"
+    n_users = ev.select("user_id").distinct().count()
+    assert ops[0]["numRowsTotal"] <= n_users, ops[0]
