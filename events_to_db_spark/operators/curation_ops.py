@@ -2622,3 +2622,204 @@ def q_text_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dup_mass).cast("double") / F.sum("mass"), 6
         ).alias("dup_mass_share"),
     )
+
+
+@query(
+    "q_dedup_minhash_est",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT d.doc_id, i.i,
+               min((('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t.term), 1, 15))::BIGINT)) AS m
+        FROM d,
+             unnest(d.toks) AS t(term),
+             (SELECT unnest(generate_series(1, 16)) AS i) i
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS ta, b.toks AS tb
+        FROM d a JOIN d b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ),
+    agree AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, a.n_agree,
+           round(CAST(a.n_agree AS DOUBLE) / 16, 4) AS jac_est,
+           round(CAST(len(list_intersect(p.ta, p.tb)) AS DOUBLE)
+                 / len(list_distinct(list_concat(p.ta, p.tb))), 4)
+               AS jac_exact,
+           round(abs(CAST(a.n_agree AS DOUBLE) / 16
+                     - CAST(len(list_intersect(p.ta, p.tb)) AS DOUBLE)
+                       / len(list_distinct(list_concat(p.ta, p.tb)))), 4)
+               AS abs_err
+    FROM pairs p JOIN agree a USING (doc_a, doc_b)
+    ORDER BY p.doc_a
+    """,
+)
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, audited: for each consecutive same-lang
+    doc pair (the sorted-neighborhood candidate shape), the fraction of
+    agreeing positions in a 16-hash md5 MinHash signature estimates
+    Jaccard similarity; the query emits estimate, exact Jaccard, and
+    absolute error side by side — the calibration table you check
+    before trusting signature agreement as a dedup score at 100 TB
+    (where the exact column is unaffordable and only the estimator
+    survives).
+
+    Unlike q_dedup_minhash (xxhash64 signatures, banding PROVEN by an
+    exact-verify step), the signature here is md5-derived so BOTH
+    engines compute bit-identical minima and the estimator itself
+    value-hashes.  Shapes: signature build is explode + 16-way
+    hash-min (one shuffle on doc_id), pairs are a shifted self-join on
+    doc_id — everything linear in the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    sig = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, 16), i ->"
+            " array_min(transform(toks, t ->"
+            " cast(conv(substr(md5(cast(concat(cast(i as string), ':', t) as binary)), 1, 15), 16, 10) as bigint))))"
+        ).alias("sig"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("toks").alias("ta"),
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("toks").alias("tb"),
+    )
+    pairs = a.join(b, "doc_a").filter(F.col("lang") == F.col("lang_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    est = (
+        F.expr(
+            "size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))"
+        )
+        .cast("long")
+        .alias("n_agree")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est, jac.alias("jac"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.round(F.col("n_agree").cast("double") / 16, 4).alias("jac_est"),
+            F.round("jac", 4).alias("jac_exact"),
+            F.round(
+                F.abs(F.col("n_agree").cast("double") / 16 - F.col("jac")), 4
+            ).alias("abs_err"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+_TEMP_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _temperature_oracle() -> str:
+    piv = ",\n           ".join(
+        f"CAST(coalesce(max(CASE WHEN lang = '{l}' THEN c END), 0)"
+        f" AS BIGINT) AS c_{i}"
+        for i, l in enumerate(_TEMP_LANGS)
+    )
+    s = " + ".join(f"sqrt(CAST(c_{i} AS DOUBLE))" for i in range(5))
+    n = " + ".join(f"c_{i}" for i in range(5))
+    return f"""
+    WITH c AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    one AS (SELECT {piv} FROM c),
+    tot AS (SELECT ({s}) AS s, ({n}) AS n FROM one)
+    SELECT c.lang,
+           c.c AS n_tokens,
+           round(CAST(c.c AS DOUBLE) / t.n, 6)       AS raw_share,
+           round(sqrt(CAST(c.c AS DOUBLE)) / t.s, 6) AS temp_weight,
+           round(sqrt(CAST(c.c AS DOUBLE)) / t.s
+                 / (CAST(c.c AS DOUBLE) / t.n), 4)   AS boost
+    FROM c CROSS JOIN tot t
+    ORDER BY c.lang
+    """
+
+
+@query("q_curate_temperature", oracle=_temperature_oracle())
+def q_curate_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (α = 0.5) — the multilingual
+    training-mixture reweighting from the mBERT/XLM-R line of work:
+    sampling weight p_l ∝ c_l^α flattens the language distribution so
+    low-resource languages are up-sampled (`boost` > 1) and the head
+    language is down-sampled.  Emitted per language: token count, raw
+    share, temperature weight, and the boost factor a sampler would
+    apply.
+
+    Determinism: token counts are exact BIGINTs; each √c is one
+    correctly-rounded IEEE op; the normalizer Σ√c is a FIXED-ORDER
+    literal sum over the five pivoted counts (the Levene pattern), so
+    both engines add in the same sequence.  One explode-free token
+    count (size of split), a 5-row pivot, broadcast back — scales as a
+    single corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("c")
+    )
+    one = c.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("lang") == l, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"c_{i}")
+            for i, l in enumerate(_TEMP_LANGS)
+        ]
+    )
+    s_expr = " + ".join(f"sqrt(cast(c_{i} as double))" for i in range(5))
+    n_expr = " + ".join(f"c_{i}" for i in range(5))
+    tot = one.select(
+        F.expr(s_expr).alias("s"), F.expr(n_expr).alias("n")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("c").alias("n_tokens"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias(
+                "raw_share"
+            ),
+            F.round(
+                F.sqrt(F.col("c").cast("double")) / F.col("s"), 6
+            ).alias("temp_weight"),
+            F.round(
+                F.sqrt(F.col("c").cast("double"))
+                / F.col("s")
+                / (F.col("c").cast("double") / F.col("n")),
+                4,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )

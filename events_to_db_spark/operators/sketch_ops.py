@@ -786,3 +786,152 @@ def q_sketch_bloom_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+@query(
+    "q_sketch_hll_merge",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, date_trunc('week', ts) AS shard,
+               {_duck_h("CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ),
+    parts AS (
+        SELECT DISTINCT event_type, shard,
+               hv % {_HLL_M} AS bucket,
+               hv // {_HLL_M} AS w
+        FROM h
+    ),
+    rho_shard AS (
+        SELECT event_type, shard, bucket,
+               max(CASE WHEN w = 0 THEN 57
+                        ELSE 57 - length(bin(w)) END) AS reg
+        FROM parts GROUP BY 1, 2, 3
+    ),
+    rho_merged AS (
+        SELECT event_type, bucket, max(reg) AS reg
+        FROM rho_shard GROUP BY 1, 2
+    ),
+    rho_direct AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 57
+                        ELSE 57 - length(bin(w)) END) AS reg
+        FROM (SELECT DISTINCT event_type, bucket, w FROM parts)
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT m.event_type,
+               sum((1::BIGINT) << (57 - m.reg))
+                 + ({_HLL_M} - count(*)) * ((1::BIGINT) << 57) AS s_merged,
+               {_HLL_M} - count(*) AS v_zero
+        FROM rho_merged m GROUP BY 1
+    ),
+    sd AS (
+        SELECT event_type,
+               sum((1::BIGINT) << (57 - reg))
+                 + ({_HLL_M} - count(*)) * ((1::BIGINT) << 57) AS s_direct
+        FROM rho_direct GROUP BY 1
+    ),
+    est AS (
+        SELECT s.event_type, s.v_zero, sd.s_direct, s.s_merged,
+               (CAST(172.288 AS DOUBLE) * 144115188075855872) / s.s_merged
+                   AS e_raw
+        FROM s JOIN sd USING (event_type)
+    ),
+    fin AS (
+        SELECT event_type, s_merged, s_direct,
+               CASE WHEN e_raw <= 40 AND v_zero > 0
+                    THEN 16e0 * ln(16e0 / v_zero)
+                    ELSE e_raw END AS est
+        FROM est
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT f.event_type,
+           CAST(x.n_exact AS BIGINT)      AS n_exact,
+           round(f.est, 4)                AS hll_merged,
+           f.s_merged = f.s_direct        AS merged_equals_direct
+    FROM fin f JOIN exact x ON f.event_type = x.event_type
+    """,
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-wise HLL with lossless register merge — the property that
+    makes sketches work at 100 TB: each week's events build an
+    independent 16-register HLL (what a thousand executors would emit
+    per shard), the shards max-merge per bucket, and the merged
+    register sum is PROVED equal to the direct whole-table sketch
+    (`merged_equals_direct` — exact BIGINT register-sum comparison,
+    not an estimate comparison).  Merge choice is shard-key-invariant:
+    max is associative/commutative, so any partitioning gives the
+    identical merged sketch.  Same deterministic md5 register pipeline
+    as q_sketch_hll."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.expr(_spark_h("cast(user_id as string)"))
+    h = ev.select(
+        "event_type",
+        F.date_trunc("week", "ts").alias("shard"),
+        hv.alias("hv"),
+    )
+    parts = h.select(
+        "event_type",
+        "shard",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    ).distinct()
+    rho = F.when(F.col("w") == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin("w"))
+    )
+    rho_shard = parts.groupBy("event_type", "shard", "bucket").agg(
+        F.max(rho).alias("reg")
+    )
+    rho_merged = rho_shard.groupBy("event_type", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    rho_direct = (
+        parts.select("event_type", "bucket", "w")
+        .distinct()
+        .groupBy("event_type", "bucket")
+        .agg(F.max(rho).alias("reg"))
+    )
+    s_present = F.sum(F.expr("shiftleft(cast(1 as bigint), 57 - reg)"))
+    pad = F.expr("shiftleft(cast(1 as bigint), 57)")
+    s = rho_merged.groupBy("event_type").agg(
+        (s_present + (F.lit(_HLL_M) - F.count("*")) * pad).alias("s_merged"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v_zero"),
+    )
+    sd = rho_direct.groupBy("event_type").agg(
+        (s_present + (F.lit(_HLL_M) - F.count("*")) * pad).alias("s_direct")
+    )
+    est = s.join(sd, "event_type").select(
+        "event_type",
+        "v_zero",
+        "s_merged",
+        "s_direct",
+        F.expr(
+            "(cast(172.288 as double) * 144115188075855872) / s_merged"
+        ).alias("e_raw"),
+    )
+    fin = est.select(
+        "event_type",
+        "s_merged",
+        "s_direct",
+        F.when(
+            (F.col("e_raw") <= 40) & (F.col("v_zero") > 0),
+            F.expr("16e0 * ln(16e0 / v_zero)"),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return fin.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round("est", 4).alias("hll_merged"),
+        (F.col("s_merged") == F.col("s_direct")).alias(
+            "merged_equals_direct"
+        ),
+    )

@@ -2107,3 +2107,254 @@ def q_stat_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_outliers",
     )
+
+
+# ---------------------------------------------------------------- round 3
+
+_CHI_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _cramers_pieces() -> tuple[dict, dict, str, str]:
+    """(row-total exprs, col-total exprs, chi² expression, N
+    expression) shared verbatim by both engines so every float add
+    happens in the same literal order — the Levene/Brown–Forsythe
+    §7.5 pattern."""
+    cells = [(i, d) for i in range(len(_CHI_TYPES)) for d in range(1, 8)]
+    r = {
+        i: "(" + " + ".join(f"o_{i}_{d}" for d in range(1, 8)) + ")"
+        for i in range(len(_CHI_TYPES))
+    }
+    c = {
+        d: "(" + " + ".join(f"o_{i}_{d}" for i in range(len(_CHI_TYPES))) + ")"
+        for d in range(1, 8)
+    }
+    n = "(" + " + ".join(f"o_{i}_{d}" for i, d in cells) + ")"
+    terms = " + ".join(
+        f"(CAST(o_{i}_{d} AS DOUBLE) * o_{i}_{d} / ({r[i]} * CAST({c[d]} AS DOUBLE)))"
+        for i, d in cells
+    )
+    chi2 = f"CAST({n} AS DOUBLE) * (({terms}) - 1.0)"
+    return r, c, chi2, n
+
+
+def _cramers_oracle() -> str:
+    _r, _c, chi2, n = _cramers_pieces()
+    piv = ",\n           ".join(
+        f"CAST(coalesce(max(CASE WHEN event_type = '{t}' AND dow = {d}"
+        f" THEN o END), 0) AS BIGINT) AS o_{i}_{d}"
+        for i, t in enumerate(_CHI_TYPES)
+        for d in range(1, 8)
+    )
+    return f"""
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    one AS (SELECT {piv} FROM cells),
+    fin AS (SELECT {chi2} AS chi2, {n} AS nt FROM one)
+    SELECT CAST(nt AS BIGINT)                          AS n_total,
+           4                                           AS dof,
+           round(chi2, 4)                              AS chi2,
+           round(sqrt(chi2 / (CAST(nt AS DOUBLE) * 4)), 6) AS cramers_v
+    FROM fin
+    """
+
+
+@query("q_stat_cramers_v", oracle=_cramers_oracle())
+def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × day-of-week
+    association — the "is this dependence practically meaningful"
+    number next to q_stat_chisq's per-cell table (which avoids summing
+    the statistic precisely because a 35-term float sum is
+    engine-order-dependent).
+
+    This query DOES sum it, safely: the 35 exact-integer cell counts
+    pivot into ONE row and χ² = N·(Σ O²/(R·C) − 1) is a single
+    fixed-cell-order double expression built from the same generator
+    string in both engines, so the adds happen in the same sequence
+    and the hash matches (§7.5; Levene precedent).  V = √(χ²/(N·4)),
+    dof = min(r−1, c−1) = 4.  One 35-row aggregate → one row: scale
+    is O(events) scan + a constant pivot."""
+    _r, _c, chi2, n = _cramers_pieces()
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    one = cells.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("event_type") == t) & (F.col("dow") == d),
+                        F.col("o"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"o_{i}_{d}")
+            for i, t in enumerate(_CHI_TYPES)
+            for d in range(1, 8)
+        ]
+    )
+    return one.select(
+        F.expr(n).cast("long").alias("n_total"),
+        F.lit(4).alias("dof"),
+        F.round(F.expr(chi2), 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.expr(chi2) / (F.expr(n).cast("double") * 4)), 6
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_stat_fdr",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1
+    ),
+    perm AS (
+        SELECT event_type, k,
+               1 + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                             || ':' || k), 1, 15))
+                         AS BIGINT) % 7) AS dow,
+               CAST(count(*) AS BIGINT) AS ok
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) ks
+        GROUP BY 1, 2, 3
+    ),
+    cell AS (
+        SELECT o.event_type, o.dow, o.o, r.rt,
+               CAST(coalesce(sum(CASE WHEN abs(7 * p.ok - r.rt)
+                                           >= abs(7 * o.o - r.rt)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_extreme
+        FROM obs o
+        JOIN r USING (event_type)
+        LEFT JOIN perm p
+          ON p.event_type = o.event_type AND p.dow = o.dow
+        GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY n_extreme, event_type, dow
+               ) AS rnk,
+               count(*) OVER () AS m
+        FROM cell
+    ),
+    cutoff AS (
+        SELECT CAST(coalesce(max(CASE WHEN n_extreme * 10 * m
+                                           <= 1 * rnk * 32
+                                      THEN rnk END), 0) AS BIGINT) AS rmax
+        FROM ranked
+    )
+    SELECT event_type, CAST(dow AS INT) AS dow, o AS observed,
+           rt AS row_total_x7_expected,
+           n_extreme,
+           round(CAST(n_extreme AS DOUBLE) / 32, 4) AS p_value,
+           CAST(rnk AS BIGINT) AS p_rank,
+           rnk <= rmax AS bh_reject
+    FROM ranked CROSS JOIN cutoff
+    ORDER BY event_type, dow
+    """,
+)
+def q_stat_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over 35 simultaneous hypotheses
+    (is event type i over/under-represented on day-of-week d vs the
+    uniform-week null?) — the multiple-testing gate every metrics
+    platform needs once it tests more than one cell at a time.
+
+    Per-cell p-values are EXACT rationals from 32 deterministic
+    pseudo-permutations (permutation k re-deals each event's weekday
+    as md5(event_id:k) % 7 — the q_stat_permtest trick), with the
+    "at least as extreme" comparison on exact integers:
+    |7·O_perm − R| ≥ |7·O_obs − R| (never a float rate).  The BH
+    step-up p(r) ≤ α·r/m at α = 0.10 cross-multiplies to
+    n_extreme·10·m ≤ r·32 — exact again — and the rejection set is
+    tie-order-invariant because a tied p-block passes iff its LAST
+    rank passes.  Scale: one events scan fans out ×32 (map-side,
+    pre-aggregated per partition), then everything is 35 rows; the
+    35-row rank window is fixed-size (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").cast("long").alias("o"))
+    r = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    ks = spark.range(0, 32).select(F.col("id").alias("k"))
+    perm = (
+        ev.select("event_id", "event_type")
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "event_type",
+            "k",
+            (
+                1
+                + F.expr(
+                    "cast(conv(substr(md5(cast(event_id as string)"
+                    " || ':' || k), 1, 15), 16, 10) as bigint)"
+                )
+                % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "k", "dow")
+        .agg(F.count("*").cast("long").alias("ok"))
+    )
+    cell = (
+        obs.join(F.broadcast(r), "event_type")
+        .join(perm, ["event_type", "dow"], "left")
+        .groupBy("event_type", "dow", "o", "rt")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(7 * F.col("ok") - F.col("rt"))
+                        >= F.abs(7 * F.col("o") - F.col("rt")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_extreme")
+        )
+    )
+    w = Window.orderBy("n_extreme", "event_type", "dow")
+    ranked = cell.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "m", F.count("*").over(Window.partitionBy())
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n_extreme") * 10 * F.col("m")
+                    <= F.col("rnk") * 32,
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("o").alias("observed"),
+            F.col("rt").alias("row_total_x7_expected"),
+            "n_extreme",
+            F.round(F.col("n_extreme").cast("double") / 32, 4).alias(
+                "p_value"
+            ),
+            F.col("rnk").cast("long").alias("p_rank"),
+            (F.col("rnk") <= F.col("rmax")).alias("bh_reject"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -2210,3 +2210,69 @@ def q_ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_days long, level_cents long, trend_cents long,"
         " forecast_7d_cents long, forecast_7d double",
     )
+
+
+@query(
+    "q_ev_incremental_join",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_scaled
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta-join
+    identity that keeps a materialized join current without full
+    recomputation when BOTH inputs receive new data:
+
+        (A0 ∪ ΔA) ⋈ (B0 ∪ ΔB)
+          = A0⋈B0  ∪  ΔA⋈B0  ∪  A0⋈ΔB  ∪  ΔA⋈ΔB
+
+    Here A = orders (Δ = orders placed from 1997), B = lineitem
+    (Δ = lines shipped from 1997); the Spark side materializes the
+    view as the four-term union — at refresh time only the three
+    Δ-terms run, each sized by the delta, never by the base — and the
+    oracle states the plain full join, so the hash-match IS the proof
+    of the identity.  Complements q_ev_incremental (additive agg
+    deltas); joins need this four-term form because new rows on either
+    side can match old rows on the other.
+
+    Revenue is exact-integer (cents × discount-percent scale 1e4), so
+    the union-order-independent BIGINT sum hash-matches."""
+    cut = "1997-01-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") < cut).alias("is_base_o"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_shipdate") < cut).alias("is_base_l"),
+        (
+            F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            * (100 - F.expr("cast(round(l_discount * 100) as bigint)"))
+        ).alias("rev"),
+    )
+    a0 = o.filter("is_base_o")
+    da = o.filter("not is_base_o")
+    b0 = li.filter("is_base_l")
+    db = li.filter("not is_base_l")
+    join = lambda x, y: x.join(y, x.o_orderkey == y.l_orderkey)  # noqa: E731
+    view = (
+        join(a0, b0)
+        .unionByName(join(da, b0))
+        .unionByName(join(a0, db))
+        .unionByName(join(da, db))
+    )
+    return (
+        view.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.sum("rev").cast("long").alias("revenue_scaled"),
+        )
+        .orderBy("yr")
+    )
