@@ -2823,3 +2823,96 @@ def q_curate_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_text_cosine_sparse",
+    oracle="""
+    WITH de AS (
+        SELECT doc_id, text FROM documents WHERE lang = 'de'
+    ),
+    tf AS (
+        SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+        FROM de, unnest(string_split(text, ' ')) AS t(term)
+        GROUP BY 1, 2
+    ),
+    nrm AS (
+        SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        FROM tf GROUP BY 1
+    ),
+    dot AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS num
+        FROM tf a JOIN tf b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.num,
+           na.n2 AS norm2_a, nb.n2 AS norm2_b,
+           round(d.num / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 4) AS cos
+    FROM dot d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE d.num * d.num >= CAST(0.81 * na.n2 * nb.n2 AS DOUBLE)
+    ORDER BY d.doc_a, d.doc_b
+    """,
+)
+def q_text_cosine_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-frequency cosine similarity ≥ 0.9 between German
+    docs — the TEXT-side twin of the dense embedding cosine family:
+    documents as sparse integer tf vectors, pairs generated by an
+    INVERTED-INDEX join on the term (only docs sharing a term ever
+    meet — the shape that scales, vs all-pairs), dot products and
+    norms as exact BIGINTs, and one final float op per pair.
+
+    The ≥ 0.9 threshold is applied EXACTLY as num² ≥ 0.81·‖a‖²·‖b‖²
+    (both sides exact up to the one float multiply of a 2-decimal
+    constant) — no accumulated float sums anywhere, so the pair set
+    and hash match across engines (§7.5: never float-threshold on an
+    accumulated score)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "de"
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b")
+    )
+    dot = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("num"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm2_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm2_b"))
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            (F.col("num") * F.col("num")).cast("double")
+            >= 0.81 * (F.col("norm2_a") * F.col("norm2_b")).cast("double")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "num",
+            "norm2_a",
+            "norm2_b",
+            F.round(
+                F.col("num")
+                / F.sqrt((F.col("norm2_a") * F.col("norm2_b")).cast("double")),
+                4,
+            ).alias("cos"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

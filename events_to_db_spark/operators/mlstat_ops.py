@@ -2192,3 +2192,184 @@ def q_ml_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         viol.cast("int").alias("di_violation"),
     )
+
+
+_RIDGE_LAMBDA = 1000
+
+
+def _ridge_cramer() -> tuple[str, str, str, str]:
+    """Cramer's-rule expressions for the 3x3 ridge normal equations,
+    shared verbatim by both engines (fixed operation order — the
+    Levene pattern).  Matrix M = [[n,sx1,sx2],[sx1,q11+L,q12],
+    [sx2,q12,q22+L]], rhs b = [sy,p1,p2]; every moment is an exact
+    BIGINT < 2^53, so the double products/sums are bit-identical."""
+    L = _RIDGE_LAMBDA
+    m = {
+        "a": "CAST(n AS DOUBLE)",
+        "b": "CAST(sx1 AS DOUBLE)",
+        "c": "CAST(sx2 AS DOUBLE)",
+        "e": f"CAST(q11 + {L} AS DOUBLE)",
+        "f": "CAST(q12 AS DOUBLE)",
+        "g": f"CAST(q22 + {L} AS DOUBLE)",
+        "y0": "CAST(sy AS DOUBLE)",
+        "y1": "CAST(p1 AS DOUBLE)",
+        "y2": "CAST(p2 AS DOUBLE)",
+    }
+
+    def det(c0, c1, c2):
+        # 3x3 determinant of columns c0,c1,c2 (each a (row0,row1,row2)
+        # triple of expression strings), written in one fixed order.
+        return (
+            f"({c0[0]} * ({c1[1]} * {c2[2]} - {c1[2]} * {c2[1]})"
+            f" - {c1[0]} * ({c0[1]} * {c2[2]} - {c0[2]} * {c2[1]})"
+            f" + {c2[0]} * ({c0[1]} * {c1[2]} - {c0[2]} * {c1[1]}))"
+        )
+
+    c0 = (m["a"], m["b"], m["c"])
+    c1 = (m["b"], m["e"], m["f"])
+    c2 = (m["c"], m["f"], m["g"])
+    by = (m["y0"], m["y1"], m["y2"])
+    return det(c0, c1, c2), det(by, c1, c2), det(c0, by, c2), det(c0, c1, by)
+
+
+@query(
+    "q_ml_ridge",
+    oracle=f"""
+    WITH mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS sx1,
+               CAST(sum(x2) AS BIGINT) AS sx2,
+               CAST(sum(x1 * x1) AS BIGINT) AS q11,
+               CAST(sum(x1 * x2) AS BIGINT) AS q12,
+               CAST(sum(x2 * x2) AS BIGINT) AS q22,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * y) AS BIGINT) AS p1,
+               CAST(sum(x2 * y) AS BIGINT) AS p2
+        FROM (
+            SELECT CAST(hour(ts) AS BIGINT) AS x1,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        )
+    )
+    SELECT n, {_RIDGE_LAMBDA} AS lambda,
+           round({_ridge_cramer()[1]} / {_ridge_cramer()[0]}, 6) AS beta0,
+           round({_ridge_cramer()[2]} / {_ridge_cramer()[0]}, 6) AS beta1,
+           round({_ridge_cramer()[3]} / {_ridge_cramer()[0]}, 6) AS beta2
+    FROM mo
+    """,
+)
+def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression as ONE distributed aggregation —
+    "model training is just moments": predict event value (cents) from
+    hour-of-day and day-of-week by accumulating the 9 normal-equation
+    moments (all exact BIGINTs — order/partition-independent sums),
+    then solving (XᵀX + λI)β = Xᵀy by Cramer's rule in a single
+    fixed-operation-order double expression per coefficient.
+
+    This is the pattern that trains linear models at 100 TB with zero
+    iterations: the XᵀX/Xᵀy moments partial-aggregate map-side and the
+    3×3 solve is driver-free arithmetic on one row.  Every moment is
+    < 2^53 so the double casts are exact; both engines evaluate the
+    same literal Cramer string, so the hash matches (§7.5; Levene
+    pattern).  λ = 1000 on the non-intercept diagonal."""
+    d, d0, d1, d2 = _ridge_cramer()
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("long").alias("x1"),
+        (F.dayofweek("ts")).cast("long").alias("x2"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+    )
+    mo = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("q12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("p1"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("p2"),
+    )
+    return mo.select(
+        "n",
+        F.lit(_RIDGE_LAMBDA).alias("lambda"),
+        F.round(F.expr(d0) / F.expr(d), 6).alias("beta0"),
+        F.round(F.expr(d1) / F.expr(d), 6).alias("beta1"),
+        F.round(F.expr(d2) / F.expr(d), 6).alias("beta2"),
+    )
+
+
+@query(
+    "q_ml_item_cosine",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    np AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY 1),
+    co AS (
+        SELECT a.p AS part_a, b.p AS part_b,
+               CAST(count(*) AS BIGINT) AS co
+        FROM ui a JOIN ui b ON a.u = b.u AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT c.part_a, c.part_b, c.co,
+           na.n AS n_a, nb.n AS n_b,
+           round(c.co / sqrt(CAST(na.n * nb.n AS DOUBLE)), 4) AS cos
+    FROM co c
+    JOIN np na ON na.p = c.part_a
+    JOIN np nb ON nb.p = c.part_b
+    ORDER BY c.co DESC, c.part_a, c.part_b
+    LIMIT 20
+    """,
+)
+def q_ml_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item–item collaborative-filtering similarity on implicit
+    feedback: the binary customer×part purchase matrix, top-20 part
+    pairs by co-purchase count with their cosine similarity
+    co/√(n_a·n_b) — the classic "customers who bought X also bought Y"
+    scorer (Amazon item-to-item CF), computed as pure aggregation.
+
+    Everything is exact integers until one final float op per
+    surviving pair; ordering is on the integer co-count with part-id
+    tie-breaks, so no float argmax crosses the engines (§7.5).  Shape:
+    distinct user–item pairs, a per-user self-join (quadratic only in
+    each user's basket width, never in users), two hash-aggs, top-k.
+    At 100 TB the per-user fan-out is bounded by the basket-width cap
+    a real recommender would enforce anyway."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    np_ = ui.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    a = ui.select("u", F.col("p").alias("part_a"))
+    b = ui.select("u", F.col("p").alias("part_b"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    na = np_.select(F.col("p").alias("part_a"), F.col("n").alias("n_a"))
+    nb = np_.select(F.col("p").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(na, "part_a")
+        .join(nb, "part_b")
+        .orderBy(F.col("co").desc(), "part_a", "part_b")
+        .limit(20)
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("co") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                4,
+            ).alias("cos"),
+        )
+    )

@@ -1302,3 +1302,101 @@ def q_fn_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sfid").cast("long").alias("max_id"),
         F.expr("max(sfid) >> 22").cast("long").alias("max_ms"),
     )
+
+
+@query(
+    "q_fn_haversine",
+    oracle="""
+    WITH nloc AS (
+        SELECT n_nationkey,
+               CAST((('0x' || substr(md5(n_name), 1, 15))::BIGINT % 120)
+                    - 60 AS DOUBLE) + 0.5 AS nlat,
+               CAST((('0x' || substr(md5(n_name || '#lon'), 1, 15))::BIGINT
+                     % 360) - 180 AS DOUBLE) + 0.5 AS nlon
+        FROM nation
+    ),
+    cloc AS (
+        SELECT c_custkey, c_nationkey,
+               CAST((('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                     ::BIGINT % 2000) AS DOUBLE) / 100 - 10 AS dlat,
+               CAST((('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#lon'),
+                                     1, 15))::BIGINT % 2000) AS DOUBLE) / 100
+                   - 10 AS dlon
+        FROM customer
+    ),
+    d AS (
+        SELECT c.c_custkey, n.n_nationkey,
+               2 * 6371.0 * asin(sqrt(
+                   sin(radians((n.nlat + c.dlat - n.nlat) / 2))
+                   * sin(radians((n.nlat + c.dlat - n.nlat) / 2))
+                   + cos(radians(n.nlat)) * cos(radians(n.nlat + c.dlat))
+                   * sin(radians(c.dlon / 2)) * sin(radians(c.dlon / 2))
+               )) AS km
+        FROM cloc c
+        JOIN nloc n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT c_custkey, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           round(km, 4) AS km
+    FROM d
+    ORDER BY km DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance surface: each customer gets a
+    deterministic md5-synthesized offset from its nation's synthesized
+    centroid, and the query returns the 10 farthest customers from
+    their home centroid — the geodesic scalar stack (radians / sin /
+    cos / asin / sqrt) exercised end-to-end on both engines.
+
+    Numerics note: libm trig is within-1-ulp on both sides and every
+    input double is identical (exact integer hashes scaled by exact
+    powers of 2·5), so the round-4 km values agree; ordering ties are
+    broken by c_custkey.  Pure per-row expressions + one broadcast
+    join + TakeOrdered — nothing here shuffles more than the top-10."""
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (
+            (F.expr("cast(conv(substr(md5(cast(n_name as binary)),1,15),16,10) as bigint)") % 120 - 60).cast("double") + 0.5
+        ).alias("nlat"),
+        (
+            (F.expr("cast(conv(substr(md5(cast(concat(n_name, '#lon') as binary)),1,15),16,10) as bigint)") % 360 - 180).cast("double") + 0.5
+        ).alias("nlon"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (
+            (F.expr("cast(conv(substr(md5(cast(cast(c_custkey as string) as binary)),1,15),16,10) as bigint)") % 2000).cast("double") / 100 - 10
+        ).alias("dlat"),
+        (
+            (F.expr("cast(conv(substr(md5(cast(concat(cast(c_custkey as string), '#lon') as binary)),1,15),16,10) as bigint)") % 2000).cast("double") / 100 - 10
+        ).alias("dlon"),
+    )
+    j = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    )
+    dphi_half = F.radians((F.col("nlat") + F.col("dlat") - F.col("nlat")) / 2)
+    km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.sin(dphi_half) * F.sin(dphi_half)
+                + F.cos(F.radians(F.col("nlat")))
+                * F.cos(F.radians(F.col("nlat") + F.col("dlat")))
+                * F.sin(F.radians(F.col("dlon") / 2))
+                * F.sin(F.radians(F.col("dlon") / 2))
+            )
+        )
+    )
+    return (
+        j.select(
+            "c_custkey",
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            km.alias("km"),
+        )
+        .orderBy(F.col("km").desc(), "c_custkey")
+        .limit(10)
+        .select("c_custkey", "n_nationkey", F.round("km", 4).alias("km"))
+    )
