@@ -1,0 +1,85 @@
+"""AQL subscriptions (streaming/subscriptions.py): the same compiled
+AQL pipeline, run over the drip-fed event stream, must converge to the
+batch run_aql answer — row pipelines via append mode, aggregate
+pipelines via complete mode — and LIMIT must be rejected loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from events_to_db_spark.functions.aql import run_aql
+from events_to_db_spark.functions.tags import with_tags
+from events_to_db_spark.session import load_table
+from events_to_db_spark.streaming.sources import events_file_stream
+from events_to_db_spark.streaming.subscriptions import aql_subscription
+from tests.conftest import SF_SMOKE
+
+ROW_QUERY = (
+    "FROM 'type:view' FILTER _.k >= 90"
+    " SELECT { k: _.k * 1, is_top: _.k >= 95 }"
+)
+AGG_QUERY = (
+    "FROM 'type:purchase' FILTER _.k > 40"
+    " AGGREGATE { total_k: SUM(_.k), n: COUNT() }"
+)
+
+
+def test_row_subscription_matches_batch(spark, chunked_events, tmp_path):
+    feed, ev, _n = chunked_events
+    acc = []
+    q = (
+        aql_subscription(events_file_stream(spark, feed), ROW_QUERY)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sub_row"))
+        .foreachBatch(lambda df, _bid: acc.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = run_aql(with_tags(load_table(spark, SF_SMOKE, "events")), ROW_QUERY)
+    want = {tuple(r) for r in batch.collect()}
+    got = {tuple(r) for r in acc}
+    assert got == want and len(acc) == len(want)
+
+
+def test_agg_subscription_converges_to_batch(spark, chunked_events, tmp_path):
+    feed, ev, _n = chunked_events
+    emissions = []
+    q = (
+        aql_subscription(events_file_stream(spark, feed), AGG_QUERY)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sub_agg"))
+        .foreachBatch(
+            lambda df, bid: emissions.append((bid, df.collect()))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(emissions) > 1, "drip feed should emit per micro-batch"
+    final = {tuple(r) for r in emissions[-1][1]}
+    batch = run_aql(
+        with_tags(load_table(spark, SF_SMOKE, "events")), AGG_QUERY
+    )
+    assert final == {tuple(r) for r in batch.collect()}
+
+    # The fold-so-far must be monotone in n across micro-batches.
+    ns = [rows[0]["n"] for _bid, rows in emissions if rows]
+    assert ns == sorted(ns)
+
+
+def test_limit_rejected(spark, chunked_events):
+    feed, _ev, _n = chunked_events
+    with pytest.raises(ValueError, match="LIMIT"):
+        aql_subscription(
+            events_file_stream(spark, feed), "FROM 'type:view' LIMIT 5"
+        )
+
+
+def test_batch_frame_rejected(spark):
+    with pytest.raises(ValueError, match="streaming"):
+        aql_subscription(
+            with_tags(load_table(spark, SF_SMOKE, "events")), ROW_QUERY
+        )
