@@ -355,12 +355,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_b = hashed.select(
         F.col("doc_id").alias("doc_b"), F.col("toks_h").alias("toks_b")
     )
+    # Lossless size prefilter before the expensive set intersection:
+    # J(A,B) ≥ 0.8 forces 5·min(|A|,|B|) ≥ 4·max(|A|,|B|) (since
+    # |A∩B| ≤ min and |A∪B| ≥ max), so mismatched-size pairs drop on
+    # two cached ints before any array op runs.  Exact-integer
+    # comparison — can never drop a true pair.
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")
     )
+    na, nb = F.size("toks_a"), F.size("toks_b")
     return (
         cand.join(toks_a, "doc_a")
         .join(toks_b, "doc_b")
+        .filter(5 * F.least(na, nb) >= 4 * F.greatest(na, nb))
         .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.8)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
