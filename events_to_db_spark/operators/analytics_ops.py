@@ -3411,7 +3411,7 @@ def q_ev_driver_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchases").alias("p1"),
         F.col("revenue").alias("r1"),
     )
-    w = a0.crossJoin(a1).withColumn(
+    w = a0.crossJoin(F.broadcast(a1)).withColumn(
         "lmean",
         (F.col("r1") - F.col("r0"))
         / F.log(F.col("r1").cast("double") / F.col("r0")),

@@ -932,3 +932,120 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_set_bits",
         )
     )
+
+
+@query(
+    "q_join_nn",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                   ::BIGINT % 10000 AS x,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#y'),
+                               1, 15))::BIGINT % 10000 AS y
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey,
+               ('0x' || substr(md5('s' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                   ::BIGINT % 10000 AS x,
+               ('0x' || substr(md5('s' || CAST(s_suppkey AS VARCHAR) || '#y'),
+                               1, 15))::BIGINT % 10000 AS y
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2,
+               row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY (c.x - s.x) * (c.x - s.x)
+                            + (c.y - s.y) * (c.y - s.y), s.s_suppkey
+               ) AS rn
+        FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey AS nearest_supp, CAST(d2 AS BIGINT) AS d2
+    FROM pairs WHERE rn = 1
+    ORDER BY d2 DESC, c_custkey
+    LIMIT 15
+    """,
+)
+def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join: every customer is matched to its
+    closest supplier on a deterministic md5-synthesized integer grid,
+    and the query returns the 15 WORST-SERVED customers (largest
+    nearest-supplier distance) — the coverage-gap audit of a
+    facility-location problem.
+
+    Exactness: coordinates are integers, squared euclidean distance is
+    an exact BIGINT (< 2·10⁸), and the per-customer argmin is a
+    row_number over (d2, s_suppkey) — a total integer order, so no
+    float argmin crosses the engines.  Plan: the small supplier side
+    broadcasts under every customer partition (BroadcastNestedLoop —
+    |C|·|S| pairs map-side, nothing shuffles but the per-customer
+    winners); at 100 TB the same query grid-buckets the big side
+    first (the q_join_grid pattern) to keep the pair count near-linear."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(cast(c_custkey as string) as binary)),1,15),16,10) as bigint)"
+            )
+            % 10000
+        ).alias("cx"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(concat(cast(c_custkey as string), '#y') as binary)),1,15),16,10) as bigint)"
+            )
+            % 10000
+        ).alias("cy"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(concat('s', cast(s_suppkey as string)) as binary)),1,15),16,10) as bigint)"
+            )
+            % 10000
+        ).alias("sx"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(concat('s', cast(s_suppkey as string), '#y') as binary)),1,15),16,10) as bigint)"
+            )
+            % 10000
+        ).alias("sy"),
+    )
+    # Materialize the two tiny coordinate tables BEFORE the pair
+    # fan-out: CollapseProject would otherwise inline the md5/conv
+    # coordinate expressions into the post-join stage and hash PER
+    # PAIR (measured ~23 s for 60M md5 at sf0.1 vs ~1 s with the
+    # projections pinned below the join by the lineage cut).
+    from events_to_db_spark.plans.checkpoints import truncate_lineage
+
+    c = truncate_lineage(c, eager=False)
+    s = truncate_lineage(s, eager=False)
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    # Per-customer argmin as ONE HashAggregate: pack (d2, suppkey)
+    # into a single BIGINT — d2 < 2·10⁸ and suppkey < 2²⁰, so
+    # d2·2²⁰ + suppkey preserves the lexicographic (d2, suppkey)
+    # order and min() of the packed long IS the argmin.  A struct-min
+    # would force SortAggregate (Tungsten can't hash-agg struct
+    # buffers — measured 26 s sorting 15M pair rows); the packed long
+    # hash-aggs map-side.
+    packed = F.shiftleft(F.col("d2"), 20) + F.col("s_suppkey")
+    best = (
+        c.crossJoin(F.broadcast(s))
+        .withColumn("d2", d2)
+        .groupBy("c_custkey")
+        .agg(F.min(packed).alias("b"))
+    )
+    return (
+        best.select(
+            "c_custkey",
+            (F.col("b") % (1 << 20)).alias("nearest_supp"),
+            F.shiftright(F.col("b"), 20).cast("long").alias("d2"),
+        )
+        .orderBy(F.col("d2").desc(), "c_custkey")
+        .limit(15)
+    )

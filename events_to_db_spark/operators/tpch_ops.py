@@ -2800,3 +2800,78 @@ def q_ord_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("meets_95_sla"),
     )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT)                              AS revenue_scaled,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 4)                          AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue_scaled DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation for ASIA
+    customers served by same-nation suppliers in 1996 — completing the
+    22-query TPC-H sweep (Q1 lives as `q_agg_q1`).
+
+    Plan: region→nation prunes to 5 nations broadcast onto supplier;
+    the c_nationkey = s_nationkey local-supplier constraint rides the
+    lineitem⋈supplier join; the date filter pushes to the orders scan.
+    Revenue is the exact-cents scaled BIGINT (price-cents ×
+    discount-percent, scale 1e4) so the sum and the DESC ordering are
+    integer-exact; the float `revenue` column is one division at the
+    end."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            * (100 - F.expr("cast(round(l_discount * 100) as bigint)"))
+        ).alias("rev"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("long").alias("revenue_scaled"))
+        .select(
+            "n_name",
+            "revenue_scaled",
+            F.round(F.col("revenue_scaled") / 10000.0, 4).alias("revenue"),
+        )
+        .orderBy(F.col("revenue_scaled").desc(), "n_name")
+    )
