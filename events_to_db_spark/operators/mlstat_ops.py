@@ -2373,3 +2373,85 @@ def q_ml_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
+
+
+@query(
+    "q_ml_target_encode",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(event_id % 5 AS INT) AS fold,
+               CASE WHEN value > 250 THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    per AS (
+        SELECT event_type, fold,
+               CAST(count(*) AS BIGINT) AS n_f,
+               CAST(sum(y) AS BIGINT) AS pos_f
+        FROM base GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(n_f) AS BIGINT) AS n_t,
+               CAST(sum(pos_f) AS BIGINT) AS pos_t
+        FROM per GROUP BY 1
+    )
+    SELECT p.event_type, p.fold,
+           p.n_f AS n_fold,
+           t.pos_t - p.pos_f AS oof_pos,
+           t.n_t - p.n_f AS oof_n,
+           round(CAST(t.pos_t - p.pos_f AS DOUBLE)
+                 / (t.n_t - p.n_f), 6) AS oof_encoding,
+           round(CAST(t.pos_t AS DOUBLE) / t.n_t, 6) AS full_rate
+    FROM per p JOIN tot t USING (event_type)
+    ORDER BY p.event_type, p.fold
+    """,
+)
+def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold target encoding — the feature-engineering
+    primitive that turns a categorical column into the target rate
+    WITHOUT letting a row see its own label: each (category, fold)
+    cell is encoded with the positive rate computed from the OTHER
+    four folds (out-of-fold statistics by subtraction: one pass
+    computes per-fold counts, the out-of-fold encoding is
+    (pos_total − pos_fold)/(n_total − n_fold) — no second scan, no
+    per-fold recomputation).
+
+    Everything is exact integers until the two final divisions, so the
+    encodings hash-match; folds are deterministic (event_id % 5).  At
+    100 TB this is the only affordable shape: K scans of the data
+    (the naive formulation) collapse into ONE aggregate plus a 25-row
+    subtraction."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("event_id") % 5).cast("int").alias("fold"),
+        F.when(F.col("value") > 250, 1).otherwise(0).alias("y"),
+    )
+    per = base.groupBy("event_type", "fold").agg(
+        F.count("*").cast("long").alias("n_f"),
+        F.sum("y").cast("long").alias("pos_f"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_f").cast("long").alias("n_t"),
+        F.sum("pos_f").cast("long").alias("pos_t"),
+    )
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            F.col("n_f").alias("n_fold"),
+            (F.col("pos_t") - F.col("pos_f")).alias("oof_pos"),
+            (F.col("n_t") - F.col("n_f")).alias("oof_n"),
+            F.round(
+                (F.col("pos_t") - F.col("pos_f")).cast("double")
+                / (F.col("n_t") - F.col("n_f")),
+                6,
+            ).alias("oof_encoding"),
+            F.round(F.col("pos_t").cast("double") / F.col("n_t"), 6).alias(
+                "full_rate"
+            ),
+        )
+        .orderBy("event_type", "fold")
+    )
