@@ -310,6 +310,77 @@ def main() -> None:
     print(f"skew join checksums equal: {sums['plain']}")
     fact.unpersist()
 
+    # MinHash-LSH on a REALISTIC corpus (answers the "31-token testdata
+    # vocabulary degenerates banding" caveat): n_docs docs of 50 tokens
+    # drawn from a 10k-word vocabulary, with every 100th doc a planted
+    # near-dup of its neighbor (~90% token overlap).  On this corpus the
+    # band join must produce a candidate set ORDERS OF MAGNITUDE below
+    # all-pairs — the selectivity that makes the plan the 100 TB shape.
+    from events_to_db_spark.operators.pipeline_ops import (
+        minhash_candidate_pairs,
+    )
+
+    n_docs = max(n // 100, 10_000)
+
+    def tok_arr(seed: str):
+        return F.expr(
+            f"transform(sequence(1, 50), j ->"
+            f" concat('w', pmod(hash({seed}, j), 10000)))"
+        )
+
+    # planted near-dups: doc 100k+1 reuses doc 100k's seed for 45 of
+    # its 50 token draws (~90% overlap)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_distinct(
+            F.when(
+                F.col("id") % 100 == 1,
+                F.concat(
+                    F.slice(tok_arr("id - 1"), 1, 45),
+                    F.slice(tok_arr("id"), 46, 5),
+                ),
+            ).otherwise(tok_arr("id"))
+        ).alias("toks"),
+    ).cache()
+    docs.count()
+
+    t0 = time.time()
+    cand = minhash_candidate_pairs(docs)
+    hashed = docs.select(
+        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th")
+    )
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    verified = (
+        cand.join(
+            hashed.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("doc_b"), F.col("th").alias("tb")),
+            "doc_b",
+        )
+        .filter(jac >= 0.8)
+    )
+    n_cand = cand.count()
+    n_ver = verified.count()
+    dt = time.time() - t0
+    all_pairs = n_docs * (n_docs - 1) // 2
+    planted = n_docs // 100
+    print(
+        f"minhash {n_docs} docs  {dt:8.2f}s  "
+        f"{n_cand} candidates ({n_cand / all_pairs:.2e} of {all_pairs:.1e} "
+        f"all-pairs) -> {n_ver} verified (planted {planted})"
+    )
+    assert n_ver >= planted * 0.98, (
+        f"banding lost planted near-dups: {n_ver} < {planted}"
+    )
+    assert n_cand <= all_pairs * 0.005, (
+        f"banding degenerated on realistic vocab: {n_cand}"
+    )
+    docs.unpersist()
+
     # cosine kernel: big query side vs broadcast reference
     import numpy as np
 
