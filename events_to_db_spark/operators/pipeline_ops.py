@@ -1477,3 +1477,94 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+@query(
+    "q_mm_riff",
+    oracle="""
+    WITH p AS (
+        SELECT event_id,
+               1 + CAST(event_id % 2 AS BIGINT) AS channels,
+               8000 + (CAST(event_id % 8 AS BIGINT)) * 4000 AS sample_rate,
+               100 + CAST(event_id % 50 AS BIGINT) AS n_samples
+        FROM events
+    ),
+    d AS (
+        SELECT event_id, channels, sample_rate, n_samples,
+               sample_rate * channels * 2 AS byte_rate,
+               channels * 2 AS block_align,
+               n_samples * channels * 2 AS data_size
+        FROM p
+    ),
+    hdr AS (
+        SELECT *, concat('52494646', lpad(to_hex((36 + data_size) // 1 % 256), 2, '0'), lpad(to_hex((36 + data_size) // 256 % 256), 2, '0'), lpad(to_hex((36 + data_size) // 65536 % 256), 2, '0'), lpad(to_hex((36 + data_size) // 16777216 % 256), 2, '0'), '57415645', '666D7420', lpad(to_hex((16) // 1 % 256), 2, '0'), lpad(to_hex((16) // 256 % 256), 2, '0'), lpad(to_hex((16) // 65536 % 256), 2, '0'), lpad(to_hex((16) // 16777216 % 256), 2, '0'), lpad(to_hex((1) // 1 % 256), 2, '0'), lpad(to_hex((1) // 256 % 256), 2, '0'), lpad(to_hex((channels) // 1 % 256), 2, '0'), lpad(to_hex((channels) // 256 % 256), 2, '0'), lpad(to_hex((sample_rate) // 1 % 256), 2, '0'), lpad(to_hex((sample_rate) // 256 % 256), 2, '0'), lpad(to_hex((sample_rate) // 65536 % 256), 2, '0'), lpad(to_hex((sample_rate) // 16777216 % 256), 2, '0'), lpad(to_hex((byte_rate) // 1 % 256), 2, '0'), lpad(to_hex((byte_rate) // 256 % 256), 2, '0'), lpad(to_hex((byte_rate) // 65536 % 256), 2, '0'), lpad(to_hex((byte_rate) // 16777216 % 256), 2, '0'), lpad(to_hex((block_align) // 1 % 256), 2, '0'), lpad(to_hex((block_align) // 256 % 256), 2, '0'), lpad(to_hex((16) // 1 % 256), 2, '0'), lpad(to_hex((16) // 256 % 256), 2, '0'), '64617461', lpad(to_hex((data_size) // 1 % 256), 2, '0'), lpad(to_hex((data_size) // 256 % 256), 2, '0'), lpad(to_hex((data_size) // 65536 % 256), 2, '0'), lpad(to_hex((data_size) // 16777216 % 256), 2, '0')) AS hdr FROM d
+    )
+    SELECT event_id,
+           CAST(((('0x' || substr(hdr, 9, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 11, 2))::BIGINT) * 256 + (('0x' || substr(hdr, 13, 2))::BIGINT) * 65536 + (('0x' || substr(hdr, 15, 2))::BIGINT) * 16777216) AS BIGINT) AS riff_size,
+           CAST(((('0x' || substr(hdr, 33, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 35, 2))::BIGINT) * 256 + (('0x' || substr(hdr, 37, 2))::BIGINT) * 65536 + (('0x' || substr(hdr, 39, 2))::BIGINT) * 16777216) AS BIGINT) AS fmt_len,
+           CAST(((('0x' || substr(hdr, 41, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 43, 2))::BIGINT) * 256) AS BIGINT) AS audio_fmt,
+           CAST(((('0x' || substr(hdr, 45, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 47, 2))::BIGINT) * 256) AS BIGINT) AS p_channels,
+           CAST(((('0x' || substr(hdr, 49, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 51, 2))::BIGINT) * 256 + (('0x' || substr(hdr, 53, 2))::BIGINT) * 65536 + (('0x' || substr(hdr, 55, 2))::BIGINT) * 16777216) AS BIGINT) AS p_rate,
+           CAST(((('0x' || substr(hdr, 57, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 59, 2))::BIGINT) * 256 + (('0x' || substr(hdr, 61, 2))::BIGINT) * 65536 + (('0x' || substr(hdr, 63, 2))::BIGINT) * 16777216) AS BIGINT) AS p_byte_rate,
+           CAST(((('0x' || substr(hdr, 65, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 67, 2))::BIGINT) * 256) AS BIGINT) AS p_block,
+           CAST(((('0x' || substr(hdr, 69, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 71, 2))::BIGINT) * 256) AS BIGINT) AS p_bits,
+           CAST(((('0x' || substr(hdr, 81, 2))::BIGINT) * 1 + (('0x' || substr(hdr, 83, 2))::BIGINT) * 256 + (('0x' || substr(hdr, 85, 2))::BIGINT) * 65536 + (('0x' || substr(hdr, 87, 2))::BIGINT) * 16777216) AS BIGINT) AS p_data,
+           CAST(p_data // p_block AS BIGINT) AS parsed_samples,
+           md5(hdr) AS hdr_md5
+    FROM hdr
+    ORDER BY event_id
+    LIMIT 100
+    """,
+)
+def q_mm_riff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAV header round-trip — real multimodal BINARY plumbing
+    with an exact oracle: per event, synthesize the canonical 44-byte
+    WAV header (little-endian chunk sizes, fmt block, data block) as
+    bytes, then PARSE every field back out of the byte string and
+    prove the round trip (the oracle recomputes the identical header
+    and parse in hex-string space, so the hash-match certifies the
+    byte layout end-to-end, including the md5 of the full header).
+
+    Spark side genuinely exercises the binary layer: the hex header is
+    ``unhex``-ed to a BINARY column and re-hexed before parsing —
+    construction, storage, and field extraction all happen on bytes.
+    DuckDB 1.0 cannot substr BLOBs, so the oracle stays in hex-string
+    space (two chars per byte, same arithmetic).  All field math is
+    exact integers; this is the pattern for reading container headers
+    (WAV/RIFF, PNG chunks, TLV metadata) distributed, without ever
+    shipping payloads to the driver."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (1 + F.col("event_id") % 2).alias("channels"),
+        (8000 + (F.col("event_id") % 8) * 4000).alias("sample_rate"),
+        (100 + F.col("event_id") % 50).alias("n_samples"),
+    ).select(
+        "*",
+        (F.col("sample_rate") * F.col("channels") * 2).alias("byte_rate"),
+        (F.col("channels") * 2).alias("block_align"),
+        (F.col("n_samples") * F.col("channels") * 2).alias("data_size"),
+    )
+    hdr = d.withColumn("hdr_hex", F.expr("concat('52494646', lpad(hex((36 + data_size) div 1 % 256), 2, '0'), lpad(hex((36 + data_size) div 256 % 256), 2, '0'), lpad(hex((36 + data_size) div 65536 % 256), 2, '0'), lpad(hex((36 + data_size) div 16777216 % 256), 2, '0'), '57415645', '666D7420', lpad(hex((16) div 1 % 256), 2, '0'), lpad(hex((16) div 256 % 256), 2, '0'), lpad(hex((16) div 65536 % 256), 2, '0'), lpad(hex((16) div 16777216 % 256), 2, '0'), lpad(hex((1) div 1 % 256), 2, '0'), lpad(hex((1) div 256 % 256), 2, '0'), lpad(hex((channels) div 1 % 256), 2, '0'), lpad(hex((channels) div 256 % 256), 2, '0'), lpad(hex((sample_rate) div 1 % 256), 2, '0'), lpad(hex((sample_rate) div 256 % 256), 2, '0'), lpad(hex((sample_rate) div 65536 % 256), 2, '0'), lpad(hex((sample_rate) div 16777216 % 256), 2, '0'), lpad(hex((byte_rate) div 1 % 256), 2, '0'), lpad(hex((byte_rate) div 256 % 256), 2, '0'), lpad(hex((byte_rate) div 65536 % 256), 2, '0'), lpad(hex((byte_rate) div 16777216 % 256), 2, '0'), lpad(hex((block_align) div 1 % 256), 2, '0'), lpad(hex((block_align) div 256 % 256), 2, '0'), lpad(hex((16) div 1 % 256), 2, '0'), lpad(hex((16) div 256 % 256), 2, '0'), '64617461', lpad(hex((data_size) div 1 % 256), 2, '0'), lpad(hex((data_size) div 256 % 256), 2, '0'), lpad(hex((data_size) div 65536 % 256), 2, '0'), lpad(hex((data_size) div 16777216 % 256), 2, '0'))"))
+    # The real binary round trip: hex -> BINARY -> hex.
+    hdr = hdr.withColumn("blob", F.unhex("hdr_hex")).withColumn(
+        "hdr_rt", F.hex("blob")
+    )
+    return (
+        hdr.select(
+            "event_id",
+            F.expr("(cast(conv(substr(hdr_rt, 9, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 11, 2), 16, 10) as bigint) * 256 + cast(conv(substr(hdr_rt, 13, 2), 16, 10) as bigint) * 65536 + cast(conv(substr(hdr_rt, 15, 2), 16, 10) as bigint) * 16777216)").cast("long").alias("riff_size"),
+        F.expr("(cast(conv(substr(hdr_rt, 33, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 35, 2), 16, 10) as bigint) * 256 + cast(conv(substr(hdr_rt, 37, 2), 16, 10) as bigint) * 65536 + cast(conv(substr(hdr_rt, 39, 2), 16, 10) as bigint) * 16777216)").cast("long").alias("fmt_len"),
+        F.expr("(cast(conv(substr(hdr_rt, 41, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 43, 2), 16, 10) as bigint) * 256)").cast("long").alias("audio_fmt"),
+        F.expr("(cast(conv(substr(hdr_rt, 45, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 47, 2), 16, 10) as bigint) * 256)").cast("long").alias("p_channels"),
+        F.expr("(cast(conv(substr(hdr_rt, 49, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 51, 2), 16, 10) as bigint) * 256 + cast(conv(substr(hdr_rt, 53, 2), 16, 10) as bigint) * 65536 + cast(conv(substr(hdr_rt, 55, 2), 16, 10) as bigint) * 16777216)").cast("long").alias("p_rate"),
+        F.expr("(cast(conv(substr(hdr_rt, 57, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 59, 2), 16, 10) as bigint) * 256 + cast(conv(substr(hdr_rt, 61, 2), 16, 10) as bigint) * 65536 + cast(conv(substr(hdr_rt, 63, 2), 16, 10) as bigint) * 16777216)").cast("long").alias("p_byte_rate"),
+        F.expr("(cast(conv(substr(hdr_rt, 65, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 67, 2), 16, 10) as bigint) * 256)").cast("long").alias("p_block"),
+        F.expr("(cast(conv(substr(hdr_rt, 69, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 71, 2), 16, 10) as bigint) * 256)").cast("long").alias("p_bits"),
+        F.expr("(cast(conv(substr(hdr_rt, 81, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 83, 2), 16, 10) as bigint) * 256 + cast(conv(substr(hdr_rt, 85, 2), 16, 10) as bigint) * 65536 + cast(conv(substr(hdr_rt, 87, 2), 16, 10) as bigint) * 16777216)").cast("long").alias("p_data"),
+            F.expr("((cast(conv(substr(hdr_rt, 81, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 83, 2), 16, 10) as bigint) * 256 + cast(conv(substr(hdr_rt, 85, 2), 16, 10) as bigint) * 65536 + cast(conv(substr(hdr_rt, 87, 2), 16, 10) as bigint) * 16777216)) div ((cast(conv(substr(hdr_rt, 65, 2), 16, 10) as bigint) * 1 + cast(conv(substr(hdr_rt, 67, 2), 16, 10) as bigint) * 256))").cast("long").alias("parsed_samples"),
+            F.md5(F.col("hdr_rt")).alias("hdr_md5"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
