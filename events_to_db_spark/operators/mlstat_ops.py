@@ -2455,3 +2455,92 @@ def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "fold")
     )
+
+
+@query(
+    "q_ml_woe",
+    oracle="""
+    WITH lab AS (
+        SELECT least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ),
+    per AS (
+        SELECT bin,
+               CAST(sum(good) AS BIGINT) AS g,
+               CAST(sum(bad) AS BIGINT)  AS b
+        FROM lab GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt
+        FROM per
+    )
+    SELECT CAST(p.bin AS INT) AS bin, p.g AS n_good, p.b AS n_bad,
+           CASE WHEN p.g > 0 AND p.b > 0
+                THEN round(ln((CAST(p.g AS DOUBLE) * t.bt)
+                              / (CAST(p.b AS DOUBLE) * t.gt)), 6)
+           END AS woe,
+           CASE WHEN p.g > 0 AND p.b > 0
+                THEN round((CAST(p.g AS DOUBLE) / t.gt
+                            - CAST(p.b AS DOUBLE) / t.bt)
+                           * ln((CAST(p.g AS DOUBLE) * t.bt)
+                                / (CAST(p.b AS DOUBLE) * t.gt)), 6)
+           END AS iv_term
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.bin
+    """,
+)
+def q_ml_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning — the credit-
+    scoring feature transform: event values bucketed into ten fixed
+    50-unit bins, each bin scored WoE = ln((g/G)/(b/B)) with purchase
+    as "good" and error as "bad", plus the bin's IV contribution
+    (g/G − b/B)·WoE.  Bins with a zero class stay NULL rather than
+    ±∞ (the smoothing decision is the caller's).
+
+    All counts are exact integers; WoE is one log of an exact rational
+    (g·B)/(b·G) — no accumulated float sums, so 10 rows hash-match.
+    One scan, one 10-row pivot — the shape that computes WoE tables
+    over a 100 TB loan book."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        F.least(
+            F.expr("cast(round(value * 100) as bigint) div 5000"), F.lit(9)
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("good"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("bad"),
+    )
+    per = lab.groupBy("bin").agg(
+        F.sum("good").cast("long").alias("g"),
+        F.sum("bad").cast("long").alias("b"),
+    )
+    tot = per.agg(
+        F.sum("g").cast("long").alias("gt"), F.sum("b").cast("long").alias("bt")
+    )
+    ratio = (F.col("g").cast("double") * F.col("bt")) / (
+        F.col("b").cast("double") * F.col("gt")
+    )
+    ok = (F.col("g") > 0) & (F.col("b") > 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("g").alias("n_good"),
+            F.col("b").alias("n_bad"),
+            F.when(ok, F.round(F.log(ratio), 6)).alias("woe"),
+            F.when(
+                ok,
+                F.round(
+                    (
+                        F.col("g").cast("double") / F.col("gt")
+                        - F.col("b").cast("double") / F.col("bt")
+                    )
+                    * F.log(ratio),
+                    6,
+                ),
+            ).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )

@@ -2276,3 +2276,90 @@ def q_ev_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "q_ev_cdc_net",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error'  THEN 'D'
+                    ELSE 'U' END AS op
+        FROM events
+    ),
+    per AS (
+        SELECT user_id,
+               first(op ORDER BY ts, event_id) AS first_op,
+               last(op ORDER BY ts, event_id)  AS last_op,
+               CAST(count(*) AS BIGINT)        AS n_ops
+        FROM ops GROUP BY 1
+    ),
+    net AS (
+        SELECT user_id, n_ops,
+               CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'none'
+                    WHEN first_op = 'I'                   THEN 'insert'
+                    WHEN last_op = 'D'                    THEN 'delete'
+                    ELSE 'update' END AS net_op
+        FROM per
+    )
+    SELECT net_op,
+           CAST(count(*) AS BIGINT)  AS n_keys,
+           CAST(sum(n_ops) AS BIGINT) AS n_raw_changes,
+           CAST(min(user_id) AS BIGINT) AS min_key,
+           CAST(max(user_id) AS BIGINT) AS max_key
+    FROM net GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ev_cdc_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC net-changes compaction (the Debezium/Delta "net effect"
+    view): a key touched N times in a change window collapses to ONE
+    net operation decided by its first and last ops in (ts, event_id)
+    order — I…D ⇒ none (created and deleted inside the window, never
+    ship it), I…≠D ⇒ insert, else last=D ⇒ delete, else update.  This
+    is what keeps downstream merges O(|keys|) instead of O(|changes|)
+    at 100 TB: the compaction is one hash-aggregate (min_by/max_by
+    carry first/last op — no per-key sort, no window), and only the
+    4-row summary leaves the stage here.
+
+    Event types map deterministically onto ops (signup→I, error→D,
+    rest→U).  Spark's min_by/max_by order by the (ts, event_id)
+    struct; DuckDB states the same via first/last(… ORDER BY) — the
+    total unique order makes both exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    order = F.struct("ts", "event_id")
+    per = ops.groupBy("user_id").agg(
+        F.min_by("op", order).alias("first_op"),
+        F.max_by("op", order).alias("last_op"),
+        F.count("*").cast("long").alias("n_ops"),
+    )
+    net = per.select(
+        "user_id",
+        "n_ops",
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "none"
+        )
+        .when(F.col("first_op") == "I", "insert")
+        .when(F.col("last_op") == "D", "delete")
+        .otherwise("update")
+        .alias("net_op"),
+    )
+    return (
+        net.groupBy("net_op")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n_ops").cast("long").alias("n_raw_changes"),
+            F.min("user_id").cast("long").alias("min_key"),
+            F.max("user_id").cast("long").alias("max_key"),
+        )
+        .orderBy("net_op")
+    )
