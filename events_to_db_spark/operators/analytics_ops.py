@@ -5167,3 +5167,80 @@ def q_ev_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("over_indexed"),
     )
+
+
+@query(
+    "q_ev_latency_percentiles",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(hour(ts) AS INT) AS h,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    pv AS (
+        SELECT h, vc, CAST(count(*) AS BIGINT) AS ct
+        FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT h, vc,
+               sum(ct) OVER (PARTITION BY h ORDER BY vc) AS c,
+               sum(ct) OVER (PARTITION BY h) AS n
+        FROM pv
+    )
+    SELECT h,
+           CAST(min(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN 2 * c >= n THEN vc END) AS BIGINT)
+               AS p50_cents,
+           CAST(min(CASE WHEN 20 * c >= 19 * n THEN vc END) AS BIGINT)
+               AS p95_cents,
+           CAST(min(CASE WHEN 100 * c >= 99 * n THEN vc END) AS BIGINT)
+               AS p99_cents
+    FROM cum GROUP BY h ORDER BY h
+    """,
+)
+def q_ev_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour exact p50/p95/p99 — the SRE latency-heatmap row: tail
+    percentiles of the (exact-cents) value distribution for each hour
+    of day, as exact LOWER ORDER STATISTICS, not interpolated floats:
+    p is the smallest value whose cumulative count reaches ⌈p·n⌉,
+    checked with integer cross-multiplication (2c ≥ n, 20c ≥ 19n,
+    100c ≥ 99n).
+
+    Plan: per-(hour, distinct-value) counts (one shuffle), a
+    PARTITIONED cumulative window over the per-hour distinct values
+    (never a global sort), one aggregate out — the shape that computes
+    a million per-(service, hour) percentile cells at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.hour("ts").cast("int").alias("h"),
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    pv = s.groupBy("h", "vc").agg(F.count("*").cast("long").alias("ct"))
+    wc = (
+        Window.partitionBy("h")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("h")
+    cum = pv.select(
+        "h",
+        "vc",
+        F.sum("ct").over(wc).alias("c"),
+        F.sum("ct").over(wn).alias("n"),
+    )
+    return (
+        cum.groupBy("h")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("vc")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.min(F.when(20 * F.col("c") >= 19 * F.col("n"), F.col("vc")))
+            .cast("long")
+            .alias("p95_cents"),
+            F.min(F.when(100 * F.col("c") >= 99 * F.col("n"), F.col("vc")))
+            .cast("long")
+            .alias("p99_cents"),
+        )
+        .orderBy("h")
+    )

@@ -774,7 +774,7 @@ def q_text_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
                tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
                       || tok[i+3] || ' ' || tok[i+4] AS gram
         FROM toks
-        CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+        CROSS JOIN (SELECT unnest(generate_series(1, 2000)) AS i)
         WHERE i + 4 <= len(tok)
     ),
     df AS (SELECT gram, count(*) AS n_docs_with FROM sh GROUP BY 1),
@@ -911,7 +911,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang,
                t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] AS tri
         FROM toks,
-             (SELECT unnest(generate_series(1, 200)) AS i) g
+             (SELECT unnest(generate_series(1, 2000)) AS i) g
         WHERE g.i + 2 <= len(t)
     ),
     per_doc AS (
@@ -1057,7 +1057,7 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                )::BIGINT AS h,
                len(tok) - 3 AS n_grams
         FROM toks,
-             (SELECT unnest(generate_series(1, 200)) AS i)
+             (SELECT unnest(generate_series(1, 2000)) AS i)
         WHERE len(tok) >= 4 AND i <= len(tok) - 3
     ),
     wins AS (
@@ -2915,4 +2915,83 @@ def q_text_cosine_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_text_novelty",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id // 50 AS batch,
+               concat(toks[i], ' ', toks[i + 1]) AS bg
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), (SELECT unnest(generate_series(1, 2000)) AS i)
+        WHERE i <= len(toks) - 1
+    ),
+    d AS (SELECT DISTINCT batch, bg FROM b),
+    fst AS (SELECT bg, CAST(min(batch) AS BIGINT) AS first_batch
+            FROM d GROUP BY 1)
+    SELECT CAST(d.batch AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN fst.first_batch = d.batch THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN fst.first_batch = d.batch
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS novelty_rate
+    FROM d JOIN fst USING (bg)
+    GROUP BY d.batch ORDER BY d.batch
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve — the corpus-drift / dataset-freshness
+    metric a training-data pipeline tracks per ingest batch: of the
+    distinct bigrams appearing in batch b (50 docs per batch in
+    doc_id order), what share was NEVER seen in any earlier batch?
+    A collapsing novelty rate means the crawl is saturating; a spike
+    flags a domain shift.
+
+    Shape: bigrams built array-side (no explode until one row per
+    (batch, bigram)), distinct per batch, one min-aggregate for the
+    global first-occurrence batch, broadcast-join back — two shuffles
+    on the bigram key, both hash-aggs.  Exact integers + one division.
+    The oracle builds bigrams via a bounded index spine (DuckDB 1.0
+    lacks lateral generate_series args — CLAUDE.md)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 50").alias("batch"),
+        F.split("text", " ").alias("toks"),
+    )
+    bg = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "batch",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    fst = bg.groupBy("bg").agg(F.min("batch").cast("long").alias("first_batch"))
+    return (
+        bg.join(fst, "bg")
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(
+                (F.col("first_batch") == F.col("batch")).cast("int")
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    (F.col("first_batch") == F.col("batch")).cast("int")
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch")
     )

@@ -2875,3 +2875,118 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue_scaled").desc(), "n_name")
     )
+
+
+@query(
+    "q_ord_nrr",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS cust,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS r
+        FROM orders GROUP BY 1, 2
+    ),
+    nxt AS (
+        SELECT o_custkey AS cust,
+               strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH,
+                        '%Y-%m') AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS r_prev
+        FROM orders GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT coalesce(rev.m, nxt.m) AS m,
+               coalesce(rev.cust, nxt.cust) AS cust,
+               coalesce(rev.r, 0) AS r,
+               coalesce(nxt.r_prev, 0) AS r_prev
+        FROM rev FULL JOIN nxt
+          ON rev.cust = nxt.cust AND rev.m = nxt.m
+    )
+    SELECT m,
+           CAST(sum(r_prev) AS BIGINT) AS starting_rev,
+           CAST(sum(CASE WHEN r_prev > 0 AND r > 0
+                         THEN least(r, r_prev) ELSE 0 END) AS BIGINT)
+               AS retained,
+           CAST(sum(CASE WHEN r_prev > 0 AND r > r_prev
+                         THEN r - r_prev ELSE 0 END) AS BIGINT)
+               AS expansion,
+           CAST(sum(CASE WHEN r_prev > 0 AND r > 0 AND r < r_prev
+                         THEN r_prev - r ELSE 0 END) AS BIGINT)
+               AS contraction,
+           CAST(sum(CASE WHEN r_prev > 0 AND r = 0
+                         THEN r_prev ELSE 0 END) AS BIGINT)
+               AS churned,
+           CAST(sum(CASE WHEN r_prev = 0 THEN r ELSE 0 END) AS BIGINT)
+               AS new_rev,
+           round(CAST(sum(CASE WHEN r_prev > 0 THEN r ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(r_prev), 0), 4) AS nrr
+    FROM j
+    WHERE m >= '1995-02' AND m <= '2001-08'
+    GROUP BY m ORDER BY m
+    """,
+)
+def q_ord_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention — the SaaS revenue bridge: for each month,
+    last month's revenue base split into retained / expansion /
+    contraction / churned, plus revenue from brand-new customers, and
+    NRR = (existing-customer revenue this month) / (their revenue last
+    month).  The month-over-month customer alignment is a FULL join of
+    (customer, month) revenue against itself shifted one month — one
+    shuffle on (cust, month), no window over customers.
+
+    All components are exact cents (BIGINT); NRR is one division.
+    The month label is a string in both engines (date-output parity
+    rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    rev = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "m"
+        ),
+    ).agg(F.sum(cents).cast("long").alias("r"))
+    nxt = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_format(
+            F.add_months(F.date_trunc("month", "o_orderdate"), 1), "yyyy-MM"
+        ).alias("m"),
+    ).agg(F.sum(cents).cast("long").alias("r_prev"))
+    j = rev.join(nxt, ["cust", "m"], "full").select(
+        "m",
+        F.coalesce("r", F.lit(0)).alias("r"),
+        F.coalesce("r_prev", F.lit(0)).alias("r_prev"),
+    )
+    rp, r = F.col("r_prev"), F.col("r")
+    return (
+        j.filter((F.col("m") >= "1995-02") & (F.col("m") <= "2001-08"))
+        .groupBy("m")
+        .agg(
+            F.sum(rp).cast("long").alias("starting_rev"),
+            F.sum(
+                F.when((rp > 0) & (r > 0), F.least(r, rp)).otherwise(0)
+            )
+            .cast("long")
+            .alias("retained"),
+            F.sum(F.when((rp > 0) & (r > rp), r - rp).otherwise(0))
+            .cast("long")
+            .alias("expansion"),
+            F.sum(
+                F.when((rp > 0) & (r > 0) & (r < rp), rp - r).otherwise(0)
+            )
+            .cast("long")
+            .alias("contraction"),
+            F.sum(F.when((rp > 0) & (r == 0), rp).otherwise(0))
+            .cast("long")
+            .alias("churned"),
+            F.sum(F.when(rp == 0, r).otherwise(0))
+            .cast("long")
+            .alias("new_rev"),
+            F.round(
+                F.sum(F.when(rp > 0, r).otherwise(0)).cast("double")
+                / F.nullif(F.sum(rp), F.lit(0)),
+                4,
+            ).alias("nrr"),
+        )
+        .orderBy("m")
+    )
