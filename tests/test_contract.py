@@ -41,11 +41,14 @@ def test_no_complex_types_in_contract_outputs(spark):
     builds each plan at sf0.001 without executing it."""
     from pyspark.sql.types import (
         ArrayType,
+        BinaryType,
         DateType,
+        DayTimeIntervalType,
         DecimalType,
         MapType,
         StructType,
         TimestampNTZType,
+        YearMonthIntervalType,
     )
 
     bad: list[str] = []
@@ -64,6 +67,18 @@ def test_no_complex_types_in_contract_outputs(spark):
             if isinstance(field.dataType, TimestampNTZType):
                 bad.append(
                     f"{name}.{field.name}: timestamp_ntz (cast to LTZ timestamp)"
+                )
+            if isinstance(field.dataType, BinaryType):
+                bad.append(
+                    f"{name}.{field.name}: binary (bytes cells diverge from"
+                    " DuckDB blobs in the pandas compare — hex() it)"
+                )
+            if isinstance(
+                field.dataType, (DayTimeIntervalType, YearMonthIntervalType)
+            ):
+                bad.append(
+                    f"{name}.{field.name}: interval (emit seconds/months as"
+                    " BIGINT)"
                 )
     assert not bad, f"divergence-prone contract output types: {bad}"
 
