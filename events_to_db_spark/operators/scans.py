@@ -1005,3 +1005,65 @@ def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bin' AS filename,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    ORDER BY doc_id
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the multimodal ingestion format: raw files
+    land on storage, Spark lists them distributed and hands each task
+    (path, modificationTime, length, content BINARY) rows with a
+    pathGlobFilter pushed into the file listing.  Here the first 20
+    documents are materialized once as .bin files (plus a decoy .txt
+    that the glob must exclude), read back through the binaryFile
+    reader, and fingerprinted — name, byte length, md5 of the raw
+    bytes.  The oracle recomputes all three from the documents table
+    (the payloads are ASCII, so DuckDB's string md5 hashes the same
+    bytes).  This is the ingest shape for images/audio at 100 TB: no
+    driver involvement, binary content stays columnar, metadata
+    (path/length) filterable before any byte is touched."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def write(base: str) -> None:
+        rows = (
+            docs.filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .collect()
+        )
+        os.makedirs(base, exist_ok=True)
+        for r in rows:
+            with open(os.path.join(base, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("ascii"))
+        with open(os.path.join(base, "decoy.txt"), "w") as f:
+            f.write("must not be read")
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+
+    path = _materialize(spark, sf_dir, "binary_docs", write)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return (
+        bf.select(
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy(
+            F.expr(
+                "cast(regexp_extract(filename, 'doc_([0-9]+)', 1) as bigint)"
+            )
+        )
+    )
