@@ -5244,3 +5244,105 @@ def q_ev_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "q_ev_event_study",
+    oracle="""
+    WITH fe AS (
+        SELECT user_id, min(ts) AS t0
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT e.user_id,
+               CASE WHEN e.ts < fe.t0 THEN 'pre' ELSE 'post' END AS phase,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN fe ON e.user_id = fe.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= fe.t0 - INTERVAL 7 DAY
+          AND e.ts <  fe.t0 + INTERVAL 7 DAY
+          AND e.ts <> fe.t0
+    ),
+    per AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN phase = 'pre' THEN cents ELSE 0 END)
+                    AS BIGINT) AS pre_cents,
+               CAST(sum(CASE WHEN phase = 'pre' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pre_n,
+               CAST(sum(CASE WHEN phase = 'post' THEN cents ELSE 0 END)
+                    AS BIGINT) AS post_cents,
+               CAST(sum(CASE WHEN phase = 'post' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS post_n
+        FROM w GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_users,
+           CAST(sum(pre_n) AS BIGINT)          AS pre_purchases,
+           CAST(sum(post_n) AS BIGINT)         AS post_purchases,
+           CAST(sum(pre_cents) AS BIGINT)      AS pre_cents,
+           CAST(sum(post_cents) AS BIGINT)     AS post_cents,
+           round(CAST(sum(post_cents) - sum(pre_cents) AS DOUBLE)
+                 / nullif(sum(pre_cents), 0), 6) AS rel_change
+    FROM per
+    """,
+)
+def q_ev_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around each user's FIRST error: purchase behavior in
+    the ±7-day window (pre vs post), pooled across users — the
+    before/after impact read every incident review wants, structured
+    so selection effects are visible (same users, same window width on
+    both sides).  Complements q_ev_did (two-group diff-in-diff) and
+    q_ev_cuped (variance reduction) in the causal toolbox.
+
+    One aggregate finds each user's anchor, a broadcast-joined window
+    classifier splits purchases into pre/post, exact cents all the
+    way; the single float is the relative change.  The anchor event
+    itself is excluded (ts <> t0) so the window is symmetric."""
+    ev = load_table(spark, sf_dir, "events")
+    fe = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    w = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fe, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t0") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAY"))
+            & (F.col("ts") != F.col("t0"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("ts") < F.col("t0"), "pre").otherwise("post").alias(
+                "phase"
+            ),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    per = w.groupBy("user_id").agg(
+        F.sum(F.when(F.col("phase") == "pre", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("pre_cents"),
+        F.sum(F.when(F.col("phase") == "pre", 1).otherwise(0))
+        .cast("long")
+        .alias("pre_n"),
+        F.sum(F.when(F.col("phase") == "post", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("post_cents"),
+        F.sum(F.when(F.col("phase") == "post", 1).otherwise(0))
+        .cast("long")
+        .alias("post_n"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("pre_n").cast("long").alias("pre_purchases"),
+        F.sum("post_n").cast("long").alias("post_purchases"),
+        F.sum("pre_cents").cast("long").alias("pre_cents"),
+        F.sum("post_cents").cast("long").alias("post_cents"),
+        F.round(
+            (F.sum("post_cents") - F.sum("pre_cents")).cast("double")
+            / F.nullif(F.sum("pre_cents"), F.lit(0)),
+            6,
+        ).alias("rel_change"),
+    )

@@ -2995,3 +2995,139 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+@query(
+    "q_sim_mmr",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, i.i,
+               CAST(round(CAST(embedding[i.i] AS DOUBLE) * 10000) AS BIGINT)
+                   AS v
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    p AS (SELECT i, v FROM q WHERE vec_id = 0),
+    rel AS (
+        SELECT q.vec_id, CAST(sum(q.v * p.v) AS BIGINT) AS rel
+        FROM q JOIN p USING (i) GROUP BY 1
+    ),
+    cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+    sims AS (
+        SELECT qa.vec_id AS a, qb.vec_id AS b,
+               CAST(sum(qa.v * qb.v) AS BIGINT) AS s
+        FROM q qa JOIN q qb USING (i)
+        WHERE qa.vec_id IN (SELECT vec_id FROM cand)
+          AND qb.vec_id IN (SELECT vec_id FROM cand)
+          AND qa.vec_id <> qb.vec_id
+        GROUP BY 1, 2
+    ),
+    s1 AS (
+        SELECT 1 AS rank, vec_id, rel, 7 * rel AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    s2 AS (
+        SELECT 2 AS rank, c.vec_id, c.rel,
+               7 * c.rel - 3 * max(si.s) AS score
+        FROM cand c
+        JOIN sims si ON si.a = c.vec_id
+                    AND si.b IN (SELECT vec_id FROM s1)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    s3 AS (
+        SELECT 3 AS rank, c.vec_id, c.rel,
+               7 * c.rel - 3 * max(si.s) AS score
+        FROM cand c
+        JOIN sims si ON si.a = c.vec_id
+                    AND si.b IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    s4 AS (
+        SELECT 4 AS rank, c.vec_id, c.rel,
+               7 * c.rel - 3 * max(si.s) AS score
+        FROM cand c
+        JOIN sims si ON si.a = c.vec_id
+                    AND si.b IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    s5 AS (
+        SELECT 5 AS rank, c.vec_id, c.rel,
+               7 * c.rel - 3 * max(si.s) AS score
+        FROM cand c
+        JOIN sims si ON si.a = c.vec_id
+                    AND si.b IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM s4)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM s4)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    )
+    SELECT CAST(rank AS INT) AS rank, vec_id, rel, CAST(score AS BIGINT) AS score
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5) ORDER BY rank
+    """,
+)
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance — diversified retrieval: from the 20
+    most probe-relevant vectors (integer-quantized dot products against
+    vec 0), greedily select 5 where each pick maximizes
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7,
+    scored as the exact integers 7·rel − 3·maxsim, ties by vec_id).
+    The RAG answer-context builder: relevant AND non-redundant.
+
+    The greedy fold is order-dependent over a k-BOUNDED candidate set:
+    only the 20 candidate rows (ids, rel, quantized vectors) reach the
+    driver (the same bounded-collect tier as the k-means centroids),
+    where the 20×20 integer sim matrix and 5-round argmax run in
+    microseconds; candidate generation and relevance scoring stay
+    distributed.  The oracle replays the identical greedy as 5
+    unrolled argmax CTEs on the same exact integers."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, x ->"
+        " cast(round(cast(x as double) * 10000) as bigint))"
+    )
+    qd = e.select("vec_id", qv.alias("qv"))
+    probe = qd.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
+    probe_lit = F.array(*[F.lit(int(v)) for v in probe])
+    rel = qd.select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.zip_with("qv", probe_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("rel"),
+    )
+    cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(20).collect()
+    ids = [r["vec_id"] for r in cand]
+    rels = {r["vec_id"]: r["rel"] for r in cand}
+    vecs = {r["vec_id"]: r["qv"] for r in cand}
+    sims = {
+        (a, b): sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    picked: list = []
+    out = []
+    for rank in range(1, 6):
+        best = None
+        for v in ids:
+            if v in picked:
+                continue
+            if picked:
+                score = 7 * rels[v] - 3 * max(sims[(v, p)] for p in picked)
+            else:
+                score = 7 * rels[v]
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        _, v, score = best
+        picked.append(v)
+        out.append((rank, v, int(rels[v]), int(score)))
+    return spark.createDataFrame(
+        out, schema="rank int, vec_id long, rel long, score long"
+    ).orderBy("rank")
