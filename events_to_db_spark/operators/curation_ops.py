@@ -3131,3 +3131,123 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="rank int, vec_id long, rel long, score long"
     ).orderBy("rank")
+
+
+@query(
+    "q_embed_drift",
+    oracle="""
+    WITH n AS (SELECT CAST(max(vec_id) AS BIGINT) AS mx FROM embeddings),
+    x AS (
+        SELECT CASE WHEN e.vec_id * 2 <= n.mx THEN 'a' ELSE 'b' END AS half,
+               i.i AS dim,
+               least(greatest(CAST(floor((CAST(e.embedding[i.i] AS DOUBLE)
+                                          + 1) * 4) AS BIGINT), 0), 7)
+                   AS bucket
+        FROM embeddings e CROSS JOIN n,
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    cell AS (
+        SELECT dim, bucket,
+               CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM x GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) / 64
+                    AS BIGINT) AS ta,
+               CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) / 64
+                    AS BIGINT) AS tb
+        FROM x
+    )
+    SELECT CAST(c.dim AS INT) AS dim, CAST(c.bucket AS INT) AS bucket,
+           c.n_a, c.n_b,
+           CASE WHEN c.n_a > 0 AND c.n_b > 0
+                THEN round((CAST(c.n_a AS DOUBLE) / t.ta
+                            - CAST(c.n_b AS DOUBLE) / t.tb)
+                           * ln((CAST(c.n_a AS DOUBLE) * t.tb)
+                                / (CAST(c.n_b AS DOUBLE) * t.ta)), 6)
+           END AS psi_term
+    FROM cell c CROSS JOIN tot t
+    ORDER BY c.dim, c.bucket
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift, per dimension — the vector-feature
+    twin of q_quality_drift's scalar PSI: each of the 64 dimensions is
+    bucketed into 8 fixed bins, the first half of the corpus (by
+    vec_id) is the reference and the second half the candidate, and
+    every (dim, bucket) cell reports its PSI contribution
+    (p−q)·ln(p/q).  Per-cell terms are emitted instead of per-dim sums
+    — summing 8 floats is engine-order-dependent, while each term is a
+    single float expression on exact integer counts (the q_stat_chisq
+    design).  Zero-count cells are NULL (smoothing is the caller's
+    policy call).
+
+    Shape: one explode to (vec, dim) — 64 rows per vector, map-side
+    partial aggregation into 512 cells — the monitoring query a
+    feature store runs per embedding-model version at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.agg(F.max("vec_id").cast("long").alias("mx"))
+    x = (
+        e.crossJoin(F.broadcast(n))
+        .select(
+            F.when(F.col("vec_id") * 2 <= F.col("mx"), "a")
+            .otherwise("b")
+            .alias("half"),
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, v ->"
+                    " least(greatest(cast(floor((cast(v as double) + 1) * 4)"
+                    " as bigint), 0), 7))"
+                )
+            ).alias("dim0", "bucket"),
+        )
+        .select("half", (F.col("dim0") + 1).alias("dim"), "bucket")
+    )
+    cell = x.groupBy("dim", "bucket").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = x.agg(
+        (
+            F.sum(F.when(F.col("half") == "a", 1).otherwise(0)) / 64
+        )
+        .cast("long")
+        .alias("ta"),
+        (
+            F.sum(F.when(F.col("half") == "b", 1).otherwise(0)) / 64
+        )
+        .cast("long")
+        .alias("tb"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    ratio = (F.col("n_a").cast("double") * F.col("tb")) / (
+        F.col("n_b").cast("double") * F.col("ta")
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_a",
+            "n_b",
+            F.when(
+                ok,
+                F.round(
+                    (
+                        F.col("n_a").cast("double") / F.col("ta")
+                        - F.col("n_b").cast("double") / F.col("tb")
+                    )
+                    * F.log(ratio),
+                    6,
+                ),
+            ).alias("psi_term"),
+        )
+        .orderBy("dim", "bucket")
+    )
