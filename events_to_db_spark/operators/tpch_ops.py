@@ -2952,10 +2952,20 @@ def q_ord_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.add_months(F.date_trunc("month", "o_orderdate"), 1), "yyyy-MM"
         ).alias("m"),
     ).agg(F.sum(cents).cast("long").alias("r_prev"))
-    j = rev.join(nxt, ["cust", "m"], "full").select(
-        "m",
-        F.coalesce("r", F.lit(0)).alias("r"),
-        F.coalesce("r_prev", F.lit(0)).alias("r_prev"),
+    # The month-over-month alignment as UNION + one hash-aggregate
+    # instead of a FULL join: full-outer can't broadcast-hash-join in
+    # Spark, so the join planned sort-merge (measured 10.4 s at
+    # sf0.1); the union re-keys both sides onto (cust, m) in a single
+    # shuffle and sums into the two legs (1.0 s, same result exactly).
+    j = (
+        rev.select("cust", "m", F.col("r"), F.lit(0).cast("long").alias("r_prev"))
+        .unionByName(
+            nxt.select(
+                "cust", "m", F.lit(0).cast("long").alias("r"), F.col("r_prev")
+            )
+        )
+        .groupBy("cust", "m")
+        .agg(F.sum("r").alias("r"), F.sum("r_prev").alias("r_prev"))
     )
     rp, r = F.col("r_prev"), F.col("r")
     return (
