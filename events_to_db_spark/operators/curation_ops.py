@@ -3251,3 +3251,78 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim", "bucket")
     )
+
+
+@query(
+    "q_text_stopword_curve",
+    oracle="""
+    WITH tf AS (
+        SELECT t.term, CAST(count(*) AS BIGINT) AS c
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tf),
+    top AS (
+        SELECT term, c,
+               row_number() OVER (ORDER BY c DESC, term) AS k
+        FROM tf ORDER BY c DESC, term LIMIT 20
+    ),
+    cum AS (
+        SELECT k, term, c,
+               sum(c) OVER (ORDER BY k) AS cum_c
+        FROM top
+    )
+    SELECT CAST(cum.k AS INT) AS k, cum.term, cum.c AS term_count,
+           CAST(cum.cum_c AS BIGINT) AS cum_count,
+           round(CAST(cum.cum_c AS DOUBLE) / tot.n, 6) AS corpus_share
+    FROM cum CROSS JOIN tot
+    ORDER BY cum.k
+    """,
+)
+def q_text_stopword_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive stopword coverage curve — building the stopword list
+    FROM the corpus instead of a fixed dictionary: the 20 highest-df
+    terms in rank order with the cumulative share of all token mass a
+    stopword list of size k would remove.  The elbow of this curve is
+    where a curation pipeline cuts its corpus-specific stopword list
+    (fixed lists miss domain stopwords entirely).
+
+    One explode→hash-agg for term counts, a top-20 TakeOrdered, and a
+    20-row cumulative window (k-bounded, not a global sort); counts
+    exact, one division per row."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = tf.agg(F.sum("c").cast("long").alias("n"))
+    top = (
+        tf.orderBy(F.col("c").desc(), "term")
+        .limit(20)
+        .withColumn(
+            "k",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "term")),
+        )
+    )
+    cum = top.withColumn(
+        "cum_c",
+        F.sum("c").over(
+            Window.orderBy("k").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "term",
+            F.col("c").alias("term_count"),
+            F.col("cum_c").cast("long").alias("cum_count"),
+            F.round(F.col("cum_c").cast("double") / F.col("n"), 6).alias(
+                "corpus_share"
+            ),
+        )
+        .orderBy("k")
+    )

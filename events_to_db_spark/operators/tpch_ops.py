@@ -3000,3 +3000,88 @@ def q_ord_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+@query(
+    "q_ord_bullwhip",
+    oracle="""
+    WITH om AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m,
+               CAST(count(*) AS BIGINT) AS a
+        FROM orders GROUP BY 1
+    ),
+    sm AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+               CAST(count(*) AS BIGINT) AS b
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT om.m, om.a, sm.b FROM om JOIN sm USING (m)
+        WHERE om.m >= '1995-03' AND om.m <= '2001-06'
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS sa,
+               CAST(sum(a * a) AS BIGINT) AS qa,
+               CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(b * b) AS BIGINT) AS qb
+        FROM j
+    )
+    SELECT n,
+           n * qa - sa * sa AS var_orders_nsq,
+           n * qb - sb * sb AS var_ships_nsq,
+           round(CAST(n * qa - sa * sa AS DOUBLE)
+                 / (n * qb - sb * sb), 6) AS bullwhip_ratio,
+           round(CAST(sa AS DOUBLE) / n, 4) AS mean_orders,
+           round(CAST(sb AS DOUBLE) / n, 4) AS mean_ships
+    FROM mo
+    """,
+)
+def q_ord_bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip effect — demand-variance amplification up the supply
+    chain: the ratio of monthly ORDER-count variance to monthly
+    SHIPMENT-count variance over the common month span (interior
+    months only, so partial edge months don't fake variance).  Ratio
+    > 1 means order volatility exceeds fulfillment volatility — the
+    signal that batching/forecasting is amplifying noise upstream.
+
+    Both variances are carried as the exact integer n·Σx² − (Σx)²
+    (never a float mean subtraction), and because both series share
+    the same n, the bullwhip ratio is one division of two exact
+    BIGINTs.  Two calendar-bounded aggregates + a 76-row join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    om = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "m"
+        )
+    ).agg(F.count("*").cast("long").alias("a"))
+    sm = li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+            "m"
+        )
+    ).agg(F.count("*").cast("long").alias("b"))
+    j = om.join(sm, "m").filter(
+        (F.col("m") >= "1995-03") & (F.col("m") <= "2001-06")
+    )
+    mo = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("qa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("qb"),
+    )
+    va = F.col("n") * F.col("qa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("qb") - F.col("sb") * F.col("sb")
+    return mo.select(
+        "n",
+        va.alias("var_orders_nsq"),
+        vb.alias("var_ships_nsq"),
+        F.round(va.cast("double") / vb, 6).alias("bullwhip_ratio"),
+        F.round(F.col("sa").cast("double") / F.col("n"), 4).alias(
+            "mean_orders"
+        ),
+        F.round(F.col("sb").cast("double") / F.col("n"), 4).alias(
+            "mean_ships"
+        ),
+    )
