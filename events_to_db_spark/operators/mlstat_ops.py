@@ -2544,3 +2544,124 @@ def q_ml_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_ml_lift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS spend,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT converted,
+               ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+        FROM u
+    ),
+    per AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
+        FROM d GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(conv) AS BIGINT) AS ct
+        FROM per
+    ),
+    cum AS (
+        SELECT decile, n, conv,
+               sum(n) OVER (ORDER BY decile) AS cum_n,
+               sum(conv) OVER (ORDER BY decile) AS cum_conv
+        FROM per
+    )
+    SELECT CAST(c.decile AS INT) AS decile, c.n, c.conv,
+           CAST(c.cum_conv AS BIGINT) AS cum_conv,
+           round(CAST(c.conv AS DOUBLE) / c.n, 6) AS decile_rate,
+           round(CAST(c.cum_conv AS DOUBLE) * t.nt
+                 / (CAST(c.cum_n AS DOUBLE) * t.ct), 6) AS cum_lift
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.decile
+    """,
+)
+def q_ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table — the marketing-model report: users
+    ranked by spend (the model score proxy; unique user_id tie-break),
+    cut into 10 equal-fill deciles, each row showing the decile's
+    conversion rate and the cumulative lift over the base rate
+    (cum_conv/cum_n ÷ total_conv/total_n, cross-multiplied so the one
+    float division happens on exact integers).
+
+    Scale shape: the global decile rank comes from
+    `plans/prefix.bucketed_running_sum` (per-bucket windows + broadcast
+    carry — the q_win_distribution pattern), so NO window ever sees the
+    full user population in one task; the 10-row cumulative is a
+    bounded window.  The oracle's native ntile matches because the
+    order is total and the fill rule identical."""
+    from events_to_db_spark.plans.prefix import (
+        bucketed_running_sum,
+        ntile_from_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("long")
+        .alias("spend"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    n_tot = u.agg(F.count("*").alias("n_tot"))
+    ranked = bucketed_running_sum(
+        u.select("user_id", "spend", "converted"),
+        bucket=-F.floor(F.col("spend") / F.lit(100000)),
+        order_cols=[F.col("spend").desc(), F.col("user_id")],
+        sums={"rank": F.lit(1)},
+    )
+    d = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "converted",
+        ntile_from_rank(F.col("rank"), F.col("n_tot"), 10)
+        .cast("int")
+        .alias("decile"),
+    )
+    per = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("conv").cast("long").alias("ct"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "n",
+        "conv",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("conv").over(w).alias("cum_conv"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "conv",
+            F.col("cum_conv").cast("long").alias("cum_conv"),
+            F.round(F.col("conv").cast("double") / F.col("n"), 6).alias(
+                "decile_rate"
+            ),
+            F.round(
+                F.col("cum_conv").cast("double")
+                * F.col("nt")
+                / (F.col("cum_n").cast("double") * F.col("ct")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )

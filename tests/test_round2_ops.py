@@ -271,6 +271,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ev_hazard": "suffix sum over the gap-bucket aggregate (capped at 13 rows by the least(...,12) bucket clamp)",
         "q_stat_fdr": "BH rank over the 35-cell type×dow aggregate (fixed m)",
         "q_text_stopword_curve": "rank + cumsum over TakeOrderedAndProject's 20 rows (k-bounded)",
+        "q_ml_lift": "cumulative over the 10-row decile aggregate (fixed); user ranks go via plans/prefix.py",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
