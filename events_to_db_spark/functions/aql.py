@@ -70,6 +70,7 @@ _TOKEN_RE = re.compile(
         (?P<num>\d+(?:\.\d+)?)
       | '(?P<str>(?:[^'\\]|\\.)*)'
       | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])*)
+      | (?P<appid>appId\(\s*[A-Za-z0-9_.:\-]+\s*\))
       | (?P<word>[A-Za-z][A-Za-z_0-9]*)
       | (?P<op>:=|<=|>=|!=|[-+*/%=<>()!&|,{}:])
     )""",
@@ -115,6 +116,10 @@ def _tokenize(text: str) -> list[_Tok]:
             out.append(_Tok("str", m.group("str").replace("\\'", "'")))
         elif m.group("path") is not None:
             out.append(_Tok("path", m.group("path")))
+        elif m.group("appid") is not None:
+            # FROM-clause source atom: kept verbatim (the value may
+            # contain '.'/'-'/':' which are not expression tokens).
+            out.append(_Tok("word", m.group("appid")))
         elif m.group("word") is not None:
             w = m.group("word")
             up = w.upper()

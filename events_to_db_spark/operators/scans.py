@@ -390,6 +390,46 @@ def q_aql_let(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_aql_appid",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+               AS total_k
+    FROM events
+    WHERE event_type = 'purchase'
+      AND 'app-' || CAST((('0x' || substr(md5('app:' ||
+              CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 3 AS VARCHAR)
+          = 'app-1'
+      AND NOT ((('0x' || substr(md5('loc:' ||
+              CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0)
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 20
+    """,
+)
+def q_aql_appid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two remaining reconstructed FROM atoms end-to-end (VERDICT
+    r03 #3): ``appId(app-1)`` (source-application selector) and
+    ``!isLocal`` (remote-origin events), conjoined with a tag atom and
+    followed by a payload FILTER + AGGREGATE.  The testdata schema has
+    neither column, so :func:`with_tags` synthesizes both from md5-h15
+    hash buckets of the event id — deterministic and restated verbatim
+    in the DuckDB oracle.  All three atoms compile to plain pushable
+    predicates (string equality, boolean column, array_contains)."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM appId(app-1) & 'type:purchase' & !isLocal"
+        " FILTER _.k > 20 AGGREGATE { n: COUNT(), total_k: SUM(_.k) }",
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("total_k"), 4).alias("total_k"),
+    )
+
+
+@query(
     "q_scan_merge_schema",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,

@@ -56,3 +56,68 @@ def test_time_bound_is_pushed_to_scan(spark):
     )
     assert "PushedFilters: [" in plan
     assert "ts" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_appid_islocal_atoms_parse_and_compile(spark):
+    """appId(..) / isLocal FROM atoms (VERDICT r03 #3): parse in both
+    the tag grammar and the AQL front-end, compile to the synthesized
+    app_id / is_local columns, and partition the stream exactly."""
+    from events_to_db_spark.functions.tags import (
+        AppId,
+        IsLocal,
+        parse_tag_expr,
+        with_tags,
+    )
+    from events_to_db_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    # Parser produces the atom objects (dotted/dashed ids accepted).
+    e = parse_tag_expr("appId(com.example.machine-1) & isLocal")
+    assert e.left == AppId("com.example.machine-1")
+    assert e.right == IsLocal()
+
+    ev = with_tags(load_table(spark, SF_SMOKE, "events"))
+    n = ev.count()
+    # The three synthesized apps partition the stream; isLocal halves it.
+    by_app = sum(
+        ev.filter(parse_tag_expr(f"appId(app-{i})").to_column("tags")).count()
+        for i in range(3)
+    )
+    assert by_app == n
+    loc = ev.filter(parse_tag_expr("isLocal").to_column("tags")).count()
+    rem = ev.filter(parse_tag_expr("!isLocal").to_column("tags")).count()
+    assert loc + rem == n and loc > 0 and rem > 0
+    # Conjunction with tags behaves as intersection.
+    both = ev.filter(
+        parse_tag_expr("appId(app-0) & 'type:purchase'").to_column("tags")
+    ).count()
+    manual = ev.filter(
+        (F.col("app_id") == "app-0") & (F.col("event_type") == "purchase")
+    ).count()
+    assert both == manual
+
+
+def test_appid_atom_through_aql_front_end(spark):
+    """The AQL tokenizer must keep appId(ident) verbatim (its value
+    chars are not expression tokens) and the FROM compile must match
+    the DataFrame-side predicate."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+    from events_to_db_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = with_tags(load_table(spark, SF_SMOKE, "events"))
+    out = run_aql(ev, "FROM appId(app-2) & isLocal AGGREGATE { n: COUNT() }")
+    want = ev.filter((F.col("app_id") == "app-2") & F.col("is_local")).count()
+    assert out.collect()[0]["n"] == want > 0
+
+
+def test_appid_parse_errors():
+    import pytest
+
+    from events_to_db_spark.functions.tags import parse_tag_expr
+
+    with pytest.raises(ValueError):
+        parse_tag_expr("appId()")
+    with pytest.raises(ValueError):
+        parse_tag_expr("appId(")
