@@ -29,7 +29,15 @@ enough that a reference user's everyday pipeline strings run unchanged:
 * ``LIMIT``     → first-n in event order (TakeOrderedAndProject);
 * ``LET x := e``→ named binding usable in every later stage (the
   public AQL beta binding surface) — compiles to ``withColumn``, so
-  Catalyst inlines or CSE-shares it like any projection.
+  Catalyst inlines or CSE-shares it like any projection;
+* ``LET x := FROM … END`` → sub-query binding (the AQL beta
+  nested-pipeline surface): an UNCORRELATED sub-pipeline over the full
+  tagged event log, bound as a scalar (AGGREGATE-terminated), a struct
+  (object AGGREGATE), or the event-ordered array of row values (SELECT
+  pipelines).  Compiles to a broadcast-cross-joined 1-row sub-plan —
+  scalar-subquery shape, no per-row re-execution.  Sub-queries nest.
+  Binding-rooted paths (``s.n``, ``top[0]``) address struct fields and
+  array elements of bound values.
 
 Payload access ``_.a`` (and ``_.a.b``) compiles to
 ``get_json_object(props, '$.a.b')``; AQL is dynamically typed, so
@@ -71,6 +79,7 @@ _TOKEN_RE = re.compile(
       | '(?P<str>(?:[^'\\]|\\.)*)'
       | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])*)
       | (?P<appid>appId\(\s*[A-Za-z0-9_.:\-]+\s*\))
+      | (?P<bpath>[A-Za-z][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])+)
       | (?P<word>[A-Za-z][A-Za-z_0-9]*)
       | (?P<op>:=|<=|>=|!=|[-+*/%=<>()!&|,{}:])
     )""",
@@ -84,6 +93,7 @@ _KEYWORDS = {
     "AGGREGATE",
     "LIMIT",
     "LET",
+    "END",
     "CASE",
     "WHEN",
     "THEN",
@@ -120,6 +130,10 @@ def _tokenize(text: str) -> list[_Tok]:
             # FROM-clause source atom: kept verbatim (the value may
             # contain '.'/'-'/':' which are not expression tokens).
             out.append(_Tok("word", m.group("appid")))
+        elif m.group("bpath") is not None:
+            # binding-rooted path (`s.n`, `top[0]`): addresses a field /
+            # element of a LET-bound struct or array.
+            out.append(_Tok("bpath", m.group("bpath")))
         elif m.group("word") is not None:
             w = m.group("word")
             up = w.upper()
@@ -297,6 +311,15 @@ class _ExprParser:
         if t.kind == "path":
             self.take()
             return self.payload.resolve(_split_path(t.text))
+        if t.kind == "bpath":
+            self.take()
+            root = re.match(r"[A-Za-z][A-Za-z_0-9]*", t.text).group(0)
+            if root not in self.bindings:
+                raise ValueError(f"AQL: unknown binding {root!r}")
+            c = F.col(f"__let_{root}")
+            for p in _split_path(t.text):
+                c = c.getItem(p)
+            return _Val(c, _ANY)
         if t.kind == "word" and t.text in ("TRUE", "FALSE"):
             self.take()
             return _Val(F.lit(t.text == "TRUE"), _BOOL)
@@ -424,9 +447,24 @@ def parse_aql(text: str) -> AqlQuery:
                 raise ValueError("AQL: LIMIT needs a number")
             stages.append(("LIMIT", int(toks.pop(0).text)))
             continue
+        # Stage body: stage keywords do NOT terminate while inside a
+        # sub-query (`FROM … END` nests a whole pipeline, stage
+        # keywords and all — depth counts FROM/END pairs).
         body: list[_Tok] = []
-        while toks and not (toks[0].kind == "word" and toks[0].text in stage_kws):
+        depth = 0
+        while toks:
+            t = toks[0]
+            if t.kind == "word" and t.text == "FROM":
+                depth += 1
+            elif t.kind == "word" and t.text == "END":
+                depth -= 1
+                if depth < 0:
+                    raise ValueError("AQL: END without matching FROM")
+            elif depth == 0 and t.kind == "word" and t.text in stage_kws:
+                break
             body.append(toks.pop(0))
+        if depth != 0:
+            raise ValueError("AQL: sub-query FROM missing END")
         stages.append((kw.text, body))
     return AqlQuery(from_text=from_text, stages=stages)
 
@@ -450,6 +488,17 @@ def _parse_object(p: _ExprParser) -> list[tuple[str, _Val]]:
             break
         raise ValueError("AQL: object needs ',' or '}'")
     return fields
+
+
+def _toks_to_text(toks: list[_Tok]) -> str:
+    """Reconstruct pipeline text from tokens (sub-query re-parse)."""
+    parts = []
+    for t in toks:
+        if t.kind == "str":
+            parts.append("'" + t.text.replace("'", "\\'") + "'")
+        else:
+            parts.append(t.text)
+    return " ".join(parts)
 
 
 def run_aql(
@@ -506,6 +555,64 @@ def run_aql(
             if not (toks and toks[0].kind == "op" and toks[0].text == ":="):
                 raise ValueError("AQL: LET needs ':='")
             toks.pop(0)
+            if toks and toks[0].kind == "word" and toks[0].text == "FROM":
+                # LET x := FROM … END — sub-query binding (the public
+                # AQL beta nested-pipeline surface).  The sub-pipeline
+                # runs UNCORRELATED over the full tagged event frame
+                # (its own FROM, its own `_`), producing either a
+                # scalar (AGGREGATE-terminated) or the event-ordered
+                # array of its row values (SELECT pipelines; an object
+                # AGGREGATE binds a struct).  The 1-row result is
+                # broadcast-cross-joined onto the outer pipeline —
+                # exactly a scalar-subquery plan, no per-row
+                # re-execution, no driver collect.
+                if not (toks[-1].kind == "word" and toks[-1].text == "END"):
+                    raise ValueError(
+                        "AQL: LET sub-query must be the whole binding"
+                        " (… := FROM … END)"
+                    )
+                sub = run_aql(
+                    events_with_tags,
+                    _toks_to_text(toks[:-1]),
+                    payload_col,
+                    tags_col,
+                    order_cols,
+                )
+                out_name = f"__let_{name}"
+                if ts_col in sub.columns:
+                    val_cols = [
+                        c for c in sub.columns if c not in (ts_col, id_col)
+                    ]
+                    row_val = (
+                        F.col("value")
+                        if val_cols == ["value"]
+                        else F.struct(*[F.col(c) for c in val_cols])
+                    )
+                    one = sub.agg(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col(ts_col).alias("t"),
+                                        F.col(id_col).alias("i"),
+                                        row_val.alias("v"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["v"],
+                        ).alias(out_name)
+                    )
+                else:
+                    one = sub.select(
+                        (
+                            F.col("value")
+                            if sub.columns == ["value"]
+                            else F.struct(*sub.columns)
+                        ).alias(out_name)
+                    )
+                df = df.crossJoin(F.broadcast(one))
+                bindings[name] = _ANY
+                continue
             p = _ExprParser(toks, payload, order_cols, bindings)
             val = p.expr()
             if p.toks:

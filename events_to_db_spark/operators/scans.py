@@ -430,6 +430,46 @@ def q_aql_appid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_aql_subquery",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+               AS mx
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >=
+          (SELECT max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) - 5
+           FROM events WHERE event_type = 'view')
+    """,
+)
+def q_aql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL sub-query binding (VERDICT r03 #4, the public AQL beta
+    nested-pipeline surface): ``LET thr := FROM … AGGREGATE … END``
+    runs an uncorrelated sub-pipeline over the full event log and
+    binds its scalar result for the outer stages — here a
+    MAX-derived threshold from one event stream filtering another.
+    Compiles to a broadcast-cross-joined 1-row sub-plan (a scalar
+    subquery, not per-row re-execution); the threshold is MAX-based
+    (order-insensitive exact), so the cross-engine comparison is
+    deterministic.  The oracle restates it as a SQL scalar subquery."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM 'type:purchase'"
+        " LET thr := FROM 'type:view' AGGREGATE MAX(_.k) END"
+        " FILTER _.k >= thr - 5"
+        " AGGREGATE { n: COUNT(), mx: MAX(_.k) }",
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mx"), 4).alias("mx"),
+    )
+
+
+@query(
     "q_scan_merge_schema",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,

@@ -319,3 +319,115 @@ def test_nested_object_select_and_leaf_access(spark, tagged):
 def test_nested_object_in_aggregate_errors_without_agg(spark, tagged):
     with pytest.raises(ValueError, match="needs an aggregate"):
         run_aql(tagged, "FROM allEvents AGGREGATE { a: { b: _.k } }")
+
+
+# --- sub-query binding (LET x := FROM … END) ---------------------------
+
+
+def test_subquery_scalar_equivalence(spark, tagged):
+    """AGGREGATE-terminated sub-query binds a scalar; equivalent to the
+    hand-built broadcast scalar plan."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase' LET thr := FROM 'type:view'"
+        " AGGREGATE MAX(_.k) END FILTER _.k >= thr - 5"
+        " AGGREGATE { n: COUNT() }",
+    )
+    thr = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .agg(F.max(_k()))
+        .collect()[0][0]
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:purchase"))
+        .filter(_k() >= thr - 5)
+        .count()
+    )
+    assert got.collect()[0]["n"] == want > 0
+
+
+def test_subquery_array_is_event_ordered(spark, tagged):
+    """SELECT-pipeline sub-query binds the event-ordered array of its
+    row values."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase' LET top := FROM 'type:error'"
+        " SELECT _.k LIMIT 3 END SELECT { t3: top, one: top[1] } LIMIT 1",
+    ).collect()[0]
+    want = [
+        r["value"]
+        for r in (
+            tagged.filter(F.array_contains("tags", "type:error"))
+            .select("ts", "event_id", F.get_json_object("props", "$.k").alias("value"))
+            .orderBy("ts", "event_id")
+            .limit(3)
+            .collect()
+        )
+    ]
+    assert list(got["t3"]) == want
+    assert got["one"] == want[1]
+
+
+def test_subquery_struct_binding_field_access(spark, tagged):
+    """Object-AGGREGATE sub-query binds a struct; fields addressed by
+    binding-rooted paths."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase' LET s := FROM 'type:view'"
+        " AGGREGATE { n: COUNT(), mx: MAX(_.k) } END"
+        " SELECT { subn: s.n, submx: s.mx } LIMIT 1",
+    ).collect()[0]
+    view = tagged.filter(F.array_contains("tags", "type:view"))
+    assert got["subn"] == view.count()
+    assert got["submx"] == view.agg(F.max(_k())).collect()[0][0]
+
+
+def test_subquery_nests(spark, tagged):
+    """A sub-query may itself contain a sub-query (depth-counted
+    FROM/END pairing)."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase'"
+        " LET t := FROM 'type:view' LET m := FROM 'type:error'"
+        " AGGREGATE MAX(_.k) END FILTER _.k > m - 50 AGGREGATE COUNT() END"
+        " AGGREGATE { deep: MAX(t) }",
+    ).collect()[0]
+    m = (
+        tagged.filter(F.array_contains("tags", "type:error"))
+        .agg(F.max(_k()))
+        .collect()[0][0]
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(_k() > m - 50)
+        .count()
+    )
+    assert got["deep"] == want
+
+
+def test_subquery_plan_is_broadcast_not_per_row(spark, tagged):
+    """The compiled plan must contain a broadcast of the 1-row
+    sub-result — scalar-subquery shape, no per-row re-execution."""
+    df = run_aql(
+        tagged,
+        "FROM 'type:purchase' LET thr := FROM 'type:view'"
+        " AGGREGATE MAX(_.k) END FILTER _.k >= thr"
+        " AGGREGATE COUNT()",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_subquery_parse_errors(spark, tagged):
+    with pytest.raises(ValueError, match="missing END"):
+        parse_aql("FROM 'a' LET x := FROM 'b' AGGREGATE COUNT()")
+    with pytest.raises(ValueError, match="END without matching FROM"):
+        parse_aql("FROM 'a' LET x := 1 END SELECT _.k")
+    with pytest.raises(ValueError, match="whole binding"):
+        run_aql(
+            tagged,
+            "FROM 'type:view' LET x := FROM 'type:error'"
+            " AGGREGATE COUNT() END + 1 AGGREGATE COUNT()",
+        )
+    with pytest.raises(ValueError, match="unknown binding"):
+        run_aql(tagged, "FROM 'type:view' SELECT { a: nope.x }")
