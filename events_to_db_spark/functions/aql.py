@@ -507,6 +507,7 @@ def run_aql(
     payload_col: str = "props",
     tags_col: str = "tags",
     order_cols: tuple[str, str] = ("ts", "event_id"),
+    limit_impl=None,
 ) -> DataFrame:
     """Compile and run an AQL pipeline string against the tagged event
     frame.
@@ -542,8 +543,15 @@ def run_aql(
     for idx, (kind, body) in enumerate(q.stages):
         last = idx == len(q.stages) - 1
         if kind == "LIMIT":
-            # AQL LIMIT = first n in the event order, not an arbitrary n
-            df = df.orderBy(ts_col, id_col).limit(body)
+            # AQL LIMIT = first n in the event order, not an arbitrary n.
+            # ``limit_impl`` lets a caller substitute an equivalent
+            # operator for execution models where orderBy().limit() is
+            # unsupported (the streaming subscription's stateful
+            # take-first-n) — semantics must match on an ordered feed.
+            if limit_impl is not None:
+                df = limit_impl(df, body)
+            else:
+                df = df.orderBy(ts_col, id_col).limit(body)
             continue
         if kind == "LET":
             # LET name := expr — bind a named value for later stages

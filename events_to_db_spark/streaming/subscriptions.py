@@ -16,20 +16,75 @@ Mode mapping:
 * AGGREGATE pipelines are running folds → ``outputMode("complete")``
   (or ``update``), each micro-batch emitting the fold-so-far — the
   reference's live-updating aggregate subscription;
-* LIMIT is a *bounded-prefix* operator (first-n in total event order)
-  — meaningless over an unbounded feed, so it is REJECTED loudly
-  rather than silently re-interpreted.
+* LIMIT is a *bounded-prefix* operator (first-n in total event order).
+  Over an unbounded feed it compiles to a stateful take-first-n
+  (VERDICT r03 #6): one ``applyInPandasWithState`` counter that sorts
+  each micro-batch by event order, emits rows until *n* are taken,
+  then emits nothing forever after — the reference's
+  query-then-subscribe prefix ("replay the first n, keep the
+  subscription open").  State is a single O(1) counter; the global
+  single-group shuffle is inherent to a TOTAL-order prefix (any
+  engine must serialize it) and carries only the pre-LIMIT stream,
+  already filtered by the earlier stages.  On an event-ordered feed
+  (the file-source replay contract) the emitted prefix equals the
+  batch compile's ``orderBy(ts, id).limit(n)`` exactly
+  (tests/test_aql_subscription.py::test_subscription_limit_*).
 
-tests/test_aql_subscription.py proves both modes converge to the batch
+tests/test_aql_subscription.py proves all modes converge to the batch
 ``run_aql`` answer when the feed drains.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from events_to_db_spark.functions.aql import parse_aql, run_aql
 from events_to_db_spark.functions.tags import with_tags
+
+
+def _stateful_take_first_n(
+    df: DataFrame, n: int, order_cols: tuple[str, str]
+) -> DataFrame:
+    """First *n* rows of the stream in event order — a GroupState
+    counter over one global group.
+
+    Per micro-batch the group's rows are sorted by ``order_cols`` and
+    emitted until the counter reaches *n*; afterwards the operator is
+    a sink-nothing pass (state stays one bigint).  Matches the batch
+    ``orderBy().limit(n)`` when the feed delivers micro-batches in
+    event order (the ordered-replay contract streaming tests pin)."""
+    import pandas as pd
+
+    out_schema = df.schema
+    cols = [f.name for f in out_schema.fields]
+    ordering = [c for c in order_cols if c in cols]
+
+    def take(key, pdf_iter, state):
+        taken = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            if taken >= n:
+                continue  # drain the iterator; emit nothing
+            pdf = pdf[cols]
+            if ordering:
+                pdf = pdf.sort_values(ordering)
+            grab = pdf.head(n - taken)
+            taken += len(grab)
+            if len(grab):
+                yield grab
+        state.update((taken,))
+
+    return (
+        df.withColumn("__all", F.lit(1))
+        .groupBy("__all")
+        .applyInPandasWithState(
+            take,
+            outputStructType=out_schema,
+            stateStructType="taken bigint",
+            outputMode="Append",
+            timeoutConf="NoTimeout",
+        )
+    )
 
 
 def aql_subscription(
@@ -42,20 +97,15 @@ def aql_subscription(
     """Compile an AQL pipeline against an unbounded event frame.
 
     Returns the streaming DataFrame; the caller picks trigger/sink.
-    Raises ``ValueError`` for pipelines whose semantics need a bounded
-    stream (LIMIT).
+    LIMIT stages compile to the stateful take-first-n above (bounded
+    prefix, then the subscription keeps following).
     """
     if not events_stream.isStreaming:
         raise ValueError(
             "aql_subscription needs a streaming DataFrame; use run_aql "
             "for bounded queries"
         )
-    parsed = parse_aql(query)
-    if any(kind == "LIMIT" for kind, _body in parsed.stages):
-        raise ValueError(
-            "AQL LIMIT is a bounded event-order prefix and cannot run as "
-            "a subscription; drop the LIMIT or use the bounded query mode"
-        )
+    parse_aql(query)  # surface parse errors before the stream starts
     tagged = with_tags(events_stream)
     return run_aql(
         tagged,
@@ -63,4 +113,5 @@ def aql_subscription(
         payload_col=payload_col,
         tags_col=tags_col,
         order_cols=order_cols,
+        limit_impl=lambda df, k: _stateful_take_first_n(df, k, order_cols),
     )

@@ -1,7 +1,9 @@
 """AQL subscriptions (streaming/subscriptions.py): the same compiled
 AQL pipeline, run over the drip-fed event stream, must converge to the
 batch run_aql answer — row pipelines via append mode, aggregate
-pipelines via complete mode — and LIMIT must be rejected loudly."""
+pipelines via complete mode — and LIMIT compiles to the stateful
+take-first-n whose emitted prefix equals the batch compile on an
+ordered replay (VERDICT r03 #6)."""
 
 from __future__ import annotations
 
@@ -70,12 +72,71 @@ def test_agg_subscription_converges_to_batch(spark, chunked_events, tmp_path):
     assert ns == sorted(ns)
 
 
-def test_limit_rejected(spark, chunked_events):
+# k >= 90 matches (3, 1, 5, 6) view events across the four feed chunks
+# — LIMIT 7 therefore spans three micro-batches (3+1+3) and leaves the
+# fourth empty, exercising both the cross-batch counter and the
+# emit-nothing steady state.
+LIMIT_QUERY = (
+    "FROM 'type:view' FILTER _.k >= 90 LIMIT 7"
+    " SELECT { k: _.k * 1, big: _.k >= 95 }"
+)
+
+
+def test_subscription_limit_matches_batch_prefix(
+    spark, chunked_events, tmp_path
+):
+    """Mid-pipeline LIMIT over the drip feed: the stateful take-first-n
+    must emit exactly the batch compile's event-order prefix, spread
+    across micro-batches, and emit nothing once n rows are taken."""
     feed, _ev, _n = chunked_events
-    with pytest.raises(ValueError, match="LIMIT"):
+    batches = []
+    q = (
+        aql_subscription(events_file_stream(spark, feed), LIMIT_QUERY)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sub_limit"))
+        .foreachBatch(lambda df, bid: batches.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = [tuple(r) for _bid, rows in batches for r in rows]
+    batch = run_aql(
+        with_tags(load_table(spark, SF_SMOKE, "events")), LIMIT_QUERY
+    )
+    want = [tuple(r) for r in batch.collect()]
+    assert len(got) == 7
+    assert sorted(got) == sorted(want)
+    # Prefix spans several micro-batches (a bounded prefix, not a
+    # single-batch head), and later batches emit nothing.
+    nonempty = [bid for bid, rows in batches if rows]
+    assert len(nonempty) >= 2
+    tail = [rows for bid, rows in batches if bid > max(nonempty)]
+    assert all(not rows for rows in tail)
+
+
+def test_subscription_limit_terminal_stage(spark, chunked_events, tmp_path):
+    """LIMIT as the last stage: plain first-n of the filtered stream."""
+    feed, _ev, _n = chunked_events
+    acc = []
+    q = (
         aql_subscription(
-            events_file_stream(spark, feed), "FROM 'type:view' LIMIT 5"
+            events_file_stream(spark, feed), "FROM 'type:purchase' LIMIT 5"
         )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sub_limit2"))
+        .foreachBatch(lambda df, _bid: acc.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = run_aql(
+        with_tags(load_table(spark, SF_SMOKE, "events")),
+        "FROM 'type:purchase' LIMIT 5",
+    )
+    assert sorted(tuple(r) for r in acc) == sorted(
+        tuple(r) for r in batch.collect()
+    )
 
 
 def test_batch_frame_rejected(spark):
