@@ -198,19 +198,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Largest (lang, source) block the in-block quadratic self-join may
-#: handle.  1M rows ≈ 5·10¹¹ in-block comparisons — already past where
-#: the MinHash band path wins; above it `q_dedup_near` escalates to
-#: banded candidates.  Env-overridable so tests can force escalation.
-_DEDUP_BLOCK_MAX_ROWS = 1_000_000
+#: Per-task pair budget for the in-block quadratic Jaccard self-join:
+#: 5e11 comparisons ⇒ a 1M-row largest block at spark.task.cpus=1 —
+#: already past where the MinHash band path wins; above it
+#: `q_dedup_near` escalates to banded candidates.  Derived via
+#: plans/gates.block_rows_gate (conf-responsive, VERDICT r03 #7);
+#: SPARK_GRAFT_DEDUP_BLOCK_MAX overrides so tests can force escalation.
+_DEDUP_PAIR_BUDGET = 5e11
 
 
 def _dedup_block_max() -> int:
-    import os
+    from events_to_db_spark.plans.gates import block_rows_gate
 
-    return int(
-        os.environ.get("SPARK_GRAFT_DEDUP_BLOCK_MAX", str(_DEDUP_BLOCK_MAX_ROWS))
-    )
+    return block_rows_gate("SPARK_GRAFT_DEDUP_BLOCK_MAX", _DEDUP_PAIR_BUDGET)
 
 
 @query(
@@ -302,21 +302,26 @@ def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-#: Broadcast the reference side only below this row count.  Default
-#: ~2M 64-dim float64 vectors ≈ 1 GiB — the usual broadcast comfort
-#: zone.  Above it the exact block-nested-loop path engages (no driver
-#: collect).  Env-overridable so tests can force the blocked path.
-_SIM_BROADCAST_MAX_ROWS = 2_000_000
-
 #: Rows per packed chunk on the blocked path (~50 MiB at 64-dim f64).
 _SIM_BLOCK_ROWS = 100_000
 
+#: Packed bytes per 64-dim float64 reference row.
+_SIM_BYTES_PER_ROW = 64 * 8
+
 
 def _sim_broadcast_max() -> int:
-    import os
+    """Broadcast the reference side only below this row count.
+    Derived from ``spark.sql.autoBroadcastJoinThreshold`` via
+    plans/gates.broadcast_rows_gate (VERDICT r03 #7): at the 10 MiB
+    default this is 2,048,000 64-dim float64 rows ≈ 1 GiB — the usual
+    broadcast comfort zone; a cluster that raises/lowers the threshold
+    (or bans broadcast with -1) moves every sim gate with it.  Above
+    the gate the exact block-nested-loop path engages (no driver
+    collect).  SPARK_GRAFT_SIM_BROADCAST_MAX overrides for tests."""
+    from events_to_db_spark.plans.gates import broadcast_rows_gate
 
-    return int(
-        os.environ.get("SPARK_GRAFT_SIM_BROADCAST_MAX", str(_SIM_BROADCAST_MAX_ROWS))
+    return broadcast_rows_gate(
+        "SPARK_GRAFT_SIM_BROADCAST_MAX", bytes_per_row=_SIM_BYTES_PER_ROW
     )
 
 

@@ -298,20 +298,20 @@ def minhash_candidate_pairs(d: DataFrame, block_cols: list | None = None) -> Dat
     )
 
 
-#: Largest brand block the in-block quadratic edit-distance self-join
-#: may handle; 200k rows/block ≈ 2·10¹⁰ in-block length-prefilter
-#: comparisons — past where the PassJoin segment index wins.  Env-
-#: overridable so tests can force escalation.
-_EDITDIST_BLOCK_MAX_ROWS = 200_000
+#: Per-task pair budget for the in-block quadratic edit-distance
+#: self-join: 2e10 comparisons (the banded-Levenshtein verify is ~25×
+#: a Jaccard set op) ⇒ a 200k-row largest block at spark.task.cpus=1 —
+#: past where the PassJoin segment index wins.  Derived via
+#: plans/gates.block_rows_gate; SPARK_GRAFT_EDITDIST_BLOCK_MAX
+#: overrides so tests can force escalation.
+_EDITDIST_PAIR_BUDGET = 2e10
 
 
 def _editdist_block_max() -> int:
-    import os
+    from events_to_db_spark.plans.gates import block_rows_gate
 
-    return int(
-        os.environ.get(
-            "SPARK_GRAFT_EDITDIST_BLOCK_MAX", str(_EDITDIST_BLOCK_MAX_ROWS)
-        )
+    return block_rows_gate(
+        "SPARK_GRAFT_EDITDIST_BLOCK_MAX", _EDITDIST_PAIR_BUDGET
     )
 
 

@@ -1,0 +1,118 @@
+"""Adaptive-plan gates derived from cluster configuration (VERDICT
+r03 #7).
+
+Two families of data-size gates guard the engine's adaptive operators:
+
+* **Broadcast gates** (sim/embedding family): how many reference rows
+  may be collected + broadcast as a packed ndarray before the operator
+  switches to its distributed blocked path.  Derived from
+  ``spark.sql.autoBroadcastJoinThreshold`` — the cluster operator's
+  single knob for "how much data may be broadcast" — times a
+  documented multiplier: a packed primitive float64 matrix has no
+  per-row hash-table/object overhead, so it can safely be ~100× the
+  byte budget Catalyst allows for a broadcast HASH table.  At the
+  10 MiB default this yields 100 × 10 MiB / 512 B = 2,048,000 rows of
+  64-dim float64 ≈ 1 GiB — the long-standing fixed default, now
+  conf-responsive.  Setting the threshold to ``-1`` (broadcast ban)
+  forces every gated operator onto its distributed path.
+
+* **Block gates** (quadratic in-block candidate joins): the largest
+  key block the blocked self-join may handle before escalating to an
+  inverted-index candidate engine.  A block's pairs land in ONE task
+  (equi-join on the block key), so the bound is per-task compute, not
+  cluster size: ``rows = sqrt(2 × pair_budget × spark.task.cpus)``.
+  The per-task pair budgets reproduce the proven defaults (5e11 →
+  1M rows for Jaccard verify, 2e10 → 200k for the costlier banded
+  Levenshtein verify).
+
+Every gate keeps its env override (tests force escalation with it;
+operators pin behavior with it), which always wins over derivation.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+_BYTES_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def parse_byte_conf(text: str) -> int:
+    """Spark byte-string conf → bytes (``10485760``, ``10m``, ``1g``,
+    ``-1`` …); mirrors Spark's JavaUtils suffix set."""
+    t = str(text).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([a-z]*)", t)
+    if not m:
+        raise ValueError(f"unparseable byte conf: {text!r}")
+    n, suffix = int(m.group(1)), m.group(2)
+    if suffix and suffix not in _BYTES_SUFFIX:
+        raise ValueError(f"unknown byte suffix in conf: {text!r}")
+    return n * (_BYTES_SUFFIX[suffix] if suffix else 1)
+
+
+def _conf(key: str, default: str) -> str:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return default
+    try:
+        return spark.conf.get(key, default)
+    except Exception:
+        return default
+
+
+#: Packed-ndarray broadcast may be this many times the broadcast-hash-
+#: table byte threshold (no per-row JVM object/hash overhead).
+BROADCAST_MULT = 100
+
+_AUTO_BCAST_DEFAULT = str(10 * 1024 * 1024)
+
+
+def broadcast_rows_gate(
+    env_key: str,
+    bytes_per_row: int = 512,
+    lo: int = 0,
+    hi: int = 50_000_000,
+) -> int:
+    """Max reference rows to collect + broadcast for the sim family.
+
+    Env override wins; otherwise derived from the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` (×\\ :data:`BROADCAST_MULT`,
+    ÷ packed row bytes).  A non-positive threshold (broadcast ban)
+    yields 0 — the gated operators then always take their distributed
+    blocked path."""
+    env = os.environ.get(env_key)
+    if env is not None:
+        return int(env)
+    thr = parse_byte_conf(
+        _conf("spark.sql.autoBroadcastJoinThreshold", _AUTO_BCAST_DEFAULT)
+    )
+    if thr <= 0:
+        return 0
+    return max(lo, min(hi, BROADCAST_MULT * thr // bytes_per_row))
+
+
+def block_rows_gate(env_key: str, pair_budget: float) -> int:
+    """Max rows in the largest key block before a quadratic in-block
+    self-join escalates to its inverted-index candidate engine.
+
+    Env override wins; otherwise ``sqrt(2 × pair_budget × task_cpus)``
+    — one block's pair space runs in one task, so the bound scales
+    with per-task compute only."""
+    env = os.environ.get(env_key)
+    if env is not None:
+        return int(env)
+    cpus = int(_conf("spark.task.cpus", "1"))
+    return int(math.sqrt(2.0 * pair_budget * max(cpus, 1)))
