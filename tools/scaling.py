@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""10× scaling curves for the headline + dedup queries (VERDICT r03 #5).
+
+Generates two synthetic tiers with tools/synthgen.py — mult=1
+(sf0.1-equivalent) and mult=10 (sf1-equivalent) — and times every
+query at both, printing per-query t(10×)/t(1×).  Both tiers come from
+the SAME generator, so the ratio isolates scaling behavior from data-
+distribution changes (comparing the driver corpus at sf0.1 against a
+synthetic sf1 would conflate the two).
+
+A plan that scales linearly shows ratio ≈ 10; sort/shuffle stages add
+a log factor (≈ 12); a quadratic pair space shows ≈ 100.  Ratios above
+``FLAG_RATIO`` are flagged — each flagged query needs a named plan fix
+or a weak grade in PERF.md.  Fixed per-query overheads (session, job
+scheduling, broadcast ship) pull small-t queries BELOW 10; that is
+expected and not evidence of sub-linear work.
+
+Usage: python tools/scaling.py [name ...]      (default: full set)
+       SPARK_GRAFT_SCALE_DIR=/tmp/spark_graft_scale  (tier cache)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+B_SET = [
+    "q_scan_pushdown",
+    "q_agg_q1",
+    "q_join_inner",
+    "q_join_multiway",
+    "q_win_rank",
+    "q_agg_distinct",
+    "q_ev_tumbling",
+    "q_ev_session",
+    "q_topk_group",
+    "q_sim_cosine_knn",
+    "q_text_wordcount",
+    "q_agg_rollup",
+]
+DEDUP_SET = [
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_editdist",
+    "q_dedup_cluster",
+    "q_dedup_embed",
+    "q_sim_threshold",
+]
+
+MULTS = (1, 10)
+FLAG_RATIO = 20.0  # ~linear×log at these sizes is ≤ ~12; 20 allows noise
+WARM_RUNS = 2
+
+
+def _tier_dir(base: Path, mult: int) -> Path:
+    return base / f"m{mult}"
+
+
+def ensure_tiers(spark, base: Path) -> None:
+    from tools.synthgen import generate
+
+    for mult in MULTS:
+        d = _tier_dir(base, mult)
+        if (d / "embeddings.parquet").exists():
+            continue
+        print(f"generating mult={mult} tier at {d} …", flush=True)
+        generate(spark, str(d), mult)
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from events_to_db_spark.session import get_spark
+
+    names = sys.argv[1:] or (B_SET + DEDUP_SET)
+    base = Path(os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"))
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_tiers(spark, base)
+    qs = e.queries()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        times = {}
+        for mult in MULTS:
+            sf_dir = str(_tier_dir(base, mult))
+            qs[name](spark, sf_dir).collect()  # cold
+            best = float("inf")
+            for _ in range(WARM_RUNS):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()  # fresh plan per run
+                best = min(best, time.time() - t0)
+            times[mult] = best
+        ratio = times[10] / times[1]
+        flag = ratio > FLAG_RATIO
+        results[name] = {
+            "t1_s": round(times[1], 3),
+            "t10_s": round(times[10], 3),
+            "ratio": round(ratio, 2),
+            "flagged": flag,
+        }
+        print(
+            f"{'!! ' if flag else ''}{name:22s} t1={times[1]:7.2f}s "
+            f"t10={times[10]:8.2f}s  ratio={ratio:6.2f}",
+            flush=True,
+        )
+
+    flagged = [n for n, r in results.items() if r["flagged"]]
+    print(json.dumps({"mults": list(MULTS), "flagged": flagged, "queries": results}))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,244 @@
+#!/usr/bin/env python
+"""Synthetic sf-tier generator for scaling evidence (VERDICT r03 #5).
+
+Writes a full 10-table testdata-schema-compatible tier at any multiple
+of the sf0.1 row counts, so the SAME contract queries can be timed at
+1× and 10× (an sf1-equivalent) and their scaling ratios recorded in
+PERF.md.  NEVER touches /root/testdata — output goes to a caller-given
+scratch dir.
+
+Everything is deterministic pure-Spark expression generation
+(``spark.range`` + hash-derived columns — no Python row loops, no
+driver data), mirroring the real tables' schemas, dtypes, and value
+domains (region/nation names, mktsegments, priorities, Brand#N,
+event-type set, `{"k": NN}` props JSON, 5 langs × 20 sources).  Two
+deliberate realism upgrades over the driver corpus, so dedup scaling
+is measured on the shape it targets:
+
+* documents draw ~60 tokens from a 10,000-word vocabulary (the
+  driver's 31-token vocab makes every doc a near-dup of every other —
+  banding degenerates); every 50th doc is a planted near-duplicate of
+  its predecessor (2 token substitutions) so candidate generation has
+  true positives to find;
+* embeddings carry label-centred clusters + hash noise, so ANN/kNN
+  sees non-degenerate cosine structure (driver corpus max pairwise
+  cosine: 0.513).
+
+Usage: python tools/synthgen.py OUT_DIR MULT   (MULT=1 ≈ sf0.1 sizes)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+#: sf0.1-equivalent base row counts (BASELINE.md).
+BASE = {
+    "supplier": 1_000,
+    "customer": 15_000,
+    "part": 20_000,
+    "orders": 150_000,
+    "lineitem": 600_000,
+    "events": 100_000,
+    "documents": 5_000,
+    "embeddings": 2_000,
+}
+
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_SEGMENTS = ["MACHINERY", "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_ADJ = ["large", "hot", "blue", "small", "dark", "light", "red", "green"]
+_NOUN = ["ring", "bolt", "case", "disk", "wheel", "plate", "cap", "rod"]
+_TYPES = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "PROMO", "MEDIUM"]
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_LANGS = ["en", "de", "fr", "es", "zh"]
+
+_EPOCH_1995 = 788918400  # 1995-01-01 UTC, seconds
+_EPOCH_2024 = 1704067200  # 2024-01-01 UTC, seconds
+
+
+def _pick(arr: list[str], idx_col):
+    return F.element_at(F.array(*[F.lit(x) for x in arr]), (idx_col + 1).cast("int"))
+
+
+def _h(seed: int, *cols):
+    """Deterministic non-negative 31-bit hash column."""
+    return F.abs(F.hash(F.lit(seed), *cols))
+
+
+def _money(col, lo: float, hi: float):
+    """2-decimal price in [lo, hi] — exact-cents like the real tables."""
+    cents = col % int((hi - lo) * 100 + 1)
+    return (F.lit(lo) + cents / 100.0).cast("double")
+
+
+def generate(spark, out_dir: str, mult: int = 1) -> None:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write(df, name: str, n_rows: int):
+        parts = max(1, min(32, n_rows // 200_000))
+        df.coalesce(parts).write.mode("overwrite").parquet(
+            str(out / f"{name}.parquet")
+        )
+
+    # -- fixed dims (TPC-H: nation/region don't scale with sf) ---------
+    region = spark.range(5).select(
+        F.col("id").cast("int").alias("r_regionkey"),
+        _pick(_REGIONS, F.col("id")).alias("r_name"),
+    )
+    write(region, "region", 5)
+    nation = spark.range(25).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+        (F.col("id") % 5).cast("int").alias("n_regionkey"),
+    )
+    write(nation, "nation", 25)
+
+    n_supp = BASE["supplier"] * mult
+    supplier = spark.range(n_supp).select(
+        (F.col("id") + 1).alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("id") + 1).alias("s_name"),
+        (_h(11, F.col("id")) % 25).cast("int").alias("s_nationkey"),
+        _money(_h(12, F.col("id")), -999.99, 9999.99).alias("s_acctbal"),
+    )
+    write(supplier, "supplier", n_supp)
+
+    n_cust = BASE["customer"] * mult
+    customer = spark.range(n_cust).select(
+        (F.col("id") + 1).alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id") + 1).alias("c_name"),
+        (_h(21, F.col("id")) % 25).cast("int").alias("c_nationkey"),
+        _money(_h(22, F.col("id")), -999.99, 9999.99).alias("c_acctbal"),
+        _pick(_SEGMENTS, _h(23, F.col("id")) % 5).alias("c_mktsegment"),
+    )
+    write(customer, "customer", n_cust)
+
+    n_part = BASE["part"] * mult
+    part = spark.range(n_part).select(
+        (F.col("id") + 1).alias("p_partkey"),
+        F.concat_ws(
+            " ",
+            _pick(_ADJ, _h(31, F.col("id")) % len(_ADJ)),
+            _pick(_NOUN, _h(32, F.col("id")) % len(_NOUN)),
+        ).alias("p_name"),
+        F.concat(F.lit("Brand#"), _h(33, F.col("id")) % 25).alias("p_brand"),
+        _pick(_TYPES, _h(34, F.col("id")) % len(_TYPES)).alias("p_type"),
+        (_h(35, F.col("id")) % 50 + 1).cast("int").alias("p_size"),
+        _money(_h(36, F.col("id")), 900.0, 2000.0).alias("p_retailprice"),
+    )
+    write(part, "part", n_part)
+
+    n_ord = BASE["orders"] * mult
+    orders = spark.range(n_ord).select(
+        (F.col("id") + 1).alias("o_orderkey"),
+        (_h(41, F.col("id")) % n_cust + 1).alias("o_custkey"),
+        _pick(["F", "O", "P"], _h(42, F.col("id")) % 3).alias("o_orderstatus"),
+        _money(_h(43, F.col("id")), 900.0, 400000.0).alias("o_totalprice"),
+        F.timestamp_seconds(
+            F.lit(_EPOCH_1995) + (_h(44, F.col("id")) % 2405) * 86400
+        ).alias("o_orderdate"),
+        _pick(_PRIORITIES, _h(45, F.col("id")) % 5).alias("o_orderpriority"),
+    )
+    write(orders, "orders", n_ord)
+
+    n_li = BASE["lineitem"] * mult
+    li = spark.range(n_li).select(
+        (F.col("id") % n_ord + 1).alias("l_orderkey"),  # 4 lines/order
+        (_h(51, F.col("id")) % n_part + 1).alias("l_partkey"),
+        (_h(52, F.col("id")) % n_supp + 1).alias("l_suppkey"),
+        (F.col("id") / n_ord + 1).cast("int").alias("l_linenumber"),
+        (_h(53, F.col("id")) % 50 + 1).cast("double").alias("l_quantity"),
+        _money(_h(54, F.col("id")), 900.0, 100000.0).alias("l_extendedprice"),
+        ((_h(55, F.col("id")) % 11) / 100.0).alias("l_discount"),
+        ((_h(56, F.col("id")) % 9) / 100.0).alias("l_tax"),
+        _pick(["N", "A", "R"], _h(57, F.col("id")) % 3).alias("l_returnflag"),
+        _pick(["O", "F"], _h(58, F.col("id")) % 2).alias("l_linestatus"),
+        F.timestamp_seconds(
+            F.lit(_EPOCH_1995) + (_h(59, F.col("id")) % 2500 + 1) * 86400
+        ).alias("l_shipdate"),
+    )
+    write(li, "lineitem", n_li)
+
+    n_ev = BASE["events"] * mult
+    n_users = max(n_ev // 50, 1)
+    events = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(_EPOCH_2024 * 1_000_000)
+            # 30 days spread, µs-unique (floor-divided slot × 100 + id-tail)
+            + F.floor(F.col("id") * F.lit(25_920_000_000) / n_ev).cast("long")
+            * 100
+            + F.col("id") % 100
+        ).alias("ts"),
+        (_h(61, F.col("id")) % n_users).alias("user_id"),
+        _pick(_EVENT_TYPES, _h(62, F.col("id")) % 5).alias("event_type"),
+        _money(_h(63, F.col("id")), 0.0, 500.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '), _h(64, F.col("id")) % 101, F.lit("}")
+        ).alias("props"),
+    )
+    write(events, "events", n_ev)
+
+    # -- documents: 10k-word vocab, ~60 tokens, planted near-dups ------
+    n_doc = BASE["documents"] * mult
+    base_id = F.when(
+        (F.col("id") % 50 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    n_toks = (F.abs(F.hash(F.lit(71), base_id)) % 41 + 40).cast("int")
+    # planted dup: same token stream as predecessor, positions 1 and 2
+    # substituted (Jaccard ≈ (n-2)/(n+2) ≥ 0.9 at n≈60)
+    text = F.expr(
+        "concat_ws(' ', transform(sequence(1, __ntok), j -> "
+        " if(__isdup AND j <= 2, concat('x', pmod(hash(73, id, j), 10000)),"
+        "    concat('w', pmod(hash(72, __base, j), 10000)))))"
+    )
+    documents = (
+        spark.range(n_doc)
+        .withColumn("__base", base_id)
+        .withColumn("__isdup", (F.col("id") % 50 == 0) & (F.col("id") > 0))
+        .withColumn("__ntok", n_toks)
+        .withColumn("text", text)
+        .select(
+            F.col("id").alias("doc_id"),
+            "text",
+            _pick(_LANGS, _h(74, F.col("id")) % 5).alias("lang"),
+            F.concat(F.lit("src"), _h(75, F.col("id")) % 20).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    write(documents, "documents", n_doc)
+
+    # -- embeddings: label-centred clusters + hash noise ---------------
+    n_emb = BASE["embeddings"] * mult
+    embeddings = spark.range(n_emb).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> cast("
+            " pmod(hash(81, id % 10, j), 200) / 100.0 - 1.0"  # label centre
+            " + pmod(hash(82, id, j), 100) / 250.0 - 0.2"  # per-vec noise
+            " as float))"
+        ).alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+    write(embeddings, "embeddings", n_emb)
+
+
+def main() -> int:
+    from events_to_db_spark.session import get_spark
+
+    out_dir = sys.argv[1]
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    spark = get_spark("synthgen")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, out_dir, mult)
+    print(f"wrote mult={mult} tier -> {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
