@@ -265,13 +265,24 @@ def minhash_candidate_pairs(d: DataFrame, block_cols: list | None = None) -> Dat
     is why both callers can keep brute-force oracles.
     """
     block_cols = list(block_cols or [])
+    # Signature kernel (r4): each of the 64 seeded min-hashes folds
+    # integer xxhash64 over the token hashes with `aggregate` — no
+    # per-(seed, token) string concat and no 64 intermediate arrays
+    # (the r3 spelling allocated K×|toks| seed-prefixed strings per
+    # doc; measured on the 50k-doc synthetic tier: q_dedup_minhash
+    # 152 s → 94 s, forced-escalation q_dedup_near 158 s → 105 s —
+    # the remaining cost is the band join + exact verify, not the
+    # signatures).  Empty token sets fold to the int64 max sentinel —
+    # such docs bucket together and the exact-Jaccard verify drops
+    # them, same as the null sigs did.
     sig = d.select(
         "doc_id",
         *block_cols,
         F.expr(
             f"transform(sequence(1, {MINHASH_K}), i ->"
-            f" array_min(transform(toks, t ->"
-            f" xxhash64(concat(cast(i as string), ':', t)))))"
+            f" aggregate(transform(toks, t -> xxhash64(t)),"
+            f" 9223372036854775807L,"
+            f" (acc, th) -> least(acc, xxhash64(i, th))))"
         ).alias("sig"),
     )
     # Shuffle ONLY (doc_id, blocks, band, band-hash) — token arrays
@@ -479,6 +490,129 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.8)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
+    )
+
+
+#: Exact-substring dedup window: 8 tokens.  Real pipelines use ~50
+#: (Lee et al. 2022, "Deduplicating Training Data Makes Language
+#: Models Better" — public arXiv:2107.06499); 8 suits this corpus's
+#: 10–99-token docs while exercising the identical plan shape.
+SUBSTR_W = 8
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               unnest(generate_series(1, greatest(len(toks) - {SUBSTR_W - 1}, 0))) AS s,
+               toks
+        FROM t
+    ),
+    w2 AS (
+        SELECT doc_id, n_toks, s,
+               concat_ws(' ', list_slice(toks, s, s + {SUBSTR_W - 1})) AS win
+        FROM w
+    ),
+    hits AS (
+        SELECT doc_id, n_toks, s FROM (
+            SELECT doc_id, n_toks, s, count(*) OVER (PARTITION BY win) AS occ
+            FROM w2
+        ) WHERE occ > 1
+    ),
+    isl AS (
+        SELECT doc_id, n_toks, s,
+               CASE WHEN s > coalesce(max(s) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        + {SUBSTR_W - 1}, -1)
+                    THEN 1 ELSE 0 END AS new_span
+        FROM hits
+    ),
+    isl2 AS (
+        SELECT doc_id, n_toks, s,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, n_toks, span_id,
+               max(s) + {SUBSTR_W - 1} - min(s) + 1 AS cov
+        FROM isl2 GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(sum(cov) AS BIGINT)       AS dup_tokens,
+           count(*)                       AS n_spans,
+           round(CAST(sum(cov) AS DOUBLE) / n_toks, 4) AS dup_share
+    FROM spans GROUP BY doc_id, n_toks
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr
+    dedup, re-expressed relationally): any SUBSTR_W(=8)-token window whose
+    text occurs more than once in the corpus (within OR across docs)
+    marks its token span as duplicated; overlapping marked windows merge
+    into maximal spans, and each doc reports its duplicated-token count,
+    span count, and duplicated share — the per-doc "cut list" an LLM
+    ingest pipeline feeds to span removal.
+
+    Plan (the 100 TB shape): one explode to (doc, start, window-hash) —
+    windows travel as xxhash64 int64s, never as W-token strings —
+    then a partial-agg `groupBy(wh)` occurrence count (map-side combine
+    absorbs the boilerplate hot keys), an AQE-splittable equi-join to
+    mark duplicated starts, and per-doc interval merging with
+    doc-partitioned windows (gaps-and-islands, no global order).  The
+    oracle groups by the raw window text instead — a hash-vs-text
+    disagreement needs a 64-bit collision (~1e-11 at this corpus's
+    24k windows).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # sequence(1, n-W+1) DESCENDS when n < W (Spark trap) — guard with
+    # an explicit empty array for short docs.
+    wins = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.explode(
+            F.expr(
+                f"if(size(toks) >= {SUBSTR_W},"
+                f" transform(sequence(1, size(toks) - {SUBSTR_W} + 1),"
+                f" s -> struct(cast(s as bigint) as s,"
+                f" xxhash64(concat_ws(' ', slice(toks, s, {SUBSTR_W}))) as wh)),"
+                f" array())"
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_toks", F.col("w.s").alias("s"), F.col("w.wh").alias("wh"))
+    dup = wins.groupBy("wh").count().filter(F.col("count") > 1).select("wh")
+    hits = wins.join(dup, "wh").select("doc_id", "n_toks", "s")
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = (
+        F.max("s").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+        + SUBSTR_W
+        - 1
+    )
+    spans = (
+        hits.withColumn(
+            "new_span",
+            F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w_doc))
+        .groupBy("doc_id", "n_toks", "span_id")
+        .agg((F.max("s") + SUBSTR_W - 1 - F.min("s") + 1).alias("cov"))
+    )
+    return (
+        spans.groupBy("doc_id", "n_toks")
+        .agg(F.sum("cov").alias("dup_tokens"), F.count("*").alias("n_spans"))
+        .select(
+            "doc_id",
+            "n_toks",
+            "dup_tokens",
+            "n_spans",
+            F.round(F.col("dup_tokens") / F.col("n_toks"), 4).alias("dup_share"),
+        )
     )
 
 
