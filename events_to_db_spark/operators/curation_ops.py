@@ -2099,6 +2099,143 @@ def q_sim_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RRF smoothing constant (the k=60 of the original TREC formulation,
+#: public: Cormack/Clarke/Buettcher 2009) and per-signal rank window.
+_RRF_K = 60
+_RRF_WINDOW = 20
+
+
+@query(
+    "q_sim_rrf",
+    oracle=f"""
+    WITH qv AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS ql
+        FROM embeddings
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    xc AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS xq
+        FROM embeddings
+        WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ),
+    dots AS (
+        SELECT x.vec_id,
+               CAST(sum(x.xq * q.ql) AS BIGINT) AS dot_full,
+               CAST(sum(CASE WHEN x.d <= 16 THEN x.xq * q.ql ELSE 0 END)
+                    AS BIGINT) AS dot_16
+        FROM xc x JOIN qv q USING (d) GROUP BY 1
+    ),
+    ta AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY dot_full DESC, vec_id)
+                   AS rank_full
+        FROM dots ORDER BY dot_full DESC, vec_id LIMIT {_RRF_WINDOW}
+    ),
+    tb AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY dot_16 DESC, vec_id) AS rank_16
+        FROM dots ORDER BY dot_16 DESC, vec_id LIMIT {_RRF_WINDOW}
+    ),
+    f AS (
+        SELECT coalesce(ta.vec_id, tb.vec_id) AS vec_id,
+               ta.rank_full, tb.rank_16,
+               coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + ta.rank_full),
+                        CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + tb.rank_16),
+                          CAST(0 AS DOUBLE)) AS rrf
+        FROM ta FULL JOIN tb ON ta.vec_id = tb.vec_id
+    )
+    SELECT vec_id, rank_full, rank_16, round(rrf, 6) AS rrf
+    FROM f ORDER BY rrf DESC, vec_id LIMIT 10
+    """,
+)
+def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval signals (the hybrid-
+    search merge step, k=60 TREC formulation): full-64-dim max-inner-
+    product ranking fused with the 4×-cheaper 16-dim Matryoshka-
+    truncated ranking for one query vector (min vec_id); a candidate
+    scores Σ 1/(60+rank) over the top-20 windows it appears in, and
+    the fused top-10 is returned with both source ranks (NULL = outside
+    that signal's window — exactly how production RRF treats a doc one
+    retriever missed).
+
+    Scale shape: both signals are TakeOrderedAndProject top-20s off a
+    single broadcast-query projection (dots via zip_with/aggregate on
+    int64-quantized arrays — exact, one pass, no explode); everything
+    after the take is ≤ 40 rows, so the unpartitioned rank windows and
+    the full-outer fuse are k-bounded, not data-bounded.  At 100 TB the
+    per-signal candidate generation would swap to the IVF/LSH queries'
+    bucketed form; the fusion stage is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            ).alias("ql"),
+        )
+    )
+    dots = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(transform(embedding,"
+                " x -> cast(round(cast(x as double) * 1000000) as bigint)),"
+                " ql, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+            ).alias("dot_full"),
+            F.expr(
+                "aggregate(zip_with(transform(slice(embedding, 1, 16),"
+                " x -> cast(round(cast(x as double) * 1000000) as bigint)),"
+                " slice(ql, 1, 16), (a, b) -> a * b),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dot_16"),
+        )
+    )
+    ta = (
+        dots.orderBy(F.desc("dot_full"), "vec_id")
+        .limit(_RRF_WINDOW)
+        .withColumn(
+            "rank_full",
+            F.row_number()
+            .over(Window.orderBy(F.desc("dot_full"), "vec_id"))
+            .cast("long"),
+        )
+        .select("vec_id", "rank_full")
+    )
+    tb = (
+        dots.orderBy(F.desc("dot_16"), "vec_id")
+        .limit(_RRF_WINDOW)
+        .withColumn(
+            "rank_16",
+            F.row_number()
+            .over(Window.orderBy(F.desc("dot_16"), "vec_id"))
+            .cast("long"),
+        )
+        .select("vec_id", "rank_16")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (_RRF_K + F.col("rank_full")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_16")), F.lit(0.0))
+    return (
+        ta.join(tb, "vec_id", "full")
+        .select("vec_id", "rank_full", "rank_16", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "vec_id")
+        .limit(10)
+        .select("vec_id", "rank_full", "rank_16", F.round("rrf", 6).alias("rrf"))
+    )
+
+
 @query(
     "q_text_mattr",
     oracle="""

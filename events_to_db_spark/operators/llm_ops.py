@@ -294,6 +294,175 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic 20% "incoming batch" membership: md5-hash bucket of
+#: doc_id (identical in Spark and DuckDB — the sampling.py convention).
+#: A plain modulo split would silently miss every duplicate here: the
+#: corpus plants near-dups at id stride 20, so any modulus dividing 20
+#: keeps each dup pair on ONE side of the split.
+_INC_SPARK_BATCH = (
+    "pmod(cast(conv(substr(md5(cast(cast({x} as string) as binary)), 1, 15),"
+    " 16, 10) as bigint), 5) = 4"
+)
+_INC_DUCK_BATCH = (
+    "(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT % 5) = 4"
+)
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, md5(text) AS h,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    corp  AS (SELECT * FROM d WHERE NOT ({_INC_DUCK_BATCH.format(x='doc_id')})),
+    batch AS (SELECT * FROM d WHERE {_INC_DUCK_BATCH.format(x='doc_id')}),
+    exact AS (
+        SELECT b.doc_id, min(c.doc_id) AS exact_id
+        FROM batch b JOIN corp c ON b.h = c.h
+        GROUP BY 1
+    ),
+    near AS (
+        SELECT b.doc_id, min(c.doc_id) AS near_id
+        FROM batch b
+        JOIN corp c ON b.lang = c.lang AND b.source = c.source
+        WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.8
+        GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_id  IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict,
+           CASE WHEN e.exact_id IS NOT NULL THEN e.exact_id
+                ELSE n.near_id END AS match_id
+    FROM batch b
+    LEFT JOIN exact e ON b.doc_id = e.doc_id
+    LEFT JOIN near  n ON b.doc_id = n.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch (md5-hash bucket of
+    doc_id = 4 of 5 — a deterministic, structure-free 20% "today's
+    crawl") is screened against the
+    already-ingested corpus (the other 80%), never against itself —
+    the shape every *continuously fed* training pipeline runs, where
+    re-deduplicating the full corpus per batch would be quadratic in
+    ingest history.  Per batch doc: ``exact_dup`` (content hash already
+    ingested, min matching corpus id), else ``near_dup`` (token-set
+    Jaccard ≥ 0.8 vs some same-(lang, source) corpus doc), else
+    ``keep``.
+
+    Scale shape: the exact screen is a hash equi-join against the
+    corpus hash index (shuffle on md5, linear); the near screen is
+    bipartite batch×corpus within (lang, source) blocks — cost
+    |batch|·|block|, NOT |corpus|² — with a lossless size prefilter,
+    and above the derived block gate it escalates onto the shared
+    banded-MinHash candidate engine (cross-side band pairs selected by
+    the same hash-bucket expression, same exact verify; forced-gate
+    equality in
+    tests/test_incremental_escalate.py).  The batch side of both joins
+    is ~20% of a day's intake at production scale — broadcastable in
+    the common case.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    corp = d.filter(~F.expr(_INC_SPARK_BATCH.format(x="doc_id")))
+    batch = d.filter(F.expr(_INC_SPARK_BATCH.format(x="doc_id")))
+    exact = (
+        batch.select("doc_id", "h")
+        .join(
+            corp.select(F.col("doc_id").alias("cid"), "h"), "h"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("exact_id"))
+    )
+    jac = F.size(F.array_intersect("toks_b", "toks_c")).cast("double") / F.size(
+        F.array_union("toks_b", "toks_c")
+    )
+    # The near screen only decides docs the exact screen passed (the
+    # output reads near_id only when exact_id is NULL), so exact dups
+    # are anti-joined out of the bipartite pair space first; and the
+    # lossless Jaccard size prefilter (J ≥ 0.8 ⇒ 5·min(|A|,|B|) ≥
+    # 4·max — same bound as q_dedup_minhash's verify) drops
+    # mismatched-size pairs on two ints before any array op runs.
+    nb, nc = F.size("toks_b"), F.size("toks_c")
+    bnx = (
+        batch.select("doc_id", "lang", "source", F.col("toks").alias("toks_b"))
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    corp_t = corp.select(
+        F.col("doc_id").alias("cid"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_c"),
+    )
+    # Same adaptive gate as q_dedup_near: the bipartite block join is
+    # |batch_block|·|corp_block| — quadratic in block size — so above
+    # the derived block gate, candidates come from the shared MinHash
+    # band engine over the union of both sides; a pure doc_id%5
+    # expression keeps only cross-side pairs (no side-map join), and
+    # the identical prefilter + exact-Jaccard verify runs either way
+    # (banding lossless at 0.8 — tests/test_incremental_escalate.py
+    # forces the gate and proves equality).
+    max_block = (
+        d.groupBy("lang", "source").count().agg(F.max("count")).first()[0] or 0
+    )
+    verify = (
+        (5 * F.least(nb, nc) >= 4 * F.greatest(nb, nc)) & (jac >= 0.8)
+    )
+    if max_block > _dedup_block_max():
+        from .pipeline_ops import minhash_candidate_pairs
+
+        in_batch_a = F.expr(_INC_SPARK_BATCH.format(x="doc_a"))
+        in_batch_b = F.expr(_INC_SPARK_BATCH.format(x="doc_b"))
+        cross = (
+            minhash_candidate_pairs(d, ["lang", "source"])
+            .filter(in_batch_a != in_batch_b)
+            .select(
+                F.when(in_batch_a, F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("doc_id"),
+                F.when(in_batch_a, F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("cid"),
+            )
+        )
+        near = (
+            cross.join(bnx.select("doc_id", "toks_b"), "doc_id")
+            .join(corp_t.select("cid", "toks_c"), "cid")
+            .filter(verify)
+            .groupBy("doc_id")
+            .agg(F.min("cid").alias("near_id"))
+        )
+    else:
+        near = (
+            bnx.join(corp_t, ["lang", "source"])
+            .filter(verify)
+            .groupBy("doc_id")
+            .agg(F.min("cid").alias("near_id"))
+        )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), "exact_dup")
+            .when(F.col("near_id").isNotNull(), "near_dup")
+            .otherwise("keep")
+            .alias("verdict"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity
 # --------------------------------------------------------------------------

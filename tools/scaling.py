@@ -45,6 +45,8 @@ B_SET = [
 ]
 DEDUP_SET = [
     "q_dedup_exact",
+    "q_dedup_substring",
+    "q_dedup_incremental",
     "q_dedup_near",
     "q_dedup_minhash",
     "q_dedup_simhash",
