@@ -198,19 +198,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Per-task pair budget for the in-block quadratic Jaccard self-join:
-#: 5e11 comparisons ⇒ a 1M-row largest block at spark.task.cpus=1 —
-#: already past where the MinHash band path wins; above it
-#: `q_dedup_near` escalates to banded candidates.  Derived via
-#: plans/gates.block_rows_gate (conf-responsive, VERDICT r03 #7);
-#: SPARK_GRAFT_DEDUP_BLOCK_MAX overrides so tests can force escalation.
-_DEDUP_PAIR_BUDGET = 5e11
+def _dedup_ppr_max() -> float:
+    """Escalation threshold for the blocked Jaccard family: average
+    in-block candidate pairs per row (Σ block²/2N) above which the
+    banded-MinHash engine does strictly less work than the quadratic
+    in-block join (measured crossover ≈ 80 pairs/row, PERF.md round
+    4 — the r3 max-block-rows gate sat ~500× above the true crossover
+    once the NumPy signature kernel landed).
+    ``SPARK_GRAFT_DEDUP_PPR_MAX`` overrides so tests can force either
+    path."""
+    from events_to_db_spark.plans.gates import pairs_per_row_gate
 
-
-def _dedup_block_max() -> int:
-    from events_to_db_spark.plans.gates import block_rows_gate
-
-    return block_rows_gate("SPARK_GRAFT_DEDUP_BLOCK_MAX", _DEDUP_PAIR_BUDGET)
+    return pairs_per_row_gate("SPARK_GRAFT_DEDUP_PPR_MAX")
 
 
 @query(
@@ -234,9 +233,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard ≥ 0.8 inside
     ``(lang, source)`` blocks.
 
-    Adaptive plan (VERDICT r02 #1): a cheap block-size probe picks the
-    candidate strategy.  Below ``_dedup_block_max()`` rows in the
-    largest (lang, source) block, the blocked self-join runs as an
+    Adaptive plan (VERDICT r02 #1, gate recalibrated r4): a cheap
+    per-block count probe compares the two strategies' TOTAL work.
+    While the quadratic path's average candidate pairs per row
+    (Σ block²/2N) stays under the measured band-engine cost ratio
+    (``_dedup_ppr_max()`` ≈ 80), the blocked self-join runs as an
     equi-join on the block key (shuffle on the key, quadratic only
     within a block).  Above it, candidates come from the shared
     MinHash-LSH band engine (``pipeline_ops.minhash_candidate_pairs``
@@ -268,13 +269,24 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")
     )
-    # Block-size probe: one count-agg over the block keys (same class
-    # of adaptive decision as a broadcast-size check); the max() runs
-    # over ~|lang|×|source| rows — driver-bounded by construction.
-    max_block = (
-        d.groupBy("lang", "source").count().agg(F.max("count")).first()[0] or 0
+    # Work probe: one count-agg over the block keys (same class of
+    # adaptive decision as a broadcast-size check); Σ block²/2N = the
+    # quadratic path's candidate pairs per row, compared against the
+    # measured band-engine cost ratio.  The agg runs over
+    # ~|lang|×|source| rows — driver-bounded by construction.
+    ppr = (
+        d.groupBy("lang", "source")
+        .count()
+        .agg(
+            (
+                F.sum(F.col("count").cast("double") * F.col("count"))
+                / (2 * F.sum("count"))
+            ).alias("ppr")
+        )
+        .first()[0]
+        or 0.0
     )
-    if max_block > _dedup_block_max():
+    if ppr > _dedup_ppr_max():
         from .pipeline_ops import minhash_candidate_pairs
 
         cand = minhash_candidate_pairs(d, ["lang", "source"])
@@ -404,20 +416,31 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("toks_c"),
     )
     # Same adaptive gate as q_dedup_near: the bipartite block join is
-    # |batch_block|·|corp_block| — quadratic in block size — so above
-    # the derived block gate, candidates come from the shared MinHash
-    # band engine over the union of both sides; a pure doc_id%5
-    # expression keeps only cross-side pairs (no side-map join), and
-    # the identical prefilter + exact-Jaccard verify runs either way
+    # |batch_block|·|corp_block| — quadratic in block size — so when
+    # the probe's avg pairs per row (Σ block²/2N, an upper proxy for
+    # the bipartite 0.16·Σ block²) crosses the measured band-engine
+    # cost ratio (~80 pairs/row measured), candidates come from the shared MinHash band engine
+    # over the union of both sides; a pure hash-bucket expression
+    # keeps only cross-side pairs (no side-map join), and the
+    # identical prefilter + exact-Jaccard verify runs either way
     # (banding lossless at 0.8 — tests/test_incremental_escalate.py
     # forces the gate and proves equality).
-    max_block = (
-        d.groupBy("lang", "source").count().agg(F.max("count")).first()[0] or 0
+    ppr = (
+        d.groupBy("lang", "source")
+        .count()
+        .agg(
+            (
+                F.sum(F.col("count").cast("double") * F.col("count"))
+                / (2 * F.sum("count"))
+            ).alias("ppr")
+        )
+        .first()[0]
+        or 0.0
     )
     verify = (
         (5 * F.least(nb, nc) >= 4 * F.greatest(nb, nc)) & (jac >= 0.8)
     )
-    if max_block > _dedup_block_max():
+    if ppr > _dedup_ppr_max():
         from .pipeline_ops import minhash_candidate_pairs
 
         in_batch_a = F.expr(_INC_SPARK_BATCH.format(x="doc_a"))

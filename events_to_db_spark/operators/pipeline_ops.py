@@ -265,26 +265,64 @@ def minhash_candidate_pairs(d: DataFrame, block_cols: list | None = None) -> Dat
     is why both callers can keep brute-force oracles.
     """
     block_cols = list(block_cols or [])
-    # Signature kernel (r4): each of the 64 seeded min-hashes folds
-    # integer xxhash64 over the token hashes with `aggregate` — no
-    # per-(seed, token) string concat and no 64 intermediate arrays
-    # (the r3 spelling allocated K×|toks| seed-prefixed strings per
-    # doc; measured on the 50k-doc synthetic tier: q_dedup_minhash
-    # 152 s → 94 s, forced-escalation q_dedup_near 158 s → 105 s —
-    # the remaining cost is the band join + exact verify, not the
-    # signatures).  Empty token sets fold to the int64 max sentinel —
-    # such docs bucket together and the exact-Jaccard verify drops
-    # them, same as the null sigs did.
+    # Signature kernel (r4, second pass): tokens are hashed to int64
+    # ONCE JVM-side (one cheap transform), then ALL 64 min-hashes are
+    # computed in a single Arrow-vectorized NumPy kernel — 64
+    # multiply-add universal hashes over the batch's concatenated
+    # token-hash vector + segment-min per doc (`minimum.reduceat`).
+    # Rationale: Spark's higher-order-function lambdas are interpreted
+    # per element, so the pure-Catalyst fold spent 44 s of the 50k-doc
+    # tier's ~100 s band path on K×|toks| lambda evaluations; the
+    # NumPy kernel does the same 128M multiply-mins in ~2 s (the
+    # SimHash precedent: vectorize the per-doc fold, keep hashing and
+    # banding JVM-side).  The signature function needs determinism
+    # only — the oracle is brute-force all-pairs and the banding-
+    # recall property test re-validates losslessness — so fixed
+    # odd-multiplier wrap-around hashes are fine.  Empty/null token
+    # sets get the int64 max sentinel — such docs bucket together and
+    # the exact-Jaccard verify drops them.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sigs(th: pd.Series) -> pd.Series:
+        rs = np.random.RandomState(0x5EED)
+        mult = (
+            rs.randint(0, 2**63, MINHASH_K, dtype=np.uint64) * 2 + 1
+        )  # odd multipliers, full-width wrap
+        addc = rs.randint(0, 2**63, MINHASH_K, dtype=np.uint64)
+        sent = np.iinfo(np.int64).max
+        arrs = [
+            np.asarray(a if a is not None else [], dtype=np.int64)
+            for a in th
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.full((len(arrs), MINHASH_K), sent, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            # Segment-reduce over NON-EMPTY docs only: their starts are
+            # strictly increasing and in-bounds, which reduceat
+            # requires (an empty segment would silently read its
+            # neighbour's element); empty docs keep the sentinel row.
+            flat = np.concatenate([a for a in arrs if len(a)]).view(
+                np.uint64
+            )
+            lens_nz = lens[nz]
+            starts = np.zeros(len(lens_nz), dtype=np.int64)
+            np.cumsum(lens_nz[:-1], out=starts[1:])
+            res = np.empty((len(lens_nz), MINHASH_K), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for k in range(MINHASH_K):
+                    hk = (mult[k] * flat + addc[k]).view(np.int64)
+                    res[:, k] = np.minimum.reduceat(hk, starts)
+            out[nz] = res
+        return pd.Series(list(out))
+
     sig = d.select(
         "doc_id",
         *block_cols,
-        F.expr(
-            f"transform(sequence(1, {MINHASH_K}), i ->"
-            f" aggregate(transform(toks, t -> xxhash64(t)),"
-            f" 9223372036854775807L,"
-            f" (acc, th) -> least(acc, xxhash64(i, th))))"
-        ).alias("sig"),
-    )
+        F.expr("transform(toks, t -> xxhash64(t))").alias("th"),
+    ).select("doc_id", *block_cols, minhash_sigs("th").alias("sig"))
     # Shuffle ONLY (doc_id, blocks, band, band-hash) — token arrays
     # would multiply the band-join shuffle by the doc length; callers
     # rejoin them after the pair set is deduplicated.

@@ -104,6 +104,39 @@ def broadcast_rows_gate(
     return max(lo, min(hi, BROADCAST_MULT * thr // bytes_per_row))
 
 
+#: Measured cost ratio between one banded-MinHash row (64-signature
+#: NumPy kernel + 32-band shuffle + bucket join + verify, amortized)
+#: and one in-block Jaccard pair verify (array_intersect/union on
+#: ~40-token arrays).  On the 50k-doc realistic synthetic tier
+#: (PERF.md round 4): band 8.9 s ≈ 178 µs·cores/row, quadratic 28.4 s
+#: over 1.25e7 pairs ≈ 2.3 µs·cores/pair → equal cost at ~80
+#: candidate pairs per row.  Worst case on the WRONG side: the
+#: degenerate 31-token-vocab driver corpus at sf0.1 (banding
+#: selectivity ≈ 1, so the band path degenerates to quad + banding
+#: overhead) measures band 4.4 s vs quad 2.2 s — a bounded 2× — while
+#: staying quadratic past the crossover on a realistic corpus costs
+#: 3.2× and grows with block size.  Both sides scale with cores, so
+#: the ratio is hardware-stable and needs no conf derivation.
+QUAD_VS_BAND_PAIRS_PER_ROW = 80.0
+
+
+def pairs_per_row_gate(env_key: str) -> float:
+    """Average in-block candidate pairs per row (Σ block²/2N) above
+    which a blocked quadratic Jaccard join escalates onto the banded-
+    MinHash candidate engine.
+
+    This compares the TOTAL work of the two strategies — Σ block²
+    pair verifies vs N banded rows — so one hot block in a huge
+    corpus escalates only when the quadratic work actually dominates
+    (a max-block-rows criterion can neither see that nor avoid paying
+    whole-corpus banding for one modest block).  Env override wins
+    (tests force escalation with it)."""
+    env = os.environ.get(env_key)
+    if env is not None:
+        return float(env)
+    return QUAD_VS_BAND_PAIRS_PER_ROW
+
+
 def block_rows_gate(env_key: str, pair_budget: float) -> int:
     """Max rows in the largest key block before a quadratic in-block
     self-join escalates to its inverted-index candidate engine.

@@ -21,12 +21,12 @@ def test_escalated_path_matches_quadratic(spark, monkeypatch):
     import __spark_entry__ as e
 
     fn = e.queries()["q_dedup_near"]
-    monkeypatch.delenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PPR_MAX", raising=False)
     expected = _rows(fn(spark, SF_SMOKE))
     assert expected, "smoke corpus should contain near-dup pairs"
 
     # Force escalation: every real block is bigger than 1 row.
-    monkeypatch.setenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", "1")
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PPR_MAX", "1")
     called = {}
     real = pipeline_ops.minhash_candidate_pairs
 
@@ -43,7 +43,7 @@ def test_escalated_path_matches_quadratic(spark, monkeypatch):
 def test_quadratic_path_is_default(spark, monkeypatch):
     """Below the threshold the band engine must NOT run (the probe adds
     one cheap agg; candidates come from the block equi-join)."""
-    monkeypatch.delenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PPR_MAX", raising=False)
     monkeypatch.setattr(
         pipeline_ops,
         "minhash_candidate_pairs",

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from events_to_db_spark.operators.llm_ops import (
-    _dedup_block_max,
+    _dedup_ppr_max,
     _sim_broadcast_max,
 )
 from events_to_db_spark.operators.pipeline_ops import _editdist_block_max
@@ -64,17 +64,17 @@ def test_env_override_wins(spark, bcast_conf, monkeypatch):
     spark.conf.set(bcast_conf, "100m")
     monkeypatch.setenv("SPARK_GRAFT_SIM_BROADCAST_MAX", "7")
     assert _sim_broadcast_max() == 7
-    monkeypatch.setenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", "9")
-    assert _dedup_block_max() == 9
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PPR_MAX", "9")
+    assert _dedup_ppr_max() == 9.0
     monkeypatch.setenv("SPARK_GRAFT_EDITDIST_BLOCK_MAX", "11")
     assert _editdist_block_max() == 11
 
 
 def test_block_gates_reproduce_proven_defaults(spark, monkeypatch):
-    monkeypatch.delenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PPR_MAX", raising=False)
     monkeypatch.delenv("SPARK_GRAFT_EDITDIST_BLOCK_MAX", raising=False)
-    # sqrt(2 * 5e11) and sqrt(2 * 2e10) at spark.task.cpus = 1
-    assert _dedup_block_max() == 1_000_000
+    # measured quad-vs-band crossover (PERF.md r4); sqrt(2 * 2e10)
+    assert _dedup_ppr_max() == 80.0
     assert _editdist_block_max() == 200_000
     # the gate scales with per-task compute, not cluster size
     assert block_rows_gate("NO_SUCH_ENV", 5e11) == 1_000_000

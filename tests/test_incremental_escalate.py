@@ -21,14 +21,14 @@ def test_escalated_path_matches_bipartite(spark, monkeypatch):
     import __spark_entry__ as e
 
     fn = e.queries()["q_dedup_incremental"]
-    monkeypatch.delenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PPR_MAX", raising=False)
     expected = _rows(fn(spark, SF_SMOKE))
     assert expected, "smoke corpus should produce batch verdicts"
     assert any(r[1] != "keep" for r in expected), (
         "smoke corpus should contain at least one duplicate verdict"
     )
 
-    monkeypatch.setenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", "1")
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PPR_MAX", "1")
     called = {}
     real = pipeline_ops.minhash_candidate_pairs
 
@@ -44,7 +44,7 @@ def test_escalated_path_matches_bipartite(spark, monkeypatch):
 
 def test_bipartite_path_is_default(spark, monkeypatch):
     """Below the threshold the band engine must NOT run."""
-    monkeypatch.delenv("SPARK_GRAFT_DEDUP_BLOCK_MAX", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PPR_MAX", raising=False)
     monkeypatch.setattr(
         pipeline_ops,
         "minhash_candidate_pairs",
