@@ -63,6 +63,7 @@ subset of Spark SQL's expression language").
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 
@@ -588,6 +589,18 @@ def run_aql(
                 )
                 out_name = f"__let_{name}"
                 if ts_col in sub.columns:
+                    # Array-valued binding: the sub-result materializes
+                    # as ONE collect_list row — an unfiltered sub-
+                    # pipeline would concentrate the whole event log
+                    # into a single aggregation task (ADVICE r04).  Cap
+                    # it: scan at most cap+1 rows (the limit bounds the
+                    # aggregation's input, not just the output) and
+                    # raise loudly when the cap is crossed so the user
+                    # adds a FILTER/LIMIT instead of silently OOMing.
+                    cap = int(
+                        os.environ.get("SPARK_GRAFT_AQL_SUB_MAX", "100000")
+                    )
+                    sub = sub.limit(cap + 1)
                     val_cols = [
                         c for c in sub.columns if c not in (ts_col, id_col)
                     ]
@@ -596,19 +609,30 @@ def run_aql(
                         if val_cols == ["value"]
                         else F.struct(*[F.col(c) for c in val_cols])
                     )
-                    one = sub.agg(
-                        F.transform(
-                            F.sort_array(
-                                F.collect_list(
-                                    F.struct(
-                                        F.col(ts_col).alias("t"),
-                                        F.col(id_col).alias("i"),
-                                        row_val.alias("v"),
-                                    )
+                    arr = F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(ts_col).alias("t"),
+                                    F.col(id_col).alias("i"),
+                                    row_val.alias("v"),
                                 )
-                            ),
-                            lambda s: s["v"],
-                        ).alias(out_name)
+                            )
+                        ),
+                        lambda s: s["v"],
+                    )
+                    one = sub.agg(
+                        F.when(F.size(arr) <= cap, arr)
+                        .otherwise(
+                            F.raise_error(
+                                F.lit(
+                                    f"AQL: LET sub-query '{name}' exceeds "
+                                    f"{cap} rows; add a FILTER or LIMIT "
+                                    "(cap: SPARK_GRAFT_AQL_SUB_MAX)"
+                                )
+                            )
+                        )
+                        .alias(out_name)
                     )
                 else:
                     one = sub.select(

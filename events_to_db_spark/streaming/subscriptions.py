@@ -53,7 +53,16 @@ def _stateful_take_first_n(
     emitted until the counter reaches *n*; afterwards the operator is
     a sink-nothing pass (state stays one bigint).  Matches the batch
     ``orderBy().limit(n)`` when the feed delivers micro-batches in
-    event order (the ordered-replay contract streaming tests pin)."""
+    event order (the ordered-replay contract streaming tests pin).
+
+    The group iterator delivers the micro-batch as ~10k-row Arrow
+    chunks whose relative order is NOT the event order (the groupBy
+    shuffle makes no intra-batch ordering promise), so the whole
+    micro-batch is concatenated and sorted ONCE before the prefix is
+    taken — a per-chunk sort+head would emit a chunk-order prefix, not
+    the event-order prefix (ADVICE r04).  Memory stays bounded by one
+    micro-batch, which a total-order prefix must see in full anyway;
+    once the counter is exhausted the chunks are drained unbuffered."""
     import pandas as pd
 
     out_schema = df.schema
@@ -62,13 +71,16 @@ def _stateful_take_first_n(
 
     def take(key, pdf_iter, state):
         taken = state.get[0] if state.exists else 0
+        chunks = []
         for pdf in pdf_iter:
             if taken >= n:
-                continue  # drain the iterator; emit nothing
-            pdf = pdf[cols]
+                continue  # counter exhausted: drain without buffering
+            chunks.append(pdf[cols])
+        if chunks and taken < n:
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             if ordering:
-                pdf = pdf.sort_values(ordering)
-            grab = pdf.head(n - taken)
+                batch = batch.sort_values(ordering)
+            grab = batch.head(n - taken)
             taken += len(grab)
             if len(grab):
                 yield grab

@@ -431,3 +431,21 @@ def test_subquery_parse_errors(spark, tagged):
         )
     with pytest.raises(ValueError, match="unknown binding"):
         run_aql(tagged, "FROM 'type:view' SELECT { a: nope.x }")
+
+
+def test_subquery_array_cap_raises_loudly(spark, tagged, monkeypatch):
+    """ADVICE r04: an array-valued sub-query that materializes more
+    rows than SPARK_GRAFT_AQL_SUB_MAX must fail with a loud, named
+    error instead of silently concentrating the event log into one
+    aggregation row; under the cap the same query is unaffected."""
+    q = (
+        "FROM 'type:purchase' LET ks := FROM 'type:view'"
+        " SELECT _.k END SELECT { ks: ks } LIMIT 1"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_AQL_SUB_MAX", "2")
+    with pytest.raises(Exception, match="SPARK_GRAFT_AQL_SUB_MAX"):
+        run_aql(tagged, q).collect()
+
+    monkeypatch.delenv("SPARK_GRAFT_AQL_SUB_MAX")
+    n_view = tagged.filter(F.array_contains("tags", "type:view")).count()
+    assert len(run_aql(tagged, q).collect()[0]["ks"]) == n_view

@@ -139,6 +139,64 @@ def test_subscription_limit_terminal_stage(spark, chunked_events, tmp_path):
     )
 
 
+def test_subscription_limit_multichunk_batch(spark, tmp_path):
+    """A micro-batch bigger than one Arrow chunk (ADVICE r04): the
+    take-first-n must sort the WHOLE micro-batch before taking the
+    prefix, not sort-and-head each ~maxRecordsPerBatch chunk in chunk
+    order.  One 60-row file written in DESCENDING ts order + a 7-row
+    Arrow batch size makes the per-chunk strategy emit high-ts rows;
+    the correct prefix is the 5 globally-smallest (ts, event_id)."""
+    import os
+    import shutil
+    import time
+
+    from events_to_db_spark.streaming.subscriptions import (
+        _stateful_take_first_n,
+    )
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    sub = ev.orderBy(F.col("ts").desc()).limit(60).select("event_id", "ts")
+    src = tmp_path / "one_big_file"
+    sub.coalesce(1).write.mode("overwrite").parquet(str(src))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = time.time() - 3600
+    for p in sorted(src.glob("part-*.parquet")):
+        dst = feed / "00_0.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (base, base))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(feed))
+        )
+        acc = []
+        q = (
+            _stateful_take_first_n(stream, 5, ("ts", "event_id"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_mchunk"))
+            .foreachBatch(lambda df, _bid: acc.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    want = [
+        (r["event_id"], r["ts"])
+        for r in sub.orderBy("ts", "event_id").limit(5).collect()
+    ]
+    got = sorted((r["event_id"], r["ts"]) for r in acc)
+    assert got == sorted(want)
+
+
 def test_batch_frame_rejected(spark):
     with pytest.raises(ValueError, match="streaming"):
         aql_subscription(
