@@ -585,6 +585,55 @@ def _sim_pair_blocks(
     return q.crossJoin(r)
 
 
+def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
+    """Projection-cell escalation for the cosine-threshold family
+    (VERDICT r04 #1): lossless top-PC cell candidates + exact verify
+    (functions/simproj.py) instead of the all-pairs kernel, WHEN the
+    measured work gate says the prune wins.
+
+    Returns the verified qualifying pairs (a_id, la, b_id, lb;
+    a_id < b_id, cosine >= tau) or None to keep the quad kernels.
+    Three gates, cheapest first:
+
+    * mode (``SPARK_GRAFT_SIM_PROJ`` = auto|force|off — tests pin
+      hash-equality of the two paths with ``force``);
+    * geometry: cell width r = sqrt(2-2·tau) against the [-1, 1]
+      projection span — at the driver corpus thresholds (0.3/0.4,
+      r > 1) a 3-cell probe covers everything, so auto mode skips the
+      machinery without paying for PCA (gates.PROJ_MAX_RADIUS);
+    * measured work: exact candidate-pair count from the cell
+      histogram (estimate_candidate_pairs) × per-candidate cost vs
+      N(N-1)/2 BLAS pairs (gates.PROJ_CAND_VS_BLAS / PROJ_PROBE_VS_
+      BLAS).  When the ANSWER is itself Θ(N²) — low tau on clustered
+      data — no lossless candidate scheme can beat BLAS all-pairs and
+      this gate correctly refuses; the win regime is the high-tau
+      near-dup screen on anisotropic embeddings (candidates ≈ O(N)).
+    """
+    from events_to_db_spark.functions import simproj
+    from events_to_db_spark.plans import gates
+
+    mode = gates.sim_proj_mode()
+    if mode == "off":
+        return None
+    r = (2.0 - 2.0 * tau) ** 0.5
+    if mode != "force" and r > gates.PROJ_MAX_RADIUS:
+        return None
+    k = simproj.proj_k()
+    u = simproj.unit_frame(e, with_labels=True)
+    dirs = simproj.top_principal_dirs(u, k)
+    cells = truncate_lineage(simproj.cell_frame(u, dirs, r), eager=False)
+    if mode != "force":
+        est = simproj.estimate_candidate_pairs(cells, k)
+        quad_work = n * (n - 1) / 2.0
+        proj_work = (
+            est * gates.PROJ_CAND_VS_BLAS
+            + n * (3**k) * gates.PROJ_PROBE_VS_BLAS
+        )
+        if proj_work >= quad_work:
+            return None
+    return simproj.verify_pairs(simproj.candidate_pairs(cells, k), tau)
+
+
 @query(
     "q_sim_cosine_knn",
     oracle="""
@@ -662,19 +711,47 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is 0.513, so SURVEY's nominal 0.95 would make this a
     trivially-empty check; 0.3 keeps ~1 % of pairs (measured).  Above
     broadcast size, the blocked path emits the same partial counts from
-    chunk×block pair rows — no driver collect."""
-    e = _load_embeddings(spark, sf_dir)
+    chunk×block pair rows — no driver collect.
+
+    Scale escape (VERDICT r04 #1): at high thresholds the lossless
+    projection-cell path (``_sim_proj_verified``) replaces the
+    all-pairs kernel entirely — candidates from top-PC cells, exact
+    verify, O(candidates) instead of O(N²).  At tau = 0.3 the geometry
+    gate keeps the BLAS kernel (r = 1.18 — cells cannot discriminate,
+    and the answer itself is ~1 % of all pairs, so quadratic verify
+    work is inherent)."""
+    return sim_threshold_counts(spark, _load_embeddings(spark, sf_dir), 0.3)
+
+
+def sim_threshold_counts(
+    spark: SparkSession, e: DataFrame, tau: float
+) -> DataFrame:
+    """The gated threshold-pair-count op behind ``q_sim_threshold``,
+    callable on any (vec_id, embedding, label) frame at any threshold
+    (tools/scaling.py times it on the anisotropic tier at tau=0.95,
+    where the projection path engages)."""
+    e = e.select("vec_id", "embedding", "label")
     n = e.count()
+    verified = _sim_proj_verified(e, n, tau)
+    if verified is not None:
+        return (
+            verified.select(
+                (F.col("la") == F.col("lb")).alias("same_label")
+            )
+            .groupBy("same_label")
+            .agg(F.count("*").alias("n_pairs"))
+            .filter(F.col("n_pairs") > 0)
+        )
     if n <= _sim_broadcast_max():
         bc = _ref_broadcast(spark, e, with_labels=True)
         parts = e.select("vec_id", "embedding", "label").mapInPandas(
-            kernels.make_threshold_map_fn(bc, 0.3),
+            kernels.make_threshold_map_fn(bc, tau),
             "same_label boolean, n_pairs_part long",
         )
     else:
         pairs = _sim_pair_blocks(e, n, with_labels=True)
         parts = pairs.mapInPandas(
-            kernels.make_block_threshold_fn(0.3),
+            kernels.make_block_threshold_fn(tau),
             "same_label boolean, n_pairs_part long",
         )
     return (
@@ -940,9 +1017,37 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel family: one BLAS call per Arrow batch plus a broadcast
     smaller-id mask; linear in the big side.  Beyond a broadcastable
     reference the exact blocked path ORs per-block flags (`bool_or`);
-    the approximate alternative is LSH (``q_sim_ann_lsh``)."""
+    the approximate alternative is LSH (``q_sim_ann_lsh``).
+
+    Scale escape (VERDICT r04 #1): the same projection-cell gate as
+    ``q_sim_threshold`` — a dup flag is exactly "appears as the larger
+    id in a verified pair", so the escalated path is distinct(b_id)
+    over the verified candidates.  At tau = 0.4 (r = 1.095) the
+    geometry gate keeps the kernel on the driver corpus."""
     e = _load_embeddings(spark, sf_dir)
     n = e.count()
+    verified = _sim_proj_verified(
+        e.select("vec_id", "embedding", "label"), n, 0.4
+    )
+    if verified is not None:
+        dups = (
+            verified.select(F.col("b_id").alias("vec_id"))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
+        )
+        flags = (
+            e.select("vec_id", "label")
+            .join(dups, "vec_id", "left")
+            .select(
+                "vec_id",
+                "label",
+                F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            )
+        )
+        return flags.groupBy("label").agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        )
     if n <= _sim_broadcast_max():
         bc = _ref_broadcast(spark, e, with_labels=False)
         flags = e.select("vec_id", "embedding", "label").mapInPandas(

@@ -137,6 +137,37 @@ def pairs_per_row_gate(env_key: str) -> float:
     return QUAD_VS_BAND_PAIRS_PER_ROW
 
 
+#: Cost of one VERIFIED projection-cell candidate (skinny probe join
+#: row + einsum verify + shuffle machinery, amortized) measured in
+#: units of one BLAS all-pairs dot (the quad kernels stream ~1e9
+#: pairs/s·core through dgemm; the candidate pipeline moves ~2e7
+#: rows/s·core through join+Arrow+einsum).  Measured on the aniso
+#: scaling tier (PERF.md r5): calibrated conservatively high so the
+#: gate only escalates when the prune is decisive.
+PROJ_CAND_VS_BLAS = 50.0
+
+#: Cost of one 3^k-offset probe row (generate + shuffle + hash-join
+#: probe, no vector payload) in BLAS-pair units.
+PROJ_PROBE_VS_BLAS = 10.0
+
+#: Geometry pre-gate: cells have width r = sqrt(2 - 2*tau) and unit-
+#: vector projections span at most [-1, 1], so once r exceeds this
+#: fraction of the full span the 3-cell probe covers everything and
+#: the machinery cannot prune — skip it without paying the PCA/
+#: histogram probe.  r <= 0.7 ⇔ tau >= 0.755.
+PROJ_MAX_RADIUS = 0.7
+
+
+def sim_proj_mode(env_key: str = "SPARK_GRAFT_SIM_PROJ") -> str:
+    """Projection-cell escalation mode for the cosine-threshold family:
+    ``auto`` (measured work gate decides), ``force`` (always escalate —
+    tests pin hash-equality with it), ``off`` (always quad)."""
+    mode = os.environ.get(env_key, "auto").lower()
+    if mode not in ("auto", "force", "off"):
+        raise ValueError(f"{env_key} must be auto|force|off, got {mode!r}")
+    return mode
+
+
 def block_rows_gate(env_key: str, pair_budget: float) -> int:
     """Max rows in the largest key block before a quadratic in-block
     self-join escalates to its inverted-index candidate engine.

@@ -228,6 +228,78 @@ def generate(spark, out_dir: str, mult: int = 1) -> None:
     write(embeddings, "embeddings", n_emb)
 
 
+#: Rows per mult for the anisotropic near-dup tier (below).
+ANISO_BASE = 20_000
+#: Latent manifold dimension (top-PC spread lives here).
+ANISO_LATENT = 8
+
+
+def generate_aniso(spark, out_dir: str, mult: int = 1) -> None:
+    """``embeddings_aniso.parquet`` — the HIGH-THRESHOLD near-dup
+    regime the projection-cell escalation (functions/simproj.py) was
+    built for, which the fat-cluster ``embeddings`` table cannot
+    exercise (its qualifying-pair answer is itself Θ(N²) at any
+    threshold that matches anything).
+
+    Shape: 64-dim vectors on an 8-dim latent manifold (z uniform in
+    [-1,1]^8, rotated into R^64 by a fixed orthonormal W, + 1 % iid
+    noise) — the anisotropy real text embeddings show (a few PCs carry
+    the variance).  Every 20th vector is a planted near-duplicate of
+    its predecessor (latent jitter ±0.02 → cosine ≈ 0.999); unplanted
+    pairs almost never reach cosine 0.95 in 8 latent dims, so the
+    qualifying answer is ~N/20 — linear, the candidate-pruning
+    target.  Deterministic: hash-derived z/noise, seeded-QR W."""
+    import numpy as np
+
+    n = ANISO_BASE * mult
+    rng = np.random.default_rng(7)
+    w = np.linalg.qr(rng.standard_normal((64, ANISO_LATENT)))[0].T  # (L, 64)
+
+    z_terms = []
+    for l in range(ANISO_LATENT):
+        base = f"(pmod(hash({90 + l}, __base), 2001) / 1000.0 - 1.0)"
+        jit = (
+            f"(case when __isdup then"
+            f" pmod(hash({100 + l}, id), 41) / 1000.0 - 0.02"
+            f" else 0.0 end)"
+        )
+        z_terms.append(f"({base} + {jit})")
+    z_expr = "array(" + ", ".join(z_terms) + ")"
+
+    w_arrays = ", ".join(
+        "array(" + ", ".join(f"{x:.9f}D" for x in w[l]) + ")"
+        for l in range(ANISO_LATENT)
+    )
+    proj_sum = " + ".join(
+        f"__z[{l}] * element_at(__w[{l}], j)" for l in range(ANISO_LATENT)
+    )
+    emb_expr = (
+        "transform(sequence(1, 64), j -> cast("
+        f" {proj_sum}"
+        " + (pmod(hash(120, id, j), 2001) / 1000.0 - 1.0) * 0.01"
+        " as float))"
+    )
+
+    df = (
+        spark.range(n)
+        .withColumn(
+            "__base",
+            F.expr("id - (case when id % 20 = 19 and id > 0 then 1 else 0 end)"),
+        )
+        .withColumn("__isdup", F.expr("id % 20 = 19 and id > 0"))
+        .withColumn("__z", F.expr(z_expr))
+        .withColumn("__w", F.expr(f"array({w_arrays})"))
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(emb_expr).alias("embedding"),
+            (F.col("id") % 10).cast("int").alias("label"),
+        )
+    )
+    df.repartition(max(1, n // 50_000)).write.mode("overwrite").parquet(
+        str(Path(out_dir) / "embeddings_aniso.parquet")
+    )
+
+
 def main() -> int:
     from events_to_db_spark.session import get_spark
 
