@@ -613,7 +613,9 @@ def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
     from events_to_db_spark.plans import gates
 
     mode = gates.sim_proj_mode()
-    if mode == "off":
+    if mode == "off" or n == 0:
+        # empty frame: the quad kernels short-circuit to an empty result,
+        # while top_principal_dirs has no rows to eigendecompose (ADVICE r05)
         return None
     r = (2.0 - 2.0 * tau) ** 0.5
     if mode != "force" and r > gates.PROJ_MAX_RADIUS:

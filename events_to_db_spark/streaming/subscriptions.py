@@ -57,12 +57,16 @@ def _stateful_take_first_n(
 
     The group iterator delivers the micro-batch as ~10k-row Arrow
     chunks whose relative order is NOT the event order (the groupBy
-    shuffle makes no intra-batch ordering promise), so the whole
-    micro-batch is concatenated and sorted ONCE before the prefix is
-    taken — a per-chunk sort+head would emit a chunk-order prefix, not
-    the event-order prefix (ADVICE r04).  Memory stays bounded by one
-    micro-batch, which a total-order prefix must see in full anyway;
-    once the counter is exhausted the chunks are drained unbuffered."""
+    shuffle makes no intra-batch ordering promise), so chunks are
+    merged into a running retained frame that keeps only the
+    (n - taken)-smallest rows seen so far — a per-chunk sort+head
+    alone would emit a chunk-order prefix, not the event-order prefix
+    (ADVICE r04), while buffering the whole micro-batch would cost
+    O(micro-batch) memory when O(n) suffices (ADVICE r05).  The final
+    retained frame IS the event-order prefix of the micro-batch: a row
+    can only be evicted by a strictly smaller row, so the true n-taken
+    smallest always survive the incremental merge.  Once the counter
+    is exhausted the chunks are drained unbuffered."""
     import pandas as pd
 
     out_schema = df.schema
@@ -71,19 +75,22 @@ def _stateful_take_first_n(
 
     def take(key, pdf_iter, state):
         taken = state.get[0] if state.exists else 0
-        chunks = []
+        retained = None
         for pdf in pdf_iter:
             if taken >= n:
                 continue  # counter exhausted: drain without buffering
-            chunks.append(pdf[cols])
-        if chunks and taken < n:
-            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            chunk = pdf[cols]
+            merged = (
+                chunk
+                if retained is None
+                else pd.concat([retained, chunk], ignore_index=True)
+            )
             if ordering:
-                batch = batch.sort_values(ordering)
-            grab = batch.head(n - taken)
-            taken += len(grab)
-            if len(grab):
-                yield grab
+                merged = merged.sort_values(ordering)
+            retained = merged.head(n - taken)
+        if retained is not None and len(retained):
+            taken += len(retained)
+            yield retained
         state.update((taken,))
 
     return (

@@ -303,12 +303,18 @@ def generate_aniso(spark, out_dir: str, mult: int = 1) -> None:
 def main() -> int:
     from events_to_db_spark.session import get_spark
 
-    out_dir = sys.argv[1]
-    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    args = [a for a in sys.argv[1:] if a != "--aniso"]
+    aniso = "--aniso" in sys.argv[1:]
+    out_dir = args[0]
+    mult = int(args[1]) if len(args) > 1 else 1
     spark = get_spark("synthgen")
     spark.sparkContext.setLogLevel("ERROR")
-    generate(spark, out_dir, mult)
-    print(f"wrote mult={mult} tier -> {out_dir}")
+    if aniso:
+        generate_aniso(spark, out_dir, mult)
+        print(f"wrote aniso mult={mult} tier -> {out_dir}")
+    else:
+        generate(spark, out_dir, mult)
+        print(f"wrote mult={mult} tier -> {out_dir}")
     return 0
 
 
