@@ -8,16 +8,20 @@ id) at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
     {"metric": "...", "value": <total warm sec>, "unit": "sec",
      "queries": {"q_agg_q1": sec, ...}, "sf": 0.1}
 
-Per query: one cold run then one warm run (the BASELINE.md method);
-the reported number is the warm run, fully collected to the driver.
-Queries not yet implemented are skipped (so the bench is runnable from
-the first milestone on).
+Per query: one cold run then THREE warm runs (VERDICT r04 #4 — this
+host's run-to-run swing on an unchanged plan measured ±30%, so a
+single warm sample is noise); the reported per-query number is the
+warm MEDIAN, fully collected to the driver, with per-query
+``spread`` = (max−min)/median of the warm runs alongside so a drifted
+round can be told from a noisy one.  Queries not yet implemented are
+skipped (so the bench is runnable from the first milestone on).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -40,6 +44,8 @@ BENCH_IDS = [
     "q_agg_rollup",      # B12
 ]
 
+WARM_RUNS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,27 +61,32 @@ def main() -> None:
     spark = get_spark("bench")
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in BENCH_IDS:
         fn = qs.get(name)
         if fn is None:
             continue
-        best = None
-        for _ in range(2):  # cold, then warm
+        fn(spark, sf_dir).collect()  # cold (plan + JIT settling)
+        samples = []
+        for _ in range(WARM_RUNS):
             t0 = time.time()
             collected = fn(spark, sf_dir).collect()
-            best = time.time() - t0
-        timings[name] = round(best, 4)
+            samples.append(time.time() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(med, 4)
+        spreads[name] = round((max(samples) - min(samples)) / med, 3)
         rows[name] = len(collected)
 
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "warm wall-clock total, BASELINE.md B-set",
+                "metric": "median-of-3 warm wall-clock total, BASELINE.md B-set",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "rows": rows,
                 "sf": sf,
             }

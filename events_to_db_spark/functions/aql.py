@@ -39,6 +39,14 @@ enough that a reference user's everyday pipeline strings run unchanged:
   Binding-rooted paths (``s.n``, ``top[0]``) address struct fields and
   array elements of bound values.
 
+Envelope metadata is addressable in FILTER/SELECT/LET expressions via
+the reserved paths ``_time`` (event timestamp), ``_key`` (event id —
+the total-order key), ``_appId`` (source application) and ``_tags``
+(the tag array; ``_tags[0]`` indexes) — compiling straight to the
+envelope columns the tagged frame carries, so a user porting
+``FILTER _time > …`` or projecting the event key runs unchanged.
+Referencing metadata the frame does not carry is a compile error.
+
 Payload access ``_.a`` (and ``_.a.b``) compiles to
 ``get_json_object(props, '$.a.b')``; AQL is dynamically typed, so
 numeric contexts wrap paths in ``try_cast(double)`` (NULL on
@@ -78,6 +86,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>\d+(?:\.\d+)?)
       | '(?P<str>(?:[^'\\]|\\.)*)'
+      | (?P<meta>_(?:time|key|appId|tags)\b(?:\[\d+\])?)
       | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])*)
       | (?P<appid>appId\(\s*[A-Za-z0-9_.:\-]+\s*\))
       | (?P<bpath>[A-Za-z][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])+)
@@ -125,6 +134,10 @@ def _tokenize(text: str) -> list[_Tok]:
             out.append(_Tok("num", m.group("num")))
         elif m.group("str") is not None:
             out.append(_Tok("str", m.group("str").replace("\\'", "'")))
+        elif m.group("meta") is not None:
+            # envelope metadata path (`_time`, `_appId`, `_tags[0]`):
+            # addresses the event envelope, not the payload.
+            out.append(_Tok("meta", m.group("meta")))
         elif m.group("path") is not None:
             out.append(_Tok("path", m.group("path")))
         elif m.group("appid") is not None:
@@ -212,11 +225,14 @@ class _ExprParser:
         payload: _Payload,
         order_cols: tuple[str, str],
         bindings: dict[str, str] | None = None,
+        meta_cols: dict[str, tuple[str, str]] | None = None,
     ):
         self.toks = toks
         self.payload = payload
         self.order_cols = order_cols
         self.bindings = bindings or {}
+        #: envelope metadata: reserved path -> (frame column, kind)
+        self.meta_cols = meta_cols or {}
         self.uses_agg = False
 
     def peek(self) -> _Tok | None:
@@ -312,6 +328,24 @@ class _ExprParser:
         if t.kind == "path":
             self.take()
             return self.payload.resolve(_split_path(t.text))
+        if t.kind == "meta":
+            self.take()
+            name = re.match(r"_[A-Za-z]+", t.text).group(0)
+            entry = self.meta_cols.get(name)
+            if entry is None:
+                raise ValueError(
+                    f"AQL: envelope metadata {name} is not available on"
+                    " this frame"
+                )
+            col_name, kind = entry
+            c = F.col(col_name)
+            idx = re.search(r"\[(\d+)\]", t.text)
+            if idx is not None:
+                if name != "_tags":
+                    raise ValueError(f"AQL: {name} is not indexable")
+                c = c.getItem(int(idx.group(1)))
+                kind = _STR
+            return _Val(c, kind)
         if t.kind == "bpath":
             self.take()
             root = re.match(r"[A-Za-z][A-Za-z_0-9]*", t.text).group(0)
@@ -529,14 +563,30 @@ def run_aql(
     obj_fields: list[str] | None = None  # set while payload is an object
     bindings: dict[str, str] = {}  # LET name -> value kind
 
+    def meta_for(frame: DataFrame) -> dict[str, tuple[str, str]]:
+        """Envelope metadata available to expressions (VERDICT r04 #5):
+        reserved paths → (column, kind).  ``_time``/``_key`` always
+        exist (they are the event order); ``_tags``/``_appId`` only
+        when the frame carries them — referencing an absent one is a
+        compile error, not a NULL."""
+        m = {"_time": (ts_col, _ANY), "_key": (id_col, _NUM)}
+        if tags_col in frame.columns:
+            m["_tags"] = (tags_col, _ANY)
+        if "app_id" in frame.columns:
+            m["_appId"] = ("app_id", _STR)
+        return m
+
     def materialize(val: Column, kind: str) -> None:
         """Bind a computed value as the new payload column ``__v``,
-        carrying LET binding columns across the rebind."""
+        carrying LET binding and envelope columns across the rebind
+        (Catalyst prunes the unused carries at the final projection)."""
         nonlocal df, payload
+        carry = [c for c in (tags_col, "app_id") if c in df.columns]
         df = df.select(
             ts_col,
             id_col,
             val.alias("__v"),
+            *carry,
             *[F.col(f"__let_{n}") for n in bindings],
         )
         payload = _Payload(F.col("__v"), kind, is_json=False)
@@ -645,7 +695,7 @@ def run_aql(
                 df = df.crossJoin(F.broadcast(one))
                 bindings[name] = _ANY
                 continue
-            p = _ExprParser(toks, payload, order_cols, bindings)
+            p = _ExprParser(toks, payload, order_cols, bindings, meta_for(df))
             val = p.expr()
             if p.toks:
                 raise ValueError("AQL: trailing tokens in LET")
@@ -654,7 +704,7 @@ def run_aql(
             df = df.withColumn(f"__let_{name}", val.col)
             bindings[name] = val.kind
             continue
-        p = _ExprParser(list(body), payload, order_cols, bindings)
+        p = _ExprParser(list(body), payload, order_cols, bindings, meta_for(df))
         if kind == "FILTER":
             cond = p.expr()
             if p.toks:

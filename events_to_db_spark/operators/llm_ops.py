@@ -534,9 +534,11 @@ def _ref_broadcast(spark: SparkSession, df: DataFrame, with_labels: bool):
     cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
     rows = df.select(*cols).orderBy("vec_id").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    unit = kernels.l2_normalize(
-        np.array([r["embedding"] for r in rows], dtype=np.float64)
-    )
+    # an empty reference must broadcast a well-shaped (0, 0) matrix —
+    # np.array([]) is 1-D and l2_normalize would die on axis=1 (the
+    # map kernels never run on an empty input side, so the dim is moot)
+    emb = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    unit = kernels.l2_normalize(emb if len(rows) else emb.reshape(0, 0))
     if with_labels:
         labels = np.array([r["label"] for r in rows], dtype=np.int64)
         return spark.sparkContext.broadcast((ids, unit, labels))
@@ -595,19 +597,26 @@ def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
     a_id < b_id, cosine >= tau) or None to keep the quad kernels.
     Three gates, cheapest first:
 
-    * mode (``SPARK_GRAFT_SIM_PROJ`` = auto|force|off — tests pin
-      hash-equality of the two paths with ``force``);
+    * mode (``SPARK_GRAFT_SIM_PROJ`` = auto|force|off —
+      tests/test_simproj_escalate.py pins hash-equality of the two
+      paths with ``force``);
     * geometry: cell width r = sqrt(2-2·tau) against the [-1, 1]
       projection span — at the driver corpus thresholds (0.3/0.4,
       r > 1) a 3-cell probe covers everything, so auto mode skips the
-      machinery without paying for PCA (gates.PROJ_MAX_RADIUS);
-    * measured work: exact candidate-pair count from the cell
-      histogram (estimate_candidate_pairs) × per-candidate cost vs
-      N(N-1)/2 BLAS pairs (gates.PROJ_CAND_VS_BLAS / PROJ_PROBE_VS_
-      BLAS).  When the ANSWER is itself Θ(N²) — low tau on clustered
-      data — no lossless candidate scheme can beat BLAS all-pairs and
-      this gate correctly refuses; the win regime is the high-tau
-      near-dup screen on anisotropic embeddings (candidates ≈ O(N)).
+      machinery without paying for PCA (gates.PROJ_MAX_RADIUS); radii
+      below simproj.MIN_RADIUS (tau within ~8e-6 of 1) exceed the
+      packed cell range and fall back in every mode;
+    * measured work: simproj.escalated_pairs sweeps every prefix-k
+      plan's EXACT candidate count, packed-row replication, and block
+      count from one collected cell histogram (simproj.prefix_plans),
+      prices them with gates.py's calibrated constants, and compares
+      the best against N(N-1)/2 BLAS pairs (PERF.md r6 records the
+      calibration).  When the ANSWER is itself Θ(N²) — low tau on
+      clustered data — no lossless candidate scheme can beat BLAS
+      all-pairs and this gate correctly refuses; the win regime is
+      the high-tau near-dup screen on anisotropic embeddings
+      (tools/synthgen.generate_aniso, timed by tools/scaling.py
+      --aniso: auto beats the quad kernel ~4-6x at tau 0.95/0.98).
     """
     from events_to_db_spark.functions import simproj
     from events_to_db_spark.plans import gates
@@ -615,25 +624,14 @@ def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
     mode = gates.sim_proj_mode()
     if mode == "off" or n == 0:
         # empty frame: the quad kernels short-circuit to an empty result,
-        # while top_principal_dirs has no rows to eigendecompose (ADVICE r05)
+        # while principal_dirs has no rows to eigendecompose (ADVICE r05)
         return None
     r = (2.0 - 2.0 * tau) ** 0.5
+    if r < simproj.MIN_RADIUS:
+        return None
     if mode != "force" and r > gates.PROJ_MAX_RADIUS:
         return None
-    k = simproj.proj_k()
-    u = simproj.unit_frame(e, with_labels=True)
-    dirs = simproj.top_principal_dirs(u, k)
-    cells = truncate_lineage(simproj.cell_frame(u, dirs, r), eager=False)
-    if mode != "force":
-        est = simproj.estimate_candidate_pairs(cells, k)
-        quad_work = n * (n - 1) / 2.0
-        proj_work = (
-            est * gates.PROJ_CAND_VS_BLAS
-            + n * (3**k) * gates.PROJ_PROBE_VS_BLAS
-        )
-        if proj_work >= quad_work:
-            return None
-    return simproj.verify_pairs(simproj.candidate_pairs(cells, k), tau)
+    return simproj.escalated_pairs(e, tau, force=(mode == "force"), n=n)
 
 
 @query(

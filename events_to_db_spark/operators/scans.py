@@ -470,6 +470,62 @@ def q_aql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_aql_meta",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, ts, event_type, props,
+               'app-' || CAST((('0x' || substr(md5('app:' ||
+                   CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 3
+                   AS VARCHAR) AS app_id
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+    )
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           event_id AS id,
+           app_id AS app,
+           'type:' || event_type AS tag0,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+    FROM src
+    WHERE CAST(ts AS VARCHAR) >= '2024-01-10'
+      AND app_id <> 'app-2'
+    ORDER BY ts, event_id
+    LIMIT 50
+    """,
+)
+def q_aql_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope metadata inside AQL expressions (VERDICT r04 #5 /
+    r05 missing #1): the reserved paths ``_time``, ``_key``,
+    ``_appId`` and ``_tags[i]`` address the event envelope from
+    FILTER and SELECT — a user porting ``FILTER _time > …`` or
+    projecting the event key runs unchanged.  ``_time`` compares as
+    text (ISO-ordered in both engines), ``_key`` is the total-order
+    event id, and all four compile to the envelope columns the
+    tagged frame already carries (with_tags) — plain pushable
+    Catalyst expressions, no new machinery.  The oracle restates the
+    derived ``app_id`` bucket verbatim (q_aql_appid's convention)."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM 'cat:conversion'"
+        " FILTER _time >= '2024-01-10' & _appId != 'app-2'"
+        " SELECT { id: _key, app: _appId, tag0: _tags[0], k: _.k * 1 }"
+        " LIMIT 50",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "id",
+        "app",
+        "tag0",
+        "k",
+    )
+
+
+@query(
     "q_scan_merge_schema",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,

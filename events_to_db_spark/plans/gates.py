@@ -137,18 +137,21 @@ def pairs_per_row_gate(env_key: str) -> float:
     return QUAD_VS_BAND_PAIRS_PER_ROW
 
 
-#: Cost of one VERIFIED projection-cell candidate (skinny probe join
-#: row + einsum verify + shuffle machinery, amortized) measured in
-#: units of one BLAS all-pairs dot (the quad kernels stream ~1e9
-#: pairs/s·core through dgemm; the candidate pipeline moves ~2e7
-#: rows/s·core through join+Arrow+einsum).  Measured on the aniso
-#: scaling tier (PERF.md r5): calibrated conservatively high so the
-#: gate only escalates when the prune is decisive.
-PROJ_CAND_VS_BLAS = 50.0
-
-#: Cost of one 3^k-offset probe row (generate + shuffle + hash-join
-#: probe, no vector payload) in BLAS-pair units.
-PROJ_PROBE_VS_BLAS = 10.0
+#: Cost model for the projection-cell block plan, in units of one
+#: quad-kernel BLAS pair.  Since round 6 candidates are verified per
+#: cell-pair block with one dgemm per block (functions/simproj.py
+#: verified_pairs_blocked) — the same kernel family as the quad path —
+#: so the model is three measured terms: per verified candidate (a
+#: dgemm element), per replicated packed vector row (512 B of float64
+#: through the pack groupBy + cell-pair join + Arrow), and per block
+#: (join-row + kernel dispatch overhead — the term that punishes
+#: fragmentation at high k).  Calibrated on the r6 aniso tier
+#: (PERF.md r6, tools/scaling.py --aniso): the per-k forced sweep at
+#: tau 0.95/0.98 solves to roughly 0.4 / 16 / tens; the shipped
+#: values round UP so the gate only escalates on a decisive prune.
+PROJ_CAND_VS_BLAS = 1.0
+PROJ_ROW_VS_BLAS = 20.0
+PROJ_BLOCK_VS_BLAS = 30.0
 
 #: Geometry pre-gate: cells have width r = sqrt(2 - 2*tau) and unit-
 #: vector projections span at most [-1, 1], so once r exceeds this

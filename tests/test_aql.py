@@ -449,3 +449,84 @@ def test_subquery_array_cap_raises_loudly(spark, tagged, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_AQL_SUB_MAX")
     n_view = tagged.filter(F.array_contains("tags", "type:view")).count()
     assert len(run_aql(tagged, q).collect()[0]["ks"]) == n_view
+
+
+def test_envelope_meta_filter_and_select(spark, tagged):
+    """VERDICT r04 #5: `_time`, `_key`, `_appId`, `_tags[i]` address
+    the event envelope in expressions — equivalence vs the
+    hand-written plan on the carried envelope columns."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase' FILTER _appId = 'app-1'"
+        " SELECT { id: _key, app: _appId, tag0: _tags[0], k: _.k * 1 }",
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:purchase"))
+        .filter(F.col("app_id") == "app-1")
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("app_id").alias("app"),
+            F.col("tags").getItem(0).alias("tag0"),
+            _k().alias("k"),
+        )
+    )
+    assert sorted(map(tuple, got.select("id", "app", "tag0", "k").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0
+
+
+def test_envelope_time_orders_as_text(spark, tagged):
+    lo = "2024-01-10"
+    got = run_aql(
+        tagged, f"FROM 'type:view' FILTER _time >= '{lo}' AGGREGATE COUNT()"
+    ).collect()[0]["value"]
+    want = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(F.col("ts").cast("string") >= lo)
+        .count()
+    )
+    assert got == want > 0
+
+
+def test_envelope_meta_survives_select_rebind(spark, tagged):
+    """Envelope columns are carried across SELECT rebinds, so a
+    later FILTER can still address them."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase' SELECT { k2: _.k * 2 }"
+        " FILTER _appId = 'app-0' & _key >= 0 SELECT _.k2",
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:purchase"))
+        .filter(F.col("app_id") == "app-0")
+        .select((_k() * 2).alias("value"))
+    )
+    assert sorted(r["value"] for r in got.collect()) == sorted(
+        r["value"] for r in want.collect()
+    )
+
+
+def test_envelope_meta_errors(spark, tagged):
+    with pytest.raises(ValueError, match="not indexable"):
+        run_aql(tagged, "FROM 'type:view' SELECT _time[0]")
+    # a frame without app_id: referencing _appId is a compile error
+    bare = tagged.drop("app_id")
+    with pytest.raises(ValueError, match="_appId"):
+        run_aql(bare, "FROM 'type:view' FILTER _appId = 'x' SELECT _.k")
+
+
+def test_envelope_meta_in_let_and_aggregate(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:error' LET who := _appId"
+        " AGGREGATE { n: COUNT(), last_id: LAST(_key) }",
+    ).collect()[0]
+    errs = tagged.filter(F.array_contains("tags", "type:error"))
+    last_id = (
+        errs.orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id")
+        .first()["event_id"]
+    )
+    assert got["n"] == errs.count() > 0
+    assert got["last_id"] == last_id

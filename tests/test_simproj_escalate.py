@@ -1,0 +1,202 @@
+"""Projection-cell escalation for the cosine-threshold family
+(VERDICT r04 #1 / r05 #1): the lossless top-PC cell candidate scheme
+(functions/simproj.py) must give byte-identical answers to the BLAS
+all-pairs kernels under SPARK_GRAFT_SIM_PROJ=force, on the driver
+corpus AND on the anisotropic near-dup tier it was built for; and the
+auto gate must engage exactly where the measured candidate/replication
+work says it pays (it does on the aniso tier at tau >= 0.95 — PERF.md
+r6 — and must not at the driver corpus's low thresholds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from events_to_db_spark.functions import simproj
+from events_to_db_spark.operators import llm_ops
+from tests.conftest import SF_SMOKE
+
+
+def _counts(spark, e, tau):
+    return sorted(
+        (r["same_label"], r["n_pairs"])
+        for r in llm_ops.sim_threshold_counts(spark, e, tau).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def driver_emb(spark):
+    from events_to_db_spark.session import load_table
+
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def aniso_emb(spark, tmp_path_factory):
+    """A small (2000-row) instance of the anisotropic near-dup tier —
+    same generator as tools/scaling.py --aniso, shrunk for test
+    runtime (the planted structure and latent geometry are size-
+    independent)."""
+    import tools.synthgen as sg
+
+    out = tmp_path_factory.mktemp("aniso")
+    orig = sg.ANISO_BASE
+    sg.ANISO_BASE = 2000
+    try:
+        sg.generate_aniso(spark, str(out), 1)
+    finally:
+        sg.ANISO_BASE = orig
+    return spark.read.parquet(str(out / "embeddings_aniso.parquet")).cache()
+
+
+def test_force_matches_off_driver_corpus(spark, driver_emb, monkeypatch):
+    """tau=0.3 is the only non-trivial threshold on the driver corpus
+    (max pairwise cosine 0.513); higher taus pin the empty case."""
+    for tau in (0.3, 0.5):
+        monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
+        expected = _counts(spark, driver_emb, tau)
+        monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "force")
+        assert _counts(spark, driver_emb, tau) == expected
+    assert expected == []  # tau=0.5 > max cosine: both paths empty
+
+
+def test_force_matches_off_aniso(spark, aniso_emb, monkeypatch):
+    """The design regime: high-tau near-dup screen on anisotropic
+    embeddings, planted dups present."""
+    for tau in (0.95, 0.98):
+        monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
+        expected = _counts(spark, aniso_emb, tau)
+        assert expected, "aniso tier must contain qualifying pairs"
+        monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "force")
+        assert _counts(spark, aniso_emb, tau) == expected
+
+
+def test_force_matches_off_aniso_every_k(spark, aniso_emb, monkeypatch):
+    """Losslessness holds for ANY projection count — pin k across the
+    whole packed-key range (k=6 exercises multi-field probe deltas)."""
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
+    expected = _counts(spark, aniso_emb, 0.95)
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "force")
+    for k in (1, 2, 4, 6):
+        monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ_K", str(k))
+        assert _counts(spark, aniso_emb, 0.95) == expected, f"k={k}"
+
+
+def test_auto_engages_on_aniso_and_matches(spark, aniso_emb, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "auto")
+    verified = llm_ops._sim_proj_verified(
+        aniso_emb.select(
+            "vec_id", "embedding", F.col("label").cast("long").alias("label")
+        ),
+        aniso_emb.count(),
+        0.95,
+    )
+    assert verified is not None, "gate must escalate on the aniso tier"
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
+    expected = _counts(spark, aniso_emb, 0.95)
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "auto")
+    assert _counts(spark, aniso_emb, 0.95) == expected
+
+
+def test_auto_geometry_gate_refuses_low_tau(spark, driver_emb, monkeypatch):
+    """r = sqrt(2-2*tau) > PROJ_MAX_RADIUS (tau < 0.755): a 3-cell
+    probe covers everything, so auto must skip without paying for
+    PCA — no Spark job may run."""
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "auto")
+    monkeypatch.setattr(
+        simproj,
+        "unit_frame",
+        lambda *a, **k: pytest.fail("geometry gate must refuse before PCA"),
+    )
+    e = driver_emb.select("vec_id", "embedding", "label")
+    for tau in (0.3, 0.4, 0.7):
+        assert llm_ops._sim_proj_verified(e, 1000, tau) is None
+
+
+def test_min_radius_falls_back(spark, driver_emb, monkeypatch):
+    """tau so close to 1 that 2/r exceeds the packed cell range must
+    fall back to the quad kernels in every mode (no raise_error)."""
+    tau = 1.0 - simproj.MIN_RADIUS**2 / 4.0  # r = MIN_RADIUS/sqrt(2)
+    e = driver_emb.select("vec_id", "embedding", "label")
+    for mode in ("auto", "force"):
+        monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", mode)
+        assert llm_ops._sim_proj_verified(e, 1000, tau) is None
+
+
+def test_empty_frame(spark, monkeypatch):
+    """ADVICE r05: force-mode on an empty embeddings frame must return
+    empty, not crash in the eigendecomposition."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label long"
+    )
+    out = simproj.escalated_pairs(empty, 0.95, force=True)
+    assert out.collect() == []
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "force")
+    assert _counts(spark, empty, 0.95) == []
+
+
+def test_prefix_plans_match_distributed_estimate(spark, aniso_emb):
+    """The driver-side prefix-k sweep and the distributed histogram
+    probe are two implementations of the same exact count — they must
+    agree for every k, and the k-prefix masking must equal cells built
+    at that k directly."""
+    tau = 0.95
+    r = (2.0 - 2.0 * tau) ** 0.5
+    u = simproj.unit_frame(
+        aniso_emb.select(
+            "vec_id", "embedding", F.col("label").cast("long").alias("label")
+        ),
+        with_labels=True,
+    )
+    dirs, k_hi = simproj.principal_dirs(u, r, k_req=4)
+    assert k_hi == 4
+    cells = simproj.cell_frame(u, dirs, r)
+    hist = simproj.cell_histogram(cells).cache()
+    plans = simproj.prefix_plans(hist.collect(), 4)
+    for k in (1, 2, 4):
+        sub = simproj.cell_frame(u, dirs[:k], r)
+        est = simproj.estimate_candidate_pairs(
+            simproj.cell_histogram(sub), k
+        )
+        assert plans[k] == est, f"k={k}"
+    hist.unpersist()
+
+
+def test_half_deltas_partition_neighborhood():
+    """Half-deltas must be exactly half of the nonzero 3^k offsets,
+    closed under negation with no overlap (each unordered adjacent
+    cell pair probed exactly once)."""
+    for k in (1, 2, 3, 6):
+        half = simproj._half_deltas(k)
+        assert len(half) == (3**k - 1) // 2
+        assert len(set(half)) == len(half)
+        assert all(d > 0 for d in half)
+        full = set(half) | {-d for d in half}
+        assert len(full) == 3**k - 1
+
+
+def test_planner_prefers_prune_over_fragmentation(spark, aniso_emb):
+    """On the aniso tier the cost model must pick an interior k (not
+    the minimum 1, which barely prunes, and not the explore cap 6,
+    whose fragmentation loses) — the r6 measured sweep."""
+    tau = 0.95
+    r = (2.0 - 2.0 * tau) ** 0.5
+    u = simproj.unit_frame(
+        aniso_emb.select(
+            "vec_id", "embedding", F.col("label").cast("long").alias("label")
+        ),
+        with_labels=True,
+    )
+    dirs, k_hi = simproj.principal_dirs(u, r)
+    assert k_hi >= 3, "spectrum must see the latent manifold"
+    cells = simproj.cell_frame(u, dirs, r)
+    plans = simproj.prefix_plans(
+        simproj.cell_histogram(cells).collect(), k_hi
+    )
+    k_best = min(
+        plans, key=lambda k: simproj.plan_cost(*
+            (plans[k][0], plans[k][2], plans[k][3])
+        )
+    )
+    assert 2 <= k_best <= 5

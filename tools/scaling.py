@@ -16,6 +16,7 @@ scheduling, broadcast ship) pull small-t queries BELOW 10; that is
 expected and not evidence of sub-linear work.
 
 Usage: python tools/scaling.py [name ...]      (default: full set)
+       python tools/scaling.py --aniso         (sim escalation timing)
        SPARK_GRAFT_SCALE_DIR=/tmp/spark_graft_scale  (tier cache)
 """
 
@@ -76,10 +77,82 @@ def ensure_tiers(spark, base: Path) -> None:
         generate(spark, str(d), mult)
 
 
+def aniso_main() -> int:
+    """``--aniso``: time the cosine-threshold family on the
+    anisotropic near-dup tier (tools/synthgen.generate_aniso) at
+    tau 0.95 / 0.98 — quad kernel (SPARK_GRAFT_SIM_PROJ=off) vs the
+    projection-cell escalation (force) vs the auto gate, median of 3
+    warm runs each (this host's swing on the quad kernel alone is
+    ~2×, so single runs are meaningless).  Asserts the three modes
+    agree exactly; prints one JSON line for PERF.md.  Fails (exit 1)
+    if auto does not beat off — the gate exists to win here."""
+    import statistics
+
+    from events_to_db_spark.operators.llm_ops import sim_threshold_counts
+    from events_to_db_spark.session import get_spark
+    from tools.synthgen import generate_aniso
+
+    base = Path(
+        os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+    )
+    spark = get_spark("scaling-aniso")
+    spark.sparkContext.setLogLevel("ERROR")
+    tier = base / "aniso_m1"
+    if not (tier / "embeddings_aniso.parquet").exists():
+        print(f"generating aniso tier at {tier} …", flush=True)
+        generate_aniso(spark, str(tier), 1)
+    e = spark.read.parquet(str(tier / "embeddings_aniso.parquet")).cache()
+    e.count()
+
+    def run(tau: float, mode: str):
+        os.environ["SPARK_GRAFT_SIM_PROJ"] = mode
+        try:
+            res = sorted(
+                (row["same_label"], row["n_pairs"])
+                for row in sim_threshold_counts(spark, e, tau).collect()
+            )
+            samples = []
+            for _ in range(3):
+                t0 = time.time()
+                sim_threshold_counts(spark, e, tau).collect()
+                samples.append(time.time() - t0)
+            return res, statistics.median(samples), samples
+        finally:
+            os.environ.pop("SPARK_GRAFT_SIM_PROJ", None)
+
+    out = {}
+    ok = True
+    for tau in (0.95, 0.98):
+        per_mode = {}
+        answers = {}
+        for mode in ("off", "force", "auto"):
+            answers[mode], med, samples = run(tau, mode)
+            per_mode[mode] = {
+                "median_s": round(med, 2),
+                "runs_s": [round(s, 2) for s in samples],
+            }
+            print(
+                f"tau={tau} {mode:5s} median={med:6.2f}s "
+                f"runs={[round(s, 2) for s in samples]}",
+                flush=True,
+            )
+        assert answers["force"] == answers["off"], (tau, answers)
+        assert answers["auto"] == answers["off"], (tau, answers)
+        speedup = per_mode["off"]["median_s"] / per_mode["auto"]["median_s"]
+        per_mode["auto_speedup"] = round(speedup, 2)
+        if speedup <= 1.0:
+            ok = False
+        out[str(tau)] = per_mode
+    print(json.dumps({"tier": str(tier), "aniso": out}))
+    return 0 if ok else 1
+
+
 def main() -> int:
     import __spark_entry__ as e
     from events_to_db_spark.session import get_spark
 
+    if "--aniso" in sys.argv[1:]:
+        return aniso_main()
     names = sys.argv[1:] or (B_SET + DEDUP_SET)
     base = Path(os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"))
     spark = get_spark("scaling")
