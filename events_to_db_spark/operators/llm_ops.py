@@ -494,9 +494,6 @@ def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-#: Rows per packed chunk on the blocked path (~50 MiB at 64-dim f64).
-_SIM_BLOCK_ROWS = 100_000
-
 #: Packed bytes per 64-dim float64 reference row.
 _SIM_BYTES_PER_ROW = 64 * 8
 
@@ -518,9 +515,16 @@ def _sim_broadcast_max() -> int:
 
 
 def _sim_block_rows() -> int:
-    import os
+    """Rows per packed chunk on the blocked exact path — derived from
+    ``spark.sql.files.maxPartitionBytes`` via plans/gates.
+    chunk_rows_gate (VERDICT r04 #7: the last fixed data-size
+    threshold in the sim family, now conf-responsive).
+    SPARK_GRAFT_SIM_BLOCK_ROWS overrides for tests."""
+    from events_to_db_spark.plans.gates import chunk_rows_gate
 
-    return int(os.environ.get("SPARK_GRAFT_SIM_BLOCK_ROWS", str(_SIM_BLOCK_ROWS)))
+    return chunk_rows_gate(
+        "SPARK_GRAFT_SIM_BLOCK_ROWS", bytes_per_row=_SIM_BYTES_PER_ROW
+    )
 
 
 def _ref_broadcast(spark: SparkSession, df: DataFrame, with_labels: bool):

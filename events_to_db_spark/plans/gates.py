@@ -171,6 +171,31 @@ def sim_proj_mode(env_key: str = "SPARK_GRAFT_SIM_PROJ") -> str:
     return mode
 
 
+def chunk_rows_gate(
+    env_key: str,
+    bytes_per_row: int,
+    lo: int = 1_000,
+    hi: int = 10_000_000,
+) -> int:
+    """Rows per PACKED chunk for block-nested-loop paths (the r6
+    answer to the `_SIM_BLOCK_ROWS` fixed constant, VERDICT r04 #7):
+    one packed chunk is one task-side build row, so its byte size
+    should track the cluster's partition-size comfort zone —
+    ``spark.sql.files.maxPartitionBytes`` (the operator's knob for
+    "how much data may one task hold"), halved because two packed
+    sides meet in a join task.  At the 128 MiB default and 512 B/row
+    this yields 131,072 rows (~64 MiB) — the same order as the
+    long-standing 100k constant, now conf-responsive.  Env override
+    wins (tests pin chunk counts with it)."""
+    env = os.environ.get(env_key)
+    if env is not None:
+        return int(env)
+    part = parse_byte_conf(
+        _conf("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return max(lo, min(hi, part // (2 * bytes_per_row)))
+
+
 def block_rows_gate(env_key: str, pair_budget: float) -> int:
     """Max rows in the largest key block before a quadratic in-block
     self-join escalates to its inverted-index candidate engine.

@@ -83,3 +83,25 @@ def test_block_gates_reproduce_proven_defaults(spark, monkeypatch):
 def test_broadcast_gate_clamps(spark, bcast_conf):
     spark.conf.set(bcast_conf, "1t")
     assert broadcast_rows_gate("NO_SUCH_ENV", bytes_per_row=512) == 50_000_000
+
+
+def test_chunk_rows_gate_tracks_partition_bytes(spark, monkeypatch):
+    """VERDICT r04 #7: the blocked sim path's chunk size derives from
+    spark.sql.files.maxPartitionBytes (half, over packed row bytes),
+    env override wins, bounds clamp."""
+    from events_to_db_spark.plans.gates import chunk_rows_gate
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, str(128 * 1024 * 1024))
+        assert chunk_rows_gate("NO_SUCH_ENV", bytes_per_row=512) == 131_072
+        spark.conf.set(key, "16m")
+        assert chunk_rows_gate("NO_SUCH_ENV", bytes_per_row=512) == 16_384
+        monkeypatch.setenv("SPARK_GRAFT_SIM_BLOCK_ROWS", "37")
+        assert chunk_rows_gate("SPARK_GRAFT_SIM_BLOCK_ROWS", 512) == 37
+        spark.conf.set(key, "1k")  # absurdly small: clamps at lo
+        assert chunk_rows_gate("NO_SUCH_ENV", bytes_per_row=512) == 1_000
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)

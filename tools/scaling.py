@@ -58,6 +58,20 @@ DEDUP_SET = [
 ]
 
 MULTS = (1, 10)
+#: ``--deep``: the SECOND decade (VERDICT r04 #3 / r05 #4) — m10 → m100
+#: (500k docs, sf10-equivalent).  A plan that merely hid a quadratic
+#: term behind first-decade constants shows it here.
+MULTS_DEEP = (10, 100)
+#: --deep defaults to the dedup candidate engines (the operators whose
+#: scale posture the second decade actually tests).
+DEEP_SET = [
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_incremental",
+    "q_dedup_substring",
+    "q_dedup_cluster",
+    "q_dedup_editdist",
+]
 FLAG_RATIO = 20.0  # ~linear×log at these sizes is ≤ ~12; 20 allows noise
 WARM_RUNS = 2
 
@@ -66,10 +80,10 @@ def _tier_dir(base: Path, mult: int) -> Path:
     return base / f"m{mult}"
 
 
-def ensure_tiers(spark, base: Path) -> None:
+def ensure_tiers(spark, base: Path, mults=MULTS) -> None:
     from tools.synthgen import generate
 
-    for mult in MULTS:
+    for mult in mults:
         d = _tier_dir(base, mult)
         if (d / "embeddings.parquet").exists():
             continue
@@ -153,17 +167,20 @@ def main() -> int:
 
     if "--aniso" in sys.argv[1:]:
         return aniso_main()
-    names = sys.argv[1:] or (B_SET + DEDUP_SET)
+    deep = "--deep" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mults = MULTS_DEEP if deep else MULTS
+    names = args or (DEEP_SET if deep else (B_SET + DEDUP_SET))
     base = Path(os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"))
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
-    ensure_tiers(spark, base)
+    ensure_tiers(spark, base, mults)
     qs = e.queries()
 
     results: dict[str, dict] = {}
     for name in names:
         times = {}
-        for mult in MULTS:
+        for mult in mults:
             sf_dir = str(_tier_dir(base, mult))
             qs[name](spark, sf_dir).collect()  # cold
             best = float("inf")
@@ -172,22 +189,23 @@ def main() -> int:
                 qs[name](spark, sf_dir).collect()  # fresh plan per run
                 best = min(best, time.time() - t0)
             times[mult] = best
-        ratio = times[10] / times[1]
+        lo, hi = mults
+        ratio = times[hi] / times[lo]
         flag = ratio > FLAG_RATIO
         results[name] = {
-            "t1_s": round(times[1], 3),
-            "t10_s": round(times[10], 3),
+            f"t{lo}_s": round(times[lo], 3),
+            f"t{hi}_s": round(times[hi], 3),
             "ratio": round(ratio, 2),
             "flagged": flag,
         }
         print(
-            f"{'!! ' if flag else ''}{name:22s} t1={times[1]:7.2f}s "
-            f"t10={times[10]:8.2f}s  ratio={ratio:6.2f}",
+            f"{'!! ' if flag else ''}{name:22s} t{lo}={times[lo]:7.2f}s "
+            f"t{hi}={times[hi]:8.2f}s  ratio={ratio:6.2f}",
             flush=True,
         )
 
     flagged = [n for n, r in results.items() if r["flagged"]]
-    print(json.dumps({"mults": list(MULTS), "flagged": flagged, "queries": results}))
+    print(json.dumps({"mults": list(mults), "flagged": flagged, "queries": results}))
     return 1 if flagged else 0
 
 
