@@ -254,6 +254,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
+    return near_dup_pairs(d)
+
+
+def near_dup_pairs(d: DataFrame) -> DataFrame:
+    """The gated same-(lang, source) Jaccard-≥0.8 pair engine behind
+    ``q_dedup_near`` — shared with ``q_dedup_cluster``'s edge build
+    (r6: cluster previously re-derived the pairs with an UNGATED
+    in-block quadratic join carrying token arrays, which wedged the
+    m100 deep-scaling tier; one engine, one gate).  Returns
+    (doc_a, doc_b, jac), doc_a < doc_b."""
     a = d.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -269,6 +279,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")
     )
+    # Lossless size prefilter (J ≥ 0.8 ⇒ 5·min ≥ 4·max on distinct-
+    # token counts) — exact-integer, can never drop a true pair.
+    size_ok = 5 * F.least(
+        F.size("toks_a"), F.size("toks_b")
+    ) >= 4 * F.greatest(F.size("toks_a"), F.size("toks_b"))
     # Work probe: one count-agg over the block keys (same class of
     # adaptive decision as a broadcast-size check); Σ block²/2N = the
     # quadratic path's candidate pairs per row, compared against the
@@ -289,7 +304,30 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ppr > _dedup_ppr_max():
         from .pipeline_ops import minhash_candidate_pairs
 
-        cand = minhash_candidate_pairs(d, ["lang", "source"])
+        # ids-only candidates; the size prefilter runs on two 8-byte
+        # ints BEFORE token arrays attach (the r6 m100 lesson — the
+        # pair×array join is the scale killer, see PERF.md r6)
+        sizes = d.select("doc_id", F.size("toks").alias("n"))
+        cand = (
+            minhash_candidate_pairs(d, ["lang", "source"])
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                ),
+                "doc_b",
+            )
+            .filter(
+                5 * F.least(F.col("na"), F.col("nb"))
+                >= 4 * F.greatest(F.col("na"), F.col("nb"))
+            )
+            .select("doc_a", "doc_b")
+        )
         return (
             cand.join(a.drop("lang", "source"), "doc_a")
             .join(b.drop("lang", "source"), "doc_b")
@@ -300,6 +338,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["lang", "source"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(size_ok)
         .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.8)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
@@ -923,21 +962,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
-    a = d.select(
-        F.col("doc_id").alias("u"), "lang", "source",
-        F.col("toks").alias("toks_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("v"), "lang", "source",
-        F.col("toks").alias("toks_b"),
-    )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast(
-        "double"
-    ) / F.size(F.array_union("toks_a", "toks_b"))
-    pairs = (
-        a.join(b, ["lang", "source"])
-        .filter((F.col("u") < F.col("v")) & (jac >= 0.8))
-        .select("u", "v")
+    # edge set = the SAME gated pair engine as q_dedup_near (r6: a
+    # private ungated quadratic join here wedged the m100 tier)
+    pairs = near_dup_pairs(d.drop("n_chars")).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     edges = truncate_lineage(
         pairs.unionByName(

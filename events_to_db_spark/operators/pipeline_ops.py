@@ -246,6 +246,28 @@ MINHASH_K = 64
 MINHASH_BANDS = 32
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 
+#: Candidate rule: a pair must share at least this many band buckets
+#: (r6, after the m100 deep-scaling run measured Θ(N²) background
+#: candidates — PERF.md r6).  At the 0.8 verify threshold the band-
+#: match probability is p = 0.8² = 0.64, so P(a true pair shares ≤ 1
+#: of 32 bands) = 0.36³² + 32·0.64·0.36³¹ ≈ 2.5e-13 — still
+#: effectively lossless — while background pairs (J ≈ 0.1–0.3,
+#: p ≈ 0.01–0.09) mostly collide in exactly one bucket and drop,
+#: cutting the candidate set ~3–7× before any token array moves.
+#: Counting shared bands costs nothing extra: the ids-only band join
+#: already groups by pair to deduplicate.
+MINHASH_MIN_BANDS = 2
+
+
+def _minhash_min_bands() -> int:
+    """SPARK_GRAFT_MINHASH_MIN_BANDS overrides (1 restores the any-
+    shared-bucket rule; property tests pin recall at both)."""
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_MINHASH_MIN_BANDS", str(MINHASH_MIN_BANDS))
+    )
+
 
 def minhash_candidate_pairs(d: DataFrame, block_cols: list | None = None) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from 32-band MinHash LSH banding.
@@ -339,11 +361,17 @@ def minhash_candidate_pairs(d: DataFrame, block_cols: list | None = None) -> Dat
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), *block_cols, "band", "bh")
     b = bands.select(F.col("doc_id").alias("doc_b"), *block_cols, "band", "bh")
+    # pair dedup doubles as the shared-band counter: requiring ≥2
+    # shared buckets (MINHASH_MIN_BANDS) drops the single-collision
+    # background pairs that dominate at scale, at a ~2.5e-13 miss
+    # probability per true 0.8-Jaccard pair
     return (
         a.join(b, block_cols + ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+        .filter(F.col("__nb") >= _minhash_min_bands())
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -512,19 +540,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_b = hashed.select(
         F.col("doc_id").alias("doc_b"), F.col("toks_h").alias("toks_b")
     )
-    # Lossless size prefilter before the expensive set intersection:
-    # J(A,B) ≥ 0.8 forces 5·min(|A|,|B|) ≥ 4·max(|A|,|B|) (since
-    # |A∩B| ≤ min and |A∪B| ≥ max), so mismatched-size pairs drop on
-    # two cached ints before any array op runs.  Exact-integer
+    # Lossless size prefilter BEFORE any token array moves (r6: the
+    # m100 deep-scaling run measured the pair×array join as the scale
+    # killer — ~640 B per candidate): J(A,B) ≥ 0.8 forces
+    # 5·min(|A|,|B|) ≥ 4·max(|A|,|B|) (since |A∩B| ≤ min and
+    # |A∪B| ≥ max), so mismatched-size pairs drop on two 8-byte ints
+    # and only the survivors pay for arrays.  Exact-integer
     # comparison — can never drop a true pair.
+    sizes = hashed.select("doc_id", F.size("toks_h").alias("n"))
+    slim = (
+        cand.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            5 * F.least(F.col("na"), F.col("nb"))
+            >= 4 * F.greatest(F.col("na"), F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+    )
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")
     )
-    na, nb = F.size("toks_a"), F.size("toks_b")
     return (
-        cand.join(toks_a, "doc_a")
+        slim.join(toks_a, "doc_a")
         .join(toks_b, "doc_b")
-        .filter(5 * F.least(na, nb) >= 4 * F.greatest(na, nb))
         .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.8)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))

@@ -202,3 +202,32 @@ def test_batch_frame_rejected(spark):
         aql_subscription(
             with_tags(load_table(spark, SF_SMOKE, "events")), ROW_QUERY
         )
+
+
+def test_envelope_meta_subscription_matches_batch(
+    spark, chunked_events, tmp_path
+):
+    """Envelope metadata (`_time`/`_key`/`_appId`/`_tags[i]`, r6)
+    compiles to carried envelope columns, so the SAME pipeline string
+    runs unchanged over the subscription stream and converges to the
+    batch answer."""
+    q_text = (
+        "FROM 'cat:conversion' FILTER _appId != 'app-2'"
+        " SELECT { id: _key, app: _appId, tag0: _tags[0], k: _.k * 1 }"
+    )
+    feed, ev, _n = chunked_events
+    acc = []
+    q = (
+        aql_subscription(events_file_stream(spark, feed), q_text)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sub_meta"))
+        .foreachBatch(lambda df, _bid: acc.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = run_aql(with_tags(load_table(spark, SF_SMOKE, "events")), q_text)
+    want = {tuple(r) for r in batch.collect()}
+    got = {tuple(r) for r in acc}
+    assert got == want and len(want) > 0

@@ -170,6 +170,14 @@ def main() -> int:
     deep = "--deep" in sys.argv[1:]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     mults = MULTS_DEEP if deep else MULTS
+    env_mults = os.environ.get("SPARK_GRAFT_SCALE_MULTS")
+    if env_mults:
+        # e.g. "3,30" — the band-engine queries' candidate sets are
+        # Θ(N²·selectivity) on this corpus, so their second decade
+        # must run at smaller absolute sizes than the linear engines'
+        # (the m100 verify join spills past this host's disk; PERF.md
+        # r6 records the measured blowup)
+        mults = tuple(int(x) for x in env_mults.split(","))
     names = args or (DEEP_SET if deep else (B_SET + DEDUP_SET))
     base = Path(os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"))
     spark = get_spark("scaling")
