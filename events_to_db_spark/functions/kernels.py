@@ -261,3 +261,64 @@ def make_dup_flag_map_fn(ref_bc, threshold: float):
             )
 
     return fn
+
+
+def make_min_match_map_fn(ref_bc, threshold: float):
+    """Bipartite batch-vs-corpus dedup probe: for each input vector,
+    the MINIMUM reference id within cosine ≥ threshold plus the match
+    count — one matmul per Arrow batch against the broadcast corpus;
+    rows with no match emit nothing (the caller's semantics is "new
+    unless matched")."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, unit = ref_bc.value
+        if len(ids) == 0:
+            return
+        big = np.iinfo(np.int64).max
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = l2_normalize(stack_embeddings(pdf["embedding"]))
+            hit = (q @ unit.T) >= threshold
+            n = hit.sum(axis=1)
+            keep = n > 0
+            if not keep.any():
+                continue
+            masked = np.where(hit[keep], ids[None, :], big)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "near_id": masked.min(axis=1),
+                    "n_matches": n[keep].astype(np.int64),
+                }
+            )
+
+    return fn
+
+
+def make_block_min_match_fn(threshold: float):
+    """Blocked bipartite twin of :func:`make_min_match_map_fn` for a
+    non-broadcastable corpus: per chunk×block pair row, the partial
+    (min matching reference id, match count) per query vector; the
+    caller min/sums the partials per vec_id."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        big = np.iinfo(np.int64).max
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                q_ids, q_unit, r_ids, r_unit = _unpack_pair_row(row)
+                hit = (q_unit @ r_unit.T) >= threshold
+                n = hit.sum(axis=1)
+                keep = n > 0
+                if not keep.any():
+                    continue
+                masked = np.where(hit[keep], r_ids[None, :], big)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": q_ids[keep],
+                        "near_part": masked.min(axis=1),
+                        "n_part": n[keep].astype(np.int64),
+                    }
+                )
+
+    return fn

@@ -1104,6 +1104,87 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_embed_inc",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT * FROM e WHERE {_INC_DUCK_BATCH.format(x='vec_id')}),
+    c AS (SELECT * FROM e WHERE NOT ({_INC_DUCK_BATCH.format(x='vec_id')}))
+    SELECT b.vec_id,
+           min(c.vec_id) AS near_id,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM b JOIN c ON list_cosine_similarity(b.v, c.v) >= 0.4
+    GROUP BY b.vec_id
+    """,
+)
+def q_dedup_embed_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental *semantic* ingest dedup — the embedding twin of
+    ``q_dedup_incremental``: an incoming batch (deterministic 20 %
+    md5-hash bucket of vec_id, the sampling.py convention) is checked
+    against the standing corpus; a batch vector is a near-duplicate
+    iff some corpus vector sits within cosine ≥ 0.4 (the corpus-
+    calibrated q_dedup_embed threshold), reporting the lowest matching
+    corpus id (the canonical survivor) and the match count.  This is
+    the pass an ingestion pipeline runs per shipment so the corpus
+    never re-pairs with itself.
+
+    Plan: bipartite, linear in the batch — the corpus broadcasts as a
+    packed matrix and the batch streams through one matmul per Arrow
+    batch (kernels.make_min_match_map_fn); above the broadcast gate
+    the packed chunk×block path emits per-block partial (min id,
+    count) and a hash-agg folds them (make_block_min_match_fn) — no
+    driver collect at any corpus size.  Scale escape: under
+    ``SPARK_GRAFT_SIM_PROJ`` the projection-cell engine supplies the
+    verified cross pairs instead (same gate family as
+    q_sim_threshold; tests/test_simproj_escalate.py pins equality on
+    this query too)."""
+    e = _load_embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
+    in_batch = F.expr(_INC_SPARK_BATCH.format(x="vec_id"))
+    batch = e.filter(in_batch)
+    corpus = e.filter(~in_batch)
+    n = e.count()
+
+    verified = _sim_proj_verified(e, n, 0.4)
+    if verified is not None:
+        in_a = F.expr(_INC_SPARK_BATCH.format(x="a_id"))
+        in_b = F.expr(_INC_SPARK_BATCH.format(x="b_id"))
+        cross = verified.filter(in_a != in_b).select(
+            F.when(in_a, F.col("a_id")).otherwise(F.col("b_id")).alias(
+                "vec_id"
+            ),
+            F.when(in_a, F.col("b_id")).otherwise(F.col("a_id")).alias(
+                "cid"
+            ),
+        )
+        return cross.groupBy("vec_id").agg(
+            F.min("cid").alias("near_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+
+    n_corpus = corpus.count()
+    if n_corpus <= _sim_broadcast_max():
+        bc = _ref_broadcast(spark, corpus, with_labels=False)
+        return batch.select("vec_id", "embedding").mapInPandas(
+            kernels.make_min_match_map_fn(bc, 0.4),
+            "vec_id long, near_id long, n_matches long",
+        )
+    n_batch = batch.count()
+    q = _pack_chunks(batch, max(1, -(-n_batch // _sim_block_rows())), False, "q")
+    r = _pack_chunks(
+        corpus, max(1, -(-n_corpus // _sim_block_rows())), False, "r"
+    )
+    parts = q.crossJoin(r).mapInPandas(
+        kernels.make_block_min_match_fn(0.4),
+        "vec_id long, near_part long, n_part long",
+    )
+    return parts.groupBy("vec_id").agg(
+        F.min("near_part").alias("near_id"),
+        F.sum("n_part").alias("n_matches"),
+    )
+
+
+@query(
     "q_sim_hist",
     oracle="""
     WITH e AS (

@@ -200,3 +200,24 @@ def test_planner_prefers_prune_over_fragmentation(spark, aniso_emb):
         )
     )
     assert 2 <= k_best <= 5
+
+
+def test_embed_inc_paths_agree(spark, monkeypatch):
+    """q_dedup_embed_inc (r6): broadcast kernel ≡ forced projection
+    path ≡ forced blocked chunk×block path — same rows exactly."""
+    import __spark_entry__ as e
+
+    fn = e.queries()["q_dedup_embed_inc"]
+
+    def rows():
+        return sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
+    base = rows()
+    assert base, "smoke corpus must contain cross-side matches"
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "force")
+    assert rows() == base
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
+    monkeypatch.setenv("SPARK_GRAFT_SIM_BROADCAST_MAX", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SIM_BLOCK_ROWS", "37")
+    assert rows() == base
