@@ -1235,3 +1235,147 @@ def q_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_fn, "bin int, n_part long"
     )
     return parts.groupBy("bin").agg(F.sum("n_part").alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# Binary-quantized ANN (sign-bit Hamming prefilter + exact rerank)
+# --------------------------------------------------------------------------
+
+#: 64 dims packed as two 32-bit words (kept in BIGINTs so the packed
+#: values stay sign-free in both engines).
+_HAM_WORDS = 2
+_HAM_PROBES = 8
+_HAM_PREFILTER = 16
+_HAM_TOPK = 4
+
+
+def _ham_pack_expr(word: int) -> F.Column:
+    """Sign-bit packing of dims [32*word, 32*word+32) into one BIGINT:
+    bit i set iff ``embedding[32*word + i] > 0``.  Pure Catalyst
+    (aggregate over a literal 32-element sequence), so packing runs
+    inside whole-stage codegen — no Python in the quantization scan."""
+    off = 32 * word
+    return F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+        f"IF(element_at(embedding, {off} + i + 1) > CAST(0 AS DOUBLE), "
+        "shiftleft(1L, i), 0L))"
+    )
+
+
+_HAM_DOT_EXPR = (
+    "aggregate(zip_with(p_emb, c_emb, (x, y) -> "
+    "CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) * "
+    "CAST(round(CAST(y AS DOUBLE) * 10000) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "q_sim_hamming",
+    oracle="""
+    WITH packed AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN embedding[i + 1] > 0
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN embedding[i + 33] > 0
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+        FROM embeddings
+    ),
+    probes AS (SELECT * FROM packed ORDER BY vec_id LIMIT 8),
+    ham AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(bit_count(xor(p.w0, c.w0))
+                  + bit_count(xor(p.w1, c.w1)) AS BIGINT) AS hamming
+        FROM probes p JOIN packed c ON c.vec_id <> p.vec_id
+    ),
+    top AS (
+        SELECT probe_id, cand_id, hamming,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY hamming, cand_id) AS hrk
+        FROM ham
+    ),
+    rerank AS (
+        SELECT t.probe_id, t.cand_id, t.hamming,
+               CAST(list_sum(list_transform(range(1, 65), i ->
+                   CAST(round(CAST(pe.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                 * CAST(round(CAST(ce.embedding[i] AS DOUBLE) * 10000) AS BIGINT)))
+                 AS BIGINT) AS dot_q
+        FROM top t
+        JOIN embeddings pe ON pe.vec_id = t.probe_id
+        JOIN embeddings ce ON ce.vec_id = t.cand_id
+        WHERE t.hrk <= 16
+    )
+    SELECT probe_id, cand_id, hamming, dot_q,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dot_q DESC, cand_id) AS BIGINT) AS rk
+    FROM rerank
+    QUALIFY rk <= 4
+    """,
+)
+def q_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit Hamming prefilter + exact rerank.
+
+    The modern embedding-compression retrieval cascade (binary
+    quantization a la faiss/usearch): each 64-dim vector quantizes to
+    its 64 sign bits packed into two BIGINT words (32x smaller than
+    float64), the 8 lowest-id vectors probe the corpus with a Hamming
+    scan (``bit_count(xor)`` on the packed words — pure integer ALU,
+    whole-stage codegen), the top-16 Hamming candidates per probe are
+    then reranked by the EXACT dot product and the top-4 survive.
+
+    Determinism: Hamming distances are exact integers; the rerank score
+    is the integer-quantized dot product Sum round(x*1e4)*round(y*1e4)
+    (float32 -> double is exact, both engines round half away from
+    zero), so every ordering is exact with vec_id tie-breaks.
+
+    100 TB posture: quantization is a linear codegen scan; the probe
+    side broadcasts (ids + 16 bytes per probe); the Hamming stage
+    shuffles only (probe_id, cand_id, distance) triples — the embedding
+    arrays are re-attached ONLY to the 128 surviving pairs (the
+    bytes-per-candidate rule, PERF.md r6); rerank is O(probes * 16)."""
+    e = _load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    packed = e.select(
+        "vec_id", _ham_pack_expr(0).alias("w0"), _ham_pack_expr(1).alias("w1")
+    )
+    probes = (
+        packed.orderBy("vec_id")
+        .limit(_HAM_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("w0").alias("pw0"),
+            F.col("w1").alias("pw1"),
+        )
+    )
+    ham = (
+        packed.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            (
+                F.bit_count(F.col("pw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("pw1").bitwiseXOR(F.col("w1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("probe_id").orderBy("hamming", "cand_id")
+    top = ham.withColumn("hrk", F.row_number().over(hw)).filter(
+        F.col("hrk") <= _HAM_PREFILTER
+    )
+    pe = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb"))
+    ce = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    rerank = (
+        F.broadcast(top.drop("hrk"))
+        .join(pe, "probe_id")
+        .join(ce, "cand_id")
+        .withColumn("dot_q", F.expr(_HAM_DOT_EXPR))
+        .drop("p_emb", "c_emb")
+    )
+    rw = Window.partitionBy("probe_id").orderBy(F.col("dot_q").desc(), "cand_id")
+    return (
+        rerank.withColumn("rk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rk") <= _HAM_TOPK)
+        .select("probe_id", "cand_id", "hamming", "dot_q", "rk")
+    )

@@ -17,6 +17,7 @@ expected and not evidence of sub-linear work.
 
 Usage: python tools/scaling.py [name ...]      (default: full set)
        python tools/scaling.py --aniso         (sim escalation timing)
+       python tools/scaling.py --embed         (embedding family, 2nd decade)
        SPARK_GRAFT_SCALE_DIR=/tmp/spark_graft_scale  (tier cache)
 """
 
@@ -72,7 +73,34 @@ DEEP_SET = [
     "q_dedup_cluster",
     "q_dedup_editdist",
 ]
+#: ``--embed``: the embedding family over the second decade (m10 = 20k
+#: vectors → m100 = 200k).  The all-pairs members are QUADRATIC **by
+#: problem statement** on this tier: at the contract's tau (0.3/0.4)
+#: on the isotropic cluster geometry the answer itself needs Θ(N²)
+#: comparisons (the simproj geometry pre-gate refuses, correctly — its
+#: win regime is high-tau anisotropic corpora, measured 2.31× in the
+#: --aniso entry, PERF.md r6).  The honest per-decade bar for them is
+#: therefore ~mult² (QUAD_BAR) and the signal is the CONSTANT: a ratio
+#: well under 100 means per-pair cost stayed flat while BLAS/Arrow
+#: efficiencies grew.  q_sim_hamming (fixed probe set) is linear and
+#: keeps the linear bar.
+EMBED_SET = [
+    "q_sim_hamming",
+    "q_sim_cosine_knn",
+    "q_sim_threshold",
+    "q_sim_hist",
+    "q_dedup_embed",
+    "q_dedup_embed_inc",
+]
+QUADRATIC_SET = {
+    "q_sim_cosine_knn",
+    "q_sim_threshold",
+    "q_sim_hist",
+    "q_dedup_embed",
+    "q_dedup_embed_inc",
+}
 FLAG_RATIO = 20.0  # ~linear×log at these sizes is ≤ ~12; 20 allows noise
+QUAD_BAR = 200.0  # all-pairs answer: decade bar = mult² (=100) + noise
 WARM_RUNS = 2
 
 
@@ -168,8 +196,9 @@ def main() -> int:
     if "--aniso" in sys.argv[1:]:
         return aniso_main()
     deep = "--deep" in sys.argv[1:]
+    embed = "--embed" in sys.argv[1:]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mults = MULTS_DEEP if deep else MULTS
+    mults = MULTS_DEEP if (deep or embed) else MULTS
     env_mults = os.environ.get("SPARK_GRAFT_SCALE_MULTS")
     if env_mults:
         # e.g. "3,30" — the band-engine queries' candidate sets are
@@ -178,7 +207,9 @@ def main() -> int:
         # (the m100 verify join spills past this host's disk; PERF.md
         # r6 records the measured blowup)
         mults = tuple(int(x) for x in env_mults.split(","))
-    names = args or (DEEP_SET if deep else (B_SET + DEDUP_SET))
+    names = args or (
+        EMBED_SET if embed else DEEP_SET if deep else (B_SET + DEDUP_SET)
+    )
     base = Path(os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"))
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
@@ -199,7 +230,7 @@ def main() -> int:
             times[mult] = best
         lo, hi = mults
         ratio = times[hi] / times[lo]
-        flag = ratio > FLAG_RATIO
+        flag = ratio > (QUAD_BAR if name in QUADRATIC_SET else FLAG_RATIO)
         results[name] = {
             f"t{lo}_s": round(times[lo], 3),
             f"t{hi}_s": round(times[hi], 3),
