@@ -1,0 +1,117 @@
+"""events-to-db config runner (etl.py): a declared {query → table}
+config must land exactly the batch AQL answer in each target table,
+resume from its checkpoint across runs (new files only), and stay
+idempotent under redelivery — the reference lifecycle's catch-up /
+follow / idempotent-insert loop (SURVEY §3.1 Path A)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+
+from events_to_db_spark.etl import run_etl_config, validate_config
+from events_to_db_spark.functions.aql import run_aql
+from events_to_db_spark.functions.tags import with_tags
+from events_to_db_spark.session import load_table
+from events_to_db_spark.streaming.sink import read_sink_table
+from tests.conftest import SF_SMOKE
+
+PURCHASE_QUERY = (
+    "FROM 'type:purchase' FILTER _.k >= 50"
+    " SELECT { user: _.user_id, k: _.k * 1 }"
+)
+
+
+def _config(feed: str, tmp_path) -> dict:
+    return {
+        "events": feed,
+        "db": str(tmp_path / "etl.db"),
+        "checkpoints": str(tmp_path / "ckpt"),
+        "tables": [
+            {"table": "purchases", "query": PURCHASE_QUERY},
+            {"table": "raw_copy"},
+        ],
+    }
+
+
+def _drain(queries) -> None:
+    for q in queries.values():
+        q.awaitTermination()
+
+
+def _batch_rows(spark, query: str) -> set[tuple]:
+    batch = run_aql(with_tags(load_table(spark, SF_SMOKE, "events")), query)
+    return {tuple(r) for r in batch.collect()}
+
+
+def test_config_tables_match_batch(spark, chunked_events, tmp_path):
+    feed, ev, n = chunked_events
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+
+    got = read_sink_table(cfg["db"], "purchases")
+    want = _batch_rows(spark, PURCHASE_QUERY)
+    # sqlite stringifies timestamps — compare on the value columns
+    assert set(got.columns) >= {"ts", "event_id", "user", "k"}
+    got_rows = {
+        (r.event_id, r.user, r.k) for r in got.itertuples(index=False)
+    }
+    assert got_rows == {(eid, user, k) for _ts, eid, user, k in want}
+    assert len(got) == len(want)
+
+    raw = read_sink_table(cfg["db"], "raw_copy")
+    assert len(raw) == n
+    assert sorted(raw["event_id"]) == sorted(
+        r["event_id"] for r in ev.select("event_id").collect()
+    )
+
+
+def test_config_resume_and_idempotency(spark, chunked_events, tmp_path):
+    feed, ev, n = chunked_events
+    # first run over a COPY of the feed missing its last file
+    part = tmp_path / "feed_part"
+    part.mkdir()
+    files = sorted(os.listdir(feed))
+    for f in files[:-1]:
+        shutil.copy(os.path.join(feed, f), part / f)
+        os.utime(part / f, (time.time() - 600, time.time() - 600))
+    cfg = _config(str(part), tmp_path)
+    cfg["tables"] = [{"table": "raw_copy"}]
+    _drain(run_etl_config(spark, cfg))
+    first = read_sink_table(cfg["db"], "raw_copy")
+    assert 0 < len(first) < n
+
+    # the last file lands; re-run with the SAME checkpoints — only the
+    # new file is read, and the keyed upsert keeps the table exact
+    shutil.copy(os.path.join(feed, files[-1]), part / files[-1])
+    _drain(run_etl_config(spark, cfg))
+    second = read_sink_table(cfg["db"], "raw_copy")
+    assert len(second) == n
+    assert len(set(second["event_id"])) == n
+
+    # a third run with nothing new is a no-op (still exactly n rows)
+    _drain(run_etl_config(spark, cfg))
+    assert len(read_sink_table(cfg["db"], "raw_copy")) == n
+
+
+def test_config_rejects_aggregate_and_bad_shapes(spark, tmp_path):
+    base = {
+        "events": str(tmp_path),
+        "db": str(tmp_path / "x.db"),
+        "checkpoints": str(tmp_path / "c"),
+    }
+    with pytest.raises(ValueError, match="AGGREGATE"):
+        validate_config(
+            {**base, "tables": [{"table": "t", "query": "FROM allEvents AGGREGATE COUNT()"}]}
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_config({**base, "tables": [{"table": "t"}, {"table": "t"}]})
+    with pytest.raises(ValueError, match="missing key"):
+        validate_config({"tables": [{"table": "t"}]})
+    with pytest.raises(ValueError, match="no tables"):
+        validate_config({**base, "tables": []})
+    with pytest.raises(ValueError, match="without 'table'"):
+        validate_config({**base, "tables": [{"query": "FROM allEvents"}]})
