@@ -20,7 +20,11 @@ enough that a reference user's everyday pipeline strings run unchanged:
   construction ``SELECT { a: expr, b: { c: expr } }`` (nested objects
   compile to struct literals; later stages address leaves as
   ``_.b.c``, and a bare ``_`` spreads the whole current payload into
-  a field);
+  a field); a comma-separated list is the beta *multi-emission*
+  surface — ``SELECT e1, e2`` emits one row per expression per event
+  via a single ``posexplode`` (no join), rebinding the event key to
+  the packed emission key ``id*n + pos`` (order-preserving, unique)
+  so every later stage keeps total-order semantics;
 * ``AGGREGATE`` → ``df.agg``; ``SUM/MIN/MAX/AVG/COUNT`` map to native
   aggregates, ``FIRST/LAST`` to ``min_by/max_by`` over the total
   (ts, event_id) event order — NOT Spark's order-undefined
@@ -63,6 +67,13 @@ Expression grammar (precedence low→high)::
     atom    := number | 'string' | TRUE | FALSE | NULL | path | '(' expr ')'
              | CASE (WHEN expr THEN expr)+ (ELSE expr)? ENDCASE
              | FUNC '(' args ')'          -- aggregate calls
+             | `text {expr} …`            -- interpolation (beta)
+
+A query may open with ``PRAGMA features := name …`` header lines (the
+public feature-gate preamble, e.g. ``subQuery interpolation
+multiEmission``) — accepted verbatim and recorded on the parse result;
+this compiler supports the whole surface unconditionally, so real AQL
+strings run unchanged.
 
 Everything compiles to Catalyst expressions — the AQL front-end adds
 zero execution machinery, exactly the §1.3 design stance ("a strict
@@ -86,6 +97,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>\d+(?:\.\d+)?)
       | '(?P<str>(?:[^'\\]|\\.)*)'
+      | `(?P<interp>(?:[^`\\]|\\.)*)`
       | (?P<meta>_(?:time|key|appId|tags)\b(?:\[\d+\])?)
       | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])*)
       | (?P<appid>appId\(\s*[A-Za-z0-9_.:\-]+\s*\))
@@ -134,6 +146,11 @@ def _tokenize(text: str) -> list[_Tok]:
             out.append(_Tok("num", m.group("num")))
         elif m.group("str") is not None:
             out.append(_Tok("str", m.group("str").replace("\\'", "'")))
+        elif m.group("interp") is not None:
+            # backtick interpolation string: kept raw; the expression
+            # parser splits the `{expr}` splices against the current
+            # payload binding (they cannot be resolved at lex time).
+            out.append(_Tok("interp", m.group("interp")))
         elif m.group("meta") is not None:
             # envelope metadata path (`_time`, `_appId`, `_tags[0]`):
             # addresses the event envelope, not the payload.
@@ -325,6 +342,9 @@ class _ExprParser:
         if t.kind == "str":
             self.take()
             return _Val(F.lit(t.text), _STR)
+        if t.kind == "interp":
+            self.take()
+            return self.interp(t.text)
         if t.kind == "path":
             self.take()
             return self.payload.resolve(_split_path(t.text))
@@ -415,6 +435,68 @@ class _ExprParser:
             col = col.otherwise(default.col)
         return _Val(col, kind)
 
+    def interp(self, raw: str) -> _Val:
+        """Backtick interpolation string (the public AQL beta surface):
+        ``\\`user {_.name} spent {_.k}\\``` — literal segments and
+        ``{expr}`` splices concatenate to one string.  Splices are full
+        expressions over the current payload/bindings/envelope; each
+        compiles with a child parser and casts to text.  NULL splices
+        propagate (SQL concat semantics — a reconstruction choice,
+        documented).  Escapes: ``\\``` ``\\{`` ``\\}`` ``\\\\``."""
+        parts: list[Column] = []
+        lit: list[str] = []
+        i = 0
+        while i < len(raw):
+            ch = raw[i]
+            if ch == "\\" and i + 1 < len(raw):
+                lit.append(raw[i + 1])
+                i += 2
+                continue
+            if ch == "{":
+                depth = 1
+                j = i + 1
+                while j < len(raw) and depth:
+                    if raw[j] == "\\":
+                        j += 2
+                        continue
+                    if raw[j] == "{":
+                        depth += 1
+                    elif raw[j] == "}":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise ValueError("AQL: unterminated {expr} in `…`")
+                seg = raw[i + 1 : j - 1]
+                sub = _ExprParser(
+                    _tokenize(seg),
+                    self.payload,
+                    self.order_cols,
+                    self.bindings,
+                    self.meta_cols,
+                )
+                v = sub.expr()
+                if sub.toks:
+                    raise ValueError(
+                        f"AQL: trailing tokens in interpolation {seg!r}"
+                    )
+                if sub.uses_agg:
+                    raise ValueError(
+                        "AQL: aggregates are not allowed inside `…`"
+                    )
+                if lit:
+                    parts.append(F.lit("".join(lit)))
+                    lit = []
+                parts.append(v.as_str())
+                i = j
+                continue
+            if ch == "}":
+                raise ValueError("AQL: '}' outside {expr} in `…`")
+            lit.append(ch)
+            i += 1
+        if lit or not parts:
+            parts.append(F.lit("".join(lit)))
+        return _Val(parts[0] if len(parts) == 1 else F.concat(*parts), _STR)
+
     def agg_call(self) -> _Val:
         name = self.take().text
         self.uses_agg = True
@@ -454,11 +536,27 @@ class AqlQuery:
 
     from_text: str
     stages: list[tuple[str, list[_Tok] | int]]
+    #: feature names a leading ``PRAGMA features := …`` header declared.
+    #: The public AQL gates beta syntax behind such headers; this
+    #: compiler supports the whole surface unconditionally, so the
+    #: header is accepted (queries run verbatim) and recorded, never
+    #: required.
+    features: tuple[str, ...] = ()
+
+
+#: ``PRAGMA features := subQuery interpolation`` header lines (the
+#: public AQL feature-gate preamble).  Line-based: each pragma ends at
+#: its newline.
+_PRAGMA_RE = re.compile(r"\s*PRAGMA\s+features\s*:=[ \t]*([^\n]*)\n", re.IGNORECASE)
 
 
 def parse_aql(text: str) -> AqlQuery:
     """Split the pipeline into its ordered stages; stage payloads stay
     as token lists so :func:`run_aql` can bind them against the frame."""
+    features: list[str] = []
+    while (m := _PRAGMA_RE.match(text)) is not None:
+        features.extend(m.group(1).split())
+        text = text[m.end() :]
     toks = _tokenize(text)
     if not (toks and toks[0].kind == "word" and toks[0].text == "FROM"):
         raise ValueError("AQL: query must start with FROM")
@@ -501,7 +599,9 @@ def parse_aql(text: str) -> AqlQuery:
         if depth != 0:
             raise ValueError("AQL: sub-query FROM missing END")
         stages.append((kw.text, body))
-    return AqlQuery(from_text=from_text, stages=stages)
+    return AqlQuery(
+        from_text=from_text, stages=stages, features=tuple(features)
+    )
 
 
 def _parse_object(p: _ExprParser) -> list[tuple[str, _Val]]:
@@ -730,22 +830,75 @@ def run_aql(
             if not p.uses_agg:
                 raise ValueError("AQL: AGGREGATE needs an aggregate call")
             return df.agg(val.col.alias("value"))
-        # SELECT — scalar or object construction
-        if p.at_op("{"):
-            p.take()
-            fields = _parse_object(p)
-            if p.toks:
-                raise ValueError("AQL: trailing tokens in SELECT")
-            materialize(
-                F.struct(*[v.col.alias(name) for name, v in fields]), _ANY
-            )
-            obj_fields = [name for name, _v in fields]
+        # SELECT — one or more emissions (scalar or object
+        # construction), comma-separated.  Multi-emission is the public
+        # AQL beta surface: `SELECT _.a, _.b` emits one row per listed
+        # expression per input event, in listed order.
+        emissions: list[tuple[Column, str, list[str] | None]] = []
+        while True:
+            if p.at_op("{"):
+                p.take()
+                fields = _parse_object(p)
+                emissions.append(
+                    (
+                        F.struct(*[v.col.alias(name) for name, v in fields]),
+                        _ANY,
+                        [name for name, _v in fields],
+                    )
+                )
+            else:
+                val = p.expr()
+                emissions.append((val.col, val.kind, None))
+            if p.at_op(","):
+                p.take()
+                continue
+            break
+        if p.toks:
+            raise ValueError("AQL: trailing tokens in SELECT")
+        if len(emissions) == 1:
+            col, kind, names = emissions[0]
+            materialize(col, kind)
+            obj_fields = names
         else:
-            val = p.expr()
-            if p.toks:
-                raise ValueError("AQL: trailing tokens in SELECT")
-            materialize(val.col, val.kind)
-            obj_fields = None
+            # Emissions must share one Spark type (object emissions:
+            # the same field list) — AQL is dynamically typed, a
+            # columnar engine is not; mixed-type emission lists are a
+            # compile error here.
+            kinds = {k for _c, k, _n in emissions if k != _ANY}
+            name_sets = {tuple(n) if n else None for _c, _k, n in emissions}
+            if len(kinds) > 1 or len(name_sets) > 1:
+                raise ValueError(
+                    "AQL: multi-emission SELECT needs same-shaped"
+                    " emissions (one type / one object field list)"
+                )
+            n_emit = len(emissions)
+            carry = [c for c in (tags_col, "app_id") if c in df.columns]
+            lets = [F.col(f"__let_{nm}") for nm in bindings]
+            # One row per (event, emission), in emission order.  The
+            # event key REBINDS to the packed emission key
+            # id*n + pos — order-preserving and unique, so every
+            # downstream stage (FIRST/LAST folds, LIMIT prefixes,
+            # `_key` addressing) keeps total-order semantics; the
+            # source key is recoverable as `_key / n` (integer div).
+            df = df.select(
+                ts_col,
+                F.col(id_col),
+                F.posexplode(
+                    F.array(*[c for c, _k, _n in emissions])
+                ).alias("__pos", "__v"),
+                *carry,
+                *lets,
+            ).select(
+                ts_col,
+                (F.col(id_col) * n_emit + F.col("__pos")).alias(id_col),
+                F.col("__v"),
+                *carry,
+                *lets,
+            )
+            payload = _Payload(
+                F.col("__v"), kinds.pop() if kinds else _ANY, is_json=False
+            )
+            obj_fields = list(name_sets.pop() or []) or None
         del last  # stage position no longer special-cased
 
     if obj_fields is not None:

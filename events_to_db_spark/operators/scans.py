@@ -526,6 +526,82 @@ def q_aql_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_aql_interp",
+    oracle="""
+    SELECT event_id,
+           'event ' || CAST(event_id AS VARCHAR) || ' k='
+               || json_extract_string(props, '$.k') AS msg
+    FROM events
+    WHERE event_type = 'view'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
+    """,
+)
+def q_aql_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL string interpolation (public beta surface, r6): backtick
+    strings with ``{expr}`` splices — plus the ``PRAGMA features :=``
+    header real AQL strings carry, accepted verbatim.  Splices are
+    full expressions over payload/envelope (here ``_key`` and the raw
+    JSON ``_.k``) and compile to one Catalyst ``concat`` — text
+    renders identically in both engines because the splice values are
+    a BIGINT cast and the raw JSON token."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "PRAGMA features := interpolation\n"
+        "FROM 'type:view' FILTER _.k >= 95"
+        " SELECT { id: _key, msg: `event {_key} k={_.k}` }",
+    )
+    return out.select("event_id", "msg")
+
+
+@query(
+    "q_aql_multi",
+    oracle="""
+    SELECT event_id * 2 AS event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 90
+    UNION ALL
+    SELECT event_id * 2 + 1,
+           strftime(ts, '%Y-%m-%d %H:%M:%S'),
+           0 - CAST(json_extract_string(props, '$.k') AS DOUBLE)
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 90
+    """,
+)
+def q_aql_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL multi-emission SELECT (public beta surface, r6):
+    ``SELECT e1, e2`` emits one row per listed expression per event,
+    in listed order.  Compiles to ONE ``posexplode`` over the emission
+    array — a generator inside the same stage, no join, no shuffle —
+    and the event key rebinds to the packed emission key
+    ``id*n + pos`` so downstream FILTER/LIMIT/FIRST/LAST keep exact
+    total-order semantics (the oracle restates the packing as the
+    UNION ALL of the two emission legs)."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "PRAGMA features := multiEmission\n"
+        "FROM 'type:purchase' FILTER _.k >= 90"
+        " SELECT _.k * 1, 0 - _.k * 1",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "value",
+    )
+
+
+@query(
     "q_scan_merge_schema",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,

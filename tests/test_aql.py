@@ -530,3 +530,129 @@ def test_envelope_meta_in_let_and_aggregate(spark, tagged):
     )
     assert got["n"] == errs.count() > 0
     assert got["last_id"] == last_id
+
+
+# --- round 6: PRAGMA header, interpolation, multi-emission ---------------
+
+
+def test_pragma_header_recorded_and_ignored(spark, tagged):
+    q = parse_aql(
+        "PRAGMA features := subQuery interpolation\n"
+        "PRAGMA features := multiEmission\n"
+        "FROM 'type:view' SELECT _.k"
+    )
+    assert q.features == ("subQuery", "interpolation", "multiEmission")
+    got = run_aql(
+        tagged, "PRAGMA features := zøg\nFROM 'type:view' AGGREGATE COUNT()"
+    ).collect()
+    want = run_aql(tagged, "FROM 'type:view' AGGREGATE COUNT()").collect()
+    assert got == want
+
+
+def test_interpolation_matches_concat_plan(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 95"
+        " SELECT { m: `e{_key} k={_.k}` }",
+    )
+    want = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(_k() >= 95)
+        .select(
+            "ts",
+            "event_id",
+            F.concat(
+                F.lit("e"),
+                F.col("event_id").cast("string"),
+                F.lit(" k="),
+                F.get_json_object("props", "$.k"),
+            ).alias("m"),
+        )
+    )
+    assert sorted(r["m"] for r in got.collect()) == sorted(
+        r["m"] for r in want.collect()
+    )
+    assert got.count() > 0
+
+
+def test_interpolation_escapes_and_null(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' LIMIT 1 SELECT { m: `\\{lit\\} \\` {_.k}` }",
+    ).collect()
+    assert len(got) == 1 and got[0]["m"].startswith("{lit} ` ")
+    # a NULL splice propagates (SQL concat semantics)
+    got = run_aql(
+        tagged, "FROM 'type:view' LIMIT 1 SELECT { m: `x{_.nope}y` }"
+    ).collect()
+    assert got[0]["m"] is None
+    # literal-only and empty interpolations
+    got = run_aql(
+        tagged, "FROM 'type:view' LIMIT 1 SELECT { a: `plain`, b: `` }"
+    ).collect()
+    assert got[0]["a"] == "plain" and got[0]["b"] == ""
+
+
+def test_interpolation_errors(spark, tagged):
+    with pytest.raises(ValueError, match="unterminated"):
+        run_aql(tagged, "FROM 'type:view' SELECT `a{_.k`")
+    with pytest.raises(ValueError, match="outside"):
+        run_aql(tagged, "FROM 'type:view' SELECT `a}b`")
+    with pytest.raises(ValueError, match="aggregates"):
+        run_aql(tagged, "FROM 'type:view' AGGREGATE `n={COUNT()}`")
+
+
+def test_multi_emission_scalar_packs_key(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 99 SELECT _.k * 1, 0 - _.k * 1",
+    )
+    base = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(_k() >= 99)
+        .select("ts", "event_id", _k().alias("k"))
+    )
+    rows = {(r["event_id"], r["value"]) for r in got.collect()}
+    want = set()
+    for r in base.collect():
+        want.add((r["event_id"] * 2, r["k"]))
+        want.add((r["event_id"] * 2 + 1, -r["k"]))
+    assert rows == want and rows
+
+
+def test_multi_emission_downstream_stages(spark, tagged):
+    # emissions rebind `_`; FILTER sees each emission; FIRST folds over
+    # the packed order (first emission of the first event wins)
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 99"
+        " SELECT { v: _.k * 1 }, { v: _.k * 2 }"
+        " FILTER _.v >= 100 AGGREGATE FIRST(_.v)",
+    ).collect()
+    base = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(_k() >= 99)
+        .select("ts", "event_id", _k().alias("k"))
+        .orderBy("ts", "event_id")
+    )
+    first = base.collect()[0]
+    # v=k fails the >=100 filter for k=99; v=2k passes — so the first
+    # surviving emission of the first event is 2k (pos 1 in pack order)
+    want = first["k"] * 2 if first["k"] < 100 else first["k"]
+    assert got[0]["value"] == want
+
+    # LIMIT counts emitted rows in packed order (k >= 97 matches 3
+    # events in sf0.001 → 6 emissions; the prefix cuts mid-event)
+    lim = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 97"
+        " SELECT _.k * 1, 0 - _.k * 1 LIMIT 3 AGGREGATE COUNT()",
+    ).collect()
+    assert lim[0]["value"] == 3
+
+
+def test_multi_emission_shape_mismatch_rejected(spark, tagged):
+    with pytest.raises(ValueError, match="same-shaped"):
+        run_aql(tagged, "FROM 'type:view' SELECT _.k * 1, 'x'")
+    with pytest.raises(ValueError, match="same-shaped"):
+        run_aql(tagged, "FROM 'type:view' SELECT { a: _.k }, { b: _.k }")
