@@ -184,3 +184,234 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "band")
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking-quality evaluation: nDCG@10 and reciprocal rank / recall@10
+# --------------------------------------------------------------------------
+
+#: 1/log2(r+1) for ranks 1..10, rounded to 6 decimals and embedded as
+#: LITERALS in both engines: every DCG term is then a product of a
+#: small int and an identical double literal, and the sum is written in
+#: one fixed left-associative expression — bit-identical cross-engine
+#: (the Levene/Cramér fixed-order-literal-float pattern, SURVEY §7.5;
+#: live log2 calls would risk 1-ulp libm drift instead).
+_DCG_D = (
+    "1.0", "0.63093", "0.5", "0.430677", "0.386853",
+    "0.356207", "0.333333", "0.315465", "0.30103", "0.289065",
+)
+_IR_EVAL_PROBES = 5
+
+
+def _dcg_expr(rel_fmt: str) -> str:
+    """Fixed-order literal sum Σ_r d_r · rel_r (rel_fmt has one {r}).
+    The literals are cast to DOUBLE explicitly — BOTH engines parse
+    bare decimal literals as DECIMAL (CLAUDE.md), which would change
+    the arithmetic and leak a forbidden DECIMAL output type."""
+    return " + ".join(
+        f"CAST({d} AS DOUBLE) * ({rel_fmt.format(r=r)})"
+        for r, d in enumerate(_DCG_D, 1)
+    )
+
+
+_IR_RANKED_SQL = """
+    probes AS (
+        SELECT doc_id AS probe_id, lang AS p_lang, source AS p_src
+        FROM documents ORDER BY doc_id LIMIT {k}
+    ),
+    ptok AS (
+        SELECT DISTINCT p.probe_id, t.tok
+        FROM probes p JOIN documents d ON d.doc_id = p.probe_id,
+             unnest(string_split(d.text, ' ')) AS t(tok)
+    ),
+    ctok AS (
+        SELECT DISTINCT doc_id AS cand_id, t.tok
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ),
+    scored AS (
+        SELECT p.probe_id, c.cand_id, count(*) AS shared
+        FROM ptok p JOIN ctok c ON c.tok = p.tok
+        WHERE c.cand_id <> p.probe_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT s.probe_id, s.cand_id, s.shared,
+               CASE WHEN d.lang = p.p_lang AND d.source = p.p_src THEN 2
+                    WHEN d.lang = p.p_lang THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY s.probe_id
+                                  ORDER BY s.shared DESC, s.cand_id) AS rk
+        FROM scored s
+        JOIN documents d ON d.doc_id = s.cand_id
+        JOIN probes p ON p.probe_id = s.probe_id
+    )
+""".format(k=_IR_EVAL_PROBES)
+
+
+def _ranked_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per probe (the {k} lowest doc_ids), every other document ranked
+    by shared-distinct-token count (exact ints, doc_id tie-break) with
+    its graded relevance: 2 = same (lang, source), 1 = same lang.
+
+    100 TB posture: the probe token set is tiny and broadcasts; the
+    candidate side is one explode→distinct→join→count pipeline —
+    linear in corpus tokens, shuffling (probe, cand, count) triples
+    only.""".format(k=_IR_EVAL_PROBES)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    probes = (
+        d.orderBy("doc_id")
+        .limit(_IR_EVAL_PROBES)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("lang").alias("p_lang"),
+            F.col("source").alias("p_src"),
+            "text",
+        )
+    )
+    ptok = probes.select(
+        "probe_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    ctok = d.select(
+        F.col("doc_id").alias("cand_id"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    scored = (
+        ctok.join(F.broadcast(ptok), "tok")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    rel = (
+        scored.join(
+            d.select(
+                F.col("doc_id").alias("cand_id"),
+                F.col("lang").alias("c_lang"),
+                F.col("source").alias("c_src"),
+            ),
+            "cand_id",
+        )
+        .join(F.broadcast(probes.drop("text")), "probe_id")
+        .withColumn(
+            "rel",
+            F.when(
+                (F.col("c_lang") == F.col("p_lang"))
+                & (F.col("c_src") == F.col("p_src")),
+                2,
+            )
+            .when(F.col("c_lang") == F.col("p_lang"), 1)
+            .otherwise(0),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("shared").desc(), "cand_id"
+    )
+    return rel.withColumn("rk", F.row_number().over(w)).select(
+        "probe_id", "cand_id", "shared", "rel", "rk"
+    )
+
+
+@query(
+    "q_ir_ndcg",
+    oracle="WITH "
+    + _IR_RANKED_SQL
+    + """,
+    pivoted AS (
+        SELECT probe_id,
+               {rel_cols},
+               count(CASE WHEN rel = 2 THEN 1 END) AS n2,
+               count(CASE WHEN rel = 1 THEN 1 END) AS n1
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT probe_id,
+           round({dcg}, 4) AS dcg10,
+           round({idcg}, 4) AS idcg10,
+           CASE WHEN ({idcg}) > 0
+                THEN round(({dcg}) / ({idcg}), 4) END AS ndcg10
+    FROM pivoted
+    """.format(
+        rel_cols=", ".join(
+            f"coalesce(max(CASE WHEN rk = {r} THEN rel END), 0) AS rel_{r}"
+            for r in range(1, 11)
+        ),
+        dcg=_dcg_expr("rel_{r}"),
+        idcg=_dcg_expr(
+            "CASE WHEN {r} <= n2 THEN 2 WHEN {r} <= n2 + n1 THEN 1 ELSE 0 END"
+        ),
+    ),
+)
+def q_ir_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per probe — the graded ranking-quality metric every
+    retrieval / rerank pipeline reports.  Candidates are ranked by an
+    exact-integer overlap score; relevance grades (2 = same lang +
+    source, 1 = same lang) come from the corpus metadata, so DCG's
+    only floats are the ten literal discounts 1/log2(r+1) — embedded
+    pre-rounded in BOTH engines and summed in one fixed-order
+    expression (cross-engine bit-identical; live log2 would risk libm
+    drift).  IDCG re-uses the same literals over the ideal grade
+    layout (n2 twos, then n1 ones), so ndcg needs no second sort."""
+    r = _ranked_candidates(spark, sf_dir)
+    pivot = r.groupBy("probe_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rk") == rr, F.col("rel"))), F.lit(0)
+            ).alias(f"rel_{rr}")
+            for rr in range(1, 11)
+        ],
+        F.count(F.when(F.col("rel") == 2, 1)).alias("n2"),
+        F.count(F.when(F.col("rel") == 1, 1)).alias("n1"),
+    )
+    dcg = F.expr(_dcg_expr("rel_{r}"))
+    idcg = F.expr(
+        _dcg_expr(
+            "CASE WHEN {r} <= n2 THEN 2 WHEN {r} <= n2 + n1 THEN 1 ELSE 0 END"
+        )
+    )
+    return pivot.select(
+        "probe_id",
+        F.round(dcg, 4).alias("dcg10"),
+        F.round(idcg, 4).alias("idcg10"),
+        F.when(idcg > 0, F.round(dcg / idcg, 4)).alias("ndcg10"),
+    )
+
+
+@query(
+    "q_ir_mrr",
+    oracle="WITH "
+    + _IR_RANKED_SQL
+    + """
+    SELECT probe_id,
+           min(CASE WHEN rel = 2 THEN rk END) AS first_rel,
+           round(1.0 / min(CASE WHEN rel = 2 THEN rk END), 4) AS rr,
+           CAST(count(CASE WHEN rel = 2 AND rk <= 10 THEN 1 END) AS BIGINT)
+               AS found10,
+           CASE WHEN count(CASE WHEN rel = 2 THEN 1 END) > 0
+                THEN round(
+                    CAST(count(CASE WHEN rel = 2 AND rk <= 10 THEN 1 END)
+                         AS DOUBLE)
+                    / least(count(CASE WHEN rel = 2 THEN 1 END), 10), 4)
+           END AS recall10
+    FROM ranked GROUP BY probe_id
+    """,
+)
+def q_ir_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank + recall@10 per probe — the binary companions
+    to q_ir_ndcg (rel = 2, the same-(lang, source) grade, is the
+    "relevant" class).  Every statistic is a per-row division of two
+    exact integers (rank / counts), so there is no cross-row float
+    sum to drift; the aggregated MRR is the mean of the rr column,
+    left to the consumer exactly like the reference's per-query eval
+    tables."""
+    r = _ranked_candidates(spark, sf_dir)
+    first_rel = F.min(F.when(F.col("rel") == 2, F.col("rk")))
+    n_rel = F.count(F.when(F.col("rel") == 2, 1))
+    found10 = F.count(F.when((F.col("rel") == 2) & (F.col("rk") <= 10), 1))
+    return r.groupBy("probe_id").agg(
+        first_rel.alias("first_rel"),
+        F.round(F.lit(1.0) / first_rel, 4).alias("rr"),
+        found10.cast("long").alias("found10"),
+        F.when(
+            n_rel > 0,
+            F.round(found10.cast("double") / F.least(n_rel, F.lit(10)), 4),
+        ).alias("recall10"),
+    )
