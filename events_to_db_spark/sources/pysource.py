@@ -14,7 +14,12 @@ a deterministic synthetic event-log source with
   the generator, returning the rest to Spark for post-evaluation
   (partial pushdown, the same contract as the parquet reader);
 * **arrow-batch emission** — rows are yielded as pyarrow RecordBatches
-  (columnar transfer, not per-row pickling).
+  (columnar transfer, not per-row pickling);
+* **a streaming side** (r6) — the SAME format name serves
+  ``spark.readStream`` through a ``SimpleDataSourceStreamReader``:
+  offset-tracked bounded replay of the identical row generator, the
+  reference's replay-then-follow feed shape (batch/stream equivalence
+  and checkpoint resume are pinned in tests/test_pysource.py).
 
 Determinism: row ``i`` is a pure function of ``i`` (multiplicative
 hashing, no RNG object), so any partitioning of the index range yields
@@ -32,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -153,3 +159,70 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):  # noqa: N802 (API)
+        return SyntheticEventsStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Streaming side: the replay-then-follow feed (Spark 4 simple stream API)
+# --------------------------------------------------------------------------
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """The same event log as an unbounded feed —
+    ``spark.readStream.format("synthetic_events")``.
+
+    Offsets are row indices (``{"index": i}``); each poll serves the
+    next ``rowsPerBatch`` rows until the configured ``maxRows``
+    horizon, then reports no-new-data (so ``processAllAvailable()``
+    drains and returns — the bounded-replay harness shape).  Restart
+    safety comes from the API itself: Spark hands ``read(start)`` the
+    checkpointed offset, and ``readBetweenOffsets`` replays a
+    committed-but-unflushed range after recovery — both are pure
+    functions of the deterministic row generator, so replay is
+    bit-identical (exactly-once with any idempotent sink).
+
+    Scale posture, stated honestly: the simple stream reader is a
+    driver-side feed — the right shape for the reference's single
+    event socket (a live tail is not a parallel scan).  The CATCH-UP
+    path at 100 TB is the partitioned batch reader above (or the
+    persisted log via the file source); this reader is the follow
+    path.
+    """
+
+    def __init__(self, options: dict):
+        self.max_rows = int(options.get("maxRows", 10_000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        """One bounded chunk, MATERIALIZED: the runner's prefetch cache
+        replays reads by copying the returned iterator, so it must be
+        list-backed (a generator raises "cannot pickle 'generator'");
+        chunks are ≤ rowsPerBatch rows, so memory stays bounded."""
+        import datetime as dt
+
+        out = []
+        for i in range(lo, hi):
+            eid, ts_us, uid, etype, value = _row(i)
+            ts = dt.datetime.fromtimestamp(
+                ts_us / 1_000_000, tz=dt.timezone.utc
+            ).replace(tzinfo=None)
+            out.append((eid, ts, uid, etype, value))
+        return out
+
+    def read(self, start: dict):
+        lo = int(start["index"])
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        if hi <= lo:
+            return iter(()), {"index": lo}
+        return iter(self._rows(lo, hi)), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["index"]), int(end["index"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # the generator is stateless; nothing to release

@@ -79,3 +79,66 @@ def test_unsupported_filter_still_correct_end_to_end(spark):
     got = _read(spark, rows=3000).filter(F.col("value") < 1.0).collect()
     want = [r for r in _read(spark, rows=3000).collect() if r.value < 1.0]
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# --- r6: the streaming side (SimpleDataSourceStreamReader) ----------------
+
+
+def _stream(spark, **opts):
+    r = spark.readStream.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _drain(stream, ckpt, acc):
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, bid: acc.append((bid, df.collect())))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+
+def test_stream_matches_batch_read(spark, tmp_path):
+    """Replay-then-follow equivalence: draining the stream over the
+    [0, maxRows) horizon yields exactly the batch reader's rows — the
+    two paths share one deterministic generator."""
+    acc = []
+    _drain(
+        _stream(spark, maxRows=1000, rowsPerBatch=250),
+        str(tmp_path / "ckpt"),
+        acc,
+    )
+    assert len(acc) >= 4, "rowsPerBatch must shape micro-batches"
+    got = sorted(tuple(r) for _bid, rows in acc for r in rows)
+    want = sorted(tuple(r) for r in _read(spark, rows=1000).collect())
+    assert got == want and len(got) == 1000
+
+
+def test_stream_resume_from_checkpoint(spark, tmp_path):
+    """Raising the horizon and re-running with the SAME checkpoint
+    serves only the unseen suffix — offset resume, no redelivery."""
+    ckpt = str(tmp_path / "ckpt_resume")
+    first: list = []
+    _drain(_stream(spark, maxRows=300, rowsPerBatch=100), ckpt, first)
+    ids1 = {r.event_id for _b, rows in first for r in rows}
+    assert ids1 == set(range(300))
+
+    second: list = []
+    _drain(_stream(spark, maxRows=600, rowsPerBatch=100), ckpt, second)
+    ids2 = {r.event_id for _b, rows in second for r in rows}
+    assert ids2 == set(range(300, 600)), "must not redeliver the prefix"
+
+
+def test_stream_idle_at_horizon(spark, tmp_path):
+    """At the horizon the reader reports no-new-data: a second drain on
+    the same checkpoint emits nothing (clean steady state)."""
+    ckpt = str(tmp_path / "ckpt_idle")
+    _drain(_stream(spark, maxRows=100, rowsPerBatch=50), ckpt, [])
+    again: list = []
+    _drain(_stream(spark, maxRows=100, rowsPerBatch=50), ckpt, again)
+    assert sum(len(rows) for _b, rows in again) == 0
