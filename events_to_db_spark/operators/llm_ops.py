@@ -553,6 +553,22 @@ def _sim_broadcast_max() -> int:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the STREAMED side of a broadcast-kernel stage up to
+    the session's default parallelism when the scan has fewer
+    partitions.  Compute-heavy ``mapInPandas`` stages must not inherit
+    FILE-count parallelism: a tier written as one parquet file
+    serializes the whole O(N·M) matmul onto a single Python worker
+    (PERF.md r6 — the m100 embed sweep sat at ~3 % CPU for 30+ min
+    before this).  The shuffle moves only (id, vector) rows once and
+    unlocks a cores-wide BLAS fan-out; when the scan already has
+    enough partitions this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _sim_block_rows() -> int:
     """Rows per packed chunk on the blocked exact path — derived from
     ``spark.sql.files.maxPartitionBytes`` via plans/gates.
@@ -707,19 +723,27 @@ def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 27 s higher-order-function formulation with a sub-second BLAS
     call, and on a cluster scales linearly in the query side.  Above
     ``_sim_broadcast_max()`` reference rows the exact block-nested-loop
-    path engages instead (packed chunk×block cross join, per-block
-    partial argmax, global struct-max) — no driver collect at any
-    reference size."""
+    path engages instead (packed query chunk × reference block cross
+    join, per-block partial argmax, global struct-max) — no driver
+    collect at any reference size.
+
+    The answer's LIMIT pushes into the QUERY side (r6): only the 100
+    lowest-vec_id vectors are queried against the full reference — the
+    kernels exclude self by id, so the result is identical while work
+    drops from O(N²) to O(100·N).  Before this the m100 scaling tier
+    computed 200k NNs to print 100 (PERF.md r6)."""
     e = _load_embeddings(spark, sf_dir)
     n = e.count()
+    q100 = e.select("vec_id", "embedding").orderBy("vec_id").limit(100)
     if n <= _sim_broadcast_max():
         bc = _ref_broadcast(spark, e, with_labels=False)
-        out = e.select("vec_id", "embedding").mapInPandas(
+        out = q100.mapInPandas(
             kernels.make_nn_map_fn(bc), "vec_id long, nn_id long, cos double"
         )
         return out.orderBy("vec_id").limit(100)
-    pairs = _sim_pair_blocks(e, n, with_labels=False)
-    parts = pairs.mapInPandas(
+    q = _pack_chunks(q100, 1, False, "q")
+    r = _pack_chunks(e, max(1, -(-n // _sim_block_rows())), False, "r")
+    parts = q.crossJoin(r).mapInPandas(
         kernels.make_block_nn_fn(), "vec_id long, nn_id long, cos double"
     )
     best = parts.groupBy("vec_id").agg(
@@ -787,7 +811,7 @@ def sim_threshold_counts(
         )
     if n <= _sim_broadcast_max():
         bc = _ref_broadcast(spark, e, with_labels=True)
-        parts = e.select("vec_id", "embedding", "label").mapInPandas(
+        parts = _spread(e.select("vec_id", "embedding", "label")).mapInPandas(
             kernels.make_threshold_map_fn(bc, tau),
             "same_label boolean, n_pairs_part long",
         )
@@ -855,7 +879,7 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.array([r["cv"] for r in cent_rows], dtype=np.float64)
     )
     bc = spark.sparkContext.broadcast((labels, unit))
-    classified = e.select("vec_id", "embedding", "label").mapInPandas(
+    classified = _spread(e.select("vec_id", "embedding", "label")).mapInPandas(
         kernels.make_classify_map_fn(bc), "vec_id long, label long, clabel long"
     )
     return classified.agg(
@@ -1082,7 +1106,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if n <= _sim_broadcast_max():
         bc = _ref_broadcast(spark, e, with_labels=False)
-        flags = e.select("vec_id", "embedding", "label").mapInPandas(
+        flags = _spread(e.select("vec_id", "embedding", "label")).mapInPandas(
             kernels.make_dup_flag_map_fn(bc, 0.4),
             "vec_id long, label int, is_dup boolean",
         )
@@ -1165,7 +1189,7 @@ def q_dedup_embed_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = corpus.count()
     if n_corpus <= _sim_broadcast_max():
         bc = _ref_broadcast(spark, corpus, with_labels=False)
-        return batch.select("vec_id", "embedding").mapInPandas(
+        return _spread(batch.select("vec_id", "embedding")).mapInPandas(
             kernels.make_min_match_map_fn(bc, 0.4),
             "vec_id long, near_id long, n_matches long",
         )
@@ -1231,7 +1255,7 @@ def q_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             vals, counts = np.unique(binned, return_counts=True)
             yield pd.DataFrame({"bin": vals, "n_part": counts})
 
-    parts = e.select("vec_id", "embedding").mapInPandas(
+    parts = _spread(e.select("vec_id", "embedding")).mapInPandas(
         hist_fn, "bin int, n_part long"
     )
     return parts.groupBy("bin").agg(F.sum("n_part").alias("n_pairs"))
