@@ -631,6 +631,11 @@ def _toks_to_text(toks: list[_Tok]) -> str:
     for t in toks:
         if t.kind == "str":
             parts.append("'" + t.text.replace("'", "\\'") + "'")
+        elif t.kind == "interp":
+            # raw interpolation body still carries its own escapes —
+            # re-wrap verbatim or the sub-query re-parse would read it
+            # as bare tokens
+            parts.append("`" + t.text + "`")
         else:
             parts.append(t.text)
     return " ".join(parts)

@@ -656,3 +656,17 @@ def test_multi_emission_shape_mismatch_rejected(spark, tagged):
         run_aql(tagged, "FROM 'type:view' SELECT _.k * 1, 'x'")
     with pytest.raises(ValueError, match="same-shaped"):
         run_aql(tagged, "FROM 'type:view' SELECT { a: _.k }, { b: _.k }")
+
+
+def test_interpolation_inside_subquery_binding(spark, tagged):
+    """LET sub-queries re-parse from tokens — an interpolation inside
+    one must survive the round trip with its backticks and escapes."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 99"
+        " LET m := FROM 'type:purchase' FILTER _.k >= 99 LIMIT 1"
+        "          SELECT `p\\{{_key}\\}` END"
+        " SELECT { tag: m[0], k: _.k * 1 }",
+    ).collect()
+    assert got, "binding pipeline must produce rows"
+    assert got[0]["tag"].startswith("p{") and got[0]["tag"].endswith("}")
