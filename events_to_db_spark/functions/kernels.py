@@ -47,6 +47,35 @@ def l2_normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+#: Per-chunk budget for a (rows × n_ref) float64 sims matrix.  A
+#: per-task working-set bound (the simproj._PACK_CAP class, not a
+#: data-size gate): with the boolean masks the broadcast kernels carry,
+#: transient memory per worker stays ≈ 3× this, so 32 workers ≈ 12 GiB
+#: — Arrow's default 10k-row batches are sized for TRANSFER, and at a
+#: 200k-row reference a single one means a 16 GB matmul output per
+#: worker (the m100 embed sweep OOM-killed the host twice before this
+#: — PERF.md r6).
+_SIMS_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def rechunk(
+    batches: Iterator[pd.DataFrame], n_ref: int
+) -> Iterator[pd.DataFrame]:
+    """Re-slice incoming Arrow batches so each kernel chunk's sims
+    matrix fits ``_SIMS_CHUNK_BYTES``.  Every broadcast kernel emits
+    per-row results or additive partials, so re-chunking never changes
+    the answer — only the transient footprint."""
+    step = max(1, _SIMS_CHUNK_BYTES // max(1, n_ref * 8))
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if len(pdf) <= step:
+            yield pdf
+            continue
+        for lo in range(0, len(pdf), step):
+            yield pdf.iloc[lo : lo + step]
+
+
 def make_nn_map_fn(ref_bc):
     """Build a ``mapInPandas`` fn: for each input vector, its nearest
     neighbour in the broadcast reference set by cosine (self excluded,
@@ -60,11 +89,9 @@ def make_nn_map_fn(ref_bc):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, unit = ref_bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        for pdf in rechunk(batches, len(ids)):
             q = l2_normalize(stack_embeddings(pdf["embedding"]))
-            sims = q @ unit.T  # (batch, n_ref) — one BLAS call
+            sims = q @ unit.T  # (chunk, n_ref) — one BLAS call
             # exclude self-matches by id (not by position: the batch is
             # an arbitrary slice of the same table)
             self_mask = pdf["vec_id"].to_numpy()[:, None] == ids[None, :]
@@ -88,9 +115,7 @@ def make_threshold_map_fn(ref_bc, threshold: float):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, unit, labels = ref_bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        for pdf in rechunk(batches, len(ids)):
             q = l2_normalize(stack_embeddings(pdf["embedding"]))
             sims = q @ unit.T
             qid = pdf["vec_id"].to_numpy()[:, None]
@@ -244,11 +269,9 @@ def make_dup_flag_map_fn(ref_bc, threshold: float):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, unit = ref_bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        for pdf in rechunk(batches, len(ids)):
             q = l2_normalize(stack_embeddings(pdf["embedding"]))
-            sims = q @ unit.T  # (batch, n_ref)
+            sims = q @ unit.T  # (chunk, n_ref)
             qid = pdf["vec_id"].to_numpy()
             smaller = ids[None, :] < qid[:, None]
             is_dup = ((sims >= threshold) & smaller).any(axis=1)
@@ -275,9 +298,7 @@ def make_min_match_map_fn(ref_bc, threshold: float):
         if len(ids) == 0:
             return
         big = np.iinfo(np.int64).max
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        for pdf in rechunk(batches, len(ids)):
             q = l2_normalize(stack_embeddings(pdf["embedding"]))
             hit = (q @ unit.T) >= threshold
             n = hit.sum(axis=1)

@@ -1244,9 +1244,7 @@ def q_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         ids, unit = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        for pdf in kernels.rechunk(batches, len(ids)):
             q = kernels.l2_normalize(kernels.stack_embeddings(pdf["embedding"]))
             sims = q @ unit.T
             qid = pdf["vec_id"].to_numpy()
