@@ -2510,6 +2510,139 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ml_isotonic",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(least(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END), 10) AS BIGINT)
+                   AS score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND CAST(json_extract_string(props, '$.k')
+                                  AS DOUBLE) >= 90
+                        THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(converted) AS BIGINT) AS s
+        FROM f GROUP BY score
+    ),
+    p AS (
+        SELECT score, cnt, s,
+               sum(cnt) OVER (ORDER BY score
+                              ROWS UNBOUNDED PRECEDING) AS ccum,
+               sum(s) OVER (ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) AS scum
+        FROM b
+    ),
+    spans AS (
+        SELECT j.score AS js, k.score AS ks,
+               CAST(k.scum - j.scum + j.s AS DOUBLE)
+                   / (k.ccum - j.ccum + j.cnt) AS m
+        FROM p j JOIN p k ON j.score <= k.score
+    ),
+    minx AS (
+        SELECT s.js, i.score AS score, min(s.m) AS mn
+        FROM spans s
+        JOIN p i ON s.js <= i.score AND i.score <= s.ks
+        GROUP BY 1, 2
+    )
+    SELECT m.score, b.cnt AS n_users,
+           round(CAST(b.s AS DOUBLE) / b.cnt, 4) AS raw_rate,
+           round(max(m.mn), 4) AS iso_rate
+    FROM minx m JOIN b ON b.score = m.score
+    GROUP BY m.score, b.cnt, b.s
+    """,
+)
+def q_ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAV) over q_ml_calibration's curve — the
+    monotone recalibration every probability-emitting model gets
+    before its scores are trusted (sklearn's IsotonicRegression /
+    Zadrozny-Elkan calibration, as a relational plan).  The outcome is
+    the SPARSE event (a high-value purchase, k >= 90) so the raw
+    curve carries real violators for the fit to pool — the all-users-
+    convert outcome is flat 1.0 on this corpus and would prove
+    nothing.
+
+    Instead of the sequential pool-adjacent-violators loop, the fit
+    uses PAV's minimax closed form: fit_i = max_{j<=i} min_{k>=i}
+    mean(y over buckets j..k) — pure joins over the BUCKET list (score
+    is capped at 10, so spans are O(11²) rows regardless of corpus
+    size; the only data-sized pass is the per-user aggregate it shares
+    with q_ml_calibration).  Determinism: every span mean is ONE
+    double division of two exact BIGINTs (identical IEEE result in
+    both engines) and min/max compare those doubles — no float sums
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    high_k = (F.col("event_type") == "purchase") & (
+        F.get_json_object("props", "$.k").try_cast("double") >= 90
+    )
+    f = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(10),
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(F.when(high_k, 1).otherwise(0)).alias("converted"),
+    )
+    b = f.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("converted").alias("s")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = b.select(
+        "score", "cnt", "s",
+        F.sum("cnt").over(w).alias("ccum"),
+        F.sum("s").over(w).alias("scum"),
+    )
+    j = p.select(
+        F.col("score").alias("js"),
+        F.col("cnt").alias("jcnt"),
+        F.col("s").alias("jns"),
+        F.col("ccum").alias("jccum"),
+        F.col("scum").alias("jscum"),
+    )
+    k = p.select(
+        F.col("score").alias("ks"),
+        F.col("ccum").alias("kccum"),
+        F.col("scum").alias("kscum"),
+    )
+    spans = j.join(k, F.col("js") <= F.col("ks")).select(
+        "js",
+        "ks",
+        (
+            (F.col("kscum") - F.col("jscum") + F.col("jns")).cast("double")
+            / (F.col("kccum") - F.col("jccum") + F.col("jcnt"))
+        ).alias("m"),
+    )
+    i = p.select(F.col("score").alias("iscore"))
+    minx = (
+        spans.join(
+            i,
+            (F.col("js") <= F.col("iscore")) & (F.col("iscore") <= F.col("ks")),
+        )
+        .groupBy("js", "iscore")
+        .agg(F.min("m").alias("mn"))
+    )
+    iso = minx.groupBy("iscore").agg(F.max("mn").alias("fit"))
+    return (
+        iso.join(b, iso.iscore == b.score)
+        .select(
+            "score",
+            F.col("cnt").alias("n_users"),
+            F.round(F.col("s").cast("double") / F.col("cnt"), 4).alias(
+                "raw_rate"
+            ),
+            F.round("fit", 4).alias("iso_rate"),
+        )
+    )
+
+
+@query(
     "q_ev_cuped",
     oracle="""
     WITH b AS (

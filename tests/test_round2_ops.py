@@ -273,6 +273,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_text_stopword_curve": "rank + cumsum over TakeOrderedAndProject's 20 rows (k-bounded)",
         "q_ml_lift": "cumulative over the 10-row decile aggregate (fixed); user ranks go via plans/prefix.py",
         "q_sim_rrf": "row_number over each ordered LIMIT-20 signal window (k-bounded by _RRF_WINDOW)",
+        "q_ml_isotonic": "prefix sums over the 11-row score-bucket aggregate (capped by least(...,10))",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
