@@ -2358,3 +2358,181 @@ def q_stat_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --------------------------------------------------------------------------
+# Residual-autocorrelation diagnostics: Durbin-Watson + Ljung-Box
+# --------------------------------------------------------------------------
+
+#: Ljung-Box lag depth (the weekly-seasonality screen's horizon) and
+#: the chi-square(df=7) 95% critical value, embedded as a literal in
+#: both engines (a live quantile call would be float-library-dependent).
+_LB_LAGS = 7
+_LB_CRIT = "14.0671"
+
+
+def _lb_term_sql(k: int) -> str:
+    """One fixed-order Ljung-Box term (covk/cov0)^2 / (n-k), guarded
+    for short series (n <= k) and constant series (cov0 = 0)."""
+    return (
+        f"CASE WHEN n > {k} AND cov0 <> 0 THEN "
+        f"(CAST(cov{k} AS DOUBLE) / cov0) * (CAST(cov{k} AS DOUBLE) / cov0)"
+        f" / (n - {k}) ELSE 0.0 END"
+    )
+
+
+_LB_Q_EXPR = (
+    "CAST(n AS DOUBLE) * (n + 2) * ("
+    + " + ".join(_lb_term_sql(k) for k in range(1, _LB_LAGS + 1))
+    + ")"
+)
+
+
+@query(
+    "q_stat_portmanteau",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    grid AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT t.event_type, g.day, coalesce(d.c, 0) AS c
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN grid g
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM series GROUP BY 1
+    ),
+    lagged AS (
+        SELECT s.event_type, t.n, t.s, t.ss, s.c,
+               lag(s.c, 1) OVER w AS c1, lag(s.c, 2) OVER w AS c2,
+               lag(s.c, 3) OVER w AS c3, lag(s.c, 4) OVER w AS c4,
+               lag(s.c, 5) OVER w AS c5, lag(s.c, 6) OVER w AS c6,
+               lag(s.c, 7) OVER w AS c7
+        FROM series s JOIN tot t USING (event_type)
+        WINDOW w AS (PARTITION BY s.event_type ORDER BY s.day)
+    ),
+    sums AS (
+        SELECT event_type, any_value(n) AS n, any_value(s) AS s,
+               any_value(ss) AS ss,
+               CAST(sum(CASE WHEN c1 IS NOT NULL
+                             THEN (c - c1) * (c - c1) END) AS BIGINT)
+                   AS dnum,
+               CAST(sum((n * c - s) * (n * c - s)) AS BIGINT) AS cov0,
+               CAST(sum(CASE WHEN c1 IS NOT NULL
+                             THEN (n * c - s) * (n * c1 - s) END) AS BIGINT) AS cov1,
+               CAST(sum(CASE WHEN c2 IS NOT NULL
+                             THEN (n * c - s) * (n * c2 - s) END) AS BIGINT) AS cov2,
+               CAST(sum(CASE WHEN c3 IS NOT NULL
+                             THEN (n * c - s) * (n * c3 - s) END) AS BIGINT) AS cov3,
+               CAST(sum(CASE WHEN c4 IS NOT NULL
+                             THEN (n * c - s) * (n * c4 - s) END) AS BIGINT) AS cov4,
+               CAST(sum(CASE WHEN c5 IS NOT NULL
+                             THEN (n * c - s) * (n * c5 - s) END) AS BIGINT) AS cov5,
+               CAST(sum(CASE WHEN c6 IS NOT NULL
+                             THEN (n * c - s) * (n * c6 - s) END) AS BIGINT) AS cov6,
+               CAST(sum(CASE WHEN c7 IS NOT NULL
+                             THEN (n * c - s) * (n * c7 - s) END) AS BIGINT) AS cov7
+        FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(n * n * dnum AS DOUBLE)
+                 / nullif(n * ss - s * s, 0) / n, 4) AS dw,
+           round({q_expr}, 4) AS q_lb,
+           ({q_expr}) > CAST({crit} AS DOUBLE) AS lb_reject
+    FROM sums
+    """.replace("{q_expr}", _LB_Q_EXPR).replace("{crit}", _LB_CRIT),
+)
+def q_stat_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-autocorrelation diagnostics on the daily event-count
+    series per type: Durbin-Watson (lag-1) and the Ljung-Box
+    portmanteau Q over lags 1..7 with its chi-square(7) 95% gate — the
+    "are these residuals white noise" screen a forecasting/monitoring
+    pipeline runs before trusting a model's error bars.
+
+    Determinism discipline (SURVEY §7.5): DW's numerator needs no mean
+    at all (differences cancel it: e_t - e_{t-1} = c_t - c_{t-1}) and
+    its denominator clears the mean by n, so DW is ONE division of two
+    exact BIGINTs.  Each Ljung-Box autocorrelation is the ratio of two
+    exact BIGINT co-moments (centered by multiplying through n), and Q
+    sums the 7 terms in one fixed left-associative literal expression
+    — the Levene/nDCG pattern, no float accumulation across rows.  The
+    chi-square critical value is an embedded literal (a live quantile
+    would be float-library-dependent).  Scale: everything past the
+    per-(type, day) aggregate is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    grid = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("c"))
+    types = ev.select("event_type").distinct()
+    series = (
+        types.crossJoin(F.broadcast(grid))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = series.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = series.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n", "s", "ss", "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+
+    def cov(k: int):
+        devk = F.col("n") * F.col(f"c{k}") - F.col("s")
+        return F.sum(
+            F.when(F.col(f"c{k}").isNotNull(), dev * devk)
+        ).alias(f"cov{k}")
+
+    sums = lagged.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("s").alias("s"),
+        F.first("ss").alias("ss"),
+        F.sum(
+            F.when(
+                F.col("c1").isNotNull(),
+                (F.col("c") - F.col("c1")) * (F.col("c") - F.col("c1")),
+            )
+        ).alias("dnum"),
+        F.sum(dev * dev).alias("cov0"),
+        *[cov(k) for k in range(1, _LB_LAGS + 1)],
+    )
+    q_expr = F.expr(_LB_Q_EXPR)
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("n") * F.col("dnum")).cast("double")
+            / F.nullif(
+                F.col("n") * F.col("ss") - F.col("s") * F.col("s"), F.lit(0)
+            )
+            / F.col("n"),
+            4,
+        ).alias("dw"),
+        F.round(q_expr, 4).alias("q_lb"),
+        (q_expr > F.expr(f"CAST({_LB_CRIT} AS DOUBLE)")).alias("lb_reject"),
+    )
