@@ -377,3 +377,100 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("dc"), F.lit(0)).alias("max_cust_degree"),
         F.coalesce(F.max("ds"), F.lit(0)).alias("max_supp_degree"),
     )
+
+
+@query(
+    "q_graph_linkpred",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    wedges AS (
+        SELECT s1.u AS a, s2.v AS c, count(*) AS common
+        FROM sym s1 JOIN sym s2
+          ON s2.u = s1.v AND s1.u < s2.v
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.a, w.c, CAST(w.common AS BIGINT) AS common
+        FROM wedges w
+        LEFT JOIN edges e ON e.u = w.a AND e.v = w.c
+        WHERE e.u IS NULL
+    )
+    SELECT cand.a, cand.c, cand.common,
+           CAST(cand.common * 10000
+                // (da.d + dc.d - cand.common) AS BIGINT) AS jacc_bp
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg dc ON dc.node = cand.c
+    ORDER BY cand.common DESC, jacc_bp DESC, cand.a, cand.c
+    LIMIT 20
+    """,
+)
+def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the top-20 NON-edges
+    ranked by common-neighbor count with a basis-point Jaccard
+    tie-break — the "customers who bought these also bought" candidate
+    generator (and the dedup-cluster "should these merge" heuristic)
+    in its exact-integer form.
+
+    Plan shape: the wedge enumeration is ONE self-join of the
+    symmetric edge list on the middle node (the same degree-bounded
+    sweep q_graph_triangles uses), an anti-join removes existing
+    edges, and degrees attach by two keyed joins — no driver-side
+    structure; every score is integers (common, floor-div basis
+    points), so the ranking is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        baskets.join(
+            b2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    s2 = sym.select(F.col("u").alias("m"), F.col("v").alias("c"))
+    wedges = (
+        sym.join(s2, (F.col("v") == F.col("m")) & (F.col("u") < F.col("c")))
+        .groupBy(F.col("u").alias("a"), "c")
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedges.join(
+        edges,
+        (wedges.a == edges.u) & (wedges.c == edges.v),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    return (
+        cand.join(da, "a")
+        .join(dc, "c")
+        .select(
+            "a",
+            "c",
+            F.col("common").cast("long").alias("common"),
+            F.expr("common * 10000 div (da + dc - common)")
+            .cast("long")
+            .alias("jacc_bp"),
+        )
+        .orderBy(
+            F.col("common").desc(), F.col("jacc_bp").desc(), "a", "c"
+        )
+        .limit(20)
+    )

@@ -415,3 +415,124 @@ def q_ir_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(found10.cast("double") / F.least(n_rel, F.lit(10)), 4),
         ).alias("recall10"),
     )
+
+
+@query(
+    "q_ir_expand",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t.term,
+               len(string_split(text, ' ')) AS dl
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    corpus AS (
+        SELECT count(DISTINCT doc_id) AS n,
+               CAST(count(*) AS BIGINT) AS l
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        FROM toks
+        WHERE term IN ('dup', 'hash', 'join')
+        GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(((corpus.n - df.df) * {_IDF_SCALE} // df.df)
+                   * (22 * corpus.l * tf.tf)
+                   // (10 * corpus.l * tf.tf + 3 * corpus.l
+                       + 9 * tf.dl * corpus.n)) AS score_s
+        FROM tf JOIN df USING (term) CROSS JOIN corpus
+        GROUP BY 1
+    ),
+    top10 AS (
+        SELECT doc_id FROM scored ORDER BY score_s DESC, doc_id LIMIT 10
+    ),
+    alltf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfall AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM alltf GROUP BY 1
+    )
+    SELECT a.term,
+           CAST(sum(a.tf * ((corpus.n - dfall.df) * {_IDF_SCALE}
+                            // dfall.df)) AS BIGINT) AS exp_score,
+           CAST(any_value(dfall.df) AS BIGINT) AS df
+    FROM alltf a
+    JOIN top10 USING (doc_id)
+    JOIN dfall USING (term)
+    CROSS JOIN corpus
+    WHERE a.term NOT IN ('dup', 'hash', 'join')
+    GROUP BY a.term
+    ORDER BY exp_score DESC, a.term
+    LIMIT 15
+    """,
+)
+def q_ir_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3 shape): run the
+    fixed BM25 query, take the top-10 feedback documents, and score
+    every term they contain by Sum tf(term, d) x rational-idf(term) —
+    the top-15 non-query terms are the expansion the second retrieval
+    round would add.  All-integer (the q_text_bm25 rational variant's
+    idf), so the expansion list is bit-identical cross-engine.
+
+    Scale: the only corpus-sized shuffles are the (doc, term) tf
+    aggregate and the df aggregate it already shares with BM25; the
+    feedback side is 10 broadcast doc ids pruning alltf BEFORE the
+    expansion aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("term"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    corpus = toks.agg(
+        F.countDistinct("doc_id").alias("n"), F.count("*").alias("l")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"((n - df) * {_IDF_SCALE} div df)"
+                    " * (22 * l * tf)"
+                    " div (10 * l * tf + 3 * l + 9 * dl * n)"
+                )
+            ).alias("score_s")
+        )
+    )
+    top10 = (
+        scored.orderBy(F.col("score_s").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    alltf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfall = alltf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        alltf.join(F.broadcast(top10), "doc_id")
+        .filter(~F.col("term").isin(*_BM25_TERMS))
+        .join(dfall, "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.expr(f"tf * ((n - df) * {_IDF_SCALE} div df)")
+            )
+            .cast("long")
+            .alias("exp_score"),
+            F.first("df").cast("long").alias("df"),
+        )
+        .orderBy(F.col("exp_score").desc(), "term")
+        .limit(15)
+    )
