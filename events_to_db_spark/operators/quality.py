@@ -846,3 +846,86 @@ def q_ev_doublefire(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_gap_us"),
     )
+
+
+@query(
+    "q_quality_expectations",
+    oracle="""
+    SELECT 'custkey_not_null' AS rule_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS violations,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'price_range',
+           CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN o_totalprice < 0
+                             OR o_totalprice > 400000 THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_totalprice < 0
+                        OR o_totalprice > 400000 THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'priority_known',
+           CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN o_orderpriority NOT IN
+                               ('1-URGENT', '2-HIGH', '3-MEDIUM', '5-LOW')
+                             OR o_orderpriority IS NULL THEN 1 END)
+                AS BIGINT),
+           count(CASE WHEN o_orderpriority NOT IN
+                          ('1-URGENT', '2-HIGH', '3-MEDIUM', '5-LOW')
+                        OR o_orderpriority IS NULL THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                           THEN 1 END) AS BIGINT),
+           count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                 THEN 1 END) = 0
+    FROM orders
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations suite (expectations.py): five rules —
+    not-null, primary-key uniqueness, a numeric range with a
+    DELIBERATELY tight ceiling (400k < the true max, so the suite
+    reports real violations, proving the counter counts), a value-set
+    membership missing '4-NOT SPECIFIED' (same reason), and a custom
+    SQL predicate — compiled into ONE aggregation pass over orders and
+    unpivoted to per-rule rows.  A 100-rule suite at 100 TB still
+    costs one scan: every rule is a conditional count inside the same
+    hash aggregate (the unique rule adds a distinct count, which Spark
+    plans into the same aggregate via expand)."""
+    from events_to_db_spark.expectations import run_expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        {"id": "custkey_not_null", "type": "not_null", "col": "o_custkey"},
+        {"id": "orderkey_unique", "type": "unique", "col": "o_orderkey"},
+        {
+            "id": "price_range",
+            "type": "range",
+            "col": "o_totalprice",
+            "lo": 0,
+            "hi": 400000,
+        },
+        {
+            "id": "priority_known",
+            "type": "in_set",
+            "col": "o_orderpriority",
+            "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"],
+        },
+        {
+            "id": "price_positive",
+            "type": "custom",
+            "expr": "o_totalprice > 0",
+        },
+    ]
+    return run_expectations(o, rules)
