@@ -57,7 +57,7 @@ numeric contexts wrap paths in ``try_cast(double)`` (NULL on
 non-numeric, never an ANSI error) and string comparisons compare text.
 Expression grammar (precedence low→high)::
 
-    expr    := or
+    expr    := or ('??' or)*              -- alternative / fallback (beta)
     or      := and ('|' and)*
     and     := cmp ('&' cmp)*
     cmp     := add (('='|'!='|'<'|'<='|'>'|'>=') add)?
@@ -67,6 +67,8 @@ Expression grammar (precedence low→high)::
     atom    := number | 'string' | TRUE | FALSE | NULL | path | '(' expr ')'
              | CASE (WHEN expr THEN expr)+ (ELSE expr)? ENDCASE
              | FUNC '(' args ')'          -- aggregate calls
+             | IsDefined '(' expr ')'     -- presence test (beta)
+             | '[' expr (',' expr)* ']'   -- array literal (beta)
              | `text {expr} …`            -- interpolation (beta)
 
 A query may open with ``PRAGMA features := name …`` header lines (the
@@ -103,7 +105,7 @@ _TOKEN_RE = re.compile(
       | (?P<appid>appId\(\s*[A-Za-z0-9_.:\-]+\s*\))
       | (?P<bpath>[A-Za-z][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])+)
       | (?P<word>[A-Za-z][A-Za-z_0-9]*)
-      | (?P<op>:=|<=|>=|!=|[-+*/%=<>()!&|,{}:])
+      | (?P<op>:=|\?\?|<=|>=|!=|[-+*/%=<>()!&|,{}:\[\]])
     )""",
     re.VERBOSE,
 )
@@ -268,6 +270,19 @@ class _ExprParser:
 
     # precedence ladder ---------------------------------------------------
     def expr(self) -> _Val:
+        # `??` — the public AQL *alternative* operator (dynamic typing's
+        # fallback: left value if present, else right).  Missing values
+        # are NULL in this engine, so it compiles to coalesce; lowest
+        # precedence, left-associative.
+        v = self.or_()
+        while self.at_op("??"):
+            self.take()
+            r = self.or_()
+            kind = v.kind if v.kind == r.kind else _ANY
+            v = _Val(F.coalesce(v.col, r.col), kind)
+        return v
+
+    def or_(self) -> _Val:
         v = self.and_()
         while self.at_op("|"):
             self.take()
@@ -384,6 +399,18 @@ class _ExprParser:
         if t.kind == "word" and t.text in self.bindings:
             self.take()
             return _Val(F.col(f"__let_{t.text}"), self.bindings[t.text])
+        if t.kind == "word" and t.text == "IsDefined":
+            # public AQL presence test — TRUE iff the expression has a
+            # value (missing payload paths are NULL in this engine).
+            self.take()
+            if not self.at_op("("):
+                raise ValueError("AQL: IsDefined needs '('")
+            self.take()
+            v = self.expr()
+            if not self.at_op(")"):
+                raise ValueError("AQL: IsDefined missing ')'")
+            self.take()
+            return _Val(v.col.isNotNull(), _BOOL)
         if t.kind == "word" and t.text == "CASE":
             return self.case()
         if t.kind == "word" and t.text in _AGG_FUNCS:
@@ -395,6 +422,23 @@ class _ExprParser:
                 raise ValueError("AQL: missing ')'")
             self.take()
             return v
+        if self.at_op("["):
+            # array literal `[e1, e2, …]` — elements must share one
+            # Spark type (AQL is dynamically typed; a columnar engine
+            # is not — Spark's array() type-check raises otherwise).
+            self.take()
+            items: list[_Val] = []
+            if not self.at_op("]"):
+                while True:
+                    items.append(self.expr())
+                    if self.at_op(","):
+                        self.take()
+                        continue
+                    break
+            if not self.at_op("]"):
+                raise ValueError("AQL: array literal missing ']'")
+            self.take()
+            return _Val(F.array(*[v.col for v in items]), _ANY)
         if self.at_op("{"):
             # nested object construction anywhere an expression is
             # valid: `{ a: 1, b: { c: _.x } }` compiles to a struct

@@ -602,6 +602,39 @@ def q_aql_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_aql_dynamic",
+    oracle="""
+    SELECT event_id,
+           coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 1,
+                    0 - 1) AS k,
+           json_extract_string(props, '$.missing') IS NOT NULL AS has_m,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    WHERE event_type = 'view'
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
+    """,
+)
+def q_aql_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL dynamic-typing surface (public beta, r6): the alternative
+    operator ``??`` (value if present, else fallback — coalesce, since
+    missing paths are NULL here) and the ``IsDefined(expr)`` presence
+    test, both over payload paths that may or may not exist.  Array
+    literals ``[e1, e2]`` parse too (tests/test_aql.py) but stay out
+    of this oracle's output — the driver compare wants flat columns."""
+    from events_to_db_spark.functions.aql import run_aql
+    from events_to_db_spark.functions.tags import with_tags
+
+    ev = with_tags(load_table(spark, sf_dir, "events"))
+    out = run_aql(
+        ev,
+        "FROM 'type:view' FILTER _.k >= 95"
+        " SELECT { k: _.k * 1 ?? 0 - 1, has_m: IsDefined(_.missing),"
+        " has_k: IsDefined(_.k) }",
+    )
+    return out.select("event_id", "k", "has_m", "has_k")
+
+
+@query(
     "q_scan_merge_schema",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,

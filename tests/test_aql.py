@@ -670,3 +670,41 @@ def test_interpolation_inside_subquery_binding(spark, tagged):
     ).collect()
     assert got, "binding pipeline must produce rows"
     assert got[0]["tag"].startswith("p{") and got[0]["tag"].endswith("}")
+
+
+def test_alternative_operator_and_isdefined(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' LIMIT 1"
+        " SELECT { a: _.missing ?? 'fallback', b: _.k ?? 'x',"
+        " c: IsDefined(_.k), d: IsDefined(_.missing) }",
+    ).collect()[0]
+    assert got["a"] == "fallback"
+    assert got["b"] is not None and got["b"] != "x"
+    assert got["c"] is True and got["d"] is False
+    # ?? chains left-associatively
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' LIMIT 1"
+        " SELECT _.m1 ?? _.m2 ?? 'third'",
+    ).collect()[0]
+    assert got["value"] == "third"
+
+
+def test_array_literal(spark, tagged):
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 99 LIMIT 1"
+        " SELECT { arr: [_.k * 1, _.k * 2, 0 - 1] }",
+    ).collect()[0]
+    assert got["arr"] == [99.0, 198.0, -1.0]
+    # empty array and parse errors
+    assert run_aql(
+        tagged, "FROM 'type:view' LIMIT 1 SELECT { e: [] }"
+    ).collect()[0]["e"] == []
+    with pytest.raises(ValueError, match="missing ']'"):
+        run_aql(tagged, "FROM 'type:view' SELECT [_.k")
+    with pytest.raises(ValueError, match="unexpected end"):
+        run_aql(tagged, "FROM 'type:view' SELECT [_.k, ")
+    with pytest.raises(ValueError, match="IsDefined needs"):
+        run_aql(tagged, "FROM 'type:view' SELECT IsDefined _.k")
