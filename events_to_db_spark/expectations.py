@@ -110,3 +110,72 @@ def run_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("ok"),
     )
+
+
+def expectations_foreach_batch(db_path: str, table: str, rules: list[dict]):
+    """Streaming data-quality monitor: fold each micro-batch's per-rule
+    (n_rows, violations) into running totals, exactly once — the DQ
+    counter a live events-to-db copy (etl.py) keeps beside the data.
+
+    Per batch the suite costs its usual single aggregate (|rules| rows
+    reach the driver, never events); the merge and the batch-id record
+    commit in ONE transaction (the additive-sink idempotency pattern,
+    streaming/sink.py), so redelivered batches are skipped and a crash
+    between write and commit replays cleanly.
+
+    ``unique`` rules are REJECTED here: distinct counts are not
+    additive across micro-batches (a cross-batch duplicate would never
+    be seen) — uniqueness on a stream belongs to the keyed-upsert sink
+    or a batch audit over the landed table, and a silently-wrong
+    counter is worse than a loud error."""
+    validate_rules(rules)
+    for r in rules:
+        if r["type"] == "unique":
+            raise ValueError(
+                f"expectations: rule {r['id']!r} is 'unique' — distinct "
+                "counts are not additive across micro-batches; audit "
+                "uniqueness on the landed table instead"
+            )
+
+    def write(batch_df, batch_id: int) -> None:
+        from events_to_db_spark.streaming.sink import _connect
+
+        part = run_expectations(batch_df, rules).collect()
+        con = _connect(db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{table}" '
+                "(rule_id TEXT PRIMARY KEY, n_rows INTEGER, "
+                "violations INTEGER)"
+            )
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{table}__batches" '
+                "(batch_id INTEGER PRIMARY KEY)"
+            )
+            already = con.execute(
+                f'SELECT 1 FROM "{table}__batches" WHERE batch_id = ?',
+                (batch_id,),
+            ).fetchone()
+            if already is None:
+                for row in part:
+                    con.execute(
+                        f'INSERT INTO "{table}" '
+                        "(rule_id, n_rows, violations) VALUES (?, ?, ?) "
+                        "ON CONFLICT (rule_id) DO UPDATE SET "
+                        "n_rows = n_rows + excluded.n_rows, "
+                        "violations = violations + excluded.violations",
+                        (row["rule_id"], row["n_rows"], row["violations"]),
+                    )
+                con.execute(
+                    f'INSERT INTO "{table}__batches" (batch_id) VALUES (?)',
+                    (batch_id,),
+                )
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+
+    return write

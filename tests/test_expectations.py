@@ -73,3 +73,75 @@ def test_validation_is_loud(spark):
     ]:
         with pytest.raises(ValueError, match=msg):
             validate_rules(bad)
+
+
+STREAM_RULES = [
+    {"id": "uid_not_null", "type": "not_null", "col": "user_id"},
+    {"id": "value_range", "type": "range", "col": "value", "lo": 0, "hi": 90},
+    {
+        "id": "type_known",
+        "type": "in_set",
+        "col": "event_type",
+        "values": ["view", "click", "purchase", "signup"],
+    },
+    {"id": "value_nonneg", "type": "custom", "expr": "value >= 0"},
+]
+
+
+def test_streaming_monitor_matches_batch_and_is_idempotent(
+    spark, chunked_events, tmp_path
+):
+    from events_to_db_spark.expectations import (
+        expectations_foreach_batch,
+        run_expectations,
+    )
+    from events_to_db_spark.session import load_table
+    from events_to_db_spark.streaming.sink import read_sink_table
+    from events_to_db_spark.streaming.sources import events_file_stream
+    from tests.conftest import SF_SMOKE
+
+    feed, ev, n = chunked_events
+    db = str(tmp_path / "dq.db")
+
+    def run():
+        q = (
+            events_file_stream(spark, feed)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(expectations_foreach_batch(db, "dq", STREAM_RULES))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = read_sink_table(db, "dq").set_index("rule_id")
+    want = {
+        r["rule_id"]: (r["n_rows"], r["violations"])
+        for r in run_expectations(
+            load_table(spark, SF_SMOKE, "events"), STREAM_RULES
+        ).collect()
+    }
+    assert len(got) == len(STREAM_RULES)
+    for rid, (n_rows, viol) in want.items():
+        assert (got.loc[rid, "n_rows"], got.loc[rid, "violations"]) == (
+            n_rows,
+            viol,
+        ), rid
+    assert want["value_range"][1] > 0, "suite must see real violations"
+
+    # nothing new + same checkpoint -> totals unchanged (no double count)
+    run()
+    again = read_sink_table(db, "dq").set_index("rule_id")
+    assert again.equals(got)
+
+
+def test_streaming_monitor_rejects_unique(spark, tmp_path):
+    from events_to_db_spark.expectations import expectations_foreach_batch
+
+    with pytest.raises(ValueError, match="not additive"):
+        expectations_foreach_batch(
+            str(tmp_path / "x.db"),
+            "dq",
+            [{"id": "u", "type": "unique", "col": "event_id"}],
+        )
