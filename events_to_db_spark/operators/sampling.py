@@ -12,7 +12,7 @@ a statistical sample.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from events_to_db_spark.plans.prefix import bucketed_running_sum
@@ -415,4 +415,130 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rn").cast("long").alias("first_rank"),
         F.max("rn").cast("long").alias("last_rank"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+#: Neyman total budget and the md5-hash-order pick expressions (the
+#: deterministic "random order" convention of this module, over
+#: c_custkey).
+_NEYMAN_N = 1000
+_SPARK_CHASH = (
+    "cast(conv(substr(md5(cast(cast(c_custkey as string) as binary)), 1, 15),"
+    " 16, 10) as bigint)"
+)
+_DUCK_CHASH = "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@query(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH cents AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ),
+    strata AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(bal_c) AS BIGINT) AS sc,
+               CAST(sum(bal_c * bal_c) AS BIGINT) AS ssc
+        FROM cents GROUP BY 1
+    ),
+    weighted AS (
+        SELECT c_mktsegment, n_h,
+               CAST(floor(sqrt(CAST(n_h * ssc - sc * sc AS DOUBLE)) / n_h)
+                    AS BIGINT) AS sd_cents
+        FROM strata
+    ),
+    alloc AS (
+        SELECT c_mktsegment, n_h, sd_cents,
+               CAST({_NEYMAN_N} * (n_h * sd_cents)
+                    // (SELECT sum(n_h * sd_cents) FROM weighted)
+                    AS BIGINT) AS n_alloc
+        FROM weighted
+    ),
+    picked AS (
+        SELECT c.c_mktsegment, c.bal_c,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY {_DUCK_CHASH}, c.c_custkey)
+                   AS rk
+        FROM cents c
+    )
+    SELECT a.c_mktsegment, a.n_h, a.sd_cents, a.n_alloc,
+           CAST(count(p.rk) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(p.bal_c), 0) AS BIGINT) AS sample_bal_cents
+    FROM alloc a
+    LEFT JOIN picked p
+      ON p.c_mktsegment = a.c_mktsegment AND p.rk <= a.n_alloc
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a budget of {n} customers
+    is split across market segments proportionally to N_h·σ_h (the
+    variance-optimal allocation for estimating mean account balance),
+    then each stratum's sample is drawn deterministically in
+    md5-hash order — the survey-statistics sampler a metrics pipeline
+    uses when strata differ in spread, reproducible end to end.
+
+    Determinism: balances are exact cents, so N·Σx²−(Σx)² is an exact
+    BIGINT (= N²·variance); σ̂ = floor(sqrt(·)/N) applies one
+    correctly-rounded IEEE sqrt + division to identical doubles in
+    both engines; the allocation is integer floor-division on exact
+    weights (floor allocation — the ≤4-seat remainder is deliberately
+    left unassigned, documented spec); membership is the module's
+    md5-hash-order convention, so the sampled set (and its exact-cents
+    balance sum) hash-matches.  Plan: two keyed aggregates + one
+    partitioned rank — one scan of customer each, no global window.
+    """.format(n=_NEYMAN_N)
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_c"),
+    )
+    strata = cents.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_h"),
+        F.sum("bal_c").alias("sc"),
+        F.sum(F.col("bal_c") * F.col("bal_c")).alias("ssc"),
+    )
+    weighted = strata.select(
+        "c_mktsegment",
+        "n_h",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_h * ssc - sc * sc AS DOUBLE)) / n_h)"
+            " AS BIGINT)"
+        ).alias("sd_cents"),
+    )
+    total_w = weighted.agg(
+        F.sum(F.col("n_h") * F.col("sd_cents")).alias("tw")
+    )
+    alloc = weighted.crossJoin(F.broadcast(total_w)).select(
+        "c_mktsegment",
+        "n_h",
+        "sd_cents",
+        F.expr(f"CAST({_NEYMAN_N} * (n_h * sd_cents) div tw AS BIGINT)").alias(
+            "n_alloc"
+        ),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.expr(_SPARK_CHASH), "c_custkey"
+    )
+    picked = cents.select(
+        "c_mktsegment", "bal_c", F.row_number().over(w).alias("rk")
+    )
+    return (
+        alloc.join(
+            picked,
+            (picked.c_mktsegment == alloc.c_mktsegment)
+            & (picked.rk <= alloc.n_alloc),
+            "left",
+        )
+        .groupBy(alloc.c_mktsegment, "n_h", "sd_cents", "n_alloc")
+        .agg(
+            F.count("rk").cast("long").alias("n_sampled"),
+            F.coalesce(F.sum("bal_c"), F.lit(0))
+            .cast("long")
+            .alias("sample_bal_cents"),
+        )
     )
