@@ -5479,3 +5479,121 @@ def q_ev_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_change"),
     )
+
+
+def _brier_piv(agg_fmt: str) -> str:
+    """Eleven fixed score buckets (the least(...,10) cap) pivoted to
+    literal columns — the fixed-order summation trick."""
+    return ", ".join(agg_fmt.format(b=b) for b in range(11))
+
+
+_BRIER_REL = " + ".join(
+    f"CASE WHEN n_{b} > 0 THEN "
+    f"CAST(({b} * n_{b} - 10 * s_{b}) * ({b} * n_{b} - 10 * s_{b}) AS DOUBLE)"
+    f" / (100 * n_{b}) ELSE 0.0 END"
+    for b in range(11)
+)
+_BRIER_RES = " + ".join(
+    f"CASE WHEN n_{b} > 0 THEN "
+    f"CAST((nn * s_{b} - yy * n_{b}) * (nn * s_{b} - yy * n_{b}) AS DOUBLE)"
+    f" / (CAST(nn AS DOUBLE) * nn * n_{b}) ELSE 0.0 END"
+    for b in range(11)
+)
+
+
+@query(
+    "q_ml_brier",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(least(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END), 10) AS BIGINT)
+                   AS score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND CAST(json_extract_string(props, '$.k')
+                                  AS DOUBLE) >= 90
+                        THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(converted) AS BIGINT) AS yy,
+               {piv_cols}
+        FROM f
+    )
+    SELECT nn AS n_users,
+           round(({rel}) / nn, 4) AS reliability,
+           round(({res}) / nn, 4) AS resolution,
+           round(CAST(yy * (nn - yy) AS DOUBLE) / nn / nn, 4)
+               AS uncertainty,
+           round(({rel}) / nn - ({res}) / nn
+                 + CAST(yy * (nn - yy) AS DOUBLE) / nn / nn, 4) AS brier
+    FROM piv
+    """.format(
+        piv_cols=_brier_piv(
+            "CAST(count(CASE WHEN score = {b} THEN 1 END) AS BIGINT)"
+            " AS n_{b}, "
+            "CAST(coalesce(sum(CASE WHEN score = {b} THEN converted END), 0)"
+            " AS BIGINT) AS s_{b}"
+        ),
+        rel=_BRIER_REL,
+        res=_BRIER_RES,
+    ),
+)
+def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the naive
+    score-proportional predictor p = score/10 against the sparse
+    conversion outcome: reliability (miscalibration to pool away —
+    what q_ml_isotonic fixes), resolution (how much the buckets
+    separate), uncertainty (the outcome's intrinsic variance), and
+    Brier = REL − RES + UNC — the third member of the calibration
+    family (curve → isotonic fit → score decomposition).
+
+    Determinism: every per-bucket term is one double division of exact
+    BIGINT cross-products ((b·n_b − 10·s_b)², (N·s_b − Y·n_b)²), and
+    the bucket sums run over the ELEVEN LITERAL buckets the
+    least(...,10) cap guarantees, in fixed left-associative order —
+    the pivot + fixed-order-literal pattern (Levene/nDCG).  One
+    user-keyed aggregate then one 1-row pivot; nothing data-sized
+    past the first shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    high_k = (F.col("event_type") == "purchase") & (
+        F.get_json_object("props", "$.k").try_cast("double") >= 90
+    )
+    f = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(10),
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(F.when(high_k, 1).otherwise(0)).alias("converted"),
+    )
+    piv = f.agg(
+        F.count("*").alias("nn"),
+        F.sum("converted").alias("yy"),
+        *[
+            c
+            for b in range(11)
+            for c in (
+                F.count(F.when(F.col("score") == b, 1)).alias(f"n_{b}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("score") == b, F.col("converted"))),
+                    F.lit(0),
+                ).alias(f"s_{b}"),
+            )
+        ],
+    )
+    rel = F.expr(_BRIER_REL)
+    res = F.expr(_BRIER_RES)
+    unc = F.expr("CAST(yy * (nn - yy) AS DOUBLE) / nn / nn")
+    return piv.select(
+        F.col("nn").alias("n_users"),
+        F.round(rel / F.col("nn"), 4).alias("reliability"),
+        F.round(res / F.col("nn"), 4).alias("resolution"),
+        F.round(unc, 4).alias("uncertainty"),
+        F.round(rel / F.col("nn") - res / F.col("nn") + unc, 4).alias(
+            "brier"
+        ),
+    )
