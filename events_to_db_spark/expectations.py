@@ -26,10 +26,17 @@ number of data passes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _TYPES = ("not_null", "unique", "range", "in_set", "custom")
+
+#: Rule ids are spliced into a ``stack(...)`` expression as string
+#: literals — restrict them so an id can never break (or inject into)
+#: the generated SQL.
+_ID_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")
 
 
 def _violation_count(rule: dict) -> Column:
@@ -65,6 +72,10 @@ def validate_rules(rules: list[dict]) -> None:
         rid = r.get("id")
         if not rid:
             raise ValueError("expectations: rule without 'id'")
+        if not _ID_RE.match(rid):
+            raise ValueError(
+                f"expectations: rule id {rid!r} must match [A-Za-z0-9_.-]+"
+            )
         if rid in seen:
             raise ValueError(f"expectations: duplicate rule id {rid!r}")
         seen.add(rid)

@@ -70,6 +70,7 @@ def test_validation_is_loud(spark):
         ([{"id": "a", "type": "range", "col": "x"}], "'lo' and/or 'hi'"),
         ([{"id": "a", "type": "in_set", "col": "x", "values": []}], "needs 'values'"),
         ([{"id": "a", "type": "custom"}], "needs 'expr'"),
+        ([{"id": "a'); drop", "type": "not_null", "col": "x"}], "must match"),
     ]:
         with pytest.raises(ValueError, match=msg):
             validate_rules(bad)
