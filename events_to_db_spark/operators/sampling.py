@@ -446,7 +446,10 @@ _DUCK_CHASH = "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT"
     ),
     weighted AS (
         SELECT c_mktsegment, n_h,
-               CAST(floor(sqrt(CAST(n_h * ssc - sc * sc AS DOUBLE)) / n_h)
+               CAST(floor(sqrt(greatest(
+                        CAST(ssc AS DOUBLE) / n_h
+                        - (CAST(sc AS DOUBLE) / n_h)
+                          * (CAST(sc AS DOUBLE) / n_h), 0)))
                     AS BIGINT) AS sd_cents
         FROM strata
     ),
@@ -481,10 +484,13 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-hash order — the survey-statistics sampler a metrics pipeline
     uses when strata differ in spread, reproducible end to end.
 
-    Determinism: balances are exact cents, so N·Σx²−(Σx)² is an exact
-    BIGINT (= N²·variance); σ̂ = floor(sqrt(·)/N) applies one
-    correctly-rounded IEEE sqrt + division to identical doubles in
-    both engines; the allocation is integer floor-division on exact
+    Determinism: balances are exact cents, so Σx and Σx² are exact
+    BIGINTs; σ̂² = Σx²/N − (Σx/N)² applies the identical IEEE
+    division/multiply/subtract sequence to identical exact inputs in
+    both engines (the N·Σx² form overflows BIGINT past ~40k rows ×
+    1e6-cent balances — caught by the m100 scaling tier, PERF.md r6),
+    and σ̂ = floor(sqrt(max(·,0))) is one correctly-rounded sqrt; the
+    allocation is integer floor-division on exact
     weights (floor allocation — the ≤4-seat remainder is deliberately
     left unassigned, documented spec); membership is the module's
     md5-hash-order convention, so the sampled set (and its exact-cents
@@ -506,8 +512,10 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "n_h",
         F.expr(
-            "CAST(floor(sqrt(CAST(n_h * ssc - sc * sc AS DOUBLE)) / n_h)"
-            " AS BIGINT)"
+            "CAST(floor(sqrt(greatest("
+            "CAST(ssc AS DOUBLE) / n_h"
+            " - (CAST(sc AS DOUBLE) / n_h) * (CAST(sc AS DOUBLE) / n_h),"
+            " 0))) AS BIGINT)"
         ).alias("sd_cents"),
     )
     total_w = weighted.agg(
