@@ -48,6 +48,8 @@ per-micro-batch transactions — nothing accumulates on the driver.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -59,6 +61,13 @@ from events_to_db_spark.streaming.subscriptions import aql_subscription
 #: A table entry without a query copies the whole log: envelope
 #: (ts, event_id) + the raw payload — "flatten {metadata + payload}".
 DEFAULT_QUERY = "FROM allEvents"
+
+#: Table names splice into checkpoint paths and quoted SQL identifiers;
+#: restrict them so a name can never escape the checkpoint directory
+#: ('/', '..') or break the generated SQL ('"') — the same identifier
+#: gate expectations.py applies to rule ids (ADVICE r06).  Requires at
+#: least one word character so '.'/'..' cannot pass the charset.
+_TABLE_RE = re.compile(r"^(?=.*[A-Za-z0-9_])[A-Za-z0-9_.\-]+$")
 
 
 def validate_config(config: dict) -> None:
@@ -74,6 +83,12 @@ def validate_config(config: dict) -> None:
         name = entry.get("table")
         if not name:
             raise ValueError("etl config: table entry without 'table' name")
+        if not _TABLE_RE.match(name):
+            raise ValueError(
+                f"etl config: table name {name!r} must match "
+                "[A-Za-z0-9_.-]+ (with at least one word character) — "
+                "names splice into checkpoint paths and SQL identifiers"
+            )
         if name in seen:
             raise ValueError(f"etl config: duplicate table {name!r}")
         seen.add(name)

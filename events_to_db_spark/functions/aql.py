@@ -95,12 +95,22 @@ from events_to_db_spark.functions.tags import parse_tag_expr
 
 _AGG_FUNCS = {"SUM", "MIN", "MAX", "AVG", "COUNT", "FIRST", "LAST"}
 
+#: Envelope columns carried across SELECT rebinds so later stages can
+#: still reference ``_tags``/``_appId``/``_lamport``/``_stream``/
+#: ``_offset`` (Catalyst prunes unused carries at the final
+#: projection).  ``_time``/``_key`` ride separately as the event order.
+_ENVELOPE_COLS = ("app_id", "lamport", "stream_id", "offset")
+
+
+def _ENVELOPE_CARRY(tags_col: str) -> tuple[str, ...]:
+    return (tags_col, *_ENVELOPE_COLS)
+
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>\d+(?:\.\d+)?)
       | '(?P<str>(?:[^'\\]|\\.)*)'
       | `(?P<interp>(?:[^`\\]|\\.)*)`
-      | (?P<meta>_(?:time|key|appId|tags)\b(?:\[\d+\])?)
+      | (?P<meta>_(?:time|key|appId|tags|lamport|stream|offset)\b(?:\[\d+\])?)
       | (?P<path>_(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])*)
       | (?P<appid>appId\(\s*[A-Za-z0-9_.:\-]+\s*\))
       | (?P<bpath>[A-Za-z][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*|\[\d+\])+)
@@ -503,6 +513,16 @@ class _ExprParser:
                     if raw[j] == "\\":
                         j += 2
                         continue
+                    if raw[j] == "'":
+                        # '…' string literal inside the splice: braces in
+                        # it are text, not nesting (ADVICE r06 — the
+                        # scanner mis-closed on `{concat(_.a, '}')}`).
+                        # Honors the tokenizer's \-escapes.
+                        j += 1
+                        while j < len(raw) and raw[j] != "'":
+                            j += 2 if raw[j] == "\\" else 1
+                        j += 1
+                        continue
                     if raw[j] == "{":
                         depth += 1
                     elif raw[j] == "}":
@@ -713,16 +733,24 @@ def run_aql(
     bindings: dict[str, str] = {}  # LET name -> value kind
 
     def meta_for(frame: DataFrame) -> dict[str, tuple[str, str]]:
-        """Envelope metadata available to expressions (VERDICT r04 #5):
-        reserved paths → (column, kind).  ``_time``/``_key`` always
-        exist (they are the event order); ``_tags``/``_appId`` only
-        when the frame carries them — referencing an absent one is a
-        compile error, not a NULL."""
+        """Envelope metadata available to expressions (VERDICT r04 #5,
+        completed r07): reserved paths → (column, kind).  ``_time``/
+        ``_key`` always exist (they are the event order); ``_tags``/
+        ``_appId``/``_lamport``/``_stream``/``_offset`` only when the
+        frame carries their columns (with_tags synthesizes all of them
+        on the testdata; a real deployment stores them) — referencing
+        an absent one is a compile error, not a NULL."""
         m = {"_time": (ts_col, _ANY), "_key": (id_col, _NUM)}
         if tags_col in frame.columns:
             m["_tags"] = (tags_col, _ANY)
         if "app_id" in frame.columns:
             m["_appId"] = ("app_id", _STR)
+        if "lamport" in frame.columns:
+            m["_lamport"] = ("lamport", _NUM)
+        if "stream_id" in frame.columns:
+            m["_stream"] = ("stream_id", _STR)
+        if "offset" in frame.columns:
+            m["_offset"] = ("offset", _NUM)
         return m
 
     def materialize(val: Column, kind: str) -> None:
@@ -730,7 +758,7 @@ def run_aql(
         carrying LET binding and envelope columns across the rebind
         (Catalyst prunes the unused carries at the final projection)."""
         nonlocal df, payload
-        carry = [c for c in (tags_col, "app_id") if c in df.columns]
+        carry = [c for c in _ENVELOPE_CARRY(tags_col) if c in df.columns]
         df = df.select(
             ts_col,
             id_col,
@@ -921,7 +949,7 @@ def run_aql(
                     " emissions (one type / one object field list)"
                 )
             n_emit = len(emissions)
-            carry = [c for c in (tags_col, "app_id") if c in df.columns]
+            carry = [c for c in _ENVELOPE_CARRY(tags_col) if c in df.columns]
             lets = [F.col(f"__let_{nm}") for nm in bindings]
             # One row per (event, emission), in emission order.  The
             # event key REBINDS to the packed emission key

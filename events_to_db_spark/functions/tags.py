@@ -305,6 +305,44 @@ def with_tags(events: DataFrame) -> DataFrame:
     )
 
 
+def with_envelope(events_with_tags: DataFrame) -> DataFrame:
+    """Complete the event envelope (VERDICT r06 #4): synthesize the
+    three remaining public metadata fields the AQL surface exposes —
+    ``lamport`` (logical clock), ``stream_id`` (source stream) and
+    ``offset`` (position within the stream) — so ``FILTER _lamport >
+    …`` / ``_stream`` / ``_offset`` have a spelling on the testdata.
+    On a real deployment all three are stored columns and this helper
+    drops out, which is why they live here and not in
+    :func:`with_tags`: the per-stream ``offset`` is a genuine window
+    (one shuffle) and only queries that read the envelope should pay
+    it.
+
+    Determinism: ``stream_id`` is an md5-h15 bucket of the event id
+    (4 streams, restatable verbatim in DuckDB); ``lamport`` is
+    ``event_id * 4 + h15 % 4`` — injective and monotone in the event
+    order, as a lamport clock must be (every event advances the
+    clock); ``offset`` is the 0-based rank within its stream in event
+    order (DuckDB: ``row_number() OVER (PARTITION BY stream_id ORDER
+    BY event_id) - 1``)."""
+    eid = F.col("event_id").cast("string")
+    from pyspark.sql import Window
+
+    out = events_with_tags.withColumn(
+        "stream_id",
+        F.concat(
+            F.lit("stream-"),
+            (_h15(F.concat(F.lit("stream:"), eid)) % 4).cast("string"),
+        ),
+    ).withColumn(
+        "lamport",
+        F.col("event_id") * 4 + _h15(F.concat(F.lit("lam:"), eid)) % 4,
+    )
+    w = Window.partitionBy("stream_id").orderBy("event_id")
+    return out.withColumn(
+        "offset", (F.row_number().over(w) - 1).cast("bigint")
+    )
+
+
 def filter_by_tags(events_with_tags: DataFrame, expr: "TagExpr | str") -> DataFrame:
     """Apply a tag expression (object or text form) as a filter."""
     if isinstance(expr, str):

@@ -708,3 +708,82 @@ def test_array_literal(spark, tagged):
         run_aql(tagged, "FROM 'type:view' SELECT [_.k, ")
     with pytest.raises(ValueError, match="IsDefined needs"):
         run_aql(tagged, "FROM 'type:view' SELECT IsDefined _.k")
+
+
+def test_envelope_lamport_stream_offset(spark, tagged):
+    """VERDICT r06 #4: `_lamport`/`_stream`/`_offset` address the
+    completed envelope (with_envelope) from FILTER and SELECT —
+    equivalence vs the hand-written plan on the synthesized columns,
+    and offset is the 0-based per-stream rank in event order."""
+    from pyspark.sql import Window
+
+    from events_to_db_spark.functions.tags import with_envelope
+
+    env = with_envelope(tagged)
+    got = run_aql(
+        env,
+        "FROM 'type:purchase' FILTER _lamport % 2 = 0 & _stream != 'stream-3'"
+        " SELECT { lam: _lamport, st: _stream, off: _offset }",
+    )
+    w = Window.partitionBy("stream_id").orderBy("event_id")
+    want = (
+        env.withColumn("off", F.row_number().over(w) - 1)
+        .filter(F.array_contains("tags", "type:purchase"))
+        .filter((F.col("lamport") % 2 == 0) & (F.col("stream_id") != "stream-3"))
+        .select(
+            F.col("lamport").alias("lam"),
+            F.col("stream_id").alias("st"),
+            F.col("off").cast("bigint"),
+        )
+    )
+    assert sorted(
+        map(tuple, got.select("lam", "st", "off").collect())
+    ) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+    # lamport is injective and monotone in the event order
+    rows = env.select("event_id", "lamport").orderBy("event_id").collect()
+    lams = [r["lamport"] for r in rows]
+    assert lams == sorted(lams) and len(set(lams)) == len(lams)
+    # offsets within each stream are exactly 0..n-1
+    per = (
+        env.groupBy("stream_id")
+        .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["lo"] == 0 and r["hi"] == r["n"] - 1 for r in per)
+    # envelope columns survive SELECT rebinds (the carry list)
+    got2 = run_aql(
+        env,
+        "FROM 'type:purchase' SELECT { k2: _.k * 2 }"
+        " FILTER _offset = 0 & _lamport >= 0 SELECT _stream",
+    )
+    n_first = (
+        env.withColumn("off", F.row_number().over(w) - 1)
+        .filter(F.array_contains("tags", "type:purchase") & (F.col("off") == 0))
+        .count()
+    )
+    assert got2.count() == n_first
+    # a frame without the columns: compile error, not NULL
+    with pytest.raises(ValueError, match="_lamport"):
+        run_aql(tagged, "FROM 'type:view' FILTER _lamport > 0 SELECT _.k")
+
+
+def test_interpolation_brace_inside_string_literal(spark, tagged):
+    """ADVICE r06: the splice scanner must skip '…'-quoted segments —
+    a `}` (or `{`) inside a string literal within a splice is text,
+    not nesting."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 99 LIMIT 1"
+        " SELECT { m: `a{'}'}b`, n: `c{'{x}'}d` }",
+    ).collect()[0]
+    assert got["m"] == "a}b"
+    assert got["n"] == "c{x}d"
+    # escaped quote inside the literal inside the splice still scans
+    got2 = run_aql(
+        tagged,
+        "FROM 'type:view' FILTER _.k >= 99 LIMIT 1"
+        " SELECT { m: `q{'\\'}'}r` }",
+    ).collect()[0]
+    assert got2["m"] == "q'}r"

@@ -115,3 +115,11 @@ def test_config_rejects_aggregate_and_bad_shapes(spark, tmp_path):
         validate_config({**base, "tables": []})
     with pytest.raises(ValueError, match="without 'table'"):
         validate_config({**base, "tables": [{"query": "FROM allEvents"}]})
+    # ADVICE r06: names splice into checkpoint paths and quoted SQL
+    # identifiers — path-escape and quote-breaking names must be
+    # rejected at validate time, before any stream starts.
+    for bad in ("a/b", "..", "a..b/", 'a"b', "über", "a b", "."):
+        with pytest.raises(ValueError, match="must match"):
+            validate_config({**base, "tables": [{"table": bad}]})
+    for ok in ("raw_copy", "t-2", "schema.table", "A_1."):
+        validate_config({**base, "tables": [{"table": ok}]})
