@@ -5487,16 +5487,23 @@ def _brier_piv(agg_fmt: str) -> str:
     return ", ".join(agg_fmt.format(b=b) for b in range(11))
 
 
+# The squared cross-products are built as DOUBLE differences of exact
+# BIGINT products and squared in DOUBLE (ADVICE r06: squaring in
+# BIGINT overflows at large user-count scale — (nn·s_b)² ~ nn⁴ —
+# where Spark 4 ANSI errors but DuckDB promotes to HUGEINT; the
+# shared-verbatim strings keep the IEEE op sequence identical).
 _BRIER_REL = " + ".join(
     f"CASE WHEN n_{b} > 0 THEN "
-    f"CAST(({b} * n_{b} - 10 * s_{b}) * ({b} * n_{b} - 10 * s_{b}) AS DOUBLE)"
-    f" / (100 * n_{b}) ELSE 0.0 END"
+    f"(CAST({b} * n_{b} AS DOUBLE) - 10 * s_{b})"
+    f" * (CAST({b} * n_{b} AS DOUBLE) - 10 * s_{b})"
+    f" / (CAST(100 AS DOUBLE) * n_{b}) ELSE CAST(0 AS DOUBLE) END"
     for b in range(11)
 )
 _BRIER_RES = " + ".join(
     f"CASE WHEN n_{b} > 0 THEN "
-    f"CAST((nn * s_{b} - yy * n_{b}) * (nn * s_{b} - yy * n_{b}) AS DOUBLE)"
-    f" / (CAST(nn AS DOUBLE) * nn * n_{b}) ELSE 0.0 END"
+    f"(CAST(nn AS DOUBLE) * s_{b} - CAST(yy AS DOUBLE) * n_{b})"
+    f" * (CAST(nn AS DOUBLE) * s_{b} - CAST(yy AS DOUBLE) * n_{b})"
+    f" / (CAST(nn AS DOUBLE) * nn * n_{b}) ELSE CAST(0 AS DOUBLE) END"
     for b in range(11)
 )
 
@@ -5525,10 +5532,10 @@ _BRIER_RES = " + ".join(
     SELECT nn AS n_users,
            round(({rel}) / nn, 4) AS reliability,
            round(({res}) / nn, 4) AS resolution,
-           round(CAST(yy * (nn - yy) AS DOUBLE) / nn / nn, 4)
+           round(CAST(yy AS DOUBLE) * (nn - yy) / nn / nn, 4)
                AS uncertainty,
            round(({rel}) / nn - ({res}) / nn
-                 + CAST(yy * (nn - yy) AS DOUBLE) / nn / nn, 4) AS brier
+                 + CAST(yy AS DOUBLE) * (nn - yy) / nn / nn, 4) AS brier
     FROM piv
     """.format(
         piv_cols=_brier_piv(
@@ -5587,7 +5594,7 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = F.expr(_BRIER_REL)
     res = F.expr(_BRIER_RES)
-    unc = F.expr("CAST(yy * (nn - yy) AS DOUBLE) / nn / nn")
+    unc = F.expr("CAST(yy AS DOUBLE) * (nn - yy) / nn / nn")
     return piv.select(
         F.col("nn").alias("n_users"),
         F.round(rel / F.col("nn"), 4).alias("reliability"),

@@ -2375,9 +2375,9 @@ def _lb_term_sql(k: int) -> str:
     """One fixed-order Ljung-Box term (covk/cov0)^2 / (n-k), guarded
     for short series (n <= k) and constant series (cov0 = 0)."""
     return (
-        f"CASE WHEN n > {k} AND cov0 <> 0 THEN "
-        f"(CAST(cov{k} AS DOUBLE) / cov0) * (CAST(cov{k} AS DOUBLE) / cov0)"
-        f" / (n - {k}) ELSE 0.0 END"
+        f"CASE WHEN n > {k} AND cov0 <> CAST(0 AS DOUBLE) THEN "
+        f"(cov{k} / cov0) * (cov{k} / cov0)"
+        f" / (n - {k}) ELSE CAST(0 AS DOUBLE) END"
     )
 
 
@@ -2386,6 +2386,52 @@ _LB_Q_EXPR = (
     + " + ".join(_lb_term_sql(k) for k in range(1, _LB_LAGS + 1))
     + ")"
 )
+
+
+def _lb_cov_sql(k: int) -> str:
+    """Lag-k centered co-moment Σ(n·c−s)(n·c_k−s) EXPANDED over the
+    exact BIGINT moments (p=Σc·c_k, a=Σc, b=Σc_k, m=#valid over the
+    lag-valid rows) with the algebra in DOUBLE — shared verbatim by
+    both engines, so the IEEE op sequence is identical (ADVICE r06:
+    the direct (n·c−s)² form grows ~n³·σ² and overflows BIGINT at
+    large daily-count scale, the q_sample_neyman class; Spark 4 ANSI
+    errors while DuckDB promotes to HUGEINT, so the engines would
+    diverge exactly when it matters)."""
+    return (
+        f"CAST(n AS DOUBLE) * n * p{k} - CAST(n AS DOUBLE) * s * a{k}"
+        f" - CAST(n AS DOUBLE) * s * b{k} + CAST(m{k} AS DOUBLE) * s * s"
+    )
+
+
+#: Σ(n·c−s)² = n²·Σc² − n·(Σc)², in DOUBLE (see _lb_cov_sql); the
+#: greatest(·,0) guards float cancellation on a near-constant series
+#: (the Neyman rule, CLAUDE.md).
+_LB_COV0_SQL = (
+    "greatest(CAST(n AS DOUBLE) * n * ss - CAST(n AS DOUBLE) * s * s,"
+    " CAST(0 AS DOUBLE))"
+)
+
+#: Durbin-Watson n²·Σ(c−c1)² / (n·Σc² − (Σc)²) / n with the variance
+#: algebra in DOUBLE (same overflow class as the co-moments).
+_LB_DW_SQL = (
+    "CAST(n AS DOUBLE) * n * dnum"
+    " / nullif(CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s,"
+    " CAST(0 AS DOUBLE)) / n"
+)
+
+
+def _lb_pabm_sql(k: int) -> str:
+    """The four exact BIGINT lag-k moments (linear sums of c-products
+    — quadratic in value scale, the documented-safe class)."""
+    return (
+        f"CAST(sum(CASE WHEN c{k} IS NOT NULL THEN c * c{k} END) AS BIGINT)"
+        f" AS p{k},\n"
+        f"           CAST(sum(CASE WHEN c{k} IS NOT NULL THEN c END)"
+        f" AS BIGINT) AS a{k},\n"
+        f"           CAST(sum(CASE WHEN c{k} IS NOT NULL THEN c{k} END)"
+        f" AS BIGINT) AS b{k},\n"
+        f"           CAST(count(c{k}) AS BIGINT) AS m{k}"
+    )
 
 
 @query(
@@ -2431,30 +2477,36 @@ _LB_Q_EXPR = (
                CAST(sum(CASE WHEN c1 IS NOT NULL
                              THEN (c - c1) * (c - c1) END) AS BIGINT)
                    AS dnum,
-               CAST(sum((n * c - s) * (n * c - s)) AS BIGINT) AS cov0,
-               CAST(sum(CASE WHEN c1 IS NOT NULL
-                             THEN (n * c - s) * (n * c1 - s) END) AS BIGINT) AS cov1,
-               CAST(sum(CASE WHEN c2 IS NOT NULL
-                             THEN (n * c - s) * (n * c2 - s) END) AS BIGINT) AS cov2,
-               CAST(sum(CASE WHEN c3 IS NOT NULL
-                             THEN (n * c - s) * (n * c3 - s) END) AS BIGINT) AS cov3,
-               CAST(sum(CASE WHEN c4 IS NOT NULL
-                             THEN (n * c - s) * (n * c4 - s) END) AS BIGINT) AS cov4,
-               CAST(sum(CASE WHEN c5 IS NOT NULL
-                             THEN (n * c - s) * (n * c5 - s) END) AS BIGINT) AS cov5,
-               CAST(sum(CASE WHEN c6 IS NOT NULL
-                             THEN (n * c - s) * (n * c6 - s) END) AS BIGINT) AS cov6,
-               CAST(sum(CASE WHEN c7 IS NOT NULL
-                             THEN (n * c - s) * (n * c7 - s) END) AS BIGINT) AS cov7
+               {pabm}
         FROM lagged GROUP BY event_type
+    ),
+    covs AS (
+        SELECT event_type, n, s, ss, dnum,
+               {cov0} AS cov0,
+               {covk}
+        FROM sums
     )
     SELECT event_type, n AS n_days,
-           round(CAST(n * n * dnum AS DOUBLE)
-                 / nullif(n * ss - s * s, 0) / n, 4) AS dw,
+           round({dw}, 4) AS dw,
            round({q_expr}, 4) AS q_lb,
            ({q_expr}) > CAST({crit} AS DOUBLE) AS lb_reject
-    FROM sums
-    """.replace("{q_expr}", _LB_Q_EXPR).replace("{crit}", _LB_CRIT),
+    FROM covs
+    """.replace(
+        "{pabm}",
+        ",\n               ".join(
+            _lb_pabm_sql(k) for k in range(1, _LB_LAGS + 1)
+        ),
+    )
+    .replace("{cov0}", _LB_COV0_SQL)
+    .replace(
+        "{covk}",
+        ",\n               ".join(
+            f"{_lb_cov_sql(k)} AS cov{k}" for k in range(1, _LB_LAGS + 1)
+        ),
+    )
+    .replace("{dw}", _LB_DW_SQL)
+    .replace("{q_expr}", _LB_Q_EXPR)
+    .replace("{crit}", _LB_CRIT),
 )
 def q_stat_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-autocorrelation diagnostics on the daily event-count
@@ -2464,12 +2516,18 @@ def q_stat_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before trusting a model's error bars.
 
     Determinism discipline (SURVEY §7.5): DW's numerator needs no mean
-    at all (differences cancel it: e_t - e_{t-1} = c_t - c_{t-1}) and
-    its denominator clears the mean by n, so DW is ONE division of two
-    exact BIGINTs.  Each Ljung-Box autocorrelation is the ratio of two
-    exact BIGINT co-moments (centered by multiplying through n), and Q
-    sums the 7 terms in one fixed left-associative literal expression
-    — the Levene/nDCG pattern, no float accumulation across rows.  The
+    at all (differences cancel it: e_t - e_{t-1} = c_t - c_{t-1}).
+    The accumulators are the exact BIGINT moments Σc, Σc², Σc·c_k,
+    Σ(c−c1)² per lag-valid set — linear sums of c-products, the
+    documented-safe overflow class — and ALL centering algebra
+    (n²Σc·c_k − nsΣc − nsΣc_k + m·s², the variance denominator, DW)
+    runs in DOUBLE via expression strings shared verbatim by both
+    engines, so the IEEE op sequence is identical (ADVICE r06 / the
+    q_sample_neyman rule: the direct (n·c−s)² BIGINT form grows
+    ~n³·σ² and overflows at large daily-count scale, where Spark 4
+    ANSI errors but DuckDB promotes to HUGEINT).  Q sums the 7 terms
+    in one fixed left-associative literal expression — the
+    Levene/nDCG pattern, no float accumulation across rows.  The
     chi-square critical value is an embedded literal (a live quantile
     would be float-library-dependent).  Scale: everything past the
     per-(type, day) aggregate is calendar-bounded."""
@@ -2500,13 +2558,18 @@ def q_stat_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "s", "ss", "c",
         *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _LB_LAGS + 1)],
     )
-    dev = F.col("n") * F.col("c") - F.col("s")
-
-    def cov(k: int):
-        devk = F.col("n") * F.col(f"c{k}") - F.col("s")
-        return F.sum(
-            F.when(F.col(f"c{k}").isNotNull(), dev * devk)
-        ).alias(f"cov{k}")
+    def pabm(k: int):
+        ck = F.col(f"c{k}")
+        return [
+            F.sum(F.when(ck.isNotNull(), F.col("c") * ck))
+            .cast("long")
+            .alias(f"p{k}"),
+            F.sum(F.when(ck.isNotNull(), F.col("c")))
+            .cast("long")
+            .alias(f"a{k}"),
+            F.sum(F.when(ck.isNotNull(), ck)).cast("long").alias(f"b{k}"),
+            F.count(ck).cast("long").alias(f"m{k}"),
+        ]
 
     sums = lagged.groupBy("event_type").agg(
         F.first("n").alias("n"),
@@ -2518,21 +2581,21 @@ def q_stat_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("c") - F.col("c1")) * (F.col("c") - F.col("c1")),
             )
         ).alias("dnum"),
-        F.sum(dev * dev).alias("cov0"),
-        *[cov(k) for k in range(1, _LB_LAGS + 1)],
+        *[col for k in range(1, _LB_LAGS + 1) for col in pabm(k)],
+    )
+    covs = sums.select(
+        "event_type", "n", "s", "ss", "dnum",
+        F.expr(_LB_COV0_SQL).alias("cov0"),
+        *[
+            F.expr(_lb_cov_sql(k)).alias(f"cov{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
     )
     q_expr = F.expr(_LB_Q_EXPR)
-    return sums.select(
+    return covs.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(
-            (F.col("n") * F.col("n") * F.col("dnum")).cast("double")
-            / F.nullif(
-                F.col("n") * F.col("ss") - F.col("s") * F.col("s"), F.lit(0)
-            )
-            / F.col("n"),
-            4,
-        ).alias("dw"),
+        F.round(F.expr(_LB_DW_SQL), 4).alias("dw"),
         F.round(q_expr, 4).alias("q_lb"),
         (q_expr > F.expr(f"CAST({_LB_CRIT} AS DOUBLE)")).alias("lb_reject"),
     )
