@@ -44,6 +44,18 @@ BENCH_IDS = [
     "q_agg_rollup",      # B12
 ]
 
+#: N-set (VERDICT r06 #7): the LLM-data family's headline queries, so
+#: family-level perf regressions (a gate mis-fire, a kernel slowdown)
+#: show up in BENCH_r{N}.json rather than only in ad-hoc scaling runs.
+#: The measured PySpark-naive bar lives in BASELINE.md §N-set
+#: (tools/nbaseline.py).
+NSET_IDS = [
+    "q_dedup_minhash",   # N1
+    "q_sim_hamming",     # N2
+    "q_text_tfidf",      # N3
+    "q_dedup_near",      # N4
+]
+
 WARM_RUNS = 3
 
 
@@ -63,28 +75,35 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in BENCH_IDS:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        fn(spark, sf_dir).collect()  # cold (plan + JIT settling)
-        samples = []
-        for _ in range(WARM_RUNS):
-            t0 = time.time()
-            collected = fn(spark, sf_dir).collect()
-            samples.append(time.time() - t0)
-        med = statistics.median(samples)
-        timings[name] = round(med, 4)
-        spreads[name] = round((max(samples) - min(samples)) / med, 3)
-        rows[name] = len(collected)
 
-    total = round(sum(timings.values()), 4)
+    def run_set(ids: list[str]) -> float:
+        total = 0.0
+        for name in ids:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            fn(spark, sf_dir).collect()  # cold (plan + JIT settling)
+            samples = []
+            for _ in range(WARM_RUNS):
+                t0 = time.time()
+                collected = fn(spark, sf_dir).collect()
+                samples.append(time.time() - t0)
+            med = statistics.median(samples)
+            timings[name] = round(med, 4)
+            spreads[name] = round((max(samples) - min(samples)) / med, 3)
+            rows[name] = len(collected)
+            total += med
+        return round(total, 4)
+
+    total_b = run_set(BENCH_IDS)
+    total_n = run_set(NSET_IDS)
     print(
         json.dumps(
             {
                 "metric": "median-of-3 warm wall-clock total, BASELINE.md B-set",
-                "value": total,
+                "value": total_b,
                 "unit": "sec",
+                "value_nset": total_n,
                 "queries": timings,
                 "spread": spreads,
                 "rows": rows,

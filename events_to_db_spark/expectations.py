@@ -39,14 +39,13 @@ _TYPES = ("not_null", "unique", "range", "in_set", "custom")
 _ID_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")
 
 
-def _violation_count(rule: dict) -> Column:
-    """The per-rule violation counter, as one aggregate expression."""
+def _violation_row_cond(rule: dict) -> Column:
+    """Per-ROW violation predicate — the quarantine marker.  ``unique``
+    has no per-row form (a duplicate is a property of the pair), so it
+    is aggregate-only."""
     kind = rule.get("type")
     if kind == "not_null":
-        return F.count(F.when(F.col(rule["col"]).isNull(), 1))
-    if kind == "unique":
-        col = rule["col"]
-        return F.count(col) - F.countDistinct(col)
+        return F.col(rule["col"]).isNull()
     if kind == "range":
         c = F.col(rule["col"])
         cond = F.lit(False)
@@ -54,13 +53,24 @@ def _violation_count(rule: dict) -> Column:
             cond = cond | (c < F.lit(rule["lo"]))
         if "hi" in rule:
             cond = cond | (c > F.lit(rule["hi"]))
-        return F.count(F.when(cond, 1))
+        return cond
     if kind == "in_set":
         c = F.col(rule["col"])
-        return F.count(F.when(~c.isin(*rule["values"]) | c.isNull(), 1))
+        return ~c.isin(*rule["values"]) | c.isNull()
     if kind == "custom":
-        return F.count(F.when(~F.coalesce(F.expr(rule["expr"]), F.lit(False)), 1))
-    raise ValueError(f"expectations: unknown rule type {kind!r}")
+        return ~F.coalesce(F.expr(rule["expr"]), F.lit(False))
+    raise ValueError(
+        f"expectations: rule type {kind!r} has no per-row violation form"
+    )
+
+
+def _violation_count(rule: dict) -> Column:
+    """The per-rule violation counter, as one aggregate expression."""
+    kind = rule.get("type")
+    if kind == "unique":
+        col = rule["col"]
+        return F.count(col) - F.countDistinct(col)
+    return F.count(F.when(_violation_row_cond(rule), 1))
 
 
 def validate_rules(rules: list[dict]) -> None:
@@ -123,7 +133,9 @@ def run_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     )
 
 
-def expectations_foreach_batch(db_path: str, table: str, rules: list[dict]):
+def expectations_foreach_batch(
+    db_path: str, table: str, rules: list[dict], quarantine: bool = False
+):
     """Streaming data-quality monitor: fold each micro-batch's per-rule
     (n_rows, violations) into running totals, exactly once — the DQ
     counter a live events-to-db copy (etl.py) keeps beside the data.
@@ -133,6 +145,17 @@ def expectations_foreach_batch(db_path: str, table: str, rules: list[dict]):
     commit in ONE transaction (the additive-sink idempotency pattern,
     streaming/sink.py), so redelivered batches are skipped and a crash
     between write and commit replays cleanly.
+
+    ``quarantine=True`` (VERDICT r06 #5) additionally routes every
+    VIOLATING ROW to ``<table>__quarantine`` — (batch_id, violated
+    rule-id list, the row as JSON) — in the SAME transaction as the
+    counter merge, so a DQ failure is inspectable, not just countable,
+    and the batch-id guard gives the quarantine the same exactly-once
+    posture (a redelivered batch re-quarantines nothing).  The row
+    pass shares the persisted batch with the counter pass; quarantined
+    rows are collected to the driver, which is the right bound for a
+    DQ side-channel (violations are the exception, not the stream —
+    a firehose of violations is a pipeline bug the counters surface).
 
     ``unique`` rules are REJECTED here: distinct counts are not
     additive across micro-batches (a cross-batch duplicate would never
@@ -151,7 +174,34 @@ def expectations_foreach_batch(db_path: str, table: str, rules: list[dict]):
     def write(batch_df, batch_id: int) -> None:
         from events_to_db_spark.streaming.sink import _connect
 
-        part = run_expectations(batch_df, rules).collect()
+        if quarantine:
+            batch_df.persist()
+        try:
+            part = run_expectations(batch_df, rules).collect()
+            qrows = []
+            if quarantine:
+                marked = batch_df.withColumn(
+                    "__viol",
+                    F.array_compact(
+                        F.array(
+                            *[
+                                F.when(
+                                    _violation_row_cond(r), F.lit(r["id"])
+                                )
+                                for r in rules
+                            ]
+                        )
+                    ),
+                ).filter(F.size("__viol") > 0)
+                qrows = marked.select(
+                    F.array_join("__viol", ",").alias("violated"),
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in batch_df.columns])
+                    ).alias("row_json"),
+                ).collect()
+        finally:
+            if quarantine:
+                batch_df.unpersist()
         con = _connect(db_path)
         try:
             con.execute("BEGIN IMMEDIATE")
@@ -164,6 +214,11 @@ def expectations_foreach_batch(db_path: str, table: str, rules: list[dict]):
                 f'CREATE TABLE IF NOT EXISTS "{table}__batches" '
                 "(batch_id INTEGER PRIMARY KEY)"
             )
+            if quarantine:
+                con.execute(
+                    f'CREATE TABLE IF NOT EXISTS "{table}__quarantine" '
+                    "(batch_id INTEGER, violated TEXT, row_json TEXT)"
+                )
             already = con.execute(
                 f'SELECT 1 FROM "{table}__batches" WHERE batch_id = ?',
                 (batch_id,),
@@ -177,6 +232,15 @@ def expectations_foreach_batch(db_path: str, table: str, rules: list[dict]):
                         "n_rows = n_rows + excluded.n_rows, "
                         "violations = violations + excluded.violations",
                         (row["rule_id"], row["n_rows"], row["violations"]),
+                    )
+                if quarantine:
+                    con.executemany(
+                        f'INSERT INTO "{table}__quarantine" '
+                        "(batch_id, violated, row_json) VALUES (?, ?, ?)",
+                        [
+                            (batch_id, r["violated"], r["row_json"])
+                            for r in qrows
+                        ],
                     )
                 con.execute(
                     f'INSERT INTO "{table}__batches" (batch_id) VALUES (?)',

@@ -51,10 +51,14 @@ cost model.  When the qualifying-pair ANSWER is itself Θ(N²) (low
 tau on clustered data — e.g. the driver corpus at tau = 0.3), no
 lossless candidate scheme can beat the BLAS all-pairs kernel, and
 the gate correctly keeps it.  The projection path wins in the regime
-it was built for: high-tau near-duplicate screens over anisotropic
-embeddings (tools/synthgen.generate_aniso; timed by
-tools/scaling.py --aniso; forced-gate equality pinned by
-tests/test_simproj_escalate.py).
+it was built for: high-tau near-duplicate screens over LARGE
+anisotropic corpora — from the m10 tier (200k rows) up, where the
+candidate prune dwarfs the planning probe and the block overheads
+(tools/synthgen.generate_aniso; timed by tools/scaling.py --aniso;
+forced-gate equality pinned by tests/test_simproj_escalate.py).  At
+20k rows the post-`_spread` quad kernel finishes before planning
+would, and the r7 size floor (gates.proj_min_quad_pairs) makes auto
+refuse there without running a single job.
 
 Everything here is deterministic-by-construction where it matters:
 the PCA directions inherit float-sum nondeterminism from the
@@ -530,9 +534,15 @@ def escalated_pairs(
     )
     est, max_cell, repl, blocks = plans[k_best]
     if not force:
+        from events_to_db_spark.plans import gates
+
         if n is None:
             n = e.count()
-        if plan_cost(est, repl, blocks) >= n * (n - 1) / 2.0:
+        # the planning probe is charged too (sunk by now, but the
+        # decision must reflect the TOTAL auto-mode cost the harness
+        # measures — VERDICT r06 #1)
+        total = plan_cost(est, repl, blocks) + gates.PROJ_PLAN_PAIRS
+        if total >= n * (n - 1) / 2.0:
             return None
     if k_best != k_hi:
         mask = (1 << (_CELL_BITS * k_best)) - 1

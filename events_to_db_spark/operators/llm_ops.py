@@ -654,11 +654,16 @@ def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
 
     Returns the verified qualifying pairs (a_id, la, b_id, lb;
     a_id < b_id, cosine >= tau) or None to keep the quad kernels.
-    Three gates, cheapest first:
+    Four gates, cheapest first:
 
     * mode (``SPARK_GRAFT_SIM_PROJ`` = auto|force|off —
       tests/test_simproj_escalate.py pins hash-equality of the two
       paths with ``force``);
+    * size floor (r7): below ``gates.proj_min_quad_pairs()`` quadratic
+      pairs (default 4e9 ≈ 90k rows) auto refuses without running ANY
+      Spark job — at small N the planning probe alone (~2.7 s
+      measured) costs more than 10% of the quad kernel, so no prune
+      can win decisively;
     * geometry: cell width r = sqrt(2-2·tau) against the [-1, 1]
       projection span — at the driver corpus thresholds (0.3/0.4,
       r > 1) a 3-cell probe covers everything, so auto mode skips the
@@ -668,14 +673,16 @@ def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
     * measured work: simproj.escalated_pairs sweeps every prefix-k
       plan's EXACT candidate count, packed-row replication, and block
       count from one collected cell histogram (simproj.prefix_plans),
-      prices them with gates.py's calibrated constants, and compares
-      the best against N(N-1)/2 BLAS pairs (PERF.md r6 records the
-      calibration).  When the ANSWER is itself Θ(N²) — low tau on
-      clustered data — no lossless candidate scheme can beat BLAS
-      all-pairs and this gate correctly refuses; the win regime is
-      the high-tau near-dup screen on anisotropic embeddings
-      (tools/synthgen.generate_aniso, timed by tools/scaling.py
-      --aniso: auto beats the quad kernel ~4-6x at tau 0.95/0.98).
+      prices them (PLUS the planning overhead already paid) with
+      gates.py's r7-calibrated constants, and compares against
+      N(N-1)/2 BLAS pairs (PERF.md r7 records the calibration and the
+      r6 staleness lesson).  When the ANSWER is itself Θ(N²) — low
+      tau on clustered data — no lossless candidate scheme can beat
+      BLAS all-pairs and this gate correctly refuses; the win regime
+      is the high-tau near-dup screen on LARGE anisotropic corpora
+      (tools/synthgen.generate_aniso at m10: 200k rows, where
+      `scaling.py --aniso` measures the auto win; at m1/20k rows the
+      post-`_spread` quad kernel wins and auto correctly refuses).
     """
     from events_to_db_spark.functions import simproj
     from events_to_db_spark.plans import gates
@@ -684,6 +691,8 @@ def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
     if mode == "off" or n == 0:
         # empty frame: the quad kernels short-circuit to an empty result,
         # while principal_dirs has no rows to eigendecompose (ADVICE r05)
+        return None
+    if mode != "force" and n * (n - 1) / 2.0 < gates.proj_min_quad_pairs():
         return None
     r = (2.0 - 2.0 * tau) ** 0.5
     if r < simproj.MIN_RADIUS:

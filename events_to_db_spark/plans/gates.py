@@ -145,13 +145,45 @@ def pairs_per_row_gate(env_key: str) -> float:
 #: dgemm element), per replicated packed vector row (512 B of float64
 #: through the pack groupBy + cell-pair join + Arrow), and per block
 #: (join-row + kernel dispatch overhead — the term that punishes
-#: fragmentation at high k).  Calibrated on the r6 aniso tier
-#: (PERF.md r6, tools/scaling.py --aniso): the per-k forced sweep at
-#: tau 0.95/0.98 solves to roughly 0.4 / 16 / tens; the shipped
-#: values round UP so the gate only escalates on a decisive prune.
-PROJ_CAND_VS_BLAS = 1.0
-PROJ_ROW_VS_BLAS = 20.0
-PROJ_BLOCK_VS_BLAS = 30.0
+#: fragmentation at high k).
+#:
+#: THE UNIT IS A MEASUREMENT, NOT A PROPERTY (VERDICT r06 #1): r6's
+#: `_spread`/`rechunk` made the quad kernel ~3-6x faster and silently
+#: invalidated the r6 calibration — the gate then escalated into a
+#: 0.33-0.7x LOSS on its own showcase tier.  Re-calibrated r7 against
+#: the post-`_spread` kernel (tools/simcal.py, aniso m1, per-k forced
+#: sweep at tau 0.95/0.98 with the per-candidate cost floored at the
+#: measured quad rate of ~9 ns/pair): candidate ~1.0, row ~114,
+#: block ~574, planning overhead ~2.7 s ≈ 3.0e8 pair units (PERF.md
+#: r7).  Shipped values round UP so the gate only escalates on a
+#: decisive prune.  Re-run simcal.py + `scaling.py --aniso` after ANY
+#: change to kernels.py / _spread / simproj.py / these constants.
+PROJ_CAND_VS_BLAS = 1.5
+PROJ_ROW_VS_BLAS = 150.0
+PROJ_BLOCK_VS_BLAS = 800.0
+
+#: Planning overhead (unit frame + distributed PCA + cell histogram +
+#: collect + prefix sweep) in BLAS-pair units — measured 2.7 s at
+#: ~9 ns/pair (simcal.py r7), rounded up.  Charged to the plan cost in
+#: the escalate decision, and the basis of the size floor below.
+PROJ_PLAN_PAIRS = 4.0e8
+
+
+def proj_min_quad_pairs(
+    env_key: str = "SPARK_GRAFT_SIM_PROJ_MIN_PAIRS",
+) -> float:
+    """Quadratic-pair floor below which auto mode refuses WITHOUT
+    paying any planning job: at 10x the measured planning overhead the
+    probe itself costs >10% of simply running the quad kernel, so no
+    prune can win decisively (at the r6 aniso m1 tier — 20k rows,
+    2e8 pairs — the quad kernel finishes in ~2 s while planning alone
+    costs ~2.7 s; the win regime starts around the m10 tier, 200k
+    rows / 2e10 pairs, where planning is ~2% of quad).  Env override
+    for tests."""
+    env = os.environ.get(env_key)
+    if env is not None:
+        return float(env)
+    return 10.0 * PROJ_PLAN_PAIRS
 
 #: Geometry pre-gate: cells have width r = sqrt(2 - 2*tau) and unit-
 #: vector projections span at most [-1, 1], so once r exceeds this

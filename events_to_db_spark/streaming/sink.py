@@ -85,14 +85,7 @@ def upsert_foreach_batch(
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df
-        for c, t in batch_df.dtypes:
-            if t.startswith("timestamp"):
-                from pyspark.sql import functions as F
-
-                out = out.withColumn(
-                    c, F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
-                )
+        out = _iso_timestamps(batch_df)
         columns = [c for c, _ in out.dtypes]
         ensure_table(db_path, table, out, key_cols)
         # Single-writer SQLite: stream partitions through the driver.
@@ -100,6 +93,56 @@ def upsert_foreach_batch(
         # executors upsert concurrently.
         rows = ([row[c] for c in columns] for row in out.toLocalIterator())
         upsert_rows(db_path, table, columns, key_cols, rows)
+
+    return write
+
+
+def _iso_timestamps(batch_df: DataFrame) -> DataFrame:
+    """Serialize timestamp columns to microsecond ISO text (engine-
+    neutral sink rows; exact comparisons in tests)."""
+    out = batch_df
+    for c, t in batch_df.dtypes:
+        if t.startswith("timestamp"):
+            from pyspark.sql import functions as F
+
+            out = out.withColumn(
+                c, F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            )
+    return out
+
+
+def replace_foreach_batch(
+    db_path: str, table: str
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` writer that atomically REPLACES the table with
+    the batch rows — the sink for COMPLETE-mode streaming folds (the
+    batch is the whole fold-so-far, so replace ≡ upsert-everything and
+    redelivery after a crash rewrites the same state: idempotent by
+    construction, no batch log needed).  Row count is bounded by the
+    fold's group count, never the stream."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        out = _iso_timestamps(batch_df)
+        columns = [c for c, _ in out.dtypes]
+        cols_ddl = ", ".join(f'"{c}" {_sql_type(t)}' for c, t in out.dtypes)
+        rows = [[row[c] for c in columns] for row in out.collect()]
+        placeholders = ", ".join("?" for _ in columns)
+        col_list = ", ".join(f'"{c}"' for c in columns)
+        con = _connect(db_path)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({cols_ddl})')
+            con.execute(f'DELETE FROM "{table}"')
+            con.executemany(
+                f'INSERT INTO "{table}" ({col_list}) VALUES ({placeholders})',
+                rows,
+            )
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
 
     return write
 

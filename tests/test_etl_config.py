@@ -123,3 +123,134 @@ def test_config_rejects_aggregate_and_bad_shapes(spark, tmp_path):
             validate_config({**base, "tables": [{"table": bad}]})
     for ok in ("raw_copy", "t-2", "schema.table", "A_1."):
         validate_config({**base, "tables": [{"table": ok}]})
+
+
+def _total_input_rows(queries) -> int:
+    """Sum numInputRows over the DISTINCT underlying StreamingQuery
+    objects (multiplexed tables share one)."""
+    seen = {}
+    for q in queries.values():
+        seen[q.id] = q
+    return int(
+        sum(
+            p["numInputRows"]
+            for q in seen.values()
+            for p in q.recentProgress
+        )
+    )
+
+
+def test_multiplex_reads_log_once(spark, chunked_events, tmp_path):
+    """VERDICT r06 #3: a 3-table config must read the event log ONCE
+    per micro-batch, not once per table — measured on the source's own
+    numInputRows metric — while landing exactly the per-table answers
+    the per-stream runner lands."""
+    feed, ev, n = chunked_events
+    tables = [
+        {"table": "purchases", "query": PURCHASE_QUERY},
+        {"table": "views", "query": "FROM 'type:view' SELECT _.k * 2"},
+        {"table": "raw_copy"},
+    ]
+
+    cfg = {
+        "events": feed, "db": str(tmp_path / "multi.db"),
+        "checkpoints": str(tmp_path / "ckpt_multi"), "tables": tables,
+    }
+    qs = run_etl_config(spark, cfg)  # multiplex default
+    _drain(qs)
+    assert len({q.id for q in qs.values()}) == 1  # one shared stream
+    multiplex_rows = _total_input_rows(qs)
+
+    legacy = {
+        "events": feed, "db": str(tmp_path / "legacy.db"),
+        "checkpoints": str(tmp_path / "ckpt_legacy"), "tables": tables,
+    }
+    qs2 = run_etl_config(spark, legacy, multiplex=False)
+    _drain(qs2)
+    legacy_rows = _total_input_rows(qs2)
+
+    assert multiplex_rows == n
+    assert legacy_rows == 3 * n  # the scan amplification multiplex kills
+
+    # identical per-table content either way
+    for t in ("purchases", "views", "raw_copy"):
+        a = read_sink_table(cfg["db"], t)
+        b = read_sink_table(legacy["db"], t)
+        key = sorted(a.columns)
+        assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+            map(tuple, b[key].values.tolist())
+        )
+    assert len(read_sink_table(cfg["db"], "raw_copy")) == n
+
+
+def test_multiplex_rejects_limit_with_pointer(spark, tmp_path):
+    base = {
+        "events": str(tmp_path), "db": str(tmp_path / "x.db"),
+        "checkpoints": str(tmp_path / "c"),
+    }
+    cfg = {**base, "tables": [
+        {"table": "t", "query": "FROM allEvents LIMIT 5 SELECT _.k"}
+    ]}
+    with pytest.raises(ValueError, match="multiplex=False"):
+        validate_config(cfg)
+    validate_config(cfg, multiplex=False)  # per-table streams allow it
+
+
+AGG_QUERY = (
+    "FROM 'type:purchase' FILTER _.k >= 50"
+    " AGGREGATE { n: COUNT(), total: SUM(_.k) }"
+)
+
+
+def test_aggregate_mode_materializes_fold(spark, chunked_events, tmp_path):
+    """VERDICT r06 #6 (Path C): a {"mode": "aggregate"} entry
+    materializes the complete-mode fold exactly-once — resumes from
+    its checkpoint across runs and converges to the batch AGGREGATE
+    answer; a redelivered/no-op run leaves the table unchanged."""
+    feed, ev, n = chunked_events
+    part = tmp_path / "feed_part"
+    part.mkdir()
+    files = sorted(os.listdir(feed))
+    for f in files[:-1]:
+        shutil.copy(os.path.join(feed, f), part / f)
+        os.utime(part / f, (time.time() - 600, time.time() - 600))
+    cfg = {
+        "events": str(part), "db": str(tmp_path / "agg.db"),
+        "checkpoints": str(tmp_path / "ckpt_agg"),
+        "tables": [
+            {"table": "purchase_fold", "query": AGG_QUERY,
+             "mode": "aggregate"},
+            {"table": "raw_copy"},
+        ],
+    }
+    _drain(run_etl_config(spark, cfg))
+    partial = read_sink_table(cfg["db"], "purchase_fold")
+    assert len(partial) == 1
+
+    # the last file lands; resume from the checkpoint
+    shutil.copy(os.path.join(feed, files[-1]), part / files[-1])
+    _drain(run_etl_config(spark, cfg))
+    got = read_sink_table(cfg["db"], "purchase_fold")
+    want = run_aql(
+        with_tags(load_table(spark, SF_SMOKE, "events")), AGG_QUERY
+    ).collect()[0]
+    assert len(got) == 1
+    assert int(got["n"][0]) == want["n"]
+    assert float(got["total"][0]) == pytest.approx(want["total"])
+    assert int(got["n"][0]) > int(partial["n"][0])  # fold advanced
+
+    # nothing new: the fold table is unchanged (replace is idempotent)
+    _drain(run_etl_config(spark, cfg))
+    again = read_sink_table(cfg["db"], "purchase_fold")
+    assert again.values.tolist() == got.values.tolist()
+
+    # a copy-mode AGGREGATE (no mode flag) is still rejected loudly
+    bad = {**cfg, "tables": [{"table": "t", "query": AGG_QUERY}]}
+    with pytest.raises(ValueError, match="AGGREGATE"):
+        validate_config(bad)
+    # and an aggregate-mode entry without a fold is rejected too
+    bad2 = {**cfg, "tables": [
+        {"table": "t", "query": "FROM allEvents", "mode": "aggregate"}
+    ]}
+    with pytest.raises(ValueError, match="no\\s+AGGREGATE"):
+        validate_config(bad2)

@@ -146,3 +146,74 @@ def test_streaming_monitor_rejects_unique(spark, tmp_path):
             "dq",
             [{"id": "u", "type": "unique", "col": "event_id"}],
         )
+
+
+def test_quarantine_routes_violations_exactly_once(
+    spark, chunked_events, tmp_path
+):
+    """VERDICT r06 #5: quarantine=True routes each violating row to
+    <table>__quarantine (batch_id, violated rule ids, row JSON) in the
+    SAME transaction as the counter merge — inspectable, counted once,
+    and replay-proof (a re-run with the same checkpoint adds nothing)."""
+    import json
+
+    from events_to_db_spark.expectations import (
+        expectations_foreach_batch,
+        run_expectations,
+    )
+    from events_to_db_spark.session import load_table
+    from events_to_db_spark.streaming.sink import read_sink_table
+    from events_to_db_spark.streaming.sources import events_file_stream
+    from tests.conftest import SF_SMOKE
+
+    feed, ev, n = chunked_events
+    db = str(tmp_path / "dq.db")
+
+    def run():
+        q = (
+            events_file_stream(spark, feed)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(
+                expectations_foreach_batch(
+                    db, "dq", STREAM_RULES, quarantine=True
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    counters = read_sink_table(db, "dq").set_index("rule_id")
+    quar = read_sink_table(db, "dq__quarantine")
+
+    # every quarantined row names at least one rule; the per-rule tally
+    # over the quarantine equals the violation counters exactly
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r["rule_id"]: r["violations"]
+        for r in run_expectations(batch, STREAM_RULES).collect()
+    }
+    assert want["value_range"] > 0, "suite must see real violations"
+    tally: dict[str, int] = {}
+    for v in quar["violated"]:
+        assert v
+        for rid in v.split(","):
+            tally[rid] = tally.get(rid, 0) + 1
+    assert tally == {k: v for k, v in want.items() if v > 0}
+    for rid, viol in want.items():
+        assert counters.loc[rid, "violations"] == viol
+
+    # quarantined payloads are real rows: every row_json parses and its
+    # event_id exists in the source
+    ids = {
+        json.loads(r)["event_id"] for r in quar["row_json"]
+    }
+    src_ids = {r["event_id"] for r in batch.select("event_id").collect()}
+    assert ids <= src_ids and len(ids) > 0
+
+    # same checkpoint, nothing new: counters AND quarantine unchanged
+    run()
+    assert read_sink_table(db, "dq").set_index("rule_id").equals(counters)
+    assert len(read_sink_table(db, "dq__quarantine")) == len(quar)

@@ -77,3 +77,39 @@ def test_blocked_mode_recall_within_blocks(spark):
     same_block = {(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)}
     assert same_block <= got
     assert all((a < 10) == (b < 10) for a, b in got), "cross-block pair leaked"
+
+
+def test_min_bands_lossless_on_degenerate_vocab(spark, monkeypatch):
+    """ADVICE r06: the >=2-shared-band rule (MINHASH_MIN_BANDS=2) must
+    not drop a true J >= 0.8 pair even on the DEGENERATE 31-token
+    vocabulary (the driver-corpus pathology where band hashes are
+    maximally correlated and the idealized-independence miss bound is
+    least trustworthy).  Pinned at BOTH settings: min_bands=1 (the old
+    any-shared-band rule) and the default 2 must both achieve full
+    recall of the planted J >= 0.8 pairs."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"v{i}" for i in range(31)]
+    rows, doc_id = [], 0
+    for c in range(40):
+        base = rng.sample(vocab, 25)
+        rows.append((doc_id, list(base))); doc_id += 1
+        # J = 24/26 ≈ 0.923 with its base
+        rows.append((doc_id, base[:-1] + [f"u{c}"])); doc_id += 1
+        # J = 23/27 ≈ 0.852 with its base — just above the verify bar
+        rows.append(
+            (doc_id, base[:-2] + [f"w{c}a", f"w{c}b"])
+        ); doc_id += 1
+    want = _exact_pairs(rows, 0.8)
+    assert len(want) >= 80, "corpus must plant many J>=0.8 pairs"
+
+    docs = _mk_docs(spark, rows)
+    for setting in ("1", "2"):
+        monkeypatch.setenv("SPARK_GRAFT_MINHASH_MIN_BANDS", setting)
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               minhash_candidate_pairs(docs).collect()}
+        missed = want - got
+        assert not missed, (
+            f"min_bands={setting} lost true pairs: {sorted(missed)[:5]}"
+        )

@@ -83,20 +83,79 @@ def test_force_matches_off_aniso_every_k(spark, aniso_emb, monkeypatch):
         assert _counts(spark, aniso_emb, 0.95) == expected, f"k={k}"
 
 
-def test_auto_engages_on_aniso_and_matches(spark, aniso_emb, monkeypatch):
+def test_auto_size_floor_refuses_small(spark, aniso_emb, monkeypatch):
+    """r7 recalibration (VERDICT r06 #1): below the size floor the
+    planning probe alone (~2.7 s measured) costs more than the
+    post-`_spread` quad kernel, so auto must refuse WITHOUT running a
+    single Spark job — and therefore match the quad answer exactly."""
     monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "auto")
-    verified = llm_ops._sim_proj_verified(
-        aniso_emb.select(
-            "vec_id", "embedding", F.col("label").cast("long").alias("label")
-        ),
-        aniso_emb.count(),
-        0.95,
+    e = aniso_emb.select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
     )
-    assert verified is not None, "gate must escalate on the aniso tier"
+    with monkeypatch.context() as m:
+        m.setattr(
+            simproj,
+            "unit_frame",
+            lambda *a, **k: pytest.fail(
+                "size floor must refuse before any planning job"
+            ),
+        )
+        assert llm_ops._sim_proj_verified(e, 2000, 0.95) is None
     monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
     expected = _counts(spark, aniso_emb, 0.95)
     monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "auto")
     assert _counts(spark, aniso_emb, 0.95) == expected
+
+
+def test_auto_cost_model_refuses_even_past_floor(spark, aniso_emb, monkeypatch):
+    """With the floor overridden to 0 the model still refuses at 2000
+    rows: the planning charge (PROJ_PLAN_PAIRS) alone exceeds the 2e6
+    quadratic pairs — defense in depth behind the floor."""
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "auto")
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ_MIN_PAIRS", "0")
+    e = aniso_emb.select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
+    )
+    assert llm_ops._sim_proj_verified(e, 2000, 0.95) is None
+
+
+def test_cost_model_crossover_at_m10_scale():
+    """The r7-calibrated constants place the crossover between the
+    aniso tiers: on the MEASURED m1 plan shapes (tools/simcal.py r7,
+    20k rows) every prefix-k plan costs more than the 2e8 quad pairs
+    (refuse), while at m10 (candidates ×100 by the fixed-latent-
+    support density law, replication ×10, blocks ~flat) the best plan
+    costs under half the 2e10 quad pairs (escalate decisively).  The
+    real m10 execution win is measured by `scaling.py --aniso`
+    (PERF.md r7); this pins the DECISION arithmetic."""
+    from events_to_db_spark.functions.simproj import plan_cost
+    from events_to_db_spark.plans import gates
+
+    m1_plans = {  # k: (pairs, repl, blocks) — simcal r7, tau=0.95
+        1: (111676778, 59976, 15),
+        2: (61510089, 172875, 182),
+        3: (33307392, 472318, 2082),
+        4: (17982970, 1228802, 23149),
+        5: (9792359, 2881395, 218734),
+        6: (5463605, 4259052, 841274),
+    }
+    n1 = 20_000
+    quad_m1 = n1 * (n1 - 1) / 2.0
+    best_m1 = min(
+        plan_cost(p, r, b) + gates.PROJ_PLAN_PAIRS
+        for p, r, b in m1_plans.values()
+    )
+    assert best_m1 >= quad_m1, "gate must refuse at m1"
+    assert quad_m1 < gates.proj_min_quad_pairs(), "floor refuses at m1 too"
+
+    n10 = 200_000
+    quad_m10 = n10 * (n10 - 1) / 2.0
+    best_m10 = min(
+        plan_cost(100 * p, 10 * r, b) + gates.PROJ_PLAN_PAIRS
+        for p, r, b in m1_plans.values()
+    )
+    assert best_m10 < 0.5 * quad_m10, "gate must escalate decisively at m10"
+    assert quad_m10 >= gates.proj_min_quad_pairs()
 
 
 def test_auto_geometry_gate_refuses_low_tau(spark, driver_emb, monkeypatch):
@@ -177,9 +236,27 @@ def test_half_deltas_partition_neighborhood():
 
 
 def test_planner_prefers_prune_over_fragmentation(spark, aniso_emb):
-    """On the aniso tier the cost model must pick an interior k (not
-    the minimum 1, which barely prunes, and not the explore cap 6,
-    whose fragmentation loses) — the r6 measured sweep."""
+    """The cost model must pick an interior k on the 20k-row measured
+    plan shapes (not the minimum 1, which barely prunes, and not the
+    explore cap 6, whose fragmentation loses — the r7 simcal sweep:
+    k=6 measured 10.5 s vs k=2's 3.0 s); and the execution-path argmin
+    on the live 2000-row tier must match a driver-side recomputation
+    (planner consistency)."""
+    m1_plans = {  # simcal r7, tau=0.95, 20k rows
+        1: (111676778, 59976, 15),
+        2: (61510089, 172875, 182),
+        3: (33307392, 472318, 2082),
+        4: (17982970, 1228802, 23149),
+        5: (9792359, 2881395, 218734),
+        6: (5463605, 4259052, 841274),
+    }
+    k_best_m1 = min(
+        m1_plans, key=lambda k: simproj.plan_cost(
+            m1_plans[k][0], m1_plans[k][1], m1_plans[k][2]
+        )
+    )
+    assert 2 <= k_best_m1 <= 5
+
     tau = 0.95
     r = (2.0 - 2.0 * tau) ** 0.5
     u = simproj.unit_frame(
@@ -194,12 +271,11 @@ def test_planner_prefers_prune_over_fragmentation(spark, aniso_emb):
     plans = simproj.prefix_plans(
         simproj.cell_histogram(cells).collect(), k_hi
     )
-    k_best = min(
-        plans, key=lambda k: simproj.plan_cost(*
-            (plans[k][0], plans[k][2], plans[k][3])
-        )
-    )
-    assert 2 <= k_best <= 5
+    costs = {
+        k: simproj.plan_cost(p, rl, b) for k, (p, _mc, rl, b) in plans.items()
+    }
+    # at 2000 rows fragmentation dominates — low k must win there
+    assert min(costs, key=costs.get) <= 2
 
 
 def test_embed_inc_paths_agree(spark, monkeypatch):
