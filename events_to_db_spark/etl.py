@@ -149,6 +149,37 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
                 )
 
 
+def build_landing_layout(
+    spark: SparkSession, src_dir: str, dst_dir: str
+) -> int:
+    """Rewrite a flat event-log directory as a DATE-PARTITIONED landing
+    layout (``event_date=YYYY-MM-DD/`` Hive partitions) — the opt-in
+    that makes FROM-clause time pruning REAL at 100 TB: a
+    ``TIME >= …`` atom over this layout compiles to the exact ``ts``
+    predicate AND a redundant lossless ``event_date`` bound
+    (functions/tags.TimeBound), so Spark's partition pruning skips
+    whole date directories before any row is read.  Returns the row
+    count written.  One distributed pass; idempotent (overwrite)."""
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.session import load_table
+
+    ev = load_table(spark, src_dir, "events")
+    out = ev.withColumn("event_date", F.to_date("ts"))
+    out.write.mode("overwrite").partitionBy("event_date").parquet(dst_dir)
+    return spark.read.parquet(dst_dir).count()
+
+
+def load_landing(spark: SparkSession, dst_dir: str) -> DataFrame:
+    """Events from a :func:`build_landing_layout` directory, ts
+    normalized, ``event_date`` partition column retained (its presence
+    is what switches TimeBound onto the pruning path)."""
+    from events_to_db_spark.session import configure, normalize_events_ts
+
+    configure(spark)
+    return normalize_events_ts(spark.read.parquet(dst_dir))
+
+
 def table_pipeline(
     spark: SparkSession, config: dict, entry: dict
 ) -> DataFrame:

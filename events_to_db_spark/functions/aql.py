@@ -614,6 +614,30 @@ class AqlQuery:
 _PRAGMA_RE = re.compile(r"\s*PRAGMA\s+features\s*:=[ \t]*([^\n]*)\n", re.IGNORECASE)
 
 
+_FROM_STAGE_KW_RE = re.compile(r"(FILTER|SELECT|AGGREGATE|LIMIT|LET)\b")
+
+
+def _raw_from_clause(text: str) -> str:
+    """The raw FROM-clause slice: everything up to the first top-level
+    stage keyword, skipping '…'/`…` quoted segments (a tag named
+    'FILTER' must not terminate the clause)."""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", "`"):
+            q = c
+            i += 1
+            while i < n and text[i] != q:
+                i += 2 if text[i] == "\\" else 1
+            i += 1
+            continue
+        m = _FROM_STAGE_KW_RE.match(text, i)
+        if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+            return text[:i]
+        i += 1
+    return text
+
+
 def parse_aql(text: str) -> AqlQuery:
     """Split the pipeline into its ordered stages; stage payloads stay
     as token lists so :func:`run_aql` can bind them against the frame."""
@@ -626,12 +650,15 @@ def parse_aql(text: str) -> AqlQuery:
         raise ValueError("AQL: query must start with FROM")
     toks.pop(0)
     stage_kws = ("FILTER", "SELECT", "AGGREGATE", "LIMIT", "LET")
-    # FROM clause: consume tokens until the next stage keyword
-    from_parts: list[str] = []
+    # FROM clause: the RAW text slice up to the first top-level stage
+    # keyword (quote-aware scan) — a token-reassembly would insert
+    # spaces inside TIME-bound instants (`2024-01-10` tokenizes as
+    # num/op/num/op/num, r7); the tokens are still consumed below so
+    # stage parsing starts in the right place.
+    raw_rest = re.match(r"\s*FROM\b", text)
+    from_text = _raw_from_clause(text[raw_rest.end():]).strip()
     while toks and not (toks[0].kind == "word" and toks[0].text in stage_kws):
-        t = toks.pop(0)
-        from_parts.append(f"'{t.text}'" if t.kind == "str" else t.text)
-    from_text = " ".join(from_parts)
+        toks.pop(0)
     stages: list[tuple[str, list[_Tok] | int]] = []
     while toks:
         kw = toks.pop(0)
@@ -727,7 +754,11 @@ def run_aql(
     """
     q = parse_aql(query)
     ts_col, id_col = order_cols
-    df = events_with_tags.filter(parse_tag_expr(q.from_text).to_column(tags_col))
+    df = events_with_tags.filter(
+        parse_tag_expr(q.from_text).to_column(
+            tags_col, avail_cols=set(events_with_tags.columns)
+        )
+    )
     payload = _Payload(F.col(payload_col), _ANY, is_json=True)
     obj_fields: list[str] | None = None  # set while payload is an object
     bindings: dict[str, str] = {}  # LET name -> value kind

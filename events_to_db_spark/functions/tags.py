@@ -30,9 +30,17 @@ from pyspark.sql import functions as F
 
 
 class TagExpr:
-    """Base: a boolean expression over an event's tag set."""
+    """Base: a boolean expression over an event's tag set.
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
+    ``avail_cols`` (optional) is the set of columns the target frame
+    carries — atoms that can strengthen themselves with a redundant
+    PARTITION-column predicate (TimeBound + ``event_date`` on the
+    landing layout, etl.build_landing_layout) use it; everything else
+    ignores it."""
+
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
         raise NotImplementedError
 
     def __and__(self, other: "TagExpr") -> "TagExpr":
@@ -55,7 +63,9 @@ class Tag(TagExpr):
 
     name: str
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
         return F.array_contains(tags_col, self.name)
 
 
@@ -63,7 +73,9 @@ class Tag(TagExpr):
 class AllEvents(TagExpr):
     """AQL ``allEvents`` — matches everything."""
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
         return F.lit(True)
 
 
@@ -79,15 +91,30 @@ class TimeBound(TagExpr):
     op: str
     instant: str
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
         ts = F.col("ts")
         bound = F.to_timestamp(F.lit(self.instant.replace("T", " ").rstrip("Z")))
-        return {
+        out = {
             ">=": ts >= bound,
             ">": ts > bound,
             "<=": ts <= bound,
             "<": ts < bound,
         }[self.op]
+        if avail_cols is not None and "event_date" in avail_cols:
+            # Landing-layout strengthening (r7): a LOSSLESS redundant
+            # bound on the DATE PARTITION column — ts >= b implies
+            # date(ts) >= date(b) (and dually for upper bounds) — so
+            # the same FROM expression partition-prunes a
+            # date-partitioned event log (etl.build_landing_layout)
+            # while the exact ts predicate keeps the row semantics.
+            d = F.to_date(bound)
+            if self.op in (">=", ">"):
+                out = out & (F.col("event_date") >= d)
+            else:
+                out = out & (F.col("event_date") <= d)
+        return out
 
 
 @dataclass(frozen=True)
@@ -103,7 +130,9 @@ class AppId(TagExpr):
 
     app: str
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
         return F.col("app_id") == self.app
 
 
@@ -115,7 +144,9 @@ class IsLocal(TagExpr):
     real deployment this is the stream-source-node predicate.
     Compiles to a bare boolean column reference (pushable)."""
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
         return F.col("is_local")
 
 
@@ -124,8 +155,12 @@ class And(TagExpr):
     left: TagExpr
     right: TagExpr
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
-        return self.left.to_column(tags_col) & self.right.to_column(tags_col)
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
+        return self.left.to_column(tags_col, avail_cols) & self.right.to_column(
+            tags_col, avail_cols
+        )
 
 
 @dataclass(frozen=True)
@@ -133,16 +168,22 @@ class Or(TagExpr):
     left: TagExpr
     right: TagExpr
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
-        return self.left.to_column(tags_col) | self.right.to_column(tags_col)
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
+        return self.left.to_column(tags_col, avail_cols) | self.right.to_column(
+            tags_col, avail_cols
+        )
 
 
 @dataclass(frozen=True)
 class Not(TagExpr):
     inner: TagExpr
 
-    def to_column(self, tags_col: Column | str = "tags") -> Column:
-        return ~self.inner.to_column(tags_col)
+    def to_column(
+        self, tags_col: Column | str = "tags", avail_cols=None
+    ) -> Column:
+        return ~self.inner.to_column(tags_col, avail_cols)
 
 
 _TOKEN = re.compile(
@@ -347,4 +388,6 @@ def filter_by_tags(events_with_tags: DataFrame, expr: "TagExpr | str") -> DataFr
     """Apply a tag expression (object or text form) as a filter."""
     if isinstance(expr, str):
         expr = parse_tag_expr(expr)
-    return events_with_tags.filter(expr.to_column("tags"))
+    return events_with_tags.filter(
+        expr.to_column("tags", avail_cols=set(events_with_tags.columns))
+    )

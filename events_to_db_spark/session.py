@@ -104,25 +104,32 @@ def get_spark(
     return configure(spark)
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """The events ``ts`` ingest shim — normalize every physical flavor
+    the driver's testdata has shipped to one LTZ µs timestamp."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) parquet + nanosAsLong: ns-of-epoch long ->
+        # microsecond timestamp (lossless; data is µs).  Integer
+        # division is load-bearing: float division of ~1.7e18 ns
+        # exceeds double's 53-bit mantissa and corrupts the µs digit.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet arrives as
+        # NTZ.  The engine-wide invariant (and what unix_micros &
+        # friends require) is an LTZ timestamp; with the UTC session
+        # timezone this cast is a lossless reinterpretation that
+        # matches DuckDB's UTC-naive reading of the same file.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, applying the events ingest shim."""
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) parquet + nanosAsLong: ns-of-epoch long ->
-            # microsecond timestamp (lossless; data is µs).  Integer
-            # division is load-bearing: float division of ~1.7e18 ns
-            # exceeds double's 53-bit mantissa and corrupts the µs digit.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet arrives as
-            # NTZ.  The engine-wide invariant (and what unix_micros &
-            # friends require) is an LTZ timestamp; with the UTC session
-            # timezone this cast is a lossless reinterpretation that
-            # matches DuckDB's UTC-naive reading of the same file.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -1,0 +1,81 @@
+"""Date-partitioned landing layout (etl.build_landing_layout): the
+FROM-clause ``TIME`` atom must PARTITION-PRUNE over it — the opt-in
+that makes the namesake's per-table scan story true at 100 TB — while
+answers stay byte-identical to the flat layout (the redundant
+``event_date`` bound is lossless by construction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from events_to_db_spark.etl import build_landing_layout, load_landing
+from events_to_db_spark.functions.aql import run_aql
+from events_to_db_spark.functions.tags import filter_by_tags, with_tags
+from events_to_db_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+QUERY = (
+    "FROM 'type:purchase' & TIME >= 2024-01-10 & TIME < 2024-01-20"
+    " FILTER _.k >= 10 SELECT { k: _.k * 1 }"
+)
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("landing") / "events_by_date")
+    n = build_landing_layout(spark, SF_SMOKE, dst)
+    assert n == load_table(spark, SF_SMOKE, "events").count()
+    return dst
+
+
+def test_time_bound_prunes_partitions(spark, landing):
+    ev = with_tags(load_landing(spark, landing))
+    out = run_aql(ev, QUERY)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the date bound must reach the scan as a PARTITION filter (whole
+    # date directories skipped), not only a data filter
+    pf = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert pf, "no PartitionFilters in the physical plan"
+    assert any("event_date" in line for line in pf), plan
+    # and the pruned scan must read strictly fewer partitions/files
+    # than the full date range
+    n_dates = load_landing(spark, landing).select("event_date").distinct().count()
+    in_range = (
+        load_landing(spark, landing)
+        .filter(
+            (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("event_date") <= F.lit("2024-01-20").cast("date"))
+        )
+        .select("event_date")
+        .distinct()
+        .count()
+    )
+    assert 0 < in_range < n_dates
+
+
+def test_landing_answers_match_flat(spark, landing):
+    flat = with_tags(load_table(spark, SF_SMOKE, "events"))
+    part = with_tags(load_landing(spark, landing))
+    got = sorted(
+        (r["event_id"], r["k"]) for r in run_aql(part, QUERY).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["k"]) for r in run_aql(flat, QUERY).collect()
+    )
+    assert got == want and got
+    # the combinator/filter path strengthens identically
+    a = filter_by_tags(part, "'type:view' & TIME >= 2024-01-15").count()
+    b = filter_by_tags(flat, "'type:view' & TIME >= 2024-01-15").count()
+    assert a == b > 0
+
+
+def test_flat_layout_unaffected(spark):
+    """No event_date column → TimeBound compiles exactly as before
+    (no dangling reference, no behavior change)."""
+    ev = with_tags(load_table(spark, SF_SMOKE, "events"))
+    out = run_aql(ev, "FROM TIME >= 2024-01-10 AGGREGATE COUNT()")
+    want = ev.filter(F.col("ts") >= "2024-01-10").count()
+    assert out.collect()[0]["value"] == want > 0

@@ -17,17 +17,18 @@ candidate pruning / packing / codegen discipline:
 * N4 ``q_dedup_near`` — blocked all-pairs Jaccard join with no
   escalation gate.
 
-Method mirrors BASELINE.md: one cold run, then median of 3 warm runs,
-results fully collected; row counts are asserted equal to the engine's
-answers.  Prints one JSON line for the BASELINE.md N-set table.
-Run DEDICATED (host alone) at sf0.1.
+Method mirrors BASELINE.md exactly: one cold run then ONE warm run
+(the naive quadratic members run minutes per pass — the B-set method,
+not bench.py's median-of-3, is the affordable and like-for-like
+protocol here), results fully collected; row counts are asserted
+equal to the engine's answers.  Prints one JSON line for the
+BASELINE.md N-set table.  Run DEDICATED (host alone) at sf0.1.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 from pathlib import Path
@@ -200,20 +201,16 @@ def main() -> int:
         assert len(got) == engine_rows, (
             f"{name}: naive {len(got)} rows != engine {engine_rows}"
         )
-        samples = []
-        for _ in range(3):
-            t0 = time.time()
-            naive_fn(spark, sf_dir).collect()
-            samples.append(time.time() - t0)
-        med = statistics.median(samples)
+        t0 = time.time()
+        naive_fn(spark, sf_dir).collect()
+        warm = time.time() - t0
         out[name] = {
             "rows": engine_rows,
             "naive_cold_s": round(cold, 3),
-            "naive_warm_s": round(med, 3),
-            "warm_runs_s": [round(s, 3) for s in samples],
+            "naive_warm_s": round(warm, 3),
         }
         print(f"{name}: rows={engine_rows} cold={cold:.2f}s "
-              f"warm_med={med:.2f}s", flush=True)
+              f"warm={warm:.2f}s", flush=True)
     print(json.dumps({"sf_dir": sf_dir, "naive": out}))
     return 0
 
