@@ -95,7 +95,8 @@ class TimeBound(TagExpr):
         self, tags_col: Column | str = "tags", avail_cols=None
     ) -> Column:
         ts = F.col("ts")
-        bound = F.to_timestamp(F.lit(self.instant.replace("T", " ").rstrip("Z")))
+        instant = self.instant.replace(" ", "")
+        bound = F.to_timestamp(F.lit(instant.replace("T", " ").rstrip("Z")))
         out = {
             ">=": ts >= bound,
             ">": ts > bound,
@@ -186,15 +187,20 @@ class Not(TagExpr):
         return ~self.inner.to_column(tags_col, avail_cols)
 
 
+# TIME instants tolerate interior whitespace ("2024 - 01 - 10"):
+# sub-query pipelines are re-parsed from reassembled token text
+# (aql._toks_to_text inserts spaces between num/op tokens), and the
+# instant is whitespace-stripped in TimeBound before use.  The char
+# class excludes '&'/'|'/')' so the atom never swallows the next term.
 _TOKEN = re.compile(
     r"\s*(?:(allEvents)"
     r"|'((?:[^'\\]|\\.)*)'"
-    r"|(TIME\s*(?:>=|<=|<|>)\s*[0-9][0-9T:.Z-]*)"
+    r"|(TIME\s*(?:>=|<=|<|>)\s*[0-9][0-9T:.Z\- ]*)"
     r"|(appId\(\s*[A-Za-z0-9_.:\-]+\s*\))"
     r"|(isLocal)"
     r"|([&|!()]))"
 )
-_TIME_ATOM = re.compile(r"TIME\s*(>=|<=|<|>)\s*([0-9][0-9T:.Z-]*)")
+_TIME_ATOM = re.compile(r"TIME\s*(>=|<=|<|>)\s*([0-9][0-9T:.Z\- ]*)")
 _APPID_ATOM = re.compile(r"appId\(\s*([A-Za-z0-9_.:\-]+)\s*\)")
 
 

@@ -787,3 +787,22 @@ def test_interpolation_brace_inside_string_literal(spark, tagged):
         " SELECT { m: `q{'\\'}'}r` }",
     ).collect()[0]
     assert got2["m"] == "q'}r"
+
+
+def test_time_bound_in_subquery_from(spark, tagged):
+    """TIME bounds survive the sub-query re-parse (r7: stage bodies
+    are re-tokenized and reassembled with spaces, so the tag grammar
+    tolerates interior whitespace in instants)."""
+    got = run_aql(
+        tagged,
+        "FROM 'type:purchase'"
+        " LET thr := FROM 'type:view' & TIME >= 2024-01-10"
+        " AGGREGATE COUNT() END"
+        " LIMIT 1 SELECT { thr: thr }",
+    ).collect()[0]["thr"]
+    want = (
+        tagged.filter(F.array_contains("tags", "type:view"))
+        .filter(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        .count()
+    )
+    assert got == want > 0
