@@ -5604,3 +5604,183 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier"
         ),
     )
+
+
+#: ECE numerator Σ_b |b·n_b − 10·s_b| — an EXACT BIGINT (per-bucket
+#: |confidence − accuracy| mass, cross-multiplied by 10·n_b), shared
+#: verbatim by both engines; ECE itself is one final division.
+_ECE_NUM = " + ".join(f"abs({b} * n_{b} - 10 * s_{b})" for b in range(11))
+#: Worst per-bucket |conf − acc| in basis points — exact floor
+#: division, fixed literal order (greatest is order-insensitive).
+_ECE_MAX_BPS = "greatest(" + ", ".join(
+    f"CASE WHEN n_{b} > 0 THEN abs({b} * n_{b} - 10 * s_{b}) * 1000"
+    f" DIV n_{b} ELSE 0 END"
+    for b in range(11)
+) + ")"
+
+
+@query(
+    "q_ml_ece",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(least(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END), 10) AS BIGINT)
+                   AS score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND CAST(json_extract_string(props, '$.k')
+                                  AS DOUBLE) >= 90
+                        THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               {piv_cols}
+        FROM f
+    )
+    SELECT nn AS n_users,
+           round(CAST({num} AS DOUBLE) / (10 * nn), 4) AS ece,
+           CAST({max_bps} AS BIGINT) AS max_gap_bps
+    FROM piv
+    """.format(
+        piv_cols=_brier_piv(
+            "CAST(count(CASE WHEN score = {b} THEN 1 END) AS BIGINT)"
+            " AS n_{b}, "
+            "CAST(coalesce(sum(CASE WHEN score = {b} THEN converted END), 0)"
+            " AS BIGINT) AS s_{b}"
+        ),
+        num=_ECE_NUM,
+        max_bps=_ECE_MAX_BPS.replace(" DIV ", " // "),
+    ),
+)
+def q_ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error for the score-proportional predictor
+    p = score/10 (the q_ml_brier frame): ECE = Σ_b (n_b/N)·|b/10 −
+    s_b/n_b| — the single headline number a model card quotes, plus
+    the worst per-bucket gap in basis points (which bucket to look at
+    when ECE is bad).  Completes the calibration family: curve
+    (q_ml_calibration) → isotonic repair (q_ml_isotonic) → Murphy
+    decomposition (q_ml_brier) → the scalar summary.
+
+    Determinism: the per-bucket mass simplifies to |b·n_b − 10·s_b| —
+    an exact BIGINT over the ELEVEN literal buckets (the
+    pivot + fixed-order pattern), one final double division; the max
+    gap is exact floor-division bps.  The DIV/'//' spelling is the one
+    cross-engine divergence, handled by string substitution."""
+    ev = load_table(spark, sf_dir, "events")
+    high_k = (F.col("event_type") == "purchase") & (
+        F.get_json_object("props", "$.k").try_cast("double") >= 90
+    )
+    f = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(10),
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(F.when(high_k, 1).otherwise(0)).alias("converted"),
+    )
+    piv = f.agg(
+        F.count("*").alias("nn"),
+        *[
+            c
+            for b in range(11)
+            for c in (
+                F.count(F.when(F.col("score") == b, 1)).alias(f"n_{b}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("score") == b, F.col("converted"))),
+                    F.lit(0),
+                ).alias(f"s_{b}"),
+            )
+        ],
+    )
+    return piv.select(
+        F.col("nn").alias("n_users"),
+        F.round(
+            F.expr(_ECE_NUM).cast("double") / (10 * F.col("nn")), 4
+        ).alias("ece"),
+        F.expr(_ECE_MAX_BPS).cast("long").alias("max_gap_bps"),
+    )
+
+
+@query(
+    "q_ml_kappa",
+    oracle="""
+    WITH j AS (
+        SELECT len(string_split(text, ' ')) >= 60 AS a,
+               len(list_distinct(string_split(text, ' '))) >= 28 AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM j
+    )
+    SELECT n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 4) AS po,
+           round((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n, 4)
+               AS pe,
+           round((CAST(n AS DOUBLE) * (n11 + n00)
+                  - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+                 / (CAST(n AS DOUBLE) * n
+                    - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                       + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))), 4)
+               AS kappa
+    FROM c
+    """,
+)
+def q_ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document-quality "judges" — the
+    inter-annotator-agreement statistic every labeling/LLM-judge
+    pipeline reports before trusting its labels (agreement corrected
+    for chance): judge A = length gate (≥ 60 tokens), judge B =
+    lexical-richness gate (≥ 28 distinct tokens) — deterministic
+    rules over stored text, correlated but not identical (all four
+    contingency cells populated on the driver corpus at every SF).
+
+    Determinism: the 2×2 contingency is four exact BIGINT counts from
+    ONE scan; po, pe and κ = (N·agree − Σ marginal products) /
+    (N² − Σ marginal products) do their algebra in DOUBLE via the
+    shared-verbatim expression (the r7 overflow rule — N² and the
+    marginal products are quadratic in corpus size)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.size(F.split("text", " ")) >= 60).alias("a"),
+        (F.size(F.array_distinct(F.split("text", " "))) >= 28).alias("b"),
+    )
+    c = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    pe = (
+        "(CAST(n11 + n10 AS DOUBLE) * (n11 + n01)"
+        " + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))"
+    )
+    return c.select(
+        "n11", "n10", "n01", "n00",
+        F.round(F.expr("CAST(n11 + n00 AS DOUBLE) / n"), 4).alias("po"),
+        F.round(F.expr(f"{pe} / n / n"), 4).alias("pe"),
+        F.round(
+            F.expr(
+                f"(CAST(n AS DOUBLE) * (n11 + n00) - {pe})"
+                f" / (CAST(n AS DOUBLE) * n - {pe})"
+            ),
+            4,
+        ).alias("kappa"),
+    )

@@ -257,6 +257,126 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(d)
 
 
+#: Dedup operating-curve thresholds as exact rationals (num, den):
+#: jac >= num/den  ⇔  den·|∩| >= num·|∪| — integer comparisons, no
+#: float threshold can sit ambiguously on a ratio of small ints.
+_CURVE_TAUS = (("0.5", 1, 2), ("0.7", 7, 10), ("0.8", 4, 5), ("0.9", 9, 10))
+
+
+@query(
+    "q_dedup_curve",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT b.doc_id AS doc_b,
+               len(list_intersect(a.toks, b.toks)) AS i,
+               len(list_distinct(list_concat(a.toks, b.toks))) AS u
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    agg AS (
+        SELECT
+          CAST(sum(CASE WHEN 2 * i >= u THEN 1 ELSE 0 END) AS BIGINT) AS p50,
+          CAST(count(DISTINCT CASE WHEN 2 * i >= u THEN doc_b END) AS BIGINT) AS d50,
+          CAST(sum(CASE WHEN 10 * i >= 7 * u THEN 1 ELSE 0 END) AS BIGINT) AS p70,
+          CAST(count(DISTINCT CASE WHEN 10 * i >= 7 * u THEN doc_b END) AS BIGINT) AS d70,
+          CAST(sum(CASE WHEN 5 * i >= 4 * u THEN 1 ELSE 0 END) AS BIGINT) AS p80,
+          CAST(count(DISTINCT CASE WHEN 5 * i >= 4 * u THEN doc_b END) AS BIGINT) AS d80,
+          CAST(sum(CASE WHEN 10 * i >= 9 * u THEN 1 ELSE 0 END) AS BIGINT) AS p90,
+          CAST(count(DISTINCT CASE WHEN 10 * i >= 9 * u THEN doc_b END) AS BIGINT) AS d90
+        FROM p
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tau, n_pairs, n_dropped,
+           CAST((n_docs - n_dropped) * 10000 // n_docs AS BIGINT)
+               AS survive_bps
+    FROM (
+        SELECT '0.5' AS tau, p50 AS n_pairs, d50 AS n_dropped FROM agg
+        UNION ALL SELECT '0.7', p70, d70 FROM agg
+        UNION ALL SELECT '0.8', p80, d80 FROM agg
+        UNION ALL SELECT '0.9', p90, d90 FROM agg
+    ) CROSS JOIN n
+    ORDER BY tau
+    """,
+)
+def q_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OPERATING CURVE: near-dup pair count, documents that
+    a keep-lowest-id policy would drop, and corpus survival rate at
+    four Jaccard thresholds (0.5/0.7/0.8/0.9) — the table a pipeline
+    owner reads BEFORE choosing the dedup threshold (how much corpus
+    does 0.8 cost vs 0.9?), here over the same (lang, source) blocks
+    as ``q_dedup_near``.
+
+    Determinism: every threshold comparison is the exact rational form
+    den·|∩| ≥ num·|∪| (integer cross-multiplication — a float ratio of
+    small ints can sit exactly ON a threshold and round differently
+    across engines); survival is floor-division basis points.  One
+    blocked pair join feeds ALL four thresholds (conditional counts in
+    one hash aggregate — the suite costs one scan like expectations).
+    Scale: the curve is a pre-flight diagnostic — at 100 TB it runs on
+    a stratified hash-sample of blocks (sampling.py convention); the
+    τ ≥ 0.8 production dedup itself rides the gated band engine
+    (near_dup_pairs), which a curve query must NOT use at τ = 0.5
+    (banding calibrated for 0.8 is lossy below it)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source",
+        F.col("toks").alias("toks_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source",
+        F.col("toks").alias("toks_b"),
+    )
+    pairs = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("i"),
+            F.size(F.array_union("toks_a", "toks_b")).alias("u"),
+        )
+    )
+    aggs = []
+    for label, num, den in _CURVE_TAUS:
+        cond = F.col("i") * den >= F.col("u") * num
+        key = label.replace(".", "")
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"p{key}"))
+        aggs.append(
+            F.countDistinct(F.when(cond, F.col("doc_b"))).cast("long").alias(f"d{key}")
+        )
+    one = pairs.agg(*aggs).crossJoin(
+        F.broadcast(d.agg(F.count("*").cast("long").alias("n_docs")))
+    )
+    stack = ", ".join(
+        f"'{label}', p{label.replace('.', '')}, d{label.replace('.', '')}"
+        for label, _n, _d in _CURVE_TAUS
+    )
+    return (
+        one.selectExpr(
+            f"stack({len(_CURVE_TAUS)}, {stack}) AS (tau, n_pairs, n_dropped)",
+            "n_docs",
+        )
+        .select(
+            "tau",
+            "n_pairs",
+            "n_dropped",
+            F.expr("(n_docs - n_dropped) * 10000 div n_docs")
+            .cast("long")
+            .alias("survive_bps"),
+        )
+        .orderBy("tau")
+    )
+
+
 def near_dup_pairs(d: DataFrame) -> DataFrame:
     """The gated same-(lang, source) Jaccard-≥0.8 pair engine behind
     ``q_dedup_near`` — shared with ``q_dedup_cluster``'s edge build

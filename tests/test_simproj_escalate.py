@@ -1,11 +1,15 @@
 """Projection-cell escalation for the cosine-threshold family
-(VERDICT r04 #1 / r05 #1): the lossless top-PC cell candidate scheme
-(functions/simproj.py) must give byte-identical answers to the BLAS
-all-pairs kernels under SPARK_GRAFT_SIM_PROJ=force, on the driver
-corpus AND on the anisotropic near-dup tier it was built for; and the
-auto gate must engage exactly where the measured candidate/replication
-work says it pays (it does on the aniso tier at tau >= 0.95 — PERF.md
-r6 — and must not at the driver corpus's low thresholds)."""
+(VERDICT r04 #1 / r05 #1, gate recalibrated r7 — VERDICT r06 #1): the
+lossless top-PC cell candidate scheme (functions/simproj.py) must give
+byte-identical answers to the BLAS all-pairs kernels under
+SPARK_GRAFT_SIM_PROJ=force, on the driver corpus AND on the
+anisotropic near-dup tier; and the auto gate must engage exactly where
+the measured candidate/replication work says it pays — which since the
+r7 recalibration against the post-`_spread` quad kernel is the LARGE
+aniso tiers only (m10: 4.1-4.9×, PERF.md r7; `scaling.py --aniso`
+measures the execution win).  At small N the gate must REFUSE without
+running any job (size floor), and never at the driver corpus's low
+thresholds (geometry)."""
 
 from __future__ import annotations
 
