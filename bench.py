@@ -58,6 +58,15 @@ NSET_IDS = [
 
 WARM_RUNS = 3
 
+#: Queries whose COLD run exceeds this get ONE warm run instead of
+#: three: the median-of-3 exists to see through ±30% host swing on
+#: sub-second queries (VERDICT r04 #4), where the absolute noise is
+#: tens of ms; on a ~90 s query (N1 on the degenerate corpus) the
+#: swing is visible in the single number and three runs would triple
+#: the driver's per-round bench cost for no added signal.  Spread is
+#: reported as 0.0 for such queries — read it as "single warm sample".
+SLOW_QUERY_CUTOFF_S = 30.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,9 +91,12 @@ def main() -> None:
             fn = qs.get(name)
             if fn is None:
                 continue
+            t0 = time.time()
             fn(spark, sf_dir).collect()  # cold (plan + JIT settling)
+            cold = time.time() - t0
+            n_runs = 1 if cold > SLOW_QUERY_CUTOFF_S else WARM_RUNS
             samples = []
-            for _ in range(WARM_RUNS):
+            for _ in range(n_runs):
                 t0 = time.time()
                 collected = fn(spark, sf_dir).collect()
                 samples.append(time.time() - t0)
