@@ -317,17 +317,50 @@ def q_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines); survival is floor-division basis points.  One
     blocked pair join feeds ALL four thresholds (conditional counts in
     one hash aggregate — the suite costs one scan like expectations).
-    Scale: the curve is a pre-flight diagnostic — at 100 TB it runs on
-    a stratified hash-sample of blocks (sampling.py convention); the
-    τ ≥ 0.8 production dedup itself rides the gated band engine
-    (near_dup_pairs), which a curve query must NOT use at τ = 0.5
-    (banding calibrated for 0.8 is lossy below it)."""
+    Scale: the quadratic is WORK-GATED (the r6 cluster lesson: no
+    private ungated quadratic) — above ``SPARK_GRAFT_CURVE_MAX_PAIRS``
+    in-block pairs the query refuses loudly and the caller reruns
+    :func:`dedup_curve` on a deterministic 1/k hash-sample of blocks
+    (the curve is a pre-flight DIAGNOSTIC, so a block sample is the
+    honest 100 TB protocol; the τ ≥ 0.8 production dedup itself rides
+    the gated band engine, which a curve must NOT use at τ = 0.5 —
+    banding calibrated for 0.8 is lossy below it)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
+    return dedup_curve(d)
+
+
+def dedup_curve(d: DataFrame, sample_mod: int | None = None) -> DataFrame:
+    """The dedup operating curve on a (doc_id, lang, source, toks)
+    frame; see :func:`q_dedup_curve`.  ``sample_mod=k`` restricts to
+    the deterministic 1/k hash-sample of (lang, source) blocks (md5-h15
+    bucket — the sampling.py convention, reproducible and restatable
+    in an oracle); counts are then the curve OF THE SAMPLE, not scaled
+    estimates — the caller owns the extrapolation."""
+    import os
+
+    if sample_mod is not None:
+        from events_to_db_spark.functions.tags import _h15
+
+        d = d.filter(
+            _h15(F.concat_ws("|", "lang", "source")) % sample_mod == 0
+        )
+    # work gate (r6 cluster lesson): refuse an unbounded quadratic
+    blocks = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    pair_work = blocks.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("w")
+    ).collect()[0]["w"] or 0
+    budget = float(os.environ.get("SPARK_GRAFT_CURVE_MAX_PAIRS", "1e9"))
+    if pair_work > budget:
+        raise ValueError(
+            f"dedup_curve: {pair_work:.3g} in-block pairs exceed the "
+            f"work budget {budget:.3g} (SPARK_GRAFT_CURVE_MAX_PAIRS) — "
+            "rerun on a block sample: dedup_curve(d, sample_mod=k)"
+        )
     a = d.select(
         F.col("doc_id").alias("doc_a"), "lang", "source",
         F.col("toks").alias("toks_a"),

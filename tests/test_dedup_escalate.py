@@ -93,3 +93,38 @@ def test_blocked_candidates_never_cross_blocks(spark):
         .count()
     )
     assert crossed == 0
+
+
+def test_dedup_curve_work_gate_and_block_sample(spark, monkeypatch):
+    """r7 (the r6 cluster lesson applied at birth): the operating-curve
+    quadratic is work-gated — above SPARK_GRAFT_CURVE_MAX_PAIRS it
+    refuses loudly with the block-sample protocol in the message; a
+    sample_mod run equals the direct computation restricted to the
+    same deterministically-sampled blocks."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.functions.tags import _h15
+    from events_to_db_spark.operators.llm_ops import dedup_curve
+    from events_to_db_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).cache()
+
+    monkeypatch.setenv("SPARK_GRAFT_CURVE_MAX_PAIRS", "10")
+    with pytest.raises(ValueError, match="sample_mod"):
+        dedup_curve(d)
+    monkeypatch.delenv("SPARK_GRAFT_CURVE_MAX_PAIRS")
+
+    got = sorted(map(tuple, dedup_curve(d, sample_mod=2).collect()))
+    sampled = d.filter(_h15(F.concat_ws("|", "lang", "source")) % 2 == 0)
+    want = sorted(map(tuple, dedup_curve(sampled).collect()))
+    assert got == want
+    assert len(got) == 4
+    # the sample must be a strict, non-empty subset of blocks
+    n_all = d.select("lang", "source").distinct().count()
+    n_s = sampled.select("lang", "source").distinct().count()
+    assert 0 < n_s < n_all
