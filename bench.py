@@ -64,7 +64,8 @@ WARM_RUNS = 3
 #: tens of ms; on a ~90 s query (N1 on the degenerate corpus) the
 #: swing is visible in the single number and three runs would triple
 #: the driver's per-round bench cost for no added signal.  Spread is
-#: reported as 0.0 for such queries — read it as "single warm sample".
+#: reported as null (None) for such queries — "not measured", which a
+#: reader must not confuse with "perfectly stable" (VERDICT r07 #2).
 SLOW_QUERY_CUTOFF_S = 30.0
 
 
@@ -82,7 +83,7 @@ def main() -> None:
     spark = get_spark("bench")
 
     timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
+    spreads: dict[str, float | None] = {}
     rows: dict[str, int] = {}
 
     def run_set(ids: list[str]) -> float:
@@ -102,7 +103,11 @@ def main() -> None:
                 samples.append(time.time() - t0)
             med = statistics.median(samples)
             timings[name] = round(med, 4)
-            spreads[name] = round((max(samples) - min(samples)) / med, 3)
+            spreads[name] = (
+                None
+                if len(samples) < 2
+                else round((max(samples) - min(samples)) / med, 3)
+            )
             rows[name] = len(collected)
             total += med
         return round(total, 4)

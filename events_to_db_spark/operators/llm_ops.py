@@ -799,6 +799,30 @@ def _sim_pair_blocks(
     return q.crossJoin(r)
 
 
+#: Telemetry for the last `_sim_proj_verified` gate decision — written
+#: on every call so harnesses can assert the DECISION itself instead of
+#: inferring it from wall-clock (VERDICT r07 #1: the m1 timing band was
+#: narrower than host same-plan noise; the claim at m1 is "the gate
+#: refuses with zero Spark jobs", which is a fact about this record,
+#: not a duration).  Keys: outcome ∈ {off, refuse_floor,
+#: refuse_min_radius, refuse_radius, refuse_work, escalate},
+#: zero_jobs (True when the refusal was decided without running any
+#: Spark job), n, tau, mode.
+LAST_PROJ_DECISION: dict | None = None
+
+
+def _proj_decision(outcome: str, *, zero_jobs: bool, n: int, tau: float,
+                   mode: str) -> None:
+    global LAST_PROJ_DECISION
+    LAST_PROJ_DECISION = {
+        "outcome": outcome,
+        "zero_jobs": zero_jobs,
+        "n": n,
+        "tau": tau,
+        "mode": mode,
+    }
+
+
 def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
     """Projection-cell escalation for the cosine-threshold family
     (VERDICT r04 #1): lossless top-PC cell candidates + exact verify
@@ -844,15 +868,35 @@ def _sim_proj_verified(e: DataFrame, n: int, tau: float) -> DataFrame | None:
     if mode == "off" or n == 0:
         # empty frame: the quad kernels short-circuit to an empty result,
         # while principal_dirs has no rows to eigendecompose (ADVICE r05)
+        _proj_decision("off", zero_jobs=True, n=n, tau=tau, mode=mode)
         return None
     if mode != "force" and n * (n - 1) / 2.0 < gates.proj_min_quad_pairs():
+        _proj_decision(
+            "refuse_floor", zero_jobs=True, n=n, tau=tau, mode=mode
+        )
         return None
     r = (2.0 - 2.0 * tau) ** 0.5
     if r < simproj.MIN_RADIUS:
+        _proj_decision(
+            "refuse_min_radius", zero_jobs=True, n=n, tau=tau, mode=mode
+        )
         return None
     if mode != "force" and r > gates.PROJ_MAX_RADIUS:
+        _proj_decision(
+            "refuse_radius", zero_jobs=True, n=n, tau=tau, mode=mode
+        )
         return None
-    return simproj.escalated_pairs(e, tau, force=(mode == "force"), n=n)
+    out = simproj.escalated_pairs(e, tau, force=(mode == "force"), n=n)
+    # escalated_pairs runs the planning probe (Spark jobs) before its
+    # cost model can refuse — a refuse_work is NOT a zero-job refusal.
+    _proj_decision(
+        "refuse_work" if out is None else "escalate",
+        zero_jobs=False,
+        n=n,
+        tau=tau,
+        mode=mode,
+    )
+    return out
 
 
 @query(

@@ -13,11 +13,23 @@ exactly what a production deployment would run through
 ``df.write.jdbc`` / per-partition JDBC connections against Postgres;
 swap :func:`_connect` for a server DB and nothing else changes.
 
-Scale note: rows reach the driver via ``toLocalIterator`` (one
-partition in memory at a time), which is correct for a single-writer
-SQLite file.  Against a server DB the upsert belongs in
-``batch_df.foreachPartition`` so each executor writes its own
-partition concurrently — the code path is marked below.
+Two write paths (VERDICT r07 #2):
+
+* ``mode="driver"`` (default) — rows reach the driver via
+  ``toLocalIterator`` (one partition in memory at a time), correct for
+  a single-writer FILE-backed engine; at 100 TB this is the sink's
+  scale ceiling and exists only for such engines.
+* ``mode="executor"`` — the upsert runs in ``foreachPartition`` on the
+  EXECUTORS: each partition opens its own connection and commits one
+  chunked transaction, so a 1000-executor cluster writes 1000 ways in
+  parallel with NO driver collect anywhere in the micro-batch
+  (tests/test_etl.py pins that).  The per-statement SQL is identical;
+  idempotency is unchanged (the keyed upsert is a no-op on
+  redelivery, per partition as much as per batch).  Here the
+  "server" each partition connects to is the same SQLite file (WAL +
+  busy timeout serializes the writers), which exercises the real code
+  path; a production deployment swaps :func:`_connect` for its DB-API
+  driver and gains true write parallelism.
 """
 
 from __future__ import annotations
@@ -52,10 +64,7 @@ def ensure_table(db_path: str, table: str, batch_df: DataFrame, key_cols: list[s
         )
 
 
-def upsert_rows(
-    db_path: str, table: str, columns: list[str], key_cols: list[str], rows
-) -> int:
-    """``INSERT … ON CONFLICT (keys) DO UPDATE`` — one transaction."""
+def _upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str:
     col_list = ", ".join(f'"{c}"' for c in columns)
     placeholders = ", ".join("?" for _ in columns)
     pk = ", ".join(f'"{c}"' for c in key_cols)
@@ -63,10 +72,17 @@ def upsert_rows(
         f'"{c}" = excluded."{c}"' for c in columns if c not in key_cols
     )
     action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
-    sql = (
+    return (
         f'INSERT INTO "{table}" ({col_list}) VALUES ({placeholders}) '
         f"ON CONFLICT ({pk}) {action}"
     )
+
+
+def upsert_rows(
+    db_path: str, table: str, columns: list[str], key_cols: list[str], rows
+) -> int:
+    """``INSERT … ON CONFLICT (keys) DO UPDATE`` — one transaction."""
+    sql = _upsert_sql(table, columns, key_cols)
     n = 0
     with _connect(db_path) as con:
         for row in rows:
@@ -75,22 +91,74 @@ def upsert_rows(
     return n
 
 
+#: Rows per ``executemany`` chunk in the executor-parallel writer —
+#: bounds per-partition sink memory to the chunk, not the partition.
+_PARTITION_CHUNK_ROWS = 10_000
+
+
+def make_partition_upserter(
+    db_path: str, table: str, columns: list[str], key_cols: list[str]
+) -> Callable:
+    """The ``foreachPartition`` body for the executor-parallel upsert
+    (VERDICT r07 #2): runs ON AN EXECUTOR, opens its own connection,
+    and commits the partition's rows in one transaction of chunked
+    ``executemany`` calls.  Closes over plain strings only (picklable);
+    the same function drives a server DB-API connection unchanged."""
+    sql = _upsert_sql(table, columns, key_cols)
+
+    def write_partition(rows) -> None:
+        from itertools import islice
+
+        it = ([row[c] for c in columns] for row in rows)
+        first = list(islice(it, _PARTITION_CHUNK_ROWS))
+        if not first:
+            return  # empty partition: do not even open a connection
+        con = _connect(db_path)
+        try:
+            chunk = first
+            while chunk:
+                con.executemany(sql, chunk)
+                chunk = list(islice(it, _PARTITION_CHUNK_ROWS))
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+
+    return write_partition
+
+
 def upsert_foreach_batch(
-    db_path: str, table: str, key_cols: list[str]
+    db_path: str, table: str, key_cols: list[str], mode: str = "driver"
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function for an idempotent keyed copy.
+
+    ``mode="driver"`` streams partitions through the driver
+    (``toLocalIterator``) — the documented fallback for single-writer
+    FILE-backed engines.  ``mode="executor"`` upserts from the
+    executors via ``foreachPartition`` — per-partition connections and
+    transactions, no driver collect in the micro-batch, the path a
+    server DB needs at scale.  Idempotency is identical in both: the
+    keyed upsert absorbs redelivery whether a whole batch or a single
+    partition is replayed.
 
     Timestamps are serialized to microsecond ISO text so the sink is
     engine-neutral and comparisons in tests are exact.
     """
+    if mode not in ("driver", "executor"):
+        raise ValueError(f"upsert sink mode must be driver|executor: {mode!r}")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         out = _iso_timestamps(batch_df)
         columns = [c for c, _ in out.dtypes]
         ensure_table(db_path, table, out, key_cols)
-        # Single-writer SQLite: stream partitions through the driver.
-        # Server DB at scale: replace with out.foreachPartition(...) so
-        # executors upsert concurrently.
+        if mode == "executor":
+            out.foreachPartition(
+                make_partition_upserter(db_path, table, columns, key_cols)
+            )
+            return
+        # Single-writer file engine: stream partitions through the driver.
         rows = ([row[c] for c in columns] for row in out.toLocalIterator())
         upsert_rows(db_path, table, columns, key_cols, rows)
 
@@ -119,7 +187,14 @@ def replace_foreach_batch(
     batch is the whole fold-so-far, so replace ≡ upsert-everything and
     redelivery after a crash rewrites the same state: idempotent by
     construction, no batch log needed).  Row count is bounded by the
-    fold's group count, never the stream."""
+    fold's group count, never the stream.
+
+    Schema changes across restarts are handled by the same replace
+    semantics (ADVICE r07): when the existing table's column set
+    differs from the batch's, the table is DROPped and recreated inside
+    the transaction — safe because every batch carries the COMPLETE
+    fold, so no prior rows are worth keeping — instead of failing with
+    an opaque column-count error on the INSERT."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         out = _iso_timestamps(batch_df)
@@ -131,6 +206,12 @@ def replace_foreach_batch(
         con = _connect(db_path)
         try:
             con.execute("BEGIN IMMEDIATE")
+            existing = [
+                r[1]
+                for r in con.execute(f'PRAGMA table_info("{table}")')
+            ]
+            if existing and existing != columns:
+                con.execute(f'DROP TABLE "{table}"')
             con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({cols_ddl})')
             con.execute(f'DELETE FROM "{table}"')
             con.executemany(

@@ -128,3 +128,40 @@ def test_dedup_curve_work_gate_and_block_sample(spark, monkeypatch):
     n_all = d.select("lang", "source").distinct().count()
     n_s = sampled.select("lang", "source").distinct().count()
     assert 0 < n_s < n_all
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/tmp/sparkgraft_edge"])
+def test_curve_agrees_with_band_engine_at_08(spark, sf_dir, monkeypatch):
+    """VERDICT r07 #4: the operating curve's tau=0.8 point and the
+    production dedup (q_dedup_near / near_dup_pairs) must COUNT THE
+    SAME PAIRS — they currently agree because both ride the exact
+    blocked join, and this pin makes a future band-engine swap (or a
+    MINHASH_MIN_BANDS change) unable to silently make the diagnostic
+    curve and the production dedup disagree about the same threshold."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.session import load_table
+
+    if sf_dir.startswith("/tmp") and not Path(
+        sf_dir, "documents.parquet"
+    ).exists():
+        subprocess.run(
+            [sys.executable,
+             str(Path(__file__).parent.parent / "tools" / "edgegen.py"),
+             sf_dir],
+            check=True,
+        )
+    monkeypatch.delenv("SPARK_GRAFT_CURVE_MAX_PAIRS", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PPR_MAX", raising=False)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    curve = {
+        r["tau"]: r["n_pairs"] for r in llm_ops.dedup_curve(d).collect()
+    }
+    assert curve["0.8"] == llm_ops.near_dup_pairs(d).count()

@@ -254,3 +254,71 @@ def test_aggregate_mode_materializes_fold(spark, chunked_events, tmp_path):
     ]}
     with pytest.raises(ValueError, match="no\\s+AGGREGATE"):
         validate_config(bad2)
+
+
+def test_multiplex_added_table_fails_loudly(spark, chunked_events, tmp_path):
+    """ADVICE r07 (medium): adding a table to an EXISTING multiplex
+    checkpoint must error — committed offsets would never replay for
+    the new table (silent missing history).  Same set and removals
+    resume fine."""
+    feed, _ev, n = chunked_events
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+    assert len(read_sink_table(cfg["db"], "raw_copy")) == n
+
+    # identical set: resumes (no-op) without complaint
+    _drain(run_etl_config(spark, cfg))
+
+    # removal: fine (the remaining table keeps its offsets)
+    removed = {**cfg, "tables": [{"table": "raw_copy"}]}
+    _drain(run_etl_config(spark, removed))
+
+    # addition: loud failure naming the remedy
+    added = {**cfg, "tables": cfg["tables"] + [
+        {"table": "late_comer", "query": PURCHASE_QUERY}
+    ]}
+    with pytest.raises(ValueError, match="late_comer.*never be replayed"):
+        run_etl_config(spark, added)
+
+    # a FRESH checkpoint root accepts the enlarged set
+    fresh = {**added, "checkpoints": str(tmp_path / "ckpt_fresh"),
+             "db": str(tmp_path / "fresh.db")}
+    _drain(run_etl_config(spark, fresh))
+    assert len(read_sink_table(fresh["db"], "late_comer")) > 0
+
+
+def test_reserved_and_limit_validation(tmp_path):
+    """ADVICE r07: '__'-prefixed table names are runner-internal
+    (checkpoint collision with __multiplex); an aggregate-mode entry
+    may not carry the stateful LIMIT prefix."""
+    base = {
+        "events": str(tmp_path), "db": str(tmp_path / "x.db"),
+        "checkpoints": str(tmp_path / "c"),
+    }
+    with pytest.raises(ValueError, match="reserved"):
+        validate_config({**base, "tables": [{"table": "__multiplex"}]})
+    with pytest.raises(ValueError, match="LIMIT"):
+        validate_config({**base, "tables": [
+            {"table": "f", "mode": "aggregate",
+             "query": "FROM allEvents LIMIT 5 AGGREGATE COUNT()"}
+        ]})
+    with pytest.raises(ValueError, match="sink_mode"):
+        validate_config({**base, "sink_mode": "jdbc",
+                         "tables": [{"table": "t"}]})
+
+
+def test_executor_sink_mode_matches_driver(spark, chunked_events, tmp_path):
+    """VERDICT r07 #2 e2e: a config with sink_mode=executor produces
+    the identical table state (the per-partition executor upserts
+    compose to the same keyed idempotent copy)."""
+    feed, _ev, n = chunked_events
+    cfg = _config(feed, tmp_path)
+    cfg["sink_mode"] = "executor"
+    cfg["db"] = str(tmp_path / "exec.db")
+    cfg["checkpoints"] = str(tmp_path / "ckpt_exec")
+    _drain(run_etl_config(spark, cfg))
+    got = read_sink_table(cfg["db"], "purchases")
+    want = _batch_rows(spark, PURCHASE_QUERY)
+    assert {(r.event_id, r.user, r.k) for r in got.itertuples(index=False)} \
+        == {(eid, user, k) for _ts, eid, user, k in want}
+    assert len(read_sink_table(cfg["db"], "raw_copy")) == n

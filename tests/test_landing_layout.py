@@ -79,3 +79,21 @@ def test_flat_layout_unaffected(spark):
     out = run_aql(ev, "FROM TIME >= 2024-01-10 AGGREGATE COUNT()")
     want = ev.filter(F.col("ts") >= "2024-01-10").count()
     assert out.collect()[0]["value"] == want > 0
+
+
+def test_tag_atom_prunes_type_partitions(spark, landing):
+    """VERDICT r07 #3: over the date×type landing layout a
+    'type:purchase' FROM atom must reach the scan as a PARTITION
+    filter on event_type (directory pruning), alongside TimeBound's
+    event_date bound — no DataFilters-only scan for the compiled
+    config predicate."""
+    ev = with_tags(load_landing(spark, landing))
+    out = run_aql(ev, QUERY)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf, "no PartitionFilters in the physical plan"
+    assert any("event_type" in line for line in pf), plan
+    assert any("event_date" in line for line in pf), plan
+    # every parquet scan in this plan carries a non-empty partition
+    # filter (zero DataFilters-only scans for the config predicate)
+    assert all("PartitionFilters: []" not in line for line in pf), plan

@@ -301,3 +301,33 @@ def test_embed_inc_paths_agree(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SIM_BROADCAST_MAX", "0")
     monkeypatch.setenv("SPARK_GRAFT_SIM_BLOCK_ROWS", "37")
     assert rows() == base
+
+
+def test_proj_decision_record(spark, aniso_emb, driver_emb, monkeypatch):
+    """VERDICT r07 #1: the gate's decision is OBSERVABLE
+    (llm_ops.LAST_PROJ_DECISION), so harnesses assert the decision
+    itself — scaling.py --aniso's m1 tier pins refuse_floor/zero_jobs
+    instead of a wall-clock band narrower than host noise."""
+    e = aniso_emb.select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "auto")
+    assert llm_ops._sim_proj_verified(e, 2000, 0.95) is None
+    d = llm_ops.LAST_PROJ_DECISION
+    assert d["outcome"] == "refuse_floor" and d["zero_jobs"]
+    assert d["mode"] == "auto" and d["n"] == 2000 and d["tau"] == 0.95
+
+    # geometry refusal (low tau, radius > PROJ_MAX_RADIUS) — also free
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ_MIN_PAIRS", "0")
+    assert llm_ops._sim_proj_verified(e, 2000, 0.3) is None
+    assert llm_ops.LAST_PROJ_DECISION["outcome"] == "refuse_radius"
+    assert llm_ops.LAST_PROJ_DECISION["zero_jobs"]
+
+    # cost-model refusal PAST the floor runs planning jobs: not free
+    assert llm_ops._sim_proj_verified(e, 2000, 0.95) is None
+    d = llm_ops.LAST_PROJ_DECISION
+    assert d["outcome"] == "refuse_work" and not d["zero_jobs"]
+
+    monkeypatch.setenv("SPARK_GRAFT_SIM_PROJ", "off")
+    llm_ops.sim_threshold_counts(spark, e, 0.95).collect()
+    assert llm_ops.LAST_PROJ_DECISION["outcome"] == "off"

@@ -169,3 +169,66 @@ def test_dynamic_partition_overwrite_rewrites_only_touched_day(spark, tmp_path):
     after = spark.read.parquet(tgt)
     assert after.count() == before_total - 1
     assert after.select("d").distinct().count() == len(days)
+
+
+def test_executor_upsert_no_driver_collect_and_idempotent(spark, tmp_path):
+    """VERDICT r07 #2: mode="executor" writes from foreachPartition on
+    the executors — the micro-batch contains NO driver collect (pinned
+    by poisoning DataFrame.collect/toLocalIterator for the duration),
+    is idempotent under replay, and matches the driver path's state."""
+    import pytest as _pytest
+    from pyspark.sql import DataFrame
+
+    from events_to_db_spark.streaming.sink import upsert_foreach_batch
+
+    src = _nation(spark).repartition(6)
+    db_exec = str(tmp_path / "exec.db")
+    db_drv = str(tmp_path / "drv.db")
+
+    write_exec = upsert_foreach_batch(
+        db_exec, "nation", ["n_nationkey"], mode="executor"
+    )
+
+    def _poisoned(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("driver collect in executor-mode sink")
+
+    real_collect = DataFrame.collect
+    real_tli = DataFrame.toLocalIterator
+    DataFrame.collect = _poisoned
+    DataFrame.toLocalIterator = _poisoned
+    try:
+        write_exec(src, 0)
+        write_exec(src, 0)  # redelivery: keyed upsert is a no-op
+    finally:
+        DataFrame.collect = real_collect
+        DataFrame.toLocalIterator = real_tli
+
+    upsert_foreach_batch(db_drv, "nation", ["n_nationkey"])(src, 0)
+    got = read_sink_table(db_exec, "nation").sort_values("n_nationkey")
+    want = read_sink_table(db_drv, "nation").sort_values("n_nationkey")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert len(got) == src.count()
+
+    with _pytest.raises(ValueError, match="driver|executor"):
+        upsert_foreach_batch(db_drv, "nation", ["n_nationkey"], mode="jdbc")
+
+
+def test_replace_sink_survives_schema_change(spark, tmp_path):
+    """ADVICE r07: a complete-mode fold whose output schema changes
+    across restarts must REPLACE the table (drop + recreate), not die
+    with an opaque column-count INSERT error."""
+    from events_to_db_spark.streaming.sink import replace_foreach_batch
+
+    db = str(tmp_path / "fold.db")
+    write = replace_foreach_batch(db, "fold")
+    write(spark.createDataFrame([(1, 10.0)], "g int, total double"), 0)
+    assert list(read_sink_table(db, "fold").columns) == ["g", "total"]
+
+    # restarted fold now also emits a count column
+    write(
+        spark.createDataFrame([(1, 10.0, 3)], "g int, total double, n int"),
+        0,
+    )
+    state = read_sink_table(db, "fold")
+    assert list(state.columns) == ["g", "total", "n"]
+    assert state.loc[0, "n"] == 3 and len(state) == 1

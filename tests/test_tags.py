@@ -121,3 +121,51 @@ def test_appid_parse_errors():
         parse_tag_expr("appId()")
     with pytest.raises(ValueError):
         parse_tag_expr("appId(")
+
+
+def test_time_instant_normalization_and_rejection(spark):
+    """ADVICE r07: spaces adjacent to '-'/':' are token-reassembly
+    artifacts and normalize away; one interior space is the date-time
+    separator (supported end-to-end); anything else is a LOUD parse
+    error, not a silent to_timestamp NULL."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.functions.tags import (
+        TimeBound,
+        filter_by_tags,
+        parse_tag_expr,
+        with_tags,
+    )
+    from events_to_db_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    assert TimeBound(">=", "2024 - 01 - 10").instant == "2024-01-10"
+    assert (
+        TimeBound("<", "2024-01-10T12:30:00Z").instant
+        == "2024-01-10 12:30:00"
+    )
+    assert (
+        TimeBound("<", "2024-01-10 12:30:00").instant
+        == "2024-01-10 12:30:00"
+    )
+    with pytest.raises(ValueError, match="bad TIME instant"):
+        TimeBound(">=", "2024-01-10 12")  # dangling hour, no minutes
+    with pytest.raises(ValueError, match="bad TIME instant"):
+        TimeBound(">=", "2024-01-10 12:00 00")  # interior space
+
+    ev = with_tags(load_table(spark, SF_SMOKE, "events"))
+    got = filter_by_tags(ev, "TIME >= 2024-01-10 12:30:00").count()
+    want = ev.filter(F.col("ts") >= "2024-01-10 12:30:00").count()
+    assert got == want > 0
+    # and through the parser with a following term
+    e = parse_tag_expr("TIME >= 2024-01-10 12:30:00 & 'type:view'")
+    n = ev.filter(e.to_column("tags")).count()
+    assert (
+        n
+        == ev.filter(
+            (F.col("ts") >= "2024-01-10 12:30:00")
+            & (F.col("event_type") == "view")
+        ).count()
+        > 0
+    )
