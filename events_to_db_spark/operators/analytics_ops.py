@@ -5784,3 +5784,85 @@ def q_ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("kappa"),
     )
+
+
+#: McNemar continuity-corrected numerator (shared verbatim by both
+#: engines): greatest(|n10 - n01| - 1, 0)² — exact BIGINT.
+_MCNEMAR_NUM = (
+    "greatest(abs(n10 - n01) - 1, 0) * greatest(abs(n10 - n01) - 1, 0)"
+)
+
+
+@query(
+    "q_ml_mcnemar",
+    oracle=f"""
+    WITH j AS (
+        SELECT len(string_split(text, ' ')) >= 60 AS a,
+               len(list_distinct(string_split(text, ' '))) >= 28 AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n10,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n01
+        FROM j
+    )
+    SELECT n10, n01,
+           CASE WHEN n10 + n01 > 0
+                THEN round(CAST({_MCNEMAR_NUM} AS DOUBLE) / (n10 + n01), 4)
+           END AS chi2_cc,
+           CASE WHEN n10 + n01 > 0
+                THEN 1000000 * ({_MCNEMAR_NUM}) >= 3841459 * (n10 + n01)
+           END AS reject_05
+    FROM c
+    """,
+)
+def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the q_ml_kappa judge pair — the PAIRED
+    companion statistic: kappa asks "do the two labelers agree beyond
+    chance?", McNemar asks "is one labeler systematically more lenient
+    than the other?" (marginal homogeneity), which is the question to
+    ask before swapping quality gates in a curation pipeline.  Only
+    the DISCORDANT cells matter: continuity-corrected
+    chi² = (|n10 − n01| − 1)² / (n10 + n01) on 1 df.
+
+    Determinism: n10/n01 are exact BIGINT counts from one scan; the
+    corrected numerator greatest(|n10−n01|−1, 0)² stays BIGINT (the
+    max(·,0) guard keeps the b = c case at 0, not (−1)² = 1); the 5%
+    decision avoids the float boundary entirely —
+    10⁶·num ≥ 3841459·(n10+n01) is the exact-integer spelling of
+    chi² ≥ 3.841459 (χ²₁,₀.₀₅ to 6 dp).  One final double division for
+    the reported statistic.  Single hash aggregate, shuffle-minimal at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.size(F.split("text", " ")) >= 60).alias("a"),
+        (F.size(F.array_distinct(F.split("text", " "))) >= 28).alias("b"),
+    )
+    c = d.agg(
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+    )
+    guard = F.col("n10") + F.col("n01") > 0
+    return c.select(
+        "n10",
+        "n01",
+        F.when(
+            guard,
+            F.round(
+                F.expr(_MCNEMAR_NUM).cast("double")
+                / (F.col("n10") + F.col("n01")),
+                4,
+            ),
+        ).alias("chi2_cc"),
+        F.when(
+            guard,
+            F.expr(
+                f"1000000 * ({_MCNEMAR_NUM}) >= 3841459 * (n10 + n01)"
+            ),
+        ).alias("reject_05"),
+    )

@@ -536,3 +536,116 @@ def q_ir_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exp_score").desc(), "term")
         .limit(15)
     )
+
+
+#: RBO persistence p = 0.9 — the ten literal weights p^(d-1), exact
+#: decimals (9^k/10^k), CAST AS DOUBLE in both engines (bare decimal
+#: literals are DECIMAL in both — the r6 trap).
+_RBO_W = (
+    "1.0", "0.9", "0.81", "0.729", "0.6561", "0.59049", "0.531441",
+    "0.4782969", "0.43046721", "0.387420489",
+)
+#: (1 - p) * Σ_d p^(d-1) · o_d / d — ONE fixed-order expression shared
+#: verbatim by both engines (no cross-row float sum; o_d are BIGINT).
+_RBO_EXPR = "CAST(0.1 AS DOUBLE) * (" + " + ".join(
+    f"CAST(o_{d} AS DOUBLE) * CAST({w} AS DOUBLE) / {d}"
+    for d, w in enumerate(_RBO_W, start=1)
+) + ")"
+_RBO_O_COLS = ", ".join(
+    f"CAST(coalesce(sum(CASE WHEN m <= {d} THEN 1 ELSE 0 END), 0)"
+    f" AS BIGINT) AS o_{d}"
+    for d in range(1, 11)
+)
+
+
+@query(
+    "q_ir_rbo",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    stats AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY term
+    ),
+    a AS (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS ra
+        FROM stats ORDER BY df DESC, term LIMIT 10
+    ),
+    b AS (
+        SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rb
+        FROM stats ORDER BY tf DESC, term LIMIT 10
+    ),
+    pairs AS (
+        SELECT greatest(a.ra, b.rb) AS m FROM a JOIN b USING (term)
+    ),
+    o AS (SELECT {_RBO_O_COLS} FROM pairs)
+    SELECT o_1 AS overlap1, o_10 AS overlap10,
+           round({_RBO_EXPR}, 4) AS rbo_min
+    FROM o
+    """,
+)
+def q_ir_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010, RBO_min at p = 0.9)
+    between two term rankings of the same corpus — ranking by DOCUMENT
+    frequency vs ranking by raw OCCURRENCE count (the two "systems"
+    every index tuner compares: does df-weighting reorder the head?).
+    RBO is the top-weighted rank-similarity measure retrieval teams
+    report where Kendall's tau over-weights the tail.
+
+    Determinism: both top-10 lists use the exact-integer score with a
+    unique (score desc, term asc) tie-break; per-depth overlaps o_d
+    are exact BIGINT counts of max(ra, rb) ≤ d over the joined lists;
+    the only float work is the ONE fixed-order literal-weight sum
+    (p^(d-1) embedded as exact decimal literals, CAST AS DOUBLE —
+    _RBO_EXPR is shared verbatim by both engines).
+
+    Scale shape: term stats are one explode→hash-agg; each ranking is
+    TakeOrderedAndProject (top-10 of any vocabulary size, no global
+    sort); the row_number windows run over the 10-row LIMIT outputs
+    (k-bounded, allowlisted)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("tf"),
+        )
+    )
+    a10 = stats.orderBy(F.col("df").desc(), "term").limit(10)
+    b10 = stats.orderBy(F.col("tf").desc(), "term").limit(10)
+    a = a10.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").desc(), "term"))
+        .alias("ra"),
+    )
+    b = b10.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "term"))
+        .alias("rb"),
+    )
+    pairs = a.join(b, "term").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    o = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("m") <= dd, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"o_{dd}")
+            for dd in range(1, 11)
+        ]
+    )
+    return o.select(
+        F.col("o_1").alias("overlap1"),
+        F.col("o_10").alias("overlap10"),
+        F.round(F.expr(_RBO_EXPR), 4).alias("rbo_min"),
+    )
