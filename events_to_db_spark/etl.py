@@ -59,12 +59,15 @@ not a full re-scan per table by design.  ``LIMIT`` entries are
 stateful too (take-first-n counter) and are rejected in multiplexed
 mode with a pointer at ``multiplex=False``.
 
-Note on pushdown honesty: the event log here is a flat parquet
-directory and the FROM tag predicate is ``array_contains`` on an
-array column, which row-group stats cannot prune — single-scan
-multiplexing, not per-table pruning, is what bounds the read volume.
-On a tag/date-partitioned landing layout the same compiled predicates
-would additionally partition-prune.
+Note on pushdown honesty: on a FLAT parquet directory the FROM tag
+predicate is ``array_contains`` on an array column, which row-group
+stats cannot prune — single-scan multiplexing, not per-table pruning,
+is what bounds the read volume there.  On the date×type landing
+layout (:func:`build_landing_layout`) both query dimensions prune for
+real: TIME atoms via the redundant ``event_date`` bound and ``type:``
+tag atoms via the ``event_type`` partition column
+(functions/tags.TimeBound / Tag — plan-asserted in
+tests/test_landing_layout.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,88 @@
+"""N-set drift gate (tools/benchdrift.py, VERDICT r07 #5): the
+documented thresholds must be executable and noise-tolerant — a
+sub-second 1.5× swing is host noise and must NOT fail (the r7 lesson:
+a gate that flips on noise trains rounds to ignore it), while a real
+family regression or a naive-bar breach must exit non-zero."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tools import benchdrift
+
+
+def _write(tmp_path, name, queries, wrap=None):
+    p = tmp_path / name
+    if wrap == "parsed":
+        p.write_text(json.dumps({"n": 1, "parsed": {"queries": queries}}))
+    elif wrap == "tail":
+        p.write_text(
+            json.dumps(
+                {
+                    "n": 1,
+                    "tail": "noise\r[Stage 1:>]\r"
+                    + json.dumps({"metric": "x", "queries": queries}),
+                }
+            )
+        )
+    else:
+        p.write_text(json.dumps({"queries": queries}))
+    return p
+
+
+BASE = {
+    "q_dedup_minhash": 75.0,
+    "q_sim_hamming": 0.6,
+    "q_text_tfidf": 0.5,
+    "q_dedup_near": 1.5,
+}
+
+
+def test_green_when_stable(tmp_path, capsys):
+    old = _write(tmp_path, "old.json", BASE)
+    new = _write(tmp_path, "new.json", dict(BASE))
+    assert benchdrift.main([str(old), str(new)]) == 0
+
+
+@pytest.mark.parametrize("wrap", ["parsed", "tail"])
+def test_loads_driver_wrappers(tmp_path, wrap):
+    old = _write(tmp_path, "old.json", BASE, wrap=wrap)
+    new = _write(tmp_path, "new.json", dict(BASE))
+    assert benchdrift.main([str(old), str(new)]) == 0
+
+
+def test_subsecond_ratio_swing_is_tolerated(tmp_path):
+    """1.5x on a 0.6 s query moves 0.3 s — inside host noise (r7
+    recorded spread 0.645 on this very query); the absolute floor
+    must absorb it."""
+    new = dict(BASE, q_sim_hamming=0.95)
+    old = _write(tmp_path, "old.json", BASE)
+    newp = _write(tmp_path, "new.json", new)
+    assert benchdrift.main([str(old), str(newp)]) == 0
+
+
+def test_real_drift_fails(tmp_path, capsys):
+    new = dict(BASE, q_dedup_minhash=140.0)
+    old = _write(tmp_path, "old.json", BASE)
+    newp = _write(tmp_path, "new.json", new)
+    assert benchdrift.main([str(old), str(newp)]) == 2
+    assert "q_dedup_minhash" in capsys.readouterr().err
+
+
+def test_naive_bar_breach_fails_even_without_drift(tmp_path, capsys):
+    """tfidf at 2.0 s is 2.5x the measured naive warm bar — fails the
+    absolute check regardless of the prior round."""
+    new = dict(BASE, q_text_tfidf=2.0)
+    old = _write(tmp_path, "old.json", dict(BASE, q_text_tfidf=1.9))
+    newp = _write(tmp_path, "new.json", new)
+    assert benchdrift.main([str(old), str(newp)]) == 2
+    assert "naive" in capsys.readouterr().err
+
+
+def test_missing_nset_query_fails(tmp_path):
+    new = {k: v for k, v in BASE.items() if k != "q_dedup_near"}
+    old = _write(tmp_path, "old.json", BASE)
+    newp = _write(tmp_path, "new.json", new)
+    assert benchdrift.main([str(old), str(newp)]) == 2
