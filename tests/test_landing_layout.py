@@ -97,3 +97,49 @@ def test_tag_atom_prunes_type_partitions(spark, landing):
     # every parquet scan in this plan carries a non-empty partition
     # filter (zero DataFilters-only scans for the config predicate)
     assert all("PartitionFilters: []" not in line for line in pf), plan
+
+
+def test_landing_stream_prunes_at_source(spark, landing, tmp_path):
+    """events_layout=landing (r8): a per-table ETL stream over the
+    date×type layout reads ONLY the partitions its compiled FROM
+    predicate selects — numInputRows is bounded by the matching slice,
+    strictly below the log size — while the sink state equals the
+    batch answer over the same layout.  At 100 TB this is the
+    difference between following the log and following the slice."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.etl import run_etl_config
+    from events_to_db_spark.streaming.sink import read_sink_table
+
+    cfg = {
+        "events": landing,
+        "events_layout": "landing",
+        "db": str(tmp_path / "land.db"),
+        "checkpoints": str(tmp_path / "ckpt_land"),
+        "max_files_per_trigger": 100000,
+        "tables": [{"table": "purch", "query": QUERY}],
+    }
+    qs = run_etl_config(spark, cfg, multiplex=False)
+    in_rows = 0
+    for q in set(qs.values()):
+        q.awaitTermination()
+        in_rows += sum(
+            json.loads(p.json)["numInputRows"] for p in q.recentProgress
+        )
+
+    land = load_landing(spark, landing)
+    total = land.count()
+    slice_rows = land.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-20").cast("date"))
+    ).count()
+    assert 0 < in_rows <= slice_rows < total
+
+    got = read_sink_table(cfg["db"], "purch")
+    want = run_aql(with_tags(land), QUERY).collect()
+    assert {(r.event_id, r.k) for r in got.itertuples(index=False)} == {
+        (r["event_id"], r["k"]) for r in want
+    } != set()
