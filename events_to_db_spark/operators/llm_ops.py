@@ -949,16 +949,30 @@ def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("vec_id").limit(100)
     q = _pack_chunks(q100, 1, False, "q")
     r = _pack_chunks(e, max(1, -(-n // _sim_block_rows())), False, "r")
-    parts = q.crossJoin(r).mapInPandas(
-        kernels.make_block_nn_fn(), "vec_id long, nn_id long, cos double"
+    # truncate_lineage: parts feeds BOTH the max and the join-back —
+    # without the pin the expensive kernel pass would run twice
+    # (the CollapseProject/recompute trap, CLAUDE.md r3).
+    parts = truncate_lineage(
+        q.crossJoin(r).mapInPandas(
+            kernels.make_block_nn_fn(), "vec_id long, nn_id long, cos double"
+        ),
+        eager=False,
     )
-    best = parts.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_nn"))).alias("m")
-    )
-    out = best.select(
-        "vec_id",
-        (-F.col("m.neg_nn")).alias("nn_id"),
-        F.round("m.cos", 4).alias("cos"),
+    # argmax as hash-agg + join-back instead of max(struct(...)):
+    # struct-max buffers plan SortAggregate (VERDICT r06 #4 / r07 #3);
+    # max(cos) then an equality join back to parts keeps every
+    # aggregate a HashAggregate.  cos == best_cos is safe on doubles:
+    # both sides are the SAME kernel-emitted values, and max() returns
+    # one of them bit-for-bit.
+    best = parts.groupBy("vec_id").agg(F.max("cos").alias("best_cos"))
+    out = (
+        parts.join(F.broadcast(best), "vec_id")
+        .filter(F.col("cos") == F.col("best_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.min("nn_id").alias("nn_id"),
+            F.round(F.max("cos"), 4).alias("cos"),
+        )
     )
     return out.orderBy("vec_id").limit(100)
 
