@@ -417,6 +417,33 @@ def run_etl_config(
             config["checkpoints"], [t["table"] for t in copies]
         )
         stream = _config_stream(spark, config)
+        if config.get("events_layout", "flat") == "landing":
+            # Shared-scan pruning (r8): the multiplexed scan serves N
+            # different FROM predicates, so it can push the OR of
+            # their lossless PARTITION-ONLY weakenings
+            # (tags.partition_bound) — pure event_date/event_type
+            # terms ⇒ real directory pruning even for the shared
+            # stream.  Lossless: each table's weakening covers every
+            # row its exact predicate (applied per-table in the
+            # fan-out) can accept; a FROM-allEvents table weakens to
+            # TRUE and disables pruning, honestly.
+            from functools import reduce
+
+            from events_to_db_spark.functions.tags import partition_bound
+
+            bound = reduce(
+                lambda a, b: a | b,
+                [
+                    partition_bound(
+                        parse_aql(
+                            t.get("query", DEFAULT_QUERY)
+                        ).from_text,
+                        stream.columns,
+                    )
+                    for t in copies
+                ],
+            )
+            stream = stream.filter(bound)
         q = start(
             stream.writeStream.outputMode("append")
             .option(

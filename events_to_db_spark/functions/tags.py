@@ -432,6 +432,48 @@ def with_envelope(events_with_tags: DataFrame) -> DataFrame:
     )
 
 
+def partition_bound(expr: "TagExpr | str", avail_cols) -> Column:
+    """The LOSSLESS partition-only WEAKENING of a tag expression — a
+    predicate over partition columns alone (``event_type`` /
+    ``event_date`` on the landing layout) that every row satisfying
+    ``expr`` also satisfies.  This is what a SHARED scan can push when
+    it serves many different predicates at once: filter the scan by
+    the OR of each consumer's weakening (pure partition columns ⇒
+    real directory pruning), then apply each consumer's exact
+    predicate downstream (etl.multiplex over the landing layout).
+
+    Weakening rules (standard predicate weakening for partition
+    pruning): ``type:X`` → ``event_type = 'X'``; ``TIME ≥/＞ b`` →
+    ``event_date ≥ date(b)`` (dually ``≤`` for upper bounds);
+    AND → AND, OR → OR of the weakenings; everything else —
+    non-type tags, appId, isLocal, allEvents, and any NOT subtree
+    (¬ of a weakening is NOT a weakening of ¬) — weakens to TRUE.
+    Returns ``lit(True)`` when no partition column is available."""
+    if isinstance(expr, str):
+        expr = parse_tag_expr(expr)
+    avail = set(avail_cols)
+    if isinstance(expr, And):
+        return partition_bound(expr.left, avail) & partition_bound(
+            expr.right, avail
+        )
+    if isinstance(expr, Or):
+        return partition_bound(expr.left, avail) | partition_bound(
+            expr.right, avail
+        )
+    if (
+        isinstance(expr, Tag)
+        and "event_type" in avail
+        and expr.name.startswith("type:")
+    ):
+        return F.col("event_type") == expr.name[len("type:"):]
+    if isinstance(expr, TimeBound) and "event_date" in avail:
+        d = F.to_date(F.to_timestamp(F.lit(expr.instant)))
+        if expr.op in (">=", ">"):
+            return F.col("event_date") >= d
+        return F.col("event_date") <= d
+    return F.lit(True)
+
+
 def filter_by_tags(events_with_tags: DataFrame, expr: "TagExpr | str") -> DataFrame:
     """Apply a tag expression (object or text form) as a filter."""
     if isinstance(expr, str):

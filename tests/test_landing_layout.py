@@ -143,3 +143,101 @@ def test_landing_stream_prunes_at_source(spark, landing, tmp_path):
     assert {(r.event_id, r.k) for r in got.itertuples(index=False)} == {
         (r["event_id"], r["k"]) for r in want
     } != set()
+
+
+def test_multiplex_shared_scan_prunes_to_union(spark, landing, tmp_path):
+    """r8 shared-scan pruning: a multiplexed config over the landing
+    layout filters the ONE shared stream by the OR of each table's
+    partition-only weakening — input rows equal the union slice, not
+    the log — while every table's state still matches its batch
+    answer (the exact predicates run per-table in the fan-out)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.etl import run_etl_config
+    from events_to_db_spark.streaming.sink import read_sink_table
+
+    t_purch = (
+        "FROM 'type:purchase' & TIME >= 2024-01-10 & TIME < 2024-01-20"
+        " SELECT { k: _.k * 1 }"
+    )
+    t_err = "FROM 'type:error' SELECT { u: _.user_id }"
+    cfg = {
+        "events": landing,
+        "events_layout": "landing",
+        "db": str(tmp_path / "mx.db"),
+        "checkpoints": str(tmp_path / "ckpt_mx"),
+        "max_files_per_trigger": 100000,
+        "tables": [
+            {"table": "purch", "query": t_purch},
+            {"table": "errs", "query": t_err},
+        ],
+    }
+    qs = run_etl_config(spark, cfg)
+    in_rows = 0
+    for q in set(qs.values()):
+        q.awaitTermination()
+        in_rows += sum(
+            json.loads(p.json)["numInputRows"] for p in q.recentProgress
+        )
+
+    land = load_landing(spark, landing)
+    total = land.count()
+    union_slice = land.filter(
+        (
+            (F.col("event_type") == "purchase")
+            & (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("event_date") <= F.lit("2024-01-20").cast("date"))
+        )
+        | (F.col("event_type") == "error")
+    ).count()
+    assert 0 < in_rows <= union_slice < total
+
+    for table, query, cols in (
+        ("purch", t_purch, ("event_id", "k")),
+        ("errs", t_err, ("event_id", "u")),
+    ):
+        got = read_sink_table(cfg["db"], table)
+        want = run_aql(with_tags(land), query).collect()
+        assert {tuple(getattr(r, c) for c in cols)
+                for r in got.itertuples(index=False)} == {
+            tuple(r[c] for c in cols) for r in want
+        } != set()
+
+
+def test_partition_bound_weakening_rules(spark):
+    """partition_bound is a WEAKENING: NOT subtrees, non-type tags and
+    source atoms collapse to TRUE; type/TIME atoms map to partition
+    predicates; and it never excludes a row its exact predicate
+    accepts (checked on the smoke corpus for a nested expression)."""
+    from events_to_db_spark.functions.tags import (
+        parse_tag_expr,
+        partition_bound,
+        with_tags,
+    )
+    from events_to_db_spark.session import load_table
+
+    avail = {"event_type", "event_date"}
+    # NOT weakens to TRUE (the negation of a weakening is not one)
+    assert "true" in str(
+        partition_bound("!'type:error'", avail)
+    ).lower()
+    assert "true" in str(partition_bound("'user:7'", avail)).lower()
+    assert "event_type" in str(partition_bound("'type:view'", avail))
+    # no partition columns available -> TRUE
+    assert "true" in str(partition_bound("'type:view'", set())).lower()
+
+    from events_to_db_spark.etl import build_landing_layout, load_landing
+    import tempfile
+
+    dst = tempfile.mkdtemp() + "/land_pb"
+    build_landing_layout(spark, SF_SMOKE, dst)
+    land = with_tags(load_landing(spark, dst))
+    expr = "('type:purchase' | 'type:error') & TIME >= 2024-01-12 & !'user:3'"
+    exact = land.filter(
+        parse_tag_expr(expr).to_column("tags", set(land.columns))
+    )
+    weak = land.filter(partition_bound(expr, set(land.columns)))
+    assert exact.exceptAll(weak).count() == 0  # weakening covers exact
+    assert weak.count() < land.count()  # and still prunes
