@@ -229,7 +229,7 @@ def load_landing(spark: SparkSession, dst_dir: str) -> DataFrame:
     return normalize_events_ts(spark.read.parquet(dst_dir))
 
 
-def _multiplex_table_guard(checkpoints: str, tables: list[str]) -> None:
+def _multiplex_table_guard(checkpoints: str, tables: list[str]):
     """Fail loudly when a config ADDS a row-copy table to an existing
     multiplex checkpoint (ADVICE r07, medium): all multiplexed tables
     share ONE offset log, so offsets committed before a table existed
@@ -243,7 +243,11 @@ def _multiplex_table_guard(checkpoints: str, tables: list[str]) -> None:
     (``multiplex=False`` with only the new table and a fresh per-table
     checkpoint) before re-adding it here.  A marker-less checkpoint
     with existing offsets (pre-guard legacy) adopts the CURRENT set —
-    additions relative to older legacy runs are undetectable."""
+    additions relative to older legacy runs are undetectable.
+
+    Returns a zero-argument REGISTER callback; the caller invokes it
+    only after the stream has started successfully, so a failed start
+    can never record a table as having history it does not have."""
     import json
     from pathlib import Path
 
@@ -267,8 +271,12 @@ def _multiplex_table_guard(checkpoints: str, tables: list[str]) -> None:
             "multiplex frontier and the keyed upsert absorbs the "
             "overlap), then re-run."
         )
-    root.mkdir(parents=True, exist_ok=True)
-    marker.write_text(json.dumps(sorted(known | set(tables))))
+
+    def register() -> None:
+        root.mkdir(parents=True, exist_ok=True)
+        marker.write_text(json.dumps(sorted(known | set(tables))))
+
+    return register
 
 
 def backfill_multiplex_table(
@@ -292,6 +300,14 @@ def backfill_multiplex_table(
     import json
     from pathlib import Path
 
+    if entry.get("mode", "copy") != "copy":
+        # folds are per-table streams with their own checkpoints —
+        # they never join the multiplexed scan, so there is nothing
+        # to backfill INTO and a keyed upsert would corrupt the fold
+        raise ValueError(
+            "backfill_multiplex_table: only row-copy entries join the "
+            f"multiplexed scan (got mode={entry.get('mode')!r})"
+        )
     validate_config(
         {**config, "tables": [entry]}, multiplex=True
     )
@@ -413,7 +429,7 @@ def run_etl_config(
     ]
 
     if multiplex and copies:
-        _multiplex_table_guard(
+        register = _multiplex_table_guard(
             config["checkpoints"], [t["table"] for t in copies]
         )
         stream = _config_stream(spark, config)
@@ -451,6 +467,7 @@ def run_etl_config(
             )
             .foreachBatch(multiplex_foreach_batch(config, copies))
         )
+        register()  # only a successfully-started stream records its set
         for entry in copies:
             queries[entry["table"]] = q
     else:

@@ -354,3 +354,36 @@ def test_backfill_unblocks_added_table(spark, chunked_events, tmp_path):
             spark, cfg,
             {"table": "lim", "query": "FROM allEvents LIMIT 5 SELECT _.k"},
         )
+
+
+def test_failed_start_does_not_register_tables(spark, chunked_events, tmp_path):
+    """The marker records a table set only AFTER its stream starts:
+    a run that fails at start (unparseable source dir) must not mark
+    new tables as having history, or a later run would silently skip
+    their replay."""
+    import json
+
+    feed, _ev, _n = chunked_events
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+
+    bad = {**cfg, "events": str(tmp_path / "nonexistent_dir"),
+           "tables": cfg["tables"] + [
+               {"table": "ghost", "query": PURCHASE_QUERY}]}
+    # guard raises FIRST (added table) — ghost must not be registered
+    with pytest.raises(ValueError, match="ghost"):
+        run_etl_config(spark, bad)
+    marker = json.loads(
+        (tmp_path / "ckpt" / "__multiplex_tables.json").read_text()
+    )
+    assert "ghost" not in marker
+
+    # aggregate entries are rejected by the backfill path
+    from events_to_db_spark.etl import backfill_multiplex_table
+
+    with pytest.raises(ValueError, match="row-copy"):
+        backfill_multiplex_table(
+            spark, cfg,
+            {"table": "f", "mode": "aggregate",
+             "query": "FROM allEvents AGGREGATE COUNT()"},
+        )
