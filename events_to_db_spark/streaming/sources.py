@@ -57,7 +57,12 @@ def events_file_stream(
 def _landing_schema() -> StructType:
     from pyspark.sql.types import DateType
 
-    return EVENTS_SCHEMA.add(StructField("event_date", DateType()))
+    # NOT StructType.add — add() MUTATES the receiver, so it would
+    # append event_date to the module-level EVENTS_SCHEMA on every
+    # call and silently corrupt the FLAT stream schema.
+    return StructType(
+        EVENTS_SCHEMA.fields + [StructField("event_date", DateType())]
+    )
 
 
 def landing_events_stream(

@@ -241,3 +241,22 @@ def test_partition_bound_weakening_rules(spark):
     weak = land.filter(partition_bound(expr, set(land.columns)))
     assert exact.exceptAll(weak).count() == 0  # weakening covers exact
     assert weak.count() < land.count()  # and still prunes
+
+
+def test_landing_schema_does_not_mutate_events_schema():
+    """StructType.add MUTATES its receiver — the landing schema must be
+    built fresh, or every landing stream would append event_date to the
+    module-level EVENTS_SCHEMA and corrupt later FLAT streams (caught
+    live in r8: two calls left EVENTS_SCHEMA with event_date twice)."""
+    from events_to_db_spark.streaming.sources import (
+        EVENTS_SCHEMA,
+        _landing_schema,
+    )
+
+    n = len(EVENTS_SCHEMA.fields)
+    a = _landing_schema()
+    b = _landing_schema()
+    assert len(EVENTS_SCHEMA.fields) == n
+    assert [f.name for f in a.fields] == [f.name for f in b.fields]
+    assert a.fields[-1].name == "event_date"
+    assert "event_date" not in [f.name for f in EVENTS_SCHEMA.fields]
