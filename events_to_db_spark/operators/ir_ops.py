@@ -649,3 +649,99 @@ def q_ir_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_10").alias("overlap10"),
         F.round(F.expr(_RBO_EXPR), 4).alias("rbo_min"),
     )
+
+
+@query(
+    "q_ir_tau",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    stats AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY term
+    ),
+    a AS (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS ra
+        FROM stats ORDER BY df DESC, term LIMIT 10
+    ),
+    b AS (
+        SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rb
+        FROM stats ORDER BY tf DESC, term LIMIT 10
+    ),
+    m AS (SELECT a.ra, b.rb FROM a JOIN b USING (term)),
+    pairs AS (
+        SELECT CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS np
+        FROM m x JOIN m y ON x.ra < y.ra
+    )
+    SELECT c AS concordant, d AS discordant, np AS n_pairs,
+           CASE WHEN np > 0
+                THEN round(CAST(c - d AS DOUBLE) / np, 4) END AS tau
+    FROM pairs
+    """,
+)
+def q_ir_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ (tau-a) between the q_ir_rbo ranking pair — the
+    FULL-list rank-correlation companion: RBO answers "do the heads
+    agree?" (top-weighted), τ answers "is the overall order
+    consistent?" — retrieval teams report both before swapping a
+    ranker.  Computed on the terms present in BOTH top-10 lists
+    (the joint set; ranks are unique by construction so there are no
+    ties and tau-a ≡ tau-b).
+
+    Determinism: concordant/discordant are exact BIGINT counts of the
+    sign of (Δra)·(Δrb) over the ≤45 matched pairs; τ = (C−D)/n_pairs
+    is the single final division.  The pair join is over the ≤10-row
+    matched set — constant work at any corpus size; everything heavy
+    (term stats) is the same explode→hash-agg + TakeOrdered top-10 as
+    q_ir_rbo."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("tf"),
+        )
+    )
+    a = stats.orderBy(F.col("df").desc(), "term").limit(10).select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").desc(), "term"))
+        .alias("ra"),
+    )
+    b = stats.orderBy(F.col("tf").desc(), "term").limit(10).select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "term"))
+        .alias("rb"),
+    )
+    m = a.join(b, "term").select("ra", "rb")
+    x = m.select(F.col("ra").alias("xra"), F.col("rb").alias("xrb"))
+    y = m.select(F.col("ra").alias("yra"), F.col("rb").alias("yrb"))
+    sign = (F.col("xra") - F.col("yra")) * (F.col("xrb") - F.col("yrb"))
+    pairs = (
+        x.join(y, F.col("xra") < F.col("yra"))
+        .agg(
+            F.sum(F.when(sign > 0, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(sign < 0, 1).otherwise(0)).cast("long").alias("d"),
+            F.count("*").cast("long").alias("np"),
+        )
+    )
+    return pairs.select(
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("np").alias("n_pairs"),
+        F.when(
+            F.col("np") > 0,
+            F.round((F.col("c") - F.col("d")).cast("double") / F.col("np"), 4),
+        ).alias("tau"),
+    )

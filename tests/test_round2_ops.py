@@ -275,6 +275,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_sim_rrf": "row_number over each ordered LIMIT-20 signal window (k-bounded by _RRF_WINDOW)",
         "q_ml_isotonic": "prefix sums over the 11-row score-bucket aggregate (capped by least(...,10))",
         "q_ir_rbo": "row_number over each ordered LIMIT-10 term ranking (k-bounded)",
+        "q_ir_tau": "row_number over each ordered LIMIT-10 term ranking (k-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
