@@ -234,3 +234,67 @@ def test_cross_operator_invariants_smoke(spark):
         for r in Q["q_ev_attribution"](spark, SF_SMOKE).collect()
     )
     assert attributed <= n_purch
+
+
+# ---------------------------------------------------------------------------
+# partition_bound weakening property (r8): for ANY tag expression, the
+# partition-only weakening must never exclude a row the exact predicate
+# accepts — this is what makes the multiplexed shared-scan pruning
+# lossless for every config that will ever be written, not just the
+# shapes the example tests cover.
+# ---------------------------------------------------------------------------
+
+_tag_atoms = st.sampled_from(
+    [
+        "'type:purchase'",
+        "'type:view'",
+        "'type:error'",
+        "'cat:conversion'",
+        "'user:7'",
+        "allEvents",
+        "isLocal",
+        "TIME >= 2024-01-08",
+        "TIME < 2024-01-18",
+        "TIME >= 2024-01-12 06:00:00",
+    ]
+)
+
+_tag_exprs = st.recursive(
+    _tag_atoms,
+    lambda inner: st.one_of(
+        st.tuples(inner, inner).map(lambda t: f"({t[0]} & {t[1]})"),
+        st.tuples(inner, inner).map(lambda t: f"({t[0]} | {t[1]})"),
+        inner.map(lambda e: f"!{e}" if not e.startswith("TIME") else f"!({e})"),
+    ),
+    max_leaves=5,
+)
+
+
+@pytest.fixture(scope="module")
+def landing_frame(spark, tmp_path_factory):
+    from events_to_db_spark.etl import build_landing_layout, load_landing
+    from events_to_db_spark.functions.tags import with_tags
+    from tests.conftest import SF_SMOKE
+
+    dst = str(tmp_path_factory.mktemp("land_prop") / "events")
+    build_landing_layout(spark, SF_SMOKE, dst)
+    return with_tags(load_landing(spark, dst)).cache()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=_tag_exprs)
+def test_partition_bound_never_excludes_exact_rows(landing_frame, expr):
+    from events_to_db_spark.functions.tags import (
+        parse_tag_expr,
+        partition_bound,
+    )
+
+    cols = set(landing_frame.columns)
+    exact = parse_tag_expr(expr).to_column("tags", cols)
+    weak = partition_bound(expr, cols)
+    # weakening property: exact ⇒ weak, i.e. no row is exact∧¬weak
+    assert landing_frame.filter(exact & ~weak).count() == 0
