@@ -219,6 +219,43 @@ def build_landing_layout(
     return spark.read.parquet(dst_dir).count()
 
 
+def maintain_landing_layout(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Keep a landing layout CURRENT from the flat event feed — the
+    streaming complement to the one-shot :func:`build_landing_layout`
+    rewrite: every file landing in ``src_dir`` is appended into the
+    date×type-partitioned ``dst_dir``, so the pruned consumers
+    (``events_layout: landing`` configs, ``load_landing`` batch
+    queries) follow a layout that is always up to date.
+
+    Exactly-once by construction: this uses Spark's NATIVE streaming
+    parquet sink, whose ``_spark_metadata`` commit log records exactly
+    which files each batch produced — a crash-replayed micro-batch
+    overwrites its own manifest entry instead of double-appending, and
+    batch readers of ``dst_dir`` (``load_landing``) see only committed
+    files.  Restart resumes from the offset log like every other
+    pipeline here."""
+    from pyspark.sql import functions as F
+
+    stream = events_file_stream(spark, src_dir, max_files_per_trigger=100)
+    out = stream.withColumn("event_date", F.to_date("ts"))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", dst_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_date", "event_type")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def load_landing(spark: SparkSession, dst_dir: str) -> DataFrame:
     """Events from a :func:`build_landing_layout` directory, ts
     normalized, ``event_date`` partition column retained (its presence

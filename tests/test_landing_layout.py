@@ -260,3 +260,71 @@ def test_landing_schema_does_not_mutate_events_schema():
     assert [f.name for f in a.fields] == [f.name for f in b.fields]
     assert a.fields[-1].name == "event_date"
     assert "event_date" not in [f.name for f in EVENTS_SCHEMA.fields]
+
+
+def test_maintained_landing_layout_matches_batch(spark, tmp_path):
+    """r8 streaming maintenance: the landing layout can be FOLLOWED
+    from the flat feed — incremental appends through the native
+    parquet sink's commit log equal the one-shot batch rewrite, resume
+    picks up only new files, and a no-op re-run adds nothing (the
+    _spark_metadata manifest is the exactly-once guarantee)."""
+    import os
+    import shutil
+    import time
+
+    from events_to_db_spark.etl import maintain_landing_layout
+    from events_to_db_spark.session import load_table
+
+    # replayable 2-chunk feed with increasing mtimes
+    ev = load_table(spark, SF_SMOKE, "events")
+    feed = tmp_path / "feed"
+    chunks = tmp_path / "chunks"
+    ev.coalesce(1).write.parquet(str(chunks / "all"))
+    n = ev.count()
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    feed.mkdir()
+    half.coalesce(1).write.parquet(str(tmp_path / "h1"))
+    rest.coalesce(1).write.parquet(str(tmp_path / "h2"))
+    files = []
+    for i, src in enumerate(("h1", "h2")):
+        for f in os.listdir(tmp_path / src):
+            if f.endswith(".parquet"):
+                dst = feed / f"chunk{i}_{f}"
+                shutil.copy(tmp_path / src / f, dst)
+                files.append(dst)
+    os.utime(files[0], (time.time() - 600, time.time() - 600))
+
+    dst = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt_maint")
+    # first drain with only chunk 0 visible
+    solo = tmp_path / "feed_solo"
+    solo.mkdir()
+    shutil.copy(files[0], solo / files[0].name)
+    os.utime(solo / files[0].name, (time.time() - 600, time.time() - 600))
+    maintain_landing_layout(spark, str(solo), dst, ckpt).awaitTermination()
+    first = load_landing(spark, dst).count()
+    assert 0 < first < n
+
+    # chunk 1 lands; resume appends only the new file
+    shutil.copy(files[1], solo / files[1].name)
+    maintain_landing_layout(spark, str(solo), dst, ckpt).awaitTermination()
+    land = load_landing(spark, dst)
+    assert land.count() == n
+    assert land.select("event_id").distinct().count() == n
+
+    # no-op re-run: nothing new, still exactly n (no double-append)
+    maintain_landing_layout(spark, str(solo), dst, ckpt).awaitTermination()
+    assert load_landing(spark, dst).count() == n
+
+    # the maintained layout prunes exactly like the batch-built one
+    got = run_aql(with_tags(load_landing(spark, dst)), QUERY)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("event_type" in ln for ln in pf)
+    want = run_aql(
+        with_tags(load_table(spark, SF_SMOKE, "events")), QUERY
+    ).collect()
+    assert sorted((r["event_id"], r["k"]) for r in got.collect()) == sorted(
+        (r["event_id"], r["k"]) for r in want
+    )
