@@ -86,3 +86,41 @@ def test_missing_nset_query_fails(tmp_path):
     old = _write(tmp_path, "old.json", BASE)
     newp = _write(tmp_path, "new.json", new)
     assert benchdrift.main([str(old), str(newp)]) == 2
+
+
+def test_tail_with_trailing_output_is_tolerated(tmp_path):
+    """ADVICE r08: log text AFTER the bench JSON line in the captured
+    tail (Spark progress bars, trailing notes) must not error the gate."""
+    p = tmp_path / "new.json"
+    p.write_text(
+        json.dumps(
+            {
+                "n": 1,
+                "tail": "noise\r"
+                + json.dumps({"metric": "x", "queries": BASE})
+                + "\n[Stage 9:>] trailing log line",
+            }
+        )
+    )
+    old = _write(tmp_path, "old.json", BASE)
+    assert benchdrift.main([str(old), str(p)]) == 0
+
+
+def test_naive_bar_parsed_from_baseline_md():
+    """Single source of truth (VERDICT r08 #3): the naive-warm bar
+    comes from BASELINE.md's §N-set table, N1 excluded by its note."""
+    bar = benchdrift.naive_warm_s()
+    assert set(bar) == {"q_sim_hamming", "q_text_tfidf", "q_dedup_near"}
+    # the r7-measured values; a nbaseline.py re-run edits BASELINE.md
+    # and this gate follows automatically (the test below pins that)
+    assert bar["q_text_tfidf"] == 0.786
+    assert bar["q_dedup_near"] == 1.699
+
+
+def test_doctored_baseline_number_moves_the_verdict():
+    """Editing the BASELINE.md table cell must move the enforced bar —
+    no second copy of the numbers survives in code."""
+    text = benchdrift.BASELINE_MD.read_text()
+    doctored = text.replace("| 786 ms |", "| 100 ms |")
+    assert doctored != text
+    assert benchdrift.naive_warm_s(doctored)["q_text_tfidf"] == 0.1
