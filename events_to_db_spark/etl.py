@@ -206,11 +206,30 @@ def build_landing_layout(
     (overwrite).  Cardinality note: event_type is a small enum (5
     values in the testdata), so date×type stays at a few thousand
     directories per year — safe for any metastore; do NOT add a
-    high-cardinality dimension (user, stream) here."""
+    high-cardinality dimension (user, stream) here.
+
+    Ownership (VERDICT r08 #2 / ADVICE r08): a layout directory is
+    owned by exactly ONE writer — batch-built (this function, no
+    manifest) XOR stream-maintained (:func:`maintain_landing_layout`,
+    ``_spark_metadata`` manifest).  Overwriting a maintained directory
+    would delete the manifest out from under the live sink checkpoint,
+    so it is refused here; migrate with
+    :func:`compact_landing_layout` (keeps the manifest) or pick a
+    fresh ``dst_dir``."""
     from pyspark.sql import functions as F
 
     from events_to_db_spark.session import load_table
 
+    if _landing_manifest_dir(dst_dir).is_dir():
+        raise ValueError(
+            f"build_landing_layout: {dst_dir!r} is STREAM-MAINTAINED "
+            "(_spark_metadata present) — a batch overwrite would "
+            "delete the sink manifest out from under the maintenance "
+            "checkpoint and orphan every committed file. A layout is "
+            "owned by exactly one writer: keep maintaining it "
+            "(maintain_landing_layout), compact it in place "
+            "(compact_landing_layout), or build into a fresh dst_dir."
+        )
     ev = load_table(spark, src_dir, "events")
     out = ev.withColumn("event_date", F.to_date("ts"))
     out.write.mode("overwrite").partitionBy(
@@ -239,9 +258,32 @@ def maintain_landing_layout(
     overwrites its own manifest entry instead of double-appending, and
     batch readers of ``dst_dir`` (``load_landing``) see only committed
     files.  Restart resumes from the offset log like every other
-    pipeline here."""
+    pipeline here.
+
+    Ownership (VERDICT r08 #2 / ADVICE r08): refuses to start into a
+    directory that holds data but NO manifest (a
+    :func:`build_landing_layout` output) — manifest-trusting readers
+    would silently stop seeing every batch-written file the moment the
+    stream commits its first batch, leaving the batch history as
+    invisible on-disk duplicates.  A layout is owned by exactly one
+    writer; to move a batch-built layout under stream maintenance,
+    start the stream into a FRESH ``dst_dir`` (full idempotent
+    re-drain of the feed) and retire the batch directory."""
     from pyspark.sql import functions as F
 
+    if not _landing_manifest_dir(dst_dir).is_dir() and _landing_data_files(
+        dst_dir
+    ):
+        raise ValueError(
+            f"maintain_landing_layout: {dst_dir!r} holds data but no "
+            "_spark_metadata manifest (a batch-built layout). Starting "
+            "the native streaming sink here would make manifest-"
+            "trusting readers (load_landing, landing_events_stream) "
+            "silently miss every existing file. A layout is owned by "
+            "exactly one writer: maintain a FRESH dst_dir (the stream "
+            "re-drains the feed idempotently) and retire the "
+            "batch-built directory."
+        )
     stream = events_file_stream(spark, src_dir, max_files_per_trigger=100)
     out = stream.withColumn("event_date", F.to_date("ts"))
     writer = (
@@ -264,6 +306,200 @@ def load_landing(spark: SparkSession, dst_dir: str) -> DataFrame:
 
     configure(spark)
     return normalize_events_ts(spark.read.parquet(dst_dir))
+
+
+def _landing_manifest_dir(dst_dir: str):
+    from pathlib import Path
+
+    return Path(dst_dir) / "_spark_metadata"
+
+
+def _landing_data_files(dst_dir: str) -> list:
+    """Data files of a layout (every non-hidden file OUTSIDE the
+    ``_spark_metadata`` log — manifest log files are named by bare
+    batch id, so the usual '_'-prefix test does not exclude them)."""
+    from pathlib import Path
+
+    root = Path(dst_dir)
+    if not root.is_dir():
+        return []
+    return [
+        p
+        for p in root.rglob("*")
+        if p.is_file()
+        and "_spark_metadata" not in p.parts
+        and not p.name.startswith(("_", "."))
+    ]
+
+
+def compact_landing_layout(
+    spark: SparkSession,
+    dst_dir: str,
+    retain_min_date: str | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Manifest-aware compaction + retention for a landing layout
+    (VERDICT r08 #1) — the lifecycle job the maintained layout needs:
+    :func:`maintain_landing_layout` appends one file per partition per
+    micro-batch forever (the listing-storm failure
+    sources/compaction.py warns about) and can never DROP an aged
+    ``event_date=`` partition.  The generic ``compact`` utility cannot
+    be pointed here: batch readers of a streamed sink trust the
+    ``_spark_metadata`` manifest, so rewritten files would be invisible
+    and removed ones would break the manifest.  This job rewrites the
+    COMMITTED rows and re-seeds the manifest so both reader classes
+    keep working and the maintenance stream RESUMES on its existing
+    checkpoint:
+
+    1. read the layout through the manifest (only committed rows —
+       uncommitted orphans are dropped, which is exactly the sink's
+       own visibility rule), apply the optional retention cut
+       (``event_date >= retain_min_date``);
+    2. rewrite into a sibling tmp root, hash-partitioned by
+       (event_date, event_type) so every Hive partition collapses to
+       ONE file (the partition count only bounds task memory, sized
+       from on-disk bytes / ``target_bytes``);
+    3. atomic swap: ``dst_dir`` → ``dst_dir.pre-compact`` (kept — the
+       caller deletes it after verifying), tmp → ``dst_dir``.  Any
+       failure before the swap leaves the old root byte-untouched;
+    4. re-seed ``_spark_metadata`` with the SAME latest batch id as the
+       old manifest: compacted files are recorded as committed, the
+       sink's already-committed skip logic is unchanged (a resumed
+       stream appends batch N+1.. exactly as before), and the log stays
+       CONTIGUOUS (empty deltas + interval-aligned ``.compact``
+       entries) so the sink's own future log compactions find every
+       batch they expect.  A batch-built layout (no manifest) is
+       compacted the same way minus the seeding.
+
+    Operational contract (same quiescence rule as
+    ``backfill_multiplex_table``): the maintenance stream must be
+    STOPPED for the duration, and the session must carry the same
+    ``spark.sql.streaming.fileSink.log.compactInterval`` as the
+    maintenance session (the seed aligns its ``.compact`` entries to
+    it).  Downstream STREAMING consumers of the layout
+    (``events_layout: landing`` configs) see the compacted files as
+    new input on their next run — a full, bounded redelivery that
+    their keyed upsert absorbs (the same idempotency that absorbs
+    crash replay); plan catch-ups accordingly.  A crash between swap
+    and re-seed leaves a valid manifest-LESS layout: readers see all
+    files, ``maintain_landing_layout`` refuses loudly, and re-running
+    this job completes the migration.
+
+    Returns ``{rows, files_before, files_after, n_partitions,
+    aside_dir, latest_batch_id}``."""
+    import os
+    from pathlib import Path
+
+    root = Path(dst_dir)
+    if not root.is_dir():
+        raise ValueError(f"compact_landing_layout: no layout at {dst_dir!r}")
+    if retain_min_date is not None:
+        import datetime
+
+        try:  # reject at CONSTRUCTION — a cast-to-null (or an ANSI
+            # runtime error mid-write) must never decide retention
+            datetime.date.fromisoformat(retain_min_date)
+        except ValueError:
+            raise ValueError(
+                "compact_landing_layout: retain_min_date must be "
+                f"YYYY-MM-DD (got {retain_min_date!r})"
+            ) from None
+    tmp = root.with_name(root.name + ".compact-tmp")
+    aside = root.with_name(root.name + ".pre-compact")
+    for clash in (tmp, aside):
+        if clash.exists():
+            raise ValueError(
+                f"compact_landing_layout: {clash} already exists — a "
+                "previous compaction did not finish; verify and remove "
+                "it first (the .pre-compact root is the pre-swap state)"
+            )
+    manifest = _landing_manifest_dir(dst_dir)
+    latest = -1
+    if manifest.is_dir():
+        ids = [
+            int(p.name.split(".")[0])
+            for p in manifest.iterdir()
+            if p.name.split(".")[0].isdigit()
+        ]
+        latest = max(ids, default=-1)
+
+    before = _landing_data_files(dst_dir)
+    size = sum(p.stat().st_size for p in before)
+    n = int(max(1, (size + target_bytes - 1) // target_bytes))
+
+    df = load_landing(spark, dst_dir)
+    if retain_min_date is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(
+            F.col("event_date") >= F.lit(retain_min_date).cast("date")
+        )
+    # full materialization happens HERE, while the old root is intact
+    df.repartition(n, "event_date", "event_type").write.partitionBy(
+        "event_date", "event_type"
+    ).parquet(str(tmp))
+
+    os.rename(root, aside)
+    os.rename(tmp, root)
+    if latest >= 0:
+        _seed_sink_manifest(spark, dst_dir, latest)
+    after = _landing_data_files(dst_dir)
+    return {
+        "rows": spark.read.parquet(dst_dir).count(),
+        "files_before": len(before),
+        "files_after": len(after),
+        "n_partitions": n,
+        "aside_dir": str(aside),
+        "latest_batch_id": latest,
+    }
+
+
+def _seed_sink_manifest(
+    spark: SparkSession, dst_dir: str, latest_batch_id: int
+) -> None:
+    """Recreate ``_spark_metadata`` over a compacted layout, ending at
+    the OLD manifest's latest batch id.
+
+    Why the id must match exactly: the file sink skips any replayed
+    batch ``<= latest`` (exactly-once) — a smaller id would let a
+    resumed stream re-append already-committed batches, a LARGER one
+    would silently swallow real future batches as "already written"
+    (data loss).  The current data files are recorded in the earliest
+    entry, later entries are empty, and every id at the session's sink
+    log compact interval is written as a ``.compact`` entry carrying
+    the full union — the exact shape Spark's CompactibleFileStreamLog
+    itself would have produced, so both its readers (latest compact +
+    subsequent deltas) and its future compactions (which re-read every
+    delta since the last compact) find what they expect."""
+    import json
+
+    interval = int(
+        spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval")
+    )
+    adds = [
+        json.dumps(
+            {
+                "path": p.resolve().as_uri(),
+                "size": p.stat().st_size,
+                "isDir": False,
+                "modificationTime": int(p.stat().st_mtime * 1000),
+                "blockReplication": 1,
+                "blockSize": 134217728,
+                "action": "add",
+            }
+        )
+        for p in sorted(_landing_data_files(dst_dir))
+    ]
+    payload = "v1\n" + "\n".join(adds)
+    mdir = _landing_manifest_dir(dst_dir)
+    mdir.mkdir()
+    for b in range(latest_batch_id + 1):
+        if (b + 1) % interval == 0:
+            (mdir / f"{b}.compact").write_text(payload)
+        elif b == 0:
+            (mdir / "0").write_text(payload)
+        else:
+            (mdir / str(b)).write_text("v1")
 
 
 def _multiplex_table_guard(checkpoints: str, tables: list[str]):

@@ -328,3 +328,210 @@ def test_maintained_landing_layout_matches_batch(spark, tmp_path):
     assert sorted((r["event_id"], r["k"]) for r in got.collect()) == sorted(
         (r["event_id"], r["k"]) for r in want
     )
+
+
+# --- r9: lifecycle (compaction + retention + single-writer ownership) ---
+
+
+def _drip_feed(spark, tmp_path, n_chunks=3):
+    """A replayable n-chunk feed with increasing mtimes; returns
+    (feed_dir, per-chunk files, total rows)."""
+    import os
+    import shutil
+    import time
+
+    from events_to_db_spark.session import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    files = []
+    for i in range(n_chunks):
+        part = ev.filter(F.col("event_id") % n_chunks == i)
+        w = tmp_path / f"w{i}"
+        part.coalesce(1).write.parquet(str(w))
+        for f in os.listdir(w):
+            if f.endswith(".parquet"):
+                files.append((w / f, f"chunk{i}_{f}"))
+    # stamp strictly increasing mtimes as chunks land
+    base_t = time.time() - 600
+    return feed, files, n, base_t
+
+
+def _land_chunk(feed, files, i, base_t):
+    import os
+    import shutil
+
+    src, name = files[i]
+    shutil.copy(src, feed / name)
+    os.utime(feed / name, (base_t + i, base_t + i))
+
+
+def test_mixed_writer_guards(spark, tmp_path):
+    """VERDICT r08 #2 / ADVICE r08 (medium): a layout is owned by
+    exactly one writer.  The stream refuses a data-bearing
+    manifest-less directory (batch-built); the batch rewrite refuses a
+    manifest-bearing one (stream-maintained)."""
+    import pytest as _pytest
+
+    from events_to_db_spark.etl import (
+        build_landing_layout,
+        maintain_landing_layout,
+    )
+
+    batch_dst = str(tmp_path / "batch_built")
+    build_landing_layout(spark, SF_SMOKE, batch_dst)
+    with _pytest.raises(ValueError, match="no _spark_metadata manifest"):
+        maintain_landing_layout(
+            spark, SF_SMOKE, batch_dst, str(tmp_path / "ckpt_refused")
+        )
+
+    feed, files, _n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    _land_chunk(feed, files, 0, base_t)
+    maint_dst = str(tmp_path / "maintained")
+    maintain_landing_layout(
+        spark, str(feed), maint_dst, str(tmp_path / "ckpt_m")
+    ).awaitTermination()
+    with _pytest.raises(ValueError, match="STREAM-MAINTAINED"):
+        build_landing_layout(spark, SF_SMOKE, maint_dst)
+
+
+def test_compaction_preserves_both_reader_classes(spark, tmp_path):
+    """VERDICT r08 #1 (a): batch AND streaming readers see identical
+    rows before/after compaction, the file count genuinely drops, and
+    the maintenance stream RESUMES on its existing checkpoint without
+    duplication (the seeded manifest ends at the old latest batch id)."""
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.etl import _landing_data_files
+    from events_to_db_spark.streaming.sources import landing_events_stream
+
+    feed, files, n, base_t = _drip_feed(spark, tmp_path, n_chunks=3)
+    dst = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(2):
+        _land_chunk(feed, files, i, base_t)
+        maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    before_rows = sorted(
+        r["event_id"] for r in load_landing(spark, dst).select("event_id").collect()
+    )
+    files_before = len(_landing_data_files(dst))
+
+    rep = compact_landing_layout(spark, dst)
+    assert rep["files_after"] < files_before == rep["files_before"]
+    assert rep["rows"] == len(before_rows)
+
+    after_rows = sorted(
+        r["event_id"] for r in load_landing(spark, dst).select("event_id").collect()
+    )
+    assert after_rows == before_rows  # batch reader identical
+
+    s = landing_events_stream(spark, dst, max_files_per_trigger=100000)
+    q = (
+        s.writeStream.format("memory")
+        .queryName("t_compact_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_reader"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("select event_id from t_compact_stream").collect()
+    )
+    assert got == before_rows  # streaming reader identical
+
+    # resume on the SAME checkpoint: only the new chunk is appended
+    _land_chunk(feed, files, 2, base_t)
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    land = load_landing(spark, dst)
+    assert land.count() == n
+    assert land.select("event_id").distinct().count() == n
+
+
+def test_retention_cut_drops_date_partitions(spark, tmp_path):
+    """VERDICT r08 #1 (b): a retention cut genuinely removes aged
+    ``event_date=`` directories and the manifest lists only retained
+    files (manifest-trusting readers agree with the directory)."""
+    import os
+
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+
+    feed, files, _n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    for i in range(2):
+        _land_chunk(feed, files, i, base_t)
+    dst = str(tmp_path / "landing_ret")
+    ckpt = str(tmp_path / "ckpt_ret")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+
+    cut = "2024-01-15"
+    want = load_landing(spark, dst).filter(
+        F.col("event_date") >= F.lit(cut).cast("date")
+    )
+    want_rows = sorted(r["event_id"] for r in want.select("event_id").collect())
+    assert want_rows and len(want_rows) < load_landing(spark, dst).count()
+
+    rep = compact_landing_layout(spark, dst, retain_min_date=cut)
+    assert rep["rows"] == len(want_rows)
+    date_dirs = [
+        d for d in os.listdir(dst) if d.startswith("event_date=")
+    ]
+    assert date_dirs and all(
+        d.split("=")[1] >= cut for d in date_dirs
+    ), date_dirs
+    got = sorted(
+        r["event_id"]
+        for r in load_landing(spark, dst).select("event_id").collect()
+    )
+    assert got == want_rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retain_min_date"):
+        compact_landing_layout(spark, dst, retain_min_date="not-a-date")
+
+
+def test_compaction_failure_leaves_old_root_untouched(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r08 #1 (c): a failure during the rewrite (simulated at
+    the tmp-root write) leaves the old root byte-identical — the swap
+    only happens after a fully-committed tmp write."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.etl import _landing_data_files
+
+    feed, files, _n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    _land_chunk(feed, files, 0, base_t)
+    dst = str(tmp_path / "landing_fail")
+    maintain_landing_layout(
+        spark, str(feed), dst, str(tmp_path / "ckpt_fail")
+    ).awaitTermination()
+    snapshot = sorted(str(p) for p in _landing_data_files(dst))
+    n_before = load_landing(spark, dst).count()
+
+    def boom(self, path, *a, **kw):
+        raise RuntimeError("simulated write failure")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        compact_landing_layout(spark, dst)
+    monkeypatch.undo()
+
+    assert sorted(str(p) for p in _landing_data_files(dst)) == snapshot
+    assert load_landing(spark, dst).count() == n_before

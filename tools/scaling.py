@@ -137,7 +137,7 @@ def aniso_main() -> int:
       the Spark job count per mode (via job groups) is EQUAL across
       off and auto, and the answers match.
     * m10 (200k rows, quad 2e10 pairs): the gate ESCALATES — auto must
-      beat off outright on wall-clock (median of 2 warm runs each; the
+      beat off outright on wall-clock (median of 3 warm runs each; the
       4-5× measured effect dwarfs host noise, unlike m1).
 
     Answers are asserted equal across modes at both tiers.  Prints one
@@ -238,7 +238,11 @@ def aniso_main() -> int:
     for tau in (0.95, 0.98):
         per_mode = {}
         answers = {}
-        for mode, runs in (("off", 2), ("auto", 2)):
+        # median of THREE warm runs (VERDICT r08 #4: with 2 the
+        # "median" is a midpoint, and the judge's green auto samples
+        # swung 2.6x between runs — 3 makes the PERF.md number stable
+        # without materially lengthening the battery)
+        for mode, runs in (("off", 3), ("auto", 3)):
             answers[mode], med, samples = run(e10, tau, mode, runs)
             per_mode[mode] = {
                 "median_s": round(med, 2),
