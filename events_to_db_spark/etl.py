@@ -502,37 +502,121 @@ def _seed_sink_manifest(
             (mdir / str(b)).write_text("v1")
 
 
-def _multiplex_table_guard(checkpoints: str, tables: list[str]):
-    """Fail loudly when a config ADDS a row-copy table to an existing
-    multiplex checkpoint (ADVICE r07, medium): all multiplexed tables
-    share ONE offset log, so offsets committed before a table existed
-    would never be replayed for it — the new table would silently
-    start mid-log with no history, in a utility whose contract is
-    catch-up-from-the-log.  The fan-out table set is persisted beside
-    the checkpoint (``__multiplex_tables.json``, cumulative union) and
-    checked before every start.  Remedies, in the error: a fresh
-    checkpoint root (full replay for every table; the keyed upsert
-    makes the rewrite idempotent), or a one-off per-table backfill
-    (``multiplex=False`` with only the new table and a fresh per-table
-    checkpoint) before re-adding it here.  A marker-less checkpoint
-    with existing offsets (pre-guard legacy) adopts the CURRENT set —
-    additions relative to older legacy runs are undetectable.
+def _latest_committed_batch(checkpoints: str) -> int:
+    """Latest COMMITTED micro-batch id of the shared multiplex stream
+    (-1 when none).  Committed is the right frontier for history
+    claims: a batch with an offset but no commit is replayed on
+    restart and therefore runs under the NEXT run's active set."""
+    from pathlib import Path
+
+    commits = Path(checkpoints) / "__multiplex" / "commits"
+    if not commits.is_dir():
+        return -1
+    ids = [int(p.name) for p in commits.iterdir() if p.name.isdigit()]
+    return max(ids, default=-1)
+
+
+def _read_multiplex_marker(marker, latest: int) -> dict | None:
+    """The fan-out marker, upgraded in place to its r9 shape:
+    ``{"union": [...], "last_active": [...], "frontier": {t: batch}}``.
+    The r8 format (a bare list — cumulative union only) is adopted as
+    union = last_active = the list with every frontier at ``latest``:
+    a pre-r9 drop period is undetectable, the same honest blind spot
+    the r8 guard documented for pre-r8 checkpoints."""
+    import json
+
+    if not marker.exists():
+        return None
+    data = json.loads(marker.read_text())
+    if isinstance(data, list):
+        return {
+            "union": set(data),
+            "last_active": set(data),
+            "frontier": {t: latest for t in data},
+        }
+    return {
+        "union": set(data["union"]),
+        "last_active": set(data["last_active"]),
+        "frontier": dict(data["frontier"]),
+    }
+
+
+def _multiplex_table_guard(
+    checkpoints: str, tables: list[str], adopt_legacy: bool = False
+):
+    """Fail loudly when a config's row-copy set would leave a table
+    with SILENT MISSING HISTORY on an existing multiplex checkpoint:
+    all multiplexed tables share ONE offset log, so batches committed
+    while a table was absent are never replayed for it.  Two cases:
+
+    * **added** (ADVICE r07, medium): the table has never been in the
+      fan-out — every committed batch is missing for it;
+    * **re-added** (ADVICE r08): the table was in the fan-out once,
+      was dropped from the config for some runs, and is back — the
+      marker's cumulative union alone would wave it through even
+      though the interim batches never ran for it.  The marker
+      therefore records each table's LAST-ACTIVE FRONTIER (the latest
+      committed batch it is known to have consumed): before every run,
+      tables in the previous run's active set are settled up to the
+      current frontier (every batch committed since was fanned to
+      exactly that set), and a re-added table whose frontier is behind
+      the current one fails, pointing at ``backfill_multiplex_table``.
+
+    Remedies, in the errors: a fresh checkpoint root (full replay for
+    every table; the keyed upsert makes the rewrite idempotent), or
+    ``backfill_multiplex_table`` once per table (gap-free: its full
+    drain overlaps the multiplex frontier and the keyed upsert absorbs
+    the overlap).
+
+    A marker-less checkpoint with existing offsets (pre-r8 legacy)
+    adopts the CURRENT table set — but only when the config says
+    ``"adopt_legacy": true`` (VERDICT r08 #6: adoption asserts
+    every configured table has full history, which this guard cannot
+    verify for a pre-guard checkpoint; the flag makes that claim the
+    operator's, loudly, instead of the default's, silently) — and a
+    warning records the adoption.
 
     Returns a zero-argument REGISTER callback; the caller invokes it
     only after the stream has started successfully, so a failed start
     can never record a table as having history it does not have."""
     import json
+    import warnings
     from pathlib import Path
 
     root = Path(checkpoints)
     marker = root / "__multiplex_tables.json"
     offsets = root / "__multiplex" / "offsets"
-    known: set[str] = (
-        set(json.loads(marker.read_text())) if marker.exists() else set()
-    )
     has_history = offsets.is_dir() and any(offsets.iterdir())
-    added = sorted(set(tables) - known)
-    if known and has_history and added:
+    latest = _latest_committed_batch(checkpoints)
+    state = _read_multiplex_marker(marker, latest)
+    if state is None:
+        if has_history:
+            if not adopt_legacy:
+                raise ValueError(
+                    "etl config: this multiplex checkpoint predates "
+                    "the fan-out marker (offsets exist but no "
+                    "__multiplex_tables.json) — the guard cannot "
+                    "verify the configured tables all have full "
+                    "history. If they do, re-run with "
+                    '"adopt_legacy": true to adopt the CURRENT set; '
+                    "otherwise start a fresh checkpoint root."
+                )
+            warnings.warn(
+                "etl: adopting a pre-marker multiplex checkpoint — the "
+                f"current table set {sorted(tables)} is recorded as "
+                "having full history on the operator's word "
+                "(adopt_legacy=true)",
+                stacklevel=2,
+            )
+        state = {"union": set(), "last_active": set(), "frontier": {}}
+
+    # settle: every batch committed since the last register was fanned
+    # to exactly the previous run's active set
+    for t in state["last_active"]:
+        state["frontier"][t] = latest
+
+    added = sorted(set(tables) - state["union"])
+    if state["union"] and has_history and added:
         raise ValueError(
             f"etl config: tables {added} were added to an existing "
             "multiplex checkpoint — offsets already committed would "
@@ -544,10 +628,38 @@ def _multiplex_table_guard(checkpoints: str, tables: list[str]):
             "multiplex frontier and the keyed upsert absorbs the "
             "overlap), then re-run."
         )
+    stale = sorted(
+        t
+        for t in tables
+        if t in state["union"]
+        and t not in state["last_active"]
+        and state["frontier"].get(t, -1) < latest
+    )
+    if stale:
+        raise ValueError(
+            f"etl config: tables {stale} were RE-ADDED after being "
+            "dropped from the config, and the shared offset log "
+            "advanced while they were out — the interim batches were "
+            "never fanned to them (silent missing history). Run "
+            "backfill_multiplex_table(spark, config, entry) once per "
+            "re-added table, or start a fresh checkpoint root."
+        )
 
     def register() -> None:
         root.mkdir(parents=True, exist_ok=True)
-        marker.write_text(json.dumps(sorted(known | set(tables))))
+        frontier = {
+            **state["frontier"],
+            **{t: latest for t in tables},
+        }
+        marker.write_text(
+            json.dumps(
+                {
+                    "union": sorted(state["union"] | set(tables)),
+                    "last_active": sorted(tables),
+                    "frontier": frontier,
+                }
+            )
+        )
 
     return register
 
@@ -567,7 +679,13 @@ def backfill_multiplex_table(
     the multiplex stream covers [its frontier, ∞); the frontier is
     ≤ the drain time, so the intervals OVERLAP rather than gap — and
     the overlap re-upserts the same event keys, a no-op (the same
-    idempotency that absorbs crash redelivery).  Validates the entry
+    idempotency that absorbs crash redelivery).  That argument needs
+    the multiplex stream QUIESCENT for the duration (ADVICE r08): a
+    multiplexed drain between this backfill's file snapshot and the
+    register would advance the shared frontier past files the backfill
+    never saw — so the multiplex frontier is snapshotted before the
+    drain and re-compared before registering; if it moved, the marker
+    is NOT written and the error says to re-run.  Validates the entry
     (LIMIT/AGGREGATE are per-table state and cannot join the
     multiplexed scan afterwards, so they are rejected here too)."""
     import json
@@ -585,6 +703,7 @@ def backfill_multiplex_table(
         {**config, "tables": [entry]}, multiplex=True
     )
     name = entry["table"]
+    frontier_before = _latest_committed_batch(config["checkpoints"])
     out = table_pipeline(spark, config, entry)
     q = (
         out.writeStream.outputMode("append")
@@ -602,12 +721,33 @@ def backfill_multiplex_table(
         .start()
     )
     q.awaitTermination()
+    frontier_after = _latest_committed_batch(config["checkpoints"])
+    if frontier_after != frontier_before:
+        raise ValueError(
+            f"backfill_multiplex_table: the multiplex frontier moved "
+            f"(batch {frontier_before} -> {frontier_after}) during the "
+            f"backfill of {name!r} — a multiplexed run drained files "
+            "this backfill's snapshot never saw, so registering now "
+            "could hide a real gap. Keep the multiplex stream "
+            "quiescent and re-run the backfill (idempotent: its own "
+            "checkpoint resumes and the keyed upsert absorbs overlap)."
+        )
     marker = Path(config["checkpoints"]) / "__multiplex_tables.json"
-    known: set[str] = (
-        set(json.loads(marker.read_text())) if marker.exists() else set()
-    )
+    state = _read_multiplex_marker(marker, frontier_after) or {
+        "union": set(),
+        "last_active": set(),
+        "frontier": {},
+    }
     marker.parent.mkdir(parents=True, exist_ok=True)
-    marker.write_text(json.dumps(sorted(known | {name})))
+    marker.write_text(
+        json.dumps(
+            {
+                "union": sorted(state["union"] | {name}),
+                "last_active": sorted(state["last_active"]),
+                "frontier": {**state["frontier"], name: frontier_after},
+            }
+        )
+    )
 
 
 def _config_stream(spark: SparkSession, config: dict) -> DataFrame:
@@ -703,7 +843,9 @@ def run_etl_config(
 
     if multiplex and copies:
         register = _multiplex_table_guard(
-            config["checkpoints"], [t["table"] for t in copies]
+            config["checkpoints"],
+            [t["table"] for t in copies],
+            adopt_legacy=bool(config.get("adopt_legacy", False)),
         )
         stream = _config_stream(spark, config)
         if config.get("events_layout", "flat") == "landing":

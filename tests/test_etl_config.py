@@ -376,7 +376,7 @@ def test_failed_start_does_not_register_tables(spark, chunked_events, tmp_path):
     marker = json.loads(
         (tmp_path / "ckpt" / "__multiplex_tables.json").read_text()
     )
-    assert "ghost" not in marker
+    assert "ghost" not in marker["union"]
 
     # aggregate entries are rejected by the backfill path
     from events_to_db_spark.etl import backfill_multiplex_table
@@ -387,3 +387,165 @@ def test_failed_start_does_not_register_tables(spark, chunked_events, tmp_path):
             {"table": "f", "mode": "aggregate",
              "query": "FROM allEvents AGGREGATE COUNT()"},
         )
+
+
+# --- r9: re-add frontier detection, legacy adoption, backfill quiescence ---
+
+
+def _two_phase_feed(tmp_path):
+    """A feed where half the chunk files land now and half can be
+    landed later (returns the add-second-half callback)."""
+    import glob
+
+    from tests.conftest import SF_SMOKE as _SF  # noqa: F401
+
+    all_files = None
+
+    def build(spark):
+        nonlocal all_files
+        ev = load_table(spark, SF_SMOKE, "events")
+        w = tmp_path / "w_phase"
+        a = ev.filter((ev.event_id % 2) == 0)
+        b = ev.filter((ev.event_id % 2) == 1)
+        a.coalesce(1).write.parquet(str(w / "a"))
+        b.coalesce(1).write.parquet(str(w / "b"))
+        feed = tmp_path / "feed2"
+        feed.mkdir()
+        base = time.time() - 600
+        fa = sorted(glob.glob(str(w / "a" / "part-*.parquet")))[0]
+        fb = sorted(glob.glob(str(w / "b" / "part-*.parquet")))[0]
+        shutil.copy(fa, feed / "0_a.parquet")
+        os.utime(feed / "0_a.parquet", (base, base))
+
+        def land_rest():
+            shutil.copy(fb, feed / "1_b.parquet")
+            os.utime(feed / "1_b.parquet", (base + 10, base + 10))
+
+        return str(feed), land_rest
+
+    return build
+
+
+def test_readded_table_with_interim_history_fails(spark, tmp_path):
+    """ADVICE r08: drop a table from the config, drain NEW data while
+    it is out, re-add it — the cumulative union alone would wave it
+    through, but its last-active frontier is behind the shared log, so
+    the guard must fail pointing at the backfill; after the backfill
+    the re-add proceeds with complete history."""
+    from events_to_db_spark.etl import backfill_multiplex_table
+
+    feed, land_rest = _two_phase_feed(tmp_path)(spark)
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))  # both tables see phase 1
+
+    # purchases is dropped; phase 2 lands and is drained WITHOUT it
+    land_rest()
+    removed = {**cfg, "tables": [{"table": "raw_copy"}]}
+    _drain(run_etl_config(spark, removed))
+    n_all = load_table(spark, SF_SMOKE, "events").count()
+    assert len(read_sink_table(cfg["db"], "raw_copy")) == n_all
+
+    # re-add: loud failure naming the backfill remedy
+    with pytest.raises(ValueError, match="RE-ADDED.*purchases|purchases.*RE-ADDED"):
+        run_etl_config(spark, cfg)
+
+    # the sanctioned remedy restores full history
+    backfill_multiplex_table(
+        spark, cfg, {"table": "purchases", "query": PURCHASE_QUERY}
+    )
+    _drain(run_etl_config(spark, cfg))
+    got = read_sink_table(cfg["db"], "purchases")
+    want = _batch_rows(spark, PURCHASE_QUERY)
+    assert {(r.event_id, r.user, r.k) for r in got.itertuples(index=False)} \
+        == {(eid, user, k) for _ts, eid, user, k in want} != set()
+
+
+def test_readd_without_interim_data_is_allowed(spark, tmp_path):
+    """The frontier check is about MISSED BATCHES, not config churn: a
+    table dropped and re-added while the log stood still has no gap
+    and must resume without ceremony."""
+    feed, _land_rest = _two_phase_feed(tmp_path)(spark)
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+    removed = {**cfg, "tables": [{"table": "raw_copy"}]}
+    _drain(run_etl_config(spark, removed))  # no new files -> no new commits
+    _drain(run_etl_config(spark, cfg))  # re-add purchases: fine
+
+
+def test_legacy_markerless_checkpoint_requires_adopt_flag(
+    spark, tmp_path
+):
+    """VERDICT r08 #6: a pre-marker checkpoint (offsets, no
+    __multiplex_tables.json) must not silently masquerade as
+    verified-complete — adoption needs the config's explicit
+    adopt_legacy, and records a loud warning."""
+    import warnings as _warnings
+
+    feed, _land_rest = _two_phase_feed(tmp_path)(spark)
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+    # synthesize a legacy checkpoint: history present, marker gone
+    os.remove(tmp_path / "ckpt" / "__multiplex_tables.json")
+
+    with pytest.raises(ValueError, match="adopt_legacy"):
+        run_etl_config(spark, cfg)
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        _drain(run_etl_config(spark, {**cfg, "adopt_legacy": True}))
+    assert any("adopting" in str(w.message) for w in rec)
+    # adoption re-writes the marker; the next run needs no flag
+    _drain(run_etl_config(spark, cfg))
+
+
+def test_r8_list_marker_is_upgraded_in_place(spark, tmp_path):
+    """The r8 marker (bare cumulative-union list) is adopted as
+    union = last_active with settled frontiers, and the next register
+    rewrites it in the r9 shape."""
+    import json
+
+    feed, _land_rest = _two_phase_feed(tmp_path)(spark)
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+    marker = tmp_path / "ckpt" / "__multiplex_tables.json"
+    marker.write_text(json.dumps(["purchases", "raw_copy"]))  # r8 shape
+    _drain(run_etl_config(spark, cfg))
+    data = json.loads(marker.read_text())
+    assert data["union"] == ["purchases", "raw_copy"]
+    assert data["last_active"] == ["purchases", "raw_copy"]
+    assert set(data["frontier"]) == {"purchases", "raw_copy"}
+
+
+def test_backfill_refuses_when_frontier_moves(spark, tmp_path, monkeypatch):
+    """ADVICE r08: the backfill's gap-free argument needs the multiplex
+    stream quiescent — if the shared frontier advances between the
+    backfill's snapshot and its register, the marker must NOT be
+    written and the error must say to re-run."""
+    import json
+
+    from events_to_db_spark import etl as etl_mod
+    from events_to_db_spark.etl import backfill_multiplex_table
+
+    feed, _land_rest = _two_phase_feed(tmp_path)(spark)
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+
+    calls = {"n": 0}
+    real = etl_mod._latest_committed_batch
+
+    def moving(checkpoints):
+        calls["n"] += 1
+        # second read sees a frontier one batch ahead (a concurrent
+        # multiplexed drain)
+        return real(checkpoints) + (1 if calls["n"] > 1 else 0)
+
+    monkeypatch.setattr(etl_mod, "_latest_committed_batch", moving)
+    with pytest.raises(ValueError, match="frontier moved"):
+        backfill_multiplex_table(
+            spark, cfg, {"table": "late_comer", "query": PURCHASE_QUERY}
+        )
+    monkeypatch.undo()
+    marker = json.loads(
+        (tmp_path / "ckpt" / "__multiplex_tables.json").read_text()
+    )
+    assert "late_comer" not in marker["union"]
