@@ -117,6 +117,39 @@ def test_naive_bar_parsed_from_baseline_md():
     assert bar["q_dedup_near"] == 1.699
 
 
+def _write_sset(tmp_path, name, sset):
+    p = tmp_path / name
+    p.write_text(json.dumps({"queries": dict(BASE), "sset": sset}))
+    return p
+
+
+SSET = {"landing_rows_s": 9000.0, "fanout_rows_s": 12000.0, "rows": 100000}
+
+
+def test_sset_stable_green_and_pre_sset_old_is_vacuous(tmp_path):
+    old_plain = _write(tmp_path, "old.json", BASE)  # r8-era: no sset
+    new = _write_sset(tmp_path, "new.json", SSET)
+    assert benchdrift.main([str(old_plain), str(new)]) == 0
+    old = _write_sset(tmp_path, "old2.json", SSET)
+    assert benchdrift.main([str(old), str(new)]) == 0
+
+
+def test_sset_throughput_drop_fails(tmp_path, capsys):
+    old = _write_sset(tmp_path, "old.json", SSET)
+    new = _write_sset(
+        tmp_path, "new.json", dict(SSET, fanout_rows_s=5000.0)
+    )
+    assert benchdrift.main([str(old), str(new)]) == 2
+    assert "fanout_rows_s" in capsys.readouterr().err
+
+
+def test_sset_error_fails(tmp_path, capsys):
+    old = _write_sset(tmp_path, "old.json", SSET)
+    new = _write_sset(tmp_path, "new.json", {"error": "Boom: broke"})
+    assert benchdrift.main([str(old), str(new)]) == 2
+    assert "Boom" in capsys.readouterr().err
+
+
 def test_doctored_baseline_number_moves_the_verdict():
     """Editing the BASELINE.md table cell must move the enforced bar —
     no second copy of the numbers survives in code."""

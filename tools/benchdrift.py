@@ -49,6 +49,14 @@ NAIVE_BAR = 2.0
 #: drift is its signal); it still gets the round-over-round check.
 DRIFT_ONLY = {"q_dedup_minhash"}
 
+#: S-set (VERDICT r08 #5): per-stage THROUGHPUT of the end-to-end
+#: streaming path (bench.run_sset) — a drop past the same 1.5× bar
+#: fails (the stages are multi-second drains, so the ratio needs no
+#: sub-second absolute floor).  Benches from before the S-set existed
+#: compare vacuously green, like a missing prior round.
+SSET_KEYS = ("landing_rows_s", "fanout_rows_s")
+SSET_DROP_RATIO = 1.5
+
 BASELINE_MD = Path(__file__).resolve().parent.parent / "BASELINE.md"
 
 #: Matches a §N-set table row, e.g.
@@ -110,8 +118,10 @@ def main(argv: list[str]) -> int:
             return 0
         old_p, new_p = benches[-2], benches[-1]
 
-    old = load_bench(old_p)["queries"]
-    new = load_bench(new_p)["queries"]
+    old_rec = load_bench(old_p)
+    new_rec = load_bench(new_p)
+    old = old_rec["queries"]
+    new = new_rec["queries"]
     naive = naive_warm_s()
     failures: list[str] = []
     report = {}
@@ -138,12 +148,34 @@ def main(argv: list[str]) -> int:
                 )
         report[q] = entry
 
+    sset_report: dict = {}
+    new_sset = new_rec.get("sset") or {}
+    old_sset = old_rec.get("sset") or {}
+    if "error" in new_sset:
+        failures.append(f"sset: errored — {new_sset['error']}")
+        sset_report = new_sset
+    else:
+        for k in SSET_KEYS:
+            if k not in new_sset:
+                continue  # pre-S-set bench file: vacuously green
+            entry = {"new": new_sset[k]}
+            if old_sset.get(k):
+                ratio = old_sset[k] / new_sset[k] if new_sset[k] else float("inf")
+                entry.update(old=old_sset[k], slowdown=round(ratio, 2))
+                if ratio > SSET_DROP_RATIO:
+                    failures.append(
+                        f"sset {k}: throughput dropped {ratio:.2f}x "
+                        f"({old_sset[k]:.0f} -> {new_sset[k]:.0f} rows/s)"
+                    )
+            sset_report[k] = entry
+
     print(
         json.dumps(
             {
                 "old": old_p.name,
                 "new": new_p.name,
                 "nset": report,
+                "sset": sset_report,
                 "failures": failures,
             }
         )
