@@ -583,12 +583,16 @@ _RBO_O_COLS = ", ".join(
     ),
     o AS (SELECT {_RBO_O_COLS} FROM pairs)
     SELECT o_1 AS overlap1, o_10 AS overlap10,
-           round({_RBO_EXPR}, 4) AS rbo_min
+           round({_RBO_EXPR}, 4) AS rbo_at_10
     FROM o
     """,
 )
 def q_ir_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-Biased Overlap (Webber et al. 2010, RBO_min at p = 0.9)
+    """Rank-Biased Overlap (Webber et al. 2010) at p = 0.9, TRUNCATED
+    at depth 10 — the prefix sum (1-p)·Σ_{d≤10} p^(d-1)·o_d/d, i.e.
+    the RBO@k partial ("extrapolation base"), NOT the paper's RBO_MIN
+    lower bound, which additionally subtracts the X_k residual term
+    (ADVICE r08: the output column is named rbo_at_10 accordingly) —
     between two term rankings of the same corpus — ranking by DOCUMENT
     frequency vs ranking by raw OCCURRENCE count (the two "systems"
     every index tuner compares: does df-weighting reorder the head?).
@@ -647,7 +651,7 @@ def q_ir_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_1").alias("overlap1"),
         F.col("o_10").alias("overlap10"),
-        F.round(F.expr(_RBO_EXPR), 4).alias("rbo_min"),
+        F.round(F.expr(_RBO_EXPR), 4).alias("rbo_at_10"),
     )
 
 
