@@ -3463,3 +3463,146 @@ def q_text_stopword_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+#: The q_curate_funnel rule ladder — Gopher-style heuristic gates
+#: adapted to this corpus, every threshold an exact integer
+#: cross-multiplication (never a float ratio compare), applied in the
+#: FIXED order curation reports use (cheap structural gates first).
+#: Each entry: (name, SQL predicate over the per-doc feature columns
+#: n_toks / n_chars / n_distinct / n_stop / n_punct) — shared verbatim
+#: by both engines.
+_FUNNEL_RULES = (
+    ("length_20_120", "n_toks BETWEEN 20 AND 120"),
+    (
+        "mean_tok_len_3_10",
+        "(n_chars - n_toks + 1) >= 3 * n_toks"
+        " AND (n_chars - n_toks + 1) <= 10 * n_toks",
+    ),
+    ("type_token_ratio_ge_0.3", "10 * n_distinct >= 3 * n_toks"),
+    ("min_2_stopwords", "n_stop >= 2"),
+    ("symbol_ratio_le_0.1", "10 * n_punct <= n_chars"),
+)
+
+
+def _funnel_oracle() -> str:
+    from events_to_db_spark.operators.pipeline_ops import STOPWORDS
+
+    cum = []
+    stages = []
+    for i, (name, pred) in enumerate(_FUNNEL_RULES, start=1):
+        cum.append(f"({pred})")
+        conj = " AND ".join(cum)
+        stages.append(
+            f"SELECT CAST({i} AS BIGINT) AS stage, '{name}' AS rule,"
+            f" CAST(sum(CASE WHEN {' AND '.join(cum[:-1]) or 'TRUE'}"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_in,"
+            f" CAST(sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_out"
+            " FROM feats"
+        )
+        # noqa: the union keeps the fixed stage order by the stage key
+    return f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains({list(STOPWORDS)!r}, x))) AS BIGINT)
+                   AS n_stop,
+               CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT)
+                   AS n_punct
+        FROM documents
+    ),
+    stages AS ({' UNION ALL '.join(stages)})
+    SELECT stage, rule, n_in, n_out,
+           CAST(n_in - n_out AS BIGINT) AS dropped,
+           CASE WHEN n_in > 0
+                THEN round(CAST(n_in - n_out AS DOUBLE) / n_in, 4)
+           END AS drop_rate
+    FROM stages ORDER BY stage
+    """
+
+
+@query("q_curate_funnel", oracle=_funnel_oracle())
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL — per-rule attrition of the Gopher-style
+    heuristic ladder applied in sequence (length → mean token length →
+    type-token diversity → stopword presence → symbol ratio), the
+    table a curation team actually reports: how many documents enter
+    each stage, how many survive it, and each rule's marginal drop
+    rate given everything before it (q_text_quality scores documents;
+    this accounts for the PIPELINE).
+
+    Determinism: every rule is an integer cross-multiplication over
+    exact per-doc counts (no float ratio is ever compared); the stage
+    order is fixed in ``_FUNNEL_RULES`` and keyed by an integer stage
+    column, and the one float column is a final per-stage division.
+
+    Scale shape: ONE corpus scan computes all five feature columns,
+    one hash aggregate produces every cumulative-survivor count at
+    once (the 5-stage funnel is 10 conditional sums in a single
+    1-row agg, then a 5-row unpivot) — no per-stage rescans, no
+    shuffle of document text."""
+    from events_to_db_spark.operators.pipeline_ops import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = d.select(
+        F.size(toks).cast("long").alias("n_toks"),
+        "n_chars",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+        .cast("long")
+        .alias("n_punct"),
+    )
+    cum_preds = []
+    aggs = []
+    for i, (_name, pred) in enumerate(_FUNNEL_RULES, start=1):
+        prev = " AND ".join(cum_preds) or "TRUE"
+        cum_preds.append(f"({pred})")
+        conj = " AND ".join(cum_preds)
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {prev} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"in_{i}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {conj} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"out_{i}")
+        )
+    one = feats.agg(*aggs)
+    stack = ", ".join(
+        f"{i}L, '{name}', in_{i}, out_{i}"
+        for i, (name, _pred) in enumerate(_FUNNEL_RULES, start=1)
+    )
+    rows = one.select(
+        F.expr(
+            f"stack({len(_FUNNEL_RULES)}, {stack})"
+            " as (stage, rule, n_in, n_out)"
+        )
+    )
+    return rows.select(
+        "stage",
+        "rule",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).cast("long").alias("dropped"),
+        F.when(
+            F.col("n_in") > 0,
+            F.round(
+                (F.col("n_in") - F.col("n_out")).cast("double")
+                / F.col("n_in"),
+                4,
+            ),
+        ).alias("drop_rate"),
+    ).orderBy("stage")

@@ -749,3 +749,88 @@ def q_ir_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("c") - F.col("d")).cast("double") / F.col("np"), 4),
         ).alias("tau"),
     )
+
+
+#: AP@10 exact-rational coefficients: lcm(1..10) = 2520, so every
+#: precision-at-k term b_k·relcnt(k)/k scales to the BIGINT
+#: b_k·relcnt(k)·(2520/k) and the numerator sums exactly.
+_AP_L = 2520
+_AP_NUM = " + ".join(
+    "b_{k} * ({cum}) * {c}".format(
+        k=k,
+        cum=" + ".join(f"b_{j}" for j in range(1, k + 1)),
+        c=_AP_L // k,
+    )
+    for k in range(1, 11)
+)
+_AP_B_COLS = ", ".join(
+    f"CAST(coalesce(max(CASE WHEN rk = {k} AND rel = 2 THEN 1 END), 0)"
+    f" AS BIGINT) AS b_{k}"
+    for k in range(1, 11)
+)
+
+
+@query(
+    "q_ir_ap",
+    oracle="WITH "
+    + _IR_RANKED_SQL
+    + f""",
+    pivoted AS (
+        SELECT probe_id, {_AP_B_COLS},
+               CAST(count(CASE WHEN rel = 2 THEN 1 END) AS BIGINT) AS n_rel
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT probe_id, n_rel,
+           CAST({_AP_NUM} AS BIGINT) AS ap_num,
+           CASE WHEN n_rel > 0
+                THEN round(CAST({_AP_NUM} AS DOUBLE)
+                           / ({_AP_L} * least(n_rel, 10)), 4) END AS ap10
+    FROM pivoted
+    """,
+)
+def q_ir_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision @ 10 per probe — the PR-curve companion to
+    q_ir_ndcg/q_ir_mrr that completes the standard IR-eval trio
+    (AP is what MAP averages; rel = 2, the same-(lang, source) grade,
+    is the binary relevant class exactly as in q_ir_mrr).
+
+    Exact-rational discipline: AP@10 = Σ_k [rel@k]·P@k / min(R,10)
+    has per-depth precisions with denominators 1..10, so the numerator
+    is carried as the exact BIGINT Σ b_k·relcnt(k)·(2520/k)
+    (lcm(1..10) = 2520) in ONE fixed-order expression shared verbatim
+    by both engines; the only float op is the final division.
+
+    Scale shape: shares q_ir_ndcg's ranked-candidate pipeline (probe
+    tokens broadcast, one explode→join→count), then a 10-flag pivot
+    per probe — constant work per probe at any corpus size."""
+    r = _ranked_candidates(spark, sf_dir)
+    pivot = r.groupBy("probe_id").agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("rk") == k) & (F.col("rel") == 2), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"b_{k}")
+            for k in range(1, 11)
+        ],
+        F.count(F.when(F.col("rel") == 2, 1)).cast("long").alias("n_rel"),
+    )
+    ap_num = F.expr(_AP_NUM)
+    return pivot.select(
+        "probe_id",
+        "n_rel",
+        ap_num.cast("long").alias("ap_num"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                ap_num.cast("double")
+                / (_AP_L * F.least(F.col("n_rel"), F.lit(10))),
+                4,
+            ),
+        ).alias("ap10"),
+    )

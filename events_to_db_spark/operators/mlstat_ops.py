@@ -1965,6 +1965,98 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ml_pr_auc",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT vc, ct, pos,
+               sum(ct)  OVER (ORDER BY vc DESC) AS cum_n,
+               sum(pos) OVER (ORDER BY vc DESC) AS cum_tp
+        FROM pv
+    ),
+    r AS (
+        SELECT CAST(sum((pos * cum_tp * 1000000) // cum_n) AS BIGINT)
+                   AS ap_num,
+               CAST(sum(pos) AS BIGINT) AS n1,
+               CAST(sum(ct) - sum(pos) AS BIGINT) AS n2
+        FROM cum
+    )
+    SELECT n1, n2, ap_num,
+           round(CAST(ap_num AS DOUBLE)
+                 / (CAST(1000000 AS DOUBLE) * n1), 6) AS pr_auc,
+           round(CAST(n1 AS DOUBLE) / (n1 + n2), 6) AS prevalence
+    FROM r
+    """,
+)
+def q_ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact area under the PRECISION-RECALL curve ("average
+    precision", sklearn's step interpolation: Σ_t Δrecall_t·P_t over
+    descending score thresholds) for the same "value predicts purchase
+    (vs view)" task as q_ml_auc — the companion the imbalanced-class
+    eval needs, where ROC AUC flatters (its baseline is 0.5 regardless
+    of prevalence; PR's is the prevalence, emitted alongside).
+
+    Determinism: per threshold the term Δtp·P_t = pos·cum_tp/cum_n is
+    carried as the exact fixed-point BIGINT (pos·cum_tp·10⁶) div cum_n
+    — floor division of non-negative BIGINTs, identical in both
+    engines (the sign-safe rule never triggers), so the sum is an
+    exact integer and the metric IS defined as that 1e-6 fixed-point
+    value (one final division).  Magnitude: pos·cum_tp·10⁶ ≤ n₁²·10⁶
+    ≈ 4e14 at sf0.1; beyond ~3e6 positives move the product to
+    DECIMAL(38,0).
+
+    Scale shape: one scan → per-distinct-value hash agg; the global
+    descending cumulative runs through the two-level bucketed scan
+    (plans/prefix), never a single-partition window; one scalar row
+    out."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("vc").agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    ).withColumn("negv", -F.col("vc"))
+    cum = bucketed_running_sum(
+        pv,
+        F.expr("negv div 2000"),
+        [F.col("negv")],
+        {"cum_n": F.col("ct"), "cum_tp": F.col("pos")},
+    )
+    r = cum.agg(
+        F.sum(
+            F.expr("(pos * cum_tp * 1000000) div cum_n")
+        )
+        .cast("long")
+        .alias("ap_num"),
+        F.sum("pos").cast("long").alias("n1"),
+        (F.sum("ct") - F.sum("pos")).cast("long").alias("n2"),
+    )
+    return r.select(
+        "n1",
+        "n2",
+        "ap_num",
+        F.round(
+            F.col("ap_num").cast("double")
+            / (F.lit(1000000).cast("double") * F.col("n1")),
+            6,
+        ).alias("pr_auc"),
+        F.round(
+            F.col("n1").cast("double") / (F.col("n1") + F.col("n2")), 6
+        ).alias("prevalence"),
+    )
+
+
 _ABS_ITERS = 12
 _ABS_SCALE = 10**6
 
