@@ -499,6 +499,62 @@ def test_retention_cut_drops_date_partitions(spark, tmp_path):
         compact_landing_layout(spark, dst, retain_min_date="not-a-date")
 
 
+def test_downstream_etl_consumer_survives_compaction(spark, tmp_path):
+    """The documented compaction contract for DOWNSTREAM streaming
+    consumers: an `events_layout: landing` config that had already
+    consumed part of the layout sees the compacted files as new input
+    on its next run (bounded full redelivery) and its keyed upsert
+    absorbs the overlap — the table ends exactly equal to the batch
+    answer over everything, no duplicates, including rows that landed
+    only AFTER the compaction."""
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+        run_etl_config,
+    )
+    from events_to_db_spark.session import load_table
+    from events_to_db_spark.streaming.sink import read_sink_table
+
+    feed, files, n, base_t = _drip_feed(spark, tmp_path, n_chunks=3)
+    dst = str(tmp_path / "landing_ds")
+    ckpt = str(tmp_path / "ckpt_ds")
+    for i in range(2):
+        _land_chunk(feed, files, i, base_t)
+        maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+
+    cfg = {
+        "events": dst,
+        "events_layout": "landing",
+        "db": str(tmp_path / "ds.db"),
+        "checkpoints": str(tmp_path / "ckpt_ds_etl"),
+        "max_files_per_trigger": 100000,
+        "tables": [{"table": "copy_all", "query": "FROM allEvents"}],
+    }
+    for q in set(run_etl_config(spark, cfg).values()):
+        q.awaitTermination()
+    assert len(read_sink_table(cfg["db"], "copy_all")) == load_landing(
+        spark, dst
+    ).count()
+
+    compact_landing_layout(spark, dst)
+    _land_chunk(feed, files, 2, base_t)
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+
+    for q in set(run_etl_config(spark, cfg).values()):
+        q.awaitTermination()
+    got = read_sink_table(cfg["db"], "copy_all")
+    assert len(got) == n  # redelivery absorbed, new chunk included
+    assert len(set(got["event_id"])) == n
+    want = sorted(
+        r["event_id"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_id")
+        .collect()
+    )
+    assert sorted(got["event_id"]) == want
+
+
 def test_compaction_failure_leaves_old_root_untouched(
     spark, tmp_path, monkeypatch
 ):
