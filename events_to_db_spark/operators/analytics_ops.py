@@ -5866,3 +5866,81 @@ def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("reject_05"),
     )
+
+
+#: The MCC denominator's four marginal products are quartic in corpus
+#: size — DOUBLE from the first multiply (the r7 overflow rule), with
+#: the exact BIGINT cells as inputs.
+_MCC_DEN = (
+    "sqrt(CAST(n11 + n10 AS DOUBLE) * (n11 + n01)"
+    " * (n00 + n10) * (n00 + n01))"
+)
+
+
+@query(
+    "q_ml_mcc",
+    oracle=f"""
+    WITH j AS (
+        SELECT len(string_split(text, ' ')) >= 60 AS a,
+               len(list_distinct(string_split(text, ' '))) >= 28 AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM j
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(n11 * n00 - n10 * n01 AS BIGINT) AS mcc_num,
+           CASE WHEN (n11 + n10) * (n11 + n01)
+                     * (n00 + n10) * (n00 + n01) > 0
+                THEN round(CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+                           / {_MCC_DEN}, 4) END AS mcc
+    FROM c
+    """,
+)
+def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient between the q_ml_kappa judge
+    pair (judge A = length gate as "prediction", judge B =
+    lexical-richness gate as "truth") — completes the agreement/
+    calibration family (κ, McNemar, ECE) with the single-number
+    confusion-matrix summary that stays honest under class imbalance
+    (accuracy and even κ flatter when one cell dominates; MCC is the
+    Pearson φ of the 2×2 table).
+
+    Determinism: four exact BIGINT cells from ONE scan; the numerator
+    n11·n00 − n10·n01 stays exact BIGINT (quadratic in corpus size —
+    safe to ~3e9 docs); the denominator's quartic marginal product is
+    DOUBLE from the first multiply with one sqrt and one division at
+    the end (shared-verbatim expression), NULL when a marginal is
+    empty (MCC undefined)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.size(F.split("text", " ")) >= 60).alias("a"),
+        (F.size(F.array_distinct(F.split("text", " "))) >= 28).alias("b"),
+    )
+    c = d.agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    return c.select(
+        "n11", "n10", "n01", "n00",
+        F.expr("CAST(n11 * n00 - n10 * n01 AS BIGINT)").alias("mcc_num"),
+        F.expr(
+            "CASE WHEN (n11 + n10) * (n11 + n01)"
+            " * (n00 + n10) * (n00 + n01) > 0"
+            f" THEN round(CAST(n11 * n00 - n10 * n01 AS DOUBLE)"
+            f" / {_MCC_DEN}, 4) END"
+        ).alias("mcc"),
+    )

@@ -3606,3 +3606,113 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("drop_rate"),
     ).orderBy("stage")
+
+
+_JSD_BINS = 16
+#: 16-bucket term hash (md5 60-bit integer % 16) — identical in both
+#: engines; binning makes the source distributions a FIXED-WIDTH
+#: vector so the JSD sum can be one fixed-order expression instead of
+#: a cross-row float sum over an unbounded vocabulary.
+_JSD_BIN_SPARK = (
+    "pmod(cast(conv(substr(md5(cast(term as binary)), 1, 15), 16, 10)"
+    " as bigint), 16)"
+)
+_JSD_BIN_DUCK = "(('0x' || substr(md5(term), 1, 15))::BIGINT % 16)"
+
+
+def _jsd_expr(c: str, d: str, n1: str, n2: str) -> str:
+    """Fixed-order Jensen–Shannon divergence (natural log) over the 16
+    named bin columns: Σ_b ½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q)) with
+    p = c_b/n1, q = d_b/n2 — zero-count contributions are exactly 0
+    (lim x·ln x = 0), guarded by the CASE.  Shared verbatim by both
+    engines; the exact-integer inputs make every per-term float op
+    bit-identical (the q_embed_drift ln-parity precedent)."""
+    terms = []
+    for b in range(_JSD_BINS):
+        p = f"(CAST({c.format(b=b)} AS DOUBLE) / {n1})"
+        q = f"(CAST({d.format(b=b)} AS DOUBLE) / {n2})"
+        terms.append(
+            f"(CASE WHEN {c.format(b=b)} > 0 THEN CAST(0.5 AS DOUBLE)"
+            f" * {p} * ln(CAST(2 AS DOUBLE) * {p} / ({p} + {q}))"
+            " ELSE CAST(0 AS DOUBLE) END)"
+        )
+        terms.append(
+            f"(CASE WHEN {d.format(b=b)} > 0 THEN CAST(0.5 AS DOUBLE)"
+            f" * {q} * ln(CAST(2 AS DOUBLE) * {q} / ({p} + {q}))"
+            " ELSE CAST(0 AS DOUBLE) END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q_text_source_jsd",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, {_JSD_BIN_DUCK} AS bin
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    dist AS (
+        SELECT source,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS c_{b}"
+                   for b in range(_JSD_BINS)
+               )},
+               CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+           round({_jsd_expr("a.c_{b}", "b.c_{b}", "a.n", "b.n")}, 4)
+               AS jsd
+    FROM dist a JOIN dist b ON a.source < b.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair distributional divergence — Jensen–Shannon
+    divergence between every pair of sources' (hash-binned) term
+    distributions, the mixture-design diagnostic that says WHICH
+    corpus sources are near-duplicates in distribution and which add
+    diversity (q_text_source_overlap measures shared CONTENT; this
+    measures shared SHAPE — two sources can share zero documents and
+    still be distributionally identical).
+
+    Determinism: per-source bin counts are exact BIGINTs from one
+    explode→hash-agg; each pair's JSD is ONE fixed-order 32-term
+    expression (16 bins × both sides, zero-count terms exactly 0)
+    shared verbatim by both engines — no cross-row float aggregation
+    anywhere, ln-parity per the q_embed_drift precedent.
+
+    Scale shape: the corpus is touched ONCE (explode + 17-column hash
+    agg to one row per source); the pair join is over the tiny
+    source-level aggregate (S² rows of S sources, never documents) —
+    at 100 TB the pair matrix is still bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split("text", " ")).alias("term"),
+    ).select("source", F.expr(_JSD_BIN_SPARK).alias("bin"))
+    dist = toks.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("bin") == b, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{b}")
+            for b in range(_JSD_BINS)
+        ],
+        F.count("*").cast("long").alias("n"),
+    )
+    a = dist.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"c_{b}").alias(f"ca_{b}") for b in range(_JSD_BINS)],
+    )
+    b_ = dist.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"c_{b}").alias(f"cb_{b}") for b in range(_JSD_BINS)],
+    )
+    pairs = a.join(b_, F.col("src_a") < F.col("src_b"))
+    jsd = F.expr(_jsd_expr("ca_{b}", "cb_{b}", "n_a", "n_b"))
+    return pairs.select(
+        "src_a", "src_b", "n_a", "n_b", F.round(jsd, 4).alias("jsd")
+    ).orderBy("src_a", "src_b")

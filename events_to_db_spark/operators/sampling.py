@@ -550,3 +550,75 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sample_bal_cents"),
         )
     )
+
+
+_BAL_CAP = 60
+#: Per-doc draw key for the balanced cap: the standard md5 60-bit
+#: integer (identical in both engines), doc_id tie-break for a unique
+#: total order inside each language.
+_BAL_KEY_SPARK = (
+    "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15),"
+    " 16, 10) as bigint)"
+)
+_BAL_KEY_DUCK = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+)
+
+
+@query(
+    "q_sample_balance",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_BAL_KEY_DUCK}, doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {_BAL_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= {_BAL_CAP} THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM keyed GROUP BY lang ORDER BY lang
+    """,
+)
+def q_sample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — cap every language at
+    {cap} documents, chosen by deterministic md5-hash order (the
+    pipeline move that stops one dominant language from swamping a
+    multilingual training mix; the testdata's 'en' is ~3× any other
+    class, so the cap genuinely bites on it at every SF while small
+    classes pass through intact).
+
+    Determinism: the draw is the md5 60-bit key with a doc_id
+    tie-break (a unique total order — never a float RNG), so the kept
+    SET is identical in both engines; kept_id_sum (exact BIGINT sum of
+    kept doc_ids) value-checks the set itself, not just its size.
+
+    Scale shape: the rank window is partitioned BY CLASS (languages
+    are few and bounded — this is the allowlisted bounded-partition
+    case, not a global window); one scan, one shuffle on lang.""".format(
+        cap=_BAL_CAP
+    )
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(_BAL_KEY_SPARK), F.col("doc_id")
+    )
+    keyed = d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+    return (
+        keyed.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rk") <= _BAL_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("rk") <= _BAL_CAP, F.col("doc_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )
