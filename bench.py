@@ -136,89 +136,101 @@ def main() -> None:
 def run_sset(spark, sf_dir: str) -> dict:
     """S-set (VERDICT r08 #5): the namesake END-TO-END streaming path —
     flat feed → maintained date×type landing layout → multiplexed
-    3-table fan-out with executor-parallel upserts — measured as ONE
+    3-table fan-out with executor-parallel upserts — measured as one
     catch-up of the sf events log, rows/s per stage.  Correctness is
     pytest's job (test_etl_config / test_landing_layout); this exists
     so a regression in the landing sink, the shared-scan fan-out, or
     the executor upsert shows up in BENCH_r{N}.json (and fails
-    tools/benchdrift.py) instead of only slowing a test.  Single
-    measured run: both stages are multi-second streaming drains over
-    fresh dirs, so there is no cold/warm split to take a median over.
-    Errors are captured (not raised) so a broken S-set cannot lose the
-    whole bench record."""
+    tools/benchdrift.py) instead of only slowing a test.
+
+    Method = the B-set's cold-then-warm: the whole path runs TWICE
+    over fresh dirs and the SECOND pass is reported (measured: a cold
+    JVM's first landing drain ran 1.9× its warm repeat — a cold-only
+    number would trip the 1.5× drift gate on JIT state, not on
+    regressions).  The cold pass rides along as ``*_cold_s``.  Errors
+    are captured (not raised) so a broken S-set cannot lose the whole
+    bench record."""
+    try:
+        cold = _sset_once(spark, sf_dir)
+        warm = _sset_once(spark, sf_dir)
+        warm["landing_cold_s"] = cold["landing_s"]
+        warm["fanout_cold_s"] = cold["fanout_s"]
+        return warm
+    except Exception as exc:  # noqa: BLE001 — never lose the bench line
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
+
+def _sset_once(spark, sf_dir: str) -> dict:
     import shutil
     import tempfile
 
+    from events_to_db_spark.etl import (
+        load_landing,
+        maintain_landing_layout,
+        run_etl_config,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_sset_")
     try:
-        from events_to_db_spark.etl import (
-            load_landing,
-            maintain_landing_layout,
-            run_etl_config,
+        # stage the events log as a feed DIRECTORY (the file source
+        # follows a directory; testdata ships events as one file)
+        feed = Path(work) / "feed"
+        feed.mkdir()
+        src = Path(sf_dir) / "events.parquet"
+        parts = (
+            sorted(src.glob("*.parquet")) if src.is_dir() else [src]
         )
+        for i, f in enumerate(parts):
+            try:
+                os.link(f, feed / f"{i:04d}.parquet")
+            except OSError:  # cross-device: fall back to a copy
+                import shutil as _sh
 
-        work = tempfile.mkdtemp(prefix="bench_sset_")
-        try:
-            # stage the events log as a feed DIRECTORY (the file source
-            # follows a directory; testdata ships events as one file)
-            feed = Path(work) / "feed"
-            feed.mkdir()
-            src = Path(sf_dir) / "events.parquet"
-            parts = (
-                sorted(src.glob("*.parquet")) if src.is_dir() else [src]
-            )
-            for i, f in enumerate(parts):
-                try:
-                    os.link(f, feed / f"{i:04d}.parquet")
-                except OSError:  # cross-device: fall back to a copy
-                    import shutil as _sh
+                _sh.copy(f, feed / f"{i:04d}.parquet")
 
-                    _sh.copy(f, feed / f"{i:04d}.parquet")
+        dst = f"{work}/landing"
+        t0 = time.time()
+        maintain_landing_layout(
+            spark, str(feed), dst, f"{work}/ckpt_landing"
+        ).awaitTermination()
+        landing_s = time.time() - t0
+        n = load_landing(spark, dst).count()
 
-            dst = f"{work}/landing"
-            t0 = time.time()
-            maintain_landing_layout(
-                spark, str(feed), dst, f"{work}/ckpt_landing"
-            ).awaitTermination()
-            landing_s = time.time() - t0
-            n = load_landing(spark, dst).count()
-
-            cfg = {
-                "events": dst,
-                "events_layout": "landing",
-                "db": f"{work}/sset.db",
-                "checkpoints": f"{work}/ckpt_etl",
-                "max_files_per_trigger": 100000,
-                "sink_mode": "executor",
-                "tables": [
-                    {
-                        "table": "purchases",
-                        "query": "FROM 'type:purchase' & TIME >= 2024-01-10"
-                        " FILTER _.k >= 10 SELECT { user: _.user_id, k: _.k * 1 }",
-                    },
-                    {
-                        "table": "errors",
-                        "query": "FROM 'type:error' SELECT { u: _.user_id }",
-                    },
-                    {"table": "raw_copy"},
-                ],
-            }
-            t0 = time.time()
-            qs = run_etl_config(spark, cfg)
-            for q in {q.id: q for q in qs.values()}.values():
-                q.awaitTermination()
-            fanout_s = time.time() - t0
-            return {
-                "rows": n,
-                "landing_s": round(landing_s, 2),
-                "fanout_s": round(fanout_s, 2),
-                "landing_rows_s": round(n / landing_s, 1),
-                "fanout_rows_s": round(n / fanout_s, 1),
-                "total_s": round(landing_s + fanout_s, 2),
-            }
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
-    except Exception as exc:  # noqa: BLE001 — never lose the bench line
-        return {"error": f"{type(exc).__name__}: {exc}"}
+        cfg = {
+            "events": dst,
+            "events_layout": "landing",
+            "db": f"{work}/sset.db",
+            "checkpoints": f"{work}/ckpt_etl",
+            "max_files_per_trigger": 100000,
+            "sink_mode": "executor",
+            "tables": [
+                {
+                    "table": "purchases",
+                    "query": "FROM 'type:purchase' & TIME >= 2024-01-10"
+                    " FILTER _.k >= 10 SELECT { user: _.user_id, k: _.k * 1 }",
+                },
+                {
+                    "table": "errors",
+                    "query": "FROM 'type:error' SELECT { u: _.user_id }",
+                },
+                {"table": "raw_copy"},
+            ],
+        }
+        t0 = time.time()
+        qs = run_etl_config(spark, cfg)
+        for q in {q.id: q for q in qs.values()}.values():
+            q.awaitTermination()
+        fanout_s = time.time() - t0
+        return {
+            "rows": n,
+            "landing_s": round(landing_s, 2),
+            "fanout_s": round(fanout_s, 2),
+            "landing_rows_s": round(n / landing_s, 1),
+            "fanout_rows_s": round(n / fanout_s, 1),
+            "total_s": round(landing_s + fanout_s, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
