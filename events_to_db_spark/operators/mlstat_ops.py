@@ -2757,3 +2757,91 @@ def q_ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: Laplace-style score→probability map for the log-loss: value cents
+#: vc ∈ [0, 49000] (value < 490 by construction) → p = (vc+1)/49002,
+#: strictly inside (0,1) so both ln terms are finite at every SF.
+_LL_DEN = 49002
+
+
+@query(
+    "q_ml_logloss",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT vc, CAST(sum(y) AS BIGINT) AS pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS neg
+        FROM s GROUP BY 1
+    ),
+    terms AS (
+        SELECT CAST(sum(
+                   pos * CAST(floor(CAST(-1000000 AS DOUBLE)
+                       * ln(CAST(vc + 1 AS DOUBLE) / {_LL_DEN}))
+                       AS BIGINT)
+                   + neg * CAST(floor(CAST(-1000000 AS DOUBLE)
+                       * ln(CAST({_LL_DEN} - vc - 1 AS DOUBLE) / {_LL_DEN}))
+                       AS BIGINT)
+               ) AS BIGINT) AS ll_num,
+               CAST(sum(pos + neg) AS BIGINT) AS n
+        FROM pv
+    )
+    SELECT n, ll_num,
+           round(CAST(ll_num AS DOUBLE) / (CAST(1000000 AS DOUBLE) * n), 6)
+               AS logloss
+    FROM terms
+    """,
+)
+def q_ml_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-loss (binary cross-entropy) of the Laplace-mapped value
+    score on q_ml_auc's purchase-vs-view task — the proper scoring
+    rule completing the calibration family (Brier penalizes
+    quadratically; log-loss is what training objectives actually
+    optimize and punishes confident misses hardest).
+
+    Determinism: scores collapse to their ~49k distinct cent values
+    first (exact pos/neg BIGINT counts per value), then each value's
+    −ln p and −ln(1−p) are FIXED-POINT: floor(−10⁶·ln(...)) cast to
+    BIGINT — ln parity per the q_embed_drift precedent, and the floor
+    makes any sub-ulp engine difference vanish into the same integer —
+    so the weighted sum is exact BIGINT arithmetic and the metric is
+    DEFINED at 1e-6 fixed point (one final division).
+
+    Scale shape: one scan → per-distinct-value hash agg → one scalar
+    row; no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("vc").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    terms = pv.agg(
+        F.sum(
+            F.expr(
+                "pos * CAST(floor(CAST(-1000000 AS DOUBLE)"
+                f" * ln(CAST(vc + 1 AS DOUBLE) / {_LL_DEN})) AS BIGINT)"
+                " + neg * CAST(floor(CAST(-1000000 AS DOUBLE)"
+                f" * ln(CAST({_LL_DEN} - vc - 1 AS DOUBLE) / {_LL_DEN}))"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("ll_num"),
+        F.sum(F.expr("pos + neg")).cast("long").alias("n"),
+    )
+    return terms.select(
+        "n",
+        "ll_num",
+        F.round(
+            F.col("ll_num").cast("double")
+            / (F.lit(1000000).cast("double") * F.col("n")),
+            6,
+        ).alias("logloss"),
+    )

@@ -2599,3 +2599,103 @@ def q_stat_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q_expr, 4).alias("q_lb"),
         (q_expr > F.expr(f"CAST({_LB_CRIT} AS DOUBLE)")).alias("lb_reject"),
     )
+
+
+#: χ²(df=4) upper 5% critical value 9.487729, carried as the exact
+#: integer pair (9487729, 10⁶) so the Friedman decision is an integer
+#: cross-multiplication, never a float boundary (the q_ml_mcnemar
+#: pattern).
+_FRIEDMAN_CRIT_NUM = 9487729
+_FRIEDMAN_CRIT_DEN = 10**6
+
+
+@query(
+    "q_stat_friedman",
+    oracle=f"""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY d ORDER BY c, event_type) AS BIGINT) AS rk
+        FROM counts
+    ),
+    rsums AS (
+        SELECT event_type, CAST(sum(rk) AS BIGINT) AS r_j,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM ranked GROUP BY event_type
+    ),
+    stat AS (
+        SELECT CAST(sum(r_j * r_j) AS BIGINT) AS sum_r2,
+               CAST(max(n_days) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM rsums
+    )
+    SELECT n, k, sum_r2,
+           CAST(12 * sum_r2 - 3 * n * n * k * (k + 1) * (k + 1)
+                AS BIGINT) AS chi2_num,
+           CAST(n * k * (k + 1) AS BIGINT) AS chi2_den,
+           round(CAST(12 * sum_r2 - 3 * n * n * k * (k + 1) * (k + 1)
+                      AS DOUBLE) / (n * k * (k + 1)), 4) AS chi2_f,
+           CAST({_FRIEDMAN_CRIT_DEN} * (12 * sum_r2
+                    - 3 * n * n * k * (k + 1) * (k + 1))
+                > {_FRIEDMAN_CRIT_NUM} * (n * k * (k + 1))
+                AS BOOLEAN) AS reject_05
+    FROM stat
+    """,
+)
+def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the nonparametric repeated-measures ANOVA the
+    stats family was missing (Mann–Whitney compares two groups; this
+    asks whether the k = 5 event types keep the same RANK ORDER of
+    daily volume across the n = 30 day blocks, robust to any
+    monotone volume transform).
+
+    Determinism: per-day ranks are row_number with the unique
+    (count, event_type) tie-break (deterministic tie policy, stated —
+    average-rank ties would need the 2× trick; the daily count table
+    here has no ties but the policy must not depend on that); rank
+    sums and χ²_F = [12·ΣR_j² − 3n²k(k+1)²] / [nk(k+1)] are carried
+    as exact BIGINT numerator/denominator with ONE final division, and
+    the 5% decision (df = k−1 = 4) is the integer cross-multiplication
+    against 9.487729·10⁶.
+
+    Scale shape: one hash agg to n×k daily counts, rank windows
+    partitioned by day (k = 5 rows each, bounded), then a k-row agg —
+    the events table is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.to_date("ts").alias("d"), "event_type"
+        ).agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("d").orderBy("c", "event_type")
+    ranked = counts.select(
+        "event_type", F.row_number().over(w).cast("long").alias("rk")
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum("rk").cast("long").alias("r_j"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    stat = rsums.agg(
+        F.sum(F.col("r_j") * F.col("r_j")).cast("long").alias("sum_r2"),
+        F.max("n_days").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    num = F.expr(
+        "CAST(12 * sum_r2 - 3 * n * n * k * (k + 1) * (k + 1) AS BIGINT)"
+    )
+    den = F.expr("CAST(n * k * (k + 1) AS BIGINT)")
+    return stat.select(
+        "n", "k", "sum_r2",
+        num.alias("chi2_num"),
+        den.alias("chi2_den"),
+        F.round(num.cast("double") / den, 4).alias("chi2_f"),
+        (
+            F.lit(_FRIEDMAN_CRIT_DEN).cast("long") * num
+            > F.lit(_FRIEDMAN_CRIT_NUM).cast("long") * den
+        ).alias("reject_05"),
+    )
