@@ -5944,3 +5944,258 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {_MCC_DEN}, 4) END"
         ).alias("mcc"),
     )
+
+
+@query(
+    "q_graph_local_cluster",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node
+    ),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcnt AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t
+        FROM (SELECT a AS node FROM tris
+              UNION ALL SELECT b AS node FROM tris
+              UNION ALL SELECT c AS node FROM tris)
+        GROUP BY node
+    )
+    SELECT deg.node, deg.d, CAST(coalesce(tcnt.t, 0) AS BIGINT) AS t,
+           CASE WHEN deg.d >= 2
+                THEN round(2 * CAST(coalesce(tcnt.t, 0) AS DOUBLE)
+                           / (deg.d * (deg.d - 1)), 4) END AS local_cc
+    FROM deg LEFT JOIN tcnt USING (node)
+    ORDER BY deg.d DESC, deg.node
+    LIMIT 10
+    """,
+)
+def q_graph_local_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient for the ten highest-degree
+    parts of the co-purchase graph — the node-level companion to
+    q_graph_triangles' global coefficient: a hub whose neighborhood is
+    dense is a genuine community core, a hub with local_cc ≈ 0 is a
+    star (a staple part bought with everything), and the distinction
+    drives both recommendation quality and dedup-cluster sanity checks.
+
+    Exact arithmetic: per-node triangle incidence t_v and degree d_v
+    are exact BIGINT counts; local_cc = 2t/(d(d−1)) is one final
+    double division (NULL below degree 2).  The top-10 has the unique
+    (d desc, node) tie-break.
+
+    Scale shape: the Spark plan reuses q_graph_triangles' degree
+    orientation — every triangle is enumerated exactly once at its
+    lowest-(degree, id) apex, bounding wedge fan-out at O(√E) on
+    power-law graphs — then unpivots each triangle to its three
+    corners for one keyed count; the oracle uses the naive ordered
+    edge³ join (same multiset: each u<v<w triangle appears once in
+    both).  TakeOrdered keeps the output k-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("apex"),
+        F.col("o1.dst").alias("u"),
+        F.col("o2.dst").alias("v"),
+    )
+    tris = wedges.join(edges, ["u", "v"])
+    tcnt = (
+        tris.select(
+            F.explode(F.array("apex", "u", "v")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    out = (
+        deg.join(tcnt, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2
+                    * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                    / (F.col("d") * (F.col("d") - 1)),
+                    4,
+                ),
+            ).alias("local_cc"),
+        )
+        .orderBy(F.col("d").desc(), "node")
+        .limit(10)
+    )
+    return out
+
+
+#: SMAPE / MASE fixed-point + cross-multiplied machinery.  With the
+#: SMA-3 forecast f = s3/3 over exact daily cents, the per-day SMAPE
+#: term 2|f−a|/(f+a) = 2|s3−3a|/(s3+3a) is carried as the exact
+#: truncated fixed-point BIGINT (2·10⁶·|s3−3a|) div (s3+3a) — integer
+#: division of non-negative BIGINTs agrees between the engines, and
+#: summing the truncated terms is order-free (the q_ml_logloss trick).
+#: MASE crosses BIGINT range if cross-multiplied (~3e19 at sf0.1), so
+#: its final ratio runs in DOUBLE over the four exact sums, shared
+#: verbatim.
+_MASE_EXPR = (
+    "(CAST(sum_fe AS DOUBLE) * n_n) / (3 * CAST(sum_ne AS DOUBLE) * n_f)"
+)
+
+
+@query(
+    "q_ml_smape",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT cents,
+               lag(cents, 1) OVER (ORDER BY d) AS p1,
+               lag(cents, 2) OVER (ORDER BY d) AS p2,
+               lag(cents, 3) OVER (ORDER BY d) AS p3
+        FROM daily
+    ),
+    terms AS (
+        SELECT CAST(count(CASE WHEN p3 IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_f,
+               CAST(sum(CASE WHEN p3 IS NOT NULL THEN
+                   (2000000 * abs(p1 + p2 + p3 - 3 * cents))
+                   // (p1 + p2 + p3 + 3 * cents) END) AS BIGINT) AS sum_fp,
+               CAST(sum(CASE WHEN p3 IS NOT NULL
+                             THEN abs(p1 + p2 + p3 - 3 * cents) END)
+                    AS BIGINT) AS sum_fe,
+               CAST(count(CASE WHEN p1 IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_n,
+               CAST(sum(CASE WHEN p1 IS NOT NULL
+                             THEN abs(cents - p1) END) AS BIGINT) AS sum_ne
+        FROM lagged
+    )
+    SELECT n_f, sum_fp, sum_fe, n_n, sum_ne,
+           round(CAST(sum_fp AS DOUBLE) / (n_f * 1000000), 4) AS smape,
+           round({_MASE_EXPR}, 4) AS mase
+    FROM terms
+    """,
+)
+def q_ml_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMAPE + MASE of the 3-day simple-moving-average revenue
+    forecast — the two scale-free forecast-accuracy metrics every
+    demand-planning eval reports (SMAPE for percentage intuition, MASE
+    for the Hyndman–Koehler property of being defined at zero actuals
+    and benchmarked against the naive lag-1 forecast).
+
+    Determinism discipline: daily revenue is exact cents; with
+    f = (a₁+a₂+a₃)/3, each SMAPE term 2|f−a|/(f+a) = 2|s3−3a|/(s3+3a)
+    becomes the exact truncated fixed-point BIGINT
+    (2·10⁶·|s3−3a|) div (s3+3a) — the q_ml_logloss floor trick, so the
+    cross-row sum is integer and order-free.  MASE = MAE_f/MAE_naive
+    cross-multiplies past BIGINT at sf0.1 (~3e19), so the final ratio
+    runs in DOUBLE over the four exact BIGINT sums in ONE expression
+    shared verbatim (round-6 overflow rule).  The metric is DEFINED at
+    1e-6 fixed point — both engines compute the identical integer.
+
+    Scale shape: one date hash-agg (days, not orders, cross the
+    shuffle), lag windows over the calendar-bounded daily series, one
+    1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 1).over(w).alias("p1"),
+        F.lag("cents", 2).over(w).alias("p2"),
+        F.lag("cents", 3).over(w).alias("p3"),
+    )
+    s3 = F.col("p1") + F.col("p2") + F.col("p3")
+    has_f = F.col("p3").isNotNull()
+    has_n = F.col("p1").isNotNull()
+    terms = lagged.agg(
+        F.count(F.when(has_f, 1)).cast("long").alias("n_f"),
+        F.sum(
+            F.when(
+                has_f,
+                F.expr(
+                    "(2000000 * abs(p1 + p2 + p3 - 3 * cents))"
+                    " div (p1 + p2 + p3 + 3 * cents)"
+                ),
+            )
+        )
+        .cast("long")
+        .alias("sum_fp"),
+        F.sum(F.when(has_f, F.abs(s3 - 3 * F.col("cents"))))
+        .cast("long")
+        .alias("sum_fe"),
+        F.count(F.when(has_n, 1)).cast("long").alias("n_n"),
+        F.sum(F.when(has_n, F.abs(F.col("cents") - F.col("p1"))))
+        .cast("long")
+        .alias("sum_ne"),
+    )
+    return terms.select(
+        "n_f",
+        "sum_fp",
+        "sum_fe",
+        "n_n",
+        "sum_ne",
+        F.round(
+            F.col("sum_fp").cast("double") / (F.col("n_f") * 1000000), 4
+        ).alias("smape"),
+        F.round(F.expr(_MASE_EXPR), 4).alias("mase"),
+    )

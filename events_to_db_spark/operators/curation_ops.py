@@ -3716,3 +3716,66 @@ def q_text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "src_a", "src_b", "n_a", "n_b", F.round(jsd, 4).alias("jsd")
     ).orderBy("src_a", "src_b")
+
+
+#: Yule's K = 10⁴·(Σ_t tf_t² − N)/N² (Yule 1944, "The Statistical
+#: Study of Literary Vocabulary") — Σ m²·V_m over the frequency
+#: spectrum collapses to Σ tf² over types, so the whole statistic
+#: needs only two exact sums.  Shared verbatim by both engines.
+_YULE_EXPR = "10000 * CAST(s2 - n AS DOUBLE) / (n * n)"
+
+
+@query(
+    "q_text_yule",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, t.term, CAST(count(*) AS BIGINT) AS tf
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT source, CAST(sum(tf) AS BIGINT) AS n,
+               CAST(sum(tf * tf) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM tf GROUP BY 1
+    )
+    SELECT source, n AS n_tokens, n_types, CAST(s2 - n AS BIGINT) AS k_num,
+           round({_YULE_EXPR}, 4) AS yule_k
+    FROM s ORDER BY source
+    """,
+)
+def q_text_yule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the sample-size-invariant
+    vocabulary-richness constant (unlike raw TTR, K is stable as the
+    corpus grows, which is why it complements q_text_heaps/q_text_mattr
+    in a curation dashboard: a source whose K jumps between snapshots
+    changed its generation process, not just its volume).
+
+    Exact-integer discipline: K = 10⁴·(Σ_m m²V_m − N)/N² and the
+    frequency-spectrum sum Σ m²V_m equals Σ_types tf² exactly, so both
+    numerator terms are exact BIGINTs from one explode → (source, term)
+    hash aggregate; the single float op is the final division (N² at
+    sf0.1 ≈ 1e10 — BIGINT-safe; DECIMAL(38,0) beyond ~3e9 tokens per
+    source).
+
+    Scale shape: explode → two stacked hash aggregates, shuffling
+    (source, term) then source — linear in corpus tokens, no windows,
+    no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    s = tf.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        (F.col("s2") - F.col("n")).cast("long").alias("k_num"),
+        F.round(F.expr(_YULE_EXPR), 4).alias("yule_k"),
+    ).orderBy("source")

@@ -834,3 +834,153 @@ def q_ir_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ap10"),
     )
+
+
+#: ERR@10 exact-rational machinery (Chapelle et al., CIKM 2009).  With
+#: grades g ∈ {0,1,2} the stop probability is R_g = (2^g − 1)/2^gmax =
+#: n_g/4 with n_g ∈ {0,1,3}, so every term (1/k)·R_k·Π_{i<k}(1−R_i)
+#: is the exact rational (2520/k)·4^(10−k)·n_k·Π_{i<k}(4−n_i) over the
+#: common denominator 2520·4^10 (lcm(1..10)·4^10).  Max term ≈ 2.0e9,
+#: sum ≤ 2642411520 — BIGINT-safe with 9 digits to spare.
+_ERR_DEN = 2520 * 4**10
+_ERR_NUM = " + ".join(
+    "{c} * n_{k}".format(c=(2520 // k) * 4 ** (10 - k), k=k)
+    + "".join(f" * (4 - n_{i})" for i in range(1, k))
+    for k in range(1, 11)
+)
+_ERR_N_COLS = ", ".join(
+    f"CAST(coalesce(max(CASE WHEN rk = {k} THEN"
+    f" CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END END), 0)"
+    f" AS BIGINT) AS n_{k}"
+    for k in range(1, 11)
+)
+
+
+@query(
+    "q_ir_err",
+    oracle="WITH "
+    + _IR_RANKED_SQL
+    + f""",
+    pivoted AS (
+        SELECT probe_id, {_ERR_N_COLS}
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT probe_id,
+           CAST({_ERR_NUM} AS BIGINT) AS err_num,
+           round(CAST({_ERR_NUM} AS DOUBLE) / {_ERR_DEN}, 4) AS err10
+    FROM pivoted
+    """,
+)
+def q_ir_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @ 10 per probe (Chapelle et al. 2009)
+    — the cascade-model ranking metric that, unlike nDCG's static
+    discounts, discounts each rank by the probability the user was
+    already satisfied ABOVE it: ERR = Σ_k (1/k)·R_k·Π_{i<k}(1−R_i)
+    with stop probability R_g = (2^g−1)/2^gmax over the same graded
+    relevance (2 = same lang+source, 1 = same lang) as q_ir_ndcg.
+
+    Exact-rational discipline: R ∈ {0, 1/4, 3/4}, so the whole sum is
+    carried as ONE exact-BIGINT numerator over 2520·4^10 — numerator
+    terms (2520/k)·4^(10−k)·n_k·Π_{i<k}(4−n_i) with n ∈ {0,1,3} — in
+    a fixed-order expression shared verbatim by both engines; the only
+    float op is the final division.  No live pow(), no float products.
+
+    Scale shape: shares q_ir_ndcg's ranked-candidate pipeline (probe
+    tokens broadcast, one explode→join→count), then a 10-column pivot
+    per probe — constant work per probe at any corpus size."""
+    r = _ranked_candidates(spark, sf_dir)
+    pivot = r.groupBy("probe_id").agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rk") == k,
+                        F.when(F.col("rel") == 2, 3)
+                        .when(F.col("rel") == 1, 1)
+                        .otherwise(0),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"n_{k}")
+            for k in range(1, 11)
+        ]
+    )
+    num = F.expr(_ERR_NUM)
+    return pivot.select(
+        "probe_id",
+        num.cast("long").alias("err_num"),
+        F.round(num.cast("double") / F.lit(_ERR_DEN), 4).alias("err10"),
+    )
+
+
+#: RBP p = 0.8 exact-rational weights: (1−p)·p^(k−1) = 2·8^(k−1)/10^k,
+#: so over the common denominator 10^10 the rank-k weight is the exact
+#: BIGINT 2·8^(k−1)·10^(10−k) (k=1 → 2e9, k=10 → 268435456; the sum of
+#: all ten is < 10^10).  The unseen-tail residual p^10 = 8^10/10^10.
+_RBP_W = tuple(2 * 8 ** (k - 1) * 10 ** (10 - k) for k in range(1, 11))
+_RBP_NUM = " + ".join(f"{w} * b_{k}" for k, w in enumerate(_RBP_W, 1))
+_RBP_RESID = 8**10
+_RBP_DEN = 10**10
+
+
+@query(
+    "q_ir_rbp",
+    oracle="WITH "
+    + _IR_RANKED_SQL
+    + f""",
+    pivoted AS (
+        SELECT probe_id, {_AP_B_COLS}
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT probe_id,
+           CAST({_RBP_NUM} AS BIGINT) AS rbp_num,
+           round(CAST({_RBP_NUM} AS DOUBLE) / {_RBP_DEN}, 4) AS rbp10,
+           round((CAST({_RBP_NUM} AS DOUBLE) + {_RBP_RESID})
+                 / {_RBP_DEN}, 4) AS rbp10_max
+    FROM pivoted
+    """,
+)
+def q_ir_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Precision @ 10, p = 0.8 (Moffat & Zobel, TOIS 2008)
+    — the persistence-model precision metric: RBP = (1−p)·Σ_k b_k·
+    p^(k−1), reported WITH its unseen-tail residual p^10 (rbp10 is the
+    lower bound from the evaluated prefix, rbp10_max = rbp10 + p^10 the
+    upper bound if every unjudged deeper rank were relevant — the
+    honest pair the paper specifies for truncated evaluation, the same
+    honesty ADVICE r08 asked of q_ir_rbo).  Binary relevance is
+    rel = 2 (same lang+source), exactly as q_ir_mrr/q_ir_ap.
+
+    Exact-rational discipline: (1−p)·p^(k−1) at p = 4/5 is the exact
+    rational 2·8^(k−1)/10^k, so the sum is ONE exact-BIGINT numerator
+    over 10^10 (integer weights 2·8^(k−1)·10^(10−k), fixed order,
+    shared verbatim by both engines); the residual 8^10 is an integer
+    literal.  The only float ops are the two final divisions.
+
+    Scale shape: shares q_ir_ndcg's ranked-candidate pipeline, then a
+    10-flag pivot per probe — constant work per probe at any corpus
+    size."""
+    r = _ranked_candidates(spark, sf_dir)
+    pivot = r.groupBy("probe_id").agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when((F.col("rk") == k) & (F.col("rel") == 2), 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"b_{k}")
+            for k in range(1, 11)
+        ]
+    )
+    num = F.expr(_RBP_NUM)
+    return pivot.select(
+        "probe_id",
+        num.cast("long").alias("rbp_num"),
+        F.round(num.cast("double") / F.lit(_RBP_DEN), 4).alias("rbp10"),
+        F.round(
+            (num.cast("double") + F.lit(_RBP_RESID)) / F.lit(_RBP_DEN), 4
+        ).alias("rbp10_max"),
+    )

@@ -2699,3 +2699,236 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_FRIEDMAN_CRIT_NUM).cast("long") * den
         ).alias("reject_05"),
     )
+
+
+#: χ²(df=2) upper 5% critical value 5.991465 (6 dp), as the exact
+#: integer pair for cross-multiplied decisions (the q_ml_mcnemar /
+#: q_stat_friedman pattern).
+_CHI2_DF2_CRIT_NUM = 5991465
+_CHI2_DF2_CRIT_DEN = 10**6
+
+#: Cochran's Q for k = 3 matched binary raters, fully integer:
+#: Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) with column totals G_j,
+#: grand total T = ΣG = ΣL, and per-item row totals L_i.  Both
+#: expressions are shared verbatim by the two engines.
+_COCHRAN_NUM = (
+    "2 * (3 * (ga * ga + gb * gb + gc * gc)"
+    " - (ga + gb + gc) * (ga + gb + gc))"
+)
+_COCHRAN_DEN = "3 * (ga + gb + gc) - sum_l2"
+
+
+@query(
+    "q_stat_cochran",
+    oracle=f"""
+    WITH j AS (
+        SELECT CASE WHEN len(string_split(text, ' ')) >= 60
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(list_distinct(string_split(text, ' '))) >= 28
+                    THEN 1 ELSE 0 END AS b,
+               CASE WHEN length(text) >= 330 THEN 1 ELSE 0 END AS c
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ga,
+               CAST(sum(b) AS BIGINT) AS gb,
+               CAST(sum(c) AS BIGINT) AS gc,
+               CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sum_l2
+        FROM j
+    )
+    SELECT ga, gb, gc,
+           CAST({_COCHRAN_NUM} AS BIGINT) AS q_num,
+           CAST({_COCHRAN_DEN} AS BIGINT) AS q_den,
+           CASE WHEN {_COCHRAN_DEN} > 0
+                THEN round(CAST({_COCHRAN_NUM} AS DOUBLE)
+                           / ({_COCHRAN_DEN}), 4) END AS q_stat,
+           CASE WHEN {_COCHRAN_DEN} > 0
+                THEN {_CHI2_DF2_CRIT_DEN} * ({_COCHRAN_NUM})
+                     >= {_CHI2_DF2_CRIT_NUM} * ({_COCHRAN_DEN})
+           END AS reject_05
+    FROM agg
+    """,
+)
+def q_stat_cochran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over THREE matched binary quality judges — the
+    k-rater generalization of q_ml_mcnemar (k = 2 marginal homogeneity)
+    that completes the agreement-test ladder: do the length, the
+    distinct-vocabulary, and the character-length gates pass documents
+    at the same rate?  Judges a/b are exactly q_ml_kappa's pair; judge
+    c (char length ≥ 330, the corpus median) adds the third column.
+
+    Exact-integer discipline: Q = (k−1)(k·ΣG_j² − T²)/(k·T − ΣL_i²)
+    needs only the three column totals and ΣL² — all exact BIGINT from
+    ONE scan; the 5% decision vs χ²(2) is the integer cross-mult
+    10⁶·num ≥ 5991465·den (never a float boundary), and the reported
+    statistic is the single final double division.  The denominator
+    Σ L(k−L) is 0 only when every document is passed by all three or
+    by none (guarded NULL).
+
+    Scale shape: one scan → one 1-row hash aggregate — shuffle-minimal
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.size(F.split("text", " ")) >= 60, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.array_distinct(F.split("text", " "))) >= 28, 1)
+        .otherwise(0)
+        .alias("b"),
+        F.when(F.length("text") >= 330, 1).otherwise(0).alias("c"),
+    )
+    agg = d.agg(
+        F.sum("a").cast("long").alias("ga"),
+        F.sum("b").cast("long").alias("gb"),
+        F.sum("c").cast("long").alias("gc"),
+        F.sum(
+            (F.col("a") + F.col("b") + F.col("c"))
+            * (F.col("a") + F.col("b") + F.col("c"))
+        )
+        .cast("long")
+        .alias("sum_l2"),
+    )
+    num = F.expr(_COCHRAN_NUM)
+    den = F.expr(_COCHRAN_DEN)
+    return agg.select(
+        "ga",
+        "gb",
+        "gc",
+        num.cast("long").alias("q_num"),
+        den.cast("long").alias("q_den"),
+        F.when(den > 0, F.round(num.cast("double") / den, 4)).alias(
+            "q_stat"
+        ),
+        F.when(
+            den > 0,
+            F.lit(_CHI2_DF2_CRIT_DEN).cast("long") * num
+            >= F.lit(_CHI2_DF2_CRIT_NUM).cast("long") * den,
+        ).alias("reject_05"),
+    )
+
+
+#: Kruskal–Wallis H with tie correction, DOUBLE algebra on exact
+#: BIGINTs shared verbatim (the round-6 overflow rule: (2R_j)² at
+#: sf0.1 is ~5e19 — past BIGINT — so the squaring happens in DOUBLE on
+#: exact integer inputs in ONE fixed-order expression).  At 1e10-row
+#: groups move r*_2/tie sums to DECIMAL(38,0).
+_KW_H = (
+    "3 * (CAST(r1_2 AS DOUBLE) * r1_2 / n1"
+    " + CAST(r2_2 AS DOUBLE) * r2_2 / n2"
+    " + CAST(r3_2 AS DOUBLE) * r3_2 / n3)"
+    " / (CAST(n AS DOUBLE) * (n + 1)) - 3 * (n + 1)"
+)
+_KW_C = "1 - CAST(tie_num AS DOUBLE) / (n * n * n - n)"
+
+
+@query(
+    "q_stat_kruskal",
+    oracle=f"""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g3
+        FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    pv AS (
+        SELECT value, count(*) AS ct,
+               CAST(sum(g1) AS BIGINT) AS c1t,
+               CAST(sum(g2) AS BIGINT) AS c2t,
+               CAST(sum(g3) AS BIGINT) AS c3t
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT ct, c1t, c2t, c3t,
+               sum(ct) OVER (ORDER BY value) AS cum_t
+        FROM pv
+    ),
+    rsum AS (
+        SELECT CAST(sum(c1t * (2 * cum_t - ct + 1)) AS BIGINT) AS r1_2,
+               CAST(sum(c2t * (2 * cum_t - ct + 1)) AS BIGINT) AS r2_2,
+               CAST(sum(c3t * (2 * cum_t - ct + 1)) AS BIGINT) AS r3_2,
+               CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_num
+        FROM cum
+    ),
+    tot AS (
+        SELECT CAST(sum(c1t) AS BIGINT) AS n1,
+               CAST(sum(c2t) AS BIGINT) AS n2,
+               CAST(sum(c3t) AS BIGINT) AS n3,
+               CAST(sum(ct) AS BIGINT) AS n
+        FROM pv
+    )
+    SELECT n1, n2, n3, r1_2, r2_2, r3_2, tie_num,
+           round({_KW_H}, 4) AS h,
+           round(({_KW_H}) / ({_KW_C}), 4) AS h_adj,
+           ({_KW_H}) / ({_KW_C}) >= CAST(5.991465 AS DOUBLE) AS reject_05
+    FROM rsum CROSS JOIN tot
+    """,
+)
+def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across THREE groups (purchase / view / click
+    ``value`` distributions) with the tie correction — the k-sample
+    generalization of q_stat_mannwhitney (which covers k = 2), closing
+    the rank-test family: ANOVA's question without ANOVA's normality
+    assumption.
+
+    Determinism discipline: tie-averaged pooled ranks are carried as
+    2× integers exactly as in Mann–Whitney (midrank2 = 2·cum − ct + 1
+    from the inclusive bucketed running count), so the three rank sums
+    r_j·2 and the tie term Σ(t³−t) are exact BIGINT.  (2R_j)² at sf0.1
+    is ~5e19 — past BIGINT — so H's squaring runs in DOUBLE over those
+    exact integers in ONE fixed-order expression shared verbatim by
+    both engines (the round-6 overflow rule); the tie-correction
+    divisor N³−N stays BIGINT (~2e14 at sf0.1 — move it and the tie
+    sum to DECIMAL(38,0) beyond ~2e6 pooled rows).  The
+    5% decision vs χ²(2) compares the same shared DOUBLE expression in
+    both engines — identical IEEE op sequence, identical bits.
+
+    Scale shape: one keyed agg → bucketed two-level prefix scan (no
+    unpartitioned window) → two scalar aggregates; mirrors q_stat_ks."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        F.col("event_type").isin("purchase", "view", "click")
+    ).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g2"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g3"),
+    )
+    pv = s.groupBy("value").agg(
+        F.count("*").alias("ct"),
+        F.sum("g1").cast("long").alias("c1t"),
+        F.sum("g2").cast("long").alias("c2t"),
+        F.sum("g3").cast("long").alias("c3t"),
+    )
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+        order_cols=[F.col("value")],
+        sums={"cum_t": F.col("ct")},
+    )
+    mid2 = 2 * F.col("cum_t") - F.col("ct") + 1
+    rsum = cum.agg(
+        F.sum(F.col("c1t") * mid2).cast("long").alias("r1_2"),
+        F.sum(F.col("c2t") * mid2).cast("long").alias("r2_2"),
+        F.sum(F.col("c3t") * mid2).cast("long").alias("r3_2"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tie_num"),
+    )
+    tot = pv.agg(
+        F.sum("c1t").cast("long").alias("n1"),
+        F.sum("c2t").cast("long").alias("n2"),
+        F.sum("c3t").cast("long").alias("n3"),
+        F.sum("ct").cast("long").alias("n"),
+    )
+    h = F.expr(_KW_H)
+    c = F.expr(_KW_C)
+    return rsum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "n3",
+        "r1_2",
+        "r2_2",
+        "r3_2",
+        "tie_num",
+        F.round(h, 4).alias("h"),
+        F.round(h / c, 4).alias("h_adj"),
+        (h / c >= F.expr("CAST(5.991465 AS DOUBLE)")).alias("reject_05"),
+    )

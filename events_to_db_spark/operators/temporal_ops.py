@@ -2363,3 +2363,110 @@ def q_ev_cdc_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("net_op")
     )
+
+
+#: Single-bin DFT at period 7 (the weekly line of the daily-count
+#: series): cos/sin of 2πr/7 for r = 0..6, pre-rounded to 10 dp and
+#: embedded as CAST-to-DOUBLE literals in BOTH engines (live
+#: cos()/sin() would risk libm drift; the 7 residue sums are exact
+#: BIGINTs, so the two 7-term fixed-order dot products are the only
+#: float work).
+_DFT7_COS = (
+    "1.0", "0.6234898019", "-0.2225209340", "-0.9009688679",
+    "-0.9009688679", "-0.2225209340", "0.6234898019",
+)
+_DFT7_SIN = (
+    "0.0", "0.7818314825", "0.9749279122", "0.4338837391",
+    "-0.4338837391", "-0.9749279122", "-0.7818314825",
+)
+_DFT7_A = " + ".join(
+    f"CAST(s_{r} AS DOUBLE) * CAST({c} AS DOUBLE)"
+    for r, c in enumerate(_DFT7_COS)
+)
+_DFT7_B = " + ".join(
+    f"CAST(s_{r} AS DOUBLE) * CAST({c} AS DOUBLE)"
+    for r, c in enumerate(_DFT7_SIN)
+)
+_DFT7_S_COLS = ", ".join(
+    f"CAST(coalesce(sum(CASE WHEN r = {r} THEN x END), 0) AS BIGINT)"
+    f" AS s_{r}"
+    for r in range(7)
+)
+
+
+@query(
+    "q_ev_spectral",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    anchored AS (
+        SELECT x, date_diff('day', (SELECT min(d) FROM daily), d) % 7 AS r,
+               1 AS one
+        FROM daily
+    ),
+    s AS (
+        SELECT {_DFT7_S_COLS},
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS n_events
+        FROM anchored
+    )
+    SELECT n_days, n_events,
+           round({_DFT7_A}, 4) AS re7,
+           round({_DFT7_B}, 4) AS im7,
+           round(sqrt(({_DFT7_A}) * ({_DFT7_A})
+                      + ({_DFT7_B}) * ({_DFT7_B})), 4) AS amp7
+    FROM s
+    """,
+)
+def q_ev_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly spectral line of the event stream: the single-frequency
+    DFT bin at period 7 over the daily-count series (the Goertzel
+    question — "is there a weekly rhythm, and how strong?" — without
+    materializing a full FFT; seasonality detectors and anomaly
+    baselines start from exactly this bin).
+
+    Determinism discipline: days are anchored at the series' own min
+    date, so residues r = Δdays % 7 are non-negative integers in both
+    engines; the seven residue sums S_r are exact BIGINTs from one
+    pivot aggregate; cos/sin(2πr/7) are 10-dp literals (CAST AS
+    DOUBLE — the bare-decimal DECIMAL trap) in two fixed-order 7-term
+    dot products shared verbatim, so re/im/amp are bit-identical.  The
+    raw bin is reported without mean removal (the DC term lives at
+    r-sum total, orthogonal over complete weeks) — documented, not
+    hidden.
+
+    Scale shape: one date hash-agg (days, not events, cross the
+    shuffle), a broadcast scalar min, then a 1-row pivot aggregate —
+    linear scan, constant-width state at any event count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    mn = daily.agg(F.min("d").alias("min_d"))
+    anchored = daily.crossJoin(F.broadcast(mn)).select(
+        "x", (F.datediff("d", "min_d") % 7).alias("r")
+    )
+    s = anchored.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("r") == r, F.col("x"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"s_{r}")
+            for r in range(7)
+        ],
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("n_events"),
+    )
+    a = F.expr(_DFT7_A)
+    b = F.expr(_DFT7_B)
+    return s.select(
+        "n_days",
+        "n_events",
+        F.round(a, 4).alias("re7"),
+        F.round(b, 4).alias("im7"),
+        F.round(F.sqrt(a * a + b * b), 4).alias("amp7"),
+    )

@@ -276,6 +276,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ml_isotonic": "prefix sums over the 11-row score-bucket aggregate (capped by least(...,10))",
         "q_ir_rbo": "row_number over each ordered LIMIT-10 term ranking (k-bounded)",
         "q_ir_tau": "row_number over each ordered LIMIT-10 term ranking (k-bounded)",
+        "q_ml_smape": "lag windows over per-day revenue aggregate (calendar-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
