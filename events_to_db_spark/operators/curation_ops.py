@@ -3779,3 +3779,100 @@ def q_text_yule(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s2") - F.col("n")).cast("long").alias("k_num"),
         F.round(F.expr(_YULE_EXPR), 4).alias("yule_k"),
     ).orderBy("source")
+
+
+#: Honoré's R = 100·ln(N) / (1 − V₁/V) (Honoré 1979) with the ln
+#: carried as the floor(10⁶·ln N) fixed-point BIGINT — the q_ml_logloss
+#: trick: the floor absorbs any sub-ulp ln drift between engines, and
+#: the final assembly is one shared float expression over exact ints.
+_HONORE_EXPR = (
+    "CAST(ln_fp AS DOUBLE) / 10000 * n_types"
+    " / (n_types - v1)"
+)
+
+
+@query(
+    "q_text_lexical",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, t.term, CAST(count(*) AS BIGINT) AS tf
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT source, CAST(sum(tf) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v1,
+               CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v2
+        FROM tf GROUP BY 1
+    ),
+    fp AS (
+        SELECT source, n, n_types, v1, v2,
+               CAST(floor(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+                   AS ln_fp
+        FROM s
+    )
+    SELECT source, n AS n_tokens, n_types, v1 AS hapax, v2 AS dis,
+           ln_fp,
+           CASE WHEN n_types > v1 THEN round({_HONORE_EXPR}, 4) END
+               AS honore_r,
+           round(CAST(v2 AS DOUBLE) / n_types, 4) AS sichel_s
+    FROM fp ORDER BY source
+    """,
+)
+def q_text_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness panel — Honoré's R (hapax-weighted,
+    rises with productive vocabulary) and Sichel's S (dis-legomena
+    share, near-constant for natural text) — the two classic
+    frequency-spectrum constants that complement q_text_yule's K and
+    q_text_hapax's raw counts in a curation dashboard: together
+    (K, R, S) fingerprint a source's generation process independently
+    of its volume.
+
+    Determinism: the frequency spectrum (N, V, V₁, V₂) is exact
+    BIGINTs from one explode → (source, term) hash aggregate; ln(N)
+    is the floor(10⁶·ln N) fixed-point BIGINT (the q_ml_logloss floor
+    absorbs sub-ulp ln drift — stronger than bare ln parity), and
+    R = 100·ln(N)·V/(V−V₁) / S = V₂/V are single shared float
+    expressions over those ints.  V=V₁ (every type a hapax) yields
+    NULL R, never a division crash — the edge corpus exercises this.
+
+    Scale shape: identical to q_text_yule — explode → two stacked
+    hash aggregates, linear in corpus tokens, no windows, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    s = tf.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("tf") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+    )
+    fp = s.withColumn(
+        "ln_fp",
+        F.expr("CAST(floor(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)"),
+    )
+    return fp.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis"),
+        "ln_fp",
+        F.when(
+            F.col("n_types") > F.col("v1"),
+            F.round(F.expr(_HONORE_EXPR), 4),
+        ).alias("honore_r"),
+        F.round(F.col("v2").cast("double") / F.col("n_types"), 4).alias(
+            "sichel_s"
+        ),
+    ).orderBy("source")

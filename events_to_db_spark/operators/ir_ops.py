@@ -984,3 +984,129 @@ def q_ir_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("double") + F.lit(_RBP_RESID)) / F.lit(_RBP_DEN), 4
         ).alias("rbp10_max"),
     )
+
+
+_BPREF_POOL = 100
+
+
+@query(
+    "q_ir_bpref",
+    oracle="WITH "
+    + _IR_RANKED_SQL
+    + f""",
+    pool AS (
+        SELECT probe_id, rk,
+               CASE WHEN rel >= 1 THEN 1 ELSE 0 END AS is_rel
+        FROM ranked WHERE rk <= {_BPREF_POOL}
+    ),
+    run AS (
+        SELECT probe_id, is_rel,
+               CAST(coalesce(sum(1 - is_rel) OVER (
+                   PARTITION BY probe_id ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_above
+        FROM pool
+    ),
+    tot AS (
+        SELECT probe_id,
+               CAST(sum(is_rel) AS BIGINT) AS r_cnt,
+               CAST(sum(1 - is_rel) AS BIGINT) AS n_cnt
+        FROM pool GROUP BY probe_id
+    ),
+    terms AS (
+        SELECT r.probe_id,
+               CAST(sum(CASE WHEN r.is_rel = 1
+                        THEN least(r.n_above, t.r_cnt)
+                        ELSE 0 END) AS BIGINT) AS sum_min
+        FROM run r JOIN tot t USING (probe_id)
+        GROUP BY r.probe_id
+    )
+    SELECT t.probe_id, t.r_cnt, t.n_cnt,
+           CAST(t.r_cnt * least(t.r_cnt, t.n_cnt) - s.sum_min
+                AS BIGINT) AS bpref_num,
+           CAST(t.r_cnt * least(t.r_cnt, t.n_cnt) AS BIGINT) AS bpref_den,
+           CASE WHEN t.r_cnt > 0 AND t.n_cnt > 0 THEN
+               round(CAST(t.r_cnt * least(t.r_cnt, t.n_cnt) - s.sum_min
+                          AS DOUBLE)
+                     / (t.r_cnt * least(t.r_cnt, t.n_cnt)), 4)
+           END AS bpref
+    FROM tot t JOIN terms s USING (probe_id)
+    ORDER BY t.probe_id
+    """,
+)
+def q_ir_bpref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpref over the shared ranked-candidate pipeline (Buckley &
+    Voorhees 2004): the judged-pool preference metric — unlike AP/nDCG
+    it scores only HOW OFTEN relevant documents rank above judged
+    non-relevant ones, so it is the metric of choice when judgments
+    are incomplete (here the judged pool is the top-{k} ranked
+    candidates per probe; graded rel ≥ 1 binarizes to relevant).
+
+    Exact arithmetic: bpref = (1/R)·Σ_rel (1 − min(n_above, R) /
+    min(R, N)) is put over the common denominator R·min(R,N):
+    num = R·min(R,N) − Σ min(n_above, R) — every term an exact BIGINT
+    (n_above = judged non-relevant ranked above, a bounded running
+    count), ONE final division.  R=0 or N=0 pools yield NULL bpref
+    with the exact 0/0 pair visible, never a crash.
+
+    Scale shape: the candidate ranking is the shared linear pipeline;
+    the pool filter caps every per-probe window at {k} rows
+    (k-bounded), and the probe count is fixed — the metric costs a
+    constant on top of the ranking at any corpus size.""".format(
+        k=_BPREF_POOL
+    )
+    from pyspark.sql import Window
+
+    r = _ranked_candidates(spark, sf_dir)
+    pool = r.where(F.col("rk") <= _BPREF_POOL).select(
+        "probe_id",
+        "rk",
+        F.when(F.col("rel") >= 1, 1).otherwise(0).alias("is_rel"),
+    )
+    w = (
+        Window.partitionBy("probe_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = pool.select(
+        "probe_id",
+        "is_rel",
+        F.coalesce(F.sum(1 - F.col("is_rel")).over(w), F.lit(0))
+        .cast("long")
+        .alias("n_above"),
+    )
+    tot = pool.groupBy("probe_id").agg(
+        F.sum("is_rel").cast("long").alias("r_cnt"),
+        F.sum(1 - F.col("is_rel")).cast("long").alias("n_cnt"),
+    )
+    terms = (
+        run.join(F.broadcast(tot), "probe_id")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("is_rel") == 1,
+                    F.least(F.col("n_above"), F.col("r_cnt")),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_min")
+        )
+    )
+    den = F.col("r_cnt") * F.least(F.col("r_cnt"), F.col("n_cnt"))
+    num = den - F.col("sum_min")
+    return (
+        tot.join(terms, "probe_id")
+        .select(
+            "probe_id",
+            "r_cnt",
+            "n_cnt",
+            num.cast("long").alias("bpref_num"),
+            den.cast("long").alias("bpref_den"),
+            F.when(
+                (F.col("r_cnt") > 0) & (F.col("n_cnt") > 0),
+                F.round(num.cast("double") / den, 4),
+            ).alias("bpref"),
+        )
+        .orderBy("probe_id")
+    )

@@ -2845,3 +2845,105 @@ def q_ml_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("logloss"),
     )
+
+
+@query(
+    "q_ml_youden",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    b AS (
+        SELECT vc // 2000 AS bk,
+               CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT bk,
+               sum(ct) OVER (ORDER BY bk) AS cum_n,
+               sum(pos) OVER (ORDER BY bk) AS cum_p
+        FROM b
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM b
+    )
+    SELECT CAST((bk + 1) * 2000 AS BIGINT) AS thr_cents,
+           CAST(p - cum_p AS BIGINT) AS tp,
+           CAST((n - p) - (cum_n - cum_p) AS BIGINT) AS fp,
+           CAST(cum_p AS BIGINT) AS fn,
+           CAST(cum_n - cum_p AS BIGINT) AS tn,
+           CAST((p - cum_p) * (n - p)
+                - ((n - p) - (cum_n - cum_p)) * p AS BIGINT) AS j_num,
+           CAST(p * (n - p) AS BIGINT) AS j_den,
+           round(CAST((p - cum_p) * (n - p)
+                      - ((n - p) - (cum_n - cum_p)) * p AS DOUBLE)
+                 / (p * (n - p)), 6) AS youden_j
+    FROM cum CROSS JOIN tot
+    WHERE p > 0 AND n > p
+    ORDER BY (p - cum_p) * (n - p)
+                 - ((n - p) - (cum_n - cum_p)) * p DESC,
+             bk
+    LIMIT 1
+    """,
+)
+def q_ml_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J optimal operating point over the q_ml_roc threshold
+    sweep: the $20-grid threshold maximizing J = TPR − FPR — the
+    standard "best balanced cut" a deployment picks off the ROC curve
+    (q_ml_cost_threshold picks by asymmetric cost; this is the
+    cost-free special case, and q_ml_best_f1 the precision-weighted
+    one).
+
+    Determinism: J = tp/P − fp/N is maximized as the exact BIGINT
+    common-denominator numerator tp·N − fp·P (P, N constant across
+    thresholds) with the smaller-threshold tie-break, so the argmax
+    never touches a float; the reported youden_j is one final division
+    of the exact pair.  Degenerate single-class inputs (P=0 or N=0)
+    return zero rows rather than a NULL-scored arbitrary pick.
+
+    Scale shape: identical to q_ml_roc — one hash agg to the $20
+    buckets, the two-level bucketed prefix scan, a broadcast 1-row
+    total, then a TakeOrdered-1 over |thresholds| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy(F.expr("vc div 2000").alias("bk")).agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        b,
+        F.col("bk"),
+        [F.col("bk")],
+        {"cum_n": F.col("ct"), "cum_p": F.col("pos")},
+    )
+    tot = b.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).where(
+        (F.col("p") > 0) & (F.col("n") > F.col("p"))
+    )
+    tp = F.col("p") - F.col("cum_p")
+    fp = (F.col("n") - F.col("p")) - (F.col("cum_n") - F.col("cum_p"))
+    j_num = tp * (F.col("n") - F.col("p")) - fp * F.col("p")
+    j_den = F.col("p") * (F.col("n") - F.col("p"))
+    return (
+        j.orderBy(j_num.desc(), "bk")
+        .limit(1)
+        .select(
+            ((F.col("bk") + 1) * 2000).cast("long").alias("thr_cents"),
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            F.col("cum_p").cast("long").alias("fn"),
+            (F.col("cum_n") - F.col("cum_p")).cast("long").alias("tn"),
+            j_num.cast("long").alias("j_num"),
+            j_den.cast("long").alias("j_den"),
+            F.round(j_num.cast("double") / j_den, 6).alias("youden_j"),
+        )
+    )

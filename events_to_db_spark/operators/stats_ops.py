@@ -2932,3 +2932,454 @@ def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h / c, 4).alias("h_adj"),
         (h / c >= F.expr("CAST(5.991465 AS DOUBLE)")).alias("reject_05"),
     )
+
+
+#: z²(two-sided 5%) = χ²(df=1) upper 5% critical value 3.841459, as
+#: the exact integer pair for cross-multiplied decisions (the
+#: q_ml_mcnemar pattern, shared by every normal-approximation test).
+_Z2_CRIT_NUM = 3841459
+_Z2_CRIT_DEN = 10**6
+
+
+@query(
+    "q_stat_wilcoxon",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    p AS (
+        SELECT a.day AS day, b.x - a.x AS diff
+        FROM d a JOIN d b ON b.day = a.day + INTERVAL 7 DAY
+        WHERE b.x <> a.x
+    ),
+    r AS (
+        SELECT day, diff, abs(diff) AS adiff,
+               CAST(row_number() OVER (ORDER BY abs(diff), day)
+                    AS BIGINT) AS rn
+        FROM p
+    ),
+    g AS (
+        SELECT day, diff,
+               min(rn) OVER (PARTITION BY adiff)
+                   + max(rn) OVER (PARTITION BY adiff) AS rk2
+        FROM r
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN diff > 0 THEN rk2 ELSE 0 END),
+                             0) AS BIGINT) AS w2
+        FROM g
+    )
+    SELECT n, w2,
+           CAST(2 * w2 - n * (n + 1) AS BIGINT) AS dev4,
+           CASE WHEN n >= 2 THEN
+               round((2 * w2 - n * (n + 1))
+                     / (4 * sqrt(CAST(n * (n + 1) * (2 * n + 1)
+                                      AS DOUBLE) / 24)), 4)
+           END AS z,
+           CAST(3 * {_Z2_CRIT_DEN} * (2 * w2 - n * (n + 1))
+                    * (2 * w2 - n * (n + 1))
+                > {_Z2_CRIT_NUM} * 2 * n * (n + 1) * (2 * n + 1)
+                AS BOOLEAN) AS reject_05
+    FROM s
+    """,
+)
+def q_stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on week-over-week paired daily
+    purchase revenue (day d vs day d+7): the PAIRED complement to
+    q_stat_mannwhitney's two-sample U — does the weekly difference
+    distribution sit symmetrically around zero?
+
+    Determinism: zero differences are excluded (the standard Wilcoxon
+    reduction); tie groups of |diff| get the average rank carried as
+    the 2× integer min(rn)+max(rn) over the tie partition (SURVEY
+    §7.5 — no fraction enters an aggregate; rn's (|diff|, day)
+    tie-break cancels within a group); W⁺ is then the exact BIGINT
+    2×rank sum over positive differences, z = (2W₂−n(n+1)) /
+    (4·√(n(n+1)(2n+1)/24)) is ONE final float expression shared
+    verbatim, and the 5% decision is the integer cross-multiplication
+    3·10⁶·(2W₂−n(n+1))² > 3841459·2n(n+1)(2n+1).
+
+    Scale shape: the pair series is calendar-bounded (≤ |days| rows
+    after one keyed aggregate), so the global rank window is over a
+    ~23-row frame (allowlisted); the events table is touched once."""
+    d = _daily_xy(spark, sf_dir)
+    a = d.select(F.col("day"), F.col("x").alias("xa"))
+    b = d.select(
+        F.date_sub(F.col("day"), 7).alias("day"), F.col("x").alias("xb")
+    )
+    p = (
+        a.join(b, "day")
+        .select("day", (F.col("xb") - F.col("xa")).alias("diff"))
+        .where(F.col("diff") != 0)
+    )
+    r = p.select(
+        "day",
+        "diff",
+        F.abs("diff").alias("adiff"),
+        F.row_number()
+        .over(Window.orderBy(F.abs("diff"), "day"))
+        .cast("long")
+        .alias("rn"),
+    )
+    wt = Window.partitionBy("adiff")
+    g = r.select(
+        "diff",
+        (F.min("rn").over(wt) + F.max("rn").over(wt)).alias("rk2"),
+    )
+    s = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("diff") > 0, F.col("rk2")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("w2"),
+    )
+    dev = 2 * F.col("w2") - F.col("n") * (F.col("n") + 1)
+    return s.select(
+        "n",
+        "w2",
+        dev.cast("long").alias("dev4"),
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                dev
+                / (
+                    4
+                    * F.sqrt(
+                        (
+                            F.col("n")
+                            * (F.col("n") + 1)
+                            * (2 * F.col("n") + 1)
+                        ).cast("double")
+                        / 24
+                    )
+                ),
+                4,
+            ),
+        ).alias("z"),
+        (
+            F.lit(3 * _Z2_CRIT_DEN).cast("long") * dev * dev
+            > F.lit(2 * _Z2_CRIT_NUM).cast("long")
+            * F.col("n")
+            * (F.col("n") + 1)
+            * (2 * F.col("n") + 1)
+        ).alias("reject_05"),
+    )
+
+
+@query(
+    "q_stat_page",
+    oracle=f"""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT d, event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY d ORDER BY c, event_type) AS BIGINT) AS rk
+        FROM counts
+    ),
+    rsums AS (
+        SELECT event_type, CAST(sum(rk) AS BIGINT) AS r_j,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM ranked GROUP BY event_type
+    ),
+    ordered AS (
+        SELECT event_type, r_j, n_days,
+               CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+        FROM rsums
+    ),
+    stat AS (
+        SELECT CAST(sum(j * r_j) AS BIGINT) AS l_stat,
+               CAST(max(n_days) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM ordered
+    )
+    SELECT n, k, l_stat,
+           CAST(4 * l_stat - n * k * (k + 1) * (k + 1) AS BIGINT) AS dev4,
+           CASE WHEN k >= 2 THEN
+               round((4 * l_stat - n * k * (k + 1) * (k + 1))
+                     / (4 * sqrt(CAST(n AS DOUBLE)
+                                 * (k * k * k - k) * (k * k * k - k)
+                                 / (144 * (k - 1)))), 4)
+           END AS z,
+           CAST(9 * {_Z2_CRIT_DEN} * (k - 1)
+                    * (4 * l_stat - n * k * (k + 1) * (k + 1))
+                    * (4 * l_stat - n * k * (k + 1) * (k + 1))
+                > {_Z2_CRIT_NUM} * n
+                    * (k * k * k - k) * (k * k * k - k)
+                AS BOOLEAN) AS reject_05
+    FROM stat
+    """,
+)
+def q_stat_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test over the q_stat_friedman rank table: beyond
+    "the k event types differ in rank" (Friedman), L = Σ_j j·R_j asks
+    whether the daily volume ranks follow a MONOTONE trend in a fixed
+    hypothesized treatment order (here: alphabetical event_type — an
+    arbitrary but frozen ordering, documented as such; the test is
+    reported two-sided against it).
+
+    Determinism: per-day ranks are the Friedman row_number policy
+    (count, event_type tie-break); the hypothesized position j is a
+    row_number over the k-row rank-sum aggregate (bounded dimension);
+    L and the deviation 4L − nk(k+1)² are exact BIGINTs; z =
+    (L−μ)/σ with μ = nk(k+1)²/4, σ² = n(k³−k)²/(144(k−1)) (Page 1963)
+    is ONE final float expression, and the 5% decision is the integer
+    cross-multiplication 9·10⁶·(k−1)·(4L−nk(k+1)²)² >
+    3841459·n·(k³−k)².
+
+    Scale shape: identical to Friedman — one hash agg to n×k daily
+    counts, day-partitioned k-row rank windows, then a k-row agg."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("d").orderBy("c", "event_type")
+    ranked = counts.select(
+        "event_type", F.row_number().over(w).cast("long").alias("rk")
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum("rk").cast("long").alias("r_j"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    ordered = rsums.select(
+        "r_j",
+        "n_days",
+        F.row_number()
+        .over(Window.orderBy("event_type"))
+        .cast("long")
+        .alias("j"),
+    )
+    stat = ordered.agg(
+        F.sum(F.col("j") * F.col("r_j")).cast("long").alias("l_stat"),
+        F.max("n_days").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    dev = 4 * F.col("l_stat") - n * k * (k + 1) * (k + 1)
+    kk = k * k * k - k
+    return stat.select(
+        "n",
+        "k",
+        "l_stat",
+        dev.cast("long").alias("dev4"),
+        F.when(
+            k >= 2,
+            F.round(
+                dev
+                / (
+                    4
+                    * F.sqrt(
+                        n.cast("double") * kk * kk / (144 * (k - 1))
+                    )
+                ),
+                4,
+            ),
+        ).alias("z"),
+        (
+            F.lit(9 * _Z2_CRIT_DEN).cast("long") * (k - 1) * dev * dev
+            > F.lit(_Z2_CRIT_NUM).cast("long") * n * kk * kk
+        ).alias("reject_05"),
+    )
+
+
+@query(
+    "q_stat_grubbs",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS s2
+        FROM d
+    ),
+    dev AS (
+        SELECT d.day, d.y, t.n, t.s, t.s2,
+               CAST((d.y * t.n - t.s) * (d.y * t.n - t.s) AS BIGINT)
+                   AS dev2
+        FROM d CROSS JOIN t
+    )
+    SELECT CAST(day AS VARCHAR) AS outlier_day,
+           y AS y_count, n,
+           dev2,
+           CAST(dev2 * (n - 1) AS BIGINT) AS g2_num,
+           CAST(n * (n * s2 - s * s) AS BIGINT) AS g2_den,
+           CASE WHEN n >= 2 AND n * s2 > s * s THEN
+               round(sqrt(CAST(dev2 AS DOUBLE) * (n - 1)
+                          / (CAST(n AS DOUBLE) * (n * s2 - s * s))), 4)
+           END AS g
+    FROM dev
+    ORDER BY dev2 DESC, day
+    LIMIT 1
+    """,
+)
+def q_stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' extreme studentized deviate on the daily view-count
+    series: WHICH day is the most extreme outlier, and how many
+    sample standard deviations is it from the mean — the single-point
+    complement to q_ev_anomaly's banded monitor.
+
+    Determinism: the argmax is over the exact BIGINT deviation
+    (y·n − Σy)² with the earlier-day tie-break; G² =
+    dev²·(n−1)/(n·(nΣy²−(Σy)²)) is carried as the exact integer
+    num/den pair and only the final √ is float (shared verbatim).
+    No decision column: Grubbs' critical value is a t-quantile in n,
+    and n is data-dependent — the statistic and its exact rational
+    square are the contract, the cut is the caller's.
+
+    Overflow: counts (not cents) keep n·Σy² ≤ ~2e16 even at 1000×
+    sf0.1 volumes — BIGINT-safe (DECIMAL(38,0) switch noted past
+    ~1e8 events/day).  Scale shape: one keyed aggregate to calendar
+    size, a broadcast of the 1-row moment total, a TakeOrdered-1."""
+    d = _daily_xy(spark, sf_dir)
+    t = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    dev = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "y",
+        "n",
+        "s",
+        "s2",
+        ((F.col("y") * F.col("n") - F.col("s"))
+         * (F.col("y") * F.col("n") - F.col("s")))
+        .cast("long")
+        .alias("dev2"),
+    )
+    ssq = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        dev.orderBy(F.col("dev2").desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").cast("string").alias("outlier_day"),
+            F.col("y").alias("y_count"),
+            "n",
+            "dev2",
+            (F.col("dev2") * (F.col("n") - 1)).cast("long").alias("g2_num"),
+            (F.col("n") * ssq).cast("long").alias("g2_den"),
+            F.when(
+                (F.col("n") >= 2) & (ssq > 0),
+                F.round(
+                    F.sqrt(
+                        F.col("dev2").cast("double")
+                        * (F.col("n") - 1)
+                        / (F.col("n").cast("double") * ssq)
+                    ),
+                    4,
+                ),
+            ).alias("g"),
+        )
+    )
+
+
+#: Nemenyi critical difference at α=0.05, k=5: q_{0.05,5,∞}/√2 =
+#: 3.858 / 1.41421… = 2.728 (Demšar 2006 Table 5), squared and
+#: 10⁶-scaled for the integer cross-multiplied decision:
+#: |R_i−R_j| > q·√(nk(k+1)/12)  ⟺  12·10⁶·(R_i−R_j)² > q²·10⁶·nk(k+1).
+_NEMENYI_Q2_NUM = 7441984  # 2.728² × 10⁶
+_NEMENYI_K = 5  # the critical value is k-specific; guarded in-query
+
+
+@query(
+    "q_stat_nemenyi",
+    oracle=f"""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT d, event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY d ORDER BY c, event_type) AS BIGINT) AS rk
+        FROM counts
+    ),
+    rsums AS (
+        SELECT event_type, CAST(sum(rk) AS BIGINT) AS r_j,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM ranked GROUP BY event_type
+    ),
+    meta AS (
+        SELECT CAST(max(n_days) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM rsums
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.r_j AS r_a, b.r_j AS r_b,
+           CAST(abs(a.r_j - b.r_j) AS BIGINT) AS rank_diff,
+           m.n, m.k,
+           CASE WHEN m.k = {_NEMENYI_K} THEN
+               CAST(12 * {_Z2_CRIT_DEN}
+                        * (a.r_j - b.r_j) * (a.r_j - b.r_j)
+                    > {_NEMENYI_Q2_NUM} * m.n * m.k * (m.k + 1)
+                    AS BOOLEAN)
+           END AS significant_05
+    FROM rsums a JOIN rsums b ON a.event_type < b.event_type
+    CROSS JOIN meta m
+    ORDER BY type_a, type_b
+    """,
+)
+def q_stat_nemenyi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemenyi post-hoc after q_stat_friedman: WHICH event-type pairs
+    differ in daily-volume rank — the pairwise critical-difference
+    matrix (Demšar 2006) that turns Friedman's single "they differ"
+    into actionable pairs.
+
+    Determinism: rank sums R_j are the exact Friedman BIGINTs; the
+    pairwise decision |R_i−R_j| > q·√(nk(k+1)/12) is squared and
+    cross-multiplied to 12·10⁶·(R_i−R_j)² > q²·10⁶·nk(k+1) — fully
+    integer, no √ anywhere.  The q_{0.05} critical value is k-specific
+    (table constant for k=5); the decision column is NULL if the data
+    ever presents a different k, never a silently wrong cut.
+
+    Scale shape: Friedman's one hash agg + bounded rank windows, then
+    a k²-row self-join over the k-row aggregate — constant-size pair
+    matrix at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("d").orderBy("c", "event_type")
+    ranked = counts.select(
+        "event_type", F.row_number().over(w).cast("long").alias("rk")
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum("rk").cast("long").alias("r_j"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    meta = rsums.agg(
+        F.max("n_days").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    a = rsums.select(
+        F.col("event_type").alias("type_a"), F.col("r_j").alias("r_a")
+    )
+    b = rsums.select(
+        F.col("event_type").alias("type_b"), F.col("r_j").alias("r_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(
+        F.broadcast(meta)
+    )
+    diff = F.col("r_a") - F.col("r_b")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "r_a",
+        "r_b",
+        F.abs(diff).cast("long").alias("rank_diff"),
+        "n",
+        "k",
+        F.when(
+            F.col("k") == _NEMENYI_K,
+            F.lit(12 * _Z2_CRIT_DEN).cast("long") * diff * diff
+            > F.lit(_NEMENYI_Q2_NUM).cast("long")
+            * F.col("n")
+            * F.col("k")
+            * (F.col("k") + 1),
+        ).alias("significant_05"),
+    ).orderBy("type_a", "type_b")

@@ -277,6 +277,8 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ir_rbo": "row_number over each ordered LIMIT-10 term ranking (k-bounded)",
         "q_ir_tau": "row_number over each ordered LIMIT-10 term ranking (k-bounded)",
         "q_ml_smape": "lag windows over per-day revenue aggregate (calendar-bounded)",
+        "q_stat_wilcoxon": "signed-rank over the ~23-row paired-day series (calendar-bounded)",
+        "q_stat_page": "hypothesized-order rank over the k-row type aggregate (fixed dimension)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
