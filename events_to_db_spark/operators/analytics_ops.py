@@ -6199,3 +6199,205 @@ def q_ml_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("smape"),
         F.round(F.expr(_MASE_EXPR), 4).alias("mase"),
     )
+
+
+_HILL_K = 100
+
+
+@query(
+    "q_ev_hill",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc, event_id
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    ranked AS (
+        SELECT vc,
+               CAST(row_number() OVER (ORDER BY vc DESC, event_id)
+                    AS BIGINT) AS rn
+        FROM v
+    ),
+    top AS (
+        SELECT rn,
+               CAST(floor(1000000 * ln(CAST(vc AS DOUBLE))) AS BIGINT)
+                   AS ln_fp
+        FROM ranked WHERE rn <= {_HILL_K} + 1
+    ),
+    s AS (
+        SELECT CAST(count(CASE WHEN rn <= {_HILL_K} THEN 1 END)
+                    AS BIGINT) AS k,
+               CAST(sum(CASE WHEN rn <= {_HILL_K} THEN ln_fp END)
+                    AS BIGINT) AS sum_ln,
+               CAST(max(CASE WHEN rn = {_HILL_K} + 1 THEN ln_fp END)
+                    AS BIGINT) AS ln_ref
+        FROM top
+        HAVING count(*) = {_HILL_K} + 1
+    )
+    SELECT k, ln_ref,
+           CAST(sum_ln - k * ln_ref AS BIGINT) AS h_fp,
+           CASE WHEN sum_ln - k * ln_ref > 0 THEN
+               round(CAST(sum_ln - k * ln_ref AS DOUBLE)
+                     / (k * 1000000), 6)
+           END AS hill_h,
+           CASE WHEN sum_ln - k * ln_ref > 0 THEN
+               round(CAST(k AS DOUBLE) * 1000000
+                     / (sum_ln - k * ln_ref), 4)
+           END AS tail_alpha
+    FROM s
+    """,
+)
+def q_ev_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the purchase-value tail index over the top
+    k = 100 order statistics — the ESTIMATOR behind q_ev_powerlaw's
+    log₂-histogram diagnostic (the histogram shows heavy-tailedness;
+    Hill puts a number α̂ = 1/H on it, H = (1/k)Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎),
+    Hill 1975).
+
+    Determinism: the order statistics are cents DESC with the unique
+    event_id tie-break; every ln is the floor(10⁶·ln ·) fixed-point
+    BIGINT (q_ml_logloss trick), so H_fp = Σln_fp − k·ln_ref is pure
+    integer arithmetic; only the two final divisions are float.
+    Fewer than k+1 positive purchases (edge corpus) yields zero rows
+    via the HAVING gate — never a truncated-tail estimate passed off
+    as the real one; a zero H_fp (all top values equal) yields NULL
+    estimates with the exact 0 visible.
+
+    Scale shape: the top-(k+1) selection is a TakeOrdered over one
+    scan (no global sort materializes); the rank window then runs
+    over the k+1 collected rows (k-bounded, allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+        "event_id",
+    )
+    top_rows = v.orderBy(F.col("vc").desc(), "event_id").limit(_HILL_K + 1)
+    ranked = top_rows.select(
+        "vc",
+        F.row_number()
+        .over(Window.orderBy(F.col("vc").desc(), "event_id"))
+        .cast("long")
+        .alias("rn"),
+    )
+    top = ranked.select(
+        "rn",
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(vc AS DOUBLE))) AS BIGINT)"
+        ).alias("ln_fp"),
+    )
+    s = (
+        top.agg(
+            F.count(
+                F.when(F.col("rn") <= _HILL_K, 1)
+            ).cast("long").alias("k"),
+            F.sum(
+                F.when(F.col("rn") <= _HILL_K, F.col("ln_fp"))
+            ).cast("long").alias("sum_ln"),
+            F.max(
+                F.when(F.col("rn") == _HILL_K + 1, F.col("ln_fp"))
+            ).cast("long").alias("ln_ref"),
+            F.count("*").alias("n_all"),
+        )
+        .where(F.col("n_all") == _HILL_K + 1)
+    )
+    h_fp = F.col("sum_ln") - F.col("k") * F.col("ln_ref")
+    return s.select(
+        "k",
+        "ln_ref",
+        h_fp.cast("long").alias("h_fp"),
+        F.when(
+            h_fp > 0,
+            F.round(h_fp.cast("double") / (F.col("k") * 1000000), 6),
+        ).alias("hill_h"),
+        F.when(
+            h_fp > 0,
+            F.round(F.col("k").cast("double") * 1000000 / h_fp, 4),
+        ).alias("tail_alpha"),
+    )
+
+
+@query(
+    "q_ev_entropy_rate",
+    oracle="""
+    WITH t AS (
+        SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rows_ AS (
+        SELECT prev, CAST(sum(c) AS BIGINT) AS row_c FROM t GROUP BY 1
+    ),
+    cells AS (
+        SELECT t.prev, t.c, r.row_c,
+               CAST(floor(1000000 * ln(CAST(t.c AS DOUBLE) / r.row_c))
+                    AS BIGINT) AS ln_fp
+        FROM t JOIN rows_ r ON t.prev = r.prev
+    ),
+    s AS (
+        SELECT CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * ln_fp) AS BIGINT) AS wsum_fp
+        FROM cells
+    )
+    SELECT total,
+           CAST(-wsum_fp AS BIGINT) AS h_fp_weighted,
+           round(CAST(-wsum_fp AS DOUBLE) / total / 1000000, 6)
+               AS entropy_rate_nats
+    FROM s
+    """,
+)
+def q_ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the per-user event-type Markov chain:
+    H(next | current) = −Σ_ij (c_ij/C)·ln(c_ij/c_i·) — ONE nat-valued
+    scalar for "how predictable is the next action", the
+    information-theoretic summary of the transition matrix
+    q_ev_transitions reports cell by cell (and the quantity that says
+    whether q_graph_pagerank's chain is near-deterministic or
+    near-uniform).
+
+    Determinism: transition counts are exact BIGINTs over the
+    (user, ts, event_id) lag ordering (unique tie-break); each cell's
+    ln(c/row) is the floor(10⁶·ln) fixed-point BIGINT, the weighted
+    sum Σ c·ln_fp is pure integer arithmetic (order-free), and the
+    final scale-out is one division.  Zero-count cells never exist by
+    construction (GROUP BY only materializes observed transitions).
+
+    Scale shape: user-partitioned lag window → k² hash agg → k-row
+    join → 1-row agg; the chain alphabet (event types) bounds every
+    post-agg stage."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rows_ = t.groupBy("prev").agg(F.sum("c").cast("long").alias("row_c"))
+    cells = t.join(F.broadcast(rows_), "prev").select(
+        "c",
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(c AS DOUBLE) / row_c))"
+            " AS BIGINT)"
+        ).alias("ln_fp"),
+    )
+    s = cells.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("ln_fp")).cast("long").alias("wsum_fp"),
+    )
+    return s.select(
+        "total",
+        (-F.col("wsum_fp")).cast("long").alias("h_fp_weighted"),
+        F.round(
+            (-F.col("wsum_fp")).cast("double") / F.col("total") / 1000000,
+            6,
+        ).alias("entropy_rate_nats"),
+    )

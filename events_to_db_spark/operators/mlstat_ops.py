@@ -2947,3 +2947,116 @@ def q_ml_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(j_num.cast("double") / j_den, 6).alias("youden_j"),
         )
     )
+
+
+#: Fixed-class-order macro-F1 assembly (the Levene literal-sum
+#: pattern): per-class F1 = 2tp/(2tp+fp+fn) is an exact rational;
+#: the three-term mean is ONE fixed-order double expression shared
+#: verbatim (a common-denominator exact form is (1e8)³ products at
+#: 1000× sf0.1 — past BIGINT, so the division happens per class).
+_MACRO_F1 = (
+    "(CAST(2 * tp_p AS DOUBLE) / (2 * tp_p + fp_p + fn_p)"
+    " + CAST(2 * tp_v AS DOUBLE) / (2 * tp_v + fp_v + fn_v)"
+    " + CAST(2 * tp_c AS DOUBLE) / (2 * tp_c + fp_c + fn_c)) / 3"
+)
+
+
+@query(
+    "q_ml_multiclass",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type AS y,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                         THEN 'purchase'
+                    WHEN CAST(round(value * 100) AS BIGINT) >= 2000
+                         THEN 'click'
+                    ELSE 'view' END AS pred
+        FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    cm AS (
+        SELECT
+            CAST(sum(CASE WHEN y = 'purchase' AND pred = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp_p,
+            CAST(sum(CASE WHEN y <> 'purchase' AND pred = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp_p,
+            CAST(sum(CASE WHEN y = 'purchase' AND pred <> 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn_p,
+            CAST(sum(CASE WHEN y = 'view' AND pred = 'view'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp_v,
+            CAST(sum(CASE WHEN y <> 'view' AND pred = 'view'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp_v,
+            CAST(sum(CASE WHEN y = 'view' AND pred <> 'view'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn_v,
+            CAST(sum(CASE WHEN y = 'click' AND pred = 'click'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp_c,
+            CAST(sum(CASE WHEN y <> 'click' AND pred = 'click'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp_c,
+            CAST(sum(CASE WHEN y = 'click' AND pred <> 'click'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn_c,
+            CAST(count(*) AS BIGINT) AS n
+        FROM s
+    )
+    SELECT tp_p, fp_p, fn_p, tp_v, fp_v, fn_v, tp_c, fp_c, fn_c, n,
+           CAST(tp_p + tp_v + tp_c AS BIGINT) AS acc_num,
+           round(CAST(tp_p + tp_v + tp_c AS DOUBLE) / n, 6)
+               AS micro_f1,
+           round({_MACRO_F1}, 6) AS macro_f1
+    FROM cm
+    """,
+)
+def q_ml_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class evaluation panel — the 3×3 confusion matrix of the
+    fixed value-threshold classifier (≥$50 → purchase, ≥$20 → click,
+    else view) with micro-F1 (= accuracy for single-label multi-class)
+    and macro-F1.  Every other metric in the ML-eval family is binary;
+    this is the multi-class surface (macro averaging weights the rare
+    purchase class equally — THE reason macro/micro diverge on
+    imbalanced logs).
+
+    Determinism: all nine confusion cells are exact BIGINTs from ONE
+    scan and one 10-column conditional aggregate (the q_curate_funnel
+    shape); micro-F1 is one exact division; macro-F1 is a fixed-class
+    -order literal double expression over the exact cells (per-class
+    denominators 2tp+fp+fn are nonzero whenever the class appears on
+    either side; the three classes here are guaranteed by the WHERE).
+
+    Scale shape: one scan → one 1-row hash aggregate, no shuffle
+    beyond the final 1-row merge."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        F.col("event_type").isin("purchase", "view", "click")
+    ).select(
+        F.col("event_type").alias("y"),
+        F.when(
+            F.expr("CAST(round(value * 100) AS BIGINT)") >= 5000,
+            "purchase",
+        )
+        .when(F.expr("CAST(round(value * 100) AS BIGINT)") >= 2000, "click")
+        .otherwise("view")
+        .alias("pred"),
+    )
+
+    def cell(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias)
+
+    y, p = F.col("y"), F.col("pred")
+    cm = s.agg(
+        cell((y == "purchase") & (p == "purchase"), "tp_p"),
+        cell((y != "purchase") & (p == "purchase"), "fp_p"),
+        cell((y == "purchase") & (p != "purchase"), "fn_p"),
+        cell((y == "view") & (p == "view"), "tp_v"),
+        cell((y != "view") & (p == "view"), "fp_v"),
+        cell((y == "view") & (p != "view"), "fn_v"),
+        cell((y == "click") & (p == "click"), "tp_c"),
+        cell((y != "click") & (p == "click"), "fp_c"),
+        cell((y == "click") & (p != "click"), "fn_c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    acc = F.col("tp_p") + F.col("tp_v") + F.col("tp_c")
+    return cm.select(
+        "tp_p", "fp_p", "fn_p", "tp_v", "fp_v", "fn_v",
+        "tp_c", "fp_c", "fn_c", "n",
+        acc.cast("long").alias("acc_num"),
+        F.round(acc.cast("double") / F.col("n"), 6).alias("micro_f1"),
+        F.round(F.expr(_MACRO_F1), 6).alias("macro_f1"),
+    )

@@ -929,3 +929,96 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ]
     return run_expectations(o, rules)
+
+
+#: Laplace inverse-CDF pieces for the ε-DP release demo, shared
+#: verbatim: u = (h + 1/2)/10⁶ from the cell's md5 (deterministic —
+#: see the docstring caveat), noise = −b·sign(u−½)·ln(1−2|u−½|) with
+#: b = 1/ε = 2, carried at 10⁻⁶ fixed point via the floor-ln trick.
+_DP_U_NUM = "(2 * h + 1 - 1000000)"  # 2·10⁶·(u − ½), exact int
+_DP_LN_FP = (
+    "CAST(floor(1000000 * ln(CAST(1000000 - abs(2 * h + 1 - 1000000)"
+    " AS DOUBLE) / 1000000)) AS BIGINT)"
+)
+
+
+@query(
+    "q_anon_dp",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        FROM events GROUP BY event_type
+    ),
+    h AS (
+        SELECT event_type, n_true,
+               (('0x' || substr(md5(event_type), 1, 15))::BIGINT
+                % 1000000) AS h
+        FROM c
+    ),
+    nz AS (
+        SELECT event_type, n_true, h,
+               {_DP_LN_FP} AS ln_fp,
+               CASE WHEN {_DP_U_NUM} >= 0 THEN 1 ELSE -1 END AS sgn
+        FROM h
+    )
+    SELECT event_type, n_true,
+           CAST(sgn * (-2) * ln_fp AS BIGINT) AS noise_fp,
+           CAST(n_true + sgn * (((-2) * ln_fp) // 1000000) AS BIGINT)
+               AS released_count
+    FROM nz ORDER BY event_type
+    """,
+)
+def q_anon_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release surface for per-type counts at
+    ε = 0.5 (sensitivity 1, scale b = 1/ε = 2): the inverse-CDF
+    transform noise = −b·sign(u−½)·ln(1−2|u−½|) applied per released
+    cell — the standard ε-DP counting-query mechanism (Dwork et al.
+    2006) as a PIPELINE (hash-agg → per-cell noise → floored release).
+
+    **Caveat, stated loudly: the u here is the cell's md5 hash, i.e.
+    DETERMINISTIC — this exercises and differentially TESTS the
+    mechanism's plumbing (inverse CDF, fixed-point ln, floor release)
+    but is NOT differential privacy; a production release must draw u
+    from a cryptographic RNG per release.**  The engine keeps the
+    transform exact so swapping the u source is the ONLY production
+    change.
+
+    Determinism: u = (h+½)/10⁶ makes 1−2|u−½| the exact rational
+    (10⁶−|2h+1−10⁶|)/10⁶ (never 0 — h+½ is never an integer), its ln
+    is the floor(10⁶·ln) fixed-point BIGINT, and the released count is
+    a floor division of exact integers.
+
+    Scale shape: one hash agg to the released-cell grain; noise is a
+    per-cell scalar expression — the mechanism costs nothing extra at
+    100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    h = c.select(
+        "event_type",
+        "n_true",
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(event_type as binary)), 1, 15),"
+            " 16, 10) as bigint), 1000000)"
+        ).alias("h"),
+    )
+    nz = h.select(
+        "event_type",
+        "n_true",
+        F.expr(_DP_LN_FP).alias("ln_fp"),
+        F.when(F.expr(_DP_U_NUM) >= 0, 1).otherwise(-1).alias("sgn"),
+    )
+    # sign-safe integer scaling (CLAUDE.md rule): (−2)·ln_fp ≥ 0
+    # always (ln_fp ≤ −1 — the u rational is strictly < 1), so the
+    # floor/truncate divide runs on a NON-NEGATIVE operand in both
+    # engines and `div` ≡ `//` exactly; the sign multiplies after.
+    noise = F.col("sgn") * F.lit(-2) * F.col("ln_fp")
+    return nz.select(
+        "event_type",
+        "n_true",
+        noise.cast("long").alias("noise_fp"),
+        (F.col("n_true") + F.expr("sgn * (((-2) * ln_fp) div 1000000)"))
+        .cast("long")
+        .alias("released_count"),
+    ).orderBy("event_type")

@@ -622,3 +622,101 @@ def q_sample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SPARK_EV_PCT = (
+    "pmod(cast(conv(substr(md5(cast(cast(event_id as string) as binary)),"
+    " 1, 15), 16, 10) as bigint), 100)"
+)
+_DUCK_EV_PCT = (
+    "(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+)
+
+#: Per-type inclusion percentages for the unequal-probability design —
+#: chosen so every Horvitz–Thompson weight 100/rate is an INTEGER
+#: (purchase 100% → w=1, click 20% → w=5, view 10% → w=10, else 50%
+#: → w=2): the HT estimator then never leaves BIGINT space.
+_HT_RATE = (
+    "CASE WHEN event_type = 'purchase' THEN 100"
+    " WHEN event_type = 'click' THEN 20"
+    " WHEN event_type = 'view' THEN 10 ELSE 50 END"
+)
+
+
+@query(
+    "q_sample_horvitz",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               {_DUCK_EV_PCT} AS pct,
+               {_HT_RATE} AS rate
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(vc) AS BIGINT) AS rev_true,
+               CAST(sum(CASE WHEN pct < rate THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN pct < rate THEN 100 // rate
+                        ELSE 0 END) AS BIGINT) AS ht_count,
+               CAST(sum(CASE WHEN pct < rate THEN (100 // rate) * vc
+                        ELSE 0 END) AS BIGINT) AS ht_rev
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_true, rev_true, n_sampled, ht_count, ht_rev,
+           CASE WHEN n_true > 0 THEN
+               CAST(10000 * abs(ht_count - n_true) // n_true AS BIGINT)
+           END AS count_err_bp
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_sample_horvitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson estimation under a deterministic
+    unequal-probability design — the survey-sampling complement to
+    q_sample_neyman's allocation: heavy event types are thinned hard
+    (views at 10%, clicks at 20%), purchases kept whole, and the HT
+    weights 1/πᵢ reinflate the sample to unbiased population totals.
+    This is the read-10%-pay-10% pattern a 100 TB profiling job uses.
+
+    Determinism: membership is the event_id md5-percent bucket (the
+    module's draw convention — no RNG, identical in both engines);
+    the rates are chosen so every weight 100/rate is an INTEGER, so
+    both HT estimates (count and revenue cents) are exact BIGINT sums
+    — the estimator never leaves integer space, and the reported
+    basis-point count error is a floor division.
+
+    Scale shape: one scan, one keyed hash aggregate — the sample is
+    never materialized, the weights fold into the same pass."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+        F.expr(_SPARK_EV_PCT).alias("pct"),
+        F.expr(_HT_RATE).alias("rate"),
+    )
+    samp = F.col("pct") < F.col("rate")
+    w = F.expr("100 div rate")
+    agg = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("vc").cast("long").alias("rev_true"),
+        F.sum(F.when(samp, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(samp, w).otherwise(0)).cast("long").alias("ht_count"),
+        F.sum(F.when(samp, w * F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("ht_rev"),
+    )
+    return agg.select(
+        "event_type",
+        "n_true",
+        "rev_true",
+        "n_sampled",
+        "ht_count",
+        "ht_rev",
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("CAST(10000 * abs(ht_count - n_true) div n_true"
+                   " AS BIGINT)"),
+        ).alias("count_err_bp"),
+    ).orderBy("event_type")

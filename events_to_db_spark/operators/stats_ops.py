@@ -3383,3 +3383,391 @@ def q_stat_nemenyi(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("k") + 1),
         ).alias("significant_05"),
     ).orderBy("type_a", "type_b")
+
+
+#: KR-20 / Cronbach's α over the three binary judges: with population
+#: variances the n² denominators cancel, so α = k/(k−1)·(1 − Σσᵢ²/σ_t²)
+#: is the exact integer pair k·(num_t − Σnumᵢ) / ((k−1)·num_t) with
+#: numᵢ = n·Gᵢ − Gᵢ² (binary items: Σx² = Σx) and
+#: num_t = n·Σt² − (ΣGᵢ)².  Shared verbatim by both engines.
+_CRONBACH_ITEM_NUM = (
+    "(n * ga - ga * ga) + (n * gb - gb * gb) + (n * gc - gc * gc)"
+)
+_CRONBACH_TOT_NUM = (
+    "n * sum_l2 - (ga + gb + gc) * (ga + gb + gc)"
+)
+
+
+@query(
+    "q_stat_cronbach",
+    oracle=f"""
+    WITH j AS (
+        SELECT CASE WHEN len(string_split(text, ' ')) >= 60
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(list_distinct(string_split(text, ' '))) >= 28
+                    THEN 1 ELSE 0 END AS b,
+               CASE WHEN length(text) >= 330 THEN 1 ELSE 0 END AS c
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS ga,
+               CAST(sum(b) AS BIGINT) AS gb,
+               CAST(sum(c) AS BIGINT) AS gc,
+               CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sum_l2
+        FROM j
+    )
+    SELECT n, ga, gb, gc,
+           CAST({_CRONBACH_ITEM_NUM} AS BIGINT) AS item_var_num,
+           CAST({_CRONBACH_TOT_NUM} AS BIGINT) AS total_var_num,
+           CAST(3 * (({_CRONBACH_TOT_NUM}) - ({_CRONBACH_ITEM_NUM}))
+                AS BIGINT) AS alpha_num,
+           CAST(2 * ({_CRONBACH_TOT_NUM}) AS BIGINT) AS alpha_den,
+           CASE WHEN ({_CRONBACH_TOT_NUM}) > 0 THEN
+               round(CAST(3 * (({_CRONBACH_TOT_NUM})
+                               - ({_CRONBACH_ITEM_NUM})) AS DOUBLE)
+                     / (2 * ({_CRONBACH_TOT_NUM})), 6)
+           END AS alpha
+    FROM agg
+    """,
+)
+def q_stat_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α (= KR-20 on binary items) over q_stat_cochran's
+    three matched quality judges: do the length, distinct-vocabulary,
+    and char-length gates measure ONE underlying construct
+    (internal-consistency reliability), the question a curation team
+    asks before collapsing its rule panel into a single score.
+    Cochran asks whether the judges' RATES differ; κ whether a pair
+    AGREES; α whether the panel COHERES — the reliability ladder.
+
+    Exact-integer discipline: with population variances the n²
+    denominators cancel, so α = k/(k−1)·(1 − Σσᵢ²/σ_t²) collapses to
+    the exact BIGINT pair 3·(num_t − Σnumᵢ) / (2·num_t), where binary
+    items give numᵢ = n·Gᵢ − Gᵢ² and num_t = n·Σt² − T² — everything
+    from the SAME one-scan aggregate Cochran uses, ONE final division.
+    Zero total variance (all documents identical across judges) yields
+    NULL α with the exact 0 pair visible.
+
+    Scale shape: one scan → one 1-row hash aggregate; the n·Σt² cross
+    term is ≤ 9n² — BIGINT-safe past 1e9 documents."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.size(F.split("text", " ")) >= 60, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.array_distinct(F.split("text", " "))) >= 28, 1)
+        .otherwise(0)
+        .alias("b"),
+        F.when(F.length("text") >= 330, 1).otherwise(0).alias("c"),
+    )
+    agg = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("ga"),
+        F.sum("b").cast("long").alias("gb"),
+        F.sum("c").cast("long").alias("gc"),
+        F.sum(
+            (F.col("a") + F.col("b") + F.col("c"))
+            * (F.col("a") + F.col("b") + F.col("c"))
+        )
+        .cast("long")
+        .alias("sum_l2"),
+    )
+    item = F.expr(_CRONBACH_ITEM_NUM)
+    tot = F.expr(_CRONBACH_TOT_NUM)
+    return agg.select(
+        "n",
+        "ga",
+        "gb",
+        "gc",
+        item.cast("long").alias("item_var_num"),
+        tot.cast("long").alias("total_var_num"),
+        (3 * (tot - item)).cast("long").alias("alpha_num"),
+        (2 * tot).cast("long").alias("alpha_den"),
+        F.when(
+            tot > 0,
+            F.round((3 * (tot - item)).cast("double") / (2 * tot), 6),
+        ).alias("alpha"),
+    )
+
+
+#: Bartlett's M pieces, shared verbatim: per-group sample variance as
+#: the exact rational (n·Σx²−S²)/(n(n−1)), its ln as the
+#: floor(10⁶·ln) fixed-point BIGINT (q_ml_logloss floor trick), the
+#: pooled variance as ONE fixed-group-order double expression over the
+#: exact pieces (the Levene literal-sum pattern).
+_BARTLETT_SP2 = (
+    "((CAST(num_p AS DOUBLE) / n_p) + (CAST(num_v AS DOUBLE) / n_v)"
+    " + (CAST(num_c AS DOUBLE) / n_c))"
+    " / (n_p + n_v + n_c - 3)"
+)
+_BARTLETT_C = (
+    "1 + ((CAST(1 AS DOUBLE) / (n_p - 1) + CAST(1 AS DOUBLE) / (n_v - 1)"
+    " + CAST(1 AS DOUBLE) / (n_c - 1)"
+    " - CAST(1 AS DOUBLE) / (n_p + n_v + n_c - 3)) / 6)"
+)
+
+
+@query(
+    "q_stat_bartlett",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    byg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vc) AS BIGINT) AS sv,
+               CAST(sum(vc * vc) AS BIGINT) AS sv2
+        FROM s GROUP BY g
+    ),
+    piv AS (
+        SELECT
+            CAST(max(CASE WHEN g = 'purchase' THEN n END) AS BIGINT) AS n_p,
+            CAST(max(CASE WHEN g = 'view' THEN n END) AS BIGINT) AS n_v,
+            CAST(max(CASE WHEN g = 'click' THEN n END) AS BIGINT) AS n_c,
+            CAST(max(CASE WHEN g = 'purchase' THEN n * sv2 - sv * sv END)
+                 AS BIGINT) AS num_p,
+            CAST(max(CASE WHEN g = 'view' THEN n * sv2 - sv * sv END)
+                 AS BIGINT) AS num_v,
+            CAST(max(CASE WHEN g = 'click' THEN n * sv2 - sv * sv END)
+                 AS BIGINT) AS num_c
+        FROM byg
+    ),
+    fp AS (
+        SELECT n_p, n_v, n_c,
+               CAST(floor(1000000 * ln(CAST(num_p AS DOUBLE)
+                                       / (n_p * (n_p - 1)))) AS BIGINT)
+                   AS ln_p,
+               CAST(floor(1000000 * ln(CAST(num_v AS DOUBLE)
+                                       / (n_v * (n_v - 1)))) AS BIGINT)
+                   AS ln_v,
+               CAST(floor(1000000 * ln(CAST(num_c AS DOUBLE)
+                                       / (n_c * (n_c - 1)))) AS BIGINT)
+                   AS ln_c,
+               CAST(floor(1000000 * ln({_BARTLETT_SP2})) AS BIGINT)
+                   AS ln_sp,
+               num_p, num_v, num_c
+        FROM piv
+        WHERE num_p > 0 AND num_v > 0 AND num_c > 0
+    )
+    SELECT n_p, n_v, n_c, ln_p, ln_v, ln_c, ln_sp,
+           CAST((n_p + n_v + n_c - 3) * ln_sp
+                - (n_p - 1) * ln_p - (n_v - 1) * ln_v - (n_c - 1) * ln_c
+                AS BIGINT) AS m_fp,
+           round({_BARTLETT_C}, 6) AS c_corr,
+           round(CAST((n_p + n_v + n_c - 3) * ln_sp
+                      - (n_p - 1) * ln_p - (n_v - 1) * ln_v
+                      - (n_c - 1) * ln_c AS DOUBLE)
+                 / 1000000 / ({_BARTLETT_C}), 4) AS bartlett_stat
+    FROM fp
+    """,
+)
+def q_stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for equal variances across the purchase / view /
+    click ``value`` distributions — the PARAMETRIC complement to
+    q_stat_levene's Brown–Forsythe (Bartlett is more powerful under
+    normality, fragile otherwise; a pipeline reports both).
+
+    Determinism: per-group (n, Σx, Σx²) are exact BIGINT cent sums;
+    each sample variance enters only as the exact rational
+    (nΣx²−S²)/(n(n−1)); every ln is the floor(10⁶·ln ·) fixed-point
+    BIGINT (the q_ml_logloss floor absorbs sub-ulp ln drift), so
+    M = (N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ is INTEGER arithmetic on
+    fixed-point terms; the pooled variance and the C correction are
+    single fixed-group-order double expressions over exact ints (the
+    Levene literal-sum pattern).  The statistic is reported at 10⁻⁶
+    fixed point; no decision column — χ²(k−1) on a fixed-point M
+    would cut a boundary the fixed point itself defines.  Degenerate
+    zero-variance groups produce zero rows (guarded WHERE), never a
+    ln(0) crash.
+
+    Scale shape: one scan → 3-group hash agg → 1-row pivot; weights
+    (nᵢ−1)·ln_fp ≤ ~1e8·2e7 = 2e15 — BIGINT-safe."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        F.col("event_type").isin("purchase", "view", "click")
+    ).select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    )
+    byg = s.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("sv2"),
+    )
+
+    def cell(g: str, expr: str, alias: str):
+        return F.max(
+            F.when(F.col("g") == g, F.expr(expr))
+        ).cast("long").alias(alias)
+
+    piv = byg.agg(
+        cell("purchase", "n", "n_p"),
+        cell("view", "n", "n_v"),
+        cell("click", "n", "n_c"),
+        cell("purchase", "n * sv2 - sv * sv", "num_p"),
+        cell("view", "n * sv2 - sv * sv", "num_v"),
+        cell("click", "n * sv2 - sv * sv", "num_c"),
+    )
+    fp = piv.where(
+        (F.col("num_p") > 0) & (F.col("num_v") > 0) & (F.col("num_c") > 0)
+    ).select(
+        "n_p",
+        "n_v",
+        "n_c",
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(num_p AS DOUBLE)"
+            " / (n_p * (n_p - 1)))) AS BIGINT)"
+        ).alias("ln_p"),
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(num_v AS DOUBLE)"
+            " / (n_v * (n_v - 1)))) AS BIGINT)"
+        ).alias("ln_v"),
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(num_c AS DOUBLE)"
+            " / (n_c * (n_c - 1)))) AS BIGINT)"
+        ).alias("ln_c"),
+        F.expr(
+            f"CAST(floor(1000000 * ln({_BARTLETT_SP2})) AS BIGINT)"
+        ).alias("ln_sp"),
+    )
+    m_fp = F.expr(
+        "CAST((n_p + n_v + n_c - 3) * ln_sp"
+        " - (n_p - 1) * ln_p - (n_v - 1) * ln_v - (n_c - 1) * ln_c"
+        " AS BIGINT)"
+    )
+    return fp.select(
+        "n_p",
+        "n_v",
+        "n_c",
+        "ln_p",
+        "ln_v",
+        "ln_c",
+        "ln_sp",
+        m_fp.alias("m_fp"),
+        F.round(F.expr(_BARTLETT_C), 6).alias("c_corr"),
+        F.round(
+            m_fp.cast("double") / 1000000 / F.expr(_BARTLETT_C), 4
+        ).alias("bartlett_stat"),
+    )
+
+
+#: TOST pieces shared verbatim: Welch standard error over exact
+#: moments (the r6 overflow rule — Σ and Σ² exact BIGINT, variance
+#: algebra in DOUBLE with an identical op sequence), z for both
+#: one-sided tests, and the 5% one-sided normal critical value as a
+#: CAST-DOUBLE literal.
+_TOST_SE = (
+    "sqrt((CAST(n1 * s2_1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1)) / n1"
+    " + (CAST(n2 * s2_2 - s2 * s2 AS DOUBLE) / n2 / (n2 - 1)) / n2)"
+)
+_TOST_DELTA = "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+_TOST_MARGIN_CENTS = 50
+_TOST_Z_CRIT = "CAST(1.644854 AS DOUBLE)"
+
+
+@query(
+    "q_stat_tost",
+    oracle=f"""
+    WITH s AS (
+        SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 2) AS arm,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+            CAST(sum(CASE WHEN arm = 0 THEN vc ELSE 0 END) AS BIGINT)
+                AS s1,
+            CAST(sum(CASE WHEN arm = 0 THEN vc * vc ELSE 0 END)
+                 AS BIGINT) AS s2_1,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+            CAST(sum(CASE WHEN arm = 1 THEN vc ELSE 0 END) AS BIGINT)
+                AS s2,
+            CAST(sum(CASE WHEN arm = 1 THEN vc * vc ELSE 0 END)
+                 AS BIGINT) AS s2_2
+        FROM s
+    )
+    SELECT n1, n2, s1, s2,
+           round({_TOST_DELTA}, 4) AS delta_cents,
+           round({_TOST_SE}, 4) AS se_cents,
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               round(({_TOST_DELTA} + {_TOST_MARGIN_CENTS})
+                     / ({_TOST_SE}), 4) END AS z_lower,
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               round(({_TOST_MARGIN_CENTS} - ({_TOST_DELTA}))
+                     / ({_TOST_SE}), 4) END AS z_upper,
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               (({_TOST_DELTA} + {_TOST_MARGIN_CENTS})
+                    > {_TOST_Z_CRIT} * ({_TOST_SE})
+                AND ({_TOST_MARGIN_CENTS} - ({_TOST_DELTA}))
+                    > {_TOST_Z_CRIT} * ({_TOST_SE}))
+           END AS equivalent_05
+    FROM m
+    """,
+)
+def q_stat_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) on
+    purchase value between the two md5-parity user arms: the question
+    every holdback readout actually needs — not "is there a
+    difference?" (q_stat_ttest) but "is any difference INSIDE the
+    ±50¢ margin?".  Rejecting both one-sided nulls at 5% declares
+    equivalence; an insignificant t-test never can.
+
+    Determinism: per-arm (n, Σx, Σx²) are exact BIGINT cent sums from
+    ONE scan; the Welch standard error does its variance algebra in
+    DOUBLE over the exact sums (the r6 overflow rule — the op sequence
+    is shared verbatim, so both engines compute bit-identical
+    doubles); both z statistics and the joint decision evaluate that
+    same shared expression against the CAST-DOUBLE 1.644854 literal.
+    Arms with n < 2 yield NULL tests, never a division crash.
+
+    Scale shape: one scan → one 1-row conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(cast(user_id as string)"
+            " as binary)), 1, 15), 16, 10) as bigint), 2)"
+        ).alias("arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    )
+
+    def cell(arm: int, expr: str, alias: str):
+        return (
+            F.sum(F.when(F.col("arm") == arm, F.expr(expr)).otherwise(0))
+            .cast("long")
+            .alias(alias)
+        )
+
+    m = s.agg(
+        cell(0, "1", "n1"),
+        cell(0, "vc", "s1"),
+        cell(0, "vc * vc", "s2_1"),
+        cell(1, "1", "n2"),
+        cell(1, "vc", "s2"),
+        cell(1, "vc * vc", "s2_2"),
+    )
+    delta = F.expr(_TOST_DELTA)
+    se = F.expr(_TOST_SE)
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    crit = F.expr(_TOST_Z_CRIT)
+    return m.select(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        F.round(delta, 4).alias("delta_cents"),
+        F.round(se, 4).alias("se_cents"),
+        F.when(
+            ok, F.round((delta + _TOST_MARGIN_CENTS) / se, 4)
+        ).alias("z_lower"),
+        F.when(
+            ok, F.round((_TOST_MARGIN_CENTS - delta) / se, 4)
+        ).alias("z_upper"),
+        F.when(
+            ok,
+            ((delta + _TOST_MARGIN_CENTS) > crit * se)
+            & ((_TOST_MARGIN_CENTS - delta) > crit * se),
+        ).alias("equivalent_05"),
+    )

@@ -2470,3 +2470,77 @@ def q_ev_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b, 4).alias("im7"),
         F.round(F.sqrt(a * a + b * b), 4).alias("amp7"),
     )
+
+
+@query(
+    "q_ml_pinball",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT b.day, b.y, a.y AS f
+        FROM d a JOIN d b ON b.day = a.day + INTERVAL 7 DAY
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(9 * greatest(y - f, 0) + greatest(f - y, 0))
+                    AS BIGINT) AS loss10_sum
+        FROM p
+    )
+    SELECT n_days, loss10_sum,
+           CASE WHEN n_days > 0 THEN
+               round(CAST(loss10_sum AS DOUBLE) / (10 * n_days), 2)
+           END AS pinball_mean_cents
+    FROM s
+    """,
+)
+def q_ml_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at τ = 0.9 of the seasonal-naive
+    (lag-7) daily-revenue forecast — the metric that scores a
+    QUANTILE forecast (does the P90 band hold?) where q_ml_smape/MASE
+    score the point forecast; together they are the forecast-eval
+    panel.
+
+    Exact-integer discipline: with τ = 9/10, 10·loss =
+    9·max(y−f, 0) + max(f−y, 0) is an exact BIGINT per day (cents in,
+    cents out — no float enters the sum, so summation order is
+    irrelevant); the mean is ONE final division.  Days without a
+    lag-7 partner are excluded by the inner join (the standard
+    holdout convention, stated).
+
+    Scale shape: one keyed date aggregate (calendar-bounded), a
+    self-join on the 30-row day table, a 1-row agg."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y")
+        )
+    )
+    a = d.select(F.date_add(F.col("day"), 7).alias("day"), F.col("y").alias("f"))
+    p = d.join(a, "day")
+    s = p.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            9 * F.greatest(F.col("y") - F.col("f"), F.lit(0))
+            + F.greatest(F.col("f") - F.col("y"), F.lit(0))
+        )
+        .cast("long")
+        .alias("loss10_sum"),
+    )
+    return s.select(
+        "n_days",
+        "loss10_sum",
+        F.when(
+            F.col("n_days") > 0,
+            F.round(
+                F.col("loss10_sum").cast("double") / (10 * F.col("n_days")),
+                2,
+            ),
+        ).alias("pinball_mean_cents"),
+    )

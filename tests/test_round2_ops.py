@@ -279,6 +279,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ml_smape": "lag windows over per-day revenue aggregate (calendar-bounded)",
         "q_stat_wilcoxon": "signed-rank over the ~23-row paired-day series (calendar-bounded)",
         "q_stat_page": "hypothesized-order rank over the k-row type aggregate (fixed dimension)",
+        "q_ev_hill": "row_number over TakeOrderedAndProject's 101 rows (k-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
