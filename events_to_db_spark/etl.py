@@ -238,12 +238,76 @@ def build_landing_layout(
     return spark.read.parquet(dst_dir).count()
 
 
+def _feed_schema_guard(src_dir: str, allow_extra: bool = False) -> None:
+    """Refuse a feed whose parquet files do not carry the event
+    envelope by NAME — the schema-evolution guard for the maintained
+    landing layout.
+
+    The streaming file source reads with a FIXED schema
+    (``EVENTS_SCHEMA``): a feed file *missing* an envelope column
+    would stream silent NULLs into the layout forever, and a feed that
+    *gained* a column would have that column silently dropped from
+    every landed file — both are the silent-data-loss class every
+    guard in this module exists to refuse loudly.  Names only: the
+    physical ``ts`` flavor legitimately varies (NANOS/MICROS across
+    testdata regenerations — ``normalize_events_ts``'s domain), so
+    types are not compared here.
+
+    Footers of the 32 newest files (by mtime — the streaming source's
+    own ordering, so evolution lands in exactly the files checked
+    first) are read via pyarrow — no Spark job.  ``allow_extra=True``
+    acknowledges dropping feed-only columns (the caller has read the
+    remedy and chosen the envelope)."""
+    import os
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from events_to_db_spark.streaming.sources import EVENTS_SCHEMA
+
+    root = Path(src_dir)
+    if not root.is_dir():
+        return
+    files = [
+        p
+        for p in root.glob("*.parquet")
+        if p.is_file() and not p.name.startswith(("_", "."))
+    ]
+    files.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    envelope = {f.name for f in EVENTS_SCHEMA.fields}
+    for p in files[:32]:
+        names = set(pq.read_schema(str(p)).names)
+        missing = sorted(envelope - names)
+        if missing:
+            raise ValueError(
+                f"maintain_landing_layout: feed file {p.name!r} is "
+                f"missing envelope column(s) {missing} — the fixed-"
+                "schema stream would land silent NULLs for them in "
+                "every batch. Fix the feed (or regenerate the "
+                "envelope schema) before maintaining a layout from it."
+            )
+        extra = sorted(names - envelope)
+        if extra and not allow_extra:
+            raise ValueError(
+                f"maintain_landing_layout: feed file {p.name!r} "
+                f"carries column(s) {extra} outside the event "
+                "envelope — the fixed-schema stream would silently "
+                "DROP them from every landed file (schema evolution "
+                "is invisible to a running sink). Either extend "
+                "EVENTS_SCHEMA and re-drain into a FRESH layout (new "
+                "dst_dir + checkpoint — old layout files lack the "
+                "column), or pass allow_feed_extra_columns=True to "
+                "acknowledge dropping them."
+            )
+
+
 def maintain_landing_layout(
     spark: SparkSession,
     src_dir: str,
     dst_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    allow_feed_extra_columns: bool = False,
 ) -> StreamingQuery:
     """Keep a landing layout CURRENT from the flat event feed — the
     streaming complement to the one-shot :func:`build_landing_layout`
@@ -268,7 +332,13 @@ def maintain_landing_layout(
     invisible on-disk duplicates.  A layout is owned by exactly one
     writer; to move a batch-built layout under stream maintenance,
     start the stream into a FRESH ``dst_dir`` (full idempotent
-    re-drain of the feed) and retire the batch directory."""
+    re-drain of the feed) and retire the batch directory.
+
+    Schema evolution (r9): also refuses a feed whose newest files
+    carry columns outside (or miss columns of) the event envelope —
+    the fixed-schema stream would silently drop / NULL them forever
+    (see :func:`_feed_schema_guard` for the remedies;
+    ``allow_feed_extra_columns=True`` acknowledges dropping)."""
     from pyspark.sql import functions as F
 
     if not _landing_manifest_dir(dst_dir).is_dir() and _landing_data_files(
@@ -284,6 +354,7 @@ def maintain_landing_layout(
             "re-drains the feed idempotently) and retire the "
             "batch-built directory."
         )
+    _feed_schema_guard(src_dir, allow_extra=allow_feed_extra_columns)
     stream = events_file_stream(spark, src_dir, max_files_per_trigger=100)
     out = stream.withColumn("event_date", F.to_date("ts"))
     writer = (

@@ -591,3 +591,86 @@ def test_compaction_failure_leaves_old_root_untouched(
 
     assert sorted(str(p) for p in _landing_data_files(dst)) == snapshot
     assert load_landing(spark, dst).count() == n_before
+
+
+def test_feed_schema_guard_refuses_evolution(spark, tmp_path):
+    """r9 schema-evolution guard: a feed file with an EXTRA column is
+    refused (the fixed-schema stream would silently drop it), a feed
+    file MISSING an envelope column is refused (silent NULLs), and
+    allow_feed_extra_columns=True starts anyway — with the extra
+    column demonstrably dropped from the landed layout (the
+    acknowledged behavior, pinned so it stays acknowledged)."""
+    import os
+    import pytest as _pytest
+
+    from events_to_db_spark.etl import (
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.session import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(50)
+
+    evolved = tmp_path / "feed_extra"
+    ev.withColumn("new_col", F.lit(1)).coalesce(1).write.parquet(
+        str(evolved)
+    )
+    with _pytest.raises(ValueError, match="new_col"):
+        maintain_landing_layout(
+            spark, str(evolved), str(tmp_path / "d1"), str(tmp_path / "c1")
+        )
+
+    shrunk = tmp_path / "feed_missing"
+    ev.drop("props").coalesce(1).write.parquet(str(shrunk))
+    with _pytest.raises(ValueError, match="missing envelope column"):
+        maintain_landing_layout(
+            spark, str(shrunk), str(tmp_path / "d2"), str(tmp_path / "c2")
+        )
+
+    dst = str(tmp_path / "d3")
+    maintain_landing_layout(
+        spark,
+        str(evolved),
+        dst,
+        str(tmp_path / "c3"),
+        allow_feed_extra_columns=True,
+    ).awaitTermination()
+    landed = load_landing(spark, dst)
+    assert "new_col" not in landed.columns
+    assert landed.count() == 50
+
+
+def test_feed_schema_guard_checks_newest_files(spark, tmp_path):
+    """Evolution arriving LATER in a healthy feed is still caught on
+    the next (re)start: the guard reads the newest footers by mtime —
+    the same ordering the streaming source consumes in."""
+    import os
+    import time
+    import pytest as _pytest
+
+    from events_to_db_spark.etl import maintain_landing_layout
+    from events_to_db_spark.session import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(20)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    w0 = tmp_path / "w0"
+    ev.coalesce(1).write.parquet(str(w0))
+    base_t = time.time() - 600
+    for f in os.listdir(w0):
+        if f.endswith(".parquet"):
+            (feed / f"ok_{f}").write_bytes((w0 / f).read_bytes())
+            os.utime(feed / f"ok_{f}", (base_t, base_t))
+
+    dst, ckpt = str(tmp_path / "dst"), str(tmp_path / "ckpt")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+
+    w1 = tmp_path / "w1"
+    ev.withColumn("surprise", F.lit("x")).coalesce(1).write.parquet(str(w1))
+    for f in os.listdir(w1):
+        if f.endswith(".parquet"):
+            (feed / f"evolved_{f}").write_bytes((w1 / f).read_bytes())
+            os.utime(feed / f"evolved_{f}", (base_t + 60, base_t + 60))
+
+    with _pytest.raises(ValueError, match="surprise"):
+        maintain_landing_layout(spark, str(feed), dst, ckpt)
