@@ -6401,3 +6401,87 @@ def q_ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_rate_nats"),
     )
+
+
+@query(
+    "q_graph_reciprocity",
+    oracle="""
+    WITH t AS (
+        SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    offd AS (
+        SELECT a.prev, a.nxt, a.c,
+               CAST(coalesce(b.c, 0) AS BIGINT) AS c_rev
+        FROM t a LEFT JOIN t b ON b.prev = a.nxt AND b.nxt = a.prev
+        WHERE a.prev <> a.nxt
+    ),
+    s AS (
+        SELECT CAST(sum(c) AS BIGINT) AS m,
+               CAST(sum(least(c, c_rev)) AS BIGINT) AS m_recip
+        FROM offd
+    )
+    SELECT m, m_recip,
+           CASE WHEN m > 0 THEN
+               round(CAST(m_recip AS DOUBLE) / m, 6) END AS reciprocity
+    FROM s
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocity of the event-type transition digraph:
+    what fraction of off-diagonal transition mass flows on edges whose
+    REVERSE also carries at least that much — r = Σ min(c_ij, c_ji) /
+    Σ c_ij over i≠j (the weighted generalization of digraph
+    reciprocity; Squartini et al. 2013).  High r says the behavior
+    graph is conversational (view⇄click loops); low r says it is a
+    one-way funnel — the single scalar that complements
+    q_ev_entropy_rate's predictability with DIRECTIONALITY.
+
+    Determinism: transition counts are exact BIGINTs over the unique
+    (user, ts, event_id) lag order; min/sum are integer; the one float
+    is the final division.  Self-loops are excluded by definition
+    (stated); a loop-only graph yields NULL with the exact zero pair.
+
+    Scale shape: user-partitioned lag window → k² hash agg → k²-row
+    self-join (alphabet-bounded) → 1-row agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    b = t.select(
+        F.col("nxt").alias("prev"),
+        F.col("prev").alias("nxt"),
+        F.col("c").alias("c_rev"),
+    )
+    offd = (
+        t.join(F.broadcast(b), ["prev", "nxt"], "left")
+        .where(F.col("prev") != F.col("nxt"))
+        .select("c", F.coalesce(F.col("c_rev"), F.lit(0)).alias("c_rev"))
+    )
+    s = offd.agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(F.least(F.col("c"), F.col("c_rev")))
+        .cast("long")
+        .alias("m_recip"),
+    )
+    return s.select(
+        "m",
+        "m_recip",
+        F.when(
+            F.col("m") > 0,
+            F.round(F.col("m_recip").cast("double") / F.col("m"), 6),
+        ).alias("reciprocity"),
+    )

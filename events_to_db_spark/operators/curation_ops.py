@@ -3876,3 +3876,290 @@ def q_text_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sichel_s"
         ),
     ).orderBy("source")
+
+
+#: Interpolated Kneser–Ney bigram probability with discount d = 3/4:
+#: on training-corpus evaluation every scored bigram is observed
+#: (c₁₂ ≥ 1), so max(c₁₂−d, 0) = c₁₂ − 3/4 > 0 always and
+#:   P = (c₁₂−d)/c₁ + (d·N₁₊(w₁·)/c₁)·(N₁₊(·w₂)/T)
+#: collapses to the exact integer pair
+#:   [(4·c₁₂−3)·T + 3·N₁₊(w₁·)·N₁₊(·w₂)] / (4·c₁·T).
+_KN_NUM = "(4 * c12 - 3) * t + 3 * n1_fwd * n1_bwd"
+_KN_DEN = "4 * c1 * t"
+
+
+@query(
+    "q_text_kn_bigram",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    idx AS (
+        SELECT source, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM tok WHERE len(toks) >= 2
+    ),
+    big AS (
+        SELECT source, toks[i] AS w1, toks[i + 1] AS w2 FROM idx
+    ),
+    model AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM big GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1_fwd
+        FROM model GROUP BY 1
+    ),
+    cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd
+        FROM model GROUP BY 1
+    ),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM model),
+    scored AS (
+        SELECT m.w1, m.w2,
+               CAST(floor(1000000 * ln(
+                   CAST({_KN_NUM} AS DOUBLE) / ({_KN_DEN})
+               )) AS BIGINT) AS ln_fp
+        FROM model m
+        JOIN ctx ON m.w1 = ctx.w1
+        JOIN cont ON m.w2 = cont.w2
+        CROSS JOIN tt
+    ),
+    ev AS (
+        SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c_s
+        FROM big GROUP BY 1, 2, 3
+    ),
+    per_src AS (
+        SELECT e.source,
+               CAST(sum(e.c_s) AS BIGINT) AS n_bigrams,
+               CAST(sum(e.c_s * s.ln_fp) AS BIGINT) AS sum_fp
+        FROM ev e JOIN scored s ON e.w1 = s.w1 AND e.w2 = s.w2
+        GROUP BY e.source
+    )
+    SELECT source, n_bigrams,
+           (SELECT t FROM tt) AS model_types,
+           round(CAST(-sum_fp AS DOUBLE) / n_bigrams / 1000000, 6)
+               AS xent_kn
+    FROM per_src ORDER BY source
+    """,
+)
+def q_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram cross-entropy per source — the
+    LM-quality statistic serious curation pipelines score with (KN's
+    continuation probability famously fixes the "San Francisco"
+    unigram artifact that q_text_perplexity's add-one unigram model
+    suffers): train the bigram model on the whole corpus, score each
+    source's bigram stream, report the per-source ln-perplexity.
+
+    Exact-integer discipline: with d = 3/4 and self-evaluation (every
+    scored bigram observed), P_KN collapses to the exact BIGINT pair
+    [(4c₁₂−3)T + 3·N₁₊(w₁·)·N₁₊(·w₂)] / (4c₁T); each distinct bigram's
+    ln is the floor(10⁶·ln) fixed-point BIGINT computed ONCE at model
+    grain, the per-source weighted sum Σ c_s·ln_fp is pure integer
+    arithmetic, and the final scale-out is one division.  Bigram
+    extraction is position-exact (guarded array slice on the Spark
+    side; guarded generate_series subscripts on the oracle side) — single-token and
+    empty documents contribute zero bigrams, never a crash (edge
+    corpus exercises both).
+
+    Scale shape: token arrays never shuffle — bigrams explode from
+    the in-row array; the model is three stacked hash aggregates on
+    (w1,w2)/(w1)/(w2) keys; scoring joins the per-source bigram
+    aggregate to the model at model grain (both sides already
+    reduced).  The 31-token §0 vocabulary caps the model at ~10³
+    types; a real corpus caps it at observed-bigram count — always
+    ≪ corpus tokens, so every join side here is the SMALL side."""
+    d = load_table(spark, sf_dir, "documents")
+    big = (
+        d.select(
+            "source", F.split("text", " ").alias("toks")
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN"
+                    " transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1,"
+                    " element_at(toks, i + 2) AS w2))"
+                    " ELSE array() END"
+                )
+            ).alias("b"),
+        )
+        .select("source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    model = big.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1_fwd"),
+    )
+    cont = model.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1_bwd")
+    )
+    tt = model.agg(F.count("*").cast("long").alias("t"))
+    scored = (
+        model.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                f"CAST(floor(1000000 * ln("
+                f"CAST({_KN_NUM} AS DOUBLE) / ({_KN_DEN})"
+                f")) AS BIGINT)"
+            ).alias("ln_fp"),
+        )
+    )
+    ev = big.groupBy("source", "w1", "w2").agg(
+        F.count("*").cast("long").alias("c_s")
+    )
+    per_src = (
+        ev.join(scored, ["w1", "w2"])
+        .groupBy("source")
+        .agg(
+            F.sum("c_s").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c_s") * F.col("ln_fp"))
+            .cast("long")
+            .alias("sum_fp"),
+        )
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "n_bigrams",
+            F.col("t").alias("model_types"),
+            F.round(
+                (-F.col("sum_fp")).cast("double")
+                / F.col("n_bigrams")
+                / 1000000,
+                6,
+            ).alias("xent_kn"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_curate_dsir",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, source, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    model AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS c_all,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_tgt
+        FROM tok GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+               CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+               CAST(count(*) AS BIGINT) AS v
+        FROM model
+    ),
+    delta AS (
+        SELECT m.term,
+               CAST(floor(1000000 * ln(CAST(m.c_tgt + 1 AS DOUBLE)
+                                       / (t.n_tgt + t.v))) AS BIGINT)
+               - CAST(floor(1000000 * ln(CAST(m.c_all + 1 AS DOUBLE)
+                                         / (t.n_all + t.v))) AS BIGINT)
+                   AS d_fp
+        FROM model m CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT tok.doc_id, tok.lang, tok.source,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(d.d_fp) AS BIGINT) AS score_fp
+        FROM tok JOIN delta d ON tok.term = d.term
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, source, n_toks, score_fp,
+           round(CAST(score_fp AS DOUBLE) / n_toks / 1000000, 6)
+               AS avg_lw
+    FROM scored
+    ORDER BY score_fp DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by its importance log-weight ln[P_target(x)/P_raw(x)]
+    under unigram bag models — target = the English sub-corpus — and
+    surface the top-10 most target-like documents.  This is the
+    estimator a mixture-rebalancing pipeline ranks its raw pool with
+    before resampling (the deterministic scoring half; the resampling
+    draw is q_sample_weighted's territory).
+
+    Determinism: both add-one models share the global vocabulary, so
+    each token's δ = ln P_tgt − ln P_raw is a DIFFERENCE OF TWO
+    floor(10⁶·ln)-fixed-point BIGINTs of exact rationals, computed
+    ONCE at vocabulary grain; per-document scores are exact integer
+    sums of δ over the token stream (order-free), and the top-10 is
+    (score, doc_id)-tie-broken.  One final display division.
+
+    Scale shape: explode → vocabulary-grain conditional aggregate
+    (the model, broadcast), token stream re-joined at token grain,
+    per-doc hash agg, TakeOrdered-10 — linear in corpus tokens, the
+    model is always the small side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    model = tok.groupBy("term").agg(
+        F.count("*").cast("long").alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("c_tgt"),
+    )
+    tot = model.agg(
+        F.sum("c_all").cast("long").alias("n_all"),
+        F.sum("c_tgt").cast("long").alias("n_tgt"),
+        F.count("*").cast("long").alias("v"),
+    )
+    delta = model.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.expr(
+                "CAST(floor(1000000 * ln(CAST(c_tgt + 1 AS DOUBLE)"
+                " / (n_tgt + v))) AS BIGINT)"
+            )
+            - F.expr(
+                "CAST(floor(1000000 * ln(CAST(c_all + 1 AS DOUBLE)"
+                " / (n_all + v))) AS BIGINT)"
+            )
+        ).alias("d_fp"),
+    )
+    scored = (
+        tok.join(F.broadcast(delta), "term")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("d_fp").cast("long").alias("score_fp"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_toks",
+            "score_fp",
+            F.round(
+                F.col("score_fp").cast("double") / F.col("n_toks") / 1000000,
+                6,
+            ).alias("avg_lw"),
+        )
+    )
