@@ -1039,3 +1039,83 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@query(
+    "q_agg_theil",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY vc
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * vc) AS BIGINT) AS sv
+        FROM pv
+    ),
+    terms AS (
+        SELECT p.c, p.vc,
+               CAST(floor(1000000 * ln(CAST(t.n * p.vc AS DOUBLE)
+                                       / t.sv)) AS BIGINT) AS ln_fp
+        FROM pv p CROSS JOIN tot t
+    ),
+    agg AS (
+        SELECT CAST(sum(c * vc * ln_fp) AS BIGINT) AS t_sum_fp
+        FROM terms
+    )
+    SELECT t.n, t.sv AS total_cents, a.t_sum_fp,
+           round(CAST(a.t_sum_fp AS DOUBLE) / t.sv / 1000000, 6)
+               AS theil_t
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of purchase values — the
+    DECOMPOSABLE inequality measure (between-group + within-group
+    Theil sum exactly, which Gini does not) completing the
+    concentration family next to q_agg_gini / q_ev_lorenz / q_agg_hhi.
+
+    Determinism: T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ) is regrouped as
+    (1/S)·Σ_distinct c·v·ln(n·v/S), so each distinct cent value
+    contributes ONE floor(10⁶·ln)-fixed-point BIGINT term weighted by
+    the exact integer c·v — the whole sum is integer arithmetic
+    (order-free), one final scale-out division.  Magnitudes:
+    Σc·v·ln_fp ≤ S·2e7 ≈ 6e15 at sf0.1 — BIGINT-safe (DECIMAL switch
+    noted past ~3e11 total cents).
+
+    Scale shape: per-distinct-value hash agg (the q_stat_levene scan
+    shape), broadcast 1-row total, terms at value grain — linear, no
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"))
+    pv = s.groupBy("vc").agg(F.count("*").cast("long").alias("c"))
+    tot = pv.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("vc")).cast("long").alias("sv"),
+    )
+    terms = pv.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "vc",
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(n * vc AS DOUBLE) / sv))"
+            " AS BIGINT)"
+        ).alias("ln_fp"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("c") * F.col("vc") * F.col("ln_fp"))
+        .cast("long")
+        .alias("t_sum_fp")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("sv").alias("total_cents"),
+        "t_sum_fp",
+        F.round(
+            F.col("t_sum_fp").cast("double") / F.col("sv") / 1000000, 6
+        ).alias("theil_t"),
+    )

@@ -6485,3 +6485,96 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m_recip").cast("double") / F.col("m"), 6),
         ).alias("reciprocity"),
     )
+
+
+@query(
+    "q_ord_newsvendor",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    ranked AS (
+        SELECT day, c,
+               CAST(row_number() OVER (ORDER BY c, day) AS BIGINT) AS rn
+        FROM d
+    ),
+    sstar AS (
+        SELECT min(c) AS s FROM ranked CROSS JOIN t
+        WHERE 10 * rn >= 9 * n
+    ),
+    cost AS (
+        SELECT CAST(sum(greatest(s.s - d.c, 0)) AS BIGINT)
+                   AS overage_units,
+               CAST(sum(greatest(d.c - s.s, 0)) AS BIGINT)
+                   AS underage_units
+        FROM d CROSS JOIN sstar s
+    )
+    SELECT t.n AS n_days, s.s AS s_star,
+           c.overage_units, c.underage_units,
+           CAST(1 * c.overage_units + 9 * c.underage_units AS BIGINT)
+               AS total_cost_units
+    FROM t CROSS JOIN sstar s CROSS JOIN cost c
+    """,
+)
+def q_ord_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level at the 0.9 critical fractile
+    (cu = 9, co = 1 — underage costs 9× overage): S* =
+    inf{s : F̂(s) ≥ 0.9} over the empirical daily purchase-demand
+    distribution, plus the realized overage/underage cost of running
+    S* against the observed history — the classic single-period
+    inventory answer q_ord_eoq (order QUANTITY) and q_ord_reorder_gap
+    (order TIMING) don't give.
+
+    Determinism: S* is an exact lower order statistic — the smallest
+    demand whose (c, day)-tie-broken rank satisfies the integer
+    cross-multiplication 10·rank ≥ 9·n (no fractional quantile ever
+    materializes — the q_agg_percentile_disc convention); cost units
+    are exact BIGINT sums.
+
+    Scale shape: one keyed date aggregate (calendar-bounded), a
+    ~30-row rank window (allowlisted), broadcast scalars, one
+    re-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    t = d.agg(F.count("*").cast("long").alias("n"))
+    ranked = d.select(
+        "day",
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "day"))
+        .cast("long")
+        .alias("rn"),
+    )
+    sstar = (
+        ranked.crossJoin(F.broadcast(t))
+        .where(10 * F.col("rn") >= 9 * F.col("n"))
+        .agg(F.min("c").alias("s"))
+    )
+    cost = d.crossJoin(F.broadcast(sstar)).agg(
+        F.sum(F.greatest(F.col("s") - F.col("c"), F.lit(0)))
+        .cast("long")
+        .alias("overage_units"),
+        F.sum(F.greatest(F.col("c") - F.col("s"), F.lit(0)))
+        .cast("long")
+        .alias("underage_units"),
+    )
+    return (
+        t.crossJoin(F.broadcast(sstar))
+        .crossJoin(F.broadcast(cost))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_star"),
+            "overage_units",
+            "underage_units",
+            (1 * F.col("overage_units") + 9 * F.col("underage_units"))
+            .cast("long")
+            .alias("total_cost_units"),
+        )
+    )

@@ -3060,3 +3060,174 @@ def q_ml_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(acc.cast("double") / F.col("n"), 6).alias("micro_f1"),
         F.round(F.expr(_MACRO_F1), 6).alias("macro_f1"),
     )
+
+
+_PSM_PACK = 2**33  # packed match key: score·2³³ + user_id
+
+
+@query(
+    "q_ml_psm",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS treated
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, score, y, treated,
+               CASE WHEN treated = 0
+                    THEN score * {_PSM_PACK} + user_id END AS packed
+        FROM u
+    ),
+    m AS (
+        SELECT user_id, score, y, treated,
+               max(packed) OVER (ORDER BY score, treated, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_p,
+               min(packed) OVER (ORDER BY score, treated, user_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd_p
+        FROM p
+    ),
+    ch AS (
+        SELECT user_id, score, y,
+               CASE
+                   WHEN back_p IS NULL THEN fwd_p % {_PSM_PACK}
+                   WHEN fwd_p IS NULL THEN back_p % {_PSM_PACK}
+                   WHEN score - back_p // {_PSM_PACK}
+                        <= fwd_p // {_PSM_PACK} - score
+                       THEN back_p % {_PSM_PACK}
+                   ELSE fwd_p % {_PSM_PACK}
+               END AS chosen_uid
+        FROM m WHERE treated = 1
+    ),
+    att AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(ch.y) AS BIGINT) AS sum_y_t,
+               CAST(sum(c.y) AS BIGINT) AS sum_y_c
+        FROM ch JOIN u c ON c.user_id = ch.chosen_uid
+        WHERE ch.chosen_uid IS NOT NULL
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u WHERE treated = 1)
+               AS n_treated,
+           n_matched, sum_y_t, sum_y_c,
+           CASE WHEN n_matched > 0 THEN
+               round(CAST(sum_y_t - sum_y_c AS DOUBLE) / n_matched, 4)
+           END AS att_views
+    FROM att
+    """,
+)
+def q_ml_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching ATT (the propensity-score-matching
+    estimator shape, with the click covariate as the score): every
+    purchasing user is matched — with replacement — to the
+    non-purchasing user nearest in click count, and ATT = mean(y_t −
+    y_match) on the view-count outcome.  Completes the causal family:
+    q_ev_cuped (variance reduction), q_ev_did (parallel trends),
+    q_ev_event_study (dynamics) — this is the cross-sectional
+    matching leg.
+
+    Determinism: matching runs on the packed BIGINT score·2³³+uid, so
+    nearest-below is a running MAX over preceding controls and
+    nearest-above a running MIN over following controls in the total
+    (score, treated, uid) order — ties inside a score resolve to the
+    largest/smallest control uid, distance ties prefer the backward
+    match (all stated, all integer); ATT is one final division of
+    exact sums.
+
+    Scale shape: the Spark side runs both carries through
+    ``bucketed_running_max`` (two-level scan, score-range buckets) —
+    no unpartitioned window over the user dimension, the exact reason
+    the oracle's plain SQL window is NOT the Spark plan; the outcome
+    re-join is keyed on the matched uid."""
+    from events_to_db_spark.plans.prefix import bucketed_running_max
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("treated"),
+    )
+    p = u.withColumn(
+        "packed",
+        F.when(
+            F.col("treated") == 0,
+            F.col("score") * _PSM_PACK + F.col("user_id"),
+        ),
+    )
+    fwd = bucketed_running_max(
+        p.withColumn("npacked", -F.col("packed")),
+        -(F.expr("score div 8")),
+        [
+            F.col("score").desc(),
+            F.col("treated").desc(),
+            F.col("user_id").desc(),
+        ],
+        F.col("npacked"),
+        "nfwd_p",
+    ).withColumn("fwd_p", -F.col("nfwd_p"))
+    m = bucketed_running_max(
+        fwd,
+        F.expr("score div 8"),
+        [F.col("score"), F.col("treated"), F.col("user_id")],
+        F.col("packed"),
+        "back_p",
+    )
+    sb = F.expr(f"back_p div {_PSM_PACK}")
+    sf_ = F.expr(f"fwd_p div {_PSM_PACK}")
+    ch = m.where(F.col("treated") == 1).select(
+        "y",
+        F.when(F.col("back_p").isNull(), F.expr(f"fwd_p % {_PSM_PACK}"))
+        .when(F.col("fwd_p").isNull(), F.expr(f"back_p % {_PSM_PACK}"))
+        .when(
+            F.col("score") - sb <= sf_ - F.col("score"),
+            F.expr(f"back_p % {_PSM_PACK}"),
+        )
+        .otherwise(F.expr(f"fwd_p % {_PSM_PACK}"))
+        .alias("chosen_uid"),
+    )
+    att = (
+        ch.where(F.col("chosen_uid").isNotNull())
+        .join(
+            u.select(
+                F.col("user_id").alias("chosen_uid"),
+                F.col("y").alias("y_c"),
+            ),
+            "chosen_uid",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_matched"),
+            F.sum("y").cast("long").alias("sum_y_t"),
+            F.sum("y_c").cast("long").alias("sum_y_c"),
+        )
+    )
+    n_treated = u.where(F.col("treated") == 1).agg(
+        F.count("*").cast("long").alias("n_treated")
+    )
+    return n_treated.crossJoin(att).select(
+        "n_treated",
+        "n_matched",
+        "sum_y_t",
+        "sum_y_c",
+        F.when(
+            F.col("n_matched") > 0,
+            F.round(
+                (F.col("sum_y_t") - F.col("sum_y_c")).cast("double")
+                / F.col("n_matched"),
+                4,
+            ),
+        ).alias("att_views"),
+    )

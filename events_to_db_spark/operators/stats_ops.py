@@ -3771,3 +3771,158 @@ def q_stat_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((_TOST_MARGIN_CENTS - delta) > crit * se),
         ).alias("equivalent_05"),
     )
+
+
+def _mood_term(o: str, r: str, c: str) -> str:
+    """(O·N − R·C)²/(N·R·C) with the square taken in DOUBLE — the
+    BIGINT cross term O·N is ~3e10 at sf0.1 and its square would
+    overflow, so exactly one factor is cast first (r6 overflow rule)."""
+    x = f"({o} * nn - {r} * {c})"
+    return f"(CAST({x} AS DOUBLE) * {x}) / (CAST(nn AS DOUBLE) * {r} * {c})"
+
+
+#: Mood's median χ² over the 2×3 above/≤-median table, written as six
+#: fixed-order literal terms shared verbatim (the Levene pattern).
+_MOOD_CHI2 = " + ".join(
+    [
+        _mood_term("a_p", "n_p", "ca"),
+        _mood_term("a_v", "n_v", "ca"),
+        _mood_term("a_c", "n_c", "ca"),
+        _mood_term("(n_p - a_p)", "n_p", "cb"),
+        _mood_term("(n_v - a_v)", "n_v", "cb"),
+        _mood_term("(n_c - a_c)", "n_c", "cb"),
+    ]
+)
+
+
+@query(
+    "q_stat_mood",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY vc
+    ),
+    cum AS (
+        SELECT vc, sum(c) OVER (ORDER BY vc) AS cumc FROM pv
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+    med AS (
+        SELECT min(vc) AS m FROM cum CROSS JOIN tot
+        WHERE 2 * cumc >= n
+    ),
+    piv AS (
+        SELECT
+            CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_p,
+            CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_v,
+            CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c,
+            CAST(sum(CASE WHEN g = 'purchase' AND vc > m.m
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a_p,
+            CAST(sum(CASE WHEN g = 'view' AND vc > m.m
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+            CAST(sum(CASE WHEN g = 'click' AND vc > m.m
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a_c
+        FROM s CROSS JOIN med m
+    ),
+    x AS (
+        SELECT n_p, n_v, n_c, a_p, a_v, a_c,
+               CAST(n_p + n_v + n_c AS BIGINT) AS nn,
+               CAST(a_p + a_v + a_c AS BIGINT) AS ca,
+               CAST(n_p + n_v + n_c - a_p - a_v - a_c AS BIGINT) AS cb
+        FROM piv
+    )
+    SELECT n_p, n_v, n_c, a_p, a_v, a_c,
+           (SELECT m FROM med) AS median_cents,
+           CASE WHEN ca > 0 AND cb > 0
+                     AND n_p > 0 AND n_v > 0 AND n_c > 0 THEN
+               round({_MOOD_CHI2}, 4) END AS chi2,
+           CASE WHEN ca > 0 AND cb > 0
+                     AND n_p > 0 AND n_v > 0 AND n_c > 0 THEN
+               ({_MOOD_CHI2}) >= CAST(5.991465 AS DOUBLE) END
+               AS reject_05
+    FROM x
+    """,
+)
+def q_stat_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across purchase/view/click values: do the
+    three groups share one median?  The k-sample LOCATION complement
+    to Kruskal–Wallis (which tests the full rank distribution) and
+    Brown–Forsythe (which tests SPREAD around group medians): Mood's
+    reduces every observation to one bit — above the POOLED median or
+    not — and χ²-tests the resulting 2×3 table, so it is the most
+    outlier-robust of the three.
+
+    Determinism: the pooled median is the exact lower order statistic
+    (2·cum ≥ n over the per-distinct-value prefix scan — the
+    q_stat_levene machinery, here pooled); all six table cells are
+    exact BIGINTs from ONE conditional aggregate; χ² = Σ(O·N−R·C)² /
+    (N·R·C) is six fixed-order literal double terms over the exact
+    cells (squares taken in DOUBLE — the BIGINT square would overflow
+    at ~3e10), and the 5% decision evaluates the same shared
+    expression against the χ²(2) CAST-DOUBLE literal.  Degenerate
+    marginals (an empty group, or everything on one side of the
+    median) yield NULLs, never a division crash.
+
+    Scale shape: per-distinct-value hash agg + the two-level bucketed
+    prefix scan, a broadcast 1-row median, one conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        F.col("event_type").isin("purchase", "view", "click")
+    ).select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    )
+    pv = s.groupBy("vc").agg(F.count("*").cast("long").alias("c"))
+    cum = bucketed_running_sum(
+        pv, F.col("vc"), [F.col("vc")], {"cumc": F.col("c")}
+    )
+    tot = pv.agg(F.sum("c").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .agg(F.min("vc").alias("m"))
+    )
+
+    def cnt(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias)
+
+    g, vc, m = F.col("g"), F.col("vc"), F.col("m")
+    piv = s.crossJoin(F.broadcast(med)).agg(
+        cnt(g == "purchase", "n_p"),
+        cnt(g == "view", "n_v"),
+        cnt(g == "click", "n_c"),
+        cnt((g == "purchase") & (vc > m), "a_p"),
+        cnt((g == "view") & (vc > m), "a_v"),
+        cnt((g == "click") & (vc > m), "a_c"),
+        F.first("m").alias("median_cents"),
+    )
+    x = piv.select(
+        "n_p", "n_v", "n_c", "a_p", "a_v", "a_c", "median_cents",
+        (F.col("n_p") + F.col("n_v") + F.col("n_c"))
+        .cast("long")
+        .alias("nn"),
+        (F.col("a_p") + F.col("a_v") + F.col("a_c"))
+        .cast("long")
+        .alias("ca"),
+    ).withColumn("cb", (F.col("nn") - F.col("ca")).cast("long"))
+    ok = (
+        (F.col("ca") > 0)
+        & (F.col("cb") > 0)
+        & (F.col("n_p") > 0)
+        & (F.col("n_v") > 0)
+        & (F.col("n_c") > 0)
+    )
+    chi2 = F.expr(_MOOD_CHI2)
+    return x.select(
+        "n_p", "n_v", "n_c", "a_p", "a_v", "a_c", "median_cents",
+        F.when(ok, F.round(chi2, 4)).alias("chi2"),
+        F.when(ok, chi2 >= F.expr("CAST(5.991465 AS DOUBLE)")).alias(
+            "reject_05"
+        ),
+    )

@@ -280,6 +280,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_stat_wilcoxon": "signed-rank over the ~23-row paired-day series (calendar-bounded)",
         "q_stat_page": "hypothesized-order rank over the k-row type aggregate (fixed dimension)",
         "q_ev_hill": "row_number over TakeOrderedAndProject's 101 rows (k-bounded)",
+        "q_ord_newsvendor": "fractile rank over the per-day demand aggregate (calendar-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
