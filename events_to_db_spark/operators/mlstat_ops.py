@@ -3231,3 +3231,158 @@ def q_ml_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("att_views"),
     )
+
+
+@query(
+    "q_ml_qini",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 2) AS arm
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT arm, converted,
+               ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM u
+    ),
+    per AS (
+        SELECT decile,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS r_t,
+               CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS r_c
+        FROM d GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n_t, n_c, r_t, r_c,
+               sum(n_t) OVER (ORDER BY decile) AS cn_t,
+               sum(n_c) OVER (ORDER BY decile) AS cn_c,
+               sum(r_t) OVER (ORDER BY decile) AS cr_t,
+               sum(r_c) OVER (ORDER BY decile) AS cr_c
+        FROM per
+    )
+    SELECT CAST(decile AS INT) AS decile, n_t, n_c, r_t, r_c,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+               round(CAST(r_t AS DOUBLE) / n_t
+                     - CAST(r_c AS DOUBLE) / n_c, 6) END AS uplift_rate,
+           CASE WHEN cn_c > 0 THEN
+               round(CAST(cr_t AS DOUBLE)
+                     - CAST(cr_c AS DOUBLE) * cn_t / cn_c, 4)
+           END AS qini_k
+    FROM cum ORDER BY decile
+    """,
+)
+def q_ml_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift-by-decile table (Radcliffe 2007) — the
+    uplift-modeling readout the plain q_ml_lift table cannot give:
+    users ranked by the view-count score into equal-fill deciles, the
+    md5-parity arms compared WITHIN each decile (incremental response
+    rate), and the cumulative Qini value Q_k = R_t(k) − R_c(k)·N_t(k)/
+    N_c(k) — the curve whose area is the Qini coefficient.
+
+    Determinism: the decile cut is the exact unique-rank ntile
+    (bucketed two-level scan + ntile_from_rank on the Spark side; the
+    oracle's native ntile matches because the (score, user_id) order
+    is total and the fill rule identical — the q_ml_lift precedent);
+    all eight per-decile cells are exact BIGINTs, cumulative sums run
+    over the 10-row aggregate, and the two reported rates are final
+    divisions of exact integers.  Empty arms yield NULL rates, never
+    a crash.
+
+    Scale shape: user hash agg → bucketed rank scan → 10-row
+    everything."""
+    from events_to_db_spark.plans.prefix import (
+        bucketed_running_sum,
+        ntile_from_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).withColumn(
+        "arm",
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(cast(user_id as string)"
+            " as binary)), 1, 15), 16, 10) as bigint), 2)"
+        ),
+    )
+    n_tot = u.agg(F.count("*").alias("n_tot"))
+    ranked = bucketed_running_sum(
+        u.select("user_id", "score", "converted", "arm"),
+        bucket=-F.floor(F.col("score") / F.lit(8)),
+        order_cols=[F.col("score").desc(), F.col("user_id")],
+        sums={"rank": F.lit(1)},
+    )
+    d = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "arm",
+        "converted",
+        ntile_from_rank(F.col("rank"), F.col("n_tot"), 10)
+        .cast("int")
+        .alias("decile"),
+    )
+
+    def cnt(cond, val, alias):
+        return (
+            F.sum(F.when(cond, val).otherwise(0)).cast("long").alias(alias)
+        )
+
+    per = d.groupBy("decile").agg(
+        cnt(F.col("arm") == 1, 1, "n_t"),
+        cnt(F.col("arm") == 0, 1, "n_c"),
+        cnt(F.col("arm") == 1, F.col("converted"), "r_t"),
+        cnt(F.col("arm") == 0, F.col("converted"), "r_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.sum("n_t").over(w).alias("cn_t"),
+        F.sum("n_c").over(w).alias("cn_c"),
+        F.sum("r_t").over(w).alias("cr_t"),
+        F.sum("r_c").over(w).alias("cr_c"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(
+                F.col("r_t").cast("double") / F.col("n_t")
+                - F.col("r_c").cast("double") / F.col("n_c"),
+                6,
+            ),
+        ).alias("uplift_rate"),
+        F.when(
+            F.col("cn_c") > 0,
+            F.round(
+                F.col("cr_t").cast("double")
+                - F.col("cr_c").cast("double")
+                * F.col("cn_t")
+                / F.col("cn_c"),
+                4,
+            ),
+        ).alias("qini_k"),
+    ).orderBy("decile")
