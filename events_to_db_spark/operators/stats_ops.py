@@ -3926,3 +3926,168 @@ def q_stat_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_05"
         ),
     )
+
+
+@query(
+    "q_stat_dispersion",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id
+        FROM events
+    ),
+    span AS (
+        SELECT CAST(min(hour_id) AS BIGINT) AS h0,
+               CAST(max(hour_id) AS BIGINT) AS h1
+        FROM h
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1)) AS hour_id FROM span
+    ),
+    obs AS (
+        SELECT hour_id, CAST(count(*) AS BIGINT) AS c
+        FROM h GROUP BY hour_id
+    ),
+    filled AS (
+        SELECT s.hour_id, CAST(coalesce(o.c, 0) AS BIGINT) AS c
+        FROM spine s LEFT JOIN obs o ON o.hour_id = s.hour_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM filled
+    )
+    SELECT n, s, s2,
+           CAST(n * s2 - s * s AS BIGINT) AS chi2_num,
+           round(CAST(n * s2 - s * s AS DOUBLE) / s, 4) AS chi2,
+           round(CAST(n * s2 - s * s AS DOUBLE) / (s * (n - 1)), 4)
+               AS vmr
+    FROM m
+    """,
+)
+def q_stat_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (index-of-dispersion) test on hourly event
+    arrivals: VMR = s²/x̄ over the ZERO-FILLED hour spine — the
+    classic overdispersion screen (VMR ≈ 1 Poisson, ≫ 1 bursty /
+    self-exciting, ≪ 1 regularized) that says whether q_ev_burst's
+    peaks are noise or structure.  The spine matters: grouping only
+    observed hours silently drops the empty intervals that carry the
+    underdispersion signal.
+
+    Determinism: the dispersion χ² = (n−1)s²/x̄ collapses EXACTLY to
+    the integer pair (n·Σc² − S²)/S — no variance algebra ever leaves
+    BIGINT (n·Σc² ≈ 7e2·7e2·(avg c)² — safe past 1e9 events/hour);
+    the two reported ratios are final divisions.  The hour spine is
+    exact integer epoch-hour ids (µs floor-division on non-negative
+    epochs — the µs-gap rule).
+
+    Scale shape: one scan → hour hash agg (calendar-bounded), a
+    generated spine joined at hour grain, a 1-row moment agg."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)").alias(
+            "hour_id"
+        )
+    )
+    span = h.agg(
+        F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1")
+    )
+    spine = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_id")
+    )
+    obs = h.groupBy("hour_id").agg(F.count("*").cast("long").alias("c"))
+    filled = spine.join(obs, "hour_id", "left").select(
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    m = filled.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    num = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return m.select(
+        "n",
+        "s",
+        "s2",
+        num.cast("long").alias("chi2_num"),
+        F.round(num.cast("double") / F.col("s"), 4).alias("chi2"),
+        F.round(
+            num.cast("double") / (F.col("s") * (F.col("n") - 1)), 4
+        ).alias("vmr"),
+    )
+
+
+@query(
+    "q_stat_sign",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    p AS (
+        SELECT a.day AS day, b.x - a.x AS diff
+        FROM d a JOIN d b ON b.day = a.day + INTERVAL 7 DAY
+        WHERE b.x <> a.x
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS s_plus
+        FROM p
+    )
+    SELECT n, s_plus,
+           CAST(2 * s_plus - n AS BIGINT) AS dev,
+           CASE WHEN n >= 1 THEN
+               round((2 * s_plus - n) / sqrt(CAST(n AS DOUBLE)), 4)
+           END AS z,
+           CAST({_Z2_CRIT_DEN} * (2 * s_plus - n) * (2 * s_plus - n)
+                > {_Z2_CRIT_NUM} * n AS BOOLEAN) AS reject_05
+    FROM s
+    """,
+)
+def q_stat_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign test on the week-over-week paired daily revenue — the
+    bottom rung of the paired-test ladder (sign: direction only →
+    q_stat_wilcoxon: + magnitude ranks → q_stat_ttest: + full values):
+    under H₀ the weekly difference is positive with probability ½, so
+    S⁺ ~ Binomial(n, ½).  The rung that stays valid under ANY
+    difference distribution — the robustness floor the other two are
+    judged against.
+
+    Determinism: the same zero-excluded pair series as Wilcoxon
+    (shared construction, stated); S⁺ and the deviation 2S⁺−n are
+    exact BIGINTs; z = (2S⁺−n)/√n is the one final float, and the 5%
+    normal-approximation decision is the integer cross-multiplication
+    10⁶·(2S⁺−n)² > 3841459·n.
+
+    Scale shape: one keyed date aggregate, a calendar-bounded
+    self-join, one 1-row agg — no windows at all."""
+    d = _daily_xy(spark, sf_dir)
+    a = d.select(F.col("day"), F.col("x").alias("xa"))
+    b = d.select(
+        F.date_sub(F.col("day"), 7).alias("day"), F.col("x").alias("xb")
+    )
+    p = (
+        a.join(b, "day")
+        .select((F.col("xb") - F.col("xa")).alias("diff"))
+        .where(F.col("diff") != 0)
+    )
+    s = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_plus"),
+    )
+    dev = 2 * F.col("s_plus") - F.col("n")
+    return s.select(
+        "n",
+        "s_plus",
+        dev.cast("long").alias("dev"),
+        F.when(
+            F.col("n") >= 1,
+            F.round(dev / F.sqrt(F.col("n").cast("double")), 4),
+        ).alias("z"),
+        (
+            F.lit(_Z2_CRIT_DEN).cast("long") * dev * dev
+            > F.lit(_Z2_CRIT_NUM).cast("long") * F.col("n")
+        ).alias("reject_05"),
+    )

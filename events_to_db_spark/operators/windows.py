@@ -669,3 +669,85 @@ def q_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q_win_ulcer",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    pk AS (
+        SELECT day, x,
+               max(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM d
+    ),
+    dd AS (
+        SELECT day, (10000 * (peak - x)) // peak AS dd_bp
+        FROM pk WHERE peak > 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(dd_bp * dd_bp) AS BIGINT) AS sum_dd2,
+               CAST(max(dd_bp) AS BIGINT) AS max_dd_bp
+        FROM dd
+    )
+    SELECT n_days, sum_dd2, max_dd_bp,
+           round(sqrt(CAST(sum_dd2 AS DOUBLE) / n_days), 4) AS ulcer_bp
+    FROM s
+    """,
+)
+def q_win_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer Index of the daily purchase-revenue series — the
+    DURATION-weighted drawdown risk measure (Martin 1987):
+    UI = √(mean dd²) over per-day percentage drawdowns from the
+    running peak.  q_win_drawdown reports the single worst dip; UI
+    punishes long shallow underwater stretches the max statistic
+    cannot see — the pair is the standard risk panel.
+
+    Determinism: the running peak is exact integer cents; each day's
+    drawdown is the FLOORED basis-point integer ⌊10⁴·(peak−x)/peak⌋
+    (non-negative operands — floor ≡ truncate in both engines), so
+    Σdd² is pure integer arithmetic and the final √ is the only
+    float.  peak > 0 always holds for a revenue series (guarded
+    anyway — a zero-revenue first day must not divide).
+
+    Scale shape: one keyed date aggregate; the running max is over
+    the calendar-bounded day series (the oracle's plain window; at an
+    unbounded grain it goes through plans/prefix.bucketed_running_max
+    — noted, not needed at day grain)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("x")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pk = d.select("day", "x", F.max("x").over(w).alias("peak"))
+    dd = pk.where(F.col("peak") > 0).select(
+        F.expr("(10000 * (peak - x)) div peak").alias("dd_bp")
+    )
+    s = dd.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("dd_bp") * F.col("dd_bp"))
+        .cast("long")
+        .alias("sum_dd2"),
+        F.max("dd_bp").cast("long").alias("max_dd_bp"),
+    )
+    return s.select(
+        "n_days",
+        "sum_dd2",
+        "max_dd_bp",
+        F.round(
+            F.sqrt(F.col("sum_dd2").cast("double") / F.col("n_days")), 4
+        ).alias("ulcer_bp"),
+    )
