@@ -717,22 +717,46 @@ def q_win_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
     float.  peak > 0 always holds for a revenue series (guarded
     anyway — a zero-revenue first day must not divide).
 
-    Scale shape: one keyed date aggregate; the running max is over
-    the calendar-bounded day series (the oracle's plain window; at an
-    unbounded grain it goes through plans/prefix.bucketed_running_max
-    — noted, not needed at day grain)."""
+    Scale shape: one keyed date aggregate; the running peak is a
+    broadcast θ-join over the calendar-bounded day series (days² ≤
+    ~900 pairs — deliberately NOT the single-partition global window,
+    whose tiny AQE shuffle proved plan-unstable across session
+    contexts in the r9 audit; at an unbounded grain the peak goes
+    through plans/prefix.bucketed_running_max)."""
     ev = load_table(spark, sf_dir, "events")
+    # `value IS NOT NULL` is semantically inert (SUM skips NULLs) but
+    # keeps this aggregate canonically DISTINCT from the identical
+    # daily-revenue frame q_stat_mannkendall `.cache()`s: without it,
+    # any session where mannkendall ran first substitutes the
+    # InMemoryRelation into THIS plan (CacheManager sameResult match)
+    # and the plan fingerprint flips between session contexts —
+    # caught live by the r9 --plans gate.
     d = (
-        ev.where(F.col("event_type") == "purchase")
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("x")
         )
     )
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from events_to_db_spark.plans.checkpoints import truncate_lineage
+
+    # the broadcast side is lineage-truncated so the θ-join does NOT
+    # carry two copies of the same agg subtree: AQE's runtime exchange
+    # reuse on identical twins is timing-dependent and flipped the
+    # fingerprint the same way; a pinned 30-row side has no reuse
+    # question.
+    b = truncate_lineage(
+        d.select(F.col("day").alias("bday"), F.col("x").alias("bx")),
+        eager=False,
     )
-    pk = d.select("day", "x", F.max("x").over(w).alias("peak"))
+    pk = (
+        d.join(F.broadcast(b), F.col("bday") <= F.col("day"))
+        .groupBy("day", "x")
+        .agg(F.max("bx").alias("peak"))
+    )
     dd = pk.where(F.col("peak") > 0).select(
         F.expr("(10000 * (peak - x)) div peak").alias("dd_bp")
     )
