@@ -4091,3 +4091,459 @@ def q_stat_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_Z2_CRIT_NUM).cast("long") * F.col("n")
         ).alias("reject_05"),
     )
+
+
+def _three_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-distinct-value counts for the ordered three-group rank
+    tests: c1 = view, c2 = click, c3 = purchase occurrences of each
+    ``value``.  One keyed aggregate, same shape as ``_two_sample``."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g2"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g3"),
+    )
+    return s.groupBy("value").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+        F.sum("g3").cast("long").alias("c3"),
+    )
+
+
+_THREE_SAMPLE_SQL = """
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c3
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY value
+"""
+
+
+@query(
+    "q_stat_cliffs",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT value, count(*) AS ct, CAST(sum(g1) AS BIGINT) AS c1t
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT ct, c1t,
+               sum(ct) OVER (ORDER BY value) AS cum_t,
+               sum(c1t) OVER (ORDER BY value) AS cum_1
+        FROM pv
+    ),
+    tot AS (
+        SELECT CAST(sum(c1t) AS BIGINT) AS n1,
+               CAST(sum(ct) - sum(c1t) AS BIGINT) AS n2
+        FROM pv
+    ),
+    acc AS (
+        SELECT
+            CAST(sum(c1t * ((cum_t - ct) - (cum_1 - c1t))) AS BIGINT)
+                AS s_vb,
+            CAST(sum(c1t * (ct - c1t)) AS BIGINT) AS s_tie
+        FROM cum
+    )
+    SELECT n1, n2,
+           CAST(2 * s_vb + s_tie - n1 * n2 AS BIGINT) AS delta_num,
+           round(CAST(2 * s_vb + s_tie - n1 * n2 AS DOUBLE)
+                 / (n1 * n2), 6) AS cliffs_delta,
+           round((CAST(2 * s_vb + s_tie - n1 * n2 AS DOUBLE)
+                  + n1 * n2) / (2 * n1 * n2), 6) AS vargha_a
+    FROM acc CROSS JOIN tot
+    """,
+)
+def q_stat_cliffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta + Vargha–Delaney A (purchase vs view ``value``) —
+    the ordinal effect-size companion to q_stat_mannwhitney's test:
+    delta = (#(x>y) − #(x<y))/(n1·n2), A = P(x>y) + P(x=y)/2, the
+    magnitude the significance test alone doesn't give.
+
+    Exactness: with per-distinct-value counts (c1 = purchases, c2 =
+    views at v) and the exclusive-below view count vb(v), the identity
+    #(x>y) − #(x<y) = 2·Σ c1·vb + Σ c1·c2 − n1·n2 makes the numerator
+    one exact BIGINT; both ratios are single final floats.  The
+    value-ordered prefix runs through the bucketed two-level scan, not
+    a global window (plan mirrors q_stat_ks).  At 1e10-row samples the
+    c1·vb products move to DECIMAL(38,0) (same note as KS)."""
+    pv = _two_sample(spark, sf_dir)
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+        order_cols=[F.col("value")],
+        sums={"cum_t": F.col("ct"), "cum_1": F.col("c1t")},
+    )
+    tot = pv.agg(
+        F.sum("c1t").alias("n1"),
+        (F.sum("ct") - F.sum("c1t")).alias("n2"),
+    )
+    acc = cum.agg(
+        F.sum(
+            F.col("c1t")
+            * (
+                (F.col("cum_t") - F.col("ct"))
+                - (F.col("cum_1") - F.col("c1t"))
+            )
+        )
+        .cast("long")
+        .alias("s_vb"),
+        F.sum(F.col("c1t") * (F.col("ct") - F.col("c1t")))
+        .cast("long")
+        .alias("s_tie"),
+    )
+    num = 2 * F.col("s_vb") + F.col("s_tie") - F.col("n1") * F.col("n2")
+    return acc.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        num.cast("long").alias("delta_num"),
+        F.round(
+            num.cast("double") / (F.col("n1") * F.col("n2")), 6
+        ).alias("cliffs_delta"),
+        F.round(
+            (num.cast("double") + F.col("n1") * F.col("n2"))
+            / (2 * F.col("n1") * F.col("n2")),
+            6,
+        ).alias("vargha_a"),
+    )
+
+
+@query(
+    "q_stat_jonckheere",
+    oracle=f"""
+    WITH pv AS ({_THREE_SAMPLE_SQL}),
+    cum AS (
+        SELECT c1, c2, c3,
+               sum(c1) OVER (ORDER BY value) AS cum1,
+               sum(c2) OVER (ORDER BY value) AS cum2
+        FROM pv
+    ),
+    acc AS (
+        SELECT CAST(sum(
+                   2 * c2 * (cum1 - c1) + c1 * c2
+                 + 2 * c3 * ((cum1 - c1) + (cum2 - c2))
+                 + c3 * (c1 + c2)) AS BIGINT) AS jt2
+        FROM cum
+    ),
+    tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c3) AS BIGINT) AS n3
+        FROM pv
+    ),
+    m AS (
+        SELECT jt2, n1, n2, n3, n1 + n2 + n3 AS nn,
+               (n1 + n2 + n3) * (n1 + n2 + n3)
+                   - (n1 * n1 + n2 * n2 + n3 * n3) AS e4,
+               (n1 + n2 + n3) * (n1 + n2 + n3)
+                   * (2 * (n1 + n2 + n3) + 3)
+                 - (n1 * n1 * (2 * n1 + 3) + n2 * n2 * (2 * n2 + 3)
+                    + n3 * n3 * (2 * n3 + 3)) AS v72
+        FROM acc CROSS JOIN tot
+    )
+    SELECT n1, n2, n3, jt2,
+           CAST(e4 AS BIGINT) AS e4,
+           CAST(v72 AS BIGINT) AS v72,
+           round((CAST(jt2 AS DOUBLE) / 2 - CAST(e4 AS DOUBLE) / 4)
+                 / sqrt(CAST(v72 AS DOUBLE) / 72), 4) AS z_stat,
+           CAST(72000000e0 * CAST(2 * jt2 - e4 AS DOUBLE)
+                           * CAST(2 * jt2 - e4 AS DOUBLE)
+                > 16000000e0 * 3.841459e0 * CAST(v72 AS DOUBLE)
+                AS BOOLEAN) AS reject_05
+    FROM m
+    """,
+)
+def q_stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test (view < click <
+    purchase in ``value``): JT = sum over group pairs a<b of U_ab, the
+    Mann–Whitney counts in the hypothesized group order — the trend
+    test ANOVA/Kruskal–Wallis can't express (they test ANY difference,
+    JT tests the ORDERED one).
+
+    Exactness: per-distinct-value group counts + exclusive-below
+    prefixes give 2·JT = Σ 2c₂·b₁ + c₁c₂ + 2c₃·(b₁+b₂) + c₃(c₁+c₂)
+    (ties counted ½, doubled to stay integer); E and Var carried as
+    the exact integers e4 = 4E = N²−Σn_k² and v72 = 72·Var.  z and
+    the 5% decision 72·(4(JT−E))² > 16·z²crit·v72 are evaluated in
+    DOUBLE over those exact integers with the identical expression in
+    both engines (the squared deviation is quadratic-in-value-scale —
+    the overflow rule forbids BIGINT here).  Prefixes run through the
+    bucketed two-level scan; no global window."""
+    pv = _three_sample(spark, sf_dir)
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+        order_cols=[F.col("value")],
+        sums={"cum1": F.col("c1"), "cum2": F.col("c2")},
+    )
+    acc = cum.agg(
+        F.sum(
+            2 * F.col("c2") * (F.col("cum1") - F.col("c1"))
+            + F.col("c1") * F.col("c2")
+            + 2
+            * F.col("c3")
+            * (
+                (F.col("cum1") - F.col("c1"))
+                + (F.col("cum2") - F.col("c2"))
+            )
+            + F.col("c3") * (F.col("c1") + F.col("c2"))
+        )
+        .cast("long")
+        .alias("jt2")
+    )
+    tot = pv.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum("c3").alias("n3"),
+    )
+    m = acc.crossJoin(F.broadcast(tot))
+    nn = F.col("n1") + F.col("n2") + F.col("n3")
+    e4 = nn * nn - (
+        F.col("n1") * F.col("n1")
+        + F.col("n2") * F.col("n2")
+        + F.col("n3") * F.col("n3")
+    )
+    v72 = nn * nn * (2 * nn + 3) - (
+        F.col("n1") * F.col("n1") * (2 * F.col("n1") + 3)
+        + F.col("n2") * F.col("n2") * (2 * F.col("n2") + 3)
+        + F.col("n3") * F.col("n3") * (2 * F.col("n3") + 3)
+    )
+    dev_d = (2 * F.col("jt2") - e4).cast("double")
+    return m.select(
+        "n1",
+        "n2",
+        "n3",
+        "jt2",
+        e4.cast("long").alias("e4"),
+        v72.cast("long").alias("v72"),
+        F.round(
+            (F.col("jt2").cast("double") / 2 - e4.cast("double") / 4)
+            / F.sqrt(v72.cast("double") / 72),
+            4,
+        ).alias("z_stat"),
+        (
+            F.lit(72000000.0) * dev_d * dev_d
+            > F.lit(16000000.0) * F.lit(3.841459) * v72.cast("double")
+        ).alias("reject_05"),
+    )
+
+
+@query(
+    "q_stat_pettitt",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    rk AS (
+        SELECT day,
+               2 * rank() OVER (ORDER BY x)
+                 + count(*) OVER (PARTITION BY x) - 1 AS r2
+        FROM d
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+    u AS (
+        SELECT day,
+               CAST(sum(r2) OVER (ORDER BY day) AS BIGINT)
+                 - row_number() OVER (ORDER BY day) * (n_days + 1) AS u_t,
+               n_days
+        FROM rk CROSS JOIN n
+    ),
+    best AS (
+        SELECT n_days,
+               max(abs(u_t) * 1048576
+                   + (1048575 - date_diff('day', DATE '2024-01-01', day)))
+                   AS packed
+        FROM u GROUP BY n_days
+    )
+    SELECT n_days,
+           CAST(packed // 1048576 AS BIGINT) AS k_stat,
+           CAST(DATE '2024-01-01'
+                + CAST(1048575 - packed % 1048576 AS INTEGER)
+                AS VARCHAR) AS change_day,
+           round(2 * exp(-(6e0 * (packed // 1048576) * (packed // 1048576))
+                         / (CAST(n_days AS DOUBLE) * n_days * n_days
+                            + CAST(n_days AS DOUBLE) * n_days)), 4)
+               AS p_approx,
+           CAST(6000000 * (packed // 1048576) * (packed // 1048576)
+                >= 3688879 * (n_days * n_days * n_days + n_days * n_days)
+                AS BOOLEAN) AS reject_05
+    FROM best
+    """,
+)
+def q_stat_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test on the daily purchase-revenue series:
+    U_t = sum_(i<=t) sum_(j>t) sign(x_i − x_j), K = max_t |U_t|, with
+    the change day at the argmax — the rank-based (distribution-free)
+    single-changepoint detector, the nonparametric sibling of
+    q_ev_changepoint's variance-based split.
+
+    Exactness: with tie-averaged pooled ranks carried as 2× integers,
+    U_t = (running sum of r2 in day order) − t·(n+1) is an exact
+    BIGINT for every prefix t; K and the argmax day come from ONE
+    packed max (|U|·2²⁰ + reversed day code — earliest day wins ties,
+    never a SortAggregate struct-min); the 5% decision is the integer
+    cross-multiplication 6·10⁶·K² ≥ ln(40)·10⁶·(n³+n²) with
+    ln(40)→3688879 floored (a shared deterministic rule; the floor
+    direction only loosens the bound by <1e-6).  p_approx =
+    2·exp(−6K²/(n³+n²)) is one final float on exact integers.
+
+    Scale shape: everything after the keyed date aggregate lives on
+    the calendar-bounded daily series (windows justified in the
+    allowlist); K² stays in BIGINT to ~1000-day spans, then moves to
+    DECIMAL(38,0)."""
+    d = _daily_xy(spark, sf_dir)
+    w_rank = Window.orderBy("x")
+    w_tie = Window.partitionBy("x")
+    rk = d.select(
+        "day",
+        (
+            2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1
+        ).alias("r2"),
+    )
+    n = d.agg(F.count("*").cast("long").alias("n_days"))
+    w_day = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    u = rk.crossJoin(F.broadcast(n)).select(
+        "day",
+        (
+            F.sum("r2").over(w_day).cast("long")
+            - F.row_number().over(Window.orderBy("day"))
+            * (F.col("n_days") + 1)
+        ).alias("u_t"),
+        "n_days",
+    )
+    day_code = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    best = u.groupBy("n_days").agg(
+        F.max(
+            F.abs(F.col("u_t")) * 1048576 + (1048575 - day_code)
+        ).alias("packed")
+    )
+    k = F.floor(F.col("packed") / 1048576).cast("long")
+    nd = F.col("n_days").cast("double")
+    return best.select(
+        "n_days",
+        k.alias("k_stat"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (1048575 - F.col("packed") % 1048576).cast("int"),
+        )
+        .cast("string")
+        .alias("change_day"),
+        F.round(
+            2
+            * F.exp(
+                -(F.lit(6.0) * k * k)
+                / (nd * F.col("n_days") * F.col("n_days")
+                   + nd * F.col("n_days"))
+            ),
+            4,
+        ).alias("p_approx"),
+        (
+            F.lit(6000000).cast("long") * k * k
+            >= F.lit(3688879).cast("long")
+            * (
+                F.col("n_days") * F.col("n_days") * F.col("n_days")
+                + F.col("n_days") * F.col("n_days")
+            )
+        ).alias("reject_05"),
+    )
+
+
+@query(
+    "q_stat_coxstuart",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    idx AS (
+        SELECT x, row_number() OVER (ORDER BY day) AS i,
+               count(*) OVER () AS n
+        FROM d
+    ),
+    p AS (
+        SELECT b.x - a.x AS diff
+        FROM idx a JOIN idx b ON b.i = a.i + (a.n + 1) // 2
+        WHERE b.x <> a.x
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(coalesce(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS s_plus
+        FROM p
+    )
+    SELECT m, s_plus,
+           CAST(2 * s_plus - m AS BIGINT) AS dev,
+           CASE WHEN m >= 1 THEN
+               round((2 * s_plus - m) / sqrt(CAST(m AS DOUBLE)), 4)
+           END AS z,
+           CAST({_Z2_CRIT_DEN} * (2 * s_plus - m) * (2 * s_plus - m)
+                > {_Z2_CRIT_NUM} * m AS BOOLEAN) AS reject_05
+    FROM s
+    """,
+)
+def q_stat_coxstuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart trend test on daily purchase revenue: pair day i
+    with day i + ceil(n/2) (first half against second half, middle
+    day dropped when n is odd) and sign-test the paired differences —
+    the O(n) trend detector beside q_stat_mannkendall's O(n²) S
+    statistic, valid under any distribution.
+
+    Exactness: the pairing index is an integer row_number over the
+    calendar-bounded daily series (allowlisted); zero differences are
+    excluded exactly (revenue is exact cents); S⁺, the deviation
+    2S⁺−m, and the 5% normal-approximation decision
+    10⁶·(2S⁺−m)² > 3841459·m are all integer arithmetic, z the one
+    final float.  Same decision constants as q_stat_sign (shared
+    module literals)."""
+    d = _daily_xy(spark, sf_dir)
+    w = Window.orderBy("day")
+    idx = d.crossJoin(
+        F.broadcast(d.agg(F.count("*").cast("long").alias("n")))
+    ).select(
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+        "n",
+    )
+    a = idx.select(
+        (F.col("i") + F.floor((F.col("n") + 1) / 2)).alias("j"),
+        F.col("x").alias("xa"),
+    )
+    b = idx.select(F.col("i").alias("j"), F.col("x").alias("xb"))
+    p = (
+        a.join(b, "j")
+        .select((F.col("xb") - F.col("xa")).alias("diff"))
+        .where(F.col("diff") != 0)
+    )
+    s = p.agg(
+        F.count("*").cast("long").alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_plus"),
+    )
+    dev = 2 * F.col("s_plus") - F.col("m")
+    return s.select(
+        "m",
+        "s_plus",
+        dev.cast("long").alias("dev"),
+        F.when(
+            F.col("m") >= 1,
+            F.round(dev / F.sqrt(F.col("m").cast("double")), 4),
+        ).alias("z"),
+        (
+            F.lit(_Z2_CRIT_DEN).cast("long") * dev * dev
+            > F.lit(_Z2_CRIT_NUM).cast("long") * F.col("m")
+        ).alias("reject_05"),
+    )

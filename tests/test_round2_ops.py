@@ -282,6 +282,8 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ev_hill": "row_number over TakeOrderedAndProject's 101 rows (k-bounded)",
         "q_ord_newsvendor": "fractile rank over the per-day demand aggregate (calendar-bounded)",
         "q_ml_qini": "cumulative over the 10-row decile aggregate (fixed); user ranks go via plans/prefix.py",
+        "q_stat_pettitt": "ranks + prefix over per-day aggregate (calendar-bounded)",
+        "q_stat_coxstuart": "row_number over per-day aggregate (calendar-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
