@@ -6578,3 +6578,209 @@ def q_ord_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cost_units"),
         )
     )
+
+
+#: Fleiss-kappa algebra over the exact (n, r_sum, s_agree) integers,
+#: shared VERBATIM by both engines (quadratic-in-corpus products stay
+#: in DOUBLE per the overflow rule): po = S/(6n), pe = (R² +
+#: (3n−R)²)/(9n²), κ = (po − pe)/(1 − pe).
+_FLEISS_PO = "CAST(s_agree AS DOUBLE) / (6 * n)"
+_FLEISS_PE = (
+    "(CAST(r_sum AS DOUBLE) * r_sum"
+    " + CAST(3 * n - r_sum AS DOUBLE) * (3 * n - r_sum))"
+    " / (CAST(9 AS DOUBLE) * n * n)"
+)
+
+
+@query(
+    "q_stat_fleiss",
+    oracle=f"""
+    WITH j AS (
+        SELECT (CASE WHEN len(string_split(text, ' ')) >= 60
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN len(list_distinct(string_split(text, ' '))) >= 28
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars >= 320 THEN 1 ELSE 0 END) AS r
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r) AS BIGINT) AS r_sum,
+               CAST(sum(r * (r - 1) + (3 - r) * (2 - r)) AS BIGINT)
+                   AS s_agree
+        FROM j
+    )
+    SELECT n, r_sum, s_agree,
+           round({_FLEISS_PO}, 4) AS p_bar,
+           round({_FLEISS_PE}, 4) AS pe_bar,
+           round(({_FLEISS_PO} - ({_FLEISS_PE}))
+                 / (1 - ({_FLEISS_PE})), 4) AS fleiss_kappa
+    FROM c
+    """,
+)
+def q_stat_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for THREE document-quality judges (the m-rater
+    generalization of q_ml_kappa's two-judge Cohen form): judge A =
+    length gate (≥ 60 tokens), judge B = lexical richness (≥ 28
+    distinct), judge C = size gate (n_chars ≥ 320).  With binary
+    categories and m = 3 raters, per-item agreement P_i =
+    (r(r−1) + (3−r)(2−r))/6 where r = positive votes, so the whole
+    statistic reduces to three exact BIGINTs from ONE scan: n, R =
+    Σr, S = Σ r(r−1)+(3−r)(2−r).
+
+    Determinism: P̄ = S/(6n), P̄e = (R² + (3n−R)²)/(9n²), κ =
+    (P̄−P̄e)/(1−P̄e) — all evaluated in DOUBLE via module-level
+    expression strings shared verbatim by both engines (the marginal
+    squares are quadratic in corpus size — the overflow rule keeps
+    them out of BIGINT)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (
+            F.when(F.size(F.split("text", " ")) >= 60, 1)
+            .otherwise(0)
+            + F.when(
+                F.size(F.array_distinct(F.split("text", " "))) >= 28, 1
+            ).otherwise(0)
+            + F.when(F.col("n_chars") >= 320, 1).otherwise(0)
+        ).alias("r")
+    )
+    c = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r").cast("long").alias("r_sum"),
+        F.sum(
+            F.col("r") * (F.col("r") - 1)
+            + (3 - F.col("r")) * (2 - F.col("r"))
+        )
+        .cast("long")
+        .alias("s_agree"),
+    )
+    return c.select(
+        "n",
+        "r_sum",
+        "s_agree",
+        F.round(F.expr(_FLEISS_PO), 4).alias("p_bar"),
+        F.round(F.expr(_FLEISS_PE), 4).alias("pe_bar"),
+        F.round(
+            F.expr(
+                f"({_FLEISS_PO} - ({_FLEISS_PE})) / (1 - ({_FLEISS_PE}))"
+            ),
+            4,
+        ).alias("fleiss_kappa"),
+    )
+
+
+#: ICC(2,1) mean-square algebra over the exact integer aggregates
+#: (n items × k=3 raters; T = grand sum, q = Σ cell², sr = Σ row-sum²,
+#: sc = Σ col-sum² — all BIGINT-exact), shared verbatim: the sums of
+#: squares divide by n·k only inside DOUBLE.
+_ICC_MSR = (
+    "(CAST(sr AS DOUBLE) / 3 - CAST(t AS DOUBLE) * t / (3 * n))"
+    " / (n - 1)"
+)
+_ICC_MSC = (
+    "(CAST(sc AS DOUBLE) / n - CAST(t AS DOUBLE) * t / (3 * n)) / 2"
+)
+_ICC_MSE = (
+    "(CAST(q AS DOUBLE) - CAST(sr AS DOUBLE) / 3"
+    " - CAST(sc AS DOUBLE) / n + CAST(t AS DOUBLE) * t / (3 * n))"
+    " / ((n - 1) * 2)"
+)
+
+
+@query(
+    "q_stat_icc",
+    oracle=f"""
+    WITH j AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+               CAST(2 * len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS x2,
+               CAST((n_chars + 3) // 4 AS BIGINT) AS x3
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1 + x2 + x3) AS BIGINT) AS t,
+               CAST(sum(x1 * x1 + x2 * x2 + x3 * x3) AS BIGINT) AS q,
+               CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)
+                   AS sr,
+               CAST(sum(x1) * sum(x1) + sum(x2) * sum(x2)
+                    + sum(x3) * sum(x3) AS BIGINT) AS sc
+        FROM j
+    )
+    SELECT n, t, q, sr, sc,
+           round({_ICC_MSR}, 4) AS msr,
+           round({_ICC_MSC}, 4) AS msc,
+           round({_ICC_MSE}, 4) AS mse,
+           round((({_ICC_MSR}) - ({_ICC_MSE}))
+                 / (({_ICC_MSR}) + 2 * ({_ICC_MSE})
+                    + 3 * (({_ICC_MSC}) - ({_ICC_MSE})) / n), 4)
+               AS icc21
+    FROM c
+    """,
+)
+def q_stat_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(2,1) — intraclass correlation, two-way random effects,
+    single measures (Shrout & Fleiss) — for three NUMERIC document
+    raters: x1 = token count, x2 = 2× distinct-token count, x3 =
+    quarter-character count (integer scores on comparable scales).
+    The reliability statistic a labeling pipeline reports when raters
+    give scores rather than classes (q_stat_fleiss's continuous
+    sibling).
+
+    Determinism: every sum of squares is assembled from five exact
+    BIGINTs out of ONE scan (n, grand total T, Σcell², Σrow-sum²,
+    Σcol-sum²); MSR/MSC/MSE and ICC(2,1) = (MSR−MSE)/(MSR + (k−1)MSE
+    + k(MSC−MSE)/n) are DOUBLE expressions shared verbatim by both
+    engines (T² and the sum-squares are quadratic in corpus size —
+    overflow rule).  The k = 3 rater dimension is a fixed literal
+    throughout."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("x1"),
+        (2 * F.size(F.array_distinct(F.split("text", " "))))
+        .cast("long")
+        .alias("x2"),
+        F.floor((F.col("n_chars") + 3) / 4).cast("long").alias("x3"),
+    )
+    c = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x1") + F.col("x2") + F.col("x3"))
+        .cast("long")
+        .alias("t"),
+        F.sum(
+            F.col("x1") * F.col("x1")
+            + F.col("x2") * F.col("x2")
+            + F.col("x3") * F.col("x3")
+        )
+        .cast("long")
+        .alias("q"),
+        F.sum(
+            (F.col("x1") + F.col("x2") + F.col("x3"))
+            * (F.col("x1") + F.col("x2") + F.col("x3"))
+        )
+        .cast("long")
+        .alias("sr"),
+        (
+            F.sum("x1") * F.sum("x1")
+            + F.sum("x2") * F.sum("x2")
+            + F.sum("x3") * F.sum("x3")
+        )
+        .cast("long")
+        .alias("sc"),
+    )
+    return c.select(
+        "n",
+        "t",
+        "q",
+        "sr",
+        "sc",
+        F.round(F.expr(_ICC_MSR), 4).alias("msr"),
+        F.round(F.expr(_ICC_MSC), 4).alias("msc"),
+        F.round(F.expr(_ICC_MSE), 4).alias("mse"),
+        F.round(
+            F.expr(
+                f"(({_ICC_MSR}) - ({_ICC_MSE}))"
+                f" / (({_ICC_MSR}) + 2 * ({_ICC_MSE})"
+                f" + 3 * (({_ICC_MSC}) - ({_ICC_MSE})) / n)"
+            ),
+            4,
+        ).alias("icc21"),
+    )

@@ -3386,3 +3386,150 @@ def q_ml_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qini_k"),
     ).orderBy("decile")
+
+
+def _lang_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting sufficient statistics for comparing the two
+    document partitions (by ``lang`` vs by ``source``): doubled
+    same-pair counts sij2 = Σ n_ij(n_ij−1) over the contingency,
+    sa2/sb2 over the marginals, t2 = n(n−1).  One scan + three tiny
+    re-aggregates over the 5×20 contingency."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    sij = cell.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("sij2")
+    )
+    a = (
+        cell.groupBy("lang")
+        .agg(F.sum("c").alias("ai"))
+        .agg(
+            F.sum(F.col("ai") * (F.col("ai") - 1))
+            .cast("long")
+            .alias("sa2"),
+            F.sum("ai").cast("long").alias("n"),
+        )
+    )
+    b = (
+        cell.groupBy("source")
+        .agg(F.sum("c").alias("bj"))
+        .agg(
+            F.sum(F.col("bj") * (F.col("bj") - 1))
+            .cast("long")
+            .alias("sb2")
+        )
+    )
+    return (
+        sij.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n",
+            "sij2",
+            "sa2",
+            "sb2",
+            (F.col("n") * (F.col("n") - 1)).cast("long").alias("t2"),
+        )
+    )
+
+
+_LANG_SOURCE_PAIRS_SQL = """
+        SELECT CAST(sum(ct) AS BIGINT) AS n,
+               CAST(sum(ct * (ct - 1)) AS BIGINT) AS sij2,
+               (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) FROM (
+                    SELECT sum(ct) AS ai FROM cells GROUP BY lang))
+                   AS sa2,
+               (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) FROM (
+                    SELECT sum(ct) AS bj FROM cells GROUP BY source))
+                   AS sb2,
+               CAST(sum(ct) * (sum(ct) - 1) AS BIGINT) AS t2
+        FROM cells
+"""
+
+
+@query(
+    "q_ml_ari",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS ct FROM documents GROUP BY 1, 2
+    ),
+    s AS ({_LANG_SOURCE_PAIRS_SQL})
+    SELECT n, sij2, sa2, sb2, t2,
+           round((CAST(t2 AS DOUBLE) * sij2
+                  - CAST(sa2 AS DOUBLE) * sb2)
+                 / (CAST(t2 AS DOUBLE) * (sa2 + sb2) / 2
+                    - CAST(sa2 AS DOUBLE) * sb2), 6) AS ari
+    FROM s
+    """,
+)
+def q_ml_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the ``lang`` and ``source``
+    partitions of the document corpus — THE chance-corrected
+    partition-agreement statistic for comparing a clustering against
+    a reference labeling (Hubert & Arabie 1985): ARI =
+    (Σ C(n_ij,2) − E)/(max − E) with E the independence expectation.
+
+    Exactness: every C(·,2) is carried DOUBLED (x(x−1), exact BIGINT)
+    so no halving ever leaves integers: sij2 over the 5×20 contingency
+    cells, sa2/sb2 over the marginals, t2 = n(n−1); the ARI folds to
+    (t2·sij2 − sa2·sb2)/(t2·(sa2+sb2)/2 − sa2·sb2) whose products are
+    quadratic-in-corpus — evaluated in DOUBLE per the overflow rule,
+    identical expression both engines.  Plan: one keyed agg over the
+    bounded label space, three 1-row re-aggregates, no shuffle wider
+    than the contingency."""
+    return _lang_source_pairs(spark, sf_dir).select(
+        "n",
+        "sij2",
+        "sa2",
+        "sb2",
+        "t2",
+        F.round(
+            (
+                F.col("t2").cast("double") * F.col("sij2")
+                - F.col("sa2").cast("double") * F.col("sb2")
+            )
+            / (
+                F.col("t2").cast("double")
+                * (F.col("sa2") + F.col("sb2"))
+                / 2
+                - F.col("sa2").cast("double") * F.col("sb2")
+            ),
+            6,
+        ).alias("ari"),
+    )
+
+
+@query(
+    "q_ml_fowlkes",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS ct FROM documents GROUP BY 1, 2
+    ),
+    s AS ({_LANG_SOURCE_PAIRS_SQL})
+    SELECT n, sij2, sa2, sb2,
+           round(CAST(sij2 AS DOUBLE)
+                 / sqrt(CAST(sa2 AS DOUBLE) * sb2), 6) AS fowlkes_mallows
+    FROM s
+    """,
+)
+def q_ml_fowlkes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fowlkes–Mallows index over the same lang-vs-source pair
+    statistics as q_ml_ari: FM = TP/√((TP+FP)(TP+FN)) — the geometric
+    mean of pairwise precision and recall between two partitions, the
+    un-adjusted companion the ARI is usually read against (high FM +
+    low ARI = agreement explained by chance).
+
+    With doubled pair counts the ratio is sij2/√(sa2·sb2) exactly
+    (the ×2 cancels); one DOUBLE sqrt on exact BIGINTs, shared
+    pipeline with q_ml_ari (same helper, one contingency scan)."""
+    return _lang_source_pairs(spark, sf_dir).select(
+        "n",
+        "sij2",
+        "sa2",
+        "sb2",
+        F.round(
+            F.col("sij2").cast("double")
+            / F.sqrt(F.col("sa2").cast("double") * F.col("sb2")),
+            6,
+        ).alias("fowlkes_mallows"),
+    )
