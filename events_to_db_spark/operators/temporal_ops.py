@@ -2544,3 +2544,464 @@ def q_ml_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("pinball_mean_cents"),
     )
+
+
+#: Shared lifespan construction for the survival family (same
+#: semantics as q_ev_survival): per user, days from first event to
+#: first purchase (event) or to last observed day (censored).
+_LIFESPAN_SQL = """
+        SELECT user_id,
+               CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         IS NOT NULL
+                    THEN date_diff('day', CAST(min(ts) AS DATE),
+                         CAST(min(CASE WHEN event_type = 'purchase' THEN ts
+                                  END) AS DATE))
+                    ELSE date_diff('day', CAST(min(ts) AS DATE),
+                                   CAST(max(ts) AS DATE))
+               END AS t,
+               CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM events GROUP BY user_id
+"""
+
+
+def _lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (t, ev) time-to-first-purchase frame — one keyed
+    aggregate, the q_ev_survival construction factored for reuse by
+    the r9 survival family (log-rank / Nelson–Aalen / RMST)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.when(
+            first_purchase.isNotNull(),
+            F.datediff(F.to_date(first_purchase), F.min(F.to_date("ts"))),
+        )
+        .otherwise(
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        )
+        .alias("t"),
+        F.when(first_purchase.isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+
+
+@query(
+    "q_ev_logrank",
+    oracle=f"""
+    WITH ls AS ({_LIFESPAN_SQL}),
+    g AS (
+        SELECT t, ev,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 2) AS grp
+        FROM ls
+    ),
+    n0 AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1g,
+               CAST(count(*) AS BIGINT) AS ng
+        FROM g
+    ),
+    evt AS (
+        SELECT t,
+               CAST(sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(sum(ev) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS l1,
+               CAST(count(*) AS BIGINT) AS l
+        FROM g GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d1, d,
+               n1g - coalesce(sum(l1) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n1t,
+               ng - coalesce(sum(l) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS nt,
+               n1g, ng
+        FROM evt CROSS JOIN n0
+    ),
+    terms AS (
+        SELECT t, d1, n1g, ng,
+               CAST(d AS DOUBLE) * n1t / nt AS e1,
+               CASE WHEN nt > 1 THEN
+                   CAST(d AS DOUBLE) * n1t * (nt - n1t) * (nt - d)
+                   / (CAST(nt AS DOUBLE) * nt * (nt - 1))
+               ELSE 0e0 END AS v
+        FROM risk WHERE d > 0
+    ),
+    cum AS (
+        SELECT t, n1g, ng,
+               sum(d1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS o1,
+               sum(e1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS e1c,
+               sum(v) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS vc
+        FROM terms
+    )
+    SELECT n1g AS n1,
+           CAST(ng - n1g AS BIGINT) AS n2,
+           CAST(o1 AS BIGINT) AS o1,
+           round(e1c, 4) AS e1,
+           round(vc, 4) AS v,
+           round((o1 - e1c) * (o1 - e1c) / vc, 4) AS chi2,
+           CAST((o1 - e1c) * (o1 - e1c)
+                > CAST(3.841459 AS DOUBLE) * vc AS BOOLEAN) AS reject_05
+    FROM cum WHERE t = (SELECT max(t) FROM terms)
+    """,
+)
+def q_ev_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank (Mantel–Cox) test on time-to-first-purchase:
+    users split by the deterministic md5 parity bucket (the engine's
+    hash-split convention), O−E accumulated over conversion days with
+    the hypergeometric variance — THE censoring-correct comparison of
+    two survival curves (a t-test on conversion days ignores the
+    censored users entirely).
+
+    Determinism: per-day d/d1/at-risk counts are exact integers from
+    the 1-PRECEDING prefix; the E and V terms are per-day DOUBLEs
+    summed via the ORDERED day-window prefix (identical addition
+    order both engines — the q_ev_survival discipline), with the
+    statistic read off the final event day.  The 5% decision compares
+    (O−E)² against z²crit·V in DOUBLE with the shared literal.
+
+    Scale: one keyed user aggregate; everything after lives on the
+    calendar-bounded conversion-day table (allowlisted windows)."""
+    ls = _lifespan(spark, sf_dir)
+    g = ls.select(
+        "t",
+        "ev",
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(cast(user_id as string)"
+            " as binary)), 1, 15), 16, 10) as bigint), 2)"
+        ).alias("grp"),
+    )
+    n0 = g.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1g"),
+        F.count("*").cast("long").alias("ng"),
+    )
+    evt = g.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("l1"),
+        F.count("*").cast("long").alias("l"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = evt.crossJoin(F.broadcast(n0)).select(
+        "t",
+        "d1",
+        "d",
+        (
+            F.col("n1g")
+            - F.coalesce(F.sum("l1").over(w_prev), F.lit(0))
+        ).alias("n1t"),
+        (
+            F.col("ng") - F.coalesce(F.sum("l").over(w_prev), F.lit(0))
+        ).alias("nt"),
+        "n1g",
+        "ng",
+    )
+    terms = risk.where(F.col("d") > 0).select(
+        "t",
+        "d1",
+        "n1g",
+        "ng",
+        (
+            F.col("d").cast("double") * F.col("n1t") / F.col("nt")
+        ).alias("e1"),
+        F.when(
+            F.col("nt") > 1,
+            F.col("d").cast("double")
+            * F.col("n1t")
+            * (F.col("nt") - F.col("n1t"))
+            * (F.col("nt") - F.col("d"))
+            / (
+                F.col("nt").cast("double")
+                * F.col("nt")
+                * (F.col("nt") - 1)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = terms.select(
+        "t",
+        "n1g",
+        "ng",
+        F.sum("d1").over(w_cum).alias("o1"),
+        F.sum("e1").over(w_cum).alias("e1c"),
+        F.sum("v").over(w_cum).alias("vc"),
+    )
+    tmax = terms.agg(F.max("t").alias("tm"))
+    dev2 = (F.col("o1") - F.col("e1c")) * (F.col("o1") - F.col("e1c"))
+    return (
+        cum.crossJoin(F.broadcast(tmax))
+        .where(F.col("t") == F.col("tm"))
+        .select(
+            F.col("n1g").alias("n1"),
+            (F.col("ng") - F.col("n1g")).cast("long").alias("n2"),
+            F.col("o1").cast("long").alias("o1"),
+            F.round(F.col("e1c"), 4).alias("e1"),
+            F.round(F.col("vc"), 4).alias("v"),
+            F.round(dev2 / F.col("vc"), 4).alias("chi2"),
+            (dev2 > F.expr("CAST(3.841459 AS DOUBLE)") * F.col("vc"))
+            .alias("reject_05"),
+        )
+    )
+
+
+@query(
+    "q_ev_nelson_aalen",
+    oracle=f"""
+    WITH ls AS ({_LIFESPAN_SQL}),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ls),
+    evt AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS l
+        FROM ls GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               n - coalesce(sum(l) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS nt
+        FROM evt CROSS JOIN n0
+    ),
+    na AS (
+        SELECT t, d, nt,
+               sum(CAST(d AS DOUBLE) / nt) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS h,
+               sum(CAST(d AS DOUBLE) / (CAST(nt AS DOUBLE) * nt)) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS hv
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           d AS n_events,
+           CAST(nt AS BIGINT) AS n_at_risk,
+           round(h, 4) AS cum_hazard,
+           round(hv, 6) AS hazard_var
+    FROM na WHERE d > 0
+    """,
+)
+def q_ev_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator H(t) = Σ d_i/n_i for
+    time-to-first-purchase, with the Poisson-type variance Σ d_i/n_i²
+    — the hazard-scale complement of q_ev_survival's Kaplan–Meier
+    curve (H(t) ≈ −ln S(t); an analyst reads slope changes off H
+    directly, where S flattens unreadably).
+
+    Determinism: d and the at-risk counts are exact integers from the
+    1-PRECEDING prefix; the per-day hazard increments are DOUBLEs
+    summed via the ORDERED day-window prefix (identical addition
+    order both engines).  Same lifespan construction, same
+    calendar-bounded plan shape as q_ev_survival."""
+    ls = _lifespan(spark, sf_dir)
+    n0 = ls.agg(F.count("*").cast("long").alias("n"))
+    evt = ls.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count("*").cast("long").alias("l"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = evt.crossJoin(F.broadcast(n0)).select(
+        "t",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("l").over(w_prev), F.lit(0))
+        ).alias("nt"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    na = risk.select(
+        "t",
+        "d",
+        "nt",
+        F.sum(F.col("d").cast("double") / F.col("nt"))
+        .over(w_cum)
+        .alias("h"),
+        F.sum(
+            F.col("d").cast("double")
+            / (F.col("nt").cast("double") * F.col("nt"))
+        )
+        .over(w_cum)
+        .alias("hv"),
+    )
+    return na.where(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").alias("n_events"),
+        F.col("nt").cast("long").alias("n_at_risk"),
+        F.round("h", 4).alias("cum_hazard"),
+        F.round("hv", 6).alias("hazard_var"),
+    )
+
+
+@query(
+    "q_ev_rmst",
+    oracle=f"""
+    WITH ls AS ({_LIFESPAN_SQL}),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ls),
+    evt AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS l
+        FROM ls GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               n - coalesce(sum(l) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS nt,
+               n
+        FROM evt CROSS JOIN n0
+    ),
+    km AS (
+        SELECT t, d, n,
+               sum(CASE WHEN d < nt
+                        THEN ln(1 - CAST(d AS DOUBLE) / nt)
+                        ELSE 0e0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnS,
+               max(CASE WHEN d >= nt THEN 1 ELSE 0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS hz
+        FROM risk
+    ),
+    steps AS (
+        SELECT t, d, n,
+               CASE WHEN hz = 1 THEN 0e0 ELSE exp(lnS) END AS s
+        FROM km WHERE d > 0
+    ),
+    rects AS (
+        SELECT t, d, n, s,
+               lag(s, 1, 1e0) OVER (ORDER BY t)
+                   * (least(t, 30)
+                      - least(lag(t, 1, 0) OVER (ORDER BY t), 30)) AS rect
+        FROM steps
+    ),
+    contrib AS (
+        SELECT t, n, s,
+               sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS d_cum,
+               sum(rect) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS area
+        FROM rects
+    )
+    SELECT n AS n_users,
+           CAST(d_cum AS BIGINT) AS n_events,
+           round(s, 4) AS s_final,
+           round(area + s * (30 - least(t, 30)), 4) AS rmst30
+    FROM contrib WHERE t = (SELECT max(t) FROM steps)
+    """,
+)
+def q_ev_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 30 days for
+    time-to-first-purchase: the area under the Kaplan–Meier step
+    curve up to 30 days — the censoring-correct "average days without
+    a purchase in the first month", the single-number summary
+    regulators and A/B analyses prefer over the (often undefined)
+    median survival.
+
+    Determinism: the KM steps reuse q_ev_survival's exact machinery
+    (integer d/at-risk, ORDERED ln-prefix, guarded zero-hit); each
+    rectangle S_prev·(min(t,30) − min(t_prev,30)) and the running
+    area are DOUBLEs accumulated via the ORDERED day-window prefix
+    (identical addition order both engines); the final value adds the
+    flat tail S_last·(30 − min(t_last,30)) read off the last event
+    day.  Intervals past tau contribute exactly zero through the
+    least() clamp — no branch on t.
+
+    Scale: same plan as q_ev_survival — one keyed user aggregate,
+    calendar-bounded day table after."""
+    ls = _lifespan(spark, sf_dir)
+    n0 = ls.agg(F.count("*").cast("long").alias("n"))
+    evt = ls.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count("*").cast("long").alias("l"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = evt.crossJoin(F.broadcast(n0)).select(
+        "t",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("l").over(w_prev), F.lit(0))
+        ).alias("nt"),
+        "n",
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "n",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("nt"),
+                F.log(
+                    F.lit(1)
+                    - F.col("d").cast("double") / F.col("nt")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("lnS"),
+        F.max(F.when(F.col("d") >= F.col("nt"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("hz"),
+    )
+    steps = km.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n",
+        F.when(F.col("hz") == 1, F.lit(0.0))
+        .otherwise(F.exp("lnS"))
+        .alias("s"),
+    )
+    w_ord = Window.orderBy("t")
+    rects = steps.select(
+        "t",
+        "d",
+        "n",
+        "s",
+        (
+            F.lag("s", 1, 1.0).over(w_ord)
+            * (
+                F.least(F.col("t"), F.lit(30))
+                - F.least(F.lag("t", 1, 0).over(w_ord), F.lit(30))
+            )
+        ).alias("rect"),
+    )
+    contrib = rects.select(
+        "t",
+        "n",
+        "s",
+        F.sum("d").over(w_cum).alias("d_cum"),
+        F.sum("rect").over(w_cum).alias("area"),
+    )
+    tmax = steps.agg(F.max("t").alias("tm"))
+    return (
+        contrib.crossJoin(F.broadcast(tmax))
+        .where(F.col("t") == F.col("tm"))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("d_cum").cast("long").alias("n_events"),
+            F.round("s", 4).alias("s_final"),
+            F.round(
+                F.col("area")
+                + F.col("s") * (30 - F.least(F.col("t"), F.lit(30))),
+                4,
+            ).alias("rmst30"),
+        )
+    )

@@ -284,6 +284,9 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ml_qini": "cumulative over the 10-row decile aggregate (fixed); user ranks go via plans/prefix.py",
         "q_stat_pettitt": "ranks + prefix over per-day aggregate (calendar-bounded)",
         "q_stat_coxstuart": "row_number over per-day aggregate (calendar-bounded)",
+        "q_ev_logrank": "O-E/V prefixes over conversion-day aggregate (calendar-bounded)",
+        "q_ev_nelson_aalen": "hazard prefix over per-lifespan-day aggregate (calendar-bounded)",
+        "q_ev_rmst": "KM-area prefixes over per-lifespan-day aggregate (calendar-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
