@@ -6784,3 +6784,90 @@ def q_stat_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("icc21"),
     )
+
+
+@query(
+    "q_ml_balacc",
+    oracle="""
+    WITH j AS (
+        SELECT len(string_split(text, ' ')) >= 60 AS a,
+               len(list_distinct(string_split(text, ' '))) >= 28 AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM j
+    )
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) / (tp + fn)
+                  + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 4)
+               AS balanced_accuracy,
+           round(CAST(5 * tp AS DOUBLE) / (5 * tp + 4 * fn + fp), 4)
+               AS f2,
+           round(CAST(5 * tp AS DOUBLE) / (5 * tp + fn + 4 * fp), 4)
+               AS f05
+    FROM c
+    """,
+)
+def q_ml_balacc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced accuracy + F-beta pair (beta = 2 and 0.5) for the
+    q_ml_kappa judge confusion (judge A = prediction, judge B =
+    truth) — the imbalance-robust scalar trio between plain accuracy
+    and q_ml_mcc: balanced accuracy = (TPR+TNR)/2, F2 weights recall
+    4x over precision (the screening regime), F0.5 the reverse (the
+    precision regime).
+
+    Exactness: all four cells are exact BIGINTs from ONE scan; both
+    F-betas clear their fractional beta² by cross-multiplying to
+    integers — F2 = 5·TP/(5TP+4FN+FP), F0.5 = 5·TP/(5TP+FN+4FP) (the
+    x4 multiplied through (1+beta²)) — so every metric is ONE final
+    division of exact integers."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.size(F.split("text", " ")) >= 60).alias("a"),
+        (F.size(F.array_distinct(F.split("text", " "))) >= 28).alias("b"),
+    )
+    c = d.agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+                + F.col("tn").cast("double") / (F.col("tn") + F.col("fp"))
+            )
+            / 2,
+            4,
+        ).alias("balanced_accuracy"),
+        F.round(
+            (5 * F.col("tp")).cast("double")
+            / (5 * F.col("tp") + 4 * F.col("fn") + F.col("fp")),
+            4,
+        ).alias("f2"),
+        F.round(
+            (5 * F.col("tp")).cast("double")
+            / (5 * F.col("tp") + F.col("fn") + 4 * F.col("fp")),
+            4,
+        ).alias("f05"),
+    )

@@ -1110,3 +1110,72 @@ def q_ir_bpref(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@query(
+    "q_ir_rprec",
+    oracle="WITH "
+    + _IR_RANKED_SQL
+    + """,
+    nrel AS (
+        SELECT probe_id,
+               CAST(count(CASE WHEN rel = 2 THEN 1 END) AS BIGINT)
+                   AS n_rel
+        FROM ranked GROUP BY probe_id
+    ),
+    hits AS (
+        SELECT r.probe_id,
+               CAST(count(CASE WHEN r.rel = 2 AND r.rk <= n.n_rel
+                          THEN 1 END) AS BIGINT) AS n_hits,
+               min(n.n_rel) AS n_rel
+        FROM ranked r JOIN nrel n ON n.probe_id = r.probe_id
+        GROUP BY r.probe_id
+    )
+    SELECT probe_id, n_rel, n_hits,
+           CASE WHEN n_rel > 0
+                THEN round(CAST(n_hits AS DOUBLE) / n_rel, 4)
+           END AS r_precision
+    FROM hits
+    """,
+)
+def q_ir_rprec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-precision over the shared ranked-candidate pipeline:
+    precision at rank R where R = the probe's total number of
+    strictly-relevant candidates (rel = 2) — the break-even point
+    where precision equals recall, the depth-free companion to the
+    fixed-k metrics (P@10 flatters probes with few relevant docs;
+    R-precision adapts the cutoff per probe).
+
+    Determinism: R and the hit count inside the top-R window are
+    exact BIGINTs off the deterministically tie-broken ranking (score
+    DESC, cand_id ASC); the single division is the final float.  The
+    rank filter rk <= R rides the same partitioned row_number as the
+    other IR metrics — per-probe work, no global window."""
+    ranked = _ranked_candidates(spark, sf_dir)
+    nrel = ranked.groupBy("probe_id").agg(
+        F.count(F.when(F.col("rel") == 2, 1)).cast("long").alias("n_rel")
+    )
+    hits = (
+        ranked.join(F.broadcast(nrel), "probe_id")
+        .groupBy("probe_id")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("rel") == 2) & (F.col("rk") <= F.col("n_rel")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_hits"),
+            F.min("n_rel").alias("n_rel"),
+        )
+    )
+    return hits.select(
+        "probe_id",
+        "n_rel",
+        "n_hits",
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.col("n_hits").cast("double") / F.col("n_rel"), 4),
+        ).alias("r_precision"),
+    )

@@ -1621,3 +1621,212 @@ def q_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HAM_TOPK)
         .select("probe_id", "cand_id", "hamming", "dot_q", "rk")
     )
+
+
+@query(
+    "q_text_rouge2",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, concat(t[i], ' ', t[i + 1]) AS bigram,
+               count(*) AS c
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT doc_id // 2 AS pair_id, bigram, c
+        FROM bg WHERE doc_id % 2 = 0
+    ),
+    ref AS (
+        SELECT doc_id // 2 AS pair_id, bigram, c
+        FROM bg WHERE doc_id % 2 = 1
+    ),
+    ov AS (
+        SELECT cand.pair_id,
+               CAST(sum(least(cand.c, ref.c)) AS BIGINT) AS o
+        FROM cand JOIN ref ON ref.pair_id = cand.pair_id
+                          AND ref.bigram = cand.bigram
+        GROUP BY 1
+    ),
+    ctot AS (SELECT pair_id, CAST(sum(c) AS BIGINT) AS nc
+             FROM cand GROUP BY 1),
+    rtot AS (SELECT pair_id, CAST(sum(c) AS BIGINT) AS nr
+             FROM ref GROUP BY 1),
+    pairs AS (
+        SELECT ctot.pair_id, nc, nr, coalesce(o, 0) AS o
+        FROM ctot JOIN rtot ON rtot.pair_id = ctot.pair_id
+        LEFT JOIN ov ON ov.pair_id = ctot.pair_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(o) AS BIGINT) AS overlap_bigrams,
+           CAST(sum(nc) AS BIGINT) AS cand_bigrams,
+           CAST(sum(nr) AS BIGINT) AS ref_bigrams,
+           round(CAST(sum(o) AS DOUBLE) / sum(nc), 4) AS rouge2_p,
+           round(CAST(sum(o) AS DOUBLE) / sum(nr), 4) AS rouge2_r,
+           round(CAST(2 * sum(o) AS DOUBLE) / (sum(nc) + sum(nr)), 4)
+               AS rouge2_f1
+    FROM pairs
+    """,
+)
+def q_text_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged ROUGE-2 between adjacent document pairs (even
+    doc_id = candidate, next odd doc_id = reference) — the n-gram
+    overlap metric a summarization/distillation pipeline runs over a
+    (candidate, reference) corpus, here exercised on the id-adjacent
+    pairing so both engines see identical pairs.  Counts are CLIPPED
+    per the ROUGE definition: overlap = Σ_g min(count_cand(g),
+    count_ref(g)).
+
+    Exactness: per-doc bigram counts, the clipped overlap, and all
+    three corpus totals are exact BIGINTs; micro P/R/F1 are single
+    final divisions (F1 = 2·ov/(cand+ref) — the harmonic mean folds
+    exactly under micro-averaging).  Pairs where either side has no
+    shared bigram keep overlap 0 through the LEFT join.
+
+    Scale: bigrams are built array-side (one row per doc until the
+    single explode — the q_text_ngram construction); the pair join is
+    keyed on (pair_id, bigram) — linear shuffle, no all-pairs
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', t[i + 1]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    pair_id = F.expr("doc_id div 2")
+    cand = bg.where(F.col("doc_id") % 2 == 0).select(
+        pair_id.alias("pair_id"), "bigram", F.col("c").alias("cc")
+    )
+    ref = bg.where(F.col("doc_id") % 2 == 1).select(
+        pair_id.alias("pair_id"), "bigram", F.col("c").alias("cr")
+    )
+    ov = (
+        cand.join(ref, ["pair_id", "bigram"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("cc", "cr")).cast("long").alias("o"))
+    )
+    ctot = cand.groupBy("pair_id").agg(
+        F.sum("cc").cast("long").alias("nc")
+    )
+    rtot = ref.groupBy("pair_id").agg(
+        F.sum("cr").cast("long").alias("nr")
+    )
+    pairs = (
+        ctot.join(rtot, "pair_id")
+        .join(ov, "pair_id", "left")
+        .select("nc", "nr", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("o").cast("long").alias("overlap_bigrams"),
+        F.sum("nc").cast("long").alias("cand_bigrams"),
+        F.sum("nr").cast("long").alias("ref_bigrams"),
+        F.round(
+            F.sum("o").cast("double") / F.sum("nc"), 4
+        ).alias("rouge2_p"),
+        F.round(
+            F.sum("o").cast("double") / F.sum("nr"), 4
+        ).alias("rouge2_r"),
+        F.round(
+            (2 * F.sum("o")).cast("double")
+            / (F.sum("nc") + F.sum("nr")),
+            4,
+        ).alias("rouge2_f1"),
+    )
+
+
+@query(
+    "q_text_distinct_n",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, doc_id, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS tot1,
+               CAST(count(DISTINCT tok) AS BIGINT) AS d1
+        FROM (SELECT lang, unnest(t) AS tok FROM toks)
+        GROUP BY lang
+    ),
+    bi AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS tot2,
+               CAST(count(DISTINCT bigram) AS BIGINT) AS d2
+        FROM (SELECT lang, concat(t[i], ' ', t[i + 1]) AS bigram
+              FROM (SELECT lang, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2))
+        GROUP BY lang
+    )
+    SELECT uni.lang, tot1, d1, tot2, d2,
+           round(CAST(d1 AS DOUBLE) / tot1, 6) AS distinct_1,
+           round(CAST(d2 AS DOUBLE) / tot2, 6) AS distinct_2
+    FROM uni JOIN bi ON bi.lang = uni.lang
+    """,
+)
+def q_text_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / Distinct-2 per language (Li et al.'s generation-
+    diversity metrics): unique unigrams over total unigrams and
+    unique bigrams over total bigrams — the corpus-diversity numbers
+    a synthetic-data pipeline watches for mode collapse (distinct-n
+    craters when a generator loops).
+
+    Exactness: all four counts are exact BIGINTs (distinct counts
+    over the bounded token/bigram space); the two ratios are single
+    final divisions.  Plan: one explode each for unigrams/bigrams,
+    two hash aggregates keyed by the 5-value lang dimension, one tiny
+    join — linear in corpus tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("tot1"),
+            F.countDistinct("tok").cast("long").alias("d1"),
+        )
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', t[i + 1]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("tot2"),
+            F.countDistinct("bigram").cast("long").alias("d2"),
+        )
+    )
+    return uni.join(bi, "lang").select(
+        "lang",
+        "tot1",
+        "d1",
+        "tot2",
+        "d2",
+        F.round(F.col("d1").cast("double") / F.col("tot1"), 6).alias(
+            "distinct_1"
+        ),
+        F.round(F.col("d2").cast("double") / F.col("tot2"), 6).alias(
+            "distinct_2"
+        ),
+    )

@@ -4547,3 +4547,94 @@ def q_stat_coxstuart(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_Z2_CRIT_NUM).cast("long") * F.col("m")
         ).alias("reject_05"),
     )
+
+
+@query(
+    "q_stat_gtest",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+          FROM cells GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells),
+    terms AS (
+        SELECT CAST(floor(2000000e0 * o
+                          * ln(CAST(o AS DOUBLE) * nt
+                               / (CAST(rt AS DOUBLE) * ct)))
+                    AS BIGINT) AS t6
+        FROM cells
+        JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+        WHERE o > 0
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(t6) AS BIGINT) AS g6
+        FROM terms
+    )
+    SELECT n_cells, g6,
+           round(CAST(g6 AS DOUBLE) / 1000000e0, 4) AS g_stat_approx,
+           CAST(g6 >= 36415028 AS BOOLEAN) AS reject_05
+    FROM g
+    """,
+)
+def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio χ²) of independence for
+    event_type × day-of-week — the information-theoretic twin of
+    q_stat_chisq (G = 2·Σ O·ln(O/E) = 2N·MI; additive across
+    partitions of the table where Pearson's χ² is not).
+
+    Determinism: summing ~35 per-cell ln DOUBLEs is engine-order-
+    dependent, so each cell's term 2·O·ln(O·N/(R·C)) is FLOORED at
+    fixed-point 10⁶ into a BIGINT first (the q_ml_logloss trick — the
+    floor absorbs sub-ulp libm drift) and the integer sum is exact;
+    zero cells contribute exactly 0 (skipped — lim x·ln x = 0).  The
+    5% decision compares the fixed-point sum against χ²crit(df=24) =
+    36.41503 floored at the same scale.  The per-cell floor biases G
+    down by < 35e-6 — documented spec.  Plan mirrors q_stat_chisq:
+    one scan + marginal re-aggregates broadcast onto the 35-cell
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    r = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    c = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("nt"))
+    terms = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("o") > 0)
+        .select(
+            F.floor(
+                F.lit(2000000.0)
+                * F.col("o")
+                * F.log(
+                    F.col("o").cast("double")
+                    * F.col("nt")
+                    / (F.col("rt").cast("double") * F.col("ct"))
+                )
+            )
+            .cast("long")
+            .alias("t6")
+        )
+    )
+    g = terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("t6").cast("long").alias("g6"),
+    )
+    return g.select(
+        "n_cells",
+        "g6",
+        F.round(F.col("g6").cast("double") / 1000000.0, 4).alias(
+            "g_stat_approx"
+        ),
+        (F.col("g6") >= F.lit(36415028).cast("long")).alias(
+            "reject_05"
+        ),
+    )
