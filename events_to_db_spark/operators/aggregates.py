@@ -1119,3 +1119,76 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_sum_fp").cast("double") / F.col("sv") / 1000000, 6
         ).alias("theil_t"),
     )
+
+
+@query(
+    "q_agg_hoover",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM u
+    ),
+    dev AS (
+        SELECT CAST(sum(abs(n * x - s)) AS BIGINT) AS num, n, s
+        FROM u CROSS JOIN tot
+        GROUP BY n, s
+    )
+    SELECT n AS n_users, s AS total_cents, num AS hoover_num,
+           round(CAST(num AS DOUBLE) / (2e0 * n * s), 6) AS hoover
+    FROM dev
+    """,
+)
+def q_agg_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of per-user purchase revenue: the
+    share of total revenue that would have to move between users to
+    equalize them — Σ|x_i − mean|/(2·Σx), the third leg of the
+    inequality family beside q_agg_gini's rank-based area and
+    q_agg_theil's entropy form (Hoover answers "how much must move",
+    Gini "how unequal are pairs", Theil "decomposable by group").
+
+    Exactness: the cross-multiplied deviation |n·x_i − S| keeps every
+    term an exact BIGINT (revenue is exact cents — no mean ever
+    materializes as a float); the index is ONE final division by
+    2nS.  Plan: one keyed aggregate, one 1-row total broadcast back,
+    one scalar re-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    tot = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = (
+        u.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s")
+        .agg(
+            F.sum(F.abs(F.col("n") * F.col("x") - F.col("s")))
+            .cast("long")
+            .alias("num")
+        )
+    )
+    return dev.select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_cents"),
+        F.col("num").alias("hoover_num"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.lit(2.0) * F.col("n") * F.col("s")),
+            6,
+        ).alias("hoover"),
+    )

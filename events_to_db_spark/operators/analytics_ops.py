@@ -6871,3 +6871,225 @@ def q_ml_balacc(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f05"),
     )
+
+
+@query(
+    "q_ord_croston",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events
+        WHERE event_type = 'purchase' AND value > 95
+        GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS t,
+               count(*) OVER () AS n,
+               date_diff('day', lag(day) OVER (ORDER BY day), day) AS q
+        FROM d
+    ),
+    terms AS (
+        SELECT t, n,
+               CASE WHEN t = 1 THEN x / power(2e0, n - 1)
+                    ELSE x / power(2e0, n - t + 1) END AS zterm,
+               CASE WHEN t = 1 THEN NULL
+                    WHEN t = 2 THEN q / power(2e0, n - 2)
+                    ELSE q / power(2e0, n - t + 1) END AS qterm
+        FROM idx
+    ),
+    cum AS (
+        SELECT t, n,
+               sum(zterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS z_hat,
+               sum(qterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS p_hat
+        FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_demand_days,
+           round(z_hat / 100e0, 4) AS z_hat,
+           round(p_hat, 4) AS p_hat,
+           CASE WHEN p_hat > 0
+                THEN round(z_hat / p_hat / 100e0, 4) END
+               AS croston_forecast
+    FROM cum WHERE t = n
+    """,
+)
+def q_ord_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (alpha = 1/2) on
+    daily high-ticket purchase revenue (value > 95): smooth the
+    nonzero demand SIZES and the inter-demand INTERVALS separately
+    with exponential smoothing, forecast = size / interval — the
+    estimator that doesn't bias toward zero the way plain SES does on
+    a sparse series (Croston 1972).
+
+    Determinism: with alpha = 1/2 and s_1 = x_1 the EWMA unrolls to
+    the closed dyadic form s_T = x_1/2^(T-1) + Σ x_t/2^(T-t+1) —
+    every term is an exact power-of-two quotient of exact integers
+    (cents / calendar days), and the engines accumulate them through
+    the ORDERED occurrence-index prefix (identical addition order →
+    bit-identical even where a 52-bit mantissa would round).  The
+    first interval (undefined) seeds the interval series at the
+    second occurrence; a single-occurrence series yields NULL
+    forecast through the guard, never a division error.
+
+    Scale: one keyed date aggregate; the fold lives on the
+    calendar-bounded demand-day series (allowlisted windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 95))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    n0 = d.agg(F.count("*").cast("long").alias("n"))
+    idx = d.crossJoin(F.broadcast(n0)).select(
+        "x",
+        "n",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("q"),
+    )
+    zterm = F.when(
+        F.col("t") == 1, F.col("x") / F.pow(F.lit(2.0), F.col("n") - 1)
+    ).otherwise(
+        F.col("x") / F.pow(F.lit(2.0), F.col("n") - F.col("t") + 1)
+    )
+    qterm = (
+        F.when(F.col("t") == 1, F.lit(None).cast("double"))
+        .when(
+            F.col("t") == 2,
+            F.col("q") / F.pow(F.lit(2.0), F.col("n") - 2),
+        )
+        .otherwise(
+            F.col("q") / F.pow(F.lit(2.0), F.col("n") - F.col("t") + 1)
+        )
+    )
+    terms = idx.select(
+        "t", "n", zterm.alias("zterm"), qterm.alias("qterm")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = terms.select(
+        "t",
+        "n",
+        F.sum("zterm").over(w_cum).alias("z_hat"),
+        F.sum("qterm").over(w_cum).alias("p_hat"),
+    )
+    return cum.where(F.col("t") == F.col("n")).select(
+        F.col("n").alias("n_demand_days"),
+        F.round(F.col("z_hat") / 100.0, 4).alias("z_hat"),
+        F.round(F.col("p_hat"), 4).alias("p_hat"),
+        F.when(
+            F.col("p_hat") > 0,
+            F.round(F.col("z_hat") / F.col("p_hat") / 100.0, 4),
+        ).alias("croston_forecast"),
+    )
+
+
+@query(
+    "q_ev_spc",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    sub AS (
+        SELECT day,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(max(cents) - min(cents) AS BIGINT) AS r
+        FROM p WHERE rn <= 5
+        GROUP BY day HAVING count(*) = 5
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(s) AS BIGINT) AS ss,
+               CAST(sum(r) AS BIGINT) AS sr
+        FROM sub
+    )
+    SELECT CAST(day AS VARCHAR) AS day, s AS s_cents, r AS r_cents,
+           round(CAST(s AS DOUBLE) / 500, 4) AS xbar,
+           round(CAST(ss AS DOUBLE) / (500 * k), 4) AS center,
+           CAST(1000 * (k * s - ss) > 2885 * sr AS BOOLEAN)
+               AS above_ucl,
+           CAST(1000 * (ss - k * s) > 2885 * sr AS BOOLEAN)
+               AS below_lcl,
+           CAST(1000 * k * r > 2114 * sr AS BOOLEAN) AS range_oot
+    FROM sub CROSS JOIN tot
+    """,
+)
+def q_ev_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar/R control chart over daily purchase subgroups
+    (n = 5: the first five purchases of each day by event order —
+    fixed subgroup size so the standard chart constants apply):
+    per-day subgroup mean and range against the A2/D4 limits
+    X-bar ± A2·R-bar and D4·R-bar (A2 = 0.577, D4 = 2.114, D3 = 0
+    for n = 5) — the process-control surface an ops team runs on a
+    metric stream.
+
+    Determinism: every control decision is an exact-integer
+    cross-multiplication — x-bar_i > X-bar + A2·R-bar becomes
+    1000·(k·s_i − ΣS) > 5·577·ΣR with s_i the exact subgroup cent
+    sum, and the range test 1000·k·r_i > 2114·ΣR — so no float ever
+    decides a flag; the displayed means are single final divisions.
+    The chart constants are exact rational literals (577/1000,
+    2114/1000).
+
+    Scale: the subgroup pick is a per-day partitioned row_number
+    (never global); everything after lives on the calendar-bounded
+    day table."""
+    ev = load_table(spark, sf_dir, "events")
+    w_day = Window.partitionBy(F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.row_number().over(w_day).alias("rn"),
+    )
+    sub = (
+        p.where(F.col("rn") <= 5)
+        .groupBy("day")
+        .agg(
+            F.sum("cents").cast("long").alias("s"),
+            (F.max("cents") - F.min("cents")).cast("long").alias("r"),
+            F.count("*").alias("cnt"),
+        )
+        .where(F.col("cnt") == 5)
+        .drop("cnt")
+    )
+    tot = sub.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("r").cast("long").alias("sr"),
+    )
+    j = sub.crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("s").alias("s_cents"),
+        F.col("r").alias("r_cents"),
+        F.round(F.col("s").cast("double") / 500, 4).alias("xbar"),
+        F.round(
+            F.col("ss").cast("double") / (500 * F.col("k")), 4
+        ).alias("center"),
+        (
+            1000 * (F.col("k") * F.col("s") - F.col("ss"))
+            > 2885 * F.col("sr")
+        ).alias("above_ucl"),
+        (
+            1000 * (F.col("ss") - F.col("k") * F.col("s"))
+            > 2885 * F.col("sr")
+        ).alias("below_lcl"),
+        (1000 * F.col("k") * F.col("r") > 2114 * F.col("sr")).alias(
+            "range_oot"
+        ),
+    )

@@ -474,3 +474,80 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "q_graph_hits",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 40
+    ),
+    a1 AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY s
+    ),
+    h1 AS (
+        SELECT c, CAST(sum(a) AS BIGINT) AS h
+        FROM edges JOIN a1 USING (s) GROUP BY c
+    ),
+    a2 AS (
+        SELECT s, CAST(sum(h) AS BIGINT) AS auth2
+        FROM edges JOIN h1 USING (c) GROUP BY s
+    ),
+    tot AS (SELECT CAST(sum(auth2) AS BIGINT) AS ta FROM a2)
+    SELECT s AS suppkey, auth2,
+           round(CAST(auth2 AS DOUBLE) / ta, 6) AS auth_norm
+    FROM a2 CROSS JOIN tot
+    ORDER BY auth2 DESC, s LIMIT 10
+    """,
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS iterations (Kleinberg) on the bipartite
+    customer→supplier bulk-order graph (the q_graph_assortativity
+    edge set): authority⁰ = 1 → hub¹ = Σ authority of neighbors →
+    authority² = Σ hub of in-neighbors — the top-10 suppliers by
+    mutually-reinforcing importance, which plain in-degree (= the
+    first iteration alone) mis-ranks when hubs are unequal.
+
+    Determinism: with the all-ones start, every hub/authority score
+    stays an exact BIGINT through both iterations (integer
+    matrix-vector products as join + hash-agg); L1 normalization is
+    ONE final division.  Top-10 by (auth2 DESC, suppkey) is a
+    TakeOrdered over exact integers — no float enters any ordering.
+
+    Scale: two keyed join+agg rounds over the distinct edge list —
+    the degree tables broadcast; no all-pairs, no iteration-count
+    blowup (2 fixed rounds)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_quantity") >= 40)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a1 = edges.groupBy("s").agg(F.count("*").cast("long").alias("a"))
+    h1 = (
+        edges.join(F.broadcast(a1), "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(F.broadcast(h1), "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("auth2"))
+    )
+    tot = a2.agg(F.sum("auth2").cast("long").alias("ta"))
+    return (
+        a2.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("suppkey"),
+            "auth2",
+            F.round(
+                F.col("auth2").cast("double") / F.col("ta"), 6
+            ).alias("auth_norm"),
+        )
+        .orderBy(F.col("auth2").desc(), "suppkey")
+        .limit(10)
+    )
