@@ -1192,3 +1192,180 @@ def q_agg_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hoover"),
     )
+
+
+@query(
+    "q_agg_palma",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    rk AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id) AS r
+        FROM u
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM u
+    ),
+    shares AS (
+        SELECT n, s,
+               CAST(coalesce(sum(CASE WHEN 10 * r > 9 * n THEN x END),
+                             0) AS BIGINT) AS top10,
+               CAST(coalesce(sum(CASE WHEN 10 * r <= 4 * n THEN x END),
+                             0) AS BIGINT) AS bot40
+        FROM rk CROSS JOIN tot
+        GROUP BY n, s
+    )
+    SELECT n AS n_users, s AS total_cents, top10, bot40,
+           CASE WHEN bot40 > 0
+                THEN round(CAST(top10 AS DOUBLE) / bot40, 4) END
+               AS palma
+    FROM shares
+    """,
+)
+def q_agg_palma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of per-user purchase revenue: revenue share of the
+    top 10% of users over the share of the bottom 40% — the
+    inequality summary that ignores the stable middle 50% (Palma's
+    observation) and so moves when Gini barely does.
+
+    Exactness: the decile boundaries are exact integer
+    cross-multiplications on the UNIQUE rank (10·r > 9·n for the top
+    decile, 10·r ≤ 4·n for the bottom 40% — ties broken by user_id,
+    so both engines slice identical user sets); the two region sums
+    are exact cents and the ratio is ONE final division.  The global
+    rank runs through the bucketed two-level scan on the Spark side —
+    never a global window over the user keyspace."""
+    from events_to_db_spark.plans.prefix import bucketed_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    rk = bucketed_running_sum(
+        u,
+        bucket=F.floor(F.col("x") / F.lit(100000)).cast("long"),
+        order_cols=[F.col("x"), F.col("user_id")],
+        sums={"r": F.lit(1)},
+    )
+    tot = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    shares = (
+        rk.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(10 * F.col("r") > 9 * F.col("n"), F.col("x"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("top10"),
+            F.coalesce(
+                F.sum(
+                    F.when(10 * F.col("r") <= 4 * F.col("n"), F.col("x"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("bot40"),
+        )
+    )
+    return shares.select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_cents"),
+        "top10",
+        "bot40",
+        F.when(
+            F.col("bot40") > 0,
+            F.round(F.col("top10").cast("double") / F.col("bot40"), 4),
+        ).alias("palma"),
+    )
+
+
+@query(
+    "q_agg_atkinson",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(floor(1000000e0 * ln(CAST(x AS DOUBLE)))
+                             AS BIGINT)) AS BIGINT) AS lsum6
+        FROM u WHERE x > 0
+    )
+    SELECT n AS n_users, s AS total_cents, lsum6,
+           round(1 - exp(CAST(lsum6 AS DOUBLE) / 1000000e0 / n)
+                     / (CAST(s AS DOUBLE) / n), 4) AS atkinson_1
+    FROM c
+    """,
+)
+def q_agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index at epsilon = 1 for per-user purchase
+    revenue: A = 1 − geometric_mean/arithmetic_mean — the welfare-
+    theoretic member of the inequality family (its value IS the share
+    of total income society could discard and be equally well off
+    under log utility), completing Gini/Theil/Hoover/Palma.
+
+    Determinism: each user's ln(x) is FLOORED at 10⁶ fixed-point into
+    a BIGINT before summing (the q_ml_logloss trick — the floor
+    absorbs sub-ulp libm drift and the integer sum is order-free);
+    the geometric mean exp(L/10⁶/n) and the final ratio are one
+    shared DOUBLE expression (exp-on-identical-argument parity per
+    the q_ev_survival precedent).  The floor biases the geomean down
+    by < 1e-6 relative — documented spec."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    c = u.where(F.col("x") > 0).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(
+            F.floor(
+                F.lit(1000000.0) * F.log(F.col("x").cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("lsum6"),
+    )
+    return c.select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_cents"),
+        "lsum6",
+        F.round(
+            F.lit(1)
+            - F.exp(
+                F.col("lsum6").cast("double") / 1000000.0 / F.col("n")
+            )
+            / (F.col("s").cast("double") / F.col("n")),
+            4,
+        ).alias("atkinson_1"),
+    )

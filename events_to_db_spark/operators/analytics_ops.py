@@ -7093,3 +7093,212 @@ def q_ev_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "range_oot"
         ),
     )
+
+
+@query(
+    "q_ord_fullfill",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey, o_orderpriority,
+               CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 30
+                    THEN 1 ELSE 0 END AS ontime
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    ord AS (
+        SELECT l_orderkey, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(min(ontime) AS BIGINT) AS full_ontime
+        FROM lines GROUP BY l_orderkey, o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(full_ontime) AS BIGINT) AS n_fullfill,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           round(CAST(sum(full_ontime) AS DOUBLE) / count(*), 4)
+               AS fullfill_rate
+    FROM ord
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_ord_fullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level full-fill rate by order priority: an order counts
+    only if EVERY line shipped within 30 days of the order date —
+    the order-level strictening of q_ord_otif's line-level 30-day
+    service level (one late line fails the whole order here; a
+    customer experiences orders, not lines).
+
+    Exactness: the full-order flag is min(ontime) over exact 0/1
+    line flags (whole-day DATE arithmetic); per-priority counts are
+    BIGINTs and the rate is one final division.
+
+    Scale: one fact join (orders dimension broadcast), one
+    order-keyed aggregate (map-side combinable), then a 5-row
+    priority aggregate — the fact table is touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lines = li.join(
+        F.broadcast(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30,
+            1,
+        )
+        .otherwise(0)
+        .alias("ontime"),
+    )
+    ord_flags = lines.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.min("ontime").cast("long").alias("full_ontime"),
+    )
+    return (
+        ord_flags.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("full_ontime").cast("long").alias("n_fullfill"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("full_ontime").cast("double") / F.count("*"), 4
+            ).alias("fullfill_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+
+@query(
+    "q_stat_stuart_maxwell",
+    oracle="""
+    WITH j AS (
+        SELECT CASE WHEN len(string_split(text, ' ')) < 50 THEN 0
+                    WHEN len(string_split(text, ' ')) < 80 THEN 1
+                    ELSE 2 END AS a,
+               CASE WHEN n_chars < 250 THEN 0
+                    WHEN n_chars < 400 THEN 1
+                    ELSE 2 END AS b
+        FROM documents
+    ),
+    cells AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM j GROUP BY a, b
+    ),
+    m AS (
+        SELECT
+            CAST(coalesce(sum(CASE WHEN a = 0 THEN c END), 0)
+                 - coalesce(sum(CASE WHEN b = 0 THEN c END), 0)
+                 AS BIGINT) AS d1,
+            CAST(coalesce(sum(CASE WHEN a = 1 THEN c END), 0)
+                 - coalesce(sum(CASE WHEN b = 1 THEN c END), 0)
+                 AS BIGINT) AS d2,
+            CAST(coalesce(sum(CASE WHEN a = 2 THEN c END), 0)
+                 - coalesce(sum(CASE WHEN b = 2 THEN c END), 0)
+                 AS BIGINT) AS d3,
+            CAST(coalesce(sum(CASE WHEN (a = 0 AND b = 1)
+                                     OR (a = 1 AND b = 0) THEN c END), 0)
+                 AS BIGINT) AS m12,
+            CAST(coalesce(sum(CASE WHEN (a = 0 AND b = 2)
+                                     OR (a = 2 AND b = 0) THEN c END), 0)
+                 AS BIGINT) AS m13,
+            CAST(coalesce(sum(CASE WHEN (a = 1 AND b = 2)
+                                     OR (a = 2 AND b = 1) THEN c END), 0)
+                 AS BIGINT) AS m23
+        FROM cells
+    )
+    SELECT d1, d2, d3, m12, m13, m23,
+           CAST(m23 * d1 * d1 + m13 * d2 * d2 + m12 * d3 * d3
+                AS BIGINT) AS chi2_num,
+           CAST(m12 * m13 + m12 * m23 + m13 * m23 AS BIGINT)
+               AS chi2_den,
+           round(CAST(m23 * d1 * d1 + m13 * d2 * d2 + m12 * d3 * d3
+                      AS DOUBLE)
+                 / (m12 * m13 + m12 * m23 + m13 * m23), 4) AS chi2,
+           CAST(1000000 * (m23 * d1 * d1 + m13 * d2 * d2
+                           + m12 * d3 * d3)
+                >= 5991464 * (m12 * m13 + m12 * m23 + m13 * m23)
+                AS BOOLEAN) AS reject_05
+    FROM m
+    """,
+)
+def q_stat_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart–Maxwell test of marginal homogeneity for two
+    THREE-category document judges (size band by token count vs size
+    band by character count) — the k×k generalization of q_ml_mcnemar
+    (which only handles 2×2): do the two banding rules assign the
+    same marginal distribution, using only the discordant cells?
+
+    For k = 3 the statistic has the closed form χ² = (n̄₂₃d₁² +
+    n̄₁₃d₂² + n̄₁₂d₃²) / (2·Σ n̄ᵢⱼn̄ᵢ'ⱼ') which, with DOUBLED
+    off-diagonal means mᵢⱼ = nᵢⱼ + nⱼᵢ, clears every fraction:
+    χ² = (m₂₃d₁² + m₁₃d₂² + m₁₂d₃²)/(m₁₂m₁₃ + m₁₂m₂₃ + m₁₃m₂₃) —
+    numerator and denominator are exact BIGINTs from the nine
+    contingency cells (ONE scan), the χ² one final division, and the
+    5% decision the integer cross-multiplication 10⁶·num ≥
+    5991464·den (χ²crit(df=2) floored at 10⁶)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.size(F.split("text", " ")) < 50, 0)
+        .when(F.size(F.split("text", " ")) < 80, 1)
+        .otherwise(2)
+        .alias("a"),
+        F.when(F.col("n_chars") < 250, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+        .alias("b"),
+    )
+    cells = d.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+
+    def _marg(side: str, v: int):
+        return F.coalesce(
+            F.sum(F.when(F.col(side) == v, F.col("c"))), F.lit(0)
+        ).cast("long")
+
+    def _pair(i: int, k: int):
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    ((F.col("a") == i) & (F.col("b") == k))
+                    | ((F.col("a") == k) & (F.col("b") == i)),
+                    F.col("c"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    m = cells.agg(
+        (_marg("a", 0) - _marg("b", 0)).alias("d1"),
+        (_marg("a", 1) - _marg("b", 1)).alias("d2"),
+        (_marg("a", 2) - _marg("b", 2)).alias("d3"),
+        _pair(0, 1).alias("m12"),
+        _pair(0, 2).alias("m13"),
+        _pair(1, 2).alias("m23"),
+    )
+    num = (
+        F.col("m23") * F.col("d1") * F.col("d1")
+        + F.col("m13") * F.col("d2") * F.col("d2")
+        + F.col("m12") * F.col("d3") * F.col("d3")
+    )
+    den = (
+        F.col("m12") * F.col("m13")
+        + F.col("m12") * F.col("m23")
+        + F.col("m13") * F.col("m23")
+    )
+    return m.select(
+        "d1",
+        "d2",
+        "d3",
+        "m12",
+        "m13",
+        "m23",
+        num.cast("long").alias("chi2_num"),
+        den.cast("long").alias("chi2_den"),
+        F.round(num.cast("double") / den, 4).alias("chi2"),
+        (
+            F.lit(1000000).cast("long") * num
+            >= F.lit(5991464).cast("long") * den
+        ).alias("reject_05"),
+    )

@@ -4638,3 +4638,95 @@ def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_05"
         ),
     )
+
+
+@query(
+    "q_stat_acf",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS k),
+    p AS (
+        SELECT k,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+               CAST(sum(a.x) AS BIGINT) AS sh,
+               CAST(sum(b.x) AS BIGINT) AS st
+        FROM lags
+        JOIN d a ON true
+        JOIN d b ON b.day = a.day + CAST(k AS INTEGER)
+        GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days, cnt AS n_pairs,
+           CAST(n * n * sxy - n * s * (sh + st) + cnt * s * s AS BIGINT)
+               AS acf_num,
+           CAST(n * (n * sxx - s * s) AS BIGINT) AS acf_den,
+           round(CAST(n * n * sxy - n * s * (sh + st) + cnt * s * s
+                      AS DOUBLE)
+                 / (n * (n * sxx - s * s)), 6) AS acf
+    FROM p CROSS JOIN g
+    ORDER BY k
+    """,
+)
+def q_stat_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily purchase revenue at lags
+    1..7 — the per-lag table under q_stat_portmanteau's pooled
+    Ljung–Box statistic (an analyst reads the weekly seasonality off
+    r_7 directly; the portmanteau only says "some lag is nonzero").
+    Uses the conventional estimator: full-series mean and variance,
+    numerator over the n−k overlapping pairs.
+
+    Exactness: the numerator and denominator are cleared of the
+    rational mean by n²-scaling — num = n²Σxy − nS(Σhead+Σtail) +
+    (n−k)S², den = n(nΣx² − S²) — both exact BIGINTs on exact-cent
+    revenue (safe to ~1000-day calendars × 1e6-cent days; then
+    DECIMAL(38,0)); each r_k is ONE final division.  The lag pairing
+    is a calendar-date equi-join (day + k), never a window.
+
+    Scale: the 7-lag fan-out and pair joins live entirely on the
+    calendar-bounded daily aggregate."""
+    d = _daily_xy(spark, sf_dir)
+    g = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    p = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.expr("db = date_add(da, k)"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+            F.sum("xa").cast("long").alias("sh"),
+            F.sum("xb").cast("long").alias("st"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("sh") + F.col("st"))
+        + F.col("cnt") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (
+        F.col("n") * F.col("sxx") - F.col("s") * F.col("s")
+    )
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            F.col("k").cast("long").alias("lag_days"),
+            F.col("cnt").alias("n_pairs"),
+            num.cast("long").alias("acf_num"),
+            den.cast("long").alias("acf_den"),
+            F.round(num.cast("double") / den, 6).alias("acf"),
+        )
+        .orderBy("lag_days")
+    )
