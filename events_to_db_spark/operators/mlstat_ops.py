@@ -3533,3 +3533,122 @@ def q_ml_fowlkes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fowlkes_mallows"),
     )
+
+
+@query(
+    "q_ml_silhouette",
+    oracle="""
+    WITH cells AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, d, q FROM cells
+        WHERE vec_id IN (SELECT vec_id FROM embeddings
+                         ORDER BY vec_id LIMIT 3)
+    ),
+    dist AS (
+        SELECT c.vec_id, ce.cid,
+               CAST(sum((c.q - ce.q) * (c.q - ce.q)) AS BIGINT) AS d2
+        FROM cells c JOIN cent ce ON c.d = ce.d
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rk
+        FROM dist
+    ),
+    ab AS (
+        SELECT a.vec_id, a.cid, a.d2 AS a2, b.d2 AS b2,
+               CASE WHEN b.d2 > 0
+                    THEN (10000 * (b.d2 - a.d2)) // b.d2
+                    ELSE 0 END AS s4
+        FROM ranked a JOIN ranked b
+          ON b.vec_id = a.vec_id AND a.rk = 1 AND b.rk = 2
+    )
+    SELECT cid AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(s4) AS BIGINT) AS sum_s4,
+           round(CAST(sum(s4) AS DOUBLE) / (10000 * count(*)), 4)
+               AS mean_silhouette
+    FROM ab GROUP BY cid
+    """,
+)
+def q_ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster for the
+    q_ml_kmeans_assign partition: s_i = (b−a)/max(a,b) with a = the
+    quantized squared distance to the ASSIGNED (nearest) centroid and
+    b = to the second-nearest — the cluster-quality diagnostic that
+    localizes WHICH cluster is poorly separated, where inertia alone
+    only gives a corpus total.  Centroid-based (not pairwise)
+    silhouette is the standard linear-time variant; squared-distance
+    form is a documented spec choice (rank-identical to Euclidean for
+    a ratio of the same monotone transform family).
+
+    Determinism: distances are the exact BIGINT quantized sums shared
+    with q_ml_kmeans_assign; a ≤ b by construction (argmin
+    assignment), so each s_i is the NON-NEGATIVE integer floor-div
+    ⌊10⁴(b−a)/b⌋ (floor ≡ truncate on non-negatives — the engines
+    agree) and per-cluster sums are exact; the mean is ONE division.
+
+    Scale: the k·dim centroid cells broadcast; one (vec,cid)
+    aggregate + a per-vec partitioned top-2 window — same |V|·k·dim
+    shape as the E-step, no extra pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("d"),
+        F.expr(
+            "cast(round(cast(x as double) * 1000000) as bigint)"
+        ).alias("q"),
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(3)
+    cent = (
+        cells.join(
+            F.broadcast(seeds.withColumnRenamed("vec_id", "cid")),
+            cells.vec_id == F.col("cid"),
+        )
+        .select("cid", "d", F.col("q").alias("cq"))
+    )
+    dist = (
+        cells.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = dist.withColumn("rk", F.row_number().over(w))
+    a = ranked.where(F.col("rk") == 1).select(
+        "vec_id", "cid", F.col("d2").alias("a2")
+    )
+    b = ranked.where(F.col("rk") == 2).select(
+        "vec_id", F.col("d2").alias("b2")
+    )
+    ab = a.join(b, "vec_id").select(
+        "cid",
+        F.when(
+            F.col("b2") > 0,
+            F.expr("(10000 * (b2 - a2)) div b2"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("s4"),
+    )
+    return ab.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("s4").cast("long").alias("sum_s4"),
+        F.round(
+            F.sum("s4").cast("double") / (10000 * F.count("*")), 4
+        ).alias("mean_silhouette"),
+    )

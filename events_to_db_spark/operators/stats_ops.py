@@ -4730,3 +4730,331 @@ def q_stat_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+#: Welch algebra over the exact per-group integers (n_k, s_k = Σx,
+#: q_k = Σx²) for k = 3 groups, shared VERBATIM by both engines.
+#: v_k = (n_k·q_k − s_k²)/(n_k(n_k−1)) in DOUBLE; w_k = n_k/v_k.
+_WELCH_V = {
+    i: (
+        f"((CAST(n{i} AS DOUBLE) * q{i} - CAST(s{i} AS DOUBLE) * s{i})"
+        f" / (CAST(n{i} AS DOUBLE) * (n{i} - 1)))"
+    )
+    for i in (1, 2, 3)
+}
+_WELCH_W = {i: f"(CAST(n{i} AS DOUBLE) / {_WELCH_V[i]})" for i in (1, 2, 3)}
+_WELCH_WSUM = f"({_WELCH_W[1]} + {_WELCH_W[2]} + {_WELCH_W[3]})"
+_WELCH_M = {i: f"(CAST(s{i} AS DOUBLE) / n{i})" for i in (1, 2, 3)}
+_WELCH_MBAR = (
+    f"(({_WELCH_W[1]} * {_WELCH_M[1]} + {_WELCH_W[2]} * {_WELCH_M[2]}"
+    f" + {_WELCH_W[3]} * {_WELCH_M[3]}) / {_WELCH_WSUM})"
+)
+_WELCH_A = (
+    "(("
+    + " + ".join(
+        f"{_WELCH_W[i]} * ({_WELCH_M[i]} - {_WELCH_MBAR})"
+        f" * ({_WELCH_M[i]} - {_WELCH_MBAR})"
+        for i in (1, 2, 3)
+    )
+    + ") / 2)"
+)
+_WELCH_C = (
+    "("
+    + " + ".join(
+        f"(1 - {_WELCH_W[i]} / {_WELCH_WSUM})"
+        f" * (1 - {_WELCH_W[i]} / {_WELCH_WSUM}) / (n{i} - 1)"
+        for i in (1, 2, 3)
+    )
+    + ")"
+)
+_WELCH_F = f"({_WELCH_A} / (1 + CAST(0.25 AS DOUBLE) * {_WELCH_C}))"
+_WELCH_DF2 = f"(8 / (3 * {_WELCH_C}))"
+
+
+@query(
+    "q_stat_welch",
+    oracle=f"""
+    WITH s AS (
+        SELECT CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                               ELSE 3 END AS g,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    piv AS (
+        SELECT
+            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(coalesce(sum(CASE WHEN g = 1 THEN x END), 0) AS BIGINT)
+                AS s1,
+            CAST(coalesce(sum(CASE WHEN g = 1 THEN x * x END), 0)
+                 AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(coalesce(sum(CASE WHEN g = 2 THEN x END), 0) AS BIGINT)
+                AS s2,
+            CAST(coalesce(sum(CASE WHEN g = 2 THEN x * x END), 0)
+                 AS BIGINT) AS q2,
+            CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            CAST(coalesce(sum(CASE WHEN g = 3 THEN x END), 0) AS BIGINT)
+                AS s3,
+            CAST(coalesce(sum(CASE WHEN g = 3 THEN x * x END), 0)
+                 AS BIGINT) AS q3
+        FROM s
+    )
+    SELECT n1, n2, n3,
+           round({_WELCH_F}, 4) AS f_welch,
+           round({_WELCH_DF2}, 2) AS df2
+    FROM piv
+    """,
+)
+def q_stat_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across the three event
+    populations (view / click / purchase ``value``) — the unequal-
+    variance form that stays valid where q_stat_anova's pooled-
+    variance F silently assumes homoscedasticity (Levene tests it;
+    Welch is what you run when Levene rejects): F_W = Σw_k(m̄_k−m̄)²/
+    (k−1) over the Satterthwaite correction, with the approximate
+    denominator df.
+
+    Determinism: the nine sufficient statistics (n, Σx, Σx² per
+    group, exact cents) come from ONE scan; every mean/variance/
+    weight and the F statistic are assembled from module-level
+    expression strings shared VERBATIM by both engines (the variance
+    products are quadratic-in-scale — the overflow rule keeps all
+    algebra in DOUBLE; the 0.25 = 2(k−2)/(k²−1) and 8/3 constants
+    are exact literals for k = 3)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .alias("g"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("x"),
+    )
+    aggs = []
+    for i in (1, 2, 3):
+        aggs += [
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("x"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"s{i}"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("x") * F.col("x"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    piv = s.agg(*aggs)
+    return piv.select(
+        "n1",
+        "n2",
+        "n3",
+        F.round(F.expr(_WELCH_F), 4).alias("f_welch"),
+        F.round(F.expr(_WELCH_DF2), 2).alias("df2"),
+    )
+
+
+@query(
+    "q_stat_cohend",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    piv AS (
+        SELECT
+            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(coalesce(sum(CASE WHEN g = 1 THEN x END), 0) AS BIGINT)
+                AS s1,
+            CAST(coalesce(sum(CASE WHEN g = 1 THEN x * x END), 0)
+                 AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(coalesce(sum(CASE WHEN g = 2 THEN x END), 0) AS BIGINT)
+                AS s2,
+            CAST(coalesce(sum(CASE WHEN g = 2 THEN x * x END), 0)
+                 AS BIGINT) AS q2
+        FROM s
+    )
+    SELECT n1, n2,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(n1 AS DOUBLE) * q1
+                          - CAST(s1 AS DOUBLE) * s1) / n1
+                         + (CAST(n2 AS DOUBLE) * q2
+                            - CAST(s2 AS DOUBLE) * s2) / n2)
+                        / (n1 + n2 - 2)), 4) AS cohen_d,
+           round(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                  / sqrt(((CAST(n1 AS DOUBLE) * q1
+                           - CAST(s1 AS DOUBLE) * s1) / n1
+                          + (CAST(n2 AS DOUBLE) * q2
+                             - CAST(s2 AS DOUBLE) * s2) / n2)
+                         / (n1 + n2 - 2)))
+                 * (1 - 3e0 / (4 * (n1 + n2) - 9)), 4) AS hedges_g
+    FROM piv
+    """,
+)
+def q_stat_cohend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g for purchase-vs-view ``value`` — the
+    standardized mean difference that turns q_stat_ttest's "is there
+    an effect" into "how big is it" (the number meta-analyses pool),
+    with Hedges' small-sample bias correction J = 1 − 3/(4N−9).
+
+    Determinism: the six sufficient statistics are exact BIGINTs from
+    ONE scan; the pooled SD uses the identity (n−1)v = (nΣx² −
+    (Σx)²)/n so d is a single shared DOUBLE expression over exact
+    integers (quadratic products in DOUBLE per the overflow rule);
+    J is an exact rational of integers."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(2)
+        .alias("g"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("x"),
+    )
+    aggs = []
+    for i in (1, 2):
+        aggs += [
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("x"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"s{i}"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("x") * F.col("x"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    piv = s.agg(*aggs)
+    d_expr = (
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+        " / sqrt(((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)"
+        " / n1 + (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)"
+        " / n2) / (n1 + n2 - 2))"
+    )
+    return piv.select(
+        "n1",
+        "n2",
+        F.round(F.expr(d_expr), 4).alias("cohen_d"),
+        F.round(
+            F.expr(f"({d_expr}) * (1 - 3e0 / (4 * (n1 + n2) - 9))"), 4
+        ).alias("hedges_g"),
+    )
+
+
+@query(
+    "q_stat_2prop",
+    oracle="""
+    WITH u AS (
+        SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 2) AS grp,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT
+            CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+            CAST(coalesce(sum(CASE WHEN grp = 0 THEN conv END), 0)
+                 AS BIGINT) AS x1,
+            CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+            CAST(coalesce(sum(CASE WHEN grp = 1 THEN conv END), 0)
+                 AS BIGINT) AS x2
+        FROM u
+    )
+    SELECT n1, x1, n2, x2,
+           CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+               round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                     / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                            * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                            * (1e0 / n1 + 1e0 / n2)), 4) END AS z,
+           CAST(1000000e0 * (CAST(x1 AS DOUBLE) * n2
+                             - CAST(x2 AS DOUBLE) * n1)
+                          * (CAST(x1 AS DOUBLE) * n2
+                             - CAST(x2 AS DOUBLE) * n1)
+                          * (n1 + n2)
+                > 3841459e0 * n1 * n2 * (x1 + x2)
+                           * (n1 + n2 - x1 - x2) AS BOOLEAN)
+               AS reject_05
+    FROM c
+    """,
+)
+def q_stat_2prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on user conversion (any purchase)
+    between the deterministic md5-parity arms — the A/B readout for a
+    BINARY outcome, beside CUPED/t-test's continuous one: z =
+    (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂.
+
+    Determinism: per-arm user and converter counts are exact BIGINTs
+    (one keyed aggregate + one 1-row pivot); z is one shared DOUBLE
+    expression, and the 5% decision is the cross-multiplied form
+    10⁶·(x₁n₂−x₂n₁)²·N > z²crit·n₁n₂·x·(N−x) evaluated in DOUBLE
+    (the squared cross product is quadratic-in-corpus — the overflow
+    rule bans BIGINT there) with the identical literal in both
+    engines.  A degenerate pool (0% or 100% conversion) yields NULL z
+    through an exact integer guard — never a division error (this
+    corpus converts every active user at small SF)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv")
+    ).select(
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(cast(user_id as string)"
+            " as binary)), 1, 15), 16, 10) as bigint), 2)"
+        ).alias("grp"),
+        "conv",
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 0, F.col("conv"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 1, F.col("conv"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("x2"),
+    )
+    return c.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(
+            "CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN"
+            " round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)"
+            " / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+            " * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+            " * (1e0 / n1 + 1e0 / n2)), 4) END"
+        ).alias("z"),
+        F.expr(
+            "1000000e0 * (CAST(x1 AS DOUBLE) * n2"
+            " - CAST(x2 AS DOUBLE) * n1)"
+            " * (CAST(x1 AS DOUBLE) * n2 - CAST(x2 AS DOUBLE) * n1)"
+            " * (n1 + n2)"
+            " > 3841459e0 * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)"
+        ).alias("reject_05"),
+    )

@@ -775,3 +775,117 @@ def q_win_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_dd2").cast("double") / F.col("n_days")), 4
         ).alias("ulcer_bp"),
     )
+
+
+@query(
+    "q_win_sortino",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    ch AS (
+        SELECT day, x,
+               x - lag(x) OVER (ORDER BY day) AS dx,
+               max(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM d
+    ),
+    s AS (
+        SELECT CAST(count(dx) AS BIGINT) AS n,
+               CAST(coalesce(sum(dx), 0) AS BIGINT) AS sdx,
+               CAST(coalesce(sum(CASE WHEN dx < 0 THEN dx * dx END), 0)
+                    AS BIGINT) AS dd2,
+               CAST(max(peak - x) AS BIGINT) AS max_dd
+        FROM ch
+    )
+    SELECT n AS n_changes, sdx AS sum_change_cents, dd2 AS downside_sq,
+           max_dd AS max_drawdown_cents,
+           CASE WHEN dd2 > 0 THEN
+               round((CAST(sdx AS DOUBLE) / n)
+                     / sqrt(CAST(dd2 AS DOUBLE) / n), 4) END
+               AS sortino,
+           CASE WHEN max_dd > 0 THEN
+               round(CAST(sdx AS DOUBLE) / n / max_dd, 6) END
+               AS calmar
+    FROM s
+    """,
+)
+def q_win_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino and Calmar ratios of the daily purchase-revenue
+    series — the downside-risk panel beside q_win_ulcer/q_win_drawdown:
+    Sortino divides mean daily change by the DOWNSIDE deviation only
+    (σ of negative changes — symmetric σ punishes good days), Calmar
+    by the maximum drawdown.
+
+    Determinism: daily changes, the downside sum-of-squares, and the
+    running-peak drawdown are all exact integer cents (dd² is
+    quadratic in value scale — at 1000-day × 1e8-cent series move it
+    to DECIMAL(38,0), noted); both ratios are single final DOUBLE
+    expressions, NULL-guarded when the series never falls.  The daily
+    frame adds an inert `event_id IS NOT NULL` so it stays
+    cache-canonical vs q_stat_mannkendall's cached twin (the r9
+    --plans lesson on q_win_ulcer).
+
+    Scale: one keyed date aggregate; lag + running max live on the
+    calendar-bounded day table (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("event_id").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    w_peak = w.rowsBetween(Window.unboundedPreceding, 0)
+    ch = d.select(
+        "x",
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        F.max("x").over(w_peak).alias("peak"),
+    )
+    s = ch.agg(
+        F.count("dx").cast("long").alias("n"),
+        F.coalesce(F.sum("dx"), F.lit(0)).cast("long").alias("sdx"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("dx") < 0, F.col("dx") * F.col("dx"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dd2"),
+        F.max(F.col("peak") - F.col("x")).cast("long").alias("max_dd"),
+    )
+    return s.select(
+        F.col("n").alias("n_changes"),
+        F.col("sdx").alias("sum_change_cents"),
+        F.col("dd2").alias("downside_sq"),
+        F.col("max_dd").alias("max_drawdown_cents"),
+        F.when(
+            F.col("dd2") > 0,
+            F.round(
+                (F.col("sdx").cast("double") / F.col("n"))
+                / F.sqrt(F.col("dd2").cast("double") / F.col("n")),
+                4,
+            ),
+        ).alias("sortino"),
+        F.when(
+            F.col("max_dd") > 0,
+            F.round(
+                F.col("sdx").cast("double")
+                / F.col("n")
+                / F.col("max_dd"),
+                6,
+            ),
+        ).alias("calmar"),
+    )
