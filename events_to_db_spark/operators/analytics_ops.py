@@ -7302,3 +7302,340 @@ def q_stat_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(5991464).cast("long") * den
         ).alias("reject_05"),
     )
+
+
+#: Cramer's-rule determinants for the Bass OLS normal equations over
+#: the exact BIGINT moments (S0..S4, T0..T2), shared VERBATIM — the
+#: moment products are quartic-in-scale, so ALL determinant algebra
+#: stays in DOUBLE (overflow rule).
+_BASS_D = {
+    "det": (
+        "(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4"
+        " - CAST(s3 AS DOUBLE) * s3)"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4"
+        " - CAST(s3 AS DOUBLE) * s2)"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3"
+        " - CAST(s2 AS DOUBLE) * s2))"
+    ),
+    "deta": (
+        "(CAST(t0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4"
+        " - CAST(s3 AS DOUBLE) * s3)"
+        " - CAST(s1 AS DOUBLE) * (CAST(t1 AS DOUBLE) * s4"
+        " - CAST(s3 AS DOUBLE) * t2)"
+        " + CAST(s2 AS DOUBLE) * (CAST(t1 AS DOUBLE) * s3"
+        " - CAST(s2 AS DOUBLE) * t2))"
+    ),
+    "detb": (
+        "(CAST(s0 AS DOUBLE) * (CAST(t1 AS DOUBLE) * s4"
+        " - CAST(s3 AS DOUBLE) * t2)"
+        " - CAST(t0 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4"
+        " - CAST(s3 AS DOUBLE) * s2)"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * t2"
+        " - CAST(t1 AS DOUBLE) * s2))"
+    ),
+    "detc": (
+        "(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * t2"
+        " - CAST(t1 AS DOUBLE) * s3)"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * t2"
+        " - CAST(t1 AS DOUBLE) * s2)"
+        " + CAST(t0 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3"
+        " - CAST(s2 AS DOUBLE) * s2))"
+    ),
+}
+_BASS_A = f"({_BASS_D['deta']} / {_BASS_D['det']})"
+_BASS_B = f"({_BASS_D['detb']} / {_BASS_D['det']})"
+_BASS_C = f"({_BASS_D['detc']} / {_BASS_D['det']})"
+_BASS_DISC = f"({_BASS_B} * {_BASS_B} - 4 * {_BASS_A} * {_BASS_C})"
+_BASS_M = f"((-{_BASS_B} - sqrt({_BASS_DISC})) / (2 * {_BASS_C}))"
+
+
+@query(
+    "q_ev_bass",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'signup'
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, y,
+               CAST(coalesce(sum(y) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS np
+        FROM d
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS s0,
+               CAST(sum(np) AS BIGINT) AS s1,
+               CAST(sum(np * np) AS BIGINT) AS s2,
+               CAST(sum(np * np * np) AS BIGINT) AS s3,
+               CAST(sum(np * np * np * np) AS BIGINT) AS s4,
+               CAST(sum(y) AS BIGINT) AS t0,
+               CAST(sum(y * np) AS BIGINT) AS t1,
+               CAST(sum(y * np * np) AS BIGINT) AS t2
+        FROM cum
+    )
+    SELECT s0 AS n_days, t0 AS n_adopters,
+           round({_BASS_A}, 6) AS coef_a,
+           round({_BASS_B}, 6) AS coef_b,
+           round({_BASS_C}, 10) AS coef_c,
+           CASE WHEN {_BASS_D['det']} <> 0 AND {_BASS_C} < 0
+                     AND {_BASS_DISC} >= 0 THEN
+               round({_BASS_M}, 2) END AS m_hat,
+           CASE WHEN {_BASS_D['det']} <> 0 AND {_BASS_C} < 0
+                     AND {_BASS_DISC} >= 0 AND {_BASS_M} > 0 THEN
+               round({_BASS_A} / {_BASS_M}, 6) END AS p_hat,
+           CASE WHEN {_BASS_D['det']} <> 0 AND {_BASS_C} < 0
+                     AND {_BASS_DISC} >= 0 AND {_BASS_M} > 0 THEN
+               round(-({_BASS_C}) * {_BASS_M}, 6) END AS q_hat
+    FROM m
+    """,
+)
+def q_ev_bass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model fit for daily signups via the discrete
+    OLS linearization (Bass 1969): n_t = pM + (q−p)N_{{t−1}} −
+    (q/M)N²_{{t−1}}, i.e. regress daily adopters on [1, N, N²] and
+    recover (M, p, q) from the coefficients — the
+    innovation/imitation decomposition + market-size forecast a
+    growth team fits on an adoption curve (M̂ answers "how big does
+    this get", q/p "is it word-of-mouth driven").
+
+    Determinism: the eight regression moments (up to ΣN⁴, ΣyN²) are
+    exact BIGINTs off the exclusive cumulative-adopter prefix (safe
+    to ~2e4 cumulative adopters in BIGINT at ΣN⁴; beyond that the
+    moments move to DECIMAL(38,0)); the 3×3 normal equations are
+    solved by Cramer's rule with ALL determinant algebra in DOUBLE
+    via module-level expression strings shared verbatim (quartic
+    products — overflow rule).  M̂ = (−b−√(b²−4ac))/(2c) takes the
+    economically meaningful root (c < 0 for a diffusion curve);
+    degenerate fits (singular system, c ≥ 0, negative discriminant)
+    yield NULL estimates through exact guards, never an error.
+
+    Scale: one keyed date aggregate; the prefix and the 1-row moment
+    pivot live on the calendar-bounded day series (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = d.select(
+        "y",
+        F.coalesce(F.sum("y").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("np"),
+    )
+    m = cum.agg(
+        F.count("*").cast("long").alias("s0"),
+        F.sum("np").cast("long").alias("s1"),
+        F.sum(F.col("np") * F.col("np")).cast("long").alias("s2"),
+        F.sum(F.col("np") * F.col("np") * F.col("np"))
+        .cast("long")
+        .alias("s3"),
+        F.sum(
+            F.col("np") * F.col("np") * F.col("np") * F.col("np")
+        )
+        .cast("long")
+        .alias("s4"),
+        F.sum("y").cast("long").alias("t0"),
+        F.sum(F.col("y") * F.col("np")).cast("long").alias("t1"),
+        F.sum(F.col("y") * F.col("np") * F.col("np"))
+        .cast("long")
+        .alias("t2"),
+    )
+    guard = (
+        f"{_BASS_D['det']} <> 0 AND {_BASS_C} < 0"
+        f" AND {_BASS_DISC} >= 0"
+    )
+    return m.select(
+        F.col("s0").alias("n_days"),
+        F.col("t0").alias("n_adopters"),
+        F.expr(f"round({_BASS_A}, 6)").alias("coef_a"),
+        F.expr(f"round({_BASS_B}, 6)").alias("coef_b"),
+        F.expr(f"round({_BASS_C}, 10)").alias("coef_c"),
+        F.expr(
+            f"CASE WHEN {guard} THEN round({_BASS_M}, 2) END"
+        ).alias("m_hat"),
+        F.expr(
+            f"CASE WHEN {guard} AND {_BASS_M} > 0 THEN"
+            f" round({_BASS_A} / {_BASS_M}, 6) END"
+        ).alias("p_hat"),
+        F.expr(
+            f"CASE WHEN {guard} AND {_BASS_M} > 0 THEN"
+            f" round(-({_BASS_C}) * {_BASS_M}, 6) END"
+        ).alias("q_hat"),
+    )
+
+
+@query(
+    "q_ev_capability",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    sub AS (
+        SELECT day,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(max(cents) - min(cents) AS BIGINT) AS r
+        FROM p WHERE rn <= 5
+        GROUP BY day HAVING count(*) = 5
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(s) AS BIGINT) AS ss,
+               CAST(sum(r) AS BIGINT) AS sr
+        FROM sub
+    )
+    SELECT k AS n_subgroups, ss AS sum_cents, sr AS sum_range_cents,
+           round(CAST(ss AS DOUBLE) / (500 * k), 4) AS xbar,
+           round(1000e0 * sr / (2326 * k) / 100, 4) AS sigma_hat,
+           CASE WHEN sr > 0 THEN
+               round(10000e0 * 2326 * k / (6e0 * 1000 * sr), 4) END
+               AS cp,
+           CASE WHEN sr > 0 THEN
+               round(least(10000e0 - CAST(ss AS DOUBLE) / (5 * k),
+                           CAST(ss AS DOUBLE) / (5 * k))
+                     * 2326 * k / (3e0 * 1000 * sr), 4) END AS cpk
+    FROM tot
+    """,
+)
+def q_ev_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability Cp/Cpk from the q_ev_spc subgroups against
+    the spec band [0, 100.00] (the construction range of ``value``):
+    sigma estimated the SPC way as R-bar/d2 (d2 = 2.326 for n = 5) —
+    the "can this process meet spec" number read together with the
+    control chart (in-control but incapable is a real state).
+
+    Determinism: the subgroup sums/ranges are exact cents (shared
+    construction with q_ev_spc); d2 enters as the exact rational
+    2326/1000, so Cp = (USL−LSL)·d2·k/(6·R̄-sum) and Cpk =
+    min(USL−X̄, X̄−LSL)·d2·k/(3·R̄-sum) are single shared DOUBLE
+    expressions over exact integers, NULL-guarded when every
+    subgroup has zero range."""
+    ev = load_table(spark, sf_dir, "events")
+    w_day = Window.partitionBy(F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.row_number().over(w_day).alias("rn"),
+    )
+    sub = (
+        p.where(F.col("rn") <= 5)
+        .groupBy("day")
+        .agg(
+            F.sum("cents").cast("long").alias("s"),
+            (F.max("cents") - F.min("cents")).cast("long").alias("r"),
+            F.count("*").alias("cnt"),
+        )
+        .where(F.col("cnt") == 5)
+    )
+    tot = sub.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("r").cast("long").alias("sr"),
+    )
+    return tot.select(
+        F.col("k").alias("n_subgroups"),
+        F.col("ss").alias("sum_cents"),
+        F.col("sr").alias("sum_range_cents"),
+        F.expr("round(CAST(ss AS DOUBLE) / (500 * k), 4)").alias(
+            "xbar"
+        ),
+        F.expr(
+            "round(1000e0 * sr / (2326 * k) / 100, 4)"
+        ).alias("sigma_hat"),
+        F.expr(
+            "CASE WHEN sr > 0 THEN"
+            " round(10000e0 * 2326 * k / (6e0 * 1000 * sr), 4) END"
+        ).alias("cp"),
+        F.expr(
+            "CASE WHEN sr > 0 THEN"
+            " round(least(10000e0 - CAST(ss AS DOUBLE) / (5 * k),"
+            " CAST(ss AS DOUBLE) / (5 * k))"
+            " * 2326 * k / (3e0 * 1000 * sr), 4) END"
+        ).alias("cpk"),
+    )
+
+
+@query(
+    "q_ord_safety_stock",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS u
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(u) AS BIGINT) AS s,
+               CAST(sum(u * u) AS BIGINT) AS q
+        FROM d
+    )
+    SELECT n AS n_days, s AS total_units,
+           round(CAST(s AS DOUBLE) / n, 4) AS mean_daily,
+           round(sqrt(greatest((CAST(n AS DOUBLE) * q
+                                - CAST(s AS DOUBLE) * s)
+                               / (CAST(n AS DOUBLE) * (n - 1)), 0e0)),
+                 4) AS sd_daily,
+           round(1645e0 / 1000
+                 * sqrt(greatest((CAST(n AS DOUBLE) * q
+                                  - CAST(s AS DOUBLE) * s)
+                                 / (CAST(n AS DOUBLE) * (n - 1)), 0e0))
+                 * sqrt(CAST(7 AS DOUBLE)), 2) AS safety_stock,
+           round(CAST(s AS DOUBLE) / n * 7
+                 + 1645e0 / 1000
+                 * sqrt(greatest((CAST(n AS DOUBLE) * q
+                                  - CAST(s AS DOUBLE) * s)
+                                 / (CAST(n AS DOUBLE) * (n - 1)), 0e0))
+                 * sqrt(CAST(7 AS DOUBLE)), 2) AS reorder_point
+    FROM m
+    """,
+)
+def q_ord_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock and reorder point for daily purchase demand at a
+    7-day lead time and 95% service level: SS = z·σ_d·√L, ROP =
+    mean·L + SS — the inventory-policy pair beside q_ord_eoq (EOQ
+    answers "how much to order", this answers "when"), with z = 1.645
+    as the exact rational 1645/1000.
+
+    Determinism: daily unit counts, n, Σu, Σu² are exact BIGINTs; the
+    variance uses the (nΣu²−S²)/(n(n−1)) identity with the algebra in
+    DOUBLE (quadratic-in-scale — overflow rule) and a greatest(·,0)
+    cancellation guard; every output is one shared expression."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("u"))
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("s"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("q"),
+    )
+    sd = (
+        "sqrt(greatest((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1)), 0e0))"
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("total_units"),
+        F.expr("round(CAST(s AS DOUBLE) / n, 4)").alias("mean_daily"),
+        F.expr(f"round({sd}, 4)").alias("sd_daily"),
+        F.expr(
+            f"round(1645e0 / 1000 * {sd} * sqrt(CAST(7 AS DOUBLE)), 2)"
+        ).alias("safety_stock"),
+        F.expr(
+            f"round(CAST(s AS DOUBLE) / n * 7"
+            f" + 1645e0 / 1000 * {sd} * sqrt(CAST(7 AS DOUBLE)), 2)"
+        ).alias("reorder_point"),
+    )

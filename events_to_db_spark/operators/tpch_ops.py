@@ -3085,3 +3085,53 @@ def q_ord_bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_ships"
         ),
     )
+
+
+@query(
+    "q_ord_vwap",
+    oracle="""
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS VARCHAR)
+               AS ship_month,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS pv_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / sum(CAST(l_quantity AS BIGINT)) / 100, 4) AS vwap
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_ord_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ship month: Σ(price·qty)/Σqty
+    — the quantity-weighted price signal a procurement/markets team
+    reads instead of the unweighted mean (which a few tiny expensive
+    lines distort).
+
+    Exactness: price converts to exact cents, quantities are exact
+    integers, so the price-volume numerator and the volume denominator
+    are both exact BIGINT sums (map-side combinable); the VWAP is ONE
+    final division per month.  One scan, one month-keyed hash
+    aggregate — the minimal plan for the question."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = F.sum(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        * F.col("l_quantity").cast("long")
+    )
+    vol = F.sum(F.col("l_quantity").cast("long"))
+    return (
+        li.groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .cast("string")
+            .alias("ship_month")
+        )
+        .agg(
+            pv.cast("long").alias("pv_cents"),
+            vol.cast("long").alias("volume"),
+            F.round(pv.cast("double") / vol / 100, 4).alias("vwap"),
+        )
+        .orderBy("ship_month")
+    )

@@ -289,6 +289,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ev_rmst": "KM-area prefixes over per-lifespan-day aggregate (calendar-bounded)",
         "q_ord_croston": "dyadic-fold prefixes over the demand-day aggregate (calendar-bounded)",
         "q_win_sortino": "lag + running max over per-day aggregate (calendar-bounded)",
+        "q_ev_bass": "cumulative-adopter prefix over per-day aggregate (calendar-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
