@@ -551,3 +551,128 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth2").desc(), "suppkey")
         .limit(10)
     )
+
+
+@query(
+    "q_graph_katz",
+    oracle="""
+    WITH edges AS (
+        SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT)
+                   AS w
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    x1 AS (
+        SELECT dst, CAST(sum(w) AS BIGINT) AS v FROM edges GROUP BY dst
+    ),
+    x2 AS (
+        SELECT e.dst, CAST(sum(e.w * x.v) AS BIGINT) AS v
+        FROM edges e JOIN x1 x ON x.dst = e.src
+        GROUP BY e.dst
+    ),
+    x3 AS (
+        SELECT e.dst, CAST(sum(e.w * x.v) AS BIGINT) AS v
+        FROM edges e JOIN x2 x ON x.dst = e.src
+        GROUP BY e.dst
+    ),
+    k AS (
+        SELECT x1.dst AS node,
+               CAST(4 * x1.v + 2 * coalesce(x2.v, 0)
+                    + coalesce(x3.v, 0) AS BIGINT) AS katz8
+        FROM x1
+        LEFT JOIN x2 ON x2.dst = x1.dst
+        LEFT JOIN x3 ON x3.dst = x1.dst
+    ),
+    tot AS (SELECT CAST(sum(katz8) AS BIGINT) AS tk FROM k)
+    SELECT node AS event_type, katz8,
+           round(CAST(katz8 AS DOUBLE) / tk, 6) AS katz_share
+    FROM k CROSS JOIN tot
+    ORDER BY katz8 DESC, node
+    """,
+)
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step truncated Katz centrality (attenuation β = 1/2) on
+    the weighted event-type transition graph (q_graph_pagerank's edge
+    set): Σ_k β^k (Wᵀ)^k·1 over path lengths 1..3 — the "influence
+    through short weighted paths" ranking between raw in-strength
+    (k = 1 alone) and PageRank's stationary view.
+
+    Determinism: with the all-ones start, every mat-vec x_k = Wᵀx_{k−1}
+    stays an exact BIGINT (integer edge weights, join + hash-agg per
+    step), and the dyadic attenuation folds to the single integer
+    8·katz = 4x₁ + 2x₂ + x₃ — no float until the final share
+    division.  Truncation at 3 steps is the documented spec (an
+    untruncated Katz needs β < 1/λmax, unknowable in one pass).
+    BIGINT posture: x₃ ~ (Σw)³/|V|² — safe to ~1e6-row transition
+    tables, then DECIMAL(38,0).
+
+    Scale: the |V|² edge table is bounded by the event-type
+    dictionary; three keyed aggregates, everything broadcastable."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w_user).alias("prev"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    x1 = edges.groupBy("dst").agg(F.sum("w").cast("long").alias("v"))
+    x2 = (
+        edges.join(
+            F.broadcast(x1.select(F.col("dst").alias("src"), F.col("v").alias("pv"))),
+            "src",
+        )
+        .groupBy("dst")
+        .agg(F.sum(F.col("w") * F.col("pv")).cast("long").alias("v"))
+    )
+    x3 = (
+        edges.join(
+            F.broadcast(x2.select(F.col("dst").alias("src"), F.col("v").alias("pv"))),
+            "src",
+        )
+        .groupBy("dst")
+        .agg(F.sum(F.col("w") * F.col("pv")).cast("long").alias("v"))
+    )
+    k = (
+        x1.join(
+            x2.select(F.col("dst").alias("d2"), F.col("v").alias("v2")),
+            F.col("dst") == F.col("d2"),
+            "left",
+        )
+        .join(
+            x3.select(F.col("dst").alias("d3"), F.col("v").alias("v3")),
+            F.col("dst") == F.col("d3"),
+            "left",
+        )
+        .select(
+            F.col("dst").alias("node"),
+            (
+                4 * F.col("v")
+                + 2 * F.coalesce(F.col("v2"), F.lit(0))
+                + F.coalesce(F.col("v3"), F.lit(0))
+            )
+            .cast("long")
+            .alias("katz8"),
+        )
+    )
+    tot = k.agg(F.sum("katz8").cast("long").alias("tk"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("node").alias("event_type"),
+            "katz8",
+            F.round(
+                F.col("katz8").cast("double") / F.col("tk"), 6
+            ).alias("katz_share"),
+        )
+        .orderBy(F.col("katz8").desc(), "event_type")
+    )

@@ -935,3 +935,77 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_equals_direct"
         ),
     )
+
+
+@query(
+    "q_sketch_lc",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 1024) AS bucket
+        FROM events
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS occupied,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                FROM events) AS true_distinct
+        FROM b
+    )
+    SELECT occupied, true_distinct,
+           CAST(1024 - occupied AS BIGINT) AS empty_buckets,
+           CASE WHEN occupied < 1024 THEN
+               round(1024 * ln(1024e0 / (1024 - occupied)), 4) END
+               AS lc_estimate
+    FROM t
+    """,
+)
+def q_sketch_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Counting distinct-user estimate (Whang et al. 1990) on
+    a 1024-bucket bitmap: n̂ = m·ln(m/z) with z = empty buckets —
+    the small-cardinality sketch that beats HLL below ~m distinct
+    (the regime HLL's own small-range correction falls back to LC
+    for); completes the sketch family (HLL / KMV / CM / Bloom).
+
+    Determinism: the bitmap is the engine's md5 bucket convention
+    (identical in both engines); occupied/empty counts and the true
+    distinct are exact BIGINTs, and the estimate is one shared
+    ln expression on exact integers (ln parity precedent),
+    NULL-guarded at saturation (z = 0 → LC undefined, use HLL).
+
+    Scale: a 1024-value DISTINCT collapses map-side; the bitmap
+    merge across executors is a trivial set union — the same
+    shard-merge shape proven for HLL."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(cast(user_id as string)"
+            " as binary)), 1, 15), 16, 10) as bigint), 1024)"
+        ).alias("bucket")
+    ).distinct()
+    t = b.agg(F.count("*").cast("long").alias("occupied")).crossJoin(
+        F.broadcast(
+            ev.agg(
+                F.countDistinct("user_id")
+                .cast("long")
+                .alias("true_distinct")
+            )
+        )
+    )
+    return t.select(
+        "occupied",
+        "true_distinct",
+        (F.lit(1024) - F.col("occupied")).cast("long").alias(
+            "empty_buckets"
+        ),
+        F.when(
+            F.col("occupied") < 1024,
+            F.round(
+                F.lit(1024)
+                * F.log(
+                    F.lit(1024.0) / (F.lit(1024) - F.col("occupied"))
+                ),
+                4,
+            ),
+        ).alias("lc_estimate"),
+    )

@@ -5058,3 +5058,141 @@ def q_stat_2prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 3841459e0 * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)"
         ).alias("reject_05"),
     )
+
+
+@query(
+    "q_stat_cmh",
+    oracle="""
+    WITH s AS (
+        SELECT dayofweek(ts) + 1 AS dow,
+               CAST(event_id % 2 AS BIGINT) AS arm,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS hit
+        FROM events WHERE event_type = 'purchase'
+    ),
+    strata AS (
+        SELECT dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS r1,
+               CAST(sum(hit) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN arm = 0 THEN hit ELSE 0 END)
+                    AS BIGINT) AS a
+        FROM s GROUP BY dow
+    ),
+    terms AS (
+        SELECT dow, a,
+               CAST(r1 AS DOUBLE) * c1 / n AS e,
+               CASE WHEN n > 1 THEN
+                   CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)
+                   / (CAST(n AS DOUBLE) * n * (n - 1))
+               ELSE 0e0 END AS v
+        FROM strata
+    ),
+    cum AS (
+        SELECT dow,
+               sum(a) OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING)
+                   AS asum,
+               sum(e) OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING)
+                   AS esum,
+               sum(v) OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING)
+                   AS vsum
+        FROM terms
+    )
+    SELECT CAST(asum AS BIGINT) AS a_total,
+           round(esum, 4) AS e_total,
+           round(vsum, 4) AS v_total,
+           CASE WHEN vsum > 0 THEN
+               round(greatest(abs(asum - esum) - 0.5e0, 0e0)
+                     * greatest(abs(asum - esum) - 0.5e0, 0e0)
+                     / vsum, 4) END AS cmh_chi2,
+           CASE WHEN vsum > 0 THEN
+               CAST(greatest(abs(asum - esum) - 0.5e0, 0e0)
+                    * greatest(abs(asum - esum) - 0.5e0, 0e0)
+                    > CAST(3.841459 AS DOUBLE) * vsum AS BOOLEAN) END
+               AS reject_05
+    FROM cum WHERE dow = (SELECT max(dow) FROM terms)
+    """,
+)
+def q_stat_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of conditional independence
+    across day-of-week strata: does the event-id-parity "arm" shift
+    the P(value > 50) outcome AFTER controlling for the weekday mix —
+    the stratified 2×2 test that catches Simpson reversals a pooled
+    q_stat_chisq would hide, with the standard continuity correction
+    (|ΣA − ΣE| − ½)²/ΣV.
+
+    Determinism: per-stratum cell counts are exact BIGINTs from ONE
+    scan; the rational E and V terms are per-stratum DOUBLEs summed
+    via the ORDERED 7-row dow prefix (identical addition order both
+    engines — the fixed-stratum analogue of the survival-family
+    discipline), with the statistic read off the last stratum.  The
+    5% decision compares against z²crit·ΣV in DOUBLE with the shared
+    literal."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        F.dayofweek("ts").alias("dow"),
+        (F.col("event_id") % 2).cast("long").alias("arm"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("hit"),
+    )
+    strata = s.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+        F.sum("hit").cast("long").alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    terms = strata.select(
+        "dow",
+        "a",
+        (F.col("r1").cast("double") * F.col("c1") / F.col("n")).alias(
+            "e"
+        ),
+        F.when(
+            F.col("n") > 1,
+            F.col("r1").cast("double")
+            * (F.col("n") - F.col("r1"))
+            * F.col("c1")
+            * (F.col("n") - F.col("c1"))
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * (F.col("n") - 1)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    w_cum = Window.orderBy("dow").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = terms.select(
+        "dow",
+        F.sum("a").over(w_cum).alias("asum"),
+        F.sum("e").over(w_cum).alias("esum"),
+        F.sum("v").over(w_cum).alias("vsum"),
+    )
+    dmax = terms.agg(F.max("dow").alias("dm"))
+    dev = F.greatest(
+        F.abs(F.col("asum") - F.col("esum")) - F.lit(0.5), F.lit(0.0)
+    )
+    return (
+        cum.crossJoin(F.broadcast(dmax))
+        .where(F.col("dow") == F.col("dm"))
+        .select(
+            F.col("asum").cast("long").alias("a_total"),
+            F.round("esum", 4).alias("e_total"),
+            F.round("vsum", 4).alias("v_total"),
+            F.when(
+                F.col("vsum") > 0,
+                F.round(dev * dev / F.col("vsum"), 4),
+            ).alias("cmh_chi2"),
+            F.when(
+                F.col("vsum") > 0,
+                dev * dev
+                > F.expr("CAST(3.841459 AS DOUBLE)") * F.col("vsum"),
+            ).alias("reject_05"),
+        )
+    )

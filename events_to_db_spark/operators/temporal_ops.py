@@ -3005,3 +3005,142 @@ def q_ev_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rmst30"),
         )
     )
+
+
+@query(
+    "q_ev_km_ci",
+    oracle=f"""
+    WITH ls AS ({_LIFESPAN_SQL}),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ls),
+    evt AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS l
+        FROM ls GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               n - coalesce(sum(l) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS nt
+        FROM evt CROSS JOIN n0
+    ),
+    km AS (
+        SELECT t, d, nt,
+               sum(CASE WHEN d < nt
+                        THEN ln(1 - CAST(d AS DOUBLE) / nt)
+                        ELSE 0e0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnS,
+               sum(CASE WHEN d < nt
+                        THEN CAST(d AS DOUBLE) / (CAST(nt AS DOUBLE)
+                                                  * (nt - d))
+                        ELSE 0e0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS gw,
+               max(CASE WHEN d >= nt THEN 1 ELSE 0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS hz
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, d AS n_events,
+           CAST(nt AS BIGINT) AS n_at_risk,
+           CASE WHEN hz = 1 THEN 0e0 ELSE round(exp(lnS), 4) END
+               AS survival,
+           CASE WHEN hz = 1 THEN 0e0 ELSE
+               round(greatest(exp(lnS) * (1 - 196e0 / 100
+                                          * sqrt(gw)), 0e0), 4) END
+               AS ci_lo,
+           CASE WHEN hz = 1 THEN 0e0 ELSE
+               round(least(exp(lnS) * (1 + 196e0 / 100
+                                       * sqrt(gw)), 1e0), 4) END
+               AS ci_hi
+    FROM km WHERE d > 0
+    """,
+)
+def q_ev_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier curve with Greenwood 95% confidence bands:
+    Var(S(t)) = S²·Σ d/(n(n−d)) — the uncertainty a decision-maker
+    needs before acting on q_ev_survival's point curve (a 0.62
+    survival with ±0.15 bands is a different business fact than
+    ±0.02).  Plain (linear-scale) Greenwood bands, clamped to [0,1];
+    z = 1.96 enters as the exact rational 196/100.
+
+    Determinism: the Greenwood sum rides the SAME ordered day-window
+    prefix as the ln-survival sum (identical addition order both
+    engines); d, n are exact integers; the bands are single shared
+    expressions.  Days where the curve hits zero emit 0-width bands
+    through the guarded branch (variance undefined there — documented
+    spec)."""
+    ls = _lifespan(spark, sf_dir)
+    n0 = ls.agg(F.count("*").cast("long").alias("n"))
+    evt = ls.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count("*").cast("long").alias("l"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = evt.crossJoin(F.broadcast(n0)).select(
+        "t",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("l").over(w_prev), F.lit(0))
+        ).alias("nt"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "nt",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("nt"),
+                F.log(
+                    F.lit(1)
+                    - F.col("d").cast("double") / F.col("nt")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("lnS"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("nt"),
+                F.col("d").cast("double")
+                / (F.col("nt").cast("double") * (F.col("nt") - F.col("d"))),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("gw"),
+        F.max(F.when(F.col("d") >= F.col("nt"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("hz"),
+    )
+    z = F.lit(196.0) / 100
+    return km.where(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").alias("n_events"),
+        F.col("nt").cast("long").alias("n_at_risk"),
+        F.when(F.col("hz") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnS"), 4))
+        .alias("survival"),
+        F.when(F.col("hz") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.greatest(
+                    F.exp("lnS") * (1 - z * F.sqrt("gw")), F.lit(0.0)
+                ),
+                4,
+            )
+        )
+        .alias("ci_lo"),
+        F.when(F.col("hz") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.least(
+                    F.exp("lnS") * (1 + z * F.sqrt("gw")), F.lit(1.0)
+                ),
+                4,
+            )
+        )
+        .alias("ci_hi"),
+    )
