@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from events_to_db_spark.plans.prefix import bucketed_running_sum
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
 
@@ -1022,3 +1023,115 @@ def q_anon_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("released_count"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_quality_mad",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY vc
+    ),
+    cum AS (SELECT vc, sum(c) OVER (ORDER BY vc) AS cumc FROM pv),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+    med AS (
+        SELECT min(vc) AS m FROM cum CROSS JOIN tot
+        WHERE 2 * cumc >= n
+    ),
+    dv AS (
+        SELECT abs(vc - m.m) AS d, c FROM pv CROSS JOIN med m
+    ),
+    dpv AS (SELECT d, CAST(sum(c) AS BIGINT) AS c FROM dv GROUP BY d),
+    dcum AS (SELECT d, sum(c) OVER (ORDER BY d) AS cumc FROM dpv),
+    mad AS (
+        SELECT min(d) AS mad FROM dcum CROSS JOIN tot
+        WHERE 2 * cumc >= n
+    ),
+    flags AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN 10000 * abs(vc - med.m)
+                                  > 3 * 14826 * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM s CROSS JOIN med CROSS JOIN mad
+    )
+    SELECT n_rows, med.m AS median_cents, mad.mad AS mad_cents,
+           n_outliers,
+           round(CAST(n_outliers AS DOUBLE) / n_rows, 6) AS outlier_rate
+    FROM flags CROSS JOIN med CROSS JOIN mad
+    """,
+)
+def q_quality_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier rate of purchase values via the MAD rule:
+    |x − median| > 3·1.4826·MAD — the 50%-breakdown-point anomaly
+    gate a data-quality monitor runs where a z-score rule (mean/σ)
+    is itself dragged by the outliers it hunts.
+
+    Exactness: BOTH order statistics (the median and the median of
+    absolute deviations) are exact lower medians off the value-grain
+    prefix scan (the q_stat_mood machinery, 2·cum ≥ n pick); the
+    consistency constant 1.4826 enters as the exact rational
+    14826/10000, so every outlier flag is the integer
+    cross-multiplication 10⁴·|x−med| > 3·14826·MAD — no float ever
+    decides a row.  One final division for the rate.
+
+    Scale: two value-grain prefix scans (distinct-value space, not
+    row space) + one conditional aggregate over the fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc")
+    )
+    pv = s.groupBy("vc").agg(F.count("*").cast("long").alias("c"))
+    cum = bucketed_running_sum(
+        pv, F.col("vc"), [F.col("vc")], {"cumc": F.col("c")}
+    )
+    tot = pv.agg(F.sum("c").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .agg(F.min("vc").alias("m"))
+    )
+    dpv = (
+        pv.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("vc") - F.col("m")).alias("d"), "c")
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    dcum = bucketed_running_sum(
+        dpv, F.col("d"), [F.col("d")], {"cumc": F.col("c")}
+    )
+    mad = (
+        dcum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .agg(F.min("d").alias("mad"))
+    )
+    flags = (
+        s.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    10000 * F.abs(F.col("vc") - F.col("m"))
+                    > 3 * 14826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.first("m").alias("median_cents"),
+            F.first("mad").alias("mad_cents"),
+        )
+    )
+    return flags.select(
+        "n_rows",
+        "median_cents",
+        "mad_cents",
+        "n_outliers",
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n_rows"), 6
+        ).alias("outlier_rate"),
+    )

@@ -889,3 +889,105 @@ def q_win_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("calmar"),
     )
+
+
+@query(
+    "q_win_twr",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    f AS (
+        SELECT x, lag(x) OVER (ORDER BY day) AS xp
+        FROM d
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(1000000e0
+                       * ln(CAST(x AS DOUBLE) / xp)) AS BIGINT))
+                    AS BIGINT) AS l6
+        FROM f WHERE xp IS NOT NULL AND xp > 0 AND x > 0
+    )
+    SELECT n AS n_periods, l6 AS lnsum6,
+           round(exp(CAST(l6 AS DOUBLE) / 1000000e0) - 1, 6)
+               AS twr,
+           CASE WHEN n > 0 THEN
+               round(exp(CAST(l6 AS DOUBLE) / 1000000e0 / n) - 1, 6)
+           END AS geo_daily_growth
+    FROM t
+    """,
+)
+def q_win_twr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted return of the daily purchase-revenue series: the
+    chain-linked product Π(x_t/x_{t−1}) − 1 — the growth measure
+    that, unlike a simple end/start ratio, is well-defined when the
+    chain is later split by period (its log is additive), and the
+    finance-standard companion to q_win_sortino's risk panel.
+
+    Determinism: each daily log growth factor ln(x_t/x_{t−1}) is a
+    shared DOUBLE expression on exact integer cents FLOORED at 10⁶
+    fixed-point into a BIGINT (the q_ml_logloss trick — the integer
+    sum is then order-free, no prefix needed); the chained return
+    exp(L/10⁶) − 1 and the geometric daily rate are single shared
+    expressions.  Zero-revenue endpoints are excluded exactly (a
+    zero day makes the chain product degenerate — documented).  The
+    floor biases each factor down < 1e-6 — spec.
+
+    Scale: one keyed date aggregate + one lag over the
+    calendar-bounded day table (allowlisted), one 1-row aggregate.
+    The daily frame carries an inert `value IS NOT NULL` to stay
+    cache-canonical vs q_stat_mannkendall's cached twin — but note
+    q_win_ulcer already holds that form; this one adds the lag
+    BEFORE any cacheable boundary, so the frames differ structurally
+    anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    f = d.select("x", F.lag("x").over(w).alias("xp"))
+    t = f.where(
+        F.col("xp").isNotNull() & (F.col("xp") > 0) & (F.col("x") > 0)
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(F.col("x").cast("double") / F.col("xp"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("l6"),
+    )
+    return t.select(
+        F.col("n").alias("n_periods"),
+        F.col("l6").alias("lnsum6"),
+        F.round(
+            F.exp(F.col("l6").cast("double") / 1000000.0) - 1, 6
+        ).alias("twr"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.exp(
+                    F.col("l6").cast("double") / 1000000.0 / F.col("n")
+                )
+                - 1,
+                6,
+            ),
+        ).alias("geo_daily_growth"),
+    )
