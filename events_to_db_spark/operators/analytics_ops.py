@@ -7639,3 +7639,121 @@ def q_ord_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + 1645e0 / 1000 * {sd} * sqrt(CAST(7 AS DOUBLE)), 2)"
         ).alias("reorder_point"),
     )
+
+
+#: Hosmer–Lemeshow fixed-order term sum over the exact pivot columns
+#: (score groups g = 1..9; g = 0 and 10 excluded — E(1−p) = 0 there),
+#: shared VERBATIM by both engines: each term clears p = g/10 to the
+#: exact rational (10·s_g − g·n_g)²/(g·n_g·(10−g)), square in DOUBLE
+#: (overflow rule), empty groups contributing exactly 0.
+_HL_STAT = "(" + " + ".join(
+    f"(CASE WHEN n_{b} > 0 THEN CAST(10 * s_{b} - {b} * n_{b} AS DOUBLE)"
+    f" * (10 * s_{b} - {b} * n_{b}) / ({b} * n_{b} * {10 - b})"
+    " ELSE 0e0 END)"
+    for b in range(1, 10)
+) + ")"
+_HL_NGROUPS = "(" + " + ".join(
+    f"(CASE WHEN n_{b} > 0 THEN 1 ELSE 0 END)" for b in range(1, 10)
+) + ")"
+_HL_PIV_DUCK = ", ".join(
+    f"CAST(count(CASE WHEN score = {b} THEN 1 END) AS BIGINT) AS n_{b},"
+    f" CAST(coalesce(sum(CASE WHEN score = {b} THEN converted END), 0)"
+    f" AS BIGINT) AS s_{b}"
+    for b in range(1, 10)
+)
+
+
+@query(
+    "q_ml_hosmer",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id,
+               CAST(least(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END), 10) AS BIGINT)
+                   AS score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND CAST(json_extract_string(props, '$.k')
+                                  AS DOUBLE) >= 90
+                        THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    piv AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               {_HL_PIV_DUCK}
+        FROM f
+    )
+    SELECT nn AS n_users,
+           CAST({_HL_NGROUPS} AS BIGINT) AS n_groups,
+           round({_HL_STAT}, 4) AS hl_chi2,
+           CAST(coalesce(CASE WHEN {_HL_NGROUPS} = 9 THEN
+               {_HL_STAT} > CAST(14.067140 AS DOUBLE)
+           END, FALSE) AS BOOLEAN) AS reject_05
+    FROM piv
+    """,
+)
+def q_ml_hosmer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit test for the score-
+    proportional predictor p = score/10 on the q_ml_ece frame — the
+    calibration TEST beside ECE's magnitude (ECE says "how far off",
+    HL says "is the miscalibration statistically real"): χ² =
+    Σ_g (O_g − E_g)²/(E_g(1−p_g)) over the occupied score groups.
+
+    Determinism: with p_g = g/10 every group term clears to the exact
+    rational (10·s_g − g·n_g)²/(g·n_g·(10−g)); the nine terms are
+    summed in ONE fixed-order module-level expression shared verbatim
+    (squares in DOUBLE — overflow rule), empty groups contributing
+    exactly 0.  The 5% decision uses χ²crit(df = 9−2) = 14.06714 and
+    fires only in the full-group case — with fewer occupied groups the
+    df-9 convention does not apply and the flag is FALSE (read
+    n_groups; a nullable boolean would surface as NaN through the
+    oracle's pandas path — documented).  Plan: one user-keyed aggregate + one
+    1-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ),
+            F.lit(10),
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.expr(
+                        "CAST(get_json_object(props, '$.k') AS DOUBLE)"
+                    )
+                    >= 90
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    aggs = [F.count("*").cast("long").alias("nn")]
+    for b in range(1, 10):
+        aggs.append(
+            F.count(F.when(F.col("score") == b, 1))
+            .cast("long")
+            .alias(f"n_{b}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("score") == b, F.col("converted"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"s_{b}")
+        )
+    piv = f.agg(*aggs)
+    return piv.select(
+        F.col("nn").alias("n_users"),
+        F.expr(_HL_NGROUPS).cast("long").alias("n_groups"),
+        F.expr(f"round({_HL_STAT}, 4)").alias("hl_chi2"),
+        F.expr(
+            f"coalesce(CASE WHEN {_HL_NGROUPS} = 9 THEN"
+            f" {_HL_STAT} > CAST(14.067140 AS DOUBLE) END, FALSE)"
+        ).alias("reject_05"),
+    )

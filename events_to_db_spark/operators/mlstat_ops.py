@@ -3652,3 +3652,203 @@ def q_ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s4").cast("double") / (10000 * F.count("*")), 4
         ).alias("mean_silhouette"),
     )
+
+
+@query(
+    "q_ml_davies_bouldin",
+    oracle="""
+    WITH cells AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS cid,
+               row_number() OVER (ORDER BY vec_id) AS sid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+    ),
+    cent AS (
+        SELECT s.sid, c.d, c.q
+        FROM cells c JOIN seeds s ON c.vec_id = s.cid
+    ),
+    dist AS (
+        SELECT c.vec_id, ce.sid,
+               CAST(sum((c.q - ce.q) * (c.q - ce.q)) AS BIGINT) AS d2
+        FROM cells c JOIN cent ce ON c.d = ce.d
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT vec_id, sid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, sid) AS rk
+        FROM dist
+    ),
+    cl AS (
+        SELECT
+            CAST(sum(CASE WHEN sid = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m1,
+            CAST(coalesce(sum(CASE WHEN sid = 1 THEN d2 END), 0)
+                 AS BIGINT) AS w1,
+            CAST(sum(CASE WHEN sid = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m2,
+            CAST(coalesce(sum(CASE WHEN sid = 2 THEN d2 END), 0)
+                 AS BIGINT) AS w2,
+            CAST(sum(CASE WHEN sid = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m3,
+            CAST(coalesce(sum(CASE WHEN sid = 3 THEN d2 END), 0)
+                 AS BIGINT) AS w3
+        FROM best WHERE rk = 1
+    ),
+    cd AS (
+        SELECT
+            CAST(coalesce(sum(CASE WHEN a.sid = 1 AND b.sid = 2
+                              THEN (a.q - b.q) * (a.q - b.q) END), 0)
+                 AS BIGINT) AS c12,
+            CAST(coalesce(sum(CASE WHEN a.sid = 1 AND b.sid = 3
+                              THEN (a.q - b.q) * (a.q - b.q) END), 0)
+                 AS BIGINT) AS c13,
+            CAST(coalesce(sum(CASE WHEN a.sid = 2 AND b.sid = 3
+                              THEN (a.q - b.q) * (a.q - b.q) END), 0)
+                 AS BIGINT) AS c23
+        FROM cent a JOIN cent b ON a.d = b.d AND a.sid < b.sid
+    )
+    SELECT m1, m2, m3,
+           round((
+               greatest(
+                   (CAST(w1 AS DOUBLE) / m1 + CAST(w2 AS DOUBLE) / m2)
+                       / c12,
+                   (CAST(w1 AS DOUBLE) / m1 + CAST(w3 AS DOUBLE) / m3)
+                       / c13)
+             + greatest(
+                   (CAST(w2 AS DOUBLE) / m2 + CAST(w1 AS DOUBLE) / m1)
+                       / c12,
+                   (CAST(w2 AS DOUBLE) / m2 + CAST(w3 AS DOUBLE) / m3)
+                       / c23)
+             + greatest(
+                   (CAST(w3 AS DOUBLE) / m3 + CAST(w1 AS DOUBLE) / m1)
+                       / c13,
+                   (CAST(w3 AS DOUBLE) / m3 + CAST(w2 AS DOUBLE) / m2)
+                       / c23)
+           ) / 3, 6) AS dbi_sq
+    FROM cl CROSS JOIN cd
+    """,
+)
+def q_ml_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin index (squared-distance variant) for the
+    q_ml_kmeans_assign partition: DBI = (1/k)Σᵢ maxⱼ≠ᵢ
+    (σ²ᵢ + σ²ⱼ)/d²(cᵢ,cⱼ) — the "worst-neighbor" separation score
+    that complements q_ml_silhouette's per-point view (DBI names the
+    most-confusable cluster PAIR).  Squared-distance scatter/
+    separation is the documented spec (consistent numerator and
+    denominator — the ranking is the standard DBI's on isotropic
+    clusters).
+
+    Determinism: per-cluster counts, within-cluster d² sums, and the
+    three centroid-pair d² are all exact BIGINTs on the shared
+    quantized cells; the k = 3 max/mean fold is ONE fixed shared
+    DOUBLE expression (greatest of identical operand expressions —
+    no float ordering enters any aggregate).
+
+    Scale: same |V|·k·dim E-step shape as kmeans_assign + a k²·dim
+    centroid self-join (192 rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("d"),
+        F.expr(
+            "cast(round(cast(x as double) * 1000000) as bigint)"
+        ).alias("q"),
+    )
+    seeds = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("sid"),
+        )
+    )
+    cent = cells.join(
+        F.broadcast(seeds), cells.vec_id == F.col("cid")
+    ).select("sid", "d", F.col("q").alias("cq"))
+    dist = (
+        cells.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "sid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "sid")
+    best = dist.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    cl_aggs = []
+    for i in (1, 2, 3):
+        cl_aggs.append(
+            F.sum(F.when(F.col("sid") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"m{i}")
+        )
+        cl_aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("sid") == i, F.col("d2"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"w{i}")
+        )
+    cl = best.agg(*cl_aggs)
+    a = cent.select(
+        F.col("sid").alias("sa"), F.col("d"), F.col("cq").alias("qa")
+    )
+    b = cent.select(
+        F.col("sid").alias("sb"), F.col("d"), F.col("cq").alias("qb")
+    )
+    cd = (
+        a.join(b, "d")
+        .where(F.col("sa") < F.col("sb"))
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("sa") == i) & (F.col("sb") == j),
+                            (F.col("qa") - F.col("qb"))
+                            * (F.col("qa") - F.col("qb")),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"c{i}{j}")
+                for i, j in ((1, 2), (1, 3), (2, 3))
+            ]
+        )
+    )
+    dbi = (
+        "(greatest((CAST(w1 AS DOUBLE) / m1 + CAST(w2 AS DOUBLE) / m2)"
+        " / c12,"
+        " (CAST(w1 AS DOUBLE) / m1 + CAST(w3 AS DOUBLE) / m3) / c13)"
+        " + greatest((CAST(w2 AS DOUBLE) / m2 + CAST(w1 AS DOUBLE) / m1)"
+        " / c12,"
+        " (CAST(w2 AS DOUBLE) / m2 + CAST(w3 AS DOUBLE) / m3) / c23)"
+        " + greatest((CAST(w3 AS DOUBLE) / m3 + CAST(w1 AS DOUBLE) / m1)"
+        " / c13,"
+        " (CAST(w3 AS DOUBLE) / m3 + CAST(w2 AS DOUBLE) / m2) / c23))"
+        " / 3"
+    )
+    return cl.crossJoin(F.broadcast(cd)).select(
+        "m1",
+        "m2",
+        "m3",
+        F.expr(f"round({dbi}, 6)").alias("dbi_sq"),
+    )
