@@ -5196,3 +5196,212 @@ def q_stat_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reject_05"),
         )
     )
+
+
+@query(
+    "q_stat_ks1",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY vc
+    ),
+    cum AS (SELECT vc, c, sum(c) OVER (ORDER BY vc) AS cumc FROM pv),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+    d AS (
+        SELECT n,
+               CAST(max(10000 * cumc - n * vc) AS BIGINT) AS dp_num,
+               CAST(max(n * vc - 10000 * (cumc - c)) AS BIGINT)
+                   AS dm_num
+        FROM cum CROSS JOIN tot
+        GROUP BY n
+    )
+    SELECT n, dp_num, dm_num,
+           round(CAST(greatest(dp_num, dm_num) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 10000), 6) AS ks_d,
+           CAST(1000000e0 * CAST(greatest(dp_num, dm_num) AS DOUBLE)
+                          * greatest(dp_num, dm_num)
+                > 1844164e0 * 100000000 * n AS BOOLEAN) AS reject_05
+    FROM d
+    """,
+)
+def q_stat_ks1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov goodness-of-fit of purchase
+    values against Uniform(0, 100] (the generator's nominal
+    distribution): D = sup|F̂ − F| evaluated at both sides of every
+    jump — the distribution-fit companion to the two-sample
+    q_stat_ks (is the data what the spec SAYS it is, not just
+    self-consistent).
+
+    Determinism: with exact-cent values the uniform CDF at a jump is
+    the exact rational v/10⁴, so both one-sided sups clear to exact
+    integer numerators — D⁺ = max(10⁴·cum − n·v), D⁻ = max(n·v −
+    10⁴·(cum−c)) — off the value-grain prefix scan; D is ONE final
+    division and the 5% decision 10⁶·D_num² > 1.358²·10⁶·10⁸·n
+    squares in DOUBLE (overflow rule) with shared literals.
+
+    Scale: one value-grain prefix scan (bucketed, never a global
+    window) + a 1-row max."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc")
+    )
+    pv = s.groupBy("vc").agg(F.count("*").cast("long").alias("c"))
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("vc") / F.lit(2500)).cast("long"),
+        order_cols=[F.col("vc")],
+        sums={"cumc": F.col("c")},
+    )
+    tot = pv.agg(F.sum("c").cast("long").alias("n"))
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.max(10000 * F.col("cumc") - F.col("n") * F.col("vc"))
+            .cast("long")
+            .alias("dp_num"),
+            F.max(
+                F.col("n") * F.col("vc")
+                - 10000 * (F.col("cumc") - F.col("c"))
+            )
+            .cast("long")
+            .alias("dm_num"),
+        )
+    )
+    dnum = F.greatest(F.col("dp_num"), F.col("dm_num"))
+    return d.select(
+        "n",
+        "dp_num",
+        "dm_num",
+        F.round(
+            dnum.cast("double") / (F.col("n").cast("double") * 10000),
+            6,
+        ).alias("ks_d"),
+        (
+            F.lit(1000000.0) * dnum.cast("double") * dnum
+            > F.lit(1844164.0) * F.lit(100000000) * F.col("n")
+        ).alias("reject_05"),
+    )
+
+
+@query(
+    "q_stat_jackknife",
+    oracle=f"""
+    WITH d AS ({_DAILY_XY_SQL}),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM d
+    ),
+    loo AS (
+        SELECT day,
+               CASE WHEN sy - y <> 0 THEN
+                   CAST(sx - x AS DOUBLE) / (sy - y) END AS th
+        FROM d CROSS JOIN tot
+    ),
+    cum AS (
+        SELECT day,
+               sum(th) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS sth,
+               sum(th * th) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS sth2
+        FROM loo WHERE th IS NOT NULL
+    ),
+    fin AS (
+        SELECT n, sx, sy, sth, sth2
+        FROM cum CROSS JOIN tot
+        WHERE day = (SELECT max(day) FROM loo WHERE th IS NOT NULL)
+    )
+    SELECT n AS n_days,
+           round(CAST(sx AS DOUBLE) / sy, 6) AS ratio_cents_per_view,
+           round(sqrt(greatest((CAST(n AS DOUBLE) - 1) / n
+                               * (sth2 - sth * sth / n), 0e0)), 6)
+               AS jackknife_se,
+           round(CAST(sx AS DOUBLE) / sy
+                 - 196e0 / 100
+                 * sqrt(greatest((CAST(n AS DOUBLE) - 1) / n
+                                 * (sth2 - sth * sth / n), 0e0)), 6)
+               AS ci_lo,
+           round(CAST(sx AS DOUBLE) / sy
+                 + 196e0 / 100
+                 * sqrt(greatest((CAST(n AS DOUBLE) - 1) / n
+                                 * (sth2 - sth * sth / n), 0e0)), 6)
+               AS ci_hi
+    FROM fin
+    """,
+)
+def q_stat_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-day-out jackknife standard error for the RATIO
+    estimator revenue-per-view (Σx/Σy) — the uncertainty machinery
+    for a statistic with no closed-form SE (a ratio of correlated
+    sums), where q_stat_bootstrap resamples and the jackknife gives
+    the deterministic delete-1 answer: SE² = (n−1)/n·Σ(θ̂₍ᵢ₎−θ̄)².
+
+    Determinism: each leave-one-out replicate θ̂₍ᵢ₎ = (S−xᵢ)/(T−yᵢ)
+    is ONE DOUBLE division of exact integers (zero-denominator days
+    excluded exactly); Σθ and Σθ² accumulate via the ORDERED
+    day-window prefix (identical addition order both engines) and the
+    SE uses the Σθ²−(Σθ)²/n identity with a greatest(·,0)
+    cancellation guard; z = 196/100 exact.  Plan: one keyed date
+    aggregate + calendar-bounded prefix windows (allowlisted)."""
+    d = _daily_xy(spark, sf_dir)
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    loo = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n",
+            "sx",
+            "sy",
+            F.when(
+                (F.col("sy") - F.col("y")) != 0,
+                (F.col("sx") - F.col("x")).cast("double")
+                / (F.col("sy") - F.col("y")),
+            ).alias("th"),
+        )
+        .where(F.col("th").isNotNull())
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = loo.select(
+        "day",
+        "n",
+        "sx",
+        "sy",
+        F.sum("th").over(w_cum).alias("sth"),
+        F.sum(F.col("th") * F.col("th")).over(w_cum).alias("sth2"),
+    )
+    dmax = loo.agg(F.max("day").alias("dm"))
+    se = F.sqrt(
+        F.greatest(
+            (F.col("n").cast("double") - 1)
+            / F.col("n")
+            * (
+                F.col("sth2")
+                - F.col("sth") * F.col("sth") / F.col("n")
+            ),
+            F.lit(0.0),
+        )
+    )
+    ratio = F.col("sx").cast("double") / F.col("sy")
+    z = F.lit(196.0) / 100
+    return (
+        cum.crossJoin(F.broadcast(dmax))
+        .where(F.col("day") == F.col("dm"))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(ratio, 6).alias("ratio_cents_per_view"),
+            F.round(se, 6).alias("jackknife_se"),
+            F.round(ratio - z * se, 6).alias("ci_lo"),
+            F.round(ratio + z * se, 6).alias("ci_hi"),
+        )
+    )

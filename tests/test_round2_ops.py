@@ -293,6 +293,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_stat_cmh": "E/V prefixes over the fixed 7-row dow stratum table",
         "q_ev_km_ci": "KM + Greenwood prefixes over per-lifespan-day aggregate (calendar-bounded)",
         "q_win_twr": "lag over per-day aggregate (calendar-bounded)",
+        "q_stat_jackknife": "replicate prefixes over per-day aggregate (calendar-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
