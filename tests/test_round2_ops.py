@@ -294,6 +294,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_ev_km_ci": "KM + Greenwood prefixes over per-lifespan-day aggregate (calendar-bounded)",
         "q_win_twr": "lag over per-day aggregate (calendar-bounded)",
         "q_stat_jackknife": "replicate prefixes over per-day aggregate (calendar-bounded)",
+        "q_ml_davies_bouldin": "row_number over the 3-row seed LIMIT (k-bounded)",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(e.queries().items()):
