@@ -7757,3 +7757,86 @@ def q_ml_hosmer(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {_HL_STAT} > CAST(14.067140 AS DOUBLE) END, FALSE)"
         ).alias("reject_05"),
     )
+
+
+@query(
+    "q_alloc_apportion",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+    quota AS (
+        SELECT event_type, cnt,
+               CAST((100 * cnt) // n AS BIGINT) AS base,
+               CAST((100 * cnt) % n AS BIGINT) AS rem
+        FROM c CROSS JOIN tot
+    ),
+    lo AS (
+        SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM quota
+    ),
+    ranked AS (
+        SELECT event_type, cnt, base, rem,
+               row_number() OVER (ORDER BY rem DESC, event_type)
+                   AS rk
+        FROM quota
+    )
+    SELECT event_type, cnt, base, rem,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM ranked CROSS JOIN lo
+    ORDER BY event_type
+    """,
+)
+def q_alloc_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed budget
+    of 100 slots across event types by traffic share — the exact
+    integer allocation a sampler/budgeter needs when proportional
+    shares must sum EXACTLY to the budget (naive rounding of 100·p_t
+    over- or under-shoots; Hamilton provably never does).
+
+    Determinism: base = (100·c) div N and rem = (100·c) mod N are
+    exact non-negative integer operations (div ≡ floor — engines
+    agree); the leftover seats go to the largest remainders with the
+    tie broken on event_type — a rank over the bounded type
+    dictionary (allowlisted), so the full allocation is
+    integer-exact end to end and Σseats = 100 by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = c.agg(F.sum("cnt").cast("long").alias("n"))
+    quota = c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "cnt",
+        F.expr("(100 * cnt) div n").cast("long").alias("base"),
+        ((100 * F.col("cnt")) % F.col("n")).cast("long").alias("rem"),
+    )
+    lo = quota.agg(
+        (F.lit(100) - F.sum("base")).cast("long").alias("leftover")
+    )
+    ranked = quota.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), "event_type")
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            "cnt",
+            "base",
+            "rem",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy("event_type")
+    )

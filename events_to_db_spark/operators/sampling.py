@@ -720,3 +720,57 @@ def q_sample_horvitz(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " AS BIGINT)"),
         ).alias("count_err_bp"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_sample_kish",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS w
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(w * w) AS BIGINT) AS sw2
+        FROM u
+    )
+    SELECT n AS n_users, sw AS sum_w, sw2 AS sum_w2,
+           round(CAST(n AS DOUBLE) * sw2 / (CAST(sw AS DOUBLE) * sw),
+                 4) AS kish_deff,
+           round(CAST(sw AS DOUBLE) * sw / sw2, 2) AS n_effective
+    FROM m
+    """,
+)
+def q_sample_kish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect for the activity-weighted user sample:
+    deff = n·Σw²/(Σw)² with w = per-user event count — how much a
+    weighted estimate's variance inflates versus equal weighting, and
+    its companion n_eff = (Σw)²/Σw² (the survey-sampling number that
+    tells a curation pipeline how many EFFECTIVE users its
+    activity-weighted statistics really rest on).
+
+    Exactness: n, Σw, Σw² are exact BIGINTs from one keyed aggregate;
+    both outputs are single shared DOUBLE expressions (the squared
+    sums are quadratic-in-corpus — overflow rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("w"))
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sw2"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("sw").alias("sum_w"),
+        F.col("sw2").alias("sum_w2"),
+        F.round(
+            F.col("n").cast("double")
+            * F.col("sw2")
+            / (F.col("sw").cast("double") * F.col("sw")),
+            4,
+        ).alias("kish_deff"),
+        F.round(
+            F.col("sw").cast("double") * F.col("sw") / F.col("sw2"), 2
+        ).alias("n_effective"),
+    )

@@ -5405,3 +5405,161 @@ def q_stat_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio + z * se, 6).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "q_stat_meta",
+    oracle="""
+    WITH s AS (
+        SELECT dayofweek(ts) + 1 AS dow,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    strata AS (
+        SELECT dow,
+            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+            CAST(coalesce(sum(CASE WHEN g = 1 THEN x END), 0) AS BIGINT)
+                AS s1,
+            CAST(coalesce(sum(CASE WHEN g = 1 THEN x * x END), 0)
+                 AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+            CAST(coalesce(sum(CASE WHEN g = 2 THEN x END), 0) AS BIGINT)
+                AS s2,
+            CAST(coalesce(sum(CASE WHEN g = 2 THEN x * x END), 0)
+                 AS BIGINT) AS q2
+        FROM s GROUP BY dow
+    ),
+    terms AS (
+        SELECT dow,
+               CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS d,
+               (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                   / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+               + (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                   / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS v
+        FROM strata WHERE n1 > 1 AND n2 > 1
+    ),
+    cum AS (
+        SELECT dow,
+               count(*) OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING)
+                   AS k,
+               sum(1 / v) OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING)
+                   AS sw,
+               sum(d / v) OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING)
+                   AS swd,
+               sum(d * d / v) OVER (ORDER BY dow
+                   ROWS UNBOUNDED PRECEDING) AS swd2
+        FROM terms WHERE v > 0
+    )
+    SELECT CAST(k AS BIGINT) AS n_studies,
+           round(swd / sw, 4) AS pooled_diff_cents,
+           round(sqrt(1 / sw), 4) AS pooled_se,
+           round(swd2 - swd * swd / sw, 4) AS cochran_q,
+           round(greatest((swd2 - swd * swd / sw - (k - 1))
+                          / (swd2 - swd * swd / sw), 0e0), 4)
+               AS i_squared
+    FROM cum WHERE dow = (SELECT max(dow) FROM terms WHERE v > 0)
+    """,
+)
+def q_stat_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect (inverse-variance) meta-analysis pooling the
+    purchase-minus-view mean value difference across the seven
+    day-of-week "studies": pooled θ = Σwd/Σw (w = 1/Var(d)), its SE,
+    Cochran's Q heterogeneity statistic and I² — the meta-analytic
+    machinery that says both WHAT the pooled effect is and whether
+    the strata even agree enough to pool (high I² → the pooled number
+    is a fiction).
+
+    Determinism: per-stratum sufficient statistics are exact BIGINTs
+    from ONE scan; d and Var(d) = v₁/n₁ + v₂/n₂ are per-stratum
+    DOUBLEs, and the weighted sums Σw, Σwd, Σwd² accumulate via the
+    ORDERED 7-row dow prefix (the q_stat_cmh discipline); Q uses the
+    Σwd² − (Σwd)²/Σw identity and I² is clamped at 0.  Degenerate
+    strata (n ≤ 1 or zero variance) are excluded exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.dayofweek("ts").alias("dow"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(2)
+        .alias("g"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("x"),
+    )
+    aggs = []
+    for i in (1, 2):
+        aggs += [
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("x"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"s{i}"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == i, F.col("x") * F.col("x"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    strata = s.groupBy("dow").agg(*aggs)
+    terms = strata.where(
+        (F.col("n1") > 1) & (F.col("n2") > 1)
+    ).select(
+        "dow",
+        (
+            F.col("s1").cast("double") / F.col("n1")
+            - F.col("s2").cast("double") / F.col("n2")
+        ).alias("d"),
+        (
+            (
+                F.col("n1").cast("double") * F.col("q1")
+                - F.col("s1").cast("double") * F.col("s1")
+            )
+            / (F.col("n1").cast("double") * (F.col("n1") - 1))
+            / F.col("n1")
+            + (
+                F.col("n2").cast("double") * F.col("q2")
+                - F.col("s2").cast("double") * F.col("s2")
+            )
+            / (F.col("n2").cast("double") * (F.col("n2") - 1))
+            / F.col("n2")
+        ).alias("v"),
+    )
+    pos = terms.where(F.col("v") > 0)
+    w_cum = Window.orderBy("dow").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pos.select(
+        "dow",
+        F.count("*").over(w_cum).alias("k"),
+        F.sum(F.lit(1) / F.col("v")).over(w_cum).alias("sw"),
+        F.sum(F.col("d") / F.col("v")).over(w_cum).alias("swd"),
+        F.sum(F.col("d") * F.col("d") / F.col("v"))
+        .over(w_cum)
+        .alias("swd2"),
+    )
+    dmax = pos.agg(F.max("dow").alias("dm"))
+    q_stat = F.col("swd2") - F.col("swd") * F.col("swd") / F.col("sw")
+    return (
+        cum.crossJoin(F.broadcast(dmax))
+        .where(F.col("dow") == F.col("dm"))
+        .select(
+            F.col("k").cast("long").alias("n_studies"),
+            F.round(F.col("swd") / F.col("sw"), 4).alias(
+                "pooled_diff_cents"
+            ),
+            F.round(F.sqrt(F.lit(1) / F.col("sw")), 4).alias(
+                "pooled_se"
+            ),
+            F.round(q_stat, 4).alias("cochran_q"),
+            F.round(
+                F.greatest(
+                    (q_stat - (F.col("k") - 1)) / q_stat, F.lit(0.0)
+                ),
+                4,
+            ).alias("i_squared"),
+        )
+    )
