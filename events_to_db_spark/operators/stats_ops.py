@@ -5563,3 +5563,217 @@ def q_stat_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("i_squared"),
         )
     )
+
+
+#: Dunn post-hoc pieces over the exact Kruskal rank machinery, shared
+#: VERBATIM: mean ranks from the 2x rank sums, tie-corrected pooled
+#: variance sigma2 = (N(N+1)/12 - tie/(12(N-1))) * (1/ni + 1/nj) --
+#: all algebra DOUBLE over exact BIGINTs (overflow rule).
+_DUNN_S2 = (
+    "(CAST(n AS DOUBLE) * (n + 1) / 12"
+    " - CAST(tie_num AS DOUBLE) / (12 * (n - 1)))"
+)
+
+
+def _dunn_z(i: int, j: int) -> str:
+    return (
+        f"((CAST(r{i}_2 AS DOUBLE) / (2 * n{i})"
+        f" - CAST(r{j}_2 AS DOUBLE) / (2 * n{j}))"
+        f" / sqrt({_DUNN_S2} * (1e0 / n{i} + 1e0 / n{j})))"
+    )
+
+
+@query(
+    "q_stat_dunn",
+    oracle=f"""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g3
+        FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    pv AS (
+        SELECT value, count(*) AS ct,
+               CAST(sum(g1) AS BIGINT) AS c1t,
+               CAST(sum(g2) AS BIGINT) AS c2t,
+               CAST(sum(g3) AS BIGINT) AS c3t
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT ct, c1t, c2t, c3t,
+               sum(ct) OVER (ORDER BY value) AS cum_t
+        FROM pv
+    ),
+    rsum AS (
+        SELECT CAST(sum(c1t * (2 * cum_t - ct + 1)) AS BIGINT) AS r1_2,
+               CAST(sum(c2t * (2 * cum_t - ct + 1)) AS BIGINT) AS r2_2,
+               CAST(sum(c3t * (2 * cum_t - ct + 1)) AS BIGINT) AS r3_2,
+               CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_num
+        FROM cum
+    ),
+    tot AS (
+        SELECT CAST(sum(c1t) AS BIGINT) AS n1,
+               CAST(sum(c2t) AS BIGINT) AS n2,
+               CAST(sum(c3t) AS BIGINT) AS n3,
+               CAST(sum(ct) AS BIGINT) AS n
+        FROM pv
+    )
+    SELECT n1, n2, n3,
+           round({_dunn_z(1, 2)}, 4) AS z_purchase_view,
+           round({_dunn_z(1, 3)}, 4) AS z_purchase_click,
+           round({_dunn_z(2, 3)}, 4) AS z_view_click,
+           CAST(abs({_dunn_z(1, 2)}) > CAST(2.393980 AS DOUBLE)
+                AS BOOLEAN) AS sig_purchase_view,
+           CAST(abs({_dunn_z(1, 3)}) > CAST(2.393980 AS DOUBLE)
+                AS BOOLEAN) AS sig_purchase_click,
+           CAST(abs({_dunn_z(2, 3)}) > CAST(2.393980 AS DOUBLE)
+                AS BOOLEAN) AS sig_view_click
+    FROM rsum CROSS JOIN tot
+    """,
+)
+def q_stat_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after q_stat_kruskal:
+    which of the three group pairs actually differ, at the
+    Bonferroni-adjusted 5% level (alpha/3 two-sided, z-crit 2.39398)
+    — the step an analyst takes the moment Kruskal-Wallis rejects
+    (H says "some pair differs"; Dunn names it), with the standard
+    tie-corrected pooled variance.
+
+    Determinism: reuses the exact Kruskal machinery verbatim — 2x
+    tie-averaged rank sums and the tie term are exact BIGINTs off the
+    bucketed prefix scan; each z and its decision are fixed shared
+    DOUBLE expressions (mean-rank differences over the pooled sigma),
+    the critical value an exact literal.  One row, all three pairs —
+    no nullable boolean (every z is defined whenever all groups are
+    nonempty on this corpus; an empty group yields NULLs uniformly in
+    both engines through the same division)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(
+        F.col("event_type").isin("purchase", "view", "click")
+    ).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g2"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g3"),
+    )
+    pv = s.groupBy("value").agg(
+        F.count("*").alias("ct"),
+        F.sum("g1").cast("long").alias("c1t"),
+        F.sum("g2").cast("long").alias("c2t"),
+        F.sum("g3").cast("long").alias("c3t"),
+    )
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+        order_cols=[F.col("value")],
+        sums={"cum_t": F.col("ct")},
+    )
+    mid2 = 2 * F.col("cum_t") - F.col("ct") + 1
+    rsum = cum.agg(
+        F.sum(F.col("c1t") * mid2).cast("long").alias("r1_2"),
+        F.sum(F.col("c2t") * mid2).cast("long").alias("r2_2"),
+        F.sum(F.col("c3t") * mid2).cast("long").alias("r3_2"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tie_num"),
+    )
+    tot = pv.agg(
+        F.sum("c1t").cast("long").alias("n1"),
+        F.sum("c2t").cast("long").alias("n2"),
+        F.sum("c3t").cast("long").alias("n3"),
+        F.sum("ct").cast("long").alias("n"),
+    )
+    out = [F.col("n1"), F.col("n2"), F.col("n3")]
+    for (i, j), name in (
+        ((1, 2), "purchase_view"),
+        ((1, 3), "purchase_click"),
+        ((2, 3), "view_click"),
+    ):
+        out.append(
+            F.expr(f"round({_dunn_z(i, j)}, 4)").alias(f"z_{name}")
+        )
+    for (i, j), name in (
+        ((1, 2), "purchase_view"),
+        ((1, 3), "purchase_click"),
+        ((2, 3), "view_click"),
+    ):
+        out.append(
+            F.expr(
+                f"abs({_dunn_z(i, j)}) > CAST(2.393980 AS DOUBLE)"
+            ).alias(f"sig_{name}")
+        )
+    return rsum.crossJoin(F.broadcast(tot)).select(*out)
+
+
+@query(
+    "q_stat_ccc",
+    oracle="""
+    WITH j AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               CAST((n_chars + 3) // 4 AS BIGINT) AS y
+        FROM documents
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM j
+    )
+    SELECT n, sx, sy,
+           round(2 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    + (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                    + CAST(sx - sy AS DOUBLE) * (sx - sy)), 6) AS ccc,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS pearson_r
+    FROM m
+    """,
+)
+def q_stat_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between the two
+    continuous document raters (token count vs quarter-character
+    count, the q_stat_icc frame): CCC = 2s_xy/(s_x² + s_y² +
+    (m_x−m_y)²) — agreement WITH the 45-degree line, not just linear
+    association (Pearson's r is emitted beside it: r high + CCC low =
+    correlated but biased raters, the case ICC averages away).
+
+    Determinism: the n²-scaling cancels throughout, so CCC =
+    2(nΣxy − ΣxΣy)/((nΣx²−Σx²ᵗᵒᵗ) + (nΣy²−Σy²ᵗᵒᵗ) + (Σx−Σy)²) over
+    six exact BIGINTs from ONE scan; both outputs are single shared
+    DOUBLE expressions (quadratic products — overflow rule)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+        F.floor((F.col("n_chars") + 3) / 4).cast("long").alias("y"),
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "round(2 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " + (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+            " + CAST(sx - sy AS DOUBLE) * (sx - sy)), 6)"
+        ).alias("ccc"),
+        F.expr(
+            "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),"
+            " 6)"
+        ).alias("pearson_r"),
+    )
