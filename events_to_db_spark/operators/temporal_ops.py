@@ -3144,3 +3144,131 @@ def q_ev_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ci_hi"),
     )
+
+
+@query(
+    "q_ev_retention_fit",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    weeks AS (
+        SELECT DISTINCT f.user_id,
+               date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS w
+        FROM events e JOIN first_day f ON f.user_id = e.user_id
+    ),
+    r AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS retained
+        FROM weeks GROUP BY w
+    ),
+    r0 AS (SELECT retained AS base FROM r WHERE w = 0),
+    pts AS (
+        SELECT CAST(w AS BIGINT) AS w,
+               CAST(floor(1000000e0
+                   * ln(CAST(retained AS DOUBLE) / base)) AS BIGINT)
+                   AS u
+        FROM r CROSS JOIN r0 WHERE retained > 0
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(u) AS BIGINT) AS su,
+               CAST(sum(w * w) AS BIGINT) AS sww,
+               CAST(sum(w * u) AS BIGINT) AS swu
+        FROM pts
+    )
+    SELECT k AS n_weeks,
+           round((CAST(k AS DOUBLE) * swu - CAST(sw AS DOUBLE) * su)
+                 / (CAST(k AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw)
+                 / 1000000, 6) AS decay_rate,
+           CASE WHEN (CAST(k AS DOUBLE) * swu - CAST(sw AS DOUBLE) * su)
+                     < 0 THEN
+               round(CAST(0.6931471805599453 AS DOUBLE)
+                     / (-((CAST(k AS DOUBLE) * swu
+                           - CAST(sw AS DOUBLE) * su)
+                          / (CAST(k AS DOUBLE) * sww
+                             - CAST(sw AS DOUBLE) * sw)
+                          / 1000000)), 2) END AS half_life_weeks
+    FROM m
+    """,
+)
+def q_ev_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of the weekly retention curve:
+    regress ln(retained_w / retained_0) on week offset w — the decay
+    rate λ and half-life = ln2/λ that turn q_ev_retention_curve's
+    point table into the ONE number a growth model plugs in
+    (constant-hazard churn ⇒ exponential retention).
+
+    Determinism: weekly retained counts are exact BIGINTs (distinct
+    users per week offset); each point's log-retention is FLOORED at
+    10⁶ fixed-point (ratio of exact integers enters ln — the ln-floor
+    trick), so the regression co-moments over the handful of week
+    points are exact integer sums; slope and half-life are single
+    shared DOUBLE expressions with ln(2) as an exact double literal,
+    the half-life NULL-guarded on a non-decaying fit.
+
+    Scale: one user aggregate + one distinct + a week-keyed
+    aggregate — the fit itself runs on ≤ a few dozen points."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    weeks = (
+        ev.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("d0")) / 7
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    r = weeks.groupBy("w").agg(
+        F.count("*").cast("long").alias("retained")
+    )
+    r0 = r.where(F.col("w") == 0).select(
+        F.col("retained").alias("base")
+    )
+    pts = (
+        r.crossJoin(F.broadcast(r0))
+        .where(F.col("retained") > 0)
+        .select(
+            F.col("w").cast("long").alias("w"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    F.col("retained").cast("double") / F.col("base")
+                )
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sww"),
+        F.sum(F.col("w") * F.col("u")).cast("long").alias("swu"),
+    )
+    num = (
+        F.col("k").cast("double") * F.col("swu")
+        - F.col("sw").cast("double") * F.col("su")
+    )
+    den = (
+        F.col("k").cast("double") * F.col("sww")
+        - F.col("sw").cast("double") * F.col("sw")
+    )
+    slope = num / den / 1000000
+    return m.select(
+        F.col("k").alias("n_weeks"),
+        F.round(slope, 6).alias("decay_rate"),
+        F.when(
+            num < 0,
+            F.round(
+                F.expr("CAST(0.6931471805599453 AS DOUBLE)") / (-slope),
+                2,
+            ),
+        ).alias("half_life_weeks"),
+    )

@@ -3135,3 +3135,99 @@ def q_ord_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@query(
+    "q_ord_elasticity",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(floor(10000e0
+                   * ln(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        / CAST(l_quantity AS DOUBLE))) AS BIGINT) AS u,
+               CAST(floor(10000e0
+                   * ln(CAST(l_quantity AS DOUBLE))) AS BIGINT) AS v
+        FROM lineitem WHERE l_quantity >= 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(u) AS BIGINT) AS su,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(u * u) AS BIGINT) AS suu,
+               CAST(sum(u * v) AS BIGINT) AS suv,
+               CAST(sum(v * v) AS BIGINT) AS svv
+        FROM obs
+    )
+    SELECT n AS n_lines,
+           round((CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+                 / (CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su),
+                 4) AS elasticity,
+           round((CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+                 * (CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+                 / ((CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)
+                    * (CAST(n AS DOUBLE) * svv
+                       - CAST(sv AS DOUBLE) * sv)), 4) AS r2
+    FROM m
+    """,
+)
+def q_ord_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand across lineitem
+    observations: the OLS slope of ln(quantity) on ln(unit price) —
+    the constant-elasticity estimate a pricing team reads first
+    (slope −1.3 means a 1% price rise loses 1.3% volume), with the
+    fit's R².
+
+    Determinism: each observation's ln(unit price) and ln(quantity)
+    are FLOORED at 10⁴ fixed-point into BIGINTs (the ln-floor trick —
+    the unit price enters ln() as ONE shared division of exact
+    integers), so ALL six co-moments are exact integer sums —
+    order-free, no prefix machinery — and the 10⁴ scales cancel in
+    the slope ratio; slope and R² are single shared DOUBLE
+    expressions (quadratic co-moment products — overflow rule;
+    Σ(u·v) ~ 2.6e10/row stays in BIGINT to ~3e8 rows, then
+    DECIMAL(38,0)).  The 1e-4 ln granularity bounds the slope bias
+    far below the 4-decimal rounding.
+
+    Scale: one scan, one 1-row aggregate — fully map-side
+    combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.where(F.col("l_quantity") >= 1).select(
+        F.floor(
+            F.lit(10000.0)
+            * F.log(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                / F.col("l_quantity").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("u"),
+        F.floor(
+            F.lit(10000.0) * F.log(F.col("l_quantity").cast("double"))
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    m = obs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+        F.sum(F.col("u") * F.col("v")).cast("long").alias("suv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("suv")
+        - F.col("su").cast("double") * F.col("sv")
+    )
+    denu = (
+        F.col("n").cast("double") * F.col("suu")
+        - F.col("su").cast("double") * F.col("su")
+    )
+    denv = (
+        F.col("n").cast("double") * F.col("svv")
+        - F.col("sv").cast("double") * F.col("sv")
+    )
+    return m.select(
+        F.col("n").alias("n_lines"),
+        F.round(num / denu, 4).alias("elasticity"),
+        F.round(num * num / (denu * denv), 4).alias("r2"),
+    )
