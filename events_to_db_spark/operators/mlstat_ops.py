@@ -3852,3 +3852,159 @@ def q_ml_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m3",
         F.expr(f"round({dbi}, 6)").alias("dbi_sq"),
     )
+
+
+#: D'Agostino-Pearson K^2 pieces, shared VERBATIM over the per-group
+#: columns n (BIGINT) and m2/m3/m4 (DOUBLE central moments derived
+#: identically in both engines, the q_stat_jarque_bera pattern).
+_DP_G1 = "(m3 / (sqrt(m2) * m2))"
+_DP_B2 = "(m4 / (m2 * m2))"
+_DP_Y = (
+    f"({_DP_G1} * sqrt((CAST(n AS DOUBLE) + 1) * (n + 3)"
+    " / (6e0 * (n - 2))))"
+)
+_DP_BETA2 = (
+    "(3e0 * (CAST(n AS DOUBLE) * n + 27 * n - 70) * (n + 1) * (n + 3)"
+    " / ((CAST(n AS DOUBLE) - 2) * (n + 5) * (n + 7) * (n + 9)))"
+)
+_DP_W2 = f"(-1 + sqrt(2 * ({_DP_BETA2} - 1)))"
+_DP_DELTA = f"(1 / sqrt(ln(sqrt({_DP_W2}))))"
+_DP_ALPHA = f"(sqrt(2e0 / ({_DP_W2} - 1)))"
+_DP_Z1 = (
+    f"({_DP_DELTA} * ln({_DP_Y} / {_DP_ALPHA}"
+    f" + sqrt(({_DP_Y} / {_DP_ALPHA}) * ({_DP_Y} / {_DP_ALPHA}) + 1)))"
+)
+_DP_EB2 = "(3e0 * (n - 1) / (n + 1))"
+_DP_VB2 = (
+    "(24e0 * n * (n - 2) * (n - 3)"
+    " / ((CAST(n AS DOUBLE) + 1) * (n + 1) * (n + 3) * (n + 5)))"
+)
+_DP_X = f"(({_DP_B2} - {_DP_EB2}) / sqrt({_DP_VB2}))"
+_DP_BETA1 = (
+    "(6e0 * (CAST(n AS DOUBLE) * n - 5 * n + 2)"
+    " / ((n + 7) * (n + 9))"
+    " * sqrt(6e0 * (n + 3) * (n + 5)"
+    " / (CAST(n AS DOUBLE) * (n - 2) * (n - 3))))"
+)
+_DP_A = (
+    f"(6 + 8 / {_DP_BETA1} * (2 / {_DP_BETA1}"
+    f" + sqrt(1 + 4 / ({_DP_BETA1} * {_DP_BETA1}))))"
+)
+_DP_Z2 = (
+    f"(((1 - 2 / (9 * {_DP_A}))"
+    f" - cbrt((1 - 2 / {_DP_A})"
+    f" / (1 + {_DP_X} * sqrt(2 / ({_DP_A} - 4)))))"
+    f" / sqrt(2 / (9 * {_DP_A})))"
+)
+_DP_K2 = f"({_DP_Z1} * {_DP_Z1} + {_DP_Z2} * {_DP_Z2})"
+
+
+@query(
+    "q_stat_dagostino",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS s1, sum(v * v) AS s2,
+               sum(v * v * v) AS s3, sum(v * v * v * v) AS s4
+        FROM c GROUP BY event_type
+        HAVING count(*) >= 20
+    ),
+    ctr AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM m
+    ),
+    mom AS (
+        SELECT event_type, n,
+               r2 - m1 * m1 AS m2,
+               r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+               r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                  - 3 * m1 * m1 * m1 * m1 AS m4
+        FROM ctr
+    )
+    SELECT event_type, n,
+           round({_DP_Z1}, 4) AS z_skew,
+           round({_DP_Z2}, 4) AS z_kurt,
+           round({_DP_K2}, 4) AS k2,
+           CAST({_DP_K2} > CAST(5.991465 AS DOUBLE) AS BOOLEAN)
+               AS reject_05
+    FROM mom ORDER BY event_type
+    """,
+)
+def q_stat_dagostino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test of ``value`` per
+    event type: the finite-sample-corrected skewness z (Johnson SU
+    transform) and kurtosis z (Anscombe–Glynn cube-root transform),
+    combined as K² = z₁² + z₂² ~ χ²(2) — the normality test that
+    stays calibrated at moderate n where q_stat_jarque_bera's
+    asymptotic χ² over-rejects.
+
+    Determinism: the four raw power sums are exact integers
+    (DECIMAL(38,0)/HUGEINT internally — the JB pattern; never in the
+    OUTPUT schema); central moments and both z transforms are
+    module-level DOUBLE expression strings shared verbatim by both
+    engines (ln/sqrt/cbrt on identical doubles — the ln-parity
+    precedent; cbrt handles the negative operand branch identically),
+    and the 5% decision compares the same shared expression against
+    the χ²(2) literal.  Groups below n = 20 are excluded exactly (the
+    finite-sample transforms divide by n−2/n−3 and are meaningless
+    there — never a division error).  One keyed aggregate, 5-row
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 100) as decimal(38,0))").alias("v"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v * v")).alias("s2"),
+        F.sum(F.expr("v * v * v")).alias("s3"),
+        F.sum(F.expr("v * v * v * v")).alias("s4"),
+    ).where(F.col("n") >= 20)
+    ctr = m.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n")).alias("r2"),
+        (F.col("s3").cast("double") / F.col("n")).alias("r3"),
+        (F.col("s4").cast("double") / F.col("n")).alias("r4"),
+    )
+    mom = ctr.select(
+        "event_type",
+        "n",
+        (F.col("r2") - F.col("m1") * F.col("m1")).alias("m2"),
+        (
+            F.col("r3")
+            - 3 * F.col("m1") * F.col("r2")
+            + 2 * F.col("m1") * F.col("m1") * F.col("m1")
+        ).alias("m3"),
+        (
+            F.col("r4")
+            - 4 * F.col("m1") * F.col("r3")
+            + 6 * F.col("m1") * F.col("m1") * F.col("r2")
+            - 3
+            * F.col("m1")
+            * F.col("m1")
+            * F.col("m1")
+            * F.col("m1")
+        ).alias("m4"),
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.expr(f"round({_DP_Z1}, 4)").alias("z_skew"),
+        F.expr(f"round({_DP_Z2}, 4)").alias("z_kurt"),
+        F.expr(f"round({_DP_K2}, 4)").alias("k2"),
+        F.expr(f"{_DP_K2} > CAST(5.991465 AS DOUBLE)").alias(
+            "reject_05"
+        ),
+    ).orderBy("event_type")

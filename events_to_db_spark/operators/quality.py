@@ -1135,3 +1135,83 @@ def q_quality_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_outliers").cast("double") / F.col("n_rows"), 6
         ).alias("outlier_rate"),
     )
+
+
+@query(
+    "q_quality_heaping",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) % 10 AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS o FROM s GROUP BY d
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    dev AS (
+        SELECT n,
+               CAST(sum((10 * o - n) * (10 * o - n)) AS BIGINT) AS ssq,
+               CAST(max(o * 16 + (15 - d)) AS BIGINT) AS packed
+        FROM cells CROSS JOIN tot
+        GROUP BY n
+    )
+    SELECT n AS n_rows, ssq AS chi2_num,
+           round(CAST(ssq AS DOUBLE) / (10e0 * n), 4) AS chi2,
+           CAST(100000 * ssq >= 16918977 * n AS BOOLEAN) AS reject_05,
+           CAST(15 - packed % 16 AS BIGINT) AS top_digit,
+           round(CAST(packed // 16 AS DOUBLE) / n, 4) AS top_share
+    FROM dev
+    """,
+)
+def q_quality_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-digit heaping audit of purchase amounts: χ² of the
+    last cent digit against Uniform{0..9} — the data-forensics test
+    for price points, hand-entry rounding, and synthetic-data tells
+    (real prices heap on .99/.00; honestly random cents don't), the
+    digit-level companion to q_quality_benford's leading-digit law.
+
+    Determinism: with expected count n/10, the χ² clears to
+    Σ(10·o_d − n)²/(10n) — numerator an exact BIGINT; the 5% decision
+    is the integer cross-multiplication 10⁵·Σ ≥ χ²crit(9)·10⁶·n/10 =
+    16918977·n; the modal digit + its share come from ONE packed max
+    (o·16 + reversed digit — smallest digit wins ties, no struct
+    SortAggregate).
+
+    Scale: one scan, one 10-cell aggregate, one 1-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        (F.expr("CAST(round(value * 100) AS BIGINT)") % 10).alias("d")
+    )
+    cells = s.groupBy("d").agg(F.count("*").cast("long").alias("o"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dev = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                (10 * F.col("o") - F.col("n"))
+                * (10 * F.col("o") - F.col("n"))
+            )
+            .cast("long")
+            .alias("ssq"),
+            F.max(F.col("o") * 16 + (15 - F.col("d")))
+            .cast("long")
+            .alias("packed"),
+        )
+    )
+    return dev.select(
+        F.col("n").alias("n_rows"),
+        F.col("ssq").alias("chi2_num"),
+        F.round(
+            F.col("ssq").cast("double") / (F.lit(10.0) * F.col("n")), 4
+        ).alias("chi2"),
+        (
+            F.lit(100000).cast("long") * F.col("ssq")
+            >= F.lit(16918977).cast("long") * F.col("n")
+        ).alias("reject_05"),
+        (15 - F.col("packed") % 16).cast("long").alias("top_digit"),
+        F.round(
+            F.floor(F.col("packed") / 16).cast("double") / F.col("n"),
+            4,
+        ).alias("top_share"),
+    )
