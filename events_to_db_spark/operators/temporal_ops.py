@@ -3272,3 +3272,179 @@ def q_ev_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("half_life_weeks"),
     )
+
+
+@query(
+    "q_ev_weibull",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+               // 1000000 AS g
+        FROM p
+    ),
+    pv AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS c
+        FROM gaps WHERE g IS NOT NULL AND g > 0
+        GROUP BY g
+    ),
+    cum AS (SELECT g, c, sum(c) OVER (ORDER BY g) AS cumc FROM pv),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+    pts AS (
+        SELECT c,
+               CAST(floor(10000e0 * ln(CAST(g AS DOUBLE))) AS BIGINT)
+                   AS u,
+               CAST(floor(10000e0 * ln(-ln(
+                   CAST(10 * n + 4 - (5 * (2 * cumc - c + 1) - 3)
+                        AS DOUBLE) / (10 * n + 4)))) AS BIGINT) AS v
+        FROM cum CROSS JOIN tot
+    ),
+    m AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * u) AS BIGINT) AS su,
+               CAST(sum(c * v) AS BIGINT) AS sv,
+               CAST(sum(c * u * u) AS BIGINT) AS suu,
+               CAST(sum(c * u * v) AS BIGINT) AS suv,
+               CAST(sum(c * v * v) AS BIGINT) AS svv
+        FROM pts
+    )
+    SELECT n AS n_gaps,
+           round((CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+                 / (CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su),
+                 4) AS shape_k,
+           round(exp(-((CAST(sv AS DOUBLE) / n
+                        - ((CAST(n AS DOUBLE) * suv
+                            - CAST(su AS DOUBLE) * sv)
+                           / (CAST(n AS DOUBLE) * suu
+                              - CAST(su AS DOUBLE) * su))
+                          * (CAST(su AS DOUBLE) / n)) / 10000)
+                     / ((CAST(n AS DOUBLE) * suv
+                         - CAST(su AS DOUBLE) * sv)
+                        / (CAST(n AS DOUBLE) * suu
+                           - CAST(su AS DOUBLE) * su))), 2)
+               AS scale_s,
+           round((CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+                 * (CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+                 / ((CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)
+                    * (CAST(n AS DOUBLE) * svv
+                       - CAST(sv AS DOUBLE) * sv)), 4) AS r2
+    FROM m
+    """,
+)
+def q_ev_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of inter-purchase gaps by median-rank regression
+    (Weibull probability plotting): regress ln(−ln(1−F_i)) on ln(t_i)
+    with Benard's approximation F_i = (i−0.3)/(n+0.4) — shape k < 1
+    means purchase hazard FALLS with time since last purchase
+    (re-engage fast or lose them), k > 1 means it rises; the
+    parametric leg of the survival family (KM/NA/RMST are its
+    non-parametric siblings), plus the plot's R² as the
+    goodness-of-fit readout.
+
+    Determinism: gaps are exact integer seconds (epoch-µs integer
+    div — the µs-gap rule); tie blocks get the exact midrank, so the
+    plotting position clears to the integer ratio (10n+4−(5(2cum−c+1)
+    −3))/(10n+4) whose double ln(−ln(·)) both engines evaluate on the
+    identical argument; BOTH plot coordinates are then FLOORED at 10⁴
+    fixed-point into BIGINTs, making every count-weighted co-moment
+    an exact order-free integer sum (the q_ord_elasticity regression
+    trick — the 10⁴ scales cancel in slope and R²; the intercept
+    rescales once).  Slope, scale = exp(−b/k), and R² are single
+    shared DOUBLE expressions.
+
+    Scale: per-user lag (partitioned), one gap-grain aggregate, the
+    bucketed prefix scan over distinct gap values, one 1-row moment
+    fold."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("us")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("us"),
+    )
+    gaps = p.select(
+        F.expr(
+            "(us - lag(us) OVER (PARTITION BY user_id ORDER BY us))"
+            " div 1000000"
+        ).alias("g")
+    )
+    pv = (
+        gaps.where(F.col("g").isNotNull() & (F.col("g") > 0))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from events_to_db_spark.plans.prefix import bucketed_running_sum
+
+    cum = bucketed_running_sum(
+        pv,
+        bucket=F.floor(F.col("g") / F.lit(100000)).cast("long"),
+        order_cols=[F.col("g")],
+        sums={"cumc": F.col("c")},
+    )
+    tot = pv.agg(F.sum("c").cast("long").alias("n"))
+    pts = cum.crossJoin(F.broadcast(tot)).select(
+        "c",
+        F.floor(F.lit(10000.0) * F.log(F.col("g").cast("double")))
+        .cast("long")
+        .alias("u"),
+        F.floor(
+            F.lit(10000.0)
+            * F.log(
+                -F.log(
+                    (
+                        10 * F.col("n")
+                        + 4
+                        - (
+                            5 * (2 * F.col("cumc") - F.col("c") + 1)
+                            - 3
+                        )
+                    ).cast("double")
+                    / (10 * F.col("n") + 4)
+                )
+            )
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    m = pts.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("u")).cast("long").alias("su"),
+        F.sum(F.col("c") * F.col("v")).cast("long").alias("sv"),
+        F.sum(F.col("c") * F.col("u") * F.col("u"))
+        .cast("long")
+        .alias("suu"),
+        F.sum(F.col("c") * F.col("u") * F.col("v"))
+        .cast("long")
+        .alias("suv"),
+        F.sum(F.col("c") * F.col("v") * F.col("v"))
+        .cast("long")
+        .alias("svv"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("suv")
+        - F.col("su").cast("double") * F.col("sv")
+    )
+    denu = (
+        F.col("n").cast("double") * F.col("suu")
+        - F.col("su").cast("double") * F.col("su")
+    )
+    denv = (
+        F.col("n").cast("double") * F.col("svv")
+        - F.col("sv").cast("double") * F.col("sv")
+    )
+    slope = num / denu
+    intercept4 = (
+        F.col("sv").cast("double") / F.col("n")
+        - slope * (F.col("su").cast("double") / F.col("n"))
+    )
+    return m.select(
+        F.col("n").alias("n_gaps"),
+        F.round(slope, 4).alias("shape_k"),
+        F.round(F.exp(-(intercept4 / 10000) / slope), 2).alias(
+            "scale_s"
+        ),
+        F.round(num * num / (denu * denv), 4).alias("r2"),
+    )
