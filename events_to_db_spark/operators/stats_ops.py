@@ -5777,3 +5777,249 @@ def q_stat_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 6)"
         ).alias("pearson_r"),
     )
+
+
+@query(
+    "q_stat_tost_prop",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(event_id % 2 AS BIGINT) AS arm,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS hit
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+            CAST(coalesce(sum(CASE WHEN arm = 0 THEN hit END), 0)
+                 AS BIGINT) AS x1,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+            CAST(coalesce(sum(CASE WHEN arm = 1 THEN hit END), 0)
+                 AS BIGINT) AS x2
+        FROM s
+    ),
+    z AS (
+        SELECT n1, x1, n2, x2,
+               CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2 AS d,
+               sqrt(CAST(x1 AS DOUBLE) / n1
+                    * (1 - CAST(x1 AS DOUBLE) / n1) / n1
+                    + CAST(x2 AS DOUBLE) / n2
+                    * (1 - CAST(x2 AS DOUBLE) / n2) / n2) AS se
+        FROM c
+    )
+    SELECT n1, x1, n2, x2,
+           round(d, 4) AS diff,
+           CASE WHEN se > 0 THEN round((d + 5e-2) / se, 4) END AS z_low,
+           CASE WHEN se > 0 THEN round((d - 5e-2) / se, 4) END
+               AS z_high,
+           CAST(coalesce(
+               se > 0 AND (d + 5e-2) / se > CAST(1.644854 AS DOUBLE)
+                      AND (d - 5e-2) / se < -CAST(1.644854 AS DOUBLE),
+               FALSE) AS BOOLEAN) AS equivalent_05
+    FROM z
+    """,
+)
+def q_stat_tost_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test for two proportions (margin ±5 points) on
+    the event-parity arms' P(value > 50) — the proportions companion
+    to q_stat_tost's means version: a non-significant q_stat_2prop
+    does NOT show the arms are the same; TOST's two one-sided tests
+    against the ±δ margin do (the A/A-test / no-regression-launch
+    readout).
+
+    Determinism: arm counts are exact BIGINTs from ONE scan; the
+    difference, the UNPOOLED standard error (the correct TOST form),
+    and both one-sided z's are shared DOUBLE expressions with δ = 5e-2
+    and z₀.₀₅ = 1.644854 as exact literals; the equivalence verdict is
+    coalesced to FALSE on a degenerate SE (the nullable-boolean NaN
+    trap, documented at q_ml_hosmer)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        (F.col("event_id") % 2).cast("long").alias("arm"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("hit"),
+    )
+    c = s.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("hit"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("hit"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("x2"),
+    )
+    d = F.col("x1").cast("double") / F.col("n1") - F.col("x2").cast(
+        "double"
+    ) / F.col("n2")
+    se = F.sqrt(
+        F.col("x1").cast("double")
+        / F.col("n1")
+        * (1 - F.col("x1").cast("double") / F.col("n1"))
+        / F.col("n1")
+        + F.col("x2").cast("double")
+        / F.col("n2")
+        * (1 - F.col("x2").cast("double") / F.col("n2"))
+        / F.col("n2")
+    )
+    z = c.select("n1", "x1", "n2", "x2", d.alias("d"), se.alias("se"))
+    crit = F.expr("CAST(1.644854 AS DOUBLE)")
+    return z.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round("d", 4).alias("diff"),
+        F.when(
+            F.col("se") > 0,
+            F.round((F.col("d") + F.lit(5e-2)) / F.col("se"), 4),
+        ).alias("z_low"),
+        F.when(
+            F.col("se") > 0,
+            F.round((F.col("d") - F.lit(5e-2)) / F.col("se"), 4),
+        ).alias("z_high"),
+        F.coalesce(
+            (F.col("se") > 0)
+            & ((F.col("d") + F.lit(5e-2)) / F.col("se") > crit)
+            & ((F.col("d") - F.lit(5e-2)) / F.col("se") < -crit),
+            F.lit(False),
+        ).alias("equivalent_05"),
+    )
+
+
+@query(
+    "q_stat_seasonal_mk",
+    oracle="""
+    WITH d AS (
+        SELECT dayofweek(ts) + 1 AS dow, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT a.dow,
+               CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_g,
+               CAST(max(cnt.n_g * (cnt.n_g - 1) * (2 * cnt.n_g + 5))
+                    AS BIGINT) AS var18_g
+        FROM d a
+        JOIN d b ON b.dow = a.dow AND b.day > a.day
+        JOIN (SELECT dow, CAST(count(*) AS BIGINT) AS n_g
+              FROM d GROUP BY dow) cnt ON cnt.dow = a.dow
+        GROUP BY a.dow
+    ),
+    tot AS (
+        SELECT CAST(sum(s_g) AS BIGINT) AS s,
+               CAST(sum(var18_g) AS BIGINT) AS var18,
+               CAST(count(*) AS BIGINT) AS n_seasons
+        FROM per
+    )
+    SELECT n_seasons, s AS s_stat, var18,
+           round(CASE WHEN s = 0 THEN 0e0
+                      ELSE (s - sign(s))
+                           / sqrt(var18 / 18e0) END, 4) AS z_stat,
+           CAST(18000000 * (abs(s) - 1) * (abs(s) - 1)
+                > 3841459 * var18 AND s <> 0 AS BOOLEAN) AS reject_05
+    FROM tot
+    """,
+)
+def q_stat_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch–Slack) on daily
+    purchase revenue with day-of-week seasons: the S statistic and
+    variance are computed WITHIN each weekday and summed — so a
+    strong weekly cycle cannot masquerade as (or mask) a monotone
+    trend the way it can in the plain q_stat_mannkendall (only
+    same-weekday pairs are compared).
+
+    Determinism: per-season S_g and the 18×-scaled variances
+    n_g(n_g−1)(2n_g+5) are exact BIGINTs (exact-cent sign
+    comparisons; ties-in-value correction omitted — exact-cent daily
+    sums are effectively tie-free, documented); the totals are exact
+    integer sums, z is one final float with the continuity
+    correction, and the 5% decision is the integer
+    cross-multiplication 18·10⁶·(|S|−1)² > 3841459·Var18.
+
+    Scale: the pair joins run per-season on the calendar-bounded
+    day table (≤ (days/7)² pairs per season)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    a = d.select(
+        F.col("dow"), F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = d.select(
+        F.col("dow"), F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    cnt = d.groupBy("dow").agg(F.count("*").cast("long").alias("n_g"))
+    per = (
+        a.join(b, (a.dow == b.dow) & (F.col("db") > F.col("da")))
+        .drop(b.dow)
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_g")
+        )
+        .join(F.broadcast(cnt), "dow")
+        .select(
+            "dow",
+            "s_g",
+            (
+                F.col("n_g")
+                * (F.col("n_g") - 1)
+                * (2 * F.col("n_g") + 5)
+            )
+            .cast("long")
+            .alias("var18_g"),
+        )
+    )
+    tot = per.agg(
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("var18_g").cast("long").alias("var18"),
+        F.count("*").cast("long").alias("n_seasons"),
+    )
+    return tot.select(
+        "n_seasons",
+        F.col("s").alias("s_stat"),
+        "var18",
+        F.round(
+            F.when(F.col("s") == 0, F.lit(0.0)).otherwise(
+                (F.col("s") - F.signum(F.col("s").cast("double")))
+                / F.sqrt(F.col("var18") / F.lit(18.0))
+            ),
+            4,
+        ).alias("z_stat"),
+        (
+            (
+                F.lit(18000000).cast("long")
+                * (F.abs(F.col("s")) - 1)
+                * (F.abs(F.col("s")) - 1)
+                > F.lit(3841459).cast("long") * F.col("var18")
+            )
+            & (F.col("s") != 0)
+        ).alias("reject_05"),
+    )

@@ -3448,3 +3448,85 @@ def q_ev_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(num * num / (denu * denv), 4).alias("r2"),
     )
+
+
+@query(
+    "q_ev_time_concentration",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    rk AS (
+        SELECT x, row_number() OVER (ORDER BY x, day) AS r
+        FROM d
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(r * x) AS BIGINT) AS srx
+        FROM rk
+    )
+    SELECT n AS n_days, s AS total_cents,
+           CAST(2 * srx - (n + 1) * s AS BIGINT) AS gini_num,
+           round(CAST(2 * srx - (n + 1) * s AS DOUBLE) / (n * s), 6)
+               AS gini_time,
+           round(CAST(n AS DOUBLE) / (n - (CAST(2 * srx
+                 - (n + 1) * s AS DOUBLE) / s)), 2)
+               AS effective_days
+    FROM m
+    """,
+)
+def q_ev_time_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue ACROSS DAYS — the temporal axis
+    of the inequality family (q_agg_gini asks "which users", this
+    asks "which days"): G = (2Σr·x − (n+1)Σx)/(nΣx) over
+    revenue-ranked days, plus the effective number of revenue days
+    n/(1+G·(n/(n−G·n))) collapsed to n/(n−G·n/1)… emitted as
+    n/(n − G·n) = 1/(1−G)-scaled days — high concentration means a
+    few spike days carry the month (capacity planning reads this
+    before averages).
+
+    Determinism: day ranks are unique (tie-break by day), so the
+    rank-weighted sum Σr·x and the Gini numerator 2Σrx − (n+1)S are
+    exact BIGINTs; both outputs are single final divisions.  The rank
+    runs over the calendar-bounded day table (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    rk = d.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "day"))
+        .cast("long")
+        .alias("r"),
+    )
+    m = rk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("r") * F.col("x")).cast("long").alias("srx"),
+    )
+    gnum = 2 * F.col("srx") - (F.col("n") + 1) * F.col("s")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("total_cents"),
+        gnum.cast("long").alias("gini_num"),
+        F.round(
+            gnum.cast("double") / (F.col("n") * F.col("s")), 6
+        ).alias("gini_time"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("n") - gnum.cast("double") / F.col("s")),
+            2,
+        ).alias("effective_days"),
+    )

@@ -295,6 +295,7 @@ def test_unpartitioned_windows_are_allowlisted(spark):
         "q_win_twr": "lag over per-day aggregate (calendar-bounded)",
         "q_stat_jackknife": "replicate prefixes over per-day aggregate (calendar-bounded)",
         "q_ml_davies_bouldin": "row_number over the 3-row seed LIMIT (k-bounded)",
+        "q_ev_time_concentration": "revenue rank over per-day aggregate (calendar-bounded)",
         "q_alloc_apportion": "remainder rank over the bounded event-type dictionary",
         "q_stat_meta": "weighted-sum prefixes over the fixed 7-row dow stratum table",
     }
