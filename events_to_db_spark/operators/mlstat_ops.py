@@ -4008,3 +4008,117 @@ def q_stat_dagostino(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_05"
         ),
     ).orderBy("event_type")
+
+
+#: Hanley–McNeil AUC standard error, shared VERBATIM over the exact
+#: (n1, n2, auc_num) integers: A = num/(2 n1 n2), Q1 = A/(2−A),
+#: Q2 = 2A²/(1+A) — all algebra DOUBLE (overflow rule).
+_AUC_A = "(CAST(auc_num AS DOUBLE) / (2e0 * n1 * n2))"
+_AUC_SE = (
+    f"(sqrt(({_AUC_A} * (1 - {_AUC_A})"
+    f" + (n1 - 1) * ({_AUC_A} / (2 - {_AUC_A}) - {_AUC_A} * {_AUC_A})"
+    f" + (n2 - 1) * (2 * {_AUC_A} * {_AUC_A} / (1 + {_AUC_A})"
+    f" - {_AUC_A} * {_AUC_A}))"
+    f" / (CAST(n1 AS DOUBLE) * n2)))"
+)
+
+
+@query(
+    "q_ml_auc_ci",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT vc, ct, pos,
+               sum(ct) OVER (ORDER BY vc) AS cum_n
+        FROM pv
+    ),
+    r AS (
+        SELECT CAST(sum(pos * (2 * (cum_n - ct) + ct + 1)) AS BIGINT)
+                   AS r2,
+               CAST(sum(pos) AS BIGINT) AS n1,
+               CAST(sum(ct) - sum(pos) AS BIGINT) AS n2
+        FROM cum
+    ),
+    a AS (
+        SELECT n1, n2,
+               CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS auc_num
+        FROM r
+    )
+    SELECT n1, n2,
+           round({_AUC_A}, 6) AS auc,
+           round({_AUC_SE}, 6) AS auc_se,
+           round(greatest({_AUC_A} - 196e0 / 100 * {_AUC_SE}, 0e0), 6)
+               AS ci_lo,
+           round(least({_AUC_A} + 196e0 / 100 * {_AUC_SE}, 1e0), 6)
+               AS ci_hi
+    FROM a
+    """,
+)
+def q_ml_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hanley–McNeil 95% confidence interval for the exact ROC AUC
+    (q_ml_auc's rank statistic): SE² = (A(1−A) + (n₁−1)(Q₁−A²) +
+    (n₂−1)(Q₂−A²))/(n₁n₂) with Q₁ = A/(2−A), Q₂ = 2A²/(1+A) — the
+    uncertainty that belongs next to every reported AUC (0.61 on 100
+    positives and 0.61 on 100k are different claims).
+
+    Determinism: the AUC numerator reuses q_ml_auc's exact 2×-rank
+    machinery verbatim (exact BIGINT off the bucketed prefix scan);
+    A, the Hanley–McNeil SE, and the clamped z = 196/100 bands are
+    module-level shared DOUBLE expression strings over those
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    pv = s.groupBy("vc").agg(
+        F.count("*").alias("ct"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = bucketed_running_sum(
+        pv,
+        F.expr("vc div 2000"),
+        [F.col("vc")],
+        {"cum_n": F.col("ct")},
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_n") - F.col("ct")) + F.col("ct") + 1)
+        )
+        .cast("long")
+        .alias("r2"),
+        F.sum("pos").cast("long").alias("n1"),
+        (F.sum("ct") - F.sum("pos")).cast("long").alias("n2"),
+    )
+    a = r.select(
+        "n1",
+        "n2",
+        (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("auc_num"),
+    )
+    return a.select(
+        "n1",
+        "n2",
+        F.expr(f"round({_AUC_A}, 6)").alias("auc"),
+        F.expr(f"round({_AUC_SE}, 6)").alias("auc_se"),
+        F.expr(
+            f"round(greatest({_AUC_A} - 196e0 / 100 * {_AUC_SE},"
+            f" 0e0), 6)"
+        ).alias("ci_lo"),
+        F.expr(
+            f"round(least({_AUC_A} + 196e0 / 100 * {_AUC_SE},"
+            f" 1e0), 6)"
+        ).alias("ci_hi"),
+    )

@@ -1215,3 +1215,152 @@ def q_quality_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top_share"),
     )
+
+
+@query(
+    "q_quality_huber",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pv AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY vc
+    ),
+    cum AS (SELECT vc, sum(c) OVER (ORDER BY vc) AS cumc FROM pv),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+    med AS (
+        SELECT min(vc) AS m FROM cum CROSS JOIN tot
+        WHERE 2 * cumc >= n
+    ),
+    dv AS (
+        SELECT abs(vc - m.m) AS d, c FROM pv CROSS JOIN med m
+    ),
+    dpv AS (SELECT d, CAST(sum(c) AS BIGINT) AS c FROM dv GROUP BY d),
+    dcum AS (SELECT d, sum(c) OVER (ORDER BY d) AS cumc FROM dpv),
+    mad AS (
+        SELECT min(d) AS mad FROM dcum CROSS JOIN tot
+        WHERE 2 * cumc >= n
+    ),
+    fold AS (
+        SELECT n,
+               CAST(sum(CASE WHEN 10000000 * abs(vc - med.m)
+                                  <= 1345 * 14826 * mad.mad
+                             THEN 10000000 * vc
+                             WHEN vc > med.m
+                             THEN 10000000 * med.m
+                                  + 1345 * 14826 * mad.mad
+                             ELSE 10000000 * med.m
+                                  - 1345 * 14826 * mad.mad
+                        END) AS BIGINT) AS s7,
+               CAST(sum(CASE WHEN 10000000 * abs(vc - med.m)
+                                  > 1345 * 14826 * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM s CROSS JOIN med CROSS JOIN mad CROSS JOIN tot
+        GROUP BY n
+    )
+    SELECT n AS n_rows, med.m AS median_cents, mad.mad AS mad_cents,
+           n_clipped,
+           round(CAST(s7 AS DOUBLE) / (10000000e0 * n) / 100, 4)
+               AS huber_mean,
+           round(CAST(s7 AS DOUBLE) / (10000000e0 * n)
+                 - CAST(med.m AS DOUBLE), 4) AS shift_cents
+    FROM fold CROSS JOIN med CROSS JOIN mad
+    """,
+)
+def q_quality_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Huber M-estimate of the purchase mean: start at the
+    exact median, clip every value to median ± 1.345·(1.4826·MAD),
+    and average the clipped values — the robust location estimate
+    between the median (throws away magnitude) and the mean (owned by
+    outliers); the clipped count is the contamination readout beside
+    q_quality_mad's flag rate.
+
+    Determinism: the clip bound is the exact rational
+    1345·14826·MAD/10⁷, so every clip decision is the integer
+    cross-multiplication 10⁷·|x−med| ≤ 1345·14826·MAD and the clipped
+    SUM stays an exact BIGINT at 10⁷ fixed-point (inliers contribute
+    10⁷·x, outliers the exact rational bound); the estimate is ONE
+    final division.  Reuses the q_quality_mad exact-order-statistic
+    machinery for median and MAD.
+
+    Scale: two value-grain prefix scans + one conditional fact
+    aggregate — same shape as q_quality_mad."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc")
+    )
+    pv = s.groupBy("vc").agg(F.count("*").cast("long").alias("c"))
+    cum = bucketed_running_sum(
+        pv, F.col("vc"), [F.col("vc")], {"cumc": F.col("c")}
+    )
+    tot = pv.agg(F.sum("c").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .agg(F.min("vc").alias("m"))
+    )
+    dpv = (
+        pv.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("vc") - F.col("m")).alias("d"), "c")
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    dcum = bucketed_running_sum(
+        dpv, F.col("d"), [F.col("d")], {"cumc": F.col("c")}
+    )
+    mad = (
+        dcum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .agg(F.min("d").alias("mad"))
+    )
+    bound = F.lit(1345).cast("long") * 14826 * F.col("mad")
+    within = (
+        F.lit(10000000).cast("long") * F.abs(F.col("vc") - F.col("m"))
+        <= bound
+    )
+    fold = (
+        s.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.when(
+                    within, F.lit(10000000).cast("long") * F.col("vc")
+                )
+                .when(
+                    F.col("vc") > F.col("m"),
+                    F.lit(10000000).cast("long") * F.col("m") + bound,
+                )
+                .otherwise(
+                    F.lit(10000000).cast("long") * F.col("m") - bound
+                )
+            )
+            .cast("long")
+            .alias("s7"),
+            F.sum(F.when(~within, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+            F.first("m").alias("median_cents"),
+            F.first("mad").alias("mad_cents"),
+        )
+    )
+    return fold.select(
+        F.col("n").alias("n_rows"),
+        "median_cents",
+        "mad_cents",
+        "n_clipped",
+        F.round(
+            F.col("s7").cast("double")
+            / (F.lit(10000000.0) * F.col("n"))
+            / 100,
+            4,
+        ).alias("huber_mean"),
+        F.round(
+            F.col("s7").cast("double")
+            / (F.lit(10000000.0) * F.col("n"))
+            - F.col("median_cents").cast("double"),
+            4,
+        ).alias("shift_cents"),
+    )
