@@ -7840,3 +7840,163 @@ def q_alloc_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ml_calib_slope",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(least(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END), 10) AS BIGINT)
+                   AS score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND CAST(json_extract_string(props, '$.k')
+                                  AS DOUBLE) >= 90
+                        THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS nb,
+               CAST(coalesce(sum(converted), 0) AS BIGINT) AS sb
+        FROM f WHERE score BETWEEN 1 AND 9
+        GROUP BY score
+    ),
+    pts AS (
+        SELECT nb AS w,
+               CAST(floor(1000000e0 * ln(CAST(score AS DOUBLE)
+                    / (10 - score))) AS BIGINT) AS x,
+               CAST(floor(1000000e0 * ln(CAST(sb AS DOUBLE)
+                    / (nb - sb))) AS BIGINT) AS y
+        FROM b WHERE sb > 0 AND sb < nb
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(w * x) AS BIGINT) AS swx,
+               CAST(sum(w * y) AS BIGINT) AS swy,
+               CAST(sum(w * x * x) AS BIGINT) AS swxx,
+               CAST(sum(w * x * y) AS BIGINT) AS swxy
+        FROM pts
+    )
+    SELECT k AS n_buckets, sw AS n_users_used,
+           round((CAST(sw AS DOUBLE) * swxy
+                  - CAST(swx AS DOUBLE) * swy)
+                 / (CAST(sw AS DOUBLE) * swxx
+                    - CAST(swx AS DOUBLE) * swx), 4)
+               AS calib_slope,
+           round((CAST(swy AS DOUBLE) / sw
+                  - ((CAST(sw AS DOUBLE) * swxy
+                      - CAST(swx AS DOUBLE) * swy)
+                     / (CAST(sw AS DOUBLE) * swxx
+                        - CAST(swx AS DOUBLE) * swx))
+                    * (CAST(swx AS DOUBLE) / sw)) / 1000000, 4)
+               AS calib_intercept
+    FROM m
+    """,
+)
+def q_ml_calib_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox calibration slope and intercept for the score-proportional
+    predictor (the q_ml_ece frame): weighted regression of the
+    OBSERVED bucket log-odds on the PREDICTED log-odds logit(b/10) —
+    the model-card recalibration pair beside ECE's magnitude and
+    Hosmer–Lemeshow's test (slope < 1 = overconfident scores,
+    intercept ≠ 0 = global bias; the fix is this exact linear map).
+
+    Determinism: both logit coordinates are FLOORED at 10⁶
+    fixed-point into BIGINTs (each enters ln() as one shared division
+    of exact integers), so the bucket-count-weighted co-moments are
+    exact order-free integer sums (the ln-floor regression trick);
+    degenerate buckets (0% or 100% observed) are excluded exactly;
+    slope is scale-free (the 10⁶ cancels) and the intercept rescales
+    once.  Plan: one user aggregate + a ≤9-row bucket fold."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.least(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ),
+            F.lit(10),
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.expr(
+                        "CAST(get_json_object(props, '$.k') AS DOUBLE)"
+                    )
+                    >= 90
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    b = (
+        f.where(F.col("score").between(1, 9))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("nb"),
+            F.coalesce(F.sum("converted"), F.lit(0))
+            .cast("long")
+            .alias("sb"),
+        )
+    )
+    pts = b.where(
+        (F.col("sb") > 0) & (F.col("sb") < F.col("nb"))
+    ).select(
+        F.col("nb").alias("w"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                F.col("score").cast("double") / (10 - F.col("score"))
+            )
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                F.col("sb").cast("double")
+                / (F.col("nb") - F.col("sb"))
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+        F.sum(F.col("w") * F.col("y")).cast("long").alias("swy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("swxx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y"))
+        .cast("long")
+        .alias("swxy"),
+    )
+    num = (
+        F.col("sw").cast("double") * F.col("swxy")
+        - F.col("swx").cast("double") * F.col("swy")
+    )
+    den = (
+        F.col("sw").cast("double") * F.col("swxx")
+        - F.col("swx").cast("double") * F.col("swx")
+    )
+    slope = num / den
+    return m.select(
+        F.col("k").alias("n_buckets"),
+        F.col("sw").alias("n_users_used"),
+        F.round(slope, 4).alias("calib_slope"),
+        F.round(
+            (
+                F.col("swy").cast("double") / F.col("sw")
+                - slope * (F.col("swx").cast("double") / F.col("sw"))
+            )
+            / 1000000,
+            4,
+        ).alias("calib_intercept"),
+    )
