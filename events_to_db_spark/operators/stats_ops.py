@@ -4646,29 +4646,26 @@ def q_stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS ({_DAILY_XY_SQL}),
     g AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS s,
-               CAST(sum(x * x) AS BIGINT) AS sxx
+               CAST(sum(x) AS HUGEINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
         FROM d
     ),
     lags AS (SELECT unnest(generate_series(1, 7)) AS k),
     p AS (
         SELECT k,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
-               CAST(sum(a.x) AS BIGINT) AS sh,
-               CAST(sum(b.x) AS BIGINT) AS st
+               CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+               CAST(sum(a.x) AS HUGEINT) AS sh,
+               CAST(sum(b.x) AS HUGEINT) AS st
         FROM lags
         JOIN d a ON true
         JOIN d b ON b.day = a.day + CAST(k AS INTEGER)
         GROUP BY k
     )
     SELECT CAST(k AS BIGINT) AS lag_days, cnt AS n_pairs,
-           CAST(n * n * sxy - n * s * (sh + st) + cnt * s * s AS BIGINT)
-               AS acf_num,
-           CAST(n * (n * sxx - s * s) AS BIGINT) AS acf_den,
            round(CAST(n * n * sxy - n * s * (sh + st) + cnt * s * s
                       AS DOUBLE)
-                 / (n * (n * sxx - s * s)), 6) AS acf
+                 / CAST(n * (n * sxx - s * s) AS DOUBLE), 6) AS acf
     FROM p CROSS JOIN g
     ORDER BY k
     """,
@@ -4683,18 +4680,24 @@ def q_stat_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the numerator and denominator are cleared of the
     rational mean by n²-scaling — num = n²Σxy − nS(Σhead+Σtail) +
-    (n−k)S², den = n(nΣx² − S²) — both exact BIGINTs on exact-cent
-    revenue (safe to ~1000-day calendars × 1e6-cent days; then
-    DECIMAL(38,0)); each r_k is ONE final division.  The lag pairing
-    is a calendar-date equi-join (day + k), never a window.
+    (n−k)S², den = n(nΣx² − S²) — both exact integers computed in
+    DECIMAL(38,0) Spark-side / HUGEINT oracle-side (ADVICE r09: the
+    old BIGINT form wraps already at ~366 days × 1e6-cent days — the
+    JB/K² internal-wide-integer pattern, never DECIMAL in the OUTPUT
+    schema; the 38-digit envelope covers ~1e5 days × 1e10-cent days);
+    each r_k is ONE final division of the two exact integers cast to
+    DOUBLE.  The lag pairing is a calendar-date equi-join (day + k),
+    never a window.
 
     Scale: the 7-lag fan-out and pair joins live entirely on the
     calendar-bounded daily aggregate."""
-    d = _daily_xy(spark, sf_dir)
+    d = _daily_xy(spark, sf_dir).select(
+        "day", F.expr("CAST(x AS DECIMAL(38,0))").alias("x")
+    )
     g = d.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("sxx"),
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
     a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
@@ -4706,27 +4709,28 @@ def q_stat_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").cast("long").alias("cnt"),
-            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
-            F.sum("xa").cast("long").alias("sh"),
-            F.sum("xb").cast("long").alias("st"),
+            F.sum(F.expr("xa * xb")).alias("sxy"),
+            F.sum("xa").alias("sh"),
+            F.sum("xb").alias("st"),
         )
     )
-    num = (
-        F.col("n") * F.col("n") * F.col("sxy")
-        - F.col("n") * F.col("s") * (F.col("sh") + F.col("st"))
-        + F.col("cnt") * F.col("s") * F.col("s")
+    num = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * n * sxy"
+        " - CAST(n AS DECIMAL(38,0)) * s * (sh + st)"
+        " + CAST(cnt AS DECIMAL(38,0)) * s * s"
     )
-    den = F.col("n") * (
-        F.col("n") * F.col("sxx") - F.col("s") * F.col("s")
+    den = F.expr(
+        "CAST(n AS DECIMAL(38,0))"
+        " * (CAST(n AS DECIMAL(38,0)) * sxx - s * s)"
     )
     return (
         p.crossJoin(F.broadcast(g))
         .select(
             F.col("k").cast("long").alias("lag_days"),
             F.col("cnt").alias("n_pairs"),
-            num.cast("long").alias("acf_num"),
-            den.cast("long").alias("acf_den"),
-            F.round(num.cast("double") / den, 6).alias("acf"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "acf"
+            ),
         )
         .orderBy("lag_days")
     )
@@ -5108,8 +5112,8 @@ def q_stat_2prop(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN vsum > 0 THEN
                CAST(greatest(abs(asum - esum) - 0.5e0, 0e0)
                     * greatest(abs(asum - esum) - 0.5e0, 0e0)
-                    > CAST(3.841459 AS DOUBLE) * vsum AS BOOLEAN) END
-               AS reject_05
+                    > CAST(3.841459 AS DOUBLE) * vsum AS BOOLEAN)
+               ELSE FALSE END AS reject_05
     FROM cum WHERE dow = (SELECT max(dow) FROM terms)
     """,
 )
@@ -5193,7 +5197,9 @@ def q_stat_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vsum") > 0,
                 dev * dev
                 > F.expr("CAST(3.841459 AS DOUBLE)") * F.col("vsum"),
-            ).alias("reject_05"),
+            )
+            .otherwise(F.lit(False))
+            .alias("reject_05"),
         )
     )
 

@@ -784,7 +784,8 @@ def q_win_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ts AS DATE) AS day,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                    AS x
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND event_id IS NOT NULL
         GROUP BY 1
     ),
     ch AS (
@@ -829,7 +830,9 @@ def q_win_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, NULL-guarded when the series never falls.  The daily
     frame adds an inert `event_id IS NOT NULL` so it stays
     cache-canonical vs q_stat_mannkendall's cached twin (the r9
-    --plans lesson on q_win_ulcer).
+    --plans lesson on q_win_ulcer); the oracle carries the SAME
+    predicate (ADVICE r09 — a regenerated corpus with NULL event_ids
+    must not silently diverge the engines).
 
     Scale: one keyed date aggregate; lag + running max live on the
     calendar-bounded day table (allowlisted)."""
@@ -900,6 +903,7 @@ def q_win_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS x
         FROM events
         WHERE event_type = 'purchase' AND value IS NOT NULL
+              AND ts IS NOT NULL
         GROUP BY 1
     ),
     f AS (
@@ -940,11 +944,11 @@ def q_win_twr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one keyed date aggregate + one lag over the
     calendar-bounded day table (allowlisted), one 1-row aggregate.
-    The daily frame carries an inert `value IS NOT NULL` to stay
-    cache-canonical vs q_stat_mannkendall's cached twin — but note
-    q_win_ulcer already holds that form; this one adds the lag
-    BEFORE any cacheable boundary, so the frames differ structurally
-    anyway."""
+    The daily frame carries inert `value IS NOT NULL` and
+    `ts IS NOT NULL` predicates to stay cache-canonical vs
+    q_stat_mannkendall's cached twin — the oracle mirrors BOTH
+    (ADVICE r09: a regenerated corpus with NULLs there must not
+    silently diverge the engines)."""
     ev = load_table(spark, sf_dir, "events")
     d = (
         ev.where(
