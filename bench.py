@@ -221,6 +221,12 @@ def _sset_once(spark, sf_dir: str) -> dict:
         for q in {q.id: q for q in qs.values()}.values():
             q.awaitTermination()
         fanout_s = time.time() - t0
+        # the r10 observability surface, reported alongside throughput
+        # (VERDICT r09 #4): per-table rows from the metrics log +
+        # source lag — a drained S-set must show zero pending files
+        from events_to_db_spark.etl import etl_status
+
+        status = etl_status(cfg)
         return {
             "rows": n,
             "landing_s": round(landing_s, 2),
@@ -228,6 +234,11 @@ def _sset_once(spark, sf_dir: str) -> dict:
             "landing_rows_s": round(n / landing_s, 1),
             "fanout_rows_s": round(n / fanout_s, 1),
             "total_s": round(landing_s + fanout_s, 2),
+            "tables_rows_out": {
+                t: d.get("total_rows_out")
+                for t, d in sorted(status["tables"].items())
+            },
+            "feed_files_pending": status["feed_files_pending"],
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -13,6 +13,9 @@ information::
       "events":      "<dir of event-log parquet files>",
       "db":          "<target db path>",          # file-backed SQL engine
       "checkpoints": "<checkpoint root dir>",     # one sub-dir per table
+      "metrics":     true,   # default: per-table batch metrics into
+                             # <checkpoints>/__metrics.jsonl, read by
+                             # etl_status(config) (VERDICT r09 #4)
       "tables": [
         {"table": "purchases",
          "query": "FROM 'type:purchase' FILTER _.k >= 2"
@@ -301,6 +304,63 @@ def _feed_schema_guard(src_dir: str, allow_extra: bool = False) -> None:
             )
 
 
+def _attach_feed_schema_watch(
+    spark: SparkSession,
+    query: StreamingQuery,
+    src_dir: str,
+    dst_dir: str,
+    allow_extra: bool,
+) -> None:
+    """Mid-run schema-evolution guard for a CONTINUOUS maintenance
+    stream (VERDICT r09 #3): the start-time `_feed_schema_guard`
+    cannot see a widened file that lands while the stream runs — the
+    fixed-schema source would silently drop the new column from every
+    batch forever.  This listener re-runs the guard after every
+    completed trigger; on violation it records
+    ``_schema_violation.json`` beside the layout data and STOPS the
+    query — loud, not silent.  The batch that carried the evolution
+    has already landed envelope-only (source-level truncation is
+    invisible until the trigger completes); the remedy — fix the feed,
+    or extend the envelope and re-drain a fresh layout — recovers it.
+    availableNow runs don't need this: every (re)start re-guards, so
+    evolution between bounded runs is caught at the next start."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _Watch(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            if str(event.progress.id) != qid:
+                return
+            try:
+                _feed_schema_guard(src_dir, allow_extra=allow_extra)
+            except ValueError as exc:
+                import json
+                from pathlib import Path
+
+                (Path(dst_dir) / "_schema_violation.json").write_text(
+                    json.dumps({"query_id": qid, "error": str(exc)})
+                )
+                for q in spark.streams.active:
+                    if str(q.id) == qid:
+                        q.stop()
+
+        def onQueryTerminated(self, event) -> None:
+            if str(event.id) == qid:
+                try:
+                    spark.streams.removeListener(self)
+                except Exception:
+                    pass
+
+    spark.streams.addListener(_Watch())
+
+
 def maintain_landing_layout(
     spark: SparkSession,
     src_dir: str,
@@ -397,6 +457,15 @@ def maintain_landing_layout(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     _write_maintenance_owner(dst_dir, q, checkpoint_dir)
+    # a clean (guard-passing) start clears any recorded mid-run
+    # violation from a previous continuous run — the feed was fixed
+    from pathlib import Path as _P2
+
+    (_P2(dst_dir) / "_schema_violation.json").unlink(missing_ok=True)
+    if not available_now:
+        _attach_feed_schema_watch(
+            spark, q, src_dir, dst_dir, allow_feed_extra_columns
+        )
     return q
 
 
@@ -801,6 +870,125 @@ def _latest_committed_batch(checkpoints: str) -> int:
     return max(ids, default=-1)
 
 
+def _metrics_file(checkpoints: str):
+    from pathlib import Path
+
+    return Path(checkpoints) / "__metrics.jsonl"
+
+
+def _record_metric(checkpoints: str, rec: dict) -> None:
+    """Append one JSON line to the config's metrics log (the
+    observability surface, VERDICT r09 #4).  Single writer — the
+    driver's foreachBatch thread — so a plain append is atomic enough;
+    a crash-replayed batch appends a duplicate line for the same
+    batch_id (metrics, not data: readers take the LAST record per
+    (table, batch_id), the same last-wins the keyed upsert gives the
+    rows themselves)."""
+    import json
+    import time
+
+    p = _metrics_file(checkpoints)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with p.open("a") as f:
+        f.write(
+            json.dumps({"wall_ts": round(time.time(), 3), **rec}) + "\n"
+        )
+
+
+def etl_status(config: dict) -> dict:
+    """Operator-facing progress/lag surface for a config's pipelines
+    (VERDICT r09 #4): what a production copier is WATCHED by, read
+    entirely from on-disk state (the metrics log + the streaming
+    checkpoint) so it works from any process, running stream or not.
+
+    Returns::
+
+        {
+          "tables": {t: {n_batches, last_batch_id, last_rows_in,
+                         last_rows_out, total_rows_out,
+                         last_duration_s, last_wall_ts}},
+          "committed_multiplex_batch": int,   # -1 before first commit
+          "feed_files_present": int,  # data files in config["events"]
+          "feed_files_seen": int,     # files the offset log has claimed
+          "feed_files_pending": int,  # present - seen = source lag
+        }
+
+    ``feed_files_pending`` is the source high-water-vs-frontier lag in
+    FILES (the file source's own unit); per-batch rows/durations come
+    from the metrics records the fan-out writes.  Batch replays
+    appear as duplicate (table, batch_id) records — last wins here."""
+    import json
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    ck = config["checkpoints"]
+    per_table: dict[str, dict] = {}
+    seen_batches: dict[tuple, dict] = {}
+    mf = _metrics_file(ck)
+    if mf.is_file():
+        for line in mf.read_text().splitlines():
+            if not line.strip():
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            seen_batches[(rec.get("table"), rec.get("batch_id"))] = rec
+    for (table, _bid), rec in sorted(
+        seen_batches.items(), key=lambda kv: (kv[0][0] or "", kv[0][1] or -1)
+    ):
+        d = per_table.setdefault(
+            table, {"n_batches": 0, "total_rows_out": 0}
+        )
+        d["n_batches"] += 1
+        d["total_rows_out"] += rec.get("rows_out") or 0
+        d["last_batch_id"] = rec.get("batch_id")
+        d["last_rows_in"] = rec.get("rows_in")
+        d["last_rows_out"] = rec.get("rows_out")
+        d["last_duration_s"] = rec.get("duration_s")
+        d["last_wall_ts"] = rec.get("wall_ts")
+
+    seen_paths: set[str] = set()
+    src_log = Path(ck) / "__multiplex" / "sources" / "0"
+    if src_log.is_dir():
+        for p in src_log.iterdir():
+            stem = p.name.split(".")[0]
+            if not stem.isdigit():
+                continue
+            try:
+                lines = p.read_text().splitlines()
+            except OSError:
+                continue
+            for ln in lines[1:]:
+                if not ln.startswith("{"):
+                    continue
+                try:
+                    u = json.loads(ln)["path"]
+                except (ValueError, KeyError):
+                    continue
+                if u.startswith("file:"):
+                    u = unquote(urlparse(u).path)
+                seen_paths.add(u)
+
+    present: set[str] = set()
+    ev = config.get("events")
+    if ev and Path(ev).is_dir():
+        present = {
+            str(p.resolve())
+            for p in Path(ev).rglob("*.parquet")
+            if p.is_file()
+            and "_spark_metadata" not in p.parts
+            and not p.name.startswith(("_", "."))
+        }
+    return {
+        "tables": per_table,
+        "committed_multiplex_batch": _latest_committed_batch(ck),
+        "feed_files_present": len(present),
+        "feed_files_seen": len(seen_paths),
+        "feed_files_pending": len(present - seen_paths),
+    }
+
+
 def _read_multiplex_marker(marker, latest: int) -> dict | None:
     """The fan-out marker, upgraded in place to its r9 shape:
     ``{"union": [...], "last_active": [...], "frontier": {t: batch}}``.
@@ -1074,16 +1262,38 @@ def multiplex_foreach_batch(config: dict, entries: list[dict]):
     from events_to_db_spark.functions.tags import with_tags
 
     sink_mode = config.get("sink_mode", "driver")
+    metrics = bool(config.get("metrics", True))
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
         tagged = with_tags(batch_df).persist()
         try:
+            rows_in = tagged.count() if metrics else None
             for entry in entries:
+                t0 = time.time()
+                written: dict = {}
                 out = run_aql(tagged, entry.get("query", DEFAULT_QUERY))
                 upsert_foreach_batch(
                     config["db"], entry["table"], ["event_id"],
                     mode=sink_mode,
+                    on_rows=(
+                        (lambda b, n: written.update(n=n))
+                        if metrics
+                        else None
+                    ),
                 )(out, batch_id)
+                if metrics:
+                    _record_metric(
+                        config["checkpoints"],
+                        {
+                            "table": entry["table"],
+                            "batch_id": batch_id,
+                            "rows_in": rows_in,
+                            "rows_out": written.get("n"),
+                            "duration_s": round(time.time() - t0, 3),
+                        },
+                    )
         finally:
             tagged.unpersist()
 
@@ -1183,6 +1393,7 @@ def run_etl_config(
                     upsert_foreach_batch(
                         config["db"], name, ["event_id"],
                         mode=config.get("sink_mode", "driver"),
+                        on_rows=_table_metric_hook(config, name),
                     )
                 )
             )
@@ -1193,6 +1404,29 @@ def run_etl_config(
         queries[name] = start(
             out.writeStream.outputMode("complete")
             .option("checkpointLocation", f"{config['checkpoints']}/{name}")
-            .foreachBatch(replace_foreach_batch(config["db"], name))
+            .foreachBatch(
+                replace_foreach_batch(
+                    config["db"],
+                    name,
+                    on_rows=_table_metric_hook(config, name),
+                )
+            )
         )
     return queries
+
+
+def _table_metric_hook(config: dict, table: str):
+    """Per-table ``on_rows`` hook for the NON-multiplexed paths
+    (per-table streams, aggregate folds): records rows_out per batch
+    into the same metrics log the fan-out writes (no rows_in — these
+    streams own their source, lastProgress.numInputRows covers it)."""
+    if not bool(config.get("metrics", True)):
+        return None
+
+    def hook(batch_id: int, n: int) -> None:
+        _record_metric(
+            config["checkpoints"],
+            {"table": table, "batch_id": batch_id, "rows_out": n},
+        )
+
+    return hook

@@ -56,9 +56,35 @@ def _sql_type(spark_dtype: str) -> str:
 
 
 def ensure_table(db_path: str, table: str, batch_df: DataFrame, key_cols: list[str]) -> None:
+    """Create the sink table if absent; refuse LOUDLY when it exists
+    with a DIFFERENT column set (VERDICT r09 #3 — schema evolution
+    through the upsert path).  Unlike the complete-mode replace sink
+    (which can DROP+recreate because every batch carries the whole
+    fold), the upsert table holds history that must not be silently
+    dropped; and without this check a WIDENED batch dies in an opaque
+    sqlite "no column named …" while a NARROWED one silently upserts
+    partial rows forever — both are the silent/obscure-failure class
+    this module refuses."""
     cols = ", ".join(f'"{c}" {_sql_type(t)}' for c, t in batch_df.dtypes)
     pk = ", ".join(f'"{c}"' for c in key_cols)
+    want = [c for c, _ in batch_df.dtypes]
     with _connect(db_path) as con:
+        existing = [
+            r[1] for r in con.execute(f'PRAGMA table_info("{table}")')
+        ]
+        if existing and set(existing) != set(want):
+            added = sorted(set(want) - set(existing))
+            removed = sorted(set(existing) - set(want))
+            raise ValueError(
+                f"upsert sink: table {table!r} exists with a different "
+                f"column set (batch adds {added}, drops {removed}). "
+                "The keyed upsert cannot evolve a table in place "
+                "without silently NULLing or dropping history — "
+                "migrate the table (ALTER TABLE / backfill) or retire "
+                "it and re-drain into a fresh table name; "
+                "aggregate-mode tables evolve automatically via the "
+                "replace sink."
+            )
         con.execute(
             f'CREATE TABLE IF NOT EXISTS "{table}" ({cols}, PRIMARY KEY ({pk}))'
         )
@@ -97,13 +123,20 @@ _PARTITION_CHUNK_ROWS = 10_000
 
 
 def make_partition_upserter(
-    db_path: str, table: str, columns: list[str], key_cols: list[str]
+    db_path: str,
+    table: str,
+    columns: list[str],
+    key_cols: list[str],
+    row_acc=None,
 ) -> Callable:
     """The ``foreachPartition`` body for the executor-parallel upsert
     (VERDICT r07 #2): runs ON AN EXECUTOR, opens its own connection,
     and commits the partition's rows in one transaction of chunked
     ``executemany`` calls.  Closes over plain strings only (picklable);
-    the same function drives a server DB-API connection unchanged."""
+    the same function drives a server DB-API connection unchanged.
+    ``row_acc`` (optional Spark accumulator) counts written rows for
+    the observability surface — accumulator adds, never an extra
+    pass."""
     sql = _upsert_sql(table, columns, key_cols)
 
     def write_partition(rows) -> None:
@@ -114,10 +147,12 @@ def make_partition_upserter(
         if not first:
             return  # empty partition: do not even open a connection
         con = _connect(db_path)
+        n = 0
         try:
             chunk = first
             while chunk:
                 con.executemany(sql, chunk)
+                n += len(chunk)
                 chunk = list(islice(it, _PARTITION_CHUNK_ROWS))
             con.commit()
         except Exception:
@@ -125,12 +160,18 @@ def make_partition_upserter(
             raise
         finally:
             con.close()
+        if row_acc is not None:
+            row_acc.add(n)
 
     return write_partition
 
 
 def upsert_foreach_batch(
-    db_path: str, table: str, key_cols: list[str], mode: str = "driver"
+    db_path: str,
+    table: str,
+    key_cols: list[str],
+    mode: str = "driver",
+    on_rows: Callable[[int, int], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function for an idempotent keyed copy.
 
@@ -143,6 +184,11 @@ def upsert_foreach_batch(
     keyed upsert absorbs redelivery whether a whole batch or a single
     partition is replayed.
 
+    ``on_rows(batch_id, n_rows)`` (optional) is invoked after each
+    batch with the written row count — the observability hook
+    (VERDICT r09 #4); driver mode counts as it streams, executor mode
+    via a Spark accumulator (no extra pass either way).
+
     Timestamps are serialized to microsecond ISO text so the sink is
     engine-neutral and comparisons in tests are exact.
     """
@@ -154,13 +200,22 @@ def upsert_foreach_batch(
         columns = [c for c, _ in out.dtypes]
         ensure_table(db_path, table, out, key_cols)
         if mode == "executor":
+            acc = None
+            if on_rows is not None:
+                acc = batch_df.sparkSession.sparkContext.accumulator(0)
             out.foreachPartition(
-                make_partition_upserter(db_path, table, columns, key_cols)
+                make_partition_upserter(
+                    db_path, table, columns, key_cols, row_acc=acc
+                )
             )
+            if on_rows is not None:
+                on_rows(batch_id, int(acc.value))
             return
         # Single-writer file engine: stream partitions through the driver.
         rows = ([row[c] for c in columns] for row in out.toLocalIterator())
-        upsert_rows(db_path, table, columns, key_cols, rows)
+        n = upsert_rows(db_path, table, columns, key_cols, rows)
+        if on_rows is not None:
+            on_rows(batch_id, n)
 
     return write
 
@@ -180,7 +235,9 @@ def _iso_timestamps(batch_df: DataFrame) -> DataFrame:
 
 
 def replace_foreach_batch(
-    db_path: str, table: str
+    db_path: str,
+    table: str,
+    on_rows: Callable[[int, int], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` writer that atomically REPLACES the table with
     the batch rows — the sink for COMPLETE-mode streaming folds (the
@@ -224,6 +281,8 @@ def replace_foreach_batch(
             raise
         finally:
             con.close()
+        if on_rows is not None:
+            on_rows(batch_id, len(rows))
 
     return write
 

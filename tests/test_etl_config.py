@@ -11,6 +11,7 @@ import shutil
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from events_to_db_spark.etl import run_etl_config, validate_config
 from events_to_db_spark.functions.aql import run_aql
@@ -549,3 +550,138 @@ def test_backfill_refuses_when_frontier_moves(spark, tmp_path, monkeypatch):
         (tmp_path / "ckpt" / "__multiplex_tables.json").read_text()
     )
     assert "late_comer" not in marker["union"]
+
+
+# --- r10: observability surface + upsert-sink schema refusal ---
+
+
+def test_metrics_recorded_per_batch_and_survive_restart(
+    spark, chunked_events, tmp_path
+):
+    """VERDICT r09 #4: every fan-out batch writes per-table metrics
+    (rows in/out, duration) beside the checkpoint; etl_status() reads
+    them plus the committed frontier and the source file lag, works
+    with no stream running, and SURVIVES a restart (append-only log)."""
+    from events_to_db_spark.etl import etl_status
+
+    feed, ev, n = chunked_events
+    # phase 1: feed missing its last file
+    part = tmp_path / "feed_part"
+    part.mkdir()
+    files = sorted(os.listdir(feed))
+    for f in files[:-1]:
+        shutil.copy(os.path.join(feed, f), part / f)
+        os.utime(part / f, (time.time() - 600, time.time() - 600))
+    cfg = _config(str(part), tmp_path)
+    _drain(run_etl_config(spark, cfg))
+
+    st = etl_status(cfg)
+    assert st["feed_files_pending"] == 0  # drained
+    assert st["committed_multiplex_batch"] >= 0
+    assert set(st["tables"]) == {"purchases", "raw_copy"}
+    raw1 = len(read_sink_table(cfg["db"], "raw_copy"))
+    t = st["tables"]["raw_copy"]
+    assert t["total_rows_out"] == raw1 > 0
+    assert t["n_batches"] >= 1
+    assert t["last_rows_in"] is not None
+    assert t["last_duration_s"] is not None
+
+    # a new file lands: status shows SOURCE LAG before any drain
+    shutil.copy(os.path.join(feed, files[-1]), part / files[-1])
+    assert etl_status(cfg)["feed_files_pending"] == 1
+
+    # restart drains it; metrics APPEND (restart-survival), lag clears
+    _drain(run_etl_config(spark, cfg))
+    st2 = etl_status(cfg)
+    assert st2["feed_files_pending"] == 0
+    t2 = st2["tables"]["raw_copy"]
+    assert t2["n_batches"] > t["n_batches"]
+    assert t2["total_rows_out"] == n
+    assert t2["last_batch_id"] > t["last_batch_id"]
+    assert st2["committed_multiplex_batch"] >= t2["last_batch_id"]
+
+
+def test_upsert_sink_refuses_schema_change(spark, tmp_path):
+    """VERDICT r09 #3 (sink stage): the keyed upsert must fail LOUDLY
+    when the target table exists with a different column set — widened
+    used to die in an opaque sqlite error, NARROWED silently upserted
+    partial rows forever (the silent case this pins shut).  The
+    replace sink (complete folds) keeps evolving via DROP+recreate."""
+    from events_to_db_spark.streaming.sink import (
+        replace_foreach_batch,
+        upsert_foreach_batch,
+    )
+
+    db = str(tmp_path / "s.db")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "event_id bigint, v string"
+    )
+    upsert_foreach_batch(db, "t", ["event_id"])(base, 0)
+
+    widened = base.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="different column set"):
+        upsert_foreach_batch(db, "t", ["event_id"])(widened, 1)
+
+    narrowed = base.drop("v")
+    with pytest.raises(ValueError, match="different column set"):
+        upsert_foreach_batch(db, "t", ["event_id"])(narrowed, 1)
+
+    # same columns still upsert fine (order-insensitive)
+    upsert_foreach_batch(db, "t", ["event_id"])(
+        base.select("v", "event_id"), 2
+    )
+    assert len(read_sink_table(db, "t")) == 2
+
+    # the replace sink evolves by design (every batch = whole fold)
+    replace_foreach_batch(db, "fold")(base, 0)
+    replace_foreach_batch(db, "fold")(widened, 1)
+    assert "extra" in read_sink_table(db, "fold").columns
+
+
+def test_config_query_change_fails_loudly_end_to_end(
+    spark, chunked_events, tmp_path
+):
+    """VERDICT r09 #3 (pipeline stage): editing a table's SELECT shape
+    between runs of the same config (a schema change into an upsert
+    table holding history) surfaces as a loud StreamingQueryException,
+    not a silent partial write."""
+    feed_shared, _ev, _n = chunked_events
+    # PRIVATE copy — this test appends a file, and chunked_events is a
+    # session-scoped fixture shared with later test files
+    feed = str(tmp_path / "feed_own")
+    os.mkdir(feed)
+    for f in sorted(os.listdir(feed_shared)):
+        shutil.copy(os.path.join(feed_shared, f), os.path.join(feed, f))
+        os.utime(
+            os.path.join(feed, f), (time.time() - 600, time.time() - 600)
+        )
+    cfg = _config(feed, tmp_path)
+    _drain(run_etl_config(spark, cfg))
+
+    cfg2 = dict(cfg)
+    cfg2["tables"] = [
+        {
+            "table": "purchases",  # same table, WIDER select
+            "query": "FROM 'type:purchase' FILTER _.k >= 50"
+            " SELECT { user: _.user_id, k: _.k * 1, k2: _.k * 2 }",
+        },
+        {"table": "raw_copy"},
+    ]
+    # force a redeliverable batch so the sink sees the new shape
+    from events_to_db_spark.etl import backfill_multiplex_table  # noqa: F401
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    newfile = tmp_path / "one_more"
+    load_table(spark, SF_SMOKE, "events").limit(5).select(
+        (F.col("event_id") + 5_000_000).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("purchase").alias("event_type"),
+        F.lit(99.0).alias("value"),
+        F.lit('{"k": 99}').alias("props"),
+    ).coalesce(1).write.parquet(str(newfile))
+    for f in os.listdir(newfile):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(newfile, f), os.path.join(feed, f"zz_{f}"))
+    with pytest.raises(StreamingQueryException, match="different column set"):
+        _drain(run_etl_config(spark, cfg2))

@@ -906,3 +906,88 @@ def test_foreign_pid_owner_blocks_compaction(spark, tmp_path):
     )
     rep = compact_landing_layout(spark, dst)
     assert rep["rows"] > 0
+
+
+def test_continuous_maintenance_stops_on_midrun_evolution(spark, tmp_path):
+    """VERDICT r09 #3 (landing stage, mid-run): a widened feed file
+    landing WHILE a continuous maintenance stream runs must stop the
+    stream loudly (_schema_violation.json recorded, query stopped) —
+    the fixed-schema source would otherwise drop the new column from
+    every batch forever with no signal.  The next start then refuses
+    via the start-time guard until the feed is fixed, and a clean
+    restart clears the violation record."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from events_to_db_spark.etl import (
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.session import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(40)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    w0 = tmp_path / "w0"
+    ev.coalesce(1).write.parquet(str(w0))
+    base_t = time.time() - 600
+    for f in os.listdir(w0):
+        if f.endswith(".parquet"):
+            (feed / f"ok_{f}").write_bytes((w0 / f).read_bytes())
+            os.utime(feed / f"ok_{f}", (base_t, base_t))
+
+    dst, ckpt = str(tmp_path / "dst"), str(tmp_path / "ckpt")
+    q = maintain_landing_layout(
+        spark, str(feed), dst, ckpt, available_now=False
+    )
+    try:
+        deadline = time.time() + 60
+        while q.lastProgress is None and time.time() < deadline:
+            time.sleep(0.3)
+        assert q.lastProgress is not None, "stream never progressed"
+
+        # evolution lands mid-run
+        w1 = tmp_path / "w1"
+        ev.withColumn("surprise", F.lit("x")).coalesce(1).write.parquet(
+            str(w1)
+        )
+        for f in os.listdir(w1):
+            if f.endswith(".parquet"):
+                (feed / f"evolved_{f}").write_bytes((w1 / f).read_bytes())
+                os.utime(
+                    feed / f"evolved_{f}",
+                    (time.time() + 2, time.time() + 2),
+                )
+
+        deadline = time.time() + 90
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        assert not q.isActive, (
+            "stream kept running after mid-run schema evolution"
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+            q.awaitTermination()
+
+    viol = tmp_path / "dst" / "_schema_violation.json"
+    assert viol.is_file()
+    assert "surprise" in json.loads(viol.read_text())["error"]
+
+    # restart refuses while the bad file is still in the feed
+    with _pytest.raises(ValueError, match="surprise"):
+        maintain_landing_layout(spark, str(feed), dst, ckpt)
+    assert viol.is_file()  # refusal does not clear the record
+
+    # fix the feed → clean start clears the violation record
+    for f in os.listdir(feed):
+        if f.startswith("evolved_"):
+            os.unlink(feed / f)
+    maintain_landing_layout(
+        spark, str(feed), dst, ckpt
+    ).awaitTermination()
+    assert not viol.exists()
+    assert load_landing(spark, dst).count() >= 40
