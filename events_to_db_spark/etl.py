@@ -989,6 +989,99 @@ def etl_status(config: dict) -> dict:
     }
 
 
+def landing_status(dst_dir: str, spark: SparkSession | None = None) -> dict:
+    """Operator-facing status of a LANDING LAYOUT (the maintenance-side
+    complement of :func:`etl_status`): read from on-disk state alone —
+    pass ``spark`` to also resolve whether the recorded maintenance
+    owner is LIVE in this session.
+
+    Returns::
+
+        {
+          "exists": bool,
+          "maintained": bool,            # _spark_metadata manifest
+          "latest_sink_batch": int,      # -1 when none
+          "n_data_files": int,
+          "total_bytes": int,
+          "n_hive_partitions": int,      # distinct (date, type) dirs
+          "owner": {query_id, pid, checkpoint, live} | None,
+          "schema_violation": {...} | None,   # mid-run evolution stop
+          "compaction_in_flight": bool,  # lock / .compact-tmp present
+          "pre_compact_kept": bool,      # verify-then-delete artifact
+        }
+    """
+    import json
+    import os
+    from pathlib import Path
+
+    root = Path(dst_dir)
+    if not root.is_dir():
+        return {"exists": False}
+    files = _landing_data_files(dst_dir)
+    parts = {
+        tuple(seg for seg in p.parent.parts if "=" in seg) for p in files
+    }
+    manifest = _landing_manifest_dir(dst_dir)
+    latest = -1
+    if manifest.is_dir():
+        ids = [
+            int(p.name.split(".")[0])
+            for p in manifest.iterdir()
+            if p.name.split(".")[0].isdigit()
+        ]
+        latest = max(ids, default=-1)
+    owner = None
+    owner_file = root / "_maintenance_owner.json"
+    if owner_file.is_file():
+        try:
+            owner = json.loads(owner_file.read_text())
+        except (ValueError, OSError):
+            owner = {}
+        live = None
+        pid = owner.get("pid")
+        if isinstance(pid, int):
+            if pid == os.getpid():
+                # our process: query liveness is checkable iff a
+                # session was passed; pid-liveness would always be
+                # True here and say nothing about the stream
+                if spark is not None:
+                    live = any(
+                        str(q.id) == str(owner.get("query_id"))
+                        for q in spark.streams.active
+                    )
+            else:
+                try:
+                    os.kill(pid, 0)
+                    live = True
+                except ProcessLookupError:
+                    live = False
+                except PermissionError:
+                    live = True
+        owner = {**owner, "live": live}
+    violation = None
+    viol_file = root / "_schema_violation.json"
+    if viol_file.is_file():
+        try:
+            violation = json.loads(viol_file.read_text())
+        except (ValueError, OSError):
+            violation = {}
+    return {
+        "exists": True,
+        "maintained": manifest.is_dir(),
+        "latest_sink_batch": latest,
+        "n_data_files": len(files),
+        "total_bytes": sum(p.stat().st_size for p in files),
+        "n_hive_partitions": len(parts),
+        "owner": owner,
+        "schema_violation": violation,
+        "compaction_in_flight": (root / "_compaction.lock").exists()
+        or root.with_name(root.name + ".compact-tmp").exists(),
+        "pre_compact_kept": root.with_name(
+            root.name + ".pre-compact"
+        ).exists(),
+    }
+
+
 def _read_multiplex_marker(marker, latest: int) -> dict | None:
     """The fan-out marker, upgraded in place to its r9 shape:
     ``{"union": [...], "last_active": [...], "frontier": {t: batch}}``.

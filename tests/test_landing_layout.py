@@ -991,3 +991,103 @@ def test_continuous_maintenance_stops_on_midrun_evolution(spark, tmp_path):
     ).awaitTermination()
     assert not viol.exists()
     assert load_landing(spark, dst).count() >= 40
+
+
+def test_landing_status_reports_lifecycle(spark, tmp_path):
+    """r10 observability (maintenance side): landing_status reads the
+    layout's lifecycle entirely from disk — maintained flag, sink
+    frontier, file census, owner liveness, violation record, and
+    in-flight/kept compaction artifacts — at every stage of the
+    maintain → run-continuous → compact cycle."""
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        landing_status,
+        maintain_landing_layout,
+    )
+
+    dst = str(tmp_path / "landing")
+    assert landing_status(dst) == {"exists": False}
+
+    feed, files, n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    _land_chunk(feed, files, 0, base_t)
+    ckpt = str(tmp_path / "ckpt")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+
+    st = landing_status(dst, spark)
+    assert st["exists"] and st["maintained"]
+    assert st["latest_sink_batch"] >= 0
+    assert st["n_data_files"] > 0 and st["total_bytes"] > 0
+    assert st["n_hive_partitions"] > 0
+    assert st["owner"]["live"] is False  # availableNow run finished
+    assert st["schema_violation"] is None
+    assert not st["compaction_in_flight"]
+    assert not st["pre_compact_kept"]
+
+    # a RUNNING continuous maintainer reports live=True
+    q = maintain_landing_layout(
+        spark, str(feed), dst, ckpt, available_now=False
+    )
+    try:
+        assert landing_status(dst, spark)["owner"]["live"] is True
+        # without a session the same-process owner is honest: unknown
+        assert landing_status(dst)["owner"]["live"] is None
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert landing_status(dst, spark)["owner"]["live"] is False
+
+    before_batch = landing_status(dst)["latest_sink_batch"]
+    rep = compact_landing_layout(spark, dst)
+    st2 = landing_status(dst, spark)
+    assert st2["maintained"]
+    assert st2["latest_sink_batch"] == before_batch == rep["latest_batch_id"]
+    assert st2["pre_compact_kept"]  # the verify-then-delete artifact
+    assert not st2["compaction_in_flight"]
+    assert st2["owner"] is None  # owner file traveled into the aside root
+
+
+def test_compaction_retention_and_hot_split_compose(spark, tmp_path):
+    """Retention cut + hot-partition salting in ONE compaction call:
+    aged dates drop, the retained hot partition still splits into
+    bounded files, and the manifest lists exactly the retained set."""
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.etl import _landing_data_files
+
+    feed, n = _hot_feed(spark, tmp_path)  # hot on 2024-01-05
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    land = load_landing(spark, dst)
+    keep_ids = sorted(
+        r["event_id"]
+        for r in land.filter(
+            F.col("event_date") >= F.lit("2024-01-05").cast("date")
+        )
+        .select("event_id")
+        .collect()
+    )
+    assert 0 < len(keep_ids) < n  # the cut is real
+
+    target = 16 * 1024
+    rep = compact_landing_layout(
+        spark, dst, retain_min_date="2024-01-05", target_bytes=target
+    )
+    assert rep["max_salt"] >= 2
+    assert rep["rows"] == len(keep_ids)
+
+    after = load_landing(spark, dst)
+    assert sorted(
+        r["event_id"] for r in after.select("event_id").collect()
+    ) == keep_ids
+    assert after.agg(F.min("event_date")).collect()[0][0].isoformat() >= (
+        "2024-01-05"
+    )
+    hot_dir = (
+        tmp_path / "landing" / "event_date=2024-01-05" / "event_type=purchase"
+    )
+    assert len(list(hot_dir.glob("*.parquet"))) > 1
+    for p in _landing_data_files(dst):
+        assert p.stat().st_size <= 2 * target

@@ -391,3 +391,77 @@ def test_hhi_bounds(spark):
         assert n >= 1
         assert 1.0 / n - 1e-9 <= r["hhi"] <= 1.0
         assert 1.0 / n - 1e-9 <= r["top_share"] <= 1.0
+
+
+def test_clamped_fold_stream_carries_state_across_arrow_batches(spark):
+    """r10 bounded-memory fold (VERDICT r09 #7): with
+    maxRecordsPerBatch squeezed to 7, every user's history spans MANY
+    Arrow batches — the mapInPandas fold must carry (bal, lo, hi)
+    across batch boundaries and key changes exactly.  Compared against
+    a driver-side replay of the same (ts, event_id)-ordered fold over
+    a seeded random history (200 ops × 5 users, deltas crafted to hit
+    BOTH clamps repeatedly)."""
+    import random
+
+    import __spark_entry__ as e
+
+    rng = random.Random(20260816)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i in range(200):
+            # large swings so low/high clamps both fire often
+            rows.append((u, i, eid, rng.randint(-60_000, 60_000)))
+            eid += 1
+    rng.shuffle(rows)  # input order must not matter (sort is internal)
+
+    df = spark.createDataFrame(
+        rows, "user_id long, seq long, event_id long, delta long"
+    ).withColumn(
+        "ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,seq)")
+    ).drop("seq")
+
+    from events_to_db_spark.operators.udfs import _clamped_fold_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["user_id"]: (
+                r["n_ops"],
+                r["final_balance_cents"],
+                r["n_clamped_low"],
+                r["n_clamped_high"],
+            )
+            for r in df.repartition("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .mapInPandas(
+                _clamped_fold_stream,
+                "user_id long, n_ops long, final_balance_cents long, "
+                "n_clamped_low long, n_clamped_high long",
+            )
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # driver-side oracle: replay the fold in (ts, event_id) order
+    want = {}
+    for u in range(5):
+        hist = sorted(
+            (r for r in rows if r[0] == u), key=lambda r: (r[1], r[2])
+        )
+        bal = lo = hi = 0
+        for _u, _seq, _eid, d in hist:
+            b = bal + d
+            if b < 0:
+                lo += 1
+                b = 0
+            elif b > 100000:
+                hi += 1
+                b = 100000
+            bal = b
+        want[u] = (len(hist), bal, lo, hi)
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())  # low clamps exercised
+    assert any(v[3] > 0 for v in want.values())  # high clamps exercised
