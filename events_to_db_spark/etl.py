@@ -1523,3 +1523,71 @@ def _table_metric_hook(config: dict, table: str):
         )
 
     return hook
+
+
+def main(argv: list[str] | None = None) -> int:
+    """The namesake CLI — a config document in, the lifecycle out
+    (SURVEY §3.1: the public utility is INVOKED as a config-driven
+    command, not imported)::
+
+        python -m events_to_db_spark.etl CONFIG.json            # catch up, exit
+        python -m events_to_db_spark.etl CONFIG.json --follow   # keep following
+        python -m events_to_db_spark.etl CONFIG.json --status   # no Spark: print
+                                                                # etl_status JSON
+
+    Catch-up (default) drains everything the offset logs have not
+    seen, waits for every query, prints the post-run ``etl_status``
+    JSON, and exits 0 — the cron-able invocation.  ``--follow`` starts
+    the same pipelines unbounded and blocks until interrupted (the
+    service invocation).  ``--status`` reads the observability surface
+    from disk alone — no SparkSession, safe to run beside a live
+    copier.  ``--no-multiplex`` restores one stream per table (LIMIT
+    entries need it)."""
+    import argparse
+    import json
+    from pathlib import Path
+
+    ap = argparse.ArgumentParser(
+        prog="events_to_db_spark.etl",
+        description="config-driven events→table copier (catch up / "
+        "follow / status)",
+    )
+    ap.add_argument("config", help="path to the JSON config document")
+    ap.add_argument(
+        "--follow",
+        action="store_true",
+        help="keep following the live feed (default: catch up and exit)",
+    )
+    ap.add_argument(
+        "--status",
+        action="store_true",
+        help="print etl_status(config) JSON and exit (no Spark session)",
+    )
+    ap.add_argument(
+        "--no-multiplex",
+        action="store_true",
+        help="one stream per table instead of the shared scan",
+    )
+    args = ap.parse_args(argv)
+    config = json.loads(Path(args.config).read_text())
+    if args.status:
+        print(json.dumps(etl_status(config), indent=1, sort_keys=True))
+        return 0
+
+    from events_to_db_spark.session import get_spark
+
+    spark = get_spark("events-to-db-etl")
+    queries = run_etl_config(
+        spark,
+        config,
+        available_now=not args.follow,
+        multiplex=not args.no_multiplex,
+    )
+    for q in {q.id: q for q in queries.values()}.values():
+        q.awaitTermination()
+    print(json.dumps(etl_status(config), indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -685,3 +685,32 @@ def test_config_query_change_fails_loudly_end_to_end(
             shutil.copy(os.path.join(newfile, f), os.path.join(feed, f"zz_{f}"))
     with pytest.raises(StreamingQueryException, match="different column set"):
         _drain(run_etl_config(spark, cfg2))
+
+
+def test_cli_catchup_and_status(spark, chunked_events, tmp_path, capsys):
+    """r10 CLI: the namesake invocation — config in, catch-up drain,
+    etl_status JSON out; --status reads the same surface with no
+    Spark work at all."""
+    import json
+
+    from events_to_db_spark.etl import main
+
+    feed, _ev, n = chunked_events
+    cfg = _config(feed, tmp_path)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    assert main([str(cfg_path)]) == 0
+    out = capsys.readouterr().out
+    st = json.loads(out[out.find("{"):])
+    assert st["feed_files_pending"] == 0
+    assert st["tables"]["raw_copy"]["total_rows_out"] == n
+    assert len(read_sink_table(cfg["db"], "raw_copy")) == n
+
+    assert main([str(cfg_path), "--status"]) == 0
+    out = capsys.readouterr().out
+    st2 = json.loads(out[out.find("{"):])
+    assert st2["committed_multiplex_batch"] >= 0
+    assert st2["tables"]["purchases"]["total_rows_out"] == len(
+        read_sink_table(cfg["db"], "purchases")
+    )
