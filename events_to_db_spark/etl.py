@@ -597,11 +597,48 @@ def _landing_data_files(dst_dir: str) -> list:
     ]
 
 
+def _committed_files(dst_dir: str) -> set[str] | None:
+    """Resolved local paths of every manifest-COMMITTED data file
+    (``None`` when the layout has no manifest — batch-built layouts
+    count everything on disk).  Union of every ``add`` entry across
+    the log: the file sink only ever adds, so the union IS the
+    committed set; uncommitted orphans (a crashed batch's files) are
+    exactly what this excludes."""
+    import json
+    from urllib.parse import unquote, urlparse
+
+    manifest = _landing_manifest_dir(dst_dir)
+    if not manifest.is_dir():
+        return None
+    out: set[str] = set()
+    for p in manifest.iterdir():
+        if not p.name.split(".")[0].isdigit():
+            continue
+        try:
+            lines = p.read_text().splitlines()
+        except OSError:
+            continue
+        for ln in lines[1:]:
+            if not ln.startswith("{"):
+                continue
+            try:
+                e = json.loads(ln)
+            except ValueError:
+                continue
+            if e.get("action") == "add":
+                u = e.get("path", "")
+                if u.startswith("file:"):
+                    u = unquote(urlparse(u).path)
+                out.add(u)
+    return out
+
+
 def compact_landing_layout(
     spark: SparkSession,
     dst_dir: str,
     retain_min_date: str | None = None,
     target_bytes: int = 128 * 1024 * 1024,
+    incremental: bool = False,
 ) -> dict:
     """Manifest-aware compaction + retention for a landing layout
     (VERDICT r08 #1) — the lifecycle job the maintained layout needs:
@@ -644,6 +681,21 @@ def compact_landing_layout(
        batch they expect.  A batch-built layout (no manifest) is
        compacted the same way minus the seeding.
 
+    ``incremental=True`` (r10) is the 100 TB-shaped invocation: only
+    FRAGMENTED partitions are rewritten (file count above twice what a
+    fresh compaction would produce — the 2× absorbs this job's own
+    salt/maxRecordsPerFile over-splitting so a hot partition does not
+    churn every run — or a pathologically oversized file), while
+    already-compact partitions move into the new root by HARD LINK:
+    zero data copied or shuffled for them, committed files only.  The
+    rewrite read is partition-pruned to exactly the fragmented set, so
+    a steady-state run touches the few recent partitions the stream
+    has been appending to, not the layout.  The atomic whole-root swap
+    and manifest re-seed are unchanged — readers cannot observe a
+    half-compacted state.  (Falls back to the full rewrite when a
+    NULL-keyed ``__HIVE_DEFAULT_PARTITION__`` directory exists, which
+    equality predicates cannot address.)
+
     Operational contract (ENFORCED as of r10 — VERDICT r09 #2, no
     longer a docstring-only rule): the maintenance stream must be
     STOPPED for the duration — this job refuses loudly while the
@@ -665,7 +717,8 @@ def compact_landing_layout(
     this job completes the migration.
 
     Returns ``{rows, files_before, files_after, n_partitions,
-    max_salt, aside_dir, latest_batch_id}``."""
+    max_salt, partitions_rewritten, partitions_linked, bytes_rewritten,
+    bytes_linked, aside_dir, latest_batch_id}``."""
     import json
     import os
     from pathlib import Path
@@ -705,89 +758,176 @@ def compact_landing_layout(
         latest = max(ids, default=-1)
 
     before = _landing_data_files(dst_dir)
-    size = sum(p.stat().st_size for p in before)
-    n = int(max(1, (size + target_bytes - 1) // target_bytes))
+    committed = _committed_files(dst_dir)
+    # census over COMMITTED files only (the rewrite reads through the
+    # manifest, and the link path must not smuggle a crashed batch's
+    # orphans back into visibility)
+    live = [
+        p
+        for p in before
+        if committed is None or str(p.resolve()) in committed
+    ]
+    part_files: dict[tuple, list] = {}
+    for p in live:
+        kv = dict(seg.split("=", 1) for seg in p.parts if "=" in seg)
+        key = (kv.get("event_date"), kv.get("event_type"))
+        part_files.setdefault(key, []).append(p)
+    hive_default = "__HIVE_DEFAULT_PARTITION__"
+    if incremental and any(
+        k[0] is None or k[1] is None or hive_default in k
+        for k in part_files
+    ):
+        # NULL-keyed partitions cannot be addressed by an equality
+        # predicate on the partition columns — fall back to the full
+        # rewrite, which reads everything and handles them naturally
+        incremental = False
+
+    # retention cut decided HERE for link/rewrite classification (ISO
+    # date strings compare correctly as strings); the Spark-side
+    # filter applies the same cut to the rewritten rows
+    retained = {
+        k: fs
+        for k, fs in part_files.items()
+        if retain_min_date is None
+        or (k[0] is not None and k[0] >= retain_min_date)
+    }
+
+    def _fragmented(fs) -> bool:
+        """A partition needs a rewrite iff its file count exceeds
+        twice the count a fresh compaction would produce (the 2×
+        covers this job's own salt/maxRecordsPerFile over-splitting —
+        without it a hot partition would churn every run) or a single
+        file is pathologically oversized."""
+        b = sum(f.stat().st_size for f in fs)
+        files_target = max(1, (b + target_bytes - 1) // target_bytes)
+        return len(fs) > max(2, 2 * files_target) or any(
+            f.stat().st_size > 4 * target_bytes for f in fs
+        )
+
+    if incremental:
+        rewrite_keys = {k for k, fs in retained.items() if _fragmented(fs)}
+        link_keys = set(retained) - rewrite_keys
+    else:
+        rewrite_keys = set(retained)
+        link_keys = set()
 
     # Per-Hive-partition salt cardinality from CURRENT on-disk bytes:
     # ⌈partition_bytes / target_bytes⌉ files for a hot (date, type),
     # 1 for a cold one.  Parsed from the directory names — no Spark
-    # job; uncommitted orphans inflate a partition's estimate at
-    # worst (more, smaller files — never a lost row).
-    part_bytes: dict[tuple, int] = {}
-    rows_before = 0
-    for p in before:
-        kv = dict(
-            seg.split("=", 1) for seg in p.parts if "=" in seg
-        )
-        key = (kv.get("event_date"), kv.get("event_type"))
-        part_bytes[key] = part_bytes.get(key, 0) + p.stat().st_size
+    # job.
+    rewrite_files = [p for k in rewrite_keys for p in retained[k]]
+    rw_size = sum(p.stat().st_size for p in rewrite_files)
+    n = int(max(1, (rw_size + target_bytes - 1) // target_bytes))
+    rows_rw = 0
+    for p in rewrite_files:
         try:
             import pyarrow.parquet as pq
 
-            rows_before += pq.ParquetFile(str(p)).metadata.num_rows
+            rows_rw += pq.ParquetFile(str(p)).metadata.num_rows
         except Exception:
             pass
     salt_k = {
-        k: int(max(1, (b + target_bytes - 1) // target_bytes))
-        for k, b in part_bytes.items()
+        k: int(
+            max(
+                1,
+                (
+                    sum(p.stat().st_size for p in retained[k])
+                    + target_bytes
+                    - 1
+                )
+                // target_bytes,
+            )
+        )
+        for k in rewrite_keys
         if k[0] is not None and k[1] is not None
     }
     max_salt = max(salt_k.values(), default=1)
     # belt-and-suspenders per-file bound in rows (covers salt-hash
     # collisions merging two salt groups of one partition in one task)
     max_records = 0
-    if rows_before > 0 and size > 0:
-        max_records = int(max(1, target_bytes * rows_before // size))
+    if rows_rw > 0 and rw_size > 0:
+        max_records = int(max(1, target_bytes * rows_rw // rw_size))
 
     from pyspark.sql import functions as F
 
-    df = load_landing(spark, dst_dir)
-    if retain_min_date is not None:
+    df = load_landing(spark, dst_dir) if rewrite_keys else None
+    if df is not None and retain_min_date is not None:
         df = df.filter(
             F.col("event_date") >= F.lit(retain_min_date).cast("date")
         )
+    if df is not None and incremental:
+        # read ONLY the fragmented partitions (partition-pruned — at
+        # 100 TB this is the whole point: the rewrite touches the few
+        # fragmented recent partitions, not the layout)
+        by_date: dict[str, list[str]] = {}
+        for d, t in rewrite_keys:
+            by_date.setdefault(d, []).append(t)
+        pred = None
+        for d, ts in by_date.items():
+            c = (
+                F.col("event_date") == F.lit(d).cast("date")
+            ) & F.col("event_type").isin(ts)
+            pred = c if pred is None else (pred | c)
+        df = df.filter(pred)
 
     lock = root / "_compaction.lock"
     lock.write_text(json.dumps({"pid": os.getpid()}))
     try:
         # full materialization happens HERE, while the old root intact
-        if max_salt > 1:
-            kmap = spark.createDataFrame(
-                [(d, t, k) for (d, t), k in salt_k.items()],
-                "event_date string, event_type string, __salt_k int",
-            ).withColumn(
-                "event_date", F.col("event_date").cast("date")
-            )
-            out = (
-                df.join(
-                    F.broadcast(kmap),
-                    ["event_date", "event_type"],
-                    "left",
+        if df is not None:
+            if max_salt > 1:
+                kmap = spark.createDataFrame(
+                    [(d, t, k) for (d, t), k in salt_k.items()],
+                    "event_date string, event_type string, __salt_k int",
+                ).withColumn(
+                    "event_date", F.col("event_date").cast("date")
                 )
-                .withColumn(
-                    # deterministic salt (row-content hash, NEVER a
-                    # nondeterministic id: a task retry must re-route
-                    # every row to the same shuffle partition)
-                    "__salt",
-                    F.pmod(
-                        F.xxhash64("event_id", "ts", "user_id"),
-                        F.coalesce(F.col("__salt_k"), F.lit(1)),
-                    ),
+                out = (
+                    df.join(
+                        F.broadcast(kmap),
+                        ["event_date", "event_type"],
+                        "left",
+                    )
+                    .withColumn(
+                        # deterministic salt (row-content hash, NEVER
+                        # a nondeterministic id: a task retry must
+                        # re-route every row to the same shuffle
+                        # partition)
+                        "__salt",
+                        F.pmod(
+                            F.xxhash64("event_id", "ts", "user_id"),
+                            F.coalesce(F.col("__salt_k"), F.lit(1)),
+                        ),
+                    )
+                    .repartition(
+                        int(max(n, sum(salt_k.values()))),
+                        "event_date",
+                        "event_type",
+                        "__salt",
+                    )
+                    .drop("__salt", "__salt_k")
                 )
-                .repartition(
-                    int(max(n, sum(salt_k.values()))),
-                    "event_date",
-                    "event_type",
-                    "__salt",
-                )
-                .drop("__salt", "__salt_k")
-            )
+            else:
+                out = df.repartition(n, "event_date", "event_type")
+            writer = out.write.partitionBy("event_date", "event_type")
+            if max_records:
+                writer = writer.option("maxRecordsPerFile", max_records)
+            writer.parquet(str(tmp))
         else:
-            out = df.repartition(n, "event_date", "event_type")
-        writer = out.write.partitionBy("event_date", "event_type")
-        if max_records:
-            writer = writer.option("maxRecordsPerFile", max_records)
-        writer.parquet(str(tmp))
+            tmp.mkdir()
+        # already-compact partitions move by HARD LINK — zero data
+        # copied, committed files only (orphans stay behind in the
+        # aside root)
+        import shutil as _sh
+
+        for k in sorted(link_keys):
+            pdir = tmp / f"event_date={k[0]}" / f"event_type={k[1]}"
+            pdir.mkdir(parents=True, exist_ok=True)
+            for f in retained[k]:
+                try:
+                    os.link(f, pdir / f.name)
+                except OSError:  # cross-device: fall back to a copy
+                    _sh.copy2(f, pdir / f.name)
     except BaseException:
         lock.unlink(missing_ok=True)
         raise
@@ -803,6 +943,12 @@ def compact_landing_layout(
         "files_after": len(after),
         "n_partitions": n,
         "max_salt": max_salt,
+        "partitions_rewritten": len(rewrite_keys),
+        "partitions_linked": len(link_keys),
+        "bytes_rewritten": rw_size,
+        "bytes_linked": sum(
+            p.stat().st_size for k in link_keys for p in retained[k]
+        ),
         "aside_dir": str(aside),
         "latest_batch_id": latest,
     }

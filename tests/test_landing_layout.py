@@ -1091,3 +1091,101 @@ def test_compaction_retention_and_hot_split_compose(spark, tmp_path):
     assert len(list(hot_dir.glob("*.parquet"))) > 1
     for p in _landing_data_files(dst):
         assert p.stat().st_size <= 2 * target
+
+
+def test_incremental_compaction_links_untouched_partitions(spark, tmp_path):
+    """r10 incremental compaction — the 100 TB invocation: only
+    FRAGMENTED partitions are rewritten (partition-pruned read); the
+    already-compact ones move by HARD LINK (same inode — zero bytes
+    copied), committed files only (a planted orphan in a linked
+    partition must NOT come through), rows identical end-to-end, and
+    the maintenance stream still resumes."""
+    import os
+    import shutil
+    import time
+
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.session import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    early = ev.filter(F.col("ts") < "2024-01-16")
+    late = ev.filter(F.col("ts") >= "2024-01-16")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base_t = time.time() - 600
+
+    def land(df, tag, t):
+        w = tmp_path / f"w_{tag}"
+        df.coalesce(1).write.parquet(str(w))
+        for f in os.listdir(w):
+            if f.endswith(".parquet"):
+                shutil.copy(w / f, feed / f"{tag}_{f}")
+                os.utime(feed / f"{tag}_{f}", (t, t))
+
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    # phase 1: EARLY dates land in 3 sub-chunks -> fragmented partitions
+    for i in range(3):
+        land(early.filter(F.col("event_id") % 3 == i), f"a{i}", base_t + i)
+        maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    rep1 = compact_landing_layout(spark, dst, incremental=True)
+    assert rep1["partitions_rewritten"] > 0
+    shutil.rmtree(rep1["aside_dir"])  # operator's verify-then-delete
+    n_early = load_landing(spark, dst).count()
+    assert n_early == early.count()
+
+    # phase 2: LATE dates land in 3 sub-chunks; early partitions are
+    # untouched (1 compacted file each) and must be LINKED, not read
+    for i in range(3):
+        land(late.filter(F.col("event_id") % 3 == i), f"b{i}", base_t + 10 + i)
+        maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+
+    # capture an early partition's file inode to prove the zero-copy
+    early_dirs = sorted(
+        d
+        for d in (tmp_path / "landing").glob("event_date=2024-01-0*")
+        if d.is_dir()
+    )
+    assert early_dirs
+    sample = sorted(early_dirs[0].rglob("*.parquet"))[0]
+    sample_rel = sample.relative_to(tmp_path / "landing")
+    sample_ino = sample.stat().st_ino
+
+    # plant an ORPHAN (on disk, not in the manifest) in that partition
+    orphan = sample.parent / "orphan-not-committed.parquet"
+    shutil.copy(sample, orphan)
+
+    rep2 = compact_landing_layout(spark, dst, incremental=True)
+    shutil.rmtree(rep2["aside_dir"])
+    assert rep2["partitions_linked"] > 0
+    assert rep2["partitions_rewritten"] > 0
+    assert rep2["bytes_linked"] > 0
+    # linked file is the SAME inode (hard link, zero bytes moved)
+    linked = tmp_path / "landing" / sample_rel
+    assert linked.is_file() and linked.stat().st_ino == sample_ino
+    # the orphan did not come through
+    assert not (tmp_path / "landing" / sample_rel.parent
+                / "orphan-not-committed.parquet").exists()
+
+    land_df = load_landing(spark, dst)
+    assert land_df.count() == n
+    assert land_df.select("event_id").distinct().count() == n
+
+    # steady state: a third incremental run links (almost) everything
+    rep3 = compact_landing_layout(spark, dst, incremental=True)
+    shutil.rmtree(rep3["aside_dir"])
+    assert rep3["partitions_rewritten"] == 0
+    assert rep3["partitions_linked"] == rep2["partitions_linked"] + (
+        rep2["partitions_rewritten"]
+    )
+    assert rep3["bytes_rewritten"] == 0
+    assert load_landing(spark, dst).count() == n
+
+    # the maintenance stream still resumes on its checkpoint
+    land(ev.limit(0), "noop", base_t + 30)  # header-only file: no rows
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    assert load_landing(spark, dst).count() == n
