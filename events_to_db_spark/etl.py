@@ -187,7 +187,10 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
 
 
 def build_landing_layout(
-    spark: SparkSession, src_dir: str, dst_dir: str
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Rewrite a flat event-log directory as a DATE×TYPE-PARTITIONED
     landing layout (``event_date=YYYY-MM-DD/event_type=…/`` Hive
@@ -235,9 +238,55 @@ def build_landing_layout(
         )
     ev = load_table(spark, src_dir, "events")
     out = ev.withColumn("event_date", F.to_date("ts"))
-    out.write.mode("overwrite").partitionBy(
-        "event_date", "event_type"
-    ).parquet(dst_dir)
+
+    # Write-side sizing (r10 — the same skew fix as the compactor,
+    # VERDICT r09 #1, applied at BUILD time): without a repartition,
+    # every upstream task writes a file into every partition it holds
+    # rows of (tasks × partitions small files at 100 TB — the listing
+    # storm); with a bare repartition on the partitionBy keys, a hot
+    # (date, type) collapses to ONE unsplittable single-task file.
+    # One cheap counting aggregate (bounded: date×type is a small enum
+    # × the calendar) + the source's bytes/row sizes the salt map.
+    from pathlib import Path
+
+    src = Path(src_dir) / "events.parquet"
+    src_bytes = (
+        sum(p.stat().st_size for p in src.rglob("*") if p.is_file())
+        if src.is_dir()
+        else (src.stat().st_size if src.is_file() else 0)
+    )
+    counts = (
+        out.groupBy("event_date", "event_type")
+        .count()
+        .collect()  # bounded by the partition-key cardinality
+    )
+    total_rows = sum(r["count"] for r in counts)
+    salt_k: dict[tuple, int] = {}
+    max_records = 0
+    if total_rows > 0 and src_bytes > 0:
+        bpr = src_bytes / total_rows
+        salt_k = {
+            (
+                r["event_date"].isoformat()
+                if r["event_date"] is not None
+                else None,
+                r["event_type"],
+            ): int(max(1, -(-int(r["count"] * bpr) // target_bytes)))
+            for r in counts
+        }
+        salt_k = {
+            k: v
+            for k, v in salt_k.items()
+            if k[0] is not None and k[1] is not None
+        }
+        max_records = int(max(1, target_bytes // bpr))
+    n = int(max(1, (src_bytes + target_bytes - 1) // target_bytes))
+    writer = _salted_repartition(out, salt_k, n).write.mode(
+        "overwrite"
+    ).partitionBy("event_date", "event_type")
+    if max_records:
+        writer = writer.option("maxRecordsPerFile", max_records)
+    writer.parquet(dst_dir)
     return spark.read.parquet(dst_dir).count()
 
 
@@ -368,6 +417,7 @@ def maintain_landing_layout(
     checkpoint_dir: str,
     available_now: bool = True,
     allow_feed_extra_columns: bool = False,
+    max_files_per_trigger: int = 100,
 ) -> StreamingQuery:
     """Keep a landing layout CURRENT from the flat event feed — the
     streaming complement to the one-shot :func:`build_landing_layout`
@@ -444,7 +494,9 @@ def maintain_landing_layout(
             "batch-built directory."
         )
     _feed_schema_guard(src_dir, allow_extra=allow_feed_extra_columns)
-    stream = events_file_stream(spark, src_dir, max_files_per_trigger=100)
+    stream = events_file_stream(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    )
     out = stream.withColumn("event_date", F.to_date("ts"))
     writer = (
         out.writeStream.format("parquet")
@@ -595,6 +647,44 @@ def _landing_data_files(dst_dir: str) -> list:
         and "_spark_metadata" not in p.parts
         and not p.name.startswith(("_", "."))
     ]
+
+
+def _salted_repartition(df: DataFrame, salt_k: dict, n: int) -> DataFrame:
+    """Hash-repartition a layout frame by (event_date, event_type,
+    salt) where each Hive partition's salt cardinality comes from
+    ``salt_k`` ({(iso_date_str, type_str): k}) — the write-side skew
+    fix shared by :func:`build_landing_layout` and
+    :func:`compact_landing_layout` (VERDICT r09 #1:
+    ``repartition(n, keys)`` alone sends every row of one key pair to
+    ONE task → one unsplittable file and an OOM-class task).  The salt
+    is a deterministic row-content hash, NEVER a nondeterministic id:
+    a task retry must re-route every row to the same shuffle
+    partition."""
+    from pyspark.sql import functions as F
+
+    if max(salt_k.values(), default=1) <= 1:
+        return df.repartition(n, "event_date", "event_type")
+    kmap = df.sparkSession.createDataFrame(
+        [(d, t, k) for (d, t), k in salt_k.items()],
+        "event_date string, event_type string, __salt_k int",
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+    return (
+        df.join(F.broadcast(kmap), ["event_date", "event_type"], "left")
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64("event_id", "ts", "user_id"),
+                F.coalesce(F.col("__salt_k"), F.lit(1)),
+            ),
+        )
+        .repartition(
+            int(max(n, sum(salt_k.values()))),
+            "event_date",
+            "event_type",
+            "__salt",
+        )
+        .drop("__salt", "__salt_k")
+    )
 
 
 def _committed_files(dst_dir: str) -> set[str] | None:
@@ -875,40 +965,7 @@ def compact_landing_layout(
     try:
         # full materialization happens HERE, while the old root intact
         if df is not None:
-            if max_salt > 1:
-                kmap = spark.createDataFrame(
-                    [(d, t, k) for (d, t), k in salt_k.items()],
-                    "event_date string, event_type string, __salt_k int",
-                ).withColumn(
-                    "event_date", F.col("event_date").cast("date")
-                )
-                out = (
-                    df.join(
-                        F.broadcast(kmap),
-                        ["event_date", "event_type"],
-                        "left",
-                    )
-                    .withColumn(
-                        # deterministic salt (row-content hash, NEVER
-                        # a nondeterministic id: a task retry must
-                        # re-route every row to the same shuffle
-                        # partition)
-                        "__salt",
-                        F.pmod(
-                            F.xxhash64("event_id", "ts", "user_id"),
-                            F.coalesce(F.col("__salt_k"), F.lit(1)),
-                        ),
-                    )
-                    .repartition(
-                        int(max(n, sum(salt_k.values()))),
-                        "event_date",
-                        "event_type",
-                        "__salt",
-                    )
-                    .drop("__salt", "__salt_k")
-                )
-            else:
-                out = df.repartition(n, "event_date", "event_type")
+            out = _salted_repartition(df, salt_k, n)
             writer = out.write.partitionBy("event_date", "event_type")
             if max_records:
                 writer = writer.option("maxRecordsPerFile", max_records)
@@ -1095,8 +1152,11 @@ def etl_status(config: dict) -> dict:
         d["last_wall_ts"] = rec.get("wall_ts")
 
     seen_paths: set[str] = set()
-    src_log = Path(ck) / "__multiplex" / "sources" / "0"
-    if src_log.is_dir():
+    ckroot = Path(ck)
+    # every stream checkpoint under this config root — the shared
+    # __multiplex log AND per-table logs (multiplex=False, folds)
+    src_logs = sorted(ckroot.glob("*/sources/0")) if ckroot.is_dir() else []
+    for src_log in src_logs:
         for p in src_log.iterdir():
             stem = p.name.split(".")[0]
             if not stem.isdigit():

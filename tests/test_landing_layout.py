@@ -1189,3 +1189,58 @@ def test_incremental_compaction_links_untouched_partitions(spark, tmp_path):
     land(ev.limit(0), "noop", base_t + 30)  # header-only file: no rows
     maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
     assert load_landing(spark, dst).count() == n
+
+
+def test_build_landing_layout_splits_hot_partition(spark, tmp_path):
+    """r10: the one-shot batch build gets the same write-side skew fix
+    as the compactor — a hot (date, type) comes out as multiple
+    bounded files (not one single-task file, not tasks×partitions
+    confetti), sized by one cheap counting aggregate + the source's
+    bytes/row."""
+    from events_to_db_spark.etl import build_landing_layout, load_landing
+    from events_to_db_spark.etl import _landing_data_files
+    from events_to_db_spark.session import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dup = spark.range(12).select(F.col("id").alias("dup"))
+    hot = (
+        ev.crossJoin(F.broadcast(dup))
+        .withColumn("event_id", F.col("event_id") * 12 + F.col("dup"))
+        .drop("dup")
+        .select(
+            "event_id",
+            F.expr(
+                "IF(event_id % 10 != 0,"
+                " timestamp'2024-01-05 12:00:00', ts)"
+            ).alias("ts"),
+            "user_id",
+            F.expr(
+                "IF(event_id % 10 != 0, 'purchase', event_type)"
+            ).alias("event_type"),
+            "value",
+            "props",
+        )
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    hot.coalesce(2).write.parquet(str(sf / "events.parquet"))
+    n_src = hot.count()
+
+    dst = str(tmp_path / "landing")
+    target = 16 * 1024
+    n = build_landing_layout(spark, str(sf), dst, target_bytes=target)
+    assert n == n_src
+
+    hot_dir = (
+        tmp_path / "landing" / "event_date=2024-01-05" / "event_type=purchase"
+    )
+    hot_files = sorted(hot_dir.glob("*.parquet"))
+    assert len(hot_files) > 1, "hot partition collapsed to one file"
+    for p in _landing_data_files(dst):
+        assert p.stat().st_size <= 2 * target, (
+            f"{p} is {p.stat().st_size}B > 2x target_bytes={target}"
+        )
+    land = load_landing(spark, dst)
+    assert sorted(
+        r["event_id"] for r in land.select("event_id").collect()
+    ) == sorted(r["event_id"] for r in hot.select("event_id").collect())
