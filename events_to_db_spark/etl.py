@@ -994,8 +994,21 @@ def compact_landing_layout(
     if latest >= 0:
         _seed_sink_manifest(spark, dst_dir, latest)
     after = _landing_data_files(dst_dir)
+    # row count from parquet FOOTERS (metadata-only, no scan): a full
+    # post-swap count() would re-read the layout just for the report
+    rows_after = 0
+    for p in after:
+        try:
+            import pyarrow.parquet as pq
+
+            rows_after += pq.ParquetFile(str(p)).metadata.num_rows
+        except Exception:
+            rows_after = -1
+            break
     return {
-        "rows": spark.read.parquet(dst_dir).count(),
+        "rows": rows_after
+        if rows_after >= 0
+        else spark.read.parquet(dst_dir).count(),
         "files_before": len(before),
         "files_after": len(after),
         "n_partitions": n,
@@ -1079,6 +1092,13 @@ def _metrics_file(checkpoints: str):
     return Path(checkpoints) / "__metrics.jsonl"
 
 
+#: Metrics-log rotation threshold: past this size the single writer
+#: keeps the newest half of the lines.  Totals in etl_status are
+#: therefore SINCE-ROTATION numbers on a months-old deployment — the
+#: per-batch/lag signals an operator watches are always recent.
+_METRICS_ROTATE_BYTES = 16 * 1024 * 1024
+
+
 def _record_metric(checkpoints: str, rec: dict) -> None:
     """Append one JSON line to the config's metrics log (the
     observability surface, VERDICT r09 #4).  Single writer — the
@@ -1086,12 +1106,25 @@ def _record_metric(checkpoints: str, rec: dict) -> None:
     a crash-replayed batch appends a duplicate line for the same
     batch_id (metrics, not data: readers take the LAST record per
     (table, batch_id), the same last-wins the keyed upsert gives the
-    rows themselves)."""
+    rows themselves).  Rotation: a log past ``_METRICS_ROTATE_BYTES``
+    is rewritten keeping its newest half (writer-side, so the
+    read-only ``etl_status`` never races it), bounding a months-long
+    deployment's log instead of growing forever."""
     import json
     import time
 
     p = _metrics_file(checkpoints)
     p.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        if p.is_file() and p.stat().st_size > _METRICS_ROTATE_BYTES:
+            lines = p.read_text().splitlines()
+            tmp = p.with_suffix(".jsonl.rotate")
+            tmp.write_text(
+                "\n".join(lines[len(lines) // 2 :]) + "\n"
+            )
+            tmp.replace(p)
+    except OSError:
+        pass  # rotation is best-effort; the append below still lands
     with p.open("a") as f:
         f.write(
             json.dumps({"wall_ts": round(time.time(), 3), **rec}) + "\n"

@@ -714,3 +714,25 @@ def test_cli_catchup_and_status(spark, chunked_events, tmp_path, capsys):
     assert st2["tables"]["purchases"]["total_rows_out"] == len(
         read_sink_table(cfg["db"], "purchases")
     )
+
+
+def test_metrics_log_rotates_at_size_cap(tmp_path, monkeypatch):
+    """The metrics log is bounded: past the rotation threshold the
+    writer keeps the newest half, and etl_status still reads the
+    survivors (a months-old deployment must not grow the log forever)."""
+    import json
+
+    from events_to_db_spark import etl as etl_mod
+    from events_to_db_spark.etl import _record_metric, etl_status
+
+    ck = str(tmp_path / "ckpt")
+    monkeypatch.setattr(etl_mod, "_METRICS_ROTATE_BYTES", 4000)
+    for b in range(100):
+        _record_metric(ck, {"table": "t", "batch_id": b, "rows_out": b})
+    log = tmp_path / "ckpt" / "__metrics.jsonl"
+    assert log.stat().st_size < 8000  # rotated at least once
+    recs = [json.loads(ln) for ln in log.read_text().splitlines()]
+    assert recs[-1]["batch_id"] == 99  # newest records survive
+    assert recs[0]["batch_id"] > 0  # oldest were dropped
+    st = etl_status({"checkpoints": ck, "events": str(tmp_path)})
+    assert st["tables"]["t"]["last_batch_id"] == 99
