@@ -649,6 +649,21 @@ def _landing_data_files(dst_dir: str) -> list:
     ]
 
 
+def _fragmented_files(fs: list, target_bytes: int) -> bool:
+    """A partition needs a rewrite iff its file count exceeds twice
+    the count a fresh compaction would produce (the 2× covers the
+    compactor's own salt/maxRecordsPerFile over-splitting — without it
+    a hot partition would churn every run) or a single file is
+    pathologically oversized.  Shared by the incremental compactor's
+    rewrite/link classification and :func:`landing_status`'s
+    compact-now signal."""
+    b = sum(f.stat().st_size for f in fs)
+    files_target = max(1, (b + target_bytes - 1) // target_bytes)
+    return len(fs) > max(2, 2 * files_target) or any(
+        f.stat().st_size > 4 * target_bytes for f in fs
+    )
+
+
 def _salted_repartition(df: DataFrame, salt_k: dict, n: int) -> DataFrame:
     """Hash-repartition a layout frame by (event_date, event_type,
     salt) where each Hive partition's salt cardinality comes from
@@ -882,20 +897,12 @@ def compact_landing_layout(
         or (k[0] is not None and k[0] >= retain_min_date)
     }
 
-    def _fragmented(fs) -> bool:
-        """A partition needs a rewrite iff its file count exceeds
-        twice the count a fresh compaction would produce (the 2×
-        covers this job's own salt/maxRecordsPerFile over-splitting —
-        without it a hot partition would churn every run) or a single
-        file is pathologically oversized."""
-        b = sum(f.stat().st_size for f in fs)
-        files_target = max(1, (b + target_bytes - 1) // target_bytes)
-        return len(fs) > max(2, 2 * files_target) or any(
-            f.stat().st_size > 4 * target_bytes for f in fs
-        )
-
     if incremental:
-        rewrite_keys = {k for k, fs in retained.items() if _fragmented(fs)}
+        rewrite_keys = {
+            k
+            for k, fs in retained.items()
+            if _fragmented_files(fs, target_bytes)
+        }
         link_keys = set(retained) - rewrite_keys
     else:
         rewrite_keys = set(retained)
@@ -1228,7 +1235,11 @@ def etl_status(config: dict) -> dict:
     }
 
 
-def landing_status(dst_dir: str, spark: SparkSession | None = None) -> dict:
+def landing_status(
+    dst_dir: str,
+    spark: SparkSession | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
     """Operator-facing status of a LANDING LAYOUT (the maintenance-side
     complement of :func:`etl_status`): read from on-disk state alone —
     pass ``spark`` to also resolve whether the recorded maintenance
@@ -1243,6 +1254,11 @@ def landing_status(dst_dir: str, spark: SparkSession | None = None) -> dict:
           "n_data_files": int,
           "total_bytes": int,
           "n_hive_partitions": int,      # distinct (date, type) dirs
+          "latest_event_date": str|None, # newest event_date= dir
+          "fragmented_partitions": int,  # the compact-now signal:
+                                         # partitions the incremental
+                                         # compactor would rewrite at
+                                         # this target_bytes
           "owner": {query_id, pid, checkpoint, live} | None,
           "schema_violation": {...} | None,   # mid-run evolution stop
           "compaction_in_flight": bool,  # lock / .compact-tmp present
@@ -1257,9 +1273,23 @@ def landing_status(dst_dir: str, spark: SparkSession | None = None) -> dict:
     if not root.is_dir():
         return {"exists": False}
     files = _landing_data_files(dst_dir)
-    parts = {
-        tuple(seg for seg in p.parent.parts if "=" in seg) for p in files
-    }
+    part_files: dict[tuple, list] = {}
+    for p in files:
+        key = tuple(seg for seg in p.parent.parts if "=" in seg)
+        part_files.setdefault(key, []).append(p)
+    parts = set(part_files)
+    dates = sorted(
+        seg.split("=", 1)[1]
+        for k in parts
+        for seg in k
+        if seg.startswith("event_date=")
+        and "__HIVE_DEFAULT_PARTITION__" not in seg
+    )
+    fragmented = sum(
+        1
+        for fs in part_files.values()
+        if _fragmented_files(fs, target_bytes)
+    )
     manifest = _landing_manifest_dir(dst_dir)
     latest = -1
     if manifest.is_dir():
@@ -1311,6 +1341,8 @@ def landing_status(dst_dir: str, spark: SparkSession | None = None) -> dict:
         "n_data_files": len(files),
         "total_bytes": sum(p.stat().st_size for p in files),
         "n_hive_partitions": len(parts),
+        "latest_event_date": dates[-1] if dates else None,
+        "fragmented_partitions": fragmented,
         "owner": owner,
         "schema_violation": violation,
         "compaction_in_flight": (root / "_compaction.lock").exists()

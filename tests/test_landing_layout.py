@@ -1018,6 +1018,13 @@ def test_landing_status_reports_lifecycle(spark, tmp_path):
     assert st["latest_sink_batch"] >= 0
     assert st["n_data_files"] > 0 and st["total_bytes"] > 0
     assert st["n_hive_partitions"] > 0
+    assert st["latest_event_date"] is not None
+    assert st["latest_event_date"].startswith("2024-")
+    assert st["fragmented_partitions"] == 0  # one file per partition
+    # with a tiny target every multi-KB partition reads as fragmented
+    assert landing_status(dst, target_bytes=64)[
+        "fragmented_partitions"
+    ] > 0
     assert st["owner"]["live"] is False  # availableNow run finished
     assert st["schema_violation"] is None
     assert not st["compaction_in_flight"]
