@@ -1041,13 +1041,22 @@ def _seed_sink_manifest(
     batch ``<= latest`` (exactly-once) — a smaller id would let a
     resumed stream re-append already-committed batches, a LARGER one
     would silently swallow real future batches as "already written"
-    (data loss).  The current data files are recorded in the earliest
-    entry, later entries are empty, and every id at the session's sink
-    log compact interval is written as a ``.compact`` entry carrying
-    the full union — the exact shape Spark's CompactibleFileStreamLog
-    itself would have produced, so both its readers (latest compact +
-    subsequent deltas) and its future compactions (which re-read every
-    delta since the last compact) find what they expect."""
+    (data loss).
+
+    Seed shape (r10 — SPARSE): Spark's CompactibleFileStreamLog never
+    reads entries below the latest ``.compact`` — its readers take the
+    latest compact + the deltas after it, its exactly-once skip only
+    consults ``getLatest()``, and its own NEXT log compaction re-reads
+    only the deltas since the last compact — so the seed writes
+    exactly ONE full-union entry (the latest interval-aligned
+    ``.compact``, or the ``0`` delta when the log has not reached a
+    boundary yet) plus empty ``v1`` deltas up to ``latest``.  The old
+    contiguous-from-zero seed re-created EVERY historical batch entry:
+    O(total stream batches) files per compaction, i.e. a year-old
+    1-batch/min stream would write ~500k manifest files each run —
+    the kind of cost that is invisible at test scale and fatal at
+    100 TB.  Verified against the sink's OWN later log compaction on
+    top of a sparse seed (tests/test_landing_layout.py)."""
     import json
 
     interval = int(
@@ -1070,13 +1079,17 @@ def _seed_sink_manifest(
     payload = "v1\n" + "\n".join(adds)
     mdir = _landing_manifest_dir(dst_dir)
     mdir.mkdir()
-    for b in range(latest_batch_id + 1):
-        if (b + 1) % interval == 0:
-            (mdir / f"{b}.compact").write_text(payload)
-        elif b == 0:
-            (mdir / "0").write_text(payload)
-        else:
-            (mdir / str(b)).write_text("v1")
+    # largest interval-aligned compact id ≤ latest (ids i with
+    # (i+1) % interval == 0), or -1 when no boundary reached yet
+    c = ((latest_batch_id + 1) // interval) * interval - 1
+    if c < 0:
+        (mdir / "0").write_text(payload)
+        start = 1
+    else:
+        (mdir / f"{c}.compact").write_text(payload)
+        start = c + 1
+    for b in range(start, latest_batch_id + 1):
+        (mdir / str(b)).write_text("v1")
 
 
 def _latest_committed_batch(checkpoints: str) -> int:

@@ -1251,3 +1251,77 @@ def test_build_landing_layout_splits_hot_partition(spark, tmp_path):
     assert sorted(
         r["event_id"] for r in land.select("event_id").collect()
     ) == sorted(r["event_id"] for r in hot.select("event_id").collect())
+
+
+def test_sparse_manifest_seed_supports_sink_log_compaction(spark, tmp_path):
+    """r10: the re-seeded manifest is SPARSE — one full-union entry
+    (the latest interval-aligned .compact) + empty deltas up to the
+    old latest batch id, NOT a contiguous-from-zero rebuild (O(total
+    stream batches) files per compaction: a year-old 1-batch/min
+    stream would rewrite ~500k manifest files per run).  Proven
+    against the consumer that matters: the maintenance stream resumes
+    on the sparse seed, crosses the NEXT compact boundary, and the
+    sink's OWN log compaction (which re-reads every delta since the
+    last compact) succeeds; batch readers stay exact throughout."""
+    import os
+    import shutil
+    import time
+
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.session import load_table
+
+    interval = int(
+        spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval")
+    )
+    assert interval == 10  # Spark default; the math below assumes it
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base_t = time.time() - 600
+
+    def land_slices(lo, hi, tag, t0):
+        for i in range(lo, hi):
+            w = tmp_path / f"w_{tag}{i}"
+            ev.filter(F.col("event_id") % 22 == i).coalesce(1).write.parquet(
+                str(w)
+            )
+            for f in os.listdir(w):
+                if f.endswith(".parquet"):
+                    shutil.copy(w / f, feed / f"{tag}{i:02d}_{f}")
+                    os.utime(feed / f"{tag}{i:02d}_{f}", (t0 + i, t0 + i))
+
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    # 12 files, ONE availableNow run at max_files_per_trigger=1:
+    # batches 0..11 -> the sink's own 9.compact exists + deltas 10, 11
+    land_slices(0, 12, "a", base_t)
+    maintain_landing_layout(
+        spark, str(feed), dst, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+    mdir = tmp_path / "landing" / "_spark_metadata"
+    assert "9.compact" in {p.name for p in mdir.iterdir()}
+
+    rep = compact_landing_layout(spark, dst)
+    assert rep["latest_batch_id"] == 11
+    # SPARSE seed: exactly {9.compact, 10, 11} — no 0..8 rebuild
+    assert {p.name for p in mdir.iterdir()} == {"9.compact", "10", "11"}
+    part_rows = load_landing(spark, dst).count()
+    assert part_rows == ev.filter(F.col("event_id") % 22 < 12).count()
+
+    # resume: 10 more files at 1 file/batch -> batches 12..21 cross
+    # the NEXT boundary; the sink's own log compaction writes
+    # 19.compact by re-reading the deltas since 9 (incl. our seeds)
+    land_slices(12, 22, "b", base_t + 100)
+    maintain_landing_layout(
+        spark, str(feed), dst, ckpt, max_files_per_trigger=1
+    ).awaitTermination()
+    names = {p.name for p in mdir.iterdir()}
+    assert "19.compact" in names, names
+    land = load_landing(spark, dst)
+    assert land.count() == n
+    assert land.select("event_id").distinct().count() == n
