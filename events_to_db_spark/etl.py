@@ -19,7 +19,14 @@ information::
       "tables": [
         {"table": "purchases",
          "query": "FROM 'type:purchase' FILTER _.k >= 2"
-                  " SELECT { user: _.user_id, k: _.k }"},
+                  " SELECT { user: _.user_id, k: _.k }",
+         "expectations": [        # r10: per-table declarative DQ on
+           {"id": "k_range",      # the TRANSFORMED rows — counters
+            "type": "range",      # fold exactly-once into
+            "col": "k", "hi": 90} # <table>__dq each batch
+         ],
+         "quarantine": true,        # violating rows aside, same txn
+         "drop_violations": true},  # …and OUT of the target table
         {"table": "raw_copy"}    # no query → copy every event
       ]
     }
@@ -149,6 +156,34 @@ def validate_config(config: dict, multiplex: bool = True) -> None:
             raise ValueError(
                 f"etl config: table {name!r} mode must be copy|aggregate"
             )
+        rules = entry.get("expectations")
+        if (
+            entry.get("quarantine") or entry.get("drop_violations")
+        ) and not rules:
+            raise ValueError(
+                f"etl config: table {name!r} sets quarantine/"
+                "drop_violations without 'expectations' rules"
+            )
+        if rules is not None:
+            from events_to_db_spark.expectations import validate_rules
+
+            if mode == "aggregate":
+                raise ValueError(
+                    f"etl config: aggregate table {name!r} declares "
+                    "expectations — a complete-mode fold has no per-row "
+                    "stream to gate; put the rules on the row-copy "
+                    "table that feeds it"
+                )
+            validate_rules(rules)
+            for r in rules:
+                if r["type"] == "unique":
+                    raise ValueError(
+                        f"etl config: table {name!r} rule {r['id']!r} is "
+                        "'unique' — distinct counts are not additive "
+                        "across micro-batches; audit uniqueness on the "
+                        "landed table instead (the keyed upsert already "
+                        "dedups on event_id)"
+                    )
         q = parse_aql(entry.get("query", DEFAULT_QUERY))
         kinds = [kind for kind, _body in q.stages]
         if mode == "aggregate":
@@ -1626,6 +1661,46 @@ def table_pipeline(
     return aql_subscription(stream, entry.get("query", DEFAULT_QUERY))
 
 
+def _dq_hooks(config: dict, entry: dict):
+    """Per-table declarative DQ wired into the copy pipeline (r10):
+    ``"expectations": [rules]`` on a table entry runs the one-aggregate
+    suite on the table's TRANSFORMED rows each batch, folding counters
+    exactly-once into ``<table>__dq`` (and, with ``"quarantine":
+    true``, routing violating rows to ``<table>__dq__quarantine`` in
+    the same transaction — expectations.py's machinery verbatim).
+    ``"drop_violations": true`` additionally EXCLUDES violating rows
+    from the target table — the gate semantics; the drop predicate
+    mirrors the counter's exactly (a NULL rule condition is not a
+    violation), so counters, quarantine, and the gate always agree.
+
+    Returns ``(dq_write, keep_cond)`` — either may be None."""
+    rules = entry.get("expectations")
+    if not rules:
+        return None, None
+    from pyspark.sql import functions as F
+
+    from events_to_db_spark.expectations import (
+        _violation_row_cond,
+        expectations_foreach_batch,
+    )
+
+    dq = expectations_foreach_batch(
+        config["db"],
+        f"{entry['table']}__dq",
+        rules,
+        quarantine=bool(entry.get("quarantine", False)),
+    )
+    keep = None
+    if entry.get("drop_violations"):
+        viol = F.lit(False)
+        for r in rules:
+            viol = viol | F.coalesce(
+                _violation_row_cond(r), F.lit(False)
+            )
+        keep = ~viol
+    return dq, keep
+
+
 def multiplex_foreach_batch(config: dict, entries: list[dict]):
     """ONE ``foreachBatch`` fanning every row-copy table out of one
     persisted micro-batch (VERDICT r06 #3): the batch is materialized
@@ -1640,6 +1715,7 @@ def multiplex_foreach_batch(config: dict, entries: list[dict]):
 
     sink_mode = config.get("sink_mode", "driver")
     metrics = bool(config.get("metrics", True))
+    dq_hooks = {e["table"]: _dq_hooks(config, e) for e in entries}
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         import time
@@ -1651,6 +1727,11 @@ def multiplex_foreach_batch(config: dict, entries: list[dict]):
                 t0 = time.time()
                 written: dict = {}
                 out = run_aql(tagged, entry.get("query", DEFAULT_QUERY))
+                dq, keep = dq_hooks[entry["table"]]
+                if dq is not None:
+                    dq(out, batch_id)
+                if keep is not None:
+                    out = out.filter(keep)
                 upsert_foreach_batch(
                     config["db"], entry["table"], ["event_id"],
                     mode=sink_mode,
@@ -1761,18 +1842,28 @@ def run_etl_config(
         for entry in copies:
             name = entry["table"]
             out = table_pipeline(spark, config, entry)
+            sink_fn = upsert_foreach_batch(
+                config["db"], name, ["event_id"],
+                mode=config.get("sink_mode", "driver"),
+                on_rows=_table_metric_hook(config, name),
+            )
+            dq, keep = _dq_hooks(config, entry)
+            if dq is not None or keep is not None:
+
+                def composed(bdf, bid, _dq=dq, _keep=keep, _sink=sink_fn):
+                    if _dq is not None:
+                        _dq(bdf, bid)
+                    if _keep is not None:
+                        bdf = bdf.filter(_keep)
+                    _sink(bdf, bid)
+
+                sink_fn = composed
             queries[name] = start(
                 out.writeStream.outputMode("append")
                 .option(
                     "checkpointLocation", f"{config['checkpoints']}/{name}"
                 )
-                .foreachBatch(
-                    upsert_foreach_batch(
-                        config["db"], name, ["event_id"],
-                        mode=config.get("sink_mode", "driver"),
-                        on_rows=_table_metric_hook(config, name),
-                    )
-                )
+                .foreachBatch(sink_fn)
             )
 
     for entry in folds:

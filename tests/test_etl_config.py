@@ -736,3 +736,144 @@ def test_metrics_log_rotates_at_size_cap(tmp_path, monkeypatch):
     assert recs[0]["batch_id"] > 0  # oldest were dropped
     st = etl_status({"checkpoints": ck, "events": str(tmp_path)})
     assert st["tables"]["t"]["last_batch_id"] == 99
+
+
+def test_config_expectations_gate_and_quarantine(
+    spark, chunked_events, tmp_path
+):
+    """r10 declarative DQ in the config runner: per-table
+    'expectations' fold exactly-once counters into <table>__dq on the
+    TRANSFORMED rows, 'quarantine' routes violating rows aside in the
+    same transaction, and 'drop_violations' excludes them from the
+    target — counters, quarantine, and the landed set must agree with
+    the batch suite exactly, and a no-op re-run must change nothing."""
+    from events_to_db_spark.expectations import run_expectations
+
+    feed, _ev, _n = chunked_events
+    rules = [{"id": "k_cap", "type": "range", "col": "k", "hi": 80}]
+    cfg = _config(feed, tmp_path)
+    cfg["tables"] = [
+        {
+            "table": "purchases",
+            "query": PURCHASE_QUERY,
+            "expectations": rules,
+            "quarantine": True,
+            "drop_violations": True,
+        },
+        {"table": "raw_copy"},
+    ]
+    _drain(run_etl_config(spark, cfg))
+
+    batch_out = run_aql(
+        with_tags(load_table(spark, SF_SMOKE, "events")), PURCHASE_QUERY
+    )
+    want = {
+        r["rule_id"]: (r["n_rows"], r["violations"])
+        for r in run_expectations(batch_out, rules).collect()
+    }
+    n_all, n_viol = want["k_cap"]
+    assert 0 < n_viol < n_all, "fixture must have a real partial violation"
+
+    dq = read_sink_table(cfg["db"], "purchases__dq").set_index("rule_id")
+    assert (dq.loc["k_cap", "n_rows"], dq.loc["k_cap", "violations"]) == (
+        n_all,
+        n_viol,
+    )
+    quar = read_sink_table(cfg["db"], "purchases__dq__quarantine")
+    assert len(quar) == n_viol
+
+    landed = read_sink_table(cfg["db"], "purchases")
+    assert len(landed) == n_all - n_viol  # the gate dropped violators
+    assert (landed["k"] <= 80).all()
+    want_kept = {
+        r["event_id"]
+        for r in batch_out.filter("k <= 80").select("event_id").collect()
+    }
+    assert set(landed["event_id"]) == want_kept
+
+    # no-op re-run: counters, quarantine, and the table all unchanged
+    _drain(run_etl_config(spark, cfg))
+    assert len(read_sink_table(cfg["db"], "purchases")) == n_all - n_viol
+    dq2 = read_sink_table(cfg["db"], "purchases__dq").set_index("rule_id")
+    assert dq2.loc["k_cap", "violations"] == n_viol
+    assert len(read_sink_table(cfg["db"], "purchases__dq__quarantine")) == (
+        n_viol
+    )
+
+
+def test_config_expectations_validation(tmp_path):
+    """DQ config misuse fails at validate time, before any stream."""
+    base = {
+        "events": str(tmp_path),
+        "db": str(tmp_path / "x.db"),
+        "checkpoints": str(tmp_path / "c"),
+    }
+    with pytest.raises(ValueError, match="without 'expectations'"):
+        validate_config(
+            {**base, "tables": [{"table": "t", "drop_violations": True}]}
+        )
+    with pytest.raises(ValueError, match="not additive"):
+        validate_config(
+            {
+                **base,
+                "tables": [
+                    {
+                        "table": "t",
+                        "expectations": [
+                            {"id": "u", "type": "unique", "col": "event_id"}
+                        ],
+                    }
+                ],
+            }
+        )
+    with pytest.raises(ValueError, match="complete-mode fold"):
+        validate_config(
+            {
+                **base,
+                "tables": [
+                    {
+                        "table": "t",
+                        "mode": "aggregate",
+                        "query": "FROM allEvents AGGREGATE COUNT()",
+                        "expectations": [
+                            {"id": "r", "type": "not_null", "col": "value"}
+                        ],
+                    }
+                ],
+            }
+        )
+    with pytest.raises(ValueError, match="needs 'col'"):
+        validate_config(
+            {
+                **base,
+                "tables": [
+                    {
+                        "table": "t",
+                        "expectations": [{"id": "r", "type": "not_null"}],
+                    }
+                ],
+            }
+        )
+
+
+def test_config_expectations_per_table_streams(
+    spark, chunked_events, tmp_path
+):
+    """The DQ gate composes identically on the NON-multiplexed
+    per-table path (LIMIT-style configs)."""
+    feed, _ev, _n = chunked_events
+    rules = [{"id": "k_cap", "type": "range", "col": "k", "hi": 80}]
+    cfg = _config(feed, tmp_path)
+    cfg["tables"] = [
+        {
+            "table": "purchases",
+            "query": PURCHASE_QUERY,
+            "expectations": rules,
+            "drop_violations": True,
+        },
+    ]
+    _drain(run_etl_config(spark, cfg, multiplex=False))
+    landed = read_sink_table(cfg["db"], "purchases")
+    assert len(landed) > 0 and (landed["k"] <= 80).all()
+    dq = read_sink_table(cfg["db"], "purchases__dq").set_index("rule_id")
+    assert dq.loc["k_cap", "violations"] > 0
