@@ -779,6 +779,7 @@ def compact_landing_layout(
     retain_min_date: str | None = None,
     target_bytes: int = 128 * 1024 * 1024,
     incremental: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Manifest-aware compaction + retention for a landing layout
     (VERDICT r08 #1) — the lifecycle job the maintained layout needs:
@@ -835,6 +836,15 @@ def compact_landing_layout(
     half-compacted state.  (Falls back to the full rewrite when a
     NULL-keyed ``__HIVE_DEFAULT_PARTITION__`` directory exists, which
     equality predicates cannot address.)
+
+    ``cluster_by=["user_id"]`` (r10) sorts each rewrite task's rows by
+    the given columns within (event_date, event_type) before writing —
+    parquet row-group min/max stats on those columns become tight, so
+    point lookups skip row groups inside every file where directory
+    pruning alone cannot help.  The streaming sink appends in arrival
+    order, so the compactor — the one moment the layout is rewritten
+    anyway — is where clustering belongs.  Linked (non-rewritten)
+    partitions keep their existing order until their next rewrite.
 
     Operational contract (ENFORCED as of r10 — VERDICT r09 #2, no
     longer a docstring-only rule): the maintenance stream must be
@@ -1008,6 +1018,17 @@ def compact_landing_layout(
         # full materialization happens HERE, while the old root intact
         if df is not None:
             out = _salted_repartition(df, salt_k, n)
+            if cluster_by:
+                # within-task sort → tight parquet row-group min/max
+                # stats on the cluster columns: point lookups (e.g.
+                # user_id = X) skip row groups inside every file the
+                # partition dirs alone can't prune.  Sorting is the
+                # compactor's job precisely because the streaming sink
+                # appends in arrival order — this is the one moment
+                # the layout gets rewritten anyway.
+                out = out.sortWithinPartitions(
+                    "event_date", "event_type", *cluster_by
+                )
             writer = out.write.partitionBy("event_date", "event_type")
             if max_records:
                 writer = writer.option("maxRecordsPerFile", max_records)

@@ -1325,3 +1325,48 @@ def test_sparse_manifest_seed_supports_sink_log_compaction(spark, tmp_path):
     land = load_landing(spark, dst)
     assert land.count() == n
     assert land.select("event_id").distinct().count() == n
+
+
+def test_compaction_cluster_by_sorts_within_files(spark, tmp_path):
+    """r10 cluster_by: the rewrite sorts each task's rows by the
+    cluster columns within (date, type), so every output file is
+    user_id-monotonic — the property that makes parquet row-group
+    min/max stats prune point lookups inside files.  Rows identical
+    with or without clustering."""
+    import pyarrow.parquet as pq
+
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+    from events_to_db_spark.etl import _landing_data_files
+
+    feed, files, n, base_t = _drip_feed(spark, tmp_path, n_chunks=3)
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    for i in range(3):
+        _land_chunk(feed, files, i, base_t)
+        maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    before_ids = sorted(
+        r["event_id"]
+        for r in load_landing(spark, dst).select("event_id").collect()
+    )
+
+    rep = compact_landing_layout(spark, dst, cluster_by=["user_id"])
+    assert rep["partitions_rewritten"] > 0
+
+    checked = 0
+    for p in _landing_data_files(dst):
+        if not p.name.endswith(".parquet"):
+            continue
+        col = pq.read_table(str(p), columns=["user_id"])["user_id"]
+        vals = col.to_pylist()
+        assert vals == sorted(vals), f"{p} is not user_id-monotonic"
+        checked += 1
+    assert checked > 0
+
+    after_ids = sorted(
+        r["event_id"]
+        for r in load_landing(spark, dst).select("event_id").collect()
+    )
+    assert after_ids == before_ids
