@@ -1049,6 +1049,14 @@ def compact_landing_layout(
                 except OSError:  # cross-device: fall back to a copy
                     _sh.copy2(f, pdir / f.name)
     except BaseException:
+        # SOFT failure (exception, not a crash): the partial tmp root
+        # is ours, pre-swap, never referenced — remove it with the
+        # lock so an immediate retry needs no manual cleanup.  A hard
+        # crash (kill) still leaves tmp+lock behind and the next
+        # maintenance/compaction refuses with the remedy message.
+        import shutil as _sh2
+
+        _sh2.rmtree(tmp, ignore_errors=True)
         lock.unlink(missing_ok=True)
         raise
 

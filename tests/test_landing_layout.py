@@ -591,6 +591,13 @@ def test_compaction_failure_leaves_old_root_untouched(
 
     assert sorted(str(p) for p in _landing_data_files(dst)) == snapshot
     assert load_landing(spark, dst).count() == n_before
+    # r10: a SOFT failure self-cleans (tmp + lock removed) so an
+    # immediate retry succeeds with no manual cleanup — only a hard
+    # crash leaves artifacts for the refuse-with-remedy path
+    assert not (tmp_path / "landing_fail.compact-tmp").exists()
+    assert not (tmp_path / "landing_fail" / "_compaction.lock").exists()
+    rep = compact_landing_layout(spark, dst)
+    assert rep["rows"] == n_before
 
 
 def test_feed_schema_guard_refuses_evolution(spark, tmp_path):
