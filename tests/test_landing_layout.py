@@ -1377,3 +1377,57 @@ def test_compaction_cluster_by_sorts_within_files(spark, tmp_path):
         for r in load_landing(spark, dst).select("event_id").collect()
     )
     assert after_ids == before_ids
+
+
+def test_fragmentation_criterion_never_churns():
+    """Hypothesis pin for the incremental compactor's stability: the
+    compactor's own output — up to 2×⌈bytes/target⌉ files (salt +
+    maxRecordsPerFile over-splitting), each ≤ target — must NEVER be
+    reclassified as fragmented (else hot partitions rewrite every
+    run), while one file beyond that bound always is."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from events_to_db_spark.etl import _fragmented_files
+
+    class _F:
+        def __init__(self, size):
+            self._s = int(size)
+
+        def stat(self):
+            return os.stat_result((0, 0, 0, 0, 0, 0, self._s, 0, 0, 0))
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        # k (files a fresh compaction would produce) bounded so the
+        # synthetic file LISTS stay small — the invariant is about
+        # counts and sizes, not about materializing 10^12 entries
+        k=st.integers(1, 64),
+        target=st.integers(1024, 10**9),
+        over=st.floats(1.0, 2.0),
+        frac=st.floats(0.001, 1.0),
+    )
+    def prop(k, target, over, frac):
+        # total bytes that yield exactly k = ceil(total/target)
+        total = max(1, (k - 1) * target + int(max(1, frac * target)))
+        assert (total + target - 1) // target == k
+        def split_exact(n):
+            # n files summing EXACTLY to total (like the real writer)
+            per, rem = divmod(total, n)
+            return [_F(per + 1)] * rem + [_F(per)] * (n - rem)
+
+        n_files = max(1, min(int(k * over), 2 * k))
+        fs = split_exact(n_files)
+        assert not _fragmented_files(fs, target), (
+            total,
+            target,
+            n_files,
+        )
+        # …but the SAME bytes split one file past the 2x bound always
+        # reclassifies (more files for the same data = fragmentation)
+        worse = split_exact(max(2, 2 * k) + 1)
+        assert _fragmented_files(worse, target)
+
+    prop()
