@@ -1236,7 +1236,10 @@ def etl_status(config: dict) -> dict:
     ``feed_files_pending`` is the source high-water-vs-frontier lag in
     FILES (the file source's own unit); per-batch rows/durations come
     from the metrics records the fan-out writes.  Batch replays
-    appear as duplicate (table, batch_id) records — last wins here."""
+    appear as duplicate (table, batch_id) records — last wins here.
+    Tables with declared ``expectations`` additionally get a ``dq``
+    dict ({rule_id: violations-to-date} from ``<table>__dq``) — the
+    trend an operator alerts on."""
     import json
     from pathlib import Path
     from urllib.parse import unquote, urlparse
@@ -1292,6 +1295,24 @@ def etl_status(config: dict) -> dict:
                 if u.startswith("file:"):
                     u = unquote(urlparse(u).path)
                 seen_paths.add(u)
+
+    # DQ violation counters for tables that declared expectations
+    db = config.get("db")
+    if db and Path(db).is_file():
+        import sqlite3
+
+        for entry in config.get("tables", []):
+            if not entry.get("expectations"):
+                continue
+            t = entry["table"]
+            try:
+                with sqlite3.connect(db) as con:
+                    rows = con.execute(
+                        f'SELECT rule_id, violations FROM "{t}__dq"'
+                    ).fetchall()
+            except sqlite3.Error:
+                continue  # suite not landed yet
+            per_table.setdefault(t, {})["dq"] = dict(rows)
 
     present: set[str] = set()
     ev = config.get("events")
@@ -1938,6 +1959,9 @@ def main(argv: list[str] | None = None) -> int:
         python -m events_to_db_spark.etl CONFIG.json --follow   # keep following
         python -m events_to_db_spark.etl CONFIG.json --status   # no Spark: print
                                                                 # etl_status JSON
+        python -m events_to_db_spark.etl CONFIG.json --compact  # compact the
+            [--incremental] [--retain-min-date D]               # landing layout
+            [--target-bytes N] [--cluster-by col[,col]]         # (cron-able)
 
     Catch-up (default) drains everything the offset logs have not
     seen, waits for every query, prints the post-run ``etl_status``
@@ -1972,6 +1996,21 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="one stream per table instead of the shared scan",
     )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact the config's landing layout (requires "
+        "events_layout: landing; the maintenance stream must be "
+        "stopped — enforced) and exit",
+    )
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--retain-min-date", default=None)
+    ap.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    ap.add_argument(
+        "--cluster-by",
+        default=None,
+        help="comma-separated columns to sort within partitions",
+    )
     args = ap.parse_args(argv)
     config = json.loads(Path(args.config).read_text())
     if args.status:
@@ -1981,6 +2020,25 @@ def main(argv: list[str] | None = None) -> int:
     from events_to_db_spark.session import get_spark
 
     spark = get_spark("events-to-db-etl")
+    if args.compact:
+        if config.get("events_layout", "flat") != "landing":
+            raise SystemExit(
+                "etl --compact: the config's events dir is FLAT "
+                "(events_layout != landing) — compaction applies to a "
+                "landing layout"
+            )
+        rep = compact_landing_layout(
+            spark,
+            config["events"],
+            retain_min_date=args.retain_min_date,
+            target_bytes=args.target_bytes,
+            incremental=args.incremental,
+            cluster_by=(
+                args.cluster_by.split(",") if args.cluster_by else None
+            ),
+        )
+        print(json.dumps(rep, indent=1, sort_keys=True))
+        return 0
     queries = run_etl_config(
         spark,
         config,

@@ -791,6 +791,13 @@ def test_config_expectations_gate_and_quarantine(
     }
     assert set(landed["event_id"]) == want_kept
 
+    # the status surface exposes the violation trend per table
+    from events_to_db_spark.etl import etl_status
+
+    assert etl_status(cfg)["tables"]["purchases"]["dq"] == {
+        "k_cap": n_viol
+    }
+
     # no-op re-run: counters, quarantine, and the table all unchanged
     _drain(run_etl_config(spark, cfg))
     assert len(read_sink_table(cfg["db"], "purchases")) == n_all - n_viol
@@ -877,3 +884,46 @@ def test_config_expectations_per_table_streams(
     assert len(landed) > 0 and (landed["k"] <= 80).all()
     dq = read_sink_table(cfg["db"], "purchases__dq").set_index("rule_id")
     assert dq.loc["k_cap", "violations"] > 0
+
+
+def test_cli_compact_verb(spark, tmp_path, capsys):
+    """r10 CLI --compact: compacts the config's landing layout (flat
+    configs refused) and prints the report JSON."""
+    import json
+
+    from events_to_db_spark.etl import main, maintain_landing_layout
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    w = tmp_path / "w"
+    ev.coalesce(1).write.parquet(str(w))
+    for f in os.listdir(w):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(w, f), feed / f)
+    dst = str(tmp_path / "landing")
+    maintain_landing_layout(
+        spark, str(feed), dst, str(tmp_path / "ckpt_m")
+    ).awaitTermination()
+
+    cfg = {
+        "events": dst,
+        "events_layout": "landing",
+        "db": str(tmp_path / "x.db"),
+        "checkpoints": str(tmp_path / "ckpt"),
+        "tables": [{"table": "raw_copy"}],
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path), "--compact", "--incremental"]) == 0
+    out = capsys.readouterr().out
+    rep = json.loads(out[out.find("{"):])
+    assert rep["rows"] == ev.count()
+    assert rep["partitions_rewritten"] + rep["partitions_linked"] > 0
+
+    flat = dict(cfg)
+    flat.pop("events_layout")
+    flat_path = tmp_path / "flat.json"
+    flat_path.write_text(json.dumps(flat))
+    with pytest.raises(SystemExit, match="FLAT"):
+        main([str(flat_path), "--compact"])
