@@ -917,6 +917,22 @@ def compact_landing_layout(
         for p in before
         if committed is None or str(p.resolve()) in committed
     ]
+    if before and committed is not None and not live:
+        # The manifest names files but NONE match the on-disk census —
+        # a path-normalization divergence (symlinked/relative roots:
+        # the sink records paths as given, the census resolves them),
+        # not a data state.  Proceeding would rewrite an EMPTY layout
+        # and move all data into .pre-compact — refuse loudly instead.
+        sample = next(iter(committed), "<empty>")
+        raise ValueError(
+            "compact_landing_layout: the _spark_metadata manifest's "
+            f"committed paths (e.g. {sample!r}) match NONE of the "
+            f"{len(before)} data files on disk under {dst_dir!r} — "
+            "path normalization diverged (symlinked or relative "
+            "layout root?). Re-invoke with the same canonical path "
+            "the maintenance stream writes to; compacting now would "
+            "produce an empty layout."
+        )
     part_files: dict[tuple, list] = {}
     for p in live:
         kv = dict(seg.split("=", 1) for seg in p.parts if "=" in seg)

@@ -1431,3 +1431,38 @@ def test_fragmentation_criterion_never_churns():
         assert _fragmented_files(worse, target)
 
     prop()
+
+
+def test_compaction_refuses_on_census_manifest_divergence(
+    spark, tmp_path, monkeypatch
+):
+    """r10 guard: if the manifest's committed paths match NONE of the
+    on-disk files (path-normalization divergence — symlinked or
+    relative roots), compaction must refuse loudly instead of
+    rewriting an EMPTY layout and stranding all data in .pre-compact."""
+    import pytest as _pytest
+
+    from events_to_db_spark import etl as etl_mod
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+
+    feed, files, _n, base_t = _drip_feed(spark, tmp_path, n_chunks=1)
+    _land_chunk(feed, files, 0, base_t)
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    n = load_landing(spark, dst).count()
+
+    monkeypatch.setattr(
+        etl_mod, "_committed_files", lambda d: {"/nowhere/else.parquet"}
+    )
+    with _pytest.raises(ValueError, match="match NONE"):
+        compact_landing_layout(spark, dst)
+    monkeypatch.undo()
+
+    # untouched layout; the real census still compacts fine
+    assert load_landing(spark, dst).count() == n
+    rep = compact_landing_layout(spark, dst)
+    assert rep["rows"] == n
