@@ -684,6 +684,25 @@ def _landing_data_files(dst_dir: str) -> list:
     ]
 
 
+def _hive_unescape(value: str | None) -> str | None:
+    """Invert Spark's partition-directory escaping so directory-parsed
+    partition VALUES compare equal to the column values Spark reads
+    back (ADVICE r10, medium): ``escapePathName`` percent-encodes
+    space, ':', '%', … as ``%XX``, so for any event_type needing
+    escaping the raw dir string made the incremental rewrite predicate
+    match ZERO rows — the partition was classified rewrite yet none of
+    its rows were rewritten, and after the swap those committed rows
+    existed only in ``.pre-compact`` (silent data loss from the
+    visible layout).  ``unquote`` is the exact inverse for values
+    Spark wrote: any literal '%' on disk came from Spark escaping a
+    '%' (to ``%25``), so decoding never corrupts a legitimate value.
+    The NULL sentinel ``__HIVE_DEFAULT_PARTITION__`` carries no '%'
+    and passes through unchanged."""
+    from urllib.parse import unquote
+
+    return None if value is None else unquote(value)
+
+
 def _fragmented_files(fs: list, target_bytes: int) -> bool:
     """A partition needs a rewrite iff its file count exceeds twice
     the count a fresh compaction would produce (the 2× covers the
@@ -936,7 +955,12 @@ def compact_landing_layout(
     part_files: dict[tuple, list] = {}
     for p in live:
         kv = dict(seg.split("=", 1) for seg in p.parts if "=" in seg)
-        key = (kv.get("event_date"), kv.get("event_type"))
+        # UNESCAPED values: these keys feed the rewrite predicate and
+        # the salt map, both compared against real column values
+        key = (
+            _hive_unescape(kv.get("event_date")),
+            _hive_unescape(kv.get("event_type")),
+        )
         part_files.setdefault(key, []).append(p)
     hive_default = "__HIVE_DEFAULT_PARTITION__"
     if incremental and any(
@@ -1057,9 +1081,14 @@ def compact_landing_layout(
         import shutil as _sh
 
         for k in sorted(link_keys):
-            pdir = tmp / f"event_date={k[0]}" / f"event_type={k[1]}"
-            pdir.mkdir(parents=True, exist_ok=True)
             for f in retained[k]:
+                # reuse the file's own on-disk relative path: the dir
+                # names carry Spark's Hive ESCAPING (space → %20, …),
+                # and re-deriving them from the unescaped keys would
+                # have to re-implement escapePathName exactly — the
+                # original name is exact by construction (ADVICE r10)
+                pdir = tmp / f.parent.relative_to(root)
+                pdir.mkdir(parents=True, exist_ok=True)
                 try:
                     os.link(f, pdir / f.name)
                 except OSError:  # cross-device: fall back to a copy

@@ -1466,3 +1466,76 @@ def test_compaction_refuses_on_census_manifest_divergence(
     assert load_landing(spark, dst).count() == n
     rep = compact_landing_layout(spark, dst)
     assert rep["rows"] == n
+
+
+def test_compaction_unescapes_hive_partition_names(spark, tmp_path):
+    """ADVICE r10 (medium): Spark Hive-escapes special characters in
+    partition dir names (space → %20, ':' → %3A, …).  The incremental
+    compactor's rewrite predicate and salt map are built from parsed
+    dir strings — with the RAW (escaped) value the predicate matches
+    zero rows: the partition is classified rewrite yet none of its
+    rows are rewritten, and after the swap those committed rows exist
+    only in .pre-compact.  Pin: every row of an escaped-type partition
+    survives an incremental compaction, rewritten AND hard-linked
+    classes both, with the on-disk escaping preserved."""
+    from events_to_db_spark.etl import compact_landing_layout
+    from events_to_db_spark.session import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .limit(400)
+        .withColumn(
+            "event_type", F.concat(F.col("event_type"), F.lit(" v:2"))
+        )
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    n = ev.count()
+    dst = tmp_path / "escaped_layout"
+    # fragmented: many round-robin tasks → many files per partition
+    ev.repartition(8).write.partitionBy("event_date", "event_type").parquet(
+        str(dst)
+    )
+    # one extra ALREADY-COMPACT partition (single file) to exercise the
+    # hard-link class under escaping too
+    extra = (
+        load_table(spark, SF_SMOKE, "events")
+        .limit(30)
+        .withColumn("event_id", F.col("event_id") + 9_000_000)
+        .withColumn("event_type", F.lit("linked type"))
+        .withColumn("event_date", F.lit("2030-01-01").cast("date"))
+    )
+    n_extra = extra.count()
+    extra.coalesce(1).write.mode("append").partitionBy(
+        "event_date", "event_type"
+    ).parquet(str(dst))
+
+    # the escaping is real on disk (Spark 4 escapes ':' → %3A; spaces
+    # stay literal — both classes are covered by the value " v:2")
+    assert any(
+        "%3A" in str(p) for p in dst.rglob("event_type=*") if p.is_dir()
+    ), sorted(str(p) for p in dst.rglob("event_type=*"))
+
+    before_ids = {
+        r["event_id"] for r in spark.read.parquet(str(dst)).collect()
+    }
+    assert len(before_ids) == n + n_extra
+
+    rep = compact_landing_layout(
+        spark, str(dst), incremental=True, target_bytes=256 * 1024
+    )
+    assert rep["partitions_rewritten"] > 0
+    assert rep["partitions_linked"] >= 1
+
+    after = spark.read.parquet(str(dst))
+    after_ids = {r["event_id"] for r in after.collect()}
+    # THE pin: zero silent loss — every committed row is still visible
+    assert after_ids == before_ids
+    # values round-trip unescaped through the rewrite
+    assert (
+        after.filter(F.col("event_type").contains(" v:2")).count() == n
+    )
+    # the linked partition kept its (escaped) dir name readable
+    assert (
+        after.filter(F.col("event_type") == "linked type").count()
+        == n_extra
+    )
