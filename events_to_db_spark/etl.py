@@ -648,8 +648,14 @@ def _refuse_live_maintenance(spark: SparkSession, dst_dir: str) -> None:
                 )
     # independent check: any active query in this session whose sink
     # is this path (covers streams started before the owner file
-    # existed, e.g. via an older API or a hand-built writeStream)
+    # existed, e.g. via an older API or a hand-built writeStream).
+    # Path EQUALITY after normalization (ADVICE r10): substring
+    # containment spuriously refused compacting /data/layout while an
+    # unrelated stream wrote /data/layout2, and missed a sink recorded
+    # under a non-resolved relative path.
     from pathlib import Path as _P
+    from urllib.parse import unquote as _unq
+    from urllib.parse import urlparse as _up
 
     want = str(_P(dst_dir).resolve())
     for q in spark.streams.active:
@@ -658,7 +664,19 @@ def _refuse_live_maintenance(spark: SparkSession, dst_dir: str) -> None:
         except Exception:
             progress = None
         sink = str((progress or {}).get("sink", {}).get("description", ""))
-        if dst_dir in sink or want in sink:
+        # FileSink renders as "FileSink[<path>]"; the path may be a
+        # file: URI or a relative path as the caller gave it
+        m = re.search(r"\[(.*)\]", sink)
+        if not m:
+            continue
+        path = m.group(1)
+        if path.startswith("file:"):
+            path = _unq(_up(path).path)
+        try:
+            got = str(_P(path).resolve())
+        except OSError:
+            continue
+        if got == want:
             raise ValueError(
                 "compact_landing_layout: active streaming query "
                 f"{q.id} is writing {dst_dir!r} (sink: {sink}) — stop "
@@ -1227,37 +1245,53 @@ def _metrics_file(checkpoints: str):
 #: per-batch/lag signals an operator watches are always recent.
 _METRICS_ROTATE_BYTES = 16 * 1024 * 1024
 
+#: Serializes metric writers (ADVICE r10): a config's streams are NOT a
+#: single writer — the multiplex fan-out and every aggregate-fold (and,
+#: under multiplex=False, every per-table) stream runs its foreachBatch
+#: on its own DRIVER thread, all appending to the same __metrics.jsonl.
+#: A rotation (read → rewrite → replace) racing a concurrent append
+#: would silently drop that append, and concurrent buffered appends can
+#: tear lines.  All writers live in this one process, so a module lock
+#: is the whole fix.
+import threading as _threading
+
+_METRICS_LOCK = _threading.Lock()
+
 
 def _record_metric(checkpoints: str, rec: dict) -> None:
     """Append one JSON line to the config's metrics log (the
-    observability surface, VERDICT r09 #4).  Single writer — the
-    driver's foreachBatch thread — so a plain append is atomic enough;
-    a crash-replayed batch appends a duplicate line for the same
+    observability surface, VERDICT r09 #4).  Writers are the driver-
+    side foreachBatch threads of every stream the config runs —
+    serialized by ``_METRICS_LOCK`` (ADVICE r10: the old single-writer
+    assumption was false for any config with an aggregate table).  A
+    crash-replayed batch appends a duplicate line for the same
     batch_id (metrics, not data: readers take the LAST record per
     (table, batch_id), the same last-wins the keyed upsert gives the
     rows themselves).  Rotation: a log past ``_METRICS_ROTATE_BYTES``
-    is rewritten keeping its newest half (writer-side, so the
-    read-only ``etl_status`` never races it), bounding a months-long
-    deployment's log instead of growing forever."""
+    is rewritten keeping its newest half (inside the same lock, so no
+    concurrent append is dropped; the read-only ``etl_status`` may
+    race it from another process and simply re-reads), bounding a
+    months-long deployment's log instead of growing forever."""
     import json
     import time
 
-    p = _metrics_file(checkpoints)
-    p.parent.mkdir(parents=True, exist_ok=True)
-    try:
-        if p.is_file() and p.stat().st_size > _METRICS_ROTATE_BYTES:
-            lines = p.read_text().splitlines()
-            tmp = p.with_suffix(".jsonl.rotate")
-            tmp.write_text(
-                "\n".join(lines[len(lines) // 2 :]) + "\n"
+    with _METRICS_LOCK:
+        p = _metrics_file(checkpoints)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            if p.is_file() and p.stat().st_size > _METRICS_ROTATE_BYTES:
+                lines = p.read_text().splitlines()
+                tmp = p.with_suffix(".jsonl.rotate")
+                tmp.write_text(
+                    "\n".join(lines[len(lines) // 2 :]) + "\n"
+                )
+                tmp.replace(p)
+        except OSError:
+            pass  # rotation is best-effort; the append below still lands
+        with p.open("a") as f:
+            f.write(
+                json.dumps({"wall_ts": round(time.time(), 3), **rec}) + "\n"
             )
-            tmp.replace(p)
-    except OSError:
-        pass  # rotation is best-effort; the append below still lands
-    with p.open("a") as f:
-        f.write(
-            json.dumps({"wall_ts": round(time.time(), 3), **rec}) + "\n"
-        )
 
 
 def etl_status(config: dict) -> dict:
@@ -1339,6 +1373,16 @@ def etl_status(config: dict) -> dict:
                     continue
                 if u.startswith("file:"):
                     u = unquote(urlparse(u).path)
+                # resolve EXACTLY like the on-disk census below
+                # (ADVICE r10): with a symlinked/non-canonical events
+                # dir the unresolved offset paths never intersect the
+                # resolved present set, so every seen file counted as
+                # pending forever — a bogus lag an operator (or the
+                # bench's pending assertion) would act on
+                try:
+                    u = str(Path(u).resolve())
+                except OSError:
+                    pass
                 seen_paths.add(u)
 
     # DQ violation counters for tables that declared expectations
@@ -1696,6 +1740,7 @@ def backfill_multiplex_table(
             upsert_foreach_batch(
                 config["db"], name, ["event_id"],
                 mode=config.get("sink_mode", "driver"),
+                allow_add_columns=bool(entry.get("allow_widening", False)),
             )
         )
         .start()
@@ -1835,6 +1880,9 @@ def multiplex_foreach_batch(config: dict, entries: list[dict]):
                         if metrics
                         else None
                     ),
+                    allow_add_columns=bool(
+                        entry.get("allow_widening", False)
+                    ),
                 )(out, batch_id)
                 if metrics:
                     _record_metric(
@@ -1941,6 +1989,7 @@ def run_etl_config(
                 config["db"], name, ["event_id"],
                 mode=config.get("sink_mode", "driver"),
                 on_rows=_table_metric_hook(config, name),
+                allow_add_columns=bool(entry.get("allow_widening", False)),
             )
             dq, keep = _dq_hooks(config, entry)
             if dq is not None or keep is not None:

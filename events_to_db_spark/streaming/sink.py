@@ -55,7 +55,13 @@ def _sql_type(spark_dtype: str) -> str:
     return "TEXT"  # strings, timestamps (ISO text), decimals
 
 
-def ensure_table(db_path: str, table: str, batch_df: DataFrame, key_cols: list[str]) -> None:
+def ensure_table(
+    db_path: str,
+    table: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    allow_add_columns: bool = False,
+) -> None:
     """Create the sink table if absent; refuse LOUDLY when it exists
     with a DIFFERENT column set (VERDICT r09 #3 — schema evolution
     through the upsert path).  Unlike the complete-mode replace sink
@@ -64,27 +70,61 @@ def ensure_table(db_path: str, table: str, batch_df: DataFrame, key_cols: list[s
     dropped; and without this check a WIDENED batch dies in an opaque
     sqlite "no column named …" while a NARROWED one silently upserts
     partial rows forever — both are the silent/obscure-failure class
-    this module refuses."""
-    cols = ", ".join(f'"{c}" {_sql_type(t)}' for c, t in batch_df.dtypes)
+    this module refuses.
+
+    ``allow_add_columns=True`` (r11 — the downstream half of
+    :func:`events_to_db_spark.etl.evolve_landing_schema`) is the
+    OPT-IN evolution path: columns the batch ADDS are applied with
+    ``ALTER TABLE ADD COLUMN`` — lossless by construction (history
+    rows read NULL for a column that did not exist when they landed).
+    Dropped columns always refuse, as does a TYPE change for an
+    existing column (ADVICE r10: the name-set check alone let a
+    BIGINT→STRING widening slip through, and SQLite's dynamic typing
+    would upsert mistyped values into history forever)."""
     pk = ", ".join(f'"{c}"' for c in key_cols)
     want = [c for c, _ in batch_df.dtypes]
+    want_types = {c: _sql_type(t) for c, t in batch_df.dtypes}
     with _connect(db_path) as con:
-        existing = [
-            r[1] for r in con.execute(f'PRAGMA table_info("{table}")')
-        ]
-        if existing and set(existing) != set(want):
-            added = sorted(set(want) - set(existing))
-            removed = sorted(set(existing) - set(want))
+        info = list(con.execute(f'PRAGMA table_info("{table}")'))
+        existing = [r[1] for r in info]
+        existing_types = {r[1]: (r[2] or "").upper() for r in info}
+        added = sorted(set(want) - set(existing))
+        removed = sorted(set(existing) - set(want))
+        if existing and (removed or (added and not allow_add_columns)):
             raise ValueError(
                 f"upsert sink: table {table!r} exists with a different "
                 f"column set (batch adds {added}, drops {removed}). "
                 "The keyed upsert cannot evolve a table in place "
-                "without silently NULLing or dropping history — "
-                "migrate the table (ALTER TABLE / backfill) or retire "
-                "it and re-drain into a fresh table name; "
-                "aggregate-mode tables evolve automatically via the "
-                "replace sink."
+                "without silently NULLing or dropping history — for a "
+                "pure WIDENING run with allow_add_columns=True (config "
+                'key "allow_widening": true) after evolving the '
+                "landing schema; otherwise migrate the table "
+                "(ALTER TABLE / backfill) or retire it and re-drain "
+                "into a fresh table name; aggregate-mode tables evolve "
+                "automatically via the replace sink."
             )
+        mistyped = sorted(
+            c
+            for c in want
+            if c in existing_types and existing_types[c] != want_types[c]
+        )
+        if mistyped:
+            raise ValueError(
+                f"upsert sink: table {table!r} column type changed for "
+                f"{mistyped} (declared "
+                f"{[existing_types[c] for c in mistyped]}, batch needs "
+                f"{[want_types[c] for c in mistyped]}) — SQLite's "
+                "dynamic typing would silently upsert mistyped values "
+                "into history forever (ADVICE r10); migrate the table "
+                "or re-drain into a fresh table name."
+            )
+        if existing and added:  # allow_add_columns=True by the gate above
+            for c in added:
+                con.execute(
+                    f'ALTER TABLE "{table}" ADD COLUMN '
+                    f'"{c}" {want_types[c]}'
+                )
+        cols = ", ".join(f'"{c}" {_sql_type(t)}' for c, t in batch_df.dtypes)
         con.execute(
             f'CREATE TABLE IF NOT EXISTS "{table}" ({cols}, PRIMARY KEY ({pk}))'
         )
@@ -172,6 +212,7 @@ def upsert_foreach_batch(
     key_cols: list[str],
     mode: str = "driver",
     on_rows: Callable[[int, int], None] | None = None,
+    allow_add_columns: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function for an idempotent keyed copy.
 
@@ -198,7 +239,10 @@ def upsert_foreach_batch(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         out = _iso_timestamps(batch_df)
         columns = [c for c, _ in out.dtypes]
-        ensure_table(db_path, table, out, key_cols)
+        ensure_table(
+            db_path, table, out, key_cols,
+            allow_add_columns=allow_add_columns,
+        )
         if mode == "executor":
             acc = None
             if on_rows is not None:

@@ -927,3 +927,161 @@ def test_cli_compact_verb(spark, tmp_path, capsys):
     flat_path.write_text(json.dumps(flat))
     with pytest.raises(SystemExit, match="FLAT"):
         main([str(flat_path), "--compact"])
+
+
+def test_record_metric_concurrent_writers_lose_nothing(tmp_path, monkeypatch):
+    """ADVICE r10: the metrics log has MANY driver-thread writers (the
+    multiplex fan-out plus every aggregate-fold stream), and a rotation
+    racing a concurrent append used to silently drop that append.
+    Invariant under the module lock: every surviving line is valid
+    JSON, and each writer's surviving batch_ids form a contiguous
+    SUFFIX of its sequence (rotation may trim old lines, but a race-
+    dropped append would leave a hole)."""
+    import json
+    import threading
+
+    from events_to_db_spark import etl as etl_mod
+    from events_to_db_spark.etl import _metrics_file, _record_metric
+
+    # tiny threshold → rotation fires constantly during the run
+    monkeypatch.setattr(etl_mod, "_METRICS_ROTATE_BYTES", 2048)
+    ck = str(tmp_path / "ck")
+    n_threads, n_recs = 6, 120
+
+    def writer(t: int) -> None:
+        for i in range(n_recs):
+            _record_metric(ck, {"table": f"t{t}", "batch_id": i})
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    seen: dict[str, list[int]] = {}
+    for line in _metrics_file(ck).read_text().splitlines():
+        rec = json.loads(line)  # no torn lines
+        seen.setdefault(rec["table"], []).append(rec["batch_id"])
+    assert seen  # the log survived the churn
+    # Rotation trims a strict PREFIX of the file, so each writer's
+    # survivors must be a contiguous SUFFIX of its own sequence ending
+    # at its final id — a race-dropped append would leave a hole (or a
+    # missing final id with earlier ids surviving).  A thread whose
+    # lines were ALL legitimately rotated out is fine.
+    for t in range(n_threads):
+        ids = seen.get(f"t{t}", [])
+        if ids:
+            assert max(ids) == n_recs - 1, sorted(ids)
+            assert sorted(ids) == list(range(min(ids), n_recs))
+
+
+def test_compaction_not_refused_by_sibling_prefix_sink(
+    spark, chunked_events, tmp_path
+):
+    """ADVICE r10: the live-sink mutual-exclusion check must compare
+    NORMALIZED PATH EQUALITY — substring containment spuriously
+    refused compacting <root>/land while an unrelated stream was
+    writing <root>/land2."""
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        load_landing,
+        maintain_landing_layout,
+    )
+    from tests.conftest import stop_query
+
+    # layout under compaction: batch-partitioned, no manifest/owner
+    land = tmp_path / "land"
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date", "event_type"
+    ).parquet(str(land))
+    n = spark.read.parquet(str(land)).count()
+
+    # unrelated CONTINUOUS maintenance stream on the sibling whose
+    # path has ours as a strict prefix (feed read-only from the shared
+    # fixture — never mutated)
+    feed, _ev2, _n2 = chunked_events
+    q = maintain_landing_layout(
+        spark,
+        feed,
+        str(tmp_path / "land2"),
+        str(tmp_path / "ckpt_land2"),
+        available_now=False,
+    )
+    try:
+        deadline = time.time() + 60
+        while q.lastProgress is None and time.time() < deadline:
+            time.sleep(0.3)
+        assert q.lastProgress is not None, "sibling stream never progressed"
+        rep = compact_landing_layout(spark, str(land))
+        assert rep["rows"] == n
+    finally:
+        stop_query(q)
+
+
+def test_etl_status_pending_resolves_symlinked_feed(
+    spark, chunked_events, tmp_path
+):
+    """ADVICE r10: with a SYMLINKED events dir the offset-log paths
+    (recorded through the symlink) never intersected the resolved
+    on-disk census, so every seen file counted as pending forever."""
+    from events_to_db_spark.etl import etl_status
+
+    feed, _ev, _n = chunked_events
+    real = tmp_path / "events_real"
+    real.mkdir()
+    for f in sorted(os.listdir(feed)):
+        shutil.copy(os.path.join(feed, f), real / f)
+        os.utime(real / f, (time.time() - 600, time.time() - 600))
+    link = tmp_path / "events_ln"
+    os.symlink(real, link)
+
+    cfg = _config(str(link), tmp_path)
+    cfg["tables"] = [{"table": "raw_copy"}]
+    _drain(run_etl_config(spark, cfg))
+    st = etl_status(cfg)
+    assert st["feed_files_seen"] == st["feed_files_present"] > 0
+    assert st["feed_files_pending"] == 0
+
+
+def test_upsert_sink_type_check_and_optin_widening(spark, tmp_path):
+    """ADVICE r10 + VERDICT r10 #3 (sink stage): the evolution guard
+    compares TYPES too (a name-preserving BIGINT→STRING change used to
+    slip through into SQLite's dynamic typing forever), and pure
+    column ADDS are applied via ALTER TABLE ADD COLUMN — but only
+    under the explicit allow_add_columns opt-in (the etl config's
+    "allow_widening"); accidental widening still refuses loudly."""
+    from events_to_db_spark.streaming.sink import upsert_foreach_batch
+
+    db = str(tmp_path / "t.db")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "event_id bigint, v string, k bigint"
+    )
+    upsert_foreach_batch(db, "t", ["event_id"])(base, 0)
+
+    # name-preserving TYPE change: k bigint -> string must refuse
+    retyped = base.withColumn("k", F.col("k").cast("string"))
+    with pytest.raises(ValueError, match="column type changed"):
+        upsert_foreach_batch(db, "t", ["event_id"])(retyped, 1)
+
+    # widening without the opt-in still refuses (r9 guard intact)
+    widened = base.withColumn("extra", F.col("k") * 2)
+    with pytest.raises(ValueError, match="different column set"):
+        upsert_foreach_batch(db, "t", ["event_id"])(widened, 1)
+
+    # the opt-in evolves: history rows read NULL, new rows carry values
+    upsert_foreach_batch(db, "t", ["event_id"], allow_add_columns=True)(
+        widened.filter(F.col("event_id") == 2), 2
+    )
+    got = read_sink_table(db, "t").set_index("event_id")
+    assert set(got.columns) == {"v", "k", "extra"}
+    assert got.loc[2, "extra"] == 40
+    assert got.loc[1, "extra"] is None or got.loc[1, "extra"] != got.loc[1, "extra"]  # NULL/NaN
+
+    # drops refuse even WITH the opt-in
+    with pytest.raises(ValueError, match="different column set"):
+        upsert_foreach_batch(db, "t", ["event_id"], allow_add_columns=True)(
+            base.drop("v"), 3
+        )
