@@ -684,6 +684,113 @@ def _refuse_live_maintenance(spark: SparkSession, dst_dir: str) -> None:
             )
 
 
+def _aggregate_consumers_file(dst_dir: str):
+    from pathlib import Path
+
+    return Path(dst_dir) / "_aggregate_consumers.json"
+
+
+def _read_aggregate_consumers(dst_dir: str) -> dict:
+    import json
+
+    f = _aggregate_consumers_file(dst_dir)
+    if not f.is_file():
+        return {}
+    try:
+        data = json.loads(f.read_text())
+    except (ValueError, OSError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _register_aggregate_consumer(
+    dst_dir: str, table: str, checkpoint: str
+) -> None:
+    """Record an AGGREGATE-mode consumer of a landing layout beside the
+    data (``_aggregate_consumers.json`` — '_'-prefixed, invisible to
+    parquet readers), keyed by table with its resolved checkpoint root
+    (VERDICT r10 #1).  Why compaction must know: a compaction
+    redelivers every committed row as NEW input on the consumer's next
+    run — a keyed upsert absorbs that, but a complete-mode fold has no
+    key idempotency and would ADD each redelivered event to its
+    streaming-agg state, silently double-counting the whole table.
+    The entry is self-cleaning: its checkpoint directory IS the fold
+    state, so compaction drops entries whose checkpoint no longer
+    exists (deleting the checkpoint is both the acknowledgement and
+    the fix — the fold recomputes from the compacted layout and the
+    replace sink overwrites the table)."""
+    import json
+    from pathlib import Path
+
+    state = _read_aggregate_consumers(dst_dir)
+    state[table] = {"checkpoint": str(Path(checkpoint).resolve())}
+    f = _aggregate_consumers_file(dst_dir)
+    f.parent.mkdir(parents=True, exist_ok=True)
+    f.write_text(json.dumps(state, sort_keys=True))
+
+
+def deregister_aggregate_consumer(dst_dir: str, table: str) -> None:
+    """Remove a RETIRED aggregate consumer from a layout's registry —
+    the remedy when the table is gone for good rather than being
+    reset.  (A reset needs no call: compaction self-cleans entries
+    whose checkpoint directory was deleted.)"""
+    import json
+
+    state = _read_aggregate_consumers(dst_dir)
+    state.pop(table, None)
+    f = _aggregate_consumers_file(dst_dir)
+    if state:
+        f.write_text(json.dumps(state, sort_keys=True))
+    else:
+        f.unlink(missing_ok=True)
+
+
+def _refuse_aggregate_consumers(dst_dir: str) -> None:
+    """Refuse compaction while any registered aggregate-mode consumer
+    still has fold state (VERDICT r10 #1 — the silent wrong-TABLE bug
+    reachable by composing two documented features: ``--compact`` and
+    a ``{"mode": "aggregate"}`` entry over ``events_layout: landing``).
+    Entries whose checkpoint directory is gone are self-cleaned here
+    (the operator's delete IS the acknowledgement)."""
+    from pathlib import Path
+
+    state = _read_aggregate_consumers(dst_dir)
+    if not state:
+        return
+    live = {
+        t: e
+        for t, e in state.items()
+        if Path(str(e.get("checkpoint", ""))).is_dir()
+    }
+    if live != state:
+        # self-clean stale entries so a completed reset needs no manual
+        # marker surgery
+        import json
+
+        f = _aggregate_consumers_file(dst_dir)
+        if live:
+            f.write_text(json.dumps(live, sort_keys=True))
+        else:
+            f.unlink(missing_ok=True)
+    if live:
+        details = "; ".join(
+            f"{t} (checkpoint {e['checkpoint']})" for t, e in sorted(live.items())
+        )
+        raise ValueError(
+            "compact_landing_layout: aggregate-mode tables consume "
+            f"this layout and still hold fold state: {details}. "
+            "Compaction redelivers every committed row as NEW input — "
+            "a keyed upsert absorbs that, but a complete-mode fold "
+            "would silently DOUBLE-COUNT every pre-compaction event. "
+            "Stop each fold stream and DELETE its checkpoint directory "
+            "(the fold recomputes from the compacted layout on its "
+            "next run; the replace sink overwrites the table — "
+            "idempotent), then re-run compaction.  If a consumer is "
+            "retired for good, deregister_aggregate_consumer(dst_dir, "
+            "table) removes its entry."
+        )
+
+
 def _landing_data_files(dst_dir: str) -> list:
     """Data files of a layout (every non-hidden file OUTSIDE the
     ``_spark_metadata`` log — manifest log files are named by bare
@@ -898,7 +1005,15 @@ def compact_landing_layout(
     (``events_layout: landing`` configs) see the compacted files as
     new input on their next run — a full, bounded redelivery that
     their keyed upsert absorbs (the same idempotency that absorbs
-    crash replay); plan catch-ups accordingly.  A crash between swap
+    crash replay); plan catch-ups accordingly.  AGGREGATE-mode
+    consumers have NO key idempotency — a complete-mode fold would
+    silently double-count the redelivery — so this job REFUSES while
+    any registered aggregate consumer still holds fold state
+    (``_aggregate_consumers.json``, written by ``run_etl_config``;
+    VERDICT r10 #1): delete the fold's checkpoint (it recomputes from
+    the compacted layout and the replace sink overwrites the table —
+    idempotent), or ``deregister_aggregate_consumer`` a retired one.
+    A crash between swap
     and re-seed leaves a valid manifest-LESS layout: readers see all
     files, ``maintain_landing_layout`` refuses loudly, and re-running
     this job completes the migration.
@@ -914,6 +1029,7 @@ def compact_landing_layout(
     if not root.is_dir():
         raise ValueError(f"compact_landing_layout: no layout at {dst_dir!r}")
     _refuse_live_maintenance(spark, dst_dir)
+    _refuse_aggregate_consumers(dst_dir)
     if retain_min_date is not None:
         import datetime
 
@@ -1531,6 +1647,7 @@ def landing_status(
         "latest_event_date": dates[-1] if dates else None,
         "fragmented_partitions": fragmented,
         "owner": owner,
+        "aggregate_consumers": sorted(_read_aggregate_consumers(dst_dir)),
         "schema_violation": violation,
         "compaction_in_flight": (root / "_compaction.lock").exists()
         or root.with_name(root.name + ".compact-tmp").exists(),
@@ -2024,6 +2141,16 @@ def run_etl_config(
                 )
             )
         )
+        if config.get("events_layout", "flat") == "landing":
+            # a complete-mode fold over a landing layout cannot absorb
+            # a compaction's full redelivery (no key idempotency) —
+            # register it beside the layout so compact_landing_layout
+            # refuses until this fold's checkpoint is reset
+            # (VERDICT r10 #1); registered only after a successful
+            # start, like the multiplex marker
+            _register_aggregate_consumer(
+                config["events"], name, f"{config['checkpoints']}/{name}"
+            )
     return queries
 
 

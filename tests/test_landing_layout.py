@@ -1539,3 +1539,89 @@ def test_compaction_unescapes_hive_partition_names(spark, tmp_path):
         after.filter(F.col("event_type") == "linked type").count()
         == n_extra
     )
+
+
+def test_aggregate_consumer_gates_compaction(spark, tmp_path):
+    """VERDICT r10 #1 (top item): compaction's full redelivery is only
+    absorbed by KEYED upserts — an aggregate-mode table over
+    events_layout: landing would ADD every redelivered row to its
+    complete-mode fold, silently double-counting the table.  Pin the
+    whole contract: the fold registers itself beside the layout,
+    compaction REFUSES while its checkpoint (= fold state) exists,
+    deleting the checkpoint is the acknowledgement, and the recomputed
+    fold over the compacted layout EQUALS the batch recompute."""
+    import shutil
+    from pathlib import Path
+
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        deregister_aggregate_consumer,
+        landing_status,
+        maintain_landing_layout,
+        run_etl_config,
+    )
+    from events_to_db_spark.streaming.sink import read_sink_table
+
+    AGG_QUERY = (
+        "FROM 'type:purchase' FILTER _.k >= 50"
+        " AGGREGATE { n: COUNT(), total: SUM(_.k) }"
+    )
+
+    feed, files, n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    _land_chunk(feed, files, 0, base_t)
+    dst, ckpt_m = str(tmp_path / "landing"), str(tmp_path / "ckpt_m")
+    maintain_landing_layout(spark, str(feed), dst, ckpt_m).awaitTermination()
+
+    cfg = {
+        "events": dst,
+        "events_layout": "landing",
+        "db": str(tmp_path / "agg.db"),
+        "checkpoints": str(tmp_path / "ckpt_cfg"),
+        "tables": [
+            {"table": "purchase_fold", "query": AGG_QUERY,
+             "mode": "aggregate"},
+        ],
+    }
+
+    def drain():
+        for q in run_etl_config(spark, cfg).values():
+            q.awaitTermination()
+
+    drain()
+    partial = read_sink_table(cfg["db"], "purchase_fold")
+    assert len(partial) == 1 and int(partial["n"][0]) > 0
+    assert landing_status(dst)["aggregate_consumers"] == ["purchase_fold"]
+
+    # the refusal, both before and after the fold advances
+    with pytest.raises(ValueError, match="DOUBLE-COUNT"):
+        compact_landing_layout(spark, dst)
+
+    _land_chunk(feed, files, 1, base_t)
+    maintain_landing_layout(spark, str(feed), dst, ckpt_m).awaitTermination()
+    drain()
+    got = read_sink_table(cfg["db"], "purchase_fold")
+    want = run_aql(with_tags(load_landing(spark, dst)), AGG_QUERY).collect()[0]
+    assert int(got["n"][0]) == want["n"]
+    with pytest.raises(ValueError, match="DOUBLE-COUNT"):
+        compact_landing_layout(spark, dst)
+
+    # deleting the fold's checkpoint IS the acknowledgement: the entry
+    # self-cleans and compaction proceeds
+    shutil.rmtree(Path(cfg["checkpoints"]) / "purchase_fold")
+    rep = compact_landing_layout(spark, dst)
+    assert rep["rows"] == n
+    assert landing_status(dst)["aggregate_consumers"] == []
+
+    # the recomputed fold over the compacted layout equals the batch
+    # recompute — the redelivery was NOT double-counted
+    drain()
+    after = read_sink_table(cfg["db"], "purchase_fold")
+    want2 = run_aql(with_tags(load_landing(spark, dst)), AGG_QUERY).collect()[0]
+    assert int(after["n"][0]) == want2["n"] == want["n"]
+    assert float(after["total"][0]) == pytest.approx(want2["total"])
+
+    # retired-consumer path: the next run re-registered the fold;
+    # deregistering removes the entry without touching its state
+    assert landing_status(dst)["aggregate_consumers"] == ["purchase_fold"]
+    deregister_aggregate_consumer(dst, "purchase_fold")
+    assert landing_status(dst)["aggregate_consumers"] == []
