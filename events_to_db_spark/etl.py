@@ -256,11 +256,17 @@ def build_landing_layout(
     would delete the manifest out from under the live sink checkpoint,
     so it is refused here; migrate with
     :func:`compact_landing_layout` (keeps the manifest) or pick a
-    fresh ``dst_dir``."""
+    fresh ``dst_dir``.
+
+    Local-filesystem only: lifecycle verbs run on POSIX primitives;
+    non-``file:`` roots are refused loudly (see :func:`_local_root`).
+    """
     from pyspark.sql import functions as F
 
     from events_to_db_spark.session import load_table
 
+    src_dir = _local_root(src_dir, "build_landing_layout")
+    dst_dir = _local_root(dst_dir, "build_landing_layout")
     if _landing_manifest_dir(dst_dir).is_dir():
         raise ValueError(
             f"build_landing_layout: {dst_dir!r} is STREAM-MAINTAINED "
@@ -493,11 +499,17 @@ def maintain_landing_layout(
     ``.pre-compact`` root a SUCCESSFUL compaction keeps aside is NOT a
     blocker (it is the caller's verify-then-delete artifact).  On
     start, records itself in ``_maintenance_owner.json`` so
-    :func:`compact_landing_layout` can refuse the reverse direction."""
+    :func:`compact_landing_layout` can refuse the reverse direction.
+
+    Local-filesystem only: lifecycle verbs run on POSIX primitives;
+    non-``file:`` roots are refused loudly (see :func:`_local_root`).
+    """
     from pathlib import Path
 
     from pyspark.sql import functions as F
 
+    src_dir = _local_root(src_dir, "maintain_landing_layout")
+    dst_dir = _local_root(dst_dir, "maintain_landing_layout")
     root = Path(dst_dir)
     blockers = [
         p
@@ -564,6 +576,46 @@ def load_landing(spark: SparkSession, dst_dir: str) -> DataFrame:
 
     configure(spark)
     return normalize_events_ts(spark.read.parquet(dst_dir))
+
+
+#: URI-scheme detector for the local-filesystem guard: a leading
+#: ``scheme:`` with a scheme of 2+ chars (so a Windows drive letter
+#: would not match) marks a non-local path unless the scheme is
+#: ``file``.
+_URI_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]+):")
+
+
+def _local_root(path: str, op: str) -> str:
+    """The landing-LIFECYCLE I/O seam (VERDICT r10 #2): every lifecycle
+    verb in this module — census, fragmentation criterion, lock/owner
+    files, the atomic swap, hard-link fast path, manifest re-seed —
+    runs on POSIX-local primitives (``pathlib``/``os.rename``/
+    ``os.link``) by design.  None of those exist on object storage
+    (S3 has no rename atomicity and no inodes; a bucket is not
+    ``Path.iterdir``-able), and pretending otherwise would corrupt a
+    layout instead of refusing.  So: a ``file:`` URI is normalized to
+    its local path (Spark interop), any OTHER scheme is refused loudly
+    with the remedy.  Plain-path READS of a layout
+    (``spark.read``/``readStream``) work on any Hadoop-supported
+    filesystem — only the lifecycle verbs are local-only."""
+    m = _URI_SCHEME_RE.match(path)
+    if not m:
+        return path
+    scheme = m.group(1).lower()
+    if scheme == "file":
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    raise ValueError(
+        f"{op}: {path!r} is not a local filesystem path (scheme "
+        f"{scheme}:). The landing-lifecycle primitives (on-disk census, "
+        "lock/owner files, atomic rename swap, hard links, manifest "
+        "re-seed) are POSIX-local by design — at HDFS/object-store "
+        "scale run this maintenance as a Hadoop-FileSystem-based job "
+        "(or on a host that mounts the layout locally) and keep only "
+        "the reads remote. Plain Spark reads of the layout work on any "
+        "supported filesystem; only the lifecycle verbs are local-only."
+    )
 
 
 def _landing_manifest_dir(dst_dir: str):
@@ -1018,6 +1070,9 @@ def compact_landing_layout(
     files, ``maintain_landing_layout`` refuses loudly, and re-running
     this job completes the migration.
 
+    Local-filesystem only: the census/lock/swap/link I/O is POSIX;
+    non-``file:`` roots are refused loudly (see :func:`_local_root`).
+
     Returns ``{rows, files_before, files_after, n_partitions,
     max_salt, partitions_rewritten, partitions_linked, bytes_rewritten,
     bytes_linked, aside_dir, latest_batch_id}``."""
@@ -1025,6 +1080,7 @@ def compact_landing_layout(
     import os
     from pathlib import Path
 
+    dst_dir = _local_root(dst_dir, "compact_landing_layout")
     root = Path(dst_dir)
     if not root.is_dir():
         raise ValueError(f"compact_landing_layout: no layout at {dst_dir!r}")
@@ -1546,7 +1602,8 @@ def landing_status(
     """Operator-facing status of a LANDING LAYOUT (the maintenance-side
     complement of :func:`etl_status`): read from on-disk state alone —
     pass ``spark`` to also resolve whether the recorded maintenance
-    owner is LIVE in this session.
+    owner is LIVE in this session.  Local-filesystem only, like every
+    lifecycle verb (see :func:`_local_root`).
 
     Returns::
 
@@ -1572,6 +1629,7 @@ def landing_status(
     import os
     from pathlib import Path
 
+    dst_dir = _local_root(dst_dir, "landing_status")
     root = Path(dst_dir)
     if not root.is_dir():
         return {"exists": False}

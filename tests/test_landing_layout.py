@@ -1625,3 +1625,43 @@ def test_aggregate_consumer_gates_compaction(spark, tmp_path):
     assert landing_status(dst)["aggregate_consumers"] == ["purchase_fold"]
     deregister_aggregate_consumer(dst, "purchase_fold")
     assert landing_status(dst)["aggregate_consumers"] == []
+
+
+def test_lifecycle_refuses_non_local_roots(spark, tmp_path):
+    """VERDICT r10 #2: the lifecycle module's census/lock/swap/link
+    primitives are POSIX-local — none exist on object storage (S3 has
+    no rename atomicity or inodes; a bucket is not iterdir-able).
+    Every lifecycle verb must refuse a non-file: scheme LOUDLY with
+    the remedy, and normalize a file: URI to its local path."""
+    from events_to_db_spark.etl import (
+        build_landing_layout,
+        compact_landing_layout,
+        landing_status,
+        maintain_landing_layout,
+    )
+
+    for call in (
+        lambda: compact_landing_layout(spark, "s3://bucket/layout"),
+        lambda: compact_landing_layout(spark, "hdfs://nn/layout"),
+        lambda: maintain_landing_layout(
+            spark, "s3a://bucket/feed", str(tmp_path / "d"), str(tmp_path / "c")
+        ),
+        lambda: maintain_landing_layout(
+            spark, str(tmp_path), "abfs://c@a.dfs/layout", str(tmp_path / "c")
+        ),
+        lambda: build_landing_layout(spark, SF_SMOKE, "gs://bucket/layout"),
+        lambda: landing_status("s3://bucket/layout"),
+    ):
+        with pytest.raises(ValueError, match="not a local filesystem path"):
+            call()
+
+    # file: URIs normalize to the local path (Spark interop)
+    land = tmp_path / "file_uri_layout"
+    ev = load_table(spark, SF_SMOKE, "events").limit(50)
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date", "event_type"
+    ).parquet(str(land))
+    st = landing_status(land.as_uri())  # file:///…
+    assert st["exists"] and st["n_data_files"] > 0
+    rep = compact_landing_layout(spark, "file:" + str(land))
+    assert rep["rows"] == 50
