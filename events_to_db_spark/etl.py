@@ -331,7 +331,11 @@ def build_landing_layout(
     return spark.read.parquet(dst_dir).count()
 
 
-def _feed_schema_guard(src_dir: str, allow_extra: bool = False) -> None:
+def _feed_schema_guard(
+    src_dir: str,
+    allow_extra: bool = False,
+    known_extra: frozenset = frozenset(),
+) -> None:
     """Refuse a feed whose parquet files do not carry the event
     envelope by NAME — the schema-evolution guard for the maintained
     landing layout.
@@ -350,7 +354,11 @@ def _feed_schema_guard(src_dir: str, allow_extra: bool = False) -> None:
     own ordering, so evolution lands in exactly the files checked
     first) are read via pyarrow — no Spark job.  ``allow_extra=True``
     acknowledges dropping feed-only columns (the caller has read the
-    remedy and chosen the envelope)."""
+    remedy and chosen the envelope).  ``known_extra`` names the
+    layout's REGISTERED evolved columns (r11,
+    :func:`evolve_landing_schema`): they are part of the widened read
+    schema, so their presence — or absence, they are nullable — in a
+    feed file is not a violation."""
     import os
     from pathlib import Path
 
@@ -379,17 +387,18 @@ def _feed_schema_guard(src_dir: str, allow_extra: bool = False) -> None:
                 "every batch. Fix the feed (or regenerate the "
                 "envelope schema) before maintaining a layout from it."
             )
-        extra = sorted(names - envelope)
+        extra = sorted(names - envelope - set(known_extra))
         if extra and not allow_extra:
             raise ValueError(
                 f"maintain_landing_layout: feed file {p.name!r} "
                 f"carries column(s) {extra} outside the event "
                 "envelope — the fixed-schema stream would silently "
                 "DROP them from every landed file (schema evolution "
-                "is invisible to a running sink). Either extend "
-                "EVENTS_SCHEMA and re-drain into a FRESH layout (new "
-                "dst_dir + checkpoint — old layout files lack the "
-                "column), or pass allow_feed_extra_columns=True to "
+                "is invisible to a running sink). Either register the "
+                "column(s) with evolve_landing_schema(spark, dst_dir, "
+                "{name: ddl_type}) — the supported nullable ADD: the "
+                "stream then widens its read schema and older rows "
+                "read NULL — or pass allow_feed_extra_columns=True to "
                 "acknowledge dropping them."
             )
 
@@ -400,6 +409,7 @@ def _attach_feed_schema_watch(
     src_dir: str,
     dst_dir: str,
     allow_extra: bool,
+    known_extra: frozenset = frozenset(),
 ) -> None:
     """Mid-run schema-evolution guard for a CONTINUOUS maintenance
     stream (VERDICT r09 #3): the start-time `_feed_schema_guard`
@@ -429,7 +439,9 @@ def _attach_feed_schema_watch(
             if str(event.progress.id) != qid:
                 return
             try:
-                _feed_schema_guard(src_dir, allow_extra=allow_extra)
+                _feed_schema_guard(
+                    src_dir, allow_extra=allow_extra, known_extra=known_extra
+                )
             except ValueError as exc:
                 import json
                 from pathlib import Path
@@ -540,9 +552,16 @@ def maintain_landing_layout(
             "re-drains the feed idempotently) and retire the "
             "batch-built directory."
         )
-    _feed_schema_guard(src_dir, allow_extra=allow_feed_extra_columns)
+    extras = _layout_extra_columns(dst_dir)
+    known = frozenset(n for n, _t in extras)
+    _feed_schema_guard(
+        src_dir, allow_extra=allow_feed_extra_columns, known_extra=known
+    )
     stream = events_file_stream(
-        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+        spark,
+        src_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        extra_columns=extras,
     )
     out = stream.withColumn("event_date", F.to_date("ts"))
     writer = (
@@ -563,7 +582,7 @@ def maintain_landing_layout(
     (_P2(dst_dir) / "_schema_violation.json").unlink(missing_ok=True)
     if not available_now:
         _attach_feed_schema_watch(
-            spark, q, src_dir, dst_dir, allow_feed_extra_columns
+            spark, q, src_dir, dst_dir, allow_feed_extra_columns, known
         )
     return q
 
@@ -571,11 +590,163 @@ def maintain_landing_layout(
 def load_landing(spark: SparkSession, dst_dir: str) -> DataFrame:
     """Events from a :func:`build_landing_layout` directory, ts
     normalized, ``event_date`` partition column retained (its presence
-    is what switches TimeBound onto the pruning path)."""
+    is what switches TimeBound onto the pruning path).
+
+    An EVOLVED layout (``_layout_schema.json`` present — see
+    :func:`evolve_landing_schema`) is read with ``mergeSchema`` so the
+    union of old and new file schemas surfaces, and any registered
+    extra column no file carries yet is added as a typed NULL — every
+    reader sees the full evolved schema regardless of which files have
+    been rewritten.  (mergeSchema reads all footers; the cost is paid
+    only by evolved layouts, and the next compaction materializes the
+    column into every file, after which plain reads resume.)"""
     from events_to_db_spark.session import configure, normalize_events_ts
 
     configure(spark)
-    return normalize_events_ts(spark.read.parquet(dst_dir))
+    extras = _layout_extra_columns(dst_dir)
+    reader = spark.read
+    if extras:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(dst_dir)
+    if extras:
+        from pyspark.sql import functions as F
+
+        for name, ddl in extras:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(ddl))
+    return normalize_events_ts(df)
+
+
+def _layout_schema_file(dst_dir: str):
+    from pathlib import Path
+
+    return Path(dst_dir) / "_layout_schema.json"
+
+
+def _layout_extra_columns(dst_dir: str) -> list[tuple[str, str]]:
+    """The layout's registered EVOLVED columns, ``[(name, ddl), …]``
+    in registration order (empty for a never-evolved layout)."""
+    import json
+
+    f = _layout_schema_file(dst_dir)
+    if not f.is_file():
+        return []
+    try:
+        data = json.loads(f.read_text())
+    except (ValueError, OSError):
+        return []
+    return [tuple(x) for x in data.get("extra_columns", [])]
+
+
+#: Evolved column names: plain SQL identifiers only — they splice into
+#: schemas, ALTER statements, and the guard's error messages.
+_COLUMN_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def evolve_landing_schema(
+    spark: SparkSession, dst_dir: str, add_columns: dict[str, str]
+) -> dict:
+    """ADD nullable column(s) to a maintained landing layout — the
+    supported widening path (VERDICT r10 #3: r10 made evolution LOUD
+    everywhere; this is the verb that lets the pipeline actually
+    evolve instead of only stopping).
+
+    Metadata-only by design: the columns are registered in
+    ``_layout_schema.json`` beside the data and NO file is rewritten —
+    parquet reads fill a missing column with NULL, which is exactly
+    the nullable-add semantics (a row landed before the column existed
+    has no value for it).  Every reader honors the registration:
+
+    * :func:`maintain_landing_layout` widens its fixed read schema, so
+      feed files carrying the column stream its values (and the feed
+      guard stops refusing it);
+    * :func:`load_landing` reads with ``mergeSchema`` + typed-NULL
+      fill, so batch consumers see the full evolved schema;
+    * ``events_layout: landing`` config streams widen the same way,
+      and registered names resolve as ``_.<name>`` FRAME COLUMNS in
+      the config's AQL (run_aql's ``column_fields`` — name-scoped, so
+      payload-path semantics never change for anything unregistered);
+      a table that selects the column gains it downstream via
+      ``ALTER TABLE ADD COLUMN`` under the per-table
+      ``"allow_widening": true`` opt-in (streaming/sink.py);
+    * the next :func:`compact_landing_layout` materializes the column
+      into every file (its rewrite reads through
+      :func:`load_landing`), after which plain reads resume.
+
+    Stop-guarded like compaction (the owner/lock machinery): refuses
+    while the maintenance stream is LIVE (the running stream's fixed
+    schema cannot widen mid-flight — restarting it picks the evolved
+    schema up) or while a compaction is in flight.  Idempotent:
+    re-registering an identical (name, type) is a no-op; a CHANGED
+    type for a registered name refuses (that is a type migration, not
+    an add).  Envelope names and partition columns refuse too.
+
+    Local-filesystem only, like every lifecycle verb (see
+    :func:`_local_root`).  Returns ``{"extra_columns": [(name, ddl),
+    …]}`` — the full registered set."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from events_to_db_spark.streaming.sources import EVENTS_SCHEMA
+
+    dst_dir = _local_root(dst_dir, "evolve_landing_schema")
+    if not add_columns:
+        raise ValueError("evolve_landing_schema: no columns to add")
+    root = Path(dst_dir)
+    if root.is_dir():
+        _refuse_live_maintenance(spark, dst_dir, op="evolve_landing_schema")
+        blockers = [
+            p
+            for p in (
+                root / "_compaction.lock",
+                root.with_name(root.name + ".compact-tmp"),
+            )
+            if p.exists()
+        ]
+        if blockers:
+            raise ValueError(
+                "evolve_landing_schema: a compaction of "
+                f"{dst_dir!r} is in flight or did not finish "
+                f"({', '.join(str(b) for b in blockers)} present) — "
+                "finish or clean it up first."
+            )
+    reserved = {f.name for f in EVENTS_SCHEMA.fields} | {"event_date"}
+    current = dict(_layout_extra_columns(dst_dir))
+    for name, ddl in add_columns.items():
+        if not _COLUMN_RE.match(name):
+            raise ValueError(
+                f"evolve_landing_schema: column name {name!r} must be "
+                "a plain identifier ([A-Za-z_][A-Za-z0-9_]*)"
+            )
+        if name in reserved:
+            raise ValueError(
+                f"evolve_landing_schema: {name!r} is an envelope/"
+                "partition column — the event envelope is fixed; only "
+                "NEW payload columns can be added"
+            )
+        try:
+            _parse_datatype_string(ddl)
+        except Exception:
+            raise ValueError(
+                f"evolve_landing_schema: {name!r} has an unparseable "
+                f"Spark DDL type {ddl!r}"
+            ) from None
+        if name in current and current[name] != ddl:
+            raise ValueError(
+                f"evolve_landing_schema: {name!r} is already "
+                f"registered as {current[name]!r}; changing it to "
+                f"{ddl!r} is a TYPE MIGRATION, not a nullable add — "
+                "re-drain into a fresh layout for that"
+            )
+        current[name] = ddl
+    root.mkdir(parents=True, exist_ok=True)
+    extras = [[n, t] for n, t in current.items()]
+    _layout_schema_file(dst_dir).write_text(
+        json.dumps({"extra_columns": extras})
+    )
+    return {"extra_columns": [tuple(x) for x in extras]}
 
 
 #: URI-scheme detector for the local-filesystem guard: a leading
@@ -651,7 +822,9 @@ def _write_maintenance_owner(
     )
 
 
-def _refuse_live_maintenance(spark: SparkSession, dst_dir: str) -> None:
+def _refuse_live_maintenance(
+    spark: SparkSession, dst_dir: str, op: str = "compact_landing_layout"
+) -> None:
     """Runtime enforcement of the compaction/maintenance mutual
     exclusion (VERDICT r09 #2 — previously a docstring-only rule):
     raise while the layout's recorded maintenance owner is LIVE, or
@@ -674,10 +847,10 @@ def _refuse_live_maintenance(spark: SparkSession, dst_dir: str) -> None:
         if pid == os.getpid():
             if any(str(q.id) == qid for q in spark.streams.active):
                 raise ValueError(
-                    "compact_landing_layout: the maintenance stream "
+                    f"{op}: the maintenance stream "
                     f"for {dst_dir!r} (query {qid}) is STILL ACTIVE in "
                     "this session — stop it (query.stop() / let "
-                    "availableNow terminate) before compacting; a "
+                    "availableNow terminate) first; a "
                     "running maintainer would write into the moved-"
                     "aside root or race the manifest re-seed."
                 )
@@ -691,7 +864,7 @@ def _refuse_live_maintenance(spark: SparkSession, dst_dir: str) -> None:
                 alive = True
             if alive:
                 raise ValueError(
-                    "compact_landing_layout: another process "
+                    f"{op}: another process "
                     f"(pid {pid}) maintains {dst_dir!r} per "
                     "_maintenance_owner.json and is still alive — "
                     "stop that maintenance stream first (this job "
@@ -730,9 +903,9 @@ def _refuse_live_maintenance(spark: SparkSession, dst_dir: str) -> None:
             continue
         if got == want:
             raise ValueError(
-                "compact_landing_layout: active streaming query "
+                f"{op}: active streaming query "
                 f"{q.id} is writing {dst_dir!r} (sink: {sink}) — stop "
-                "it before compacting."
+                "it first."
             )
 
 
@@ -1295,8 +1468,18 @@ def compact_landing_layout(
         lock.unlink(missing_ok=True)
         raise
 
+    schema_marker = (
+        _layout_schema_file(dst_dir).read_text()
+        if _layout_schema_file(dst_dir).is_file()
+        else None
+    )
     os.rename(root, aside)  # the lock travels into the aside root
     os.rename(tmp, root)
+    if schema_marker is not None:
+        # the evolution registration survives the swap (the rewrite
+        # just MATERIALIZED the evolved columns into every file, but
+        # readers still consult the marker for columns evolved later)
+        _layout_schema_file(dst_dir).write_text(schema_marker)
     if latest >= 0:
         _seed_sink_manifest(spark, dst_dir, latest)
     after = _landing_data_files(dst_dir)
@@ -1706,6 +1889,7 @@ def landing_status(
         "fragmented_partitions": fragmented,
         "owner": owner,
         "aggregate_consumers": sorted(_read_aggregate_consumers(dst_dir)),
+        "extra_columns": _layout_extra_columns(dst_dir),
         "schema_violation": violation,
         "compaction_in_flight": (root / "_compaction.lock").exists()
         or root.with_name(root.name + ".compact-tmp").exists(),
@@ -1957,15 +2141,38 @@ def _config_stream(spark: SparkSession, config: dict) -> DataFrame:
     table's compiled FROM predicate PRUNES DIRECTORIES at the
     streaming source (per-table and aggregate-mode streams read the
     matching slice of the log, not the log — see
-    sources.landing_events_stream; the multiplexed shared stream still
-    reads everything by design, since it serves every table's
-    predicate at once)."""
+    sources.landing_events_stream; the multiplexed shared stream
+    prunes too, to the OR of all its tables' lossless PARTITION-ONLY
+    weakenings — ``tags.partition_bound``, applied in
+    ``run_etl_config`` since r8 — so it reads the union slice its
+    table set can possibly accept, falling back to everything only
+    when some table's FROM weakens to TRUE).
+
+    An EVOLVED landing layout's registered extra columns
+    (:func:`evolve_landing_schema`) join the stream schema — files
+    written before the evolution read NULL for them."""
     from events_to_db_spark.streaming.sources import landing_events_stream
 
     mft = int(config.get("max_files_per_trigger", 1))
     if config.get("events_layout", "flat") == "landing":
-        return landing_events_stream(spark, config["events"], mft)
+        return landing_events_stream(
+            spark,
+            config["events"],
+            mft,
+            extra_columns=_layout_extra_columns(config["events"]),
+        )
     return events_file_stream(spark, config["events"], mft)
+
+
+def _config_column_fields(config: dict) -> frozenset:
+    """The evolved-column names AQL queries in this config may address
+    as ``_.<name>`` frame columns (landing layouts only — a flat feed
+    has no evolution registry)."""
+    if config.get("events_layout", "flat") != "landing":
+        return frozenset()
+    return frozenset(
+        n for n, _t in _layout_extra_columns(config["events"])
+    )
 
 
 def table_pipeline(
@@ -1973,7 +2180,11 @@ def table_pipeline(
 ) -> DataFrame:
     """The unbounded, compiled frame for one table entry (no sink)."""
     stream = _config_stream(spark, config)
-    return aql_subscription(stream, entry.get("query", DEFAULT_QUERY))
+    return aql_subscription(
+        stream,
+        entry.get("query", DEFAULT_QUERY),
+        column_fields=_config_column_fields(config),
+    )
 
 
 def _dq_hooks(config: dict, entry: dict):
@@ -2031,6 +2242,7 @@ def multiplex_foreach_batch(config: dict, entries: list[dict]):
     sink_mode = config.get("sink_mode", "driver")
     metrics = bool(config.get("metrics", True))
     dq_hooks = {e["table"]: _dq_hooks(config, e) for e in entries}
+    column_fields = _config_column_fields(config)
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         import time
@@ -2041,7 +2253,11 @@ def multiplex_foreach_batch(config: dict, entries: list[dict]):
             for entry in entries:
                 t0 = time.time()
                 written: dict = {}
-                out = run_aql(tagged, entry.get("query", DEFAULT_QUERY))
+                out = run_aql(
+                    tagged,
+                    entry.get("query", DEFAULT_QUERY),
+                    column_fields=column_fields,
+                )
                 dq, keep = dq_hooks[entry["table"]]
                 if dq is not None:
                     dq(out, batch_id)

@@ -220,11 +220,26 @@ class _Payload:
     col: Column
     kind: str  # _Val kind of the whole payload
     is_json: bool
+    #: EVOLVED envelope columns (r11, etl.evolve_landing_schema): names
+    #: a caller explicitly registered as frame columns — `_.<name>`
+    #: resolves to the COLUMN for exactly these, payload-JSON semantics
+    #: for everything else.  Opt-in and name-scoped by design: a blanket
+    #: column-first rule would let envelope columns silently shadow
+    #: same-named payload fields in every existing query.
+    column_fields: frozenset = frozenset()
 
     def resolve(self, parts: list[str | int]) -> _Val:
         if not parts:
             return _Val(self.col, self.kind)
         if self.is_json:
+            if (
+                isinstance(parts[0], str)
+                and parts[0] in self.column_fields
+            ):
+                c = F.col(parts[0])
+                for p in parts[1:]:
+                    c = c.getItem(p)
+                return _Val(c, _ANY)
             path = "$" + "".join(
                 f"[{p}]" if isinstance(p, int) else f".{p}" for p in parts
             )
@@ -739,6 +754,7 @@ def run_aql(
     tags_col: str = "tags",
     order_cols: tuple[str, str] = ("ts", "event_id"),
     limit_impl=None,
+    column_fields: frozenset = frozenset(),
 ) -> DataFrame:
     """Compile and run an AQL pipeline string against the tagged event
     frame.
@@ -751,6 +767,12 @@ def run_aql(
     is an object SELECT — and a single ``value`` row for AGGREGATE
     pipelines.  A mid-pipeline LIMIT takes the first n in event order
     and keeps piping (the reference's stream-prefix semantics).
+
+    ``column_fields`` (r11): names for which ``_.<name>`` resolves to
+    the FRAME COLUMN instead of a payload-JSON path — the surface the
+    landing layout's EVOLVED columns (``etl.evolve_landing_schema``)
+    ride into AQL configs.  Opt-in and name-scoped; everything else
+    keeps the dynamic-payload semantics.
     """
     q = parse_aql(query)
     ts_col, id_col = order_cols
@@ -759,7 +781,10 @@ def run_aql(
             tags_col, avail_cols=set(events_with_tags.columns)
         )
     )
-    payload = _Payload(F.col(payload_col), _ANY, is_json=True)
+    payload = _Payload(
+        F.col(payload_col), _ANY, is_json=True,
+        column_fields=frozenset(column_fields),
+    )
     obj_fields: list[str] | None = None  # set while payload is an object
     bindings: dict[str, str] = {}  # LET name -> value kind
 

@@ -34,17 +34,46 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _events_schema_with(
+    extra_columns: list[tuple[str, str]] | None,
+) -> StructType:
+    """The event envelope, optionally widened by EVOLVED nullable
+    columns (``[(name, spark-DDL type), …]`` — the shape
+    ``etl.evolve_landing_schema`` records).  NOT ``StructType.add``:
+    ``add()`` MUTATES its receiver, so it would append the extras to
+    the module-level ``EVENTS_SCHEMA`` on every call (the r8 trap)."""
+    if not extra_columns:
+        return EVENTS_SCHEMA
+    from pyspark.sql.types import _parse_datatype_string
+
+    return StructType(
+        EVENTS_SCHEMA.fields
+        + [
+            StructField(name, _parse_datatype_string(ddl))
+            for name, ddl in extra_columns
+        ]
+    )
+
+
 def events_file_stream(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int = 1,
+    extra_columns: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Unbounded DataFrame over Parquet files landing in ``src_dir``.
 
     ``maxFilesPerTrigger=1`` drip-feeds one file per micro-batch — the
     test harness uses this to replay the batch table as a stream and
     compare end states (SURVEY.md §5.3).
+
+    ``extra_columns`` widens the fixed read schema with EVOLVED
+    nullable columns (VERDICT r10 #3): feed files that carry them
+    stream their values; older files read NULL — the nullable-add
+    semantics ``etl.evolve_landing_schema`` defines.
     """
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema_with(extra_columns))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
@@ -54,19 +83,27 @@ def events_file_stream(
 #: ``event_date`` Hive partition column (``event_type`` is already an
 #: envelope field; on the layout it is resolved from the directory
 #: name instead of file bytes).
-def _landing_schema() -> StructType:
+def _landing_schema(
+    extra_columns: list[tuple[str, str]] | None = None,
+) -> StructType:
     from pyspark.sql.types import DateType
 
     # NOT StructType.add — add() MUTATES the receiver, so it would
     # append event_date to the module-level EVENTS_SCHEMA on every
-    # call and silently corrupt the FLAT stream schema.
+    # call and silently corrupt the FLAT stream schema.  Evolved
+    # extras sit between the envelope (file data columns) and the
+    # directory-resolved partition column.
     return StructType(
-        EVENTS_SCHEMA.fields + [StructField("event_date", DateType())]
+        _events_schema_with(extra_columns).fields
+        + [StructField("event_date", DateType())]
     )
 
 
 def landing_events_stream(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int = 1,
+    extra_columns: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Unbounded DataFrame over a date×type-partitioned landing layout
     (``etl.build_landing_layout``) — the streaming twin of
@@ -80,9 +117,13 @@ def landing_events_stream(
     a ``type:purchase & TIME >= …`` pipeline read 138 of 1000 rows at
     sf0.001 — on a 100 TB log the follow loop reads the slice, not the
     log).  The flat-source contract is unchanged: one landed file =
-    one source increment, offsets in the checkpoint."""
+    one source increment, offsets in the checkpoint.
+
+    ``extra_columns`` mirrors :func:`events_file_stream`: an evolved
+    layout's registered nullable extras join the read schema — files
+    written before the evolution read NULL for them."""
     return (
-        spark.readStream.schema(_landing_schema())
+        spark.readStream.schema(_landing_schema(extra_columns))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )

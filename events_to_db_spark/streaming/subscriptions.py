@@ -112,12 +112,15 @@ def aql_subscription(
     payload_col: str = "props",
     tags_col: str = "tags",
     order_cols: tuple[str, str] = ("ts", "event_id"),
+    column_fields: frozenset = frozenset(),
 ) -> DataFrame:
     """Compile an AQL pipeline against an unbounded event frame.
 
     Returns the streaming DataFrame; the caller picks trigger/sink.
     LIMIT stages compile to the stateful take-first-n above (bounded
     prefix, then the subscription keeps following).
+    ``column_fields`` passes through to :func:`run_aql` — the evolved-
+    column surface (``etl.evolve_landing_schema``).
     """
     if not events_stream.isStreaming:
         raise ValueError(
@@ -133,4 +136,5 @@ def aql_subscription(
         tags_col=tags_col,
         order_cols=order_cols,
         limit_impl=lambda df, k: _stateful_take_first_n(df, k, order_cols),
+        column_fields=column_fields,
     )

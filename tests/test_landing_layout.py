@@ -1665,3 +1665,115 @@ def test_lifecycle_refuses_non_local_roots(spark, tmp_path):
     assert st["exists"] and st["n_data_files"] > 0
     rep = compact_landing_layout(spark, "file:" + str(land))
     assert rep["rows"] == 50
+
+
+def test_evolve_landing_schema_end_to_end(spark, tmp_path):
+    """VERDICT r10 #3: r10 made schema evolution LOUD everywhere; this
+    pins the supported path to actually EVOLVE.  Widen the feed by one
+    nullable column → the guard refuses with the remedy → run
+    evolve_landing_schema → maintenance resumes on its EXISTING
+    checkpoint with the widened read schema → the layout and every
+    reader carry the column (old rows NULL) → the downstream config
+    table gains it via ALTER TABLE ADD COLUMN under allow_widening —
+    zero rows lost at any stage."""
+    import os
+    import shutil
+    import time
+
+    from events_to_db_spark.etl import (
+        evolve_landing_schema,
+        landing_status,
+        maintain_landing_layout,
+        run_etl_config,
+    )
+    from events_to_db_spark.streaming.sink import read_sink_table
+
+    feed, files, n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    _land_chunk(feed, files, 0, base_t)
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt_m")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    n0 = load_landing(spark, dst).count()
+    assert 0 < n0 < n
+
+    cfg = {
+        "events": dst,
+        "events_layout": "landing",
+        "db": str(tmp_path / "evo.db"),
+        "checkpoints": str(tmp_path / "ckpt_cfg"),
+        "tables": [
+            {
+                "table": "raw_copy",
+                "allow_widening": True,
+                "query": "FROM allEvents SELECT { v: _.k }",
+            }
+        ],
+    }
+
+    def drain():
+        for q in run_etl_config(spark, cfg).values():
+            q.awaitTermination()
+
+    drain()
+    t0 = read_sink_table(cfg["db"], "raw_copy")
+    assert len(t0) == n0 and "score" not in t0.columns
+
+    # the feed WIDENS: chunk 1 lands carrying a new payload column
+    wide = (
+        spark.read.parquet(str(files[1][0].parent))
+        .withColumn("score", F.col("value") * 2)
+    )
+    wdir = tmp_path / "wide_chunk"
+    wide.coalesce(1).write.parquet(str(wdir))
+    for f in os.listdir(wdir):
+        if f.endswith(".parquet"):
+            p = os.path.join(str(feed), f"chunk1_wide_{f}")
+            shutil.copy(os.path.join(wdir, f), p)
+            os.utime(p, (base_t + 1, base_t + 1))
+
+    # pre-evolution: the guard refuses, naming the verb as the remedy
+    with pytest.raises(ValueError, match="evolve_landing_schema"):
+        maintain_landing_layout(spark, str(feed), dst, ckpt)
+
+    # invalid adds refuse at registration
+    for bad in (
+        {"event_id": "bigint"},   # envelope column
+        {"event_date": "date"},   # partition column
+        {"bad-name": "bigint"},   # not an identifier
+        {"score": "not a type"},  # unparseable DDL
+    ):
+        with pytest.raises(ValueError):
+            evolve_landing_schema(spark, dst, bad)
+
+    got = evolve_landing_schema(spark, dst, {"score": "double"})
+    assert got["extra_columns"] == [("score", "double")]
+    # idempotent re-registration; type migration refuses
+    evolve_landing_schema(spark, dst, {"score": "double"})
+    with pytest.raises(ValueError, match="TYPE MIGRATION"):
+        evolve_landing_schema(spark, dst, {"score": "string"})
+    assert landing_status(dst)["extra_columns"] == [("score", "double")]
+
+    # the stream RESUMES on its existing checkpoint with the widened
+    # schema — only the new file is read
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    land = load_landing(spark, dst)
+    assert "score" in land.columns
+    assert land.count() == n  # zero rows lost
+    assert land.filter(F.col("score").isNull()).count() == n0
+    new_rows = land.filter(F.col("score").isNotNull())
+    assert new_rows.count() == n - n0
+    assert (
+        new_rows.filter(F.col("score") != F.col("value") * 2).count() == 0
+    )
+
+    # downstream: the operator edits the table's SELECT to pick up the
+    # evolved column (addressed as a frame column via the registered
+    # name — run_aql column_fields); the config stream widens and the
+    # upsert sink ALTERs under allow_widening
+    cfg["tables"][0]["query"] = (
+        "FROM allEvents SELECT { v: _.k, score: _.score }"
+    )
+    drain()
+    t1 = read_sink_table(cfg["db"], "raw_copy")
+    assert "score" in t1.columns
+    assert len(t1) == n and t1["event_id"].nunique() == n
+    assert int(t1["score"].notna().sum()) == n - n0
