@@ -828,8 +828,9 @@ def test_compaction_refuses_while_maintenance_runs(spark, tmp_path):
         with _pytest.raises(ValueError, match="STILL ACTIVE"):
             compact_landing_layout(spark, dst)
     finally:
-        q.stop()
-        q.awaitTermination()
+        from tests.conftest import stop_query
+
+        stop_query(q)
 
     rep = compact_landing_layout(spark, dst)  # stopped → allowed
     assert rep["rows"] > 0
@@ -977,8 +978,9 @@ def test_continuous_maintenance_stops_on_midrun_evolution(spark, tmp_path):
         )
     finally:
         if q.isActive:
-            q.stop()
-            q.awaitTermination()
+            from tests.conftest import stop_query
+
+            stop_query(q)
 
     viol = tmp_path / "dst" / "_schema_violation.json"
     assert viol.is_file()
@@ -1046,8 +1048,9 @@ def test_landing_status_reports_lifecycle(spark, tmp_path):
         # without a session the same-process owner is honest: unknown
         assert landing_status(dst)["owner"]["live"] is None
     finally:
-        q.stop()
-        q.awaitTermination()
+        from tests.conftest import stop_query
+
+        stop_query(q)
     assert landing_status(dst, spark)["owner"]["live"] is False
 
     before_batch = landing_status(dst)["latest_sink_batch"]

@@ -99,8 +99,9 @@ def _drain(stream, ckpt, acc):
         .start()
     )
     q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    from tests.conftest import stop_query
+
+    stop_query(q)
 
 
 def test_stream_matches_batch_read(spark, tmp_path):
