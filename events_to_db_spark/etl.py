@@ -1180,7 +1180,9 @@ def compact_landing_layout(
        bounds every file even where salt-hash collisions land two salt
        groups of one partition in the same task;
     3. atomic swap: ``dst_dir`` → ``dst_dir.pre-compact`` (kept — the
-       caller deletes it after verifying), tmp → ``dst_dir``.  Any
+       caller deletes it after verifying;
+       :func:`rotate_compaction_aside` / the CLI's ``--rotate-aside``
+       is the verify-then-delete convenience), tmp → ``dst_dir``.  Any
        failure before the swap leaves the old root byte-untouched;
     4. re-seed ``_spark_metadata`` with the SAME latest batch id as the
        old manifest: compacted files are recorded as committed, the
@@ -1510,6 +1512,82 @@ def compact_landing_layout(
         ),
         "aside_dir": str(aside),
         "latest_batch_id": latest,
+    }
+
+
+def _footer_rows(files) -> int:
+    """Total row count from parquet FOOTERS (metadata-only, no scan);
+    -1 when any footer is unreadable."""
+    total = 0
+    for p in files:
+        try:
+            import pyarrow.parquet as pq
+
+            total += pq.ParquetFile(str(p)).metadata.num_rows
+        except Exception:
+            return -1
+    return total
+
+
+def rotate_compaction_aside(dst_dir: str) -> dict:
+    """Verify-then-delete the ``.pre-compact`` aside a successful
+    compaction keeps (VERDICT r10 #5 — closing the loop the docstrings
+    left to the operator: repeated ``--compact`` runs refused until the
+    aside was hand-deleted).
+
+    The verification is the one a careful operator would do, from
+    parquet FOOTERS alone (no Spark job): the CURRENT layout must hold
+    at least as many rows as the aside's COMMITTED row count —
+    compaction only ever drops uncommitted orphans, so fewer rows in
+    the live layout means data exists ONLY in the aside (the
+    silent-loss class this artifact exists to catch) and the aside is
+    KEPT with a loud error.  Aside files are matched to the old
+    manifest by file NAME (the manifest records pre-swap paths; the
+    whole root moved).  A RETENTION compaction legitimately removes
+    rows, so its aside fails this check by design — verify and delete
+    that one manually, and run ``--rotate-aside`` only on steady-state
+    (incremental) cron loops where retention is not changing.
+
+    Local-filesystem only, like every lifecycle verb (see
+    :func:`_local_root`).  Returns ``{rows_current,
+    rows_aside_committed, removed}``."""
+    import shutil
+    from pathlib import Path
+
+    dst_dir = _local_root(dst_dir, "rotate_compaction_aside")
+    root = Path(dst_dir)
+    aside = root.with_name(root.name + ".pre-compact")
+    if not aside.is_dir():
+        raise ValueError(
+            f"rotate_compaction_aside: no {aside} to rotate (a "
+            "successful compaction leaves one; nothing to verify)"
+        )
+    cur_rows = _footer_rows(_landing_data_files(dst_dir))
+    committed = _committed_files(str(aside))
+    aside_files = _landing_data_files(str(aside))
+    if committed is not None:
+        names = {Path(u).name for u in committed}
+        aside_files = [p for p in aside_files if p.name in names]
+    aside_rows = _footer_rows(aside_files)
+    if cur_rows < 0 or aside_rows < 0:
+        raise ValueError(
+            "rotate_compaction_aside: unreadable parquet footer while "
+            "verifying — inspect and delete the aside manually"
+        )
+    if cur_rows < aside_rows:
+        raise ValueError(
+            f"rotate_compaction_aside: the live layout holds {cur_rows}"
+            f" rows but the aside's committed set holds {aside_rows} — "
+            "rows exist ONLY in the aside. If this compaction applied "
+            "RETENTION the difference is intentional (verify and delete "
+            "the aside manually); otherwise investigate before "
+            "deleting anything."
+        )
+    shutil.rmtree(aside)
+    return {
+        "rows_current": cur_rows,
+        "rows_aside_committed": aside_rows,
+        "removed": str(aside),
     }
 
 
@@ -2457,6 +2535,7 @@ def main(argv: list[str] | None = None) -> int:
         python -m events_to_db_spark.etl CONFIG.json --compact  # compact the
             [--incremental] [--retain-min-date D]               # landing layout
             [--target-bytes N] [--cluster-by col[,col]]         # (cron-able)
+            [--rotate-aside]   # verify+delete the previous .pre-compact first
 
     Catch-up (default) drains everything the offset logs have not
     seen, waits for every query, prints the post-run ``etl_status``
@@ -2499,6 +2578,13 @@ def main(argv: list[str] | None = None) -> int:
         "stopped — enforced) and exit",
     )
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument(
+        "--rotate-aside",
+        action="store_true",
+        help="before compacting, verify (footer row counts) and delete "
+        "the previous run's .pre-compact aside — the cron-loop "
+        "convenience; refuses when rows exist only in the aside",
+    )
     ap.add_argument("--retain-min-date", default=None)
     ap.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     ap.add_argument(
@@ -2522,6 +2608,13 @@ def main(argv: list[str] | None = None) -> int:
                 "(events_layout != landing) — compaction applies to a "
                 "landing layout"
             )
+        rotated = None
+        if args.rotate_aside:
+            from pathlib import Path as _Pr
+
+            r = _Pr(_local_root(config["events"], "etl --compact"))
+            if r.with_name(r.name + ".pre-compact").is_dir():
+                rotated = rotate_compaction_aside(config["events"])
         rep = compact_landing_layout(
             spark,
             config["events"],
@@ -2532,6 +2625,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.cluster_by.split(",") if args.cluster_by else None
             ),
         )
+        if rotated is not None:
+            rep = {**rep, "rotated_aside": rotated}
         print(json.dumps(rep, indent=1, sort_keys=True))
         return 0
     queries = run_etl_config(
