@@ -111,10 +111,11 @@ def test_naive_bar_parsed_from_baseline_md():
     comes from BASELINE.md's §N-set table, N1 excluded by its note."""
     bar = benchdrift.naive_warm_s()
     assert set(bar) == {"q_sim_hamming", "q_text_tfidf", "q_dedup_near"}
-    # the r7-measured values; a nbaseline.py re-run edits BASELINE.md
-    # and this gate follows automatically (the test below pins that)
-    assert bar["q_text_tfidf"] == 0.786
-    assert bar["q_dedup_near"] == 1.699
+    # the r11-re-measured values (same-host re-measure, BASELINE.md
+    # §N-set rationale); a nbaseline.py re-run edits BASELINE.md and
+    # this gate follows automatically (the test below pins that)
+    assert bar["q_text_tfidf"] == 0.750
+    assert bar["q_dedup_near"] == 2.366
 
 
 def _write_sset(tmp_path, name, sset):
@@ -154,6 +155,6 @@ def test_doctored_baseline_number_moves_the_verdict():
     """Editing the BASELINE.md table cell must move the enforced bar —
     no second copy of the numbers survives in code."""
     text = benchdrift.BASELINE_MD.read_text()
-    doctored = text.replace("| 786 ms |", "| 100 ms |")
+    doctored = text.replace("| 750 ms |", "| 100 ms |")
     assert doctored != text
     assert benchdrift.naive_warm_s(doctored)["q_text_tfidf"] == 0.1
