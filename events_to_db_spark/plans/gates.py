@@ -117,6 +117,12 @@ def broadcast_rows_gate(
 #: staying quadratic past the crossover on a realistic corpus costs
 #: 3.2× and grows with block size.  Both sides scale with cores, so
 #: the ratio is hardware-stable and needs no conf derivation.
+#: RE-MEASURED r11 after the verify kernel changed (derived-union
+#: Jaccard, llm_ops.near_dup_pairs): quad 28.0 s / 1.25e7 pairs =
+#: 2.24 µs·cores/pair, band 9.10 s / 50k rows = 182 µs·cores/row →
+#: crossover 81.1 — the constant stands (on realistic ~50-token docs
+#: array_intersect dominates the per-pair cost; the union saving
+#: mostly benefits the degenerate short-vocab corpus).  PERF.md r11.
 QUAD_VS_BAND_PAIRS_PER_ROW = 80.0
 
 
