@@ -1881,6 +1881,10 @@ def landing_status(
                                          # compactor would rewrite at
                                          # this target_bytes
           "owner": {query_id, pid, checkpoint, live} | None,
+          "aggregate_consumers": [table, ...],  # registered folds that
+                                         # gate compaction (r11)
+          "extra_columns": [(name, ddl), ...],  # evolved columns
+                                         # (evolve_landing_schema)
           "schema_violation": {...} | None,   # mid-run evolution stop
           "compaction_in_flight": bool,  # lock / .compact-tmp present
           "pre_compact_kept": bool,      # verify-then-delete artifact
@@ -2536,6 +2540,8 @@ def main(argv: list[str] | None = None) -> int:
             [--incremental] [--retain-min-date D]               # landing layout
             [--target-bytes N] [--cluster-by col[,col]]         # (cron-able)
             [--rotate-aside]   # verify+delete the previous .pre-compact first
+        python -m events_to_db_spark.etl CONFIG.json \\
+            --evolve-schema score:double    # register nullable column(s)
 
     Catch-up (default) drains everything the offset logs have not
     seen, waits for every query, prints the post-run ``etl_status``
@@ -2592,6 +2598,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="comma-separated columns to sort within partitions",
     )
+    ap.add_argument(
+        "--evolve-schema",
+        default=None,
+        metavar="NAME:DDL[,NAME:DDL]",
+        help="register nullable column(s) on the config's landing "
+        "layout (evolve_landing_schema) and exit — e.g. "
+        "score:double,label:string; the maintenance stream must be "
+        "stopped (enforced)",
+    )
     args = ap.parse_args(argv)
     config = json.loads(Path(args.config).read_text())
     if args.status:
@@ -2601,6 +2616,28 @@ def main(argv: list[str] | None = None) -> int:
     from events_to_db_spark.session import get_spark
 
     spark = get_spark("events-to-db-etl")
+    if args.evolve_schema:
+        if config.get("events_layout", "flat") != "landing":
+            raise SystemExit(
+                "etl --evolve-schema: the config's events dir is FLAT "
+                "(events_layout != landing) — schema evolution is a "
+                "landing-layout verb"
+            )
+        add: dict[str, str] = {}
+        for part in args.evolve_schema.split(","):
+            name, sep, ddl = part.partition(":")
+            if not sep or not name or not ddl:
+                raise SystemExit(
+                    "etl --evolve-schema: each entry must be NAME:DDL "
+                    f"(got {part!r})"
+                )
+            add[name.strip()] = ddl.strip()
+        rep = evolve_landing_schema(spark, config["events"], add)
+        print(json.dumps(
+            {"extra_columns": [list(x) for x in rep["extra_columns"]]},
+            indent=1,
+        ))
+        return 0
     if args.compact:
         if config.get("events_layout", "flat") != "landing":
             raise SystemExit(

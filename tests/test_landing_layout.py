@@ -1846,3 +1846,87 @@ def test_rotate_aside_closes_the_compaction_loop(spark, tmp_path):
     with pytest.raises(ValueError, match="ONLY in the aside"):
         rotate_compaction_aside(str(land2))
     assert (tmp_path / "l2.pre-compact").is_dir()  # kept for forensics
+
+
+def test_compaction_materializes_evolution_and_keeps_marker(spark, tmp_path):
+    """r11 follow-through: a compaction of an EVOLVED layout reads
+    through load_landing (mergeSchema + typed-NULL fill), so its
+    rewrite materializes the evolved column into EVERY data file, and
+    the _layout_schema.json registration survives the atomic swap
+    (columns evolved later still need it).  Also drives the CLI
+    --evolve-schema verb end-to-end."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from events_to_db_spark.etl import (
+        compact_landing_layout,
+        main,
+        maintain_landing_layout,
+    )
+
+    feed, files, n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    _land_chunk(feed, files, 0, base_t)
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt_m")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    n0 = load_landing(spark, dst).count()
+
+    cfg = {
+        "events": dst,
+        "events_layout": "landing",
+        "db": str(tmp_path / "x.db"),
+        "checkpoints": str(tmp_path / "c"),
+        "tables": [{"table": "raw_copy"}],
+    }
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps(cfg))
+    assert main([str(cfgp), "--evolve-schema", "score:double"]) == 0
+
+    # widened chunk 1 lands and is maintained in
+    wide = (
+        spark.read.parquet(str(files[1][0].parent))
+        .withColumn("score", F.col("value") * 3)
+    )
+    wdir = tmp_path / "wide"
+    wide.coalesce(1).write.parquet(str(wdir))
+    for f in os.listdir(wdir):
+        if f.endswith(".parquet"):
+            p = os.path.join(str(feed), f"c1w_{f}")
+            shutil.copy(os.path.join(wdir, f), p)
+            os.utime(p, (base_t + 1, base_t + 1))
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+
+    # pre-compaction: files are MIXED (old ones lack the column)
+    from events_to_db_spark.etl import _landing_data_files
+
+    with_col = [
+        p
+        for p in _landing_data_files(dst)
+        if "score" in pq.read_schema(str(p)).names
+    ]
+    assert 0 < len(with_col) < len(_landing_data_files(dst))
+
+    rep = compact_landing_layout(spark, dst)
+    assert rep["rows"] == n
+    # post-compaction: EVERY data file carries the evolved column
+    after = _landing_data_files(dst)
+    assert after and all(
+        "score" in pq.read_schema(str(p)).names for p in after
+    )
+    # and a PLAIN read (no mergeSchema) now sees it, values intact
+    plain = spark.read.parquet(dst)
+    assert "score" in plain.columns
+    assert plain.filter(F.col("score").isNotNull()).count() == n - n0
+
+    # the registration survived the swap: a later evolution stacks
+    assert main([str(cfgp), "--evolve-schema", "label:string"]) == 0
+    from events_to_db_spark.etl import _layout_extra_columns
+
+    assert _layout_extra_columns(dst) == [
+        ("score", "double"),
+        ("label", "string"),
+    ]
+    land = load_landing(spark, dst)
+    assert "label" in land.columns and land.count() == n
