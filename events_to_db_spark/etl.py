@@ -743,8 +743,9 @@ def evolve_landing_schema(
         current[name] = ddl
     root.mkdir(parents=True, exist_ok=True)
     extras = [[n, t] for n, t in current.items()]
-    _layout_schema_file(dst_dir).write_text(
-        json.dumps({"extra_columns": extras})
+    _atomic_write_text(
+        _layout_schema_file(dst_dir),
+        json.dumps({"extra_columns": extras}),
     )
     return {"extra_columns": [tuple(x) for x in extras]}
 
@@ -810,7 +811,8 @@ def _write_maintenance_owner(
 
     root = Path(dst_dir)
     root.mkdir(parents=True, exist_ok=True)
-    (root / "_maintenance_owner.json").write_text(
+    _atomic_write_text(
+        root / "_maintenance_owner.json",
         json.dumps(
             {
                 "query_id": str(query.id),
@@ -909,6 +911,17 @@ def _refuse_live_maintenance(
             )
 
 
+def _atomic_write_text(path, text: str) -> None:
+    """Write a layout MARKER file atomically (tmp + rename): markers
+    (`_maintenance_owner.json`, `_aggregate_consumers.json`,
+    `_layout_schema.json`) are read by OTHER processes (status tools,
+    a concurrently-starting maintenance stream), and a bare
+    ``write_text`` can expose a truncated JSON mid-write."""
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(text)
+    tmp.replace(path)
+
+
 def _aggregate_consumers_file(dst_dir: str):
     from pathlib import Path
 
@@ -951,7 +964,7 @@ def _register_aggregate_consumer(
     state[table] = {"checkpoint": str(Path(checkpoint).resolve())}
     f = _aggregate_consumers_file(dst_dir)
     f.parent.mkdir(parents=True, exist_ok=True)
-    f.write_text(json.dumps(state, sort_keys=True))
+    _atomic_write_text(f, json.dumps(state, sort_keys=True))
 
 
 def deregister_aggregate_consumer(dst_dir: str, table: str) -> None:
@@ -965,7 +978,7 @@ def deregister_aggregate_consumer(dst_dir: str, table: str) -> None:
     state.pop(table, None)
     f = _aggregate_consumers_file(dst_dir)
     if state:
-        f.write_text(json.dumps(state, sort_keys=True))
+        _atomic_write_text(f, json.dumps(state, sort_keys=True))
     else:
         f.unlink(missing_ok=True)
 
@@ -994,7 +1007,7 @@ def _refuse_aggregate_consumers(dst_dir: str) -> None:
 
         f = _aggregate_consumers_file(dst_dir)
         if live:
-            f.write_text(json.dumps(live, sort_keys=True))
+            _atomic_write_text(f, json.dumps(live, sort_keys=True))
         else:
             f.unlink(missing_ok=True)
     if live:
@@ -1481,7 +1494,7 @@ def compact_landing_layout(
         # the evolution registration survives the swap (the rewrite
         # just MATERIALIZED the evolved columns into every file, but
         # readers still consult the marker for columns evolved later)
-        _layout_schema_file(dst_dir).write_text(schema_marker)
+        _atomic_write_text(_layout_schema_file(dst_dir), schema_marker)
     if latest >= 0:
         _seed_sink_manifest(spark, dst_dir, latest)
     after = _landing_data_files(dst_dir)
@@ -2116,14 +2129,15 @@ def _multiplex_table_guard(
             **state["frontier"],
             **{t: latest for t in tables},
         }
-        marker.write_text(
+        _atomic_write_text(
+            marker,
             json.dumps(
                 {
                     "union": sorted(state["union"] | set(tables)),
                     "last_active": sorted(tables),
                     "frontier": frontier,
                 }
-            )
+            ),
         )
 
     return register
@@ -2205,14 +2219,15 @@ def backfill_multiplex_table(
         "frontier": {},
     }
     marker.parent.mkdir(parents=True, exist_ok=True)
-    marker.write_text(
+    _atomic_write_text(
+        marker,
         json.dumps(
             {
                 "union": sorted(state["union"] | {name}),
                 "last_active": sorted(state["last_active"]),
                 "frontier": {**state["frontier"], name: frontier_after},
             }
-        )
+        ),
     )
 
 
