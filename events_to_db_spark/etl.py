@@ -331,10 +331,29 @@ def build_landing_layout(
     return spark.read.parquet(dst_dir).count()
 
 
+#: pyarrow physical type → Spark DDL, for the evolved-column TYPE
+#: check (best-effort: only types in this map are compared — an
+#: unknown flavor stays permissive; the stream read still fails LOUDLY
+#: on a real mismatch, this check just names the file and types at
+#: start instead of an opaque mid-batch error).
+_PA_TO_DDL = {
+    "double": "double",
+    "float": "float",
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+}
+
+
 def _feed_schema_guard(
     src_dir: str,
     allow_extra: bool = False,
     known_extra: frozenset = frozenset(),
+    extra_types: dict | None = None,
 ) -> None:
     """Refuse a feed whose parquet files do not carry the event
     envelope by NAME — the schema-evolution guard for the maintained
@@ -358,7 +377,12 @@ def _feed_schema_guard(
     layout's REGISTERED evolved columns (r11,
     :func:`evolve_landing_schema`): they are part of the widened read
     schema, so their presence — or absence, they are nullable — in a
-    feed file is not a violation."""
+    feed file is not a violation.  ``extra_types`` ({name: ddl})
+    additionally TYPE-checks a present evolved column against its
+    registration (best-effort via ``_PA_TO_DDL``): a wrong-typed file
+    would fail the stream mid-batch anyway, but loudly-at-start with
+    the file and both types named is the refusal style this module
+    owes its operator."""
     import os
     from pathlib import Path
 
@@ -377,7 +401,24 @@ def _feed_schema_guard(
     files.sort(key=lambda p: os.path.getmtime(p), reverse=True)
     envelope = {f.name for f in EVENTS_SCHEMA.fields}
     for p in files[:32]:
-        names = set(pq.read_schema(str(p)).names)
+        schema = pq.read_schema(str(p))
+        names = set(schema.names)
+        if extra_types:
+            for name in sorted(names & set(extra_types)):
+                pa_t = str(schema.field(name).type)
+                ddl = _PA_TO_DDL.get(pa_t)
+                want = str(extra_types[name]).lower().strip()
+                if ddl is not None and ddl != want:
+                    raise ValueError(
+                        f"maintain_landing_layout: feed file "
+                        f"{p.name!r} carries evolved column {name!r} "
+                        f"as {pa_t} but the layout registered it as "
+                        f"{want!r} (evolve_landing_schema) — the "
+                        "widened stream read would fail mid-batch on "
+                        "this file. Fix the feed's type, or re-drain "
+                        "a fresh layout registered with the type the "
+                        "feed actually writes."
+                    )
         missing = sorted(envelope - names)
         if missing:
             raise ValueError(
@@ -410,6 +451,7 @@ def _attach_feed_schema_watch(
     dst_dir: str,
     allow_extra: bool,
     known_extra: frozenset = frozenset(),
+    extra_types: dict | None = None,
 ) -> None:
     """Mid-run schema-evolution guard for a CONTINUOUS maintenance
     stream (VERDICT r09 #3): the start-time `_feed_schema_guard`
@@ -440,7 +482,10 @@ def _attach_feed_schema_watch(
                 return
             try:
                 _feed_schema_guard(
-                    src_dir, allow_extra=allow_extra, known_extra=known_extra
+                    src_dir,
+                    allow_extra=allow_extra,
+                    known_extra=known_extra,
+                    extra_types=extra_types,
                 )
             except ValueError as exc:
                 import json
@@ -555,7 +600,10 @@ def maintain_landing_layout(
     extras = _layout_extra_columns(dst_dir)
     known = frozenset(n for n, _t in extras)
     _feed_schema_guard(
-        src_dir, allow_extra=allow_feed_extra_columns, known_extra=known
+        src_dir,
+        allow_extra=allow_feed_extra_columns,
+        known_extra=known,
+        extra_types=dict(extras),
     )
     stream = events_file_stream(
         spark,
@@ -582,7 +630,13 @@ def maintain_landing_layout(
     (_P2(dst_dir) / "_schema_violation.json").unlink(missing_ok=True)
     if not available_now:
         _attach_feed_schema_watch(
-            spark, q, src_dir, dst_dir, allow_feed_extra_columns, known
+            spark,
+            q,
+            src_dir,
+            dst_dir,
+            allow_feed_extra_columns,
+            known,
+            dict(extras),
         )
     return q
 

@@ -1930,3 +1930,39 @@ def test_compaction_materializes_evolution_and_keeps_marker(spark, tmp_path):
     ]
     land = load_landing(spark, dst)
     assert "label" in land.columns and land.count() == n
+
+
+def test_feed_guard_type_checks_evolved_columns(spark, tmp_path):
+    """r11 follow-through: a feed file carrying a REGISTERED evolved
+    column with the wrong physical type would fail the widened stream
+    read mid-batch (opaque Py4J error); the feed guard refuses at
+    START, naming the file and both types."""
+    import os
+    import shutil
+
+    from events_to_db_spark.etl import (
+        evolve_landing_schema,
+        maintain_landing_layout,
+    )
+
+    feed, files, _n, base_t = _drip_feed(spark, tmp_path, n_chunks=2)
+    _land_chunk(feed, files, 0, base_t)
+    dst, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt_m")
+    maintain_landing_layout(spark, str(feed), dst, ckpt).awaitTermination()
+    evolve_landing_schema(spark, dst, {"score": "double"})
+
+    # a feed file lands with score as STRING
+    bad = (
+        spark.read.parquet(str(files[1][0].parent))
+        .withColumn("score", F.lit("oops"))
+    )
+    bdir = tmp_path / "bad"
+    bad.coalesce(1).write.parquet(str(bdir))
+    for f in os.listdir(bdir):
+        if f.endswith(".parquet"):
+            p = os.path.join(str(feed), f"bad_{f}")
+            shutil.copy(os.path.join(bdir, f), p)
+            os.utime(p, (base_t + 1, base_t + 1))
+
+    with pytest.raises(ValueError, match="registered it as 'double'"):
+        maintain_landing_layout(spark, str(feed), dst, ckpt)
