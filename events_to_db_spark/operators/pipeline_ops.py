@@ -483,6 +483,132 @@ def editdist_candidate_pairs(
     return pairs.dropDuplicates(block_cols + ["key_a", "key_b"])
 
 
+#: Small-vocabulary exact-mask gate (r11): vocabularies at or under
+#: this many distinct tokens take the bitmask pair path in
+#: q_dedup_minhash (a token set becomes one 64-bit mask; Jaccard is
+#: two popcounts).  Hard-capped at 64 — the mask is a single BIGINT.
+#: SPARK_GRAFT_MINHASH_MASK_MAX=0 forces the band engine (tests pin
+#: path parity).
+MINHASH_MASK_VOCAB_MAX = 64
+
+#: Doc-count bound for broadcasting the build side of the mask path's
+#: size-key join (≈28 B/row → ~28 MB at the default; guide §3.1's "a
+#: few hundred MB is fine" with 10× headroom).  Above it the band
+#: engine keeps the job shuffle-based rather than risking an
+#: oversized broadcast.  SPARK_GRAFT_MINHASH_MASK_DOCS_MAX overrides.
+MINHASH_MASK_DOCS_MAX = 1_000_000
+
+
+def _minhash_mask_vocab_max() -> int:
+    import os
+
+    return min(
+        int(
+            os.environ.get(
+                "SPARK_GRAFT_MINHASH_MASK_MAX", str(MINHASH_MASK_VOCAB_MAX)
+            )
+        ),
+        64,
+    )
+
+
+def _minhash_mask_docs_max() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_MINHASH_MASK_DOCS_MAX", str(MINHASH_MASK_DOCS_MAX)
+        )
+    )
+
+
+def _minhash_small_vocab(d: DataFrame) -> list | None:
+    """The global token vocabulary, sorted, IF it fits the mask gate —
+    else None (take the band engine).
+
+    Probe discipline: one ``approx_count_distinct`` aggregation first
+    (HLL sketch — no wide shuffle however large the vocabulary), the
+    exact distinct-and-collect only when the sketch says ≤ 2× the gate
+    (±2 % standard error makes 2× a safe margin), and a bounded
+    ``limit(max+1)`` so a sketch undercount can never collect an
+    unbounded vocabulary.  A realistic corpus pays exactly one extra
+    cheap aggregation and falls through."""
+    vmax = _minhash_mask_vocab_max()
+    if vmax <= 0:
+        return None
+    toks_e = d.select(F.explode("toks").alias("t"))
+    approx = toks_e.agg(F.approx_count_distinct("t").alias("a")).first()["a"]
+    if approx is None or approx > 2 * vmax:
+        return None
+    vocab = [r["t"] for r in toks_e.distinct().limit(vmax + 1).collect()]
+    if len(vocab) > vmax:
+        return None
+    if d.limit(_minhash_mask_docs_max() + 1).count() > _minhash_mask_docs_max():
+        return None
+    return sorted(vocab)
+
+
+def _minhash_mask_pairs(d: DataFrame, vocab: list) -> DataFrame:
+    """Exact Jaccard-≥0.8 pairs for a ≤64-token vocabulary: token set →
+    64-bit mask, candidates from the lossless size prefilter turned
+    equi-join key, verify = ``bit_count``.
+
+    Candidate enumeration: J ≥ 0.8 forces 4·|A| ≤ 5·|B| ∧ 4·|B| ≤ 5·|A|
+    (the same prefilter the band path applies) — so doc *a* emits every
+    compatible partner size k ∈ [⌈4·na/5⌉, ⌊5·na/4⌋] and partners join
+    on their exact size.  The predicate is symmetric in (na, k), so
+    each qualifying unordered pair surfaces exactly twice and the
+    ``doc_a < doc_b`` filter keeps exactly one — no dedup aggregation.
+    The build side is all docs as (id, mask, size) ≈ 28 B/row,
+    broadcast under the docs gate: the whole query is one broadcast
+    hash join, zero shuffles of pair rows, zero Python stages.
+
+    Exactness: vocab→bit is a bijection (the probe collected the FULL
+    vocabulary), so popcount(mask_a & mask_b) = |A∩B| and
+    |A∪B| = na + nb − |A∩B| (sets are distinct by construction).  The
+    same integers feed the same double division and round(·, 4) as the
+    band path's verify — bit-identical output."""
+    from itertools import chain
+
+    bit = F.create_map(
+        *chain.from_iterable(
+            (F.lit(t), F.lit(1 << i).cast("long")) for i, t in enumerate(vocab)
+        )
+    )
+    mask = F.aggregate(
+        "toks",
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseOR(F.element_at(bit, t)),
+    )
+    m = d.select(
+        "doc_id", mask.alias("mask"), F.size("toks").alias("n")
+    )
+    a = m.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mask").alias("mask_a"),
+        F.col("n").alias("na"),
+        F.explode(
+            F.sequence(F.expr("(4 * n + 4) div 5"), F.expr("(5 * n) div 4"))
+        ).alias("nk"),
+    )
+    b = m.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mask_b"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("nk") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")),
+    )
+    _i = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    jac = _i.cast("double") / (F.col("na") + F.col("nb") - _i)
+    return (
+        pairs.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
+    )
+
+
 @query(
     "q_dedup_minhash",
     oracle="""
@@ -516,10 +642,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (large vocab, rare near-dups) bucket occupancy is near-uniform and
     the candidate set is a vanishing fraction of n²; the plan shape —
     shuffle on (band, band-hash), ids-only candidates, verify-after —
-    is the one that scales."""
+    is the one that scales.
+
+    Small-vocabulary fast path (r11, guide §2.4 "remove shuffles
+    outright"): when the corpus's global vocabulary fits in 64 distinct
+    tokens — probed with one ``approx_count_distinct`` pass, confirmed
+    exactly — every distinct-token set IS a 64-bit mask, and the
+    lossless size prefilter (5·min ≥ 4·max) becomes an enumerable
+    equi-join key: each doc explodes into its ≤ ⌈0.45·n⌉+1 compatible
+    partner sizes and joins partners on exact size.  One broadcast
+    hash join, ``bit_count(mask_a & mask_b)`` verify, zero banding,
+    zero Python, zero pair-dedup aggregation — exact by construction
+    (every size-compatible pair is enumerated; the same Jaccard
+    integers feed the same double division).  Banding on this corpus
+    was pure overhead (measured: 11.9M band candidates from 12.5M
+    possible pairs at sf0.1 — see OPTIMIZATION_r11.md); the band
+    engine stays the path for every corpus with a real vocabulary,
+    and ``SPARK_GRAFT_MINHASH_MASK_MAX=0`` forces it for tests."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
+    vocab = _minhash_small_vocab(d)
+    if vocab is not None:
+        return _minhash_mask_pairs(d, vocab)
     # Signatures are built without explode — per row, transform the 64
     # seeds over the token array and min-fold with xxhash64 (JVM-side,
     # no string md5 round-trip).  The signature function needs
@@ -561,11 +706,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             5 * F.least(F.col("na"), F.col("nb"))
             >= 4 * F.greatest(F.col("na"), F.col("nb"))
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "na", "nb")
     )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    # |∪| DERIVED from sizes (r11, mirroring near_dup_pairs): toks are
+    # array_distinct'd, so |A∪B| = |A|+|B|−|A∩B| exactly — the sizes
+    # are already in hand from the prefilter, array_intersect is the
+    # one per-pair array op left (the old form ran array_union per
+    # pair for a number already known).  Same integers → the same
+    # double division → identical round(·, 4) as before.
+    _i = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = _i.cast("double") / (F.col("na") + F.col("nb") - _i)
     return (
         slim.join(toks_a, "doc_a")
         .join(toks_b, "doc_b")

@@ -70,3 +70,33 @@ def test_minhash_signature_stability(spark):
     a = {(r["doc_a"], r["doc_b"]) for r in fn(spark, SF_SMOKE).collect()}
     b = {(r["doc_a"], r["doc_b"]) for r in fn(spark, SF_SMOKE).collect()}
     assert a == b
+
+
+def test_minhash_mask_band_path_parity(spark, monkeypatch):
+    """r11 small-vocab bitmask fast path must be output-identical to
+    the band engine it bypasses (same pairs, same rounded jaccard) —
+    a path-selection gate may never change what the query computes.
+
+    The smoke corpus's 31-token vocabulary takes the mask path by
+    default; SPARK_GRAFT_MINHASH_MASK_MAX=0 forces the band engine."""
+    import __spark_entry__ as e
+    from events_to_db_spark.operators import pipeline_ops as po
+    from events_to_db_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    assert po._minhash_small_vocab(d) is not None  # gate fires on smoke
+
+    fn = e.queries()["q_dedup_minhash"]
+    mask = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in fn(spark, SF_SMOKE).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_MASK_MAX", "0")
+    band = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in fn(spark, SF_SMOKE).collect()
+    }
+    assert mask == band
