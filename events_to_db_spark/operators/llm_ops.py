@@ -369,14 +369,20 @@ def dedup_curve(d: DataFrame, sample_mod: int | None = None) -> DataFrame:
         F.col("doc_id").alias("doc_b"), "lang", "source",
         F.col("toks").alias("toks_b"),
     )
+    # |∪| DERIVED from sizes (r11 opt, mirroring near_dup_pairs): toks
+    # are array_distinct'd, so |A∪B| = |A|+|B|−|A∩B| exactly —
+    # array_intersect is the one per-pair array op (the old form ran
+    # array_union per pair for a number already in hand).  Identical
+    # integers → identical threshold decisions.
     pairs = (
         a.join(b, ["lang", "source"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_b",
             F.size(F.array_intersect("toks_a", "toks_b")).alias("i"),
-            F.size(F.array_union("toks_a", "toks_b")).alias("u"),
+            (F.size("toks_a") + F.size("toks_b")).alias("_s"),
         )
+        .select("doc_b", "i", (F.col("_s") - F.col("i")).alias("u"))
     )
     aggs = []
     for label, num, den in _CURVE_TAUS:
@@ -416,50 +422,124 @@ def near_dup_pairs(d: DataFrame) -> DataFrame:
     (r6: cluster previously re-derived the pairs with an UNGATED
     in-block quadratic join carrying token arrays, which wedged the
     m100 deep-scaling tier; one engine, one gate).  Returns
-    (doc_a, doc_b, jac), doc_a < doc_b."""
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "source",
-        F.col("toks").alias("toks_a"),
+    (doc_a, doc_b, jac), doc_a < doc_b.
+
+    Small-vocabulary mask verify (r11 opt, guide §2.3/§4): when the
+    global vocabulary fits 64 tokens (probed exactly, see
+    ``pipeline_ops._minhash_small_vocab``) each token set is one
+    64-bit mask, the per-pair verify becomes
+    ``bit_count(mask_a & mask_b)`` — O(1) and allocation-free vs the
+    O(|A|+|B|) ``array_intersect`` — and the pair join shuffles a
+    16-byte (mask, size) pair per row instead of the token array.
+    |A∪B| = |A|+|B|−|A∩B| exactly (sets are distinct), so the SAME
+    integers feed the SAME double division and round(·, 4): output is
+    bit-identical to the array verify on both the quadratic and the
+    banded path (tests pin parity).  The join SHAPE is unchanged —
+    blocked equi-join or band engine, still chosen by the measured
+    ppr gate — only the verify kernel and the bytes per pair shrink.
+
+    Probe-job fusion (r11 opt): the vocab approx pass and the ppr work
+    probe are independent single-row aggregates, so they run as ONE
+    Spark job via a two-branch union (each branch its own parallel
+    stage) — the engine's adaptive machinery costs one fused job plus
+    the exact vocab confirm (mask corpora) or just the fused job
+    (realistic corpora, where the approx branch falls through)."""
+    from .pipeline_ops import (
+        _exact_small_vocab,
+        _minhash_mask_vocab_max,
+        _vocab_mask_col,
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        "source",
-        F.col("toks").alias("toks_b"),
-    )
-    # |∪| DERIVED from sizes (r11): toks are array_distinct'd, so
-    # |A∪B| = |A|+|B|−|A∩B| exactly — array_intersect is the one
-    # per-pair array op left, halving the dominant cost of the verify
-    # (measured 2.8 s → 2.0 s on the N4 bench pairs; the old form ran
-    # array_union per pair for a number already in hand).
-    _i = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = _i.cast("double") / (
-        F.size("toks_a") + F.size("toks_b") - _i
-    )
-    # Lossless size prefilter (J ≥ 0.8 ⇒ 5·min ≥ 4·max on distinct-
-    # token counts) — exact-integer, can never drop a true pair.
-    size_ok = 5 * F.least(
-        F.size("toks_a"), F.size("toks_b")
-    ) >= 4 * F.greatest(F.size("toks_a"), F.size("toks_b"))
-    # Work probe: one count-agg over the block keys (same class of
-    # adaptive decision as a broadcast-size check); Σ block²/2N = the
-    # quadratic path's candidate pairs per row, compared against the
-    # measured band-engine cost ratio.  The agg runs over
-    # ~|lang|×|source| rows — driver-bounded by construction.
-    ppr = (
+
+    # Work probe: Σ block²/2N = the quadratic path's candidate pairs
+    # per row over the (lang, source) block-count frame (driver-
+    # bounded by construction), compared against the measured band-
+    # engine cost ratio.  Fused with the vocab approx pass into one
+    # collect.
+    ppr_q = (
         d.groupBy("lang", "source")
         .count()
         .agg(
             (
                 F.sum(F.col("count").cast("double") * F.col("count"))
                 / (2 * F.sum("count"))
-            ).alias("ppr")
+            ).alias("v")
         )
-        .first()[0]
-        or 0.0
+        .select(F.lit("ppr").alias("k"), "v")
     )
+    vmax = _minhash_mask_vocab_max()
+    if vmax > 0:
+        probe_q = (
+            d.select(F.explode("toks").alias("t"))
+            .agg(F.approx_count_distinct("t").cast("double").alias("v"))
+            .select(F.lit("vocab").alias("k"), "v")
+            .unionAll(ppr_q)
+        )
+    else:
+        probe_q = ppr_q
+    probe = {r["k"]: r["v"] for r in probe_q.collect()}
+    ppr = probe.get("ppr") or 0.0
+    approx = probe.get("vocab")
+    vocab = (
+        _exact_small_vocab(d, vmax)
+        if approx is not None and approx <= 2 * vmax
+        else None
+    )
+    if vocab is not None:
+        m = d.select(
+            "doc_id",
+            "lang",
+            "source",
+            _vocab_mask_col(vocab).alias("mask"),
+            F.size("toks").alias("n"),
+        )
+        a = m.select(
+            F.col("doc_id").alias("doc_a"),
+            "lang",
+            "source",
+            F.col("mask").alias("mask_a"),
+            F.col("n").alias("na"),
+        )
+        b = m.select(
+            F.col("doc_id").alias("doc_b"),
+            "lang",
+            "source",
+            F.col("mask").alias("mask_b"),
+            F.col("n").alias("nb"),
+        )
+        _i = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+        jac = _i.cast("double") / (F.col("na") + F.col("nb") - _i)
+        size_ok = 5 * F.least(F.col("na"), F.col("nb")) >= 4 * F.greatest(
+            F.col("na"), F.col("nb")
+        )
+    else:
+        a = d.select(
+            F.col("doc_id").alias("doc_a"),
+            "lang",
+            "source",
+            F.col("toks").alias("toks_a"),
+        )
+        b = d.select(
+            F.col("doc_id").alias("doc_b"),
+            "lang",
+            "source",
+            F.col("toks").alias("toks_b"),
+        )
+        # |∪| DERIVED from sizes (r11): toks are array_distinct'd, so
+        # |A∪B| = |A|+|B|−|A∩B| exactly — array_intersect is the one
+        # per-pair array op left, halving the dominant cost of the
+        # verify (measured 2.8 s → 2.0 s on the N4 bench pairs; the
+        # old form ran array_union per pair for a number already in
+        # hand).
+        _i = F.size(F.array_intersect("toks_a", "toks_b"))
+        jac = _i.cast("double") / (
+            F.size("toks_a") + F.size("toks_b") - _i
+        )
+        # Lossless size prefilter (J ≥ 0.8 ⇒ 5·min ≥ 4·max on
+        # distinct-token counts) — exact-integer, can never drop a
+        # true pair.
+        size_ok = 5 * F.least(
+            F.size("toks_a"), F.size("toks_b")
+        ) >= 4 * F.greatest(F.size("toks_a"), F.size("toks_b"))
     if ppr > _dedup_ppr_max():
         from .pipeline_ops import minhash_candidate_pairs
 
@@ -632,7 +712,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (2 * F.sum("count"))
             ).alias("ppr")
         )
-        .first()[0]
+        .collect()[0][0]  # collect, not first(): r11, CollectLimit tax
         or 0.0
     )
     verify = (

@@ -522,7 +522,9 @@ def _minhash_mask_docs_max() -> int:
     )
 
 
-def _minhash_small_vocab(d: DataFrame) -> list | None:
+def _minhash_small_vocab(
+    d: DataFrame, docs_gate: bool = True
+) -> list | None:
     """The global token vocabulary, sorted, IF it fits the mask gate —
     else None (take the band engine).
 
@@ -532,20 +534,100 @@ def _minhash_small_vocab(d: DataFrame) -> list | None:
     (±2 % standard error makes 2× a safe margin), and a bounded
     ``limit(max+1)`` so a sketch undercount can never collect an
     unbounded vocabulary.  A realistic corpus pays exactly one extra
-    cheap aggregation and falls through."""
+    cheap aggregation and falls through.
+
+    ``docs_gate=False`` skips the doc-count bound — for callers whose
+    mask path keeps the original join shape (no broadcast of all docs,
+    e.g. ``llm_ops.near_dup_pairs``'s blocked/banded joins) the vocab
+    size alone decides.
+
+    Probe-job fusion (r11 opt, guide §1.2 "per-task work" applied to
+    the DRIVER's job count): the approx pass and the doc-count gate
+    are independent single-row aggregates, so they run as ONE Spark
+    job via a two-branch union (each branch its own parallel stage) —
+    the probe costs one job + the exact confirm instead of three
+    driver round-trips.  The doc count is a plain ``count(*)`` (the
+    aggregate prunes every column, so parquet answers it from footer
+    row counts — cheaper than the old ``limit(n+1).count()``, which
+    materialized rows through a LocalLimit)."""
     vmax = _minhash_mask_vocab_max()
     if vmax <= 0:
         return None
     toks_e = d.select(F.explode("toks").alias("t"))
-    approx = toks_e.agg(F.approx_count_distinct("t").alias("a")).first()["a"]
+    approx_q = toks_e.agg(
+        F.approx_count_distinct("t").cast("double").alias("v")
+    ).select(F.lit("vocab").alias("k"), "v")
+    if docs_gate:
+        approx_q = approx_q.unionAll(
+            d.agg(F.count("*").cast("double").alias("v")).select(
+                F.lit("docs").alias("k"), "v"
+            )
+        )
+    probe = {r["k"]: r["v"] for r in approx_q.collect()}
+    approx = probe.get("vocab")
     if approx is None or approx > 2 * vmax:
         return None
-    vocab = [r["t"] for r in toks_e.distinct().limit(vmax + 1).collect()]
-    if len(vocab) > vmax:
+    if docs_gate and (probe.get("docs") or 0.0) > _minhash_mask_docs_max():
         return None
-    if d.limit(_minhash_mask_docs_max() + 1).count() > _minhash_mask_docs_max():
+    return _exact_small_vocab(d, vmax)
+
+
+def _exact_small_vocab(d: DataFrame, vmax: int) -> list | None:
+    """The bounded exact confirm behind the approx probe: collect at
+    most ``vmax + 1`` distinct tokens (a sketch undercount can never
+    collect an unbounded vocabulary to the driver) and return the
+    sorted FULL vocabulary, or None when it exceeds the gate.
+
+    Shaped as ONE single-row aggregate — ``slice(sort_array(
+    collect_set))`` — rather than ``distinct().limit()``: CollectLimit
+    executes as an incremental partition sweep (1, 4, 16, … partitions
+    = several job launches when matches are spread out), measured
+    0.45–0.8 s vs ~0.3 s for the one-job form at sf0.1.  collect_set's
+    partial buffers hold each partition's LOCAL vocabulary — the same
+    bound the old distinct's partial hash-agg had — and this only runs
+    once the sketch said the global vocabulary is ≤ 2·vmax."""
+    rows = (
+        d.select(F.explode("toks").alias("t"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("t")), 1, vmax + 1
+            ).alias("v")
+        )
+        # .collect(), NOT .first(): first() plans a CollectLimit whose
+        # incremental executeTake costs ~0.4 s of extra job launches on
+        # a SINGLE-ROW aggregate (measured r11; collect() is 0.06 s).
+        .collect()
+    )
+    row = rows[0] if rows else None
+    vocab = list(row["v"]) if row and row["v"] is not None else []
+    if not vocab or len(vocab) > vmax:
         return None
     return sorted(vocab)
+
+
+def _vocab_mask_col(vocab: list):
+    """Column: the 64-bit set mask of ``toks`` under ``vocab`` (≤ 64
+    entries; bit *i* = membership of ``vocab[i]``).  Shared by the
+    minhash mask path and ``near_dup_pairs``'s mask verify — popcount
+    identities over these masks are exact because vocab→bit is a
+    bijection over the COMPLETE vocabulary.
+
+    Built as ONE ``F.expr`` string, not a ``create_map`` of column
+    objects: the Column form issues 2 py4j round-trips per vocab entry
+    (measured ~0.14 s of driver-side construction per call at 31
+    tokens; the expr form is ~1 ms).  Bit values use
+    ``shiftleft(1L, i)`` — a literal ``1 << 63`` would overflow the
+    signed-long lit for a full 64-token vocabulary."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    entries = ", ".join(
+        f"'{esc(t)}', shiftleft(1L, {i})" for i, t in enumerate(vocab)
+    )
+    return F.expr(
+        f"aggregate(toks, 0L, (acc, t) -> acc | element_at(map({entries}), t))"
+    )
 
 
 def _minhash_mask_pairs(d: DataFrame, vocab: list) -> DataFrame:
@@ -568,20 +650,8 @@ def _minhash_mask_pairs(d: DataFrame, vocab: list) -> DataFrame:
     |A∪B| = na + nb − |A∩B| (sets are distinct by construction).  The
     same integers feed the same double division and round(·, 4) as the
     band path's verify — bit-identical output."""
-    from itertools import chain
-
-    bit = F.create_map(
-        *chain.from_iterable(
-            (F.lit(t), F.lit(1 << i).cast("long")) for i, t in enumerate(vocab)
-        )
-    )
-    mask = F.aggregate(
-        "toks",
-        F.lit(0).cast("long"),
-        lambda acc, t: acc.bitwiseOR(F.element_at(bit, t)),
-    )
     m = d.select(
-        "doc_id", mask.alias("mask"), F.size("toks").alias("n")
+        "doc_id", _vocab_mask_col(vocab).alias("mask"), F.size("toks").alias("n")
     )
     a = m.select(
         F.col("doc_id").alias("doc_a"),
@@ -1493,7 +1563,11 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates come from the PassJoin segment index instead of the
     # in-block self-join (names are unique per block, so the name is
     # its own candidate key and key order == name order).
-    max_block = g.groupBy("p_brand").count().agg(F.max("count")).first()[0] or 0
+    max_block = (
+        # collect, not first(): r11, CollectLimit tax on 1-row aggs
+        g.groupBy("p_brand").count().agg(F.max("count")).collect()[0][0]
+        or 0
+    )
     if max_block > _editdist_block_max():
         base = g.select(
             "p_brand", F.col("p_name").alias("key"), F.col("p_name").alias("name")

@@ -165,3 +165,37 @@ def test_curve_agrees_with_band_engine_at_08(spark, sf_dir, monkeypatch):
         r["tau"]: r["n_pairs"] for r in llm_ops.dedup_curve(d).collect()
     }
     assert curve["0.8"] == llm_ops.near_dup_pairs(d).count()
+
+
+def test_near_dup_mask_verify_parity(spark, monkeypatch):
+    """r11 opt: the small-vocab mask verify (bit_count over 64-bit set
+    masks) must be output-identical to the array_intersect verify on
+    BOTH the quadratic and the banded path — a verify-kernel swap may
+    never change what the engine computes.  The smoke corpus's
+    31-token vocabulary takes the mask path by default;
+    SPARK_GRAFT_MINHASH_MASK_MAX=0 forces the array kernel."""
+    import __spark_entry__ as e
+
+    fn = e.queries()["q_dedup_near"]
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PPR_MAX", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_MINHASH_MASK_MAX", raising=False)
+    mask_quad = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in fn(spark, SF_SMOKE).collect()
+    }
+    assert mask_quad, "smoke corpus should contain near-dup pairs"
+
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_MASK_MAX", "0")
+    array_quad = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in fn(spark, SF_SMOKE).collect()
+    }
+    assert mask_quad == array_quad
+
+    monkeypatch.delenv("SPARK_GRAFT_MINHASH_MASK_MAX", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PPR_MAX", "1")
+    mask_band = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in fn(spark, SF_SMOKE).collect()
+    }
+    assert mask_quad == mask_band
