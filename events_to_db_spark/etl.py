@@ -611,7 +611,21 @@ def maintain_landing_layout(
         max_files_per_trigger=max_files_per_trigger,
         extra_columns=extras,
     )
-    out = stream.withColumn("event_date", F.to_date("ts"))
+    # Repartition by the layout's partition keys before the sink (r11
+    # opt, guide §2.4/§6): each (event_date, event_type) then lands in
+    # exactly ONE write task, so a batch produces one file per touched
+    # partition — parallel across partitions — instead of either the
+    # single-task serial write a 1-file feed batch used to get, or the
+    # task×partition file confetti of a many-file batch (the r9 flaw
+    # class build_landing_layout already fixed for the batch writer).
+    # Measured at sf0.1 (100k-row catch-up batch): 2.9 s → 2.15 s with
+    # an identical 150-file layout.  The shuffle moves only the batch
+    # (keyed, deterministic — retry-safe), and shuffle.partitions is
+    # already scale-derived in session.py.
+    out = (
+        stream.withColumn("event_date", F.to_date("ts"))
+        .repartition("event_date", "event_type")
+    )
     writer = (
         out.writeStream.format("parquet")
         .option("path", dst_dir)
