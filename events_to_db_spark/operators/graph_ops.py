@@ -37,6 +37,31 @@ _PR_SCALE = 10**12  # rank fixed-point scale
 _PR_PSCALE = 10**6  # edge-probability fixed-point scale
 _PR_ITERS = 5
 
+#: Driver-fold gate for fixed-point iterations on the event-TYPE
+#: transition graph (r11 opt, guide §1.2 "the distributed algorithm"
+#: + §5 "the driver should do almost no data work" — a ≤128-node
+#: integer mat-vec is not data work): when |V| is at or under this,
+#: the edge list (≤ |V|² rows of three BIGINTs) is collected once and
+#: the fixed iteration count runs as exact Python integer arithmetic —
+#: all values are non-negative, so Python ``//`` ≡ Spark ``div`` and
+#: the fold is bit-identical to the distributed loop (parity tests +
+#: the unchanged DuckDB oracles pin it).  Above the gate (or with the
+#: env var set to 0) the distributed broadcast-join loop runs exactly
+#: as before — the billion-node posture is unchanged.  The measured
+#: win is per-iteration JOB overhead, not compute: 5 pagerank rounds
+#: cost ~2.5 s of scheduler/broadcast/checkpoint latency at |V| = 5.
+GRAPH_DRIVER_MAX_NODES = 128
+
+
+def _graph_driver_max_nodes() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_GRAPH_DRIVER_MAX_NODES", str(GRAPH_DRIVER_MAX_NODES)
+        )
+    )
+
 
 def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     """Unrolled DuckDB CTE chain — one (dangling, contrib, rank) CTE
@@ -124,9 +149,40 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct().cache()
-    # |V| is the one driver-side scalar (node-count aggregate, not a
-    # row collect) — needed to close the teleport/dangling constants.
-    n = nodes.count()
+    # |V| closes the teleport/dangling constants; the same job yields
+    # the node list for the driver-fold gate below (bounded: the
+    # event-type dictionary).
+    node_list = [r["node"] for r in nodes.collect()]
+    n = len(node_list)
+    if 0 < n <= _graph_driver_max_nodes():
+        # Driver fold (see GRAPH_DRIVER_MAX_NODES): one edge-list
+        # collect, then the 5 rounds as exact non-negative integer
+        # arithmetic — Python // ≡ Spark div, same sums, same output.
+        ep_rows = [(r["src"], r["dst"], r["p"]) for r in ep.collect()]
+        out_srcs = {src for src, _dst, _p in ep_rows}
+        ranks_d = {node: _PR_SCALE // n for node in node_list}
+        for _ in range(_PR_ITERS):
+            dm = sum(
+                r for node, r in ranks_d.items() if node not in out_srcs
+            )
+            contrib: dict = {}
+            for src, dst, p in ep_rows:
+                contrib[dst] = contrib.get(dst, 0) + (ranks_d[src] * p) // _PR_PSCALE
+            ranks_d = {
+                node: (15 * _PR_SCALE) // (100 * n)
+                + (85 * (contrib.get(node, 0) + dm // n)) // 100
+                for node in node_list
+            }
+        out = spark.createDataFrame(
+            sorted(ranks_d.items()), "node string, r long"
+        )
+        return out.select(
+            F.col("node").alias("event_type"),
+            F.col("r").cast("long").alias("rank_scaled"),
+            F.round(F.col("r") / F.lit(1000000000000.0), 6).alias(
+                "pagerank"
+            ),
+        )
     ranks = nodes.select("node", F.lit(_PR_SCALE // n).alias("r"))
     for _ in range(_PR_ITERS):
         dang = (
@@ -236,6 +292,36 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    # Driver fold on the bounded type graph (r11 opt — see
+    # GRAPH_DRIVER_MAX_NODES): the min-plus relaxation is pure small-
+    # integer arithmetic, identical in Python; above the gate the
+    # distributed loop below runs untouched.
+    node_list = [r["node"] for r in nodes.collect()]
+    if 0 < len(node_list) <= _graph_driver_max_nodes():
+        edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        d_map = {
+            node: 0 if node == "signup" else _BFS_INF for node in node_list
+        }
+        for _ in range(_BFS_ITERS):
+            relaxed: dict = {}
+            for src, dst in edge_rows:
+                cand = d_map[src] + 1
+                if cand < relaxed.get(dst, _BFS_INF):
+                    relaxed[dst] = cand
+            d_map = {
+                node: min(d_map[node], relaxed.get(node, _BFS_INF))
+                for node in node_list
+            }
+        out = spark.createDataFrame(
+            sorted(d_map.items()), "node string, d int"
+        )
+        return out.select(
+            F.col("node").alias("event_type"),
+            F.when(F.col("d") >= _BFS_INF, F.lit(None))
+            .otherwise(F.col("d"))
+            .cast("int")
+            .alias("hops"),
+        ).orderBy("event_type")
     dist = nodes.select(
         "node",
         F.when(F.col("node") == "signup", 0)
@@ -340,7 +426,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
-        .transform(truncate_lineage)
+        # eager=False: the count() below materializes the checkpoint in
+        # the SAME job (r11 opt — eager truncation ran a separate
+        # materialization job before every per-round count, doubling
+        # the loop's job count)
+        .transform(lambda d: truncate_lineage(d, eager=False))
     )
     n = edges.count()
     for _ in range(_KCORE_ROUNDS):
@@ -353,7 +443,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(dc.select("c"), "c", "left_semi")
             .join(ds.select("s"), "s", "left_semi")
-            .transform(truncate_lineage)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
         n2 = edges.count()
         if n2 == n:

@@ -212,6 +212,25 @@ def _dedup_ppr_max() -> float:
     return pairs_per_row_gate("SPARK_GRAFT_DEDUP_PPR_MAX")
 
 
+#: Driver union-find gate for q_dedup_cluster (r11 opt): at or under
+#: this many near-dup pairs the components are computed by one bounded
+#: edge collect + union-find (16 B/row → ≤ ~32 MB at the default)
+#: instead of the distributed min-label rounds; 0 forces the
+#: distributed loop (tests / reliable-checkpoint mode).
+CLUSTER_DRIVER_MAX_PAIRS = 2_000_000
+
+
+def _cluster_driver_max_pairs() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_CLUSTER_DRIVER_MAX_PAIRS",
+            str(CLUSTER_DRIVER_MAX_PAIRS),
+        )
+    )
+
+
 @query(
     "q_dedup_near",
     oracle="""
@@ -1293,45 +1312,99 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
     # edge set = the SAME gated pair engine as q_dedup_near (r6: a
-    # private ungated quadratic join here wedged the m100 tier)
-    pairs = near_dup_pairs(d.drop("n_chars")).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    # private ungated quadratic join here wedged the m100 tier).
+    # Persisted once: the pair-count gate below and whichever
+    # components path runs both read it without recomputing the
+    # engine (unpersisted as soon as the path has its edges).
+    pairs = (
+        near_dup_pairs(d.drop("n_chars"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
     )
-    edges = truncate_lineage(
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-    )
+    n_pairs = pairs.count()
+    if 0 < n_pairs <= _cluster_driver_max_pairs():
+        # Driver union-find (r11 opt, guide §1.2/§5 — the same gated-
+        # hybrid shape as the graph_ops driver folds): min-label
+        # propagation converges to label(doc) = min doc_id of its
+        # connected component, which union-find computes exactly from
+        # one bounded edge collect (integers only — no arithmetic at
+        # all, so parity with the distributed fixpoint is structural).
+        # ~5 rounds x (join + agg + changed-count + checkpoint) of job
+        # overhead collapse into one collect.  Docs in no pair keep
+        # label = doc_id via the left-join coalesce.  Above the gate
+        # the distributed loop below runs exactly as before.
+        edge_rows = [(r["u"], r["v"]) for r in pairs.collect()]
+        pairs.unpersist()
+        parent: dict = {}
 
-    labels = d.select("doc_id", F.col("doc_id").alias("label"))
-    changed = -1
-    for _ in range(20):  # >= max component diameter, with margin
-        neigh = edges.join(
-            labels, edges.v == labels.doc_id
-        ).select(F.col("u").alias("doc_id"), "label")
-        new_labels = truncate_lineage(
-            labels.unionByName(neigh)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in edge_rows:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min id keeps the representative the
+                # component minimum as we go
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        touched = {x for uv in edge_rows for x in uv}
+        label_rows = [(int(x), int(find(x))) for x in sorted(touched)]
+        touched_labels = spark.createDataFrame(
+            label_rows, "doc_id long, label long"
         )
-        changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "doc_id")
-            .filter(F.col("old") != F.col("label"))
-            .count()
+        labels = (
+            d.select("doc_id")
+            .join(F.broadcast(touched_labels), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("label", "doc_id").alias("label"),
+            )
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # Non-convergence must fail loudly: a component with diameter
-        # beyond the round cap would otherwise silently yield split
-        # clusters (wrong cluster_id / n_docs).
-        raise RuntimeError(
-            "q_dedup_cluster: min-label propagation did not converge "
-            f"within 20 rounds ({changed} labels still changing); "
-            "raise the round cap or switch to star contraction"
+    else:
+        edges = truncate_lineage(
+            pairs.unionByName(
+                pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
         )
+        pairs.unpersist()
+
+        labels = d.select("doc_id", F.col("doc_id").alias("label"))
+        changed = -1
+        for _ in range(20):  # >= max component diameter, with margin
+            neigh = edges.join(
+                labels, edges.v == labels.doc_id
+            ).select(F.col("u").alias("doc_id"), "label")
+            new_labels = truncate_lineage(
+                labels.unionByName(neigh)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            )
+            changed = (
+                labels.withColumnRenamed("label", "old")
+                .join(new_labels, "doc_id")
+                .filter(F.col("old") != F.col("label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            # Non-convergence must fail loudly: a component with
+            # diameter beyond the round cap would otherwise silently
+            # yield split clusters (wrong cluster_id / n_docs).
+            raise RuntimeError(
+                "q_dedup_cluster: min-label propagation did not "
+                f"converge within 20 rounds ({changed} labels still "
+                "changing); raise the round cap or switch to star "
+                "contraction"
+            )
 
     comp = labels.withColumnRenamed("label", "cluster_id")
     ranked = comp.join(

@@ -2153,6 +2153,36 @@ def q_graph_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
+    # Driver fold on the bounded type graph (r11 opt — see
+    # graph_ops.GRAPH_DRIVER_MAX_NODES): 12 broadcast-join rounds cost
+    # ~6 s of pure job overhead at |states| = 4; the same non-negative
+    # integer arithmetic runs exactly in Python (// ≡ div), collected
+    # once, oracle-identical.  Above the gate the distributed loop
+    # below is untouched.
+    from events_to_db_spark.operators.graph_ops import (
+        _graph_driver_max_nodes,
+    )
+
+    state_list = [r["s"] for r in states.collect()]
+    if 0 < len(state_list) <= _graph_driver_max_nodes():
+        ep_rows = [(r["src"], r["dst"], r["p"]) for r in ep.collect()]
+        v_d = {s: 0 for s in state_list}
+        for _ in range(_ABS_ITERS):
+            contrib: dict = {}
+            for src, dst, p in ep_rows:
+                if dst in v_d and src in v_d:
+                    contrib[src] = contrib.get(src, 0) + (p * v_d[dst]) // sc
+            v_d = {s: sc + contrib.get(s, 0) for s in state_list}
+        out = spark.createDataFrame(
+            sorted(v_d.items()), "s string, v long"
+        )
+        return out.select(
+            F.col("s").alias("state"),
+            F.col("v").alias("steps_scaled"),
+            F.round(F.col("v") / F.lit(float(sc)), 4).alias(
+                f"expected_steps_h{_ABS_ITERS}"
+            ),
+        ).orderBy("state")
     v = states.select("s", F.lit(0).cast("long").alias("v"))
     for _ in range(_ABS_ITERS):
         contrib = (

@@ -23,6 +23,14 @@ def _rows(df):
 def test_reliable_mode_matches_default(spark, monkeypatch, tmp_path, name):
     import __spark_entry__ as e
 
+    # Force the DISTRIBUTED iteration (r11 opt): the small-graph /
+    # small-pair driver folds never truncate lineage, so this test --
+    # which pins that reliable-checkpoint mode actually writes files --
+    # must exercise the loop the checkpoints belong to.  Driver-vs-
+    # distributed output parity is pinned separately in
+    # tests/test_graph_driver_fold.py.
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_MAX_NODES", "0")
+    monkeypatch.setenv("SPARK_GRAFT_CLUSTER_DRIVER_MAX_PAIRS", "0")
     fn = e.queries()[name]
     monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", raising=False)
     expected = _rows(fn(spark, SF_SMOKE))
