@@ -1085,8 +1085,16 @@ def q_quality_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc")
     )
     pv = s.groupBy("vc").agg(F.count("*").cast("long").alias("c"))
+    # COARSE bucket for the prefix scan (r11 opt): value-grain
+    # buckets made the carry theta-join |distinct values|^2 (a ~1e9-
+    # comparison BNLJ measured seconds at sf0.1, quadratic at scale);
+    # floor(vc/2500) ascends with vc (floor, not div: order-aligned
+    # for negatives too), so the scan is unchanged semantically.
     cum = bucketed_running_sum(
-        pv, F.col("vc"), [F.col("vc")], {"cumc": F.col("c")}
+        pv,
+        F.floor(F.col("vc") / F.lit(2500)).cast("long"),
+        [F.col("vc")],
+        {"cumc": F.col("c")},
     )
     tot = pv.agg(F.sum("c").cast("long").alias("n"))
     med = (
@@ -1101,7 +1109,10 @@ def q_quality_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("c"))
     )
     dcum = bucketed_running_sum(
-        dpv, F.col("d"), [F.col("d")], {"cumc": F.col("c")}
+        dpv,
+        F.floor(F.col("d") / F.lit(2500)).cast("long"),
+        [F.col("d")],
+        {"cumc": F.col("c")},
     )
     mad = (
         dcum.crossJoin(F.broadcast(tot))
@@ -1291,8 +1302,16 @@ def q_quality_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc")
     )
     pv = s.groupBy("vc").agg(F.count("*").cast("long").alias("c"))
+    # COARSE bucket for the prefix scan (r11 opt): value-grain
+    # buckets made the carry theta-join |distinct values|^2 (a ~1e9-
+    # comparison BNLJ measured seconds at sf0.1, quadratic at scale);
+    # floor(vc/2500) ascends with vc (floor, not div: order-aligned
+    # for negatives too), so the scan is unchanged semantically.
     cum = bucketed_running_sum(
-        pv, F.col("vc"), [F.col("vc")], {"cumc": F.col("c")}
+        pv,
+        F.floor(F.col("vc") / F.lit(2500)).cast("long"),
+        [F.col("vc")],
+        {"cumc": F.col("c")},
     )
     tot = pv.agg(F.sum("c").cast("long").alias("n"))
     med = (
@@ -1307,7 +1326,10 @@ def q_quality_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("c"))
     )
     dcum = bucketed_running_sum(
-        dpv, F.col("d"), [F.col("d")], {"cumc": F.col("c")}
+        dpv,
+        F.floor(F.col("d") / F.lit(2500)).cast("long"),
+        [F.col("d")],
+        {"cumc": F.col("c")},
     )
     mad = (
         dcum.crossJoin(F.broadcast(tot))
