@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.plans.prefix import bucketed_running_sum
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
@@ -614,7 +615,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     a = baskets.alias("a")
     b = baskets.alias("b")
-    edges = (
+    # The basket self-join + distinct is referenced by deg (twice),
+    # oriented, the closing semi-join AND the summary count — Catalyst
+    # replays the whole subtree per reference (8 recomputations showed
+    # as 29 Exchanges).  Materialize the edge list once; downstream
+    # consumers read the checkpointed blocks.
+    edges = truncate_lineage(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -623,7 +629,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -633,7 +640,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    oriented = (
+    # oriented feeds both sides of the wedge self-join: one more
+    # truncation stops the deg joins replaying per side.
+    oriented = truncate_lineage(
         edges.join(du, "u")
         .join(dv, "v")
         .select(
@@ -651,7 +660,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.col("u"))
             .alias("dst"),
-        )
+        ),
+        eager=False,
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
@@ -6009,7 +6019,11 @@ def q_graph_local_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     a = baskets.alias("a")
     b = baskets.alias("b")
-    edges = (
+    # Same reuse structure as q_graph_triangles (deg ×2, oriented,
+    # closing tri join, final deg join): materialize the edge list and
+    # the oriented list once instead of replaying the basket self-join
+    # per reference (88 Exchanges before).
+    edges = truncate_lineage(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -6018,7 +6032,8 @@ def q_graph_local_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -6031,13 +6046,14 @@ def q_graph_local_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
+    oriented = truncate_lineage(
         edges.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
+        ),
+        eager=False,
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
@@ -6373,13 +6389,17 @@ def q_ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-agg stage."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (
+    # t is consumed twice (row totals + the cells join): truncate so
+    # the full lag-window scan runs once; the frame is alphabet²-
+    # bounded (≤25 rows).
+    t = truncate_lineage(
         ev.select(
             "event_type", F.lag("event_type").over(w).alias("prev")
         )
         .where(F.col("prev").isNotNull())
         .groupBy("prev", F.col("event_type").alias("nxt"))
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.count("*").cast("long").alias("c")),
+        eager=False,
     )
     rows_ = t.groupBy("prev").agg(F.sum("c").cast("long").alias("row_c"))
     cells = t.join(F.broadcast(rows_), "prev").select(
@@ -6453,13 +6473,17 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (alphabet-bounded) → 1-row agg."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (
+    # t is consumed twice (forward side and its transpose b): without
+    # truncation the full lag-window scan replays per reference.  The
+    # frame is alphabet²-bounded (≤25 rows) — a free materialization.
+    t = truncate_lineage(
         ev.select(
             "event_type", F.lag("event_type").over(w).alias("prev")
         )
         .where(F.col("prev").isNotNull())
         .groupBy("prev", F.col("event_type").alias("nxt"))
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.count("*").cast("long").alias("c")),
+        eager=False,
     )
     b = t.select(
         F.col("nxt").alias("prev"),

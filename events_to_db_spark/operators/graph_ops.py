@@ -524,14 +524,18 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = baskets.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
-    edges = (
+    # edges feeds sym (twice), the anti-join and — via sym — deg and
+    # both wedge sides: Catalyst replays the basket self-join per
+    # reference (67 Exchanges before).  One truncation materializes it.
+    edges = truncate_lineage(
         baskets.join(
             b2,
             (F.col("l_orderkey") == F.col("o2"))
             & (F.col("l_partkey") < F.col("p2")),
         )
         .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
