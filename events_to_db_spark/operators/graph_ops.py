@@ -63,6 +63,26 @@ def _graph_driver_max_nodes() -> int:
     )
 
 
+#: q_graph_linkpred anti-join broadcast gate: the edge list (two
+#: BIGINTs/row) broadcasts while |E| is at or under this (~128 MB of
+#: hashed relation at the gate), replacing a sort-merge anti join that
+#: would sort the 1e8-row wedge side.  Above the gate — edge lists
+#: scale with catalog density, not fact rows, but they DO grow — the
+#: shuffled anti join is kept (the 100 TB posture).
+LINKPRED_BCAST_MAX_EDGES = 8_000_000
+
+
+def _linkpred_bcast_max_edges() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_LINKPRED_BCAST_MAX_EDGES",
+            str(LINKPRED_BCAST_MAX_EDGES),
+        )
+    )
+
+
 def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     """Unrolled DuckDB CTE chain — one (dangling, contrib, rank) CTE
     triple per iteration, mirroring the Spark loop step for step."""
@@ -545,9 +565,19 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("u").alias("a"), "c")
         .agg(F.count("*").alias("common"))
     )
+    # The anti-join's left side is ~|wedge pairs| rows (1e8 at sf0.1)
+    # while the edge list is |E| rows of two ids: a sort-merge anti
+    # join sorts the 1e8-row side just to drop ~1% of it.  Broadcast
+    # the edge list when it is gate-small (count is free — edges is
+    # checkpointed); above the gate the shuffled anti join stands.
+    anti_rel = (
+        F.broadcast(edges)
+        if edges.count() <= _linkpred_bcast_max_edges()
+        else edges
+    )
     cand = wedges.join(
-        edges,
-        (wedges.a == edges.u) & (wedges.c == edges.v),
+        anti_rel,
+        (wedges.a == anti_rel["u"]) & (wedges.c == anti_rel["v"]),
         "left_anti",
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
