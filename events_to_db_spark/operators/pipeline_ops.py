@@ -33,8 +33,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.registry import query
 from events_to_db_spark.session import load_table
+
+
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition a scan up to the session's default parallelism when
+    it has fewer partitions (same contract as ``llm_ops._spread``,
+    duplicated here because llm_ops imports this module).  The
+    documents table ships as ONE parquet file, so any expression-heavy
+    derivation (per-doc shingle construction) otherwise runs on a
+    single task regardless of core count (guide §2.5 input skew)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 #: Frequent function words in the synthetic corpus (measured top terms)
 #: standing in for a stopword list.
@@ -1055,10 +1069,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles of one doc pair would need a 64-bit collision inside a
     ≤100-shingle set — probability ~1e-15, far below float round-4
     noise."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
-        .select(
+    # Spread the one-file scan before the string-heavy shingle build,
+    # and materialize the built grams once: the same frame feeds the
+    # sizes lookup and BOTH sides of the posting join — without
+    # truncation the per-doc concat/array_distinct (the measured cost:
+    # 6.2 s single-task, vs a 0.9M-row posting join) replays 3×.
+    d = truncate_lineage(
+        _spread_scan(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", F.split("text", " ").alias("toks")
+            )
+        ).select(
             "doc_id",
             "lang",
             F.array_distinct(
@@ -1068,7 +1089,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "                  ' ', toks[i + 2]))"
                 )
             ).alias("grams"),
-        )
+        ),
+        eager=False,
     )
     # Inverted-index formulation: |∩| arrives from a join on the
     # shingle hash (shuffle ∝ Σ shared shingles — pairs that share
@@ -1945,10 +1967,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``inter·10 ≥ 8·min(na, nb)`` — no float enters the keep/drop
     decision (§7.5).
     """
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
-        .select(
+    # Same spread + single-materialization as q_dedup_ngram: the
+    # shingle build is the measured cost and d feeds sizes + both
+    # posting sides.
+    d = truncate_lineage(
+        _spread_scan(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", F.split("text", " ").alias("toks")
+            )
+        ).select(
             "doc_id",
             "lang",
             F.array_distinct(
@@ -1958,7 +1985,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "                  ' ', toks[i + 2]))"
                 )
             ).alias("grams"),
-        )
+        ),
+        eager=False,
     )
     sizes = d.select("doc_id", "lang", F.size("grams").cast("bigint").alias("n"))
     inv = d.select(
