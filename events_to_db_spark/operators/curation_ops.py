@@ -943,18 +943,24 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented slack, not truncation).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     # if() guard, not greatest(...,0): sequence(1, 0) DESCENDS in Spark
     # and the resulting i=0,1 indexes throw on sub-3-token docs.
+    # Bind the token array ONCE per row before the lambda: Catalyst
+    # does not CSE split() inside transform(), so the inlined form
+    # re-tokenized the doc 3x PER GRAM (the q_contamination lesson;
+    # 4.9 s -> 2.4 s warm at sf0.1).  A no-explode variant
+    # (size/array_distinct per row) was A/B-measured SLOWER (5-7 s):
+    # without the explode shuffle the whole build stays on the
+    # one-file scan's single task, and spreading the scan first just
+    # traded the win back for an array shuffle.
     grams_arr = F.expr(
-        "transform(if(size(split(text, ' ')) >= 3,"
-        " sequence(1, size(split(text, ' ')) - 2), array()),"
-        " i -> concat_ws(' ', split(text, ' ')[i-1],"
-        " split(text, ' ')[i], split(text, ' ')[i+1]))"
+        "transform(if(size(toks) >= 3,"
+        " sequence(1, size(toks) - 2), array()),"
+        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
     )
     grams = d.select(
-        "doc_id", "lang", F.explode(grams_arr).alias("tri")
-    )
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    ).select("doc_id", "lang", F.explode(grams_arr).alias("tri"))
     per_doc = grams.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_grams"),
         F.countDistinct("tri").alias("n_distinct"),
