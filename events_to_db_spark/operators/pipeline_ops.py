@@ -2179,7 +2179,20 @@ def q_mm_riff(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; this is the pattern for reading container headers
     (WAV/RIFF, PNG chunks, TLV metadata) distributed, without ever
     shipping payloads to the driver."""
-    ev = load_table(spark, sf_dir, "events")
+    # Every synthesized/parsed field is a pure function of event_id and
+    # the output is the 100 smallest event_ids: take the top-100 FIRST
+    # (a TakeOrdered over the id column alone — the scan prunes to one
+    # column) and run the header synthesis + byte round-trip on 100
+    # rows instead of the whole table (guide §1.2: don't compute what
+    # you throw away).  event_id is unique, so the kept set — and every
+    # derived value — is identical.  3.2 s -> 2.0 s warm at sf0.1 (the
+    # rest is the id TakeOrdered + per-query session floor).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .orderBy("event_id")
+        .limit(100)
+    )
     d = ev.select(
         "event_id",
         (1 + F.col("event_id") % 2).alias("channels"),
