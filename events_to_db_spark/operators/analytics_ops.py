@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from events_to_db_spark.operators.graphkernel import (
+    collect_edges,
+    local_cluster_topk,
+    triangle_stats,
+)
 from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.plans.prefix import bucketed_running_sum
 from events_to_db_spark.registry import query
@@ -632,6 +637,29 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         eager=False,
     )
+    # r12 kernel (VERDICT r11 #7): driver-sized edge list + bounded
+    # oriented-wedge budget → one numpy pass (graphkernel
+    # .triangle_stats, the same degree orientation in array form);
+    # the float clustering expression stays IN SPARK on the returned
+    # exact ints so both branches share it verbatim.  Above either
+    # gate the distributed sweep below is untouched.
+    ku, kv, _n_edges = collect_edges(edges)
+    if ku is not None:
+        stats = triangle_stats(ku, kv)
+        if stats is not None:
+            nn, ne, tri_n, wsum = stats
+            one = spark.createDataFrame(
+                [(nn, ne, tri_n, wsum)],
+                "n_nodes long, n_edges long, n_triangles long, w long",
+            )
+            return one.select(
+                "n_nodes",
+                "n_edges",
+                "n_triangles",
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("w"), 4
+                ).alias("clustering"),
+            )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -6035,6 +6063,29 @@ def q_graph_local_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         eager=False,
     )
+    # r12 kernel (VERDICT r11 #7): same gates and shape as
+    # q_graph_triangles — per-node triangle incidence from one numpy
+    # pass, the local_cc float expression kept IN SPARK on the exact
+    # (node, d, t) ints so both branches share it verbatim.
+    ku, kv, _n_edges = collect_edges(edges)
+    if ku is not None:
+        rows = local_cluster_topk(ku, kv, 10)
+        if rows is not None:
+            out10 = spark.createDataFrame(rows, "node long, d long, t long")
+            return out10.select(
+                "node",
+                "d",
+                "t",
+                F.when(
+                    F.col("d") >= 2,
+                    F.round(
+                        2
+                        * F.col("t").cast("double")
+                        / (F.col("d") * (F.col("d") - 1)),
+                        4,
+                    ),
+                ).alias("local_cc"),
+            ).orderBy(F.col("d").desc(), "node")
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

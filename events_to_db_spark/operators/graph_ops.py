@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from events_to_db_spark.operators.graphkernel import (
+    collect_edges,
+    linkpred_topk,
+)
 from events_to_db_spark.registry import query
 from events_to_db_spark.plans.checkpoints import truncate_lineage
 from events_to_db_spark.session import load_table
@@ -169,15 +173,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct().cache()
-    # |V| closes the teleport/dangling constants; the same job yields
-    # the node list for the driver-fold gate below (bounded: the
-    # event-type dictionary).
-    node_list = [r["node"] for r in nodes.collect()]
-    n = len(node_list)
+    # |V| closes the teleport/dangling constants — a SCALAR count; the
+    # node list itself is only collected under the driver-fold gate
+    # (r12: the r11 form collected the list unconditionally, shipping
+    # rows to the driver even when the distributed loop was about to
+    # run — gate first, collect second).
+    n = nodes.count()
     if 0 < n <= _graph_driver_max_nodes():
         # Driver fold (see GRAPH_DRIVER_MAX_NODES): one edge-list
         # collect, then the 5 rounds as exact non-negative integer
         # arithmetic — Python // ≡ Spark div, same sums, same output.
+        node_list = [r["node"] for r in nodes.collect()]
         ep_rows = [(r["src"], r["dst"], r["p"]) for r in ep.collect()]
         out_srcs = {src for src, _dst, _p in ep_rows}
         ranks_d = {node: _PR_SCALE // n for node in node_list}
@@ -315,9 +321,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Driver fold on the bounded type graph (r11 opt — see
     # GRAPH_DRIVER_MAX_NODES): the min-plus relaxation is pure small-
     # integer arithmetic, identical in Python; above the gate the
-    # distributed loop below runs untouched.
-    node_list = [r["node"] for r in nodes.collect()]
-    if 0 < len(node_list) <= _graph_driver_max_nodes():
+    # distributed loop below runs untouched.  Gate on a SCALAR count
+    # first — the node list only moves to the driver under the gate
+    # (r12 gate-order fix).
+    if 0 < nodes.count() <= _graph_driver_max_nodes():
+        node_list = [r["node"] for r in nodes.collect()]
         edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
         d_map = {
             node: 0 if node == "signup" else _BFS_INF for node in node_list
@@ -557,6 +565,24 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         eager=False,
     )
+    # r12 kernel (VERDICT r11 #1): when the edge list is driver-sized
+    # AND its wedge budget Σd(d−1)/2 is kernel-bounded, the whole
+    # wedge aggregate + anti-join + degree joins fold into one numpy
+    # pass over the collected edges (graphkernel.linkpred_topk —
+    # sorted-adjacency pair enumeration, one int64 sort, hierarchical
+    # top-k cuts; exact integers throughout).  The scalar count runs
+    # first (it doubles as the checkpoint materialization); above
+    # either gate the distributed plan below is untouched.
+    ku, kv, n_edges = collect_edges(edges)
+    if ku is not None:
+        rows = linkpred_topk(ku, kv, 20)
+        if rows is not None:
+            out = spark.createDataFrame(
+                rows, "a long, c long, common long, jacc_bp long"
+            )
+            return out.orderBy(
+                F.col("common").desc(), F.col("jacc_bp").desc(), "a", "c"
+            )
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     s2 = sym.select(F.col("u").alias("m"), F.col("v").alias("c"))
@@ -568,11 +594,12 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The anti-join's left side is ~|wedge pairs| rows (1e8 at sf0.1)
     # while the edge list is |E| rows of two ids: a sort-merge anti
     # join sorts the 1e8-row side just to drop ~1% of it.  Broadcast
-    # the edge list when it is gate-small (count is free — edges is
-    # checkpointed); above the gate the shuffled anti join stands.
+    # the edge list when it is gate-small (n_edges reuses the kernel
+    # gate's count — no extra job); above the gate the shuffled anti
+    # join stands.
     anti_rel = (
         F.broadcast(edges)
-        if edges.count() <= _linkpred_bcast_max_edges()
+        if n_edges <= _linkpred_bcast_max_edges()
         else edges
     )
     cand = wedges.join(
